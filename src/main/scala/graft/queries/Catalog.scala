@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One harness-checkable query: a Spark implementation and (when
+  * SQL-expressible) its DuckDB oracle twin over the same parquet tables.
+  * Column names and row order MUST match between the two (the driver
+  * sorts columns by name, then hash-compares values in row order).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Catalog {
+  def all: Seq[Q] =
+    PoiQueries.all ++
+    AnalyticsQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's deterministic parquet testdata
+  * (TESTDATA.md) plus the deterministic OSM-shaped derivations the
+  * reference-operator queries run on.
+  *
+  * The derivations exist because the harness testdata is TPC-H-ish while
+  * the reference's data model is OSM-shaped (SURVEY.md §1); deriving
+  * nodes/ways/dimension deterministically from the parquet tables lets
+  * every reference operator be exercised end-to-end AND oracle-checked in
+  * DuckDB by re-expressing the same derivation in ANSI SQL.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** OSM-nodes-shaped table derived from `orders` (schema:
+    * [[graft.model.OsmModel.nodesSchema]] — Osmosis `nodes`,
+    * reference schema.sql:95-103). `o_orderkey` is the unique PK the
+    * OSM node id needs (schema.sql:96); lineitem has no unique natural
+    * key in this testdata.
+    *
+    * Mapping (each column a simple ANSI-SQL-expressible function so the
+    * DuckDB oracle can reproduce it):
+    *   - id           = o_orderkey
+    *   - version      = 1
+    *   - user_id      = o_custkey
+    *   - tstamp       = o_orderdate
+    *   - changeset_id = o_custkey
+    *   - tags         = { orderstatus → o_orderstatus,
+    *                      priority → o_orderpriority,
+    *                      name → 'poi_<id>' iff o_totalprice > 200000 }
+    *   - lon/lat      = scaled totalprice folds
+    */
+  def osmNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    o.select(
+      col("o_orderkey").as("id"),
+      lit(1).cast("int").as("version"),
+      col("o_custkey").cast("int").as("user_id"),
+      col("o_orderdate").as("tstamp"),
+      col("o_custkey").as("changeset_id"),
+      map_filter(
+        map(
+          lit("orderstatus"), col("o_orderstatus"),
+          lit("priority"), col("o_orderpriority"),
+          lit("name"), when(col("o_totalprice") > 200000,
+            concat(lit("poi_"), col("o_orderkey").cast("string")))),
+        (_, v) => v.isNotNull).as("tags"),
+      (col("o_totalprice") % 360 - 180).as("lon"),
+      (col("o_totalprice") % 170 - 85).as("lat"))
+  }
+
+  /** The literal TagInfo-shaped dimension used by the oracle-checked
+    * classification queries: exercises the threshold (MIN_OCCURENCES =
+    * 1000, settings_default.py:17), the ';' multi-value drop and the
+    * `in_wiki` drop (F5, filter.py:241-247).
+    *
+    * Kept literal (not read from data) so the DuckDB oracle can encode
+    * the surviving pairs as a static predicate. Survivors after F5 +
+    * threshold: (orderstatus→F), (orderstatus→P), (priority→1-URGENT).
+    */
+  val classificationDim: Seq[(String, String, Long, Boolean)] = Seq(
+    ("orderstatus", "F", 5000L, true),      // survives
+    ("orderstatus", "P", 1500L, true),      // survives
+    ("orderstatus", "O", 900L, true),       // dropped: count ≤ 1000
+    ("priority", "1-URGENT", 2000L, true),  // survives
+    ("priority", "2-HIGH;X", 3000L, true),  // dropped: ';' multi-value (F5)
+    ("priority", "3-MEDIUM", 3000L, false)  // dropped: not in wiki (F5)
+  )
+
+  def classificationDimDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    classificationDim.toDF("key", "value", "count", "in_wiki")
+  }
+}
