@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions.udf
+
+/** Geometry scalar functions — the reference's entire geometry surface
+  * (SURVEY.md §2.7): WKB point/multipolygon construction (C3/C4,
+  * reference filter.py:113-137 via osmium's WKBFactory), polygon
+  * centroid (C8, ways_to_centroids.sql:2 `ST_Centroid`), and geodesic
+  * area (C9, ways_to_centroids.sql:4 `ST_Area(geom::geography)`).
+  *
+  * No external geo library (offline build): WKB is hand-rolled
+  * little-endian per the OGC spec; geodesic area uses the
+  * Chamberlain–Duquette spherical-excess formula (published in "Some
+  * algorithms for polygons on a sphere", JPL 2007 — the same algorithm
+  * turf.js uses) on the WGS84 sphere. PostGIS computes on the spheroid,
+  * so areas differ by up to ~0.5% — documented semantic deviation
+  * (SURVEY.md §7.4.1); the 20,000 m² centroid threshold is applied to
+  * the spherical value.
+  *
+  * Invalid rings (null, < 4 points, unclosed) yield null, feeding the
+  * F6 invalid-geometry filter (reference filter.py:119-137 records ids
+  * and excludes them).
+  */
+object GeoFunctions {
+
+  /** WGS84 equatorial radius (m) — the sphere radius used for areas. */
+  val EarthRadiusM: Double = 6378137.0
+
+  // ---- pure core (shared by UDFs and tests) ----
+
+  /** 21-byte little-endian WKB POINT (C3). */
+  def wkbPointBytes(lon: Double, lat: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(1).putDouble(lon).putDouble(lat)
+    bb.array()
+  }
+
+  /** WKB MULTIPOLYGON with one polygon from rings (first = exterior,
+    * rest = holes) (C4). Returns null on any invalid ring.
+    */
+  def wkbMultiPolygonBytes(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    if (rings == null || rings.isEmpty || rings.exists(!ringValid(_))) return null
+    val size = 9 + 9 + 4 + rings.map(r => 4 + 16 * r.size).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(6).putInt(1) // multipolygon, 1 polygon
+    bb.put(1.toByte).putInt(3).putInt(rings.size) // polygon, numRings
+    rings.foreach { r =>
+      bb.putInt(r.size)
+      r.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    }
+    bb.array()
+  }
+
+  /** A linear ring needs ≥ 4 points and closure (F6 validity). */
+  def ringValid(ring: Seq[(Double, Double)]): Boolean =
+    ring != null && ring.size >= 4 && ring.head == ring.last
+
+  /** Planar shoelace centroid of a simple closed ring (C8). The ring is
+    * translated to its first vertex before the shoelace sums — cross
+    * products of raw lon/lat (magnitudes ~1e2) around a tiny polygon
+    * (area ~1e-6 deg²) cancel catastrophically otherwise, costing ~6
+    * significant digits of centroid precision. Falls back to the vertex
+    * mean for degenerate (zero-area) rings; null for invalid rings.
+    */
+  def centroidLonLat(ring: Seq[(Double, Double)]): Option[(Double, Double)] = {
+    if (!ringValid(ring)) return None
+    val (x0, y0) = ring.head
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < ring.size - 1) {
+      val x1 = ring(i)._1 - x0; val y1 = ring(i)._2 - y0
+      val x2 = ring(i + 1)._1 - x0; val y2 = ring(i + 1)._2 - y0
+      val cross = x1 * y2 - x2 * y1
+      a += cross
+      cx += (x1 + x2) * cross
+      cy += (y1 + y2) * cross
+      i += 1
+    }
+    if (math.abs(a) < 1e-30) {
+      val pts = ring.dropRight(1)
+      Some((pts.map(_._1).sum / pts.size, pts.map(_._2).sum / pts.size))
+    } else Some((x0 + cx / (3 * a), y0 + cy / (3 * a)))
+  }
+
+  /** Spherical geodesic area in m² of a closed lon/lat ring (C9) —
+    * Chamberlain–Duquette: A = R²/2 · |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|.
+    * Null (None) for invalid rings.
+    */
+  def geodesicAreaM2(ring: Seq[(Double, Double)]): Option[Double] = {
+    if (!ringValid(ring)) return None
+    var s = 0.0
+    var i = 0
+    while (i < ring.size - 1) {
+      val (lon1, lat1) = ring(i)
+      val (lon2, lat2) = ring(i + 1)
+      s += math.toRadians(lon2 - lon1) *
+        (2 + math.sin(math.toRadians(lat1)) + math.sin(math.toRadians(lat2)))
+      i += 1
+    }
+    Some(math.abs(s) * EarthRadiusM * EarthRadiusM / 2)
+  }
+
+  // ---- WKB decode (for tests / round-trips) ----
+
+  def decodePoint(wkb: Array[Byte]): (Double, Double) = {
+    val bb = ByteBuffer.wrap(wkb).order(
+      if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.get(); require(bb.getInt() == 1, "not a WKB point")
+    (bb.getDouble(), bb.getDouble())
+  }
+
+  def decodeMultiPolygon(wkb: Array[Byte]): Seq[Seq[Seq[(Double, Double)]]] = {
+    val bb = ByteBuffer.wrap(wkb).order(
+      if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.get(); require(bb.getInt() == 6, "not a WKB multipolygon")
+    (0 until bb.getInt()).map { _ =>
+      bb.get(); require(bb.getInt() == 3, "not a WKB polygon")
+      (0 until bb.getInt()).map { _ =>
+        (0 until bb.getInt()).map(_ => (bb.getDouble(), bb.getDouble()))
+      }
+    }
+  }
+
+  // ---- Column API (rings arrive as array<struct<lon,lat>>) ----
+
+  private def rowRing(ring: Seq[Row]): Seq[(Double, Double)] =
+    if (ring == null) null else ring.map(r => (r.getDouble(0), r.getDouble(1)))
+
+  private val wkbPointUdf = udf((lon: Double, lat: Double) => wkbPointBytes(lon, lat))
+
+  private val wkbMultiPolygonUdf = udf((ring: Seq[Row]) =>
+    Option(wkbMultiPolygonBytes(Seq(rowRing(ring)).filter(_ != null))))
+
+  private val centroidLonUdf = udf((ring: Seq[Row]) => centroidLonLat(rowRing(ring)).map(_._1))
+  private val centroidLatUdf = udf((ring: Seq[Row]) => centroidLonLat(rowRing(ring)).map(_._2))
+
+  private val centroidWkbUdf = udf((ring: Seq[Row]) =>
+    centroidLonLat(rowRing(ring)).map { case (x, y) => wkbPointBytes(x, y) })
+
+  private val geodesicAreaUdf = udf((ring: Seq[Row]) => geodesicAreaM2(rowRing(ring)))
+
+  /** C3 — node lon/lat → WKB point bytes. */
+  def wkb_point(lon: Column, lat: Column): Column = wkbPointUdf(lon, lat)
+
+  /** C4 — exterior ring → single-polygon WKB multipolygon; null if invalid (F6). */
+  def wkb_multipolygon(ring: Column): Column = wkbMultiPolygonUdf(ring)
+
+  /** C8 — ST_Centroid as decomposed lon/lat (oracle-friendly) or WKB. */
+  def centroid_lon(ring: Column): Column = centroidLonUdf(ring)
+  def centroid_lat(ring: Column): Column = centroidLatUdf(ring)
+  def centroid_wkb(ring: Column): Column = centroidWkbUdf(ring)
+
+  /** C9 — ST_Area(geom::geography) on the sphere, m²; null if invalid. */
+  def geodesic_area(ring: Column): Column = geodesicAreaUdf(ring)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import graft.model.OsmModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's post-processing query (ways_to_centroids.sql:1-6;
+  * SURVEY.md §3.3): small polygons collapse to centroid "nodes".
+  *
+  *   WITH la AS (
+  *     SELECT id + 36000000000, version, user_id, tstamp, changeset_id,
+  *            tags, ST_Centroid(linestring) geom
+  *     FROM ways WHERE ST_Area(linestring::geography) <= 20000)
+  *   INSERT INTO nodes SELECT * FROM la;
+  *
+  * Expressed as two pure transforms: [[centroidRows]] (F8 filter + C8
+  * centroid + C10 id offset) and [[appendToNodes]] (U1 union / K5
+  * append). Catalyst pushes the area filter below the projection; the
+  * whole thing is a single narrow stage over the ways scan.
+  */
+object WaysToCentroids {
+
+  /** F8 + C8 + C10: ways with spherical area ≤ threshold (m²) become
+    * centroid node rows with the +36e9 id offset keeping the id space
+    * disjoint from real nodes (README.md:50).
+    */
+  def centroidRows(ways: DataFrame,
+      areaThresholdM2: Double = OsmModel.CentroidAreaThreshold): DataFrame =
+    ways
+      .filter(GeoFunctions.geodesic_area(col("ring")) <= areaThresholdM2)
+      .select(
+        (col("id") + OsmModel.CentroidIdOffset).as("id"),
+        col("version"), col("user_id"), col("tstamp"), col("changeset_id"),
+        col("tags"),
+        GeoFunctions.centroid_wkb(col("ring")).as("geom"))
+
+  /** U1/K5 — append the derived rows into the nodes relation (positional
+    * column match in the reference; by-name here).
+    */
+  def appendToNodes(nodes: DataFrame, centroids: DataFrame): DataFrame =
+    nodes.unionByName(centroids)
+}

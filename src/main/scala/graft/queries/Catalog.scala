@@ -16,6 +16,7 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     PoiQueries.all ++
+    GeoQueries.all ++
     AnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.functions.{GeoFunctions, HstoreCompat}
+import graft.model.OsmModel
+import graft.operators.{PoiClassifier, TagDimension, WayAssembly}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the geometry / projection / post-process
+  * surface (SURVEY.md §2.2 K5, §2.6 T1, §2.7 C1-C10, §2.8 U1, §2.10 X2,
+  * §3.3) over the OSM-ways derivation [[Tables.osmWays]] (closed squares
+  * whose centroid and spherical area have closed forms the DuckDB oracle
+  * reproduces).
+  */
+object GeoQueries {
+
+  /** The square-ring parameters as SQL, mirroring [[Tables.osmWays]]. */
+  private val waySql =
+    """(SELECT p_partkey AS id,
+      |        CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+      |        (p_retailprice % 300) - 150 AS lon0,
+      |        (p_partkey % 120) - 60 AS lat0
+      | FROM part) w""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("way_geodesic_area",
+      (s, dir) => Tables.osmWays(s, dir)
+        .select(col("id"),
+          round(GeoFunctions.geodesic_area(col("ring")), 1).as("area_m2"))
+        .orderBy(col("id")),
+      Some(s"""SELECT id,
+              |       round(abs(radians(d) * (2 + 2 * sin(radians(lat0)))
+              |               - radians(d) * (2 + 2 * sin(radians(lat0 + d))))
+              |             * 6378137.0 * 6378137.0 / 2, 1) AS area_m2
+              |FROM $waySql
+              |ORDER BY id""".stripMargin),
+      doc = "C9: spherical geodesic area (Chamberlain-Duquette) vs closed form"),
+
+    Q("way_centroids",
+      (s, dir) => Tables.osmWays(s, dir)
+        .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)
+        .select(
+          (col("id") + OsmModel.CentroidIdOffset).as("id"),
+          round(GeoFunctions.centroid_lon(col("ring")), 6).as("lon"),
+          round(GeoFunctions.centroid_lat(col("ring")), 6).as("lat"))
+        .orderBy(col("id")),
+      Some(s"""SELECT id + 36000000000 AS id,
+              |       round(lon0 + d / 2, 6) AS lon,
+              |       round(lat0 + d / 2, 6) AS lat
+              |FROM $waySql
+              |WHERE d = 0.001
+              |ORDER BY id""".stripMargin),
+      doc = "F8+C8+C10: ways_to_centroids.sql — area filter, shoelace centroid, id offset"),
+
+    Q("way_union_offset",
+      (s, dir) => Tables.osmNodes(s, dir).select(col("id"))
+        .unionByName(
+          Tables.osmWays(s, dir)
+            .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)
+            .select((col("id") + OsmModel.CentroidIdOffset).as("id")))
+        .orderBy(col("id")),
+      Some("""SELECT o_orderkey AS id FROM orders
+             |UNION ALL
+             |SELECT p_partkey + 36000000000 AS id FROM part WHERE p_size <= 25
+             |ORDER BY id""".stripMargin),
+      doc = "U1/K5: append centroid rows into nodes; offset keeps id space disjoint"),
+
+    Q("way_nodes_explode",
+      (s, dir) => WayAssembly.wayNodes(Tables.osmWays(s, dir))
+        .orderBy(col("way_id"), col("pos")),
+      Some("""SELECT id AS way_id, CAST(i AS INTEGER) AS pos, id * 10 + i AS node_id
+             |FROM (SELECT p_partkey AS id, unnest(generate_series(0, 3)) AS i FROM part)
+             |ORDER BY way_id, pos""".stripMargin),
+      doc = "X2: UNNEST of the way node-ref array (unnest_bbox_way_nodes equivalent)"),
+
+    Q("way_assembly",
+      (s, dir) => {
+        val ways = Tables.osmWays(s, dir)
+        // node-location relation derived from the ring corners: ring[pos]
+        // is the location of node ref nodes[pos]
+        val nodeLoc = ways
+          .select(col("ring"), posexplode(col("nodes")).as(Seq("pos", "node_id")))
+          .select(col("node_id"),
+            element_at(col("ring"), col("pos") + 1).getField("lon").as("lon"),
+            element_at(col("ring"), col("pos") + 1).getField("lat").as("lat"))
+        WayAssembly.assembleRings(ways.select(col("id"), col("nodes")), nodeLoc)
+          .select(col("id"),
+            size(col("ring")).as("n_points"),
+            round(aggregate(col("ring"), lit(0.0),
+              (acc, p) => acc + p.getField("lon")) / size(col("ring")), 6).as("avg_lon"),
+            round(aggregate(col("ring"), lit(0.0),
+              (acc, p) => acc + p.getField("lat")) / size(col("ring")), 6).as("avg_lat"))
+          .orderBy(col("id"))
+      },
+      Some(s"""SELECT id, 4 AS n_points,
+              |       round(lon0 + d / 2, 6) AS avg_lon,
+              |       round(lat0 + d / 2, 6) AS avg_lat
+              |FROM $waySql
+              |ORDER BY id""".stripMargin),
+      doc = "J2: explode node refs, shuffle-join locations, ordered collect_list reassembly"),
+
+    Q("poi_project_compat",
+      (s, dir) => {
+        val settings = PoiQueries.baseSettings
+        val dim = TagDimension.prepare(Tables.classificationDimDf(s), settings)
+        val pairs = TagDimension.toPairs(dim, settings)
+        PoiClassifier.classify(Tables.osmNodes(s, dir), pairs, settings)
+          .select(col("id"),
+            col("version"),
+            col("user_id"),
+            HstoreCompat.tstampFormatted(col("tstamp")).as("tstamp"),
+            col("changeset_id"),
+            HstoreCompat.tagsAsHstore(col("tags")).as("tags_hstore"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT o_orderkey AS id,
+             |       1 AS version,
+             |       CAST(o_custkey AS INTEGER) AS user_id,
+             |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS tstamp,
+             |       o_custkey AS changeset_id,
+             |       CASE WHEN o_totalprice > 200000
+             |            THEN '"name"=>"poi_' || o_orderkey || '","orderstatus"=>"' || o_orderstatus
+             |                 || '","priority"=>"' || o_orderpriority || '"'
+             |            ELSE '"orderstatus"=>"' || o_orderstatus
+             |                 || '","priority"=>"' || o_orderpriority || '"' END AS tags_hstore
+             |FROM orders
+             |WHERE (o_orderstatus IN ('F', 'P') OR o_orderpriority = '1-URGENT')
+             |ORDER BY id""".stripMargin),
+      doc = "C2+C5+C6: Osmosis row projection with hstore text and %Y-%m-%d %H:%M:%S"),
+
+    Q("sanitize_compat",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          HstoreCompat.sanitize(
+            concat(substring(col("text"), 1, 40), lit("\\x\\\\y\"z\t\n\r"))).as("sanitized"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  replace(replace(replace(replace(replace(replace(
+             |    substr(text, 1, 40) || chr(92) || 'x' || chr(92) || chr(92) || 'y'
+             |      || '"z' || chr(9) || chr(10) || chr(13),
+             |    chr(92) || chr(92), chr(92) || chr(92) || chr(92) || chr(92)),
+             |    '"', chr(92) || chr(92) || '"'),
+             |    chr(10) || chr(13), chr(92) || chr(92) || 'r'),
+             |    chr(10), chr(92) || chr(92) || 'r'),
+             |    chr(13), chr(92) || chr(92) || 'r'),
+             |    chr(9), chr(92) || chr(92) || 't') AS sanitized
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "C1: the reference's exact escaping chain (reference-bug-compatible)"),
+
+    Q("topk_per_brand",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        Tables.part(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("p_brand"), col("p_partkey"), col("rk"))
+          .orderBy(col("p_brand"), col("rk"))
+      },
+      Some("""SELECT p_brand, p_partkey, CAST(rk AS INTEGER) AS rk
+             |FROM (SELECT p_brand, p_partkey,
+             |             row_number() OVER (PARTITION BY p_brand
+             |                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+             |      FROM part)
+             |WHERE rk <= 3
+             |ORDER BY p_brand, rk""".stripMargin),
+      doc = "T1: per-key top-k via window rank (TagInfo rp=100 source-side top-k)")
+  )
+}

@@ -66,6 +66,38 @@ object Tables {
       (col("o_totalprice") % 170 - 85).as("lat"))
   }
 
+  /** OSM-ways-shaped table derived from `part` (schema:
+    * [[graft.model.OsmModel.waysSchema]] — Osmosis `ways`,
+    * schema.sql:186-195), with the exterior ring assembled as a closed
+    * axis-aligned square so the DuckDB oracle can reproduce centroid and
+    * spherical area in closed form:
+    *   - id    = p_partkey
+    *   - side  d = 0.001° if p_size <= 25 else 0.1°  (≈ small vs huge area)
+    *   - lon0  = (p_retailprice % 300) - 150, lat0 = (p_partkey % 120) - 60
+    *   - ring  = [(lon0,lat0),(lon0+d,lat0),(lon0+d,lat0+d),(lon0,lat0+d),(lon0,lat0)]
+    *   - nodes = 4 synthetic node refs (id*10 .. id*10+3), feeding the
+    *     J2/X2 explode-assembly queries
+    */
+  def osmWays(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = part(spark, sfDir)
+    val d = when(col("p_size") <= 25, lit(0.001)).otherwise(lit(0.1))
+    val lon0 = col("p_retailprice") % 300 - 150
+    val lat0 = col("p_partkey") % 120 - 60
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.cast("double").as("lon"), y.cast("double").as("lat"))
+    p.select(
+      col("p_partkey").as("id"),
+      lit(1).cast("int").as("version"),
+      col("p_size").cast("int").as("user_id"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("tstamp"),
+      col("p_partkey").as("changeset_id"),
+      map(lit("parttype"), col("p_type"), lit("brand"), col("p_brand")).as("tags"),
+      array((0 to 3).map(i => col("p_partkey") * 10 + i): _*).as("nodes"),
+      array(
+        pt(lon0, lat0), pt(lon0 + d, lat0), pt(lon0 + d, lat0 + d),
+        pt(lon0, lat0 + d), pt(lon0, lat0)).as("ring"))
+  }
+
   /** The literal TagInfo-shaped dimension used by the oracle-checked
     * classification queries: exercises the threshold (MIN_OCCURENCES =
     * 1000, settings_default.py:17), the ';' multi-value drop and the

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+
+/** Byte-level and hand-computed goldens for C3/C4/C8/C9 (FIXTURES.md
+  * §A4).
+  */
+class GeoFunctionsSpec extends SparkSpec {
+
+  private val unitSquare = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0))
+
+  test("C3: WKB point byte-level golden") {
+    val wkb = wkbPointBytes(2.0, 3.0)
+    assert(wkb.length == 21)
+    // little-endian marker, type=1
+    assert(wkb(0) == 1 && wkb(1) == 1 && wkb(2) == 0 && wkb(3) == 0 && wkb(4) == 0)
+    assert(decodePoint(wkb) == ((2.0, 3.0)))
+    // known bytes for (2.0, 3.0): doubles 0x4000... and 0x4008...
+    assert(wkb(12) == 0x40.toByte && wkb(20) == 0x40.toByte && wkb(19) == 0x08.toByte)
+  }
+
+  test("C4: WKB multipolygon round-trips; invalid rings are null (F6)") {
+    val wkb = wkbMultiPolygonBytes(Seq(unitSquare))
+    assert(decodeMultiPolygon(wkb) == Seq(Seq(unitSquare)))
+    assert(wkbMultiPolygonBytes(Seq(unitSquare.dropRight(1))) == null) // unclosed
+    assert(wkbMultiPolygonBytes(Seq(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 0.0)))) == null) // <4 pts
+    assert(wkbMultiPolygonBytes(Nil) == null)
+  }
+
+  test("C8: shoelace centroid — square, triangle, far-from-origin precision") {
+    assert(centroidLonLat(unitSquare).get == ((0.5, 0.5)))
+    val tri = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (0.0, 0.0))
+    val (cx, cy) = centroidLonLat(tri).get
+    assert(math.abs(cx - 1.0) < 1e-12 && math.abs(cy - 1.0) < 1e-12)
+    // tiny square at large coordinates: translation must preserve precision
+    val d = 0.001
+    val far = Seq((149.37, -59.0), (149.37 + d, -59.0), (149.37 + d, -59.0 + d),
+      (149.37, -59.0 + d), (149.37, -59.0))
+    val (fx, fy) = centroidLonLat(far).get
+    assert(math.abs(fx - (149.37 + d / 2)) < 1e-10, s"fx=$fx")
+    assert(math.abs(fy - (-59.0 + d / 2)) < 1e-10, s"fy=$fy")
+    assert(centroidLonLat(Seq((0.0, 0.0), (1.0, 1.0), (0.0, 0.0))) == None)
+  }
+
+  test("C9: spherical area — equator unit square vs closed form, hemisphere sanity") {
+    // closed form for a lon/lat-aligned square: R²/2·|Δλ|·|2sinφ₁-2sinφ₂|... via formula
+    val a = geodesicAreaM2(unitSquare).get
+    // 1°×1° at equator ≈ (111.32 km)² ≈ 1.2392e10 m²
+    assert(math.abs(a - 1.2392e10) / 1.2392e10 < 1e-3, s"a=$a")
+    // small square: ~12390 m² for 0.001° at equator
+    val d = 0.001
+    val small = Seq((10.0, 0.0), (10.0 + d, 0.0), (10.0 + d, d), (10.0, d), (10.0, 0.0))
+    val s = geodesicAreaM2(small).get
+    assert(math.abs(s - 12392.0) / 12392.0 < 1e-2, s"s=$s")
+    assert(geodesicAreaM2(Seq((0.0, 0.0))) == None)
+  }
+
+  test("C9/F8: the 20000 m² threshold separates the testdata way classes") {
+    val d1 = 0.001
+    val big = 0.1
+    for (lat <- Seq(-60.0, -30.0, 0.0, 30.0, 59.0)) {
+      val small = Seq((0.0, lat), (d1, lat), (d1, lat + d1), (0.0, lat + d1), (0.0, lat))
+      val large = Seq((0.0, lat), (big, lat), (big, lat + big), (0.0, lat + big), (0.0, lat))
+      assert(geodesicAreaM2(small).get <= 20000.0)
+      assert(geodesicAreaM2(large).get > 20000.0)
+    }
+  }
+}
