@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch expressions for near-duplicate detection at scale: MinHash
+  * signatures (shingle-set similarity) and 64-bit SimHash fingerprints.
+  *
+  * Both are single-pass over the token array with zero per-row
+  * allocation beyond the output, so a 100 TB corpus pays exactly one
+  * narrow scan to sketch. Hash family: XXH64 on the token bytes (the
+  * same hash Spark's own `xxhash64` exposes), diversified by a SplitMix64
+  * sequence — deterministic across sessions/partitions by construction
+  * (no RNG state, no Date/Random).
+  */
+object Sketches {
+
+  /** SplitMix64 — public-domain mixing constants (Steele et al.,
+    * "Fast splittable pseudorandom number generators", OOPSLA 2014).
+    */
+  private[functions] def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[functions] def hashToken(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** numHashes (a, b) parameter pairs for the h_i(x) = a_i·x + b_i
+    * wrapping-64-bit universal family, compared unsigned.
+    */
+  private[functions] def coeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = splitmix64(2L * i) | 1L // odd multiplier
+      b(i) = splitmix64(2L * i + 1)
+      i += 1
+    }
+    (a, b)
+  }
+
+  def minhash(tokens: Column, numHashes: Int = 32): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  def simhash(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** MinHash signature of a token/shingle array: for each of `numHashes`
+  * hash functions, the unsigned-min over tokens of
+  * h_i(xxh64(token)) = a_i·x + b_i (wrap-around 64-bit). Null tokens are
+  * skipped; an empty array yields a signature of Long.MaxValue sentinels
+  * (never collides with real content across bands).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val (ca, cb) = Sketches.coeffs(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t)
+      if (tok != null) {
+        val x = Sketches.hashToken(tok, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = ca(i) * x + cb(i)
+          if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per-bit vote of each token's
+  * XXH64, sign-thresholded. Hamming distance between fingerprints
+  * approximates cosine distance of the bag-of-token vectors.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t)
+      if (tok != null) {
+        val h = Sketches.hashToken(tok, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two double arrays in one fused pass (dot and
+  * both norms accumulated together) — the hot inner loop of brute-force
+  * similarity search, where three separate higher-order-function
+  * evaluations per pair would dominate runtime. Returns null on null or
+  * length-mismatched inputs; 0 when either vector is all-zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}

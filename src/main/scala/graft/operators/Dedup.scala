@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.{Sketches, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-group), exact-similarity (shingle inverted index),
+  * MinHash+LSH (banded candidates + exact verify), SimHash (bit-banded
+  * hamming candidates), and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB design point):
+  *   - exact dedup groups on a 128-bit content hash, not the raw text —
+  *     the shuffle carries 16 bytes + id per row instead of documents;
+  *   - the Jaccard inverted index joins on shingles, so skew lives in
+  *     hot shingles: callers cap document-frequency (`maxShingleDf`) to
+  *     drop stop-shingles (the standard prefix-filter relaxation; with
+  *     the cap disabled the result is exact);
+  *   - MinHash/LSH replaces the all-pairs verify space with per-band
+  *     bucket joins — O(candidates), recall 1-(1-s^r)^b;
+  *   - brute-force embedding near-dup is the correctness baseline; the
+  *     scalable ANN path is [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min id among byte-identical texts.
+    * Output: (id, canonical_id) for every input row.
+    */
+  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs.select(col(idCol), min(col(idCol)).over(w).as("canonical_id"))
+  }
+
+  /** Distinct (id, shingle) relation — the inverted-index base. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int) =
+    docs.select(col(idCol).as("__id"),
+      explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+
+  /** Exact shingle-set Jaccard pairs ≥ threshold via inverted-index
+    * self-join (id_a < id_b). `maxShingleDf` > 0 drops shingles that
+    * occur in more documents than the cap (skew guard; 0 = exact).
+    * Output: (id_a, id_b, jaccard).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
+    val sh0 = shingled(docs, idCol, textCol, k)
+    val sh =
+      if (maxShingleDf <= 0) sh0
+      else {
+        val hot = sh0.groupBy(col("sh")).count()
+          .filter(col("count") > maxShingleDf).select(col("sh"))
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.__id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.__id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures banded into (band, bandHash) bucket keys.
+    * numHashes = bands · rowsPerBand.
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = Sketches.minhash(
+      TextFunctions.shingleSet(col(textCol), k), bands * rowsPerBand)
+    docs.select(col(idCol).as("__id"), sig.as("sig"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bh")))
+  }
+
+  /** MinHash+LSH near-dup pairs: banded candidate generation, then
+    * EXACT Jaccard verification of candidates only. With s ≥ 0.8,
+    * b=16, r=2: P(miss) = (1-s²)¹⁶ ≤ 4e-8 — the verified output equals
+    * [[jaccardPairs]] with near-certainty while never scoring non-
+    * candidate pairs. Output: (id_a, id_b, jaccard).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val b = minhashBands(docs, idCol, textCol, k, bands, rowsPerBand)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val sets = docs.select(col(idCol).as("__id"),
+      TextFunctions.shingleSet(col(textCol), k).as("sh"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
+          (size(col("sa.sh")) + size(col("sb.sh")) -
+            size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates share at
+    * least one of 4 16-bit chunks (guarantees recall for hamming ≤ 3 by
+    * pigeonhole), verified with bit_count(xor) ≤ maxHamming.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val f = docs.select(col(idCol).as("__id"),
+      Sketches.simhash(TextFunctions.words(col(textCol))).as("f"))
+    val chunks = f.select(col("__id"), col("f"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("f"), c * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk", "cv")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.f").bitwiseXOR(col("b.f"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force, id_a < id_b).
+    * Output: (id_a, id_b, cos). The all-pairs comparison is the exact
+    * baseline; see [[Similarity]] for the sub-quadratic paths.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    e.as("a").join(e.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

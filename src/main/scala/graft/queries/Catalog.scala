@@ -17,7 +17,8 @@ object Catalog {
   def all: Seq[Q] =
     PoiQueries.all ++
     GeoQueries.all ++
-    AnalyticsQueries.all
+    AnalyticsQueries.all ++
+    DedupQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked dedup queries over `documents` / `embeddings`
+  * (TESTDATA.md). The testdata plants 25 near-duplicate pairs at
+  * shingle-Jaccard ≥ 0.9 (none between 0.5 and 0.9), so the 0.8
+  * threshold is far from every pair — LSH recall and float noise can't
+  * flip membership.
+  */
+object DedupQueries {
+
+  /** Exact-Jaccard oracle used by both the inverted-index query and the
+    * MinHash+LSH query (LSH + exact verify converges to the exact
+    * result; miss probability ≤ 4e-8 at s ≥ 0.8 with b=16, r=2).
+    * The jaccard double is bit-identical across engines: the same
+    * integer division in IEEE 754.
+    */
+  private val jaccardOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      |s AS (SELECT DISTINCT doc_id,
+      |             unnest(list_transform(range(1, len(l) - 1),
+      |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |      FROM d),
+      |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, i / (ca.c + cb.c - i) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE i / (ca.c + cb.c - i) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val cosExpr =
+    """list_inner_product(a.v, b.v)
+      | / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("dedup_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // inject byte-identical duplicates so the grouping is non-trivial
+        val withDups = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.exactCanonical(withDups, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+             |FROM all_docs
+             |ORDER BY doc_id""".stripMargin),
+      doc = "exact dedup: group on 128-bit content hash, canonical = min id"),
+
+    Q("dedup_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle),
+      doc = "exact n-gram Jaccard via shingle inverted-index self-join"),
+
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle),
+      doc = "MinHash(32) + LSH banding (16x2) + exact verify of candidates"),
+
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      None, // 64-bit fingerprint internals not expressible in ANSI SQL
+      doc = "SimHash64 + 16-bit chunk banding + hamming verify (rows-only check)"),
+
+    Q("dedup_embedding",
+      (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       round($cosExpr, 6) AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE $cosExpr >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "embedding-cosine near-dup pairs (brute-force exact baseline)")
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Sketches, TextFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingleSet: k=3 over short and long texts") {
+    val got = Seq("a b c d", "a b", "x y z")
+      .toDF("text").select(TextFunctions.shingleSet(col("text"), 3))
+      .as[Seq[String]].collect()
+    assert(got(0).sorted == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2) == Seq("x y z"))
+  }
+
+  test("minhash: deterministic, identical sets → identical signatures") {
+    val df = Seq("a b c d e f", "a b c d e f", "q r s t u v")
+      .toDF("text").select(
+        Sketches.minhash(TextFunctions.shingleSet(col("text"), 3), 32).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).size == 32)
+    // deterministic across evaluations
+    assert(df.as[Seq[Long]].collect()(0) == sigs(0))
+  }
+
+  test("simhash: identical → hamming 0; disjoint → large hamming") {
+    val f = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
+      .toDF("text").select(
+        Sketches.simhash(TextFunctions.words(col("text"))).as("f"))
+      .as[Long].collect()
+    assert(f(0) == f(1))
+    assert(java.lang.Long.bitCount(f(0) ^ f(2)) > 10)
+  }
+
+  test("cosineSim expression: known vectors, zero vector, null") {
+    val got = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))
+    ).toDF("a", "b").select(Sketches.cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0 && math.abs(got(2) - 1.0) < 1e-15 && got(3) == 0.0)
+  }
+
+  test("LSH pairs equal exact Jaccard pairs on testdata (recall check)") {
+    val docs = Tables.documents(spark, sf())
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("exactCanonical: duplicates map to min id") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
+    val got = Dedup.exactCanonical(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("maxShingleDf skew guard drops hot shingles but keeps planted dups") {
+    val docs = Tables.documents(spark, sf())
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == exact) // cap far above any df in this corpus
+  }
+}
