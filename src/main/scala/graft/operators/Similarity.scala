@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *   - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *     against a full scan of the corpus; one narrow stage computes
+  *     cosine per (query, candidate) with the fused
+  *     [[graft.functions.CosineSimilarity]] kernel, then a per-query
+  *     window takes top-k. Cost O(|Q|·N); the correctness baseline and
+  *     the right tool when |Q| is small.
+  *   - [[ivfTopK]] — IVF (inverted-file) ANN: vectors are assigned to
+  *     their nearest centroid once (broadcast cross-join + argmax — a
+  *     single narrow pass), and a query only scores candidates in its
+  *     own cell (nprobe=1 here; probing more cells is a union of cells).
+  *     Cost O(N·C) assignment + O(|Q|·N/C) probe. Centroid choice is
+  *     pluggable; harness queries use a deterministic subset so the
+  *     result is oracle-checkable (k-means would converge better but
+  *     needs iterative fitting).
+  */
+object Similarity {
+
+  private def asDouble(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cos), rank 1..k by cos desc
+    * (ties broken by neighbor id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = asDouble(corpus, idCol, vecCol)
+    val q = asDouble(queries, idCol, vecCol)
+      .select(col("__id").as("qid"), col("v").as("qv"))
+    val scored = cand.join(broadcast(q), col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("nid"),
+        Sketches.cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos"))
+  }
+
+  /** Assign every vector to its nearest centroid (max cosine, ties to
+    * the lowest centroid id). Output: (__id, v, cell).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val e = asDouble(corpus, idCol, vecCol)
+    val c = asDouble(centroids, idCol, vecCol)
+      .select(col("__id").as("cid"), col("v").as("cv"))
+    e.crossJoin(broadcast(c))
+      .groupBy(col("__id"), col("v"))
+      .agg(max(struct(
+        Sketches.cosineSim(col("v"), col("cv")).as("cs"),
+        (-col("cid")).as("ncid"))).as("best"))
+      .select(col("__id"), col("v"), (-col("best.ncid")).as("cell"))
+  }
+
+  /** IVF top-k: probe only the query's own cell. Output:
+    * (query_id, rank, neighbor_id), rank 1..k by cos desc within cell.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queryFilter: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+    val q = assigned.filter(queryFilter)
+      .select(col("__id").as("qid"), col("v").as("qv"), col("cell"))
+    val scored = assigned.join(q, Seq("cell"))
+      .filter(col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("nid"),
+        Sketches.cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor_id"))
+  }
+}

@@ -18,7 +18,8 @@ object Catalog {
     PoiQueries.all ++
     GeoQueries.all ++
     AnalyticsQueries.all ++
-    DedupQueries.all
+    DedupQueries.all ++
+    SimilarityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

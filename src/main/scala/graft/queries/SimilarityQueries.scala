@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked similarity-search queries over `embeddings`. Query
+  * set = vec_id < 10, IVF centroids = vec_id < 16 — deterministic
+  * subsets both engines can name. Ranks compare raw (unrounded) cosine
+  * in both engines; random float32 vectors make exact ties (the only
+  * rank-instability source) measure-zero.
+  */
+object SimilarityQueries {
+
+  private def cos(a: String, b: String): String =
+    s"""(list_inner_product($a, $b)
+       |  / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("sim_topk_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${cos("q.v", "c.v")} AS cs
+              |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+              |  WHERE q.vec_id < 10),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cs,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+              |       round(cs, 6) AS cos
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "exact top-k cosine: broadcast query set x corpus scan + window"),
+
+    Q("sim_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16),
+          col("__id") < 10, "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+              |asg AS (
+              |  SELECT vec_id, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |                            ORDER BY cs DESC, cid) AS rn
+              |  FROM (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+              |        FROM e CROSS JOIN c)),
+              |cell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+              |q AS (SELECT vec_id AS qid, cell FROM cell WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.qid AS query_id, ce.vec_id AS neighbor_id,
+              |         ${cos("eq.v", "ec.v")} AS cs
+              |  FROM q
+              |  JOIN cell ce ON ce.cell = q.cell AND ce.vec_id != q.qid
+              |  JOIN e eq ON eq.vec_id = q.qid
+              |  JOIN e ec ON ec.vec_id = ce.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+              |FROM ranked WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "IVF ANN: one-pass centroid assignment, probe own cell (nprobe=1)")
+  )
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: ranks are 1..k, self excluded, cos within [-1,1]") {
+    val emb = Tables.embeddings(spark, sf())
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4)
+    val rows = got.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    // top-1 cos >= top-k cos per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.sliding(2).forall(p => p.head.getDouble(3) >= p.last.getDouble(3)))
+    }
+  }
+
+  test("assignCells: every vector gets exactly one cell from the centroid set") {
+    val emb = Tables.embeddings(spark, sf())
+    val cells = Similarity.assignCells(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding")
+    assert(cells.count() == emb.count())
+    val cellIds = cells.select("cell").distinct().as[Long].collect().toSet
+    assert(cellIds.subsetOf((0L until 8L).toSet))
+    // a centroid's own nearest centroid is itself (cos = 1)
+    val own = cells.filter(col("__id") < 8)
+      .select("__id", "cell").as[(Long, Long)].collect()
+    assert(own.forall(p => p._1 == p._2))
+  }
+
+  test("ivfTopK: IVF neighbors are a subset of the query's cell") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = emb.filter(col("vec_id") < 8)
+    val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+      .select("__id", "cell").as[(Long, Long)].collect().toMap
+    val got = Similarity.ivfTopK(emb, cents, col("__id") < 5,
+      "vec_id", "embedding", k = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(assigned(r.getLong(2)) == assigned(r.getLong(0)))
+    }
+  }
+}
