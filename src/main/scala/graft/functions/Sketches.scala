@@ -57,6 +57,52 @@ object Sketches {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def rollingHash(s: Column): Column =
+    Bridge.column(RollingHash64(Bridge.expression(s)))
+}
+
+/** Polynomial rolling hash (Rabin–Karp) of a string's UTF-8 bytes:
+  * h = Σ bᵢ·B^i mod p with B = 131, p = 2⁶¹−1 — the document
+  * fingerprint primitive (content-defined chunking, plagiarism windows).
+  * Single pass, no allocation.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  private final val P = (1L << 61) - 1
+  private final val B = 131L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h + mulMod(bytes(i) & 0xFFL, pow)) % P
+      pow = mulMod(pow, B)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  /** (a·b) mod p without overflow, via Math.multiplyHigh. */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product into mod 2^61-1: (hi·2^64 + lo) mod p
+    // 2^64 mod p = 8, since 2^64 = 8·(2^61-1) + 8
+    val part = ((hi % P) * 8) % P
+    val r = (part + java.lang.Long.remainderUnsigned(lo, P)) % P
+    r
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
 }
 
 /** MinHash signature of a token/shingle array: for each of `numHashes`

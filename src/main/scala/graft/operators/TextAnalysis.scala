@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{Sketches, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, quality scoring, heuristic language ID, and document
+  * fingerprinting. Everything is built from codegen'd built-ins (plus
+  * the [[graft.functions.RollingHash64]] expression), so each operator
+  * is one narrow map stage — no shuffle, no UDF boxing, safe to run
+  * inline with the ingest scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token and regex-token ("BPE-ish" [a-z]+|[0-9]+|other)
+    * counts. Output: (id, n_words, n_tokens, n_chars).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(TextFunctions.words(col(textCol))).as("n_words"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))).as("n_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Default stopword set for quality scoring (vocabulary-appropriate
+    * function words).
+    */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality signals: mean word length, stopword ratio, and a bounded
+    * composite score. Output: (id, mean_wlen, stopword_ratio, quality).
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val nWords = size(w)
+    val sumLen = aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
+    val nStop = size(filter(w, x => x.isin(stopwords.map(s => s: Any): _*)))
+    docs.select(col(idCol),
+      round(sumLen.cast("double") / nWords, 6).as("mean_wlen"),
+      round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      round(least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - nStop.cast("double") / nWords) * 0.5, 6).as("quality"))
+  }
+
+  /** Language-marker word sets for [[langId]], in tie-preference order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "una"),
+    "fr" -> Seq("le", "les", "une"),
+    "zh" -> Seq("shi", "bu", "wo"))
+
+  /** Heuristic language ID: argmax of marker-word hit counts, ties
+    * resolved by [[LangMarkers]] order, 'und' when no marker hits.
+    * Output: (id, lang_pred).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val counts: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms.map(s => s: Any): _*)))
+    }
+    val g = greatest(counts.map(_._2): _*)
+    val pred = counts.foldLeft(when(g === 0, "und")) { case (acc, (lang, c)) =>
+      acc.when(c === g, lang)
+    }
+    docs.select(col(idCol), pred.as("lang_pred"))
+  }
+
+  /** Fingerprints: 64-bit-hex prefix of md5 over whitespace-normalized
+    * lowercase text (portable, oracle-checkable) plus the Rabin–Karp
+    * rolling hash (the windowed-fingerprint primitive).
+    * Output: (id, fp_md5, fp_rolling).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), " +", " ")
+    docs.select(col(idCol),
+      substring(md5(normalized), 1, 16).as("fp_md5"),
+      Sketches.rollingHash(normalized).as("fp_rolling"))
+  }
+}

@@ -19,7 +19,8 @@ object Catalog {
     GeoQueries.all ++
     AnalyticsQueries.all ++
     DedupQueries.all ++
-    SimilarityQueries.all
+    SimilarityQueries.all ++
+    TextQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked text-analysis queries over `documents`. Ratio columns
+  * are identical double arithmetic in both engines (same ints, same
+  * operation order), rounded to 6 decimals.
+  */
+object TextQueries {
+
+  private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+  val all: Seq[Q] = Seq(
+
+    Q("text_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_tokens,
+             |       CAST(length(text) AS INTEGER) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting: whitespace words + BPE-ish regex tokens"),
+
+    Q("text_quality",
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |       round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+              |             / len(w), 6) AS mean_wlen,
+              |       round(CAST(len(list_filter(w, x -> x IN $stopList)) AS DOUBLE)
+              |             / len(w), 6) AS stopword_ratio,
+              |       round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+              |             + (1.0 - CAST(len(list_filter(w, x -> x IN $stopList)) AS DOUBLE)
+              |                      / len(w)) * 0.5, 6) AS quality
+              |FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "quality scoring: mean word length, stopword ratio, composite score"),
+
+    Q("text_langid",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CASE WHEN g = 0 THEN 'und'
+             |            WHEN c_en = g THEN 'en'
+             |            WHEN c_de = g THEN 'de'
+             |            WHEN c_es = g THEN 'es'
+             |            WHEN c_fr = g THEN 'fr'
+             |            WHEN c_zh = g THEN 'zh' END AS lang_pred
+             |FROM (SELECT doc_id, c_en, c_de, c_es, c_fr, c_zh,
+             |             greatest(c_en, c_de, c_es, c_fr, c_zh) AS g
+             |      FROM (SELECT doc_id,
+             |              len(list_filter(w, x -> x IN ('the', 'and', 'of'))) AS c_en,
+             |              len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS c_de,
+             |              len(list_filter(w, x -> x IN ('el', 'los', 'una'))) AS c_es,
+             |              len(list_filter(w, x -> x IN ('le', 'les', 'une'))) AS c_fr,
+             |              len(list_filter(w, x -> x IN ('shi', 'bu', 'wo'))) AS c_zh
+             |            FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)))
+             |ORDER BY doc_id""".stripMargin),
+      doc = "heuristic language ID: marker-word argmax with tie preference order"),
+
+    Q("text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("fp_md5"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16)
+             |         AS fp_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "document fingerprint: md5-64 over normalized text"),
+
+    Q("text_fingerprint_rolling",
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("fp_rolling"))
+        .orderBy(col("doc_id")),
+      None, // Rabin-Karp mod-2^61-1 internals not expressible in ANSI SQL
+      doc = "document fingerprint: Rabin-Karp rolling hash (rows-only check)")
+  )
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Sketches
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: words vs regex tokens vs chars") {
+    val got = TextAnalysis.tokenStats(
+      Seq((1L, "ab cd3 ef")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(got.getInt(1) == 3)      // words
+    assert(got.getInt(2) == 4)      // ab, cd, 3, ef
+    assert(got.getInt(3) == 9)
+  }
+
+  test("qualityScore: hand-computed ratios") {
+    val got = TextAnalysis.qualityScore(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(got.getDouble(1) == math.rint((3 + 3 + 3) / 3.0 * 1e6) / 1e6) // mean_wlen 3.0
+    assert(got.getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6)         // stopword 1/3
+  }
+
+  test("langId: marker argmax, tie preference, und fallback") {
+    val df = Seq(
+      (1L, "the cat and dog"),   // en
+      (2L, "der hund und die"),  // de
+      (3L, "xyz qqq www"),       // und
+      (4L, "the der")            // tie en/de → en (preference order)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "doc_id", "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und", "en"))
+  }
+
+  test("fingerprints: md5 prefix matches reference impl; rolling hash deterministic") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprints(df, "doc_id", "text").orderBy("doc_id").collect()
+    // normalization: lower + collapse spaces → both rows identical fingerprints
+    assert(rows(0).getString(1) == rows(1).getString(1))
+    assert(rows(0).getLong(2) == rows(1).getLong(2))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(rows(0).getString(1) == expected)
+  }
+
+  test("rollingHash: known polynomial value and shift property") {
+    val p = (1L << 61) - 1
+    def ref(s: String): Long = {
+      var h = BigInt(0); var pow = BigInt(1)
+      s.getBytes("UTF-8").foreach { b =>
+        h = (h + BigInt(b & 0xFF) * pow) % p
+        pow = pow * 131 % p
+      }
+      h.toLong
+    }
+    val inputs = Seq("a", "ab", "hello world", "", "Ünïcødé £ text")
+    val got = inputs.toDF("s").select(Sketches.rollingHash(col("s"))).as[Long].collect()
+    assert(got.toSeq == inputs.map(ref))
+  }
+}
