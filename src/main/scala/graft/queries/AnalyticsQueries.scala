@@ -37,6 +37,136 @@ object AnalyticsQueries {
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      doc = "A1: hash aggregate with partial+final (TPC-H Q1 shape)")
+      doc = "A1: hash aggregate with partial+final (TPC-H Q1 shape)"),
+
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1998-06-15 00:00:00"))
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+        val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+             |GROUP BY l_orderkey, orderdate
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin),
+      doc = "TPC-H Q3 shape: selective fact joins + broadcast dim + top-k by revenue"),
+
+    Q("q5_local_supplier",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).filter(
+            col("o_orderdate") >= cutoff), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin),
+      doc = "TPC-H Q5 shape: 6-table join, all dims broadcast, single fact shuffle"),
+
+    Q("events_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |       event_type,
+             |       count(*) AS n,
+             |       round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY hour, event_type
+             |ORDER BY hour, event_type""".stripMargin),
+      doc = "event-time tumbling-window aggregate (batch twin of the streaming path)"),
+
+    Q("events_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser))
+        val newSession = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L)
+        Tables.events(s, dir)
+          .withColumn("session_idx",
+            sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+             |FROM s
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      doc = "sessionization: 30-min-gap windows via lag + running sum (batch twin of flatMapGroupsWithState)"),
+
+    Q("customer_balance_by_nation",
+      (s, dir) => Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |       round(sum(c_acctbal), 2) AS sum_bal,
+             |       round(min(c_acctbal), 2) AS min_bal,
+             |       round(max(c_acctbal), 2) AS max_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      doc = "broadcast dim join + multi-aggregate over signed values")
   )
 }

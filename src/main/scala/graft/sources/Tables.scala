@@ -25,7 +25,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** `events` carries a parquet TIMESTAMP(NANOS) column, which Spark's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+    * physical INT64 with an explicit schema and floor-divide to micros
+    * (integer `div` — float division would lose precision at 1.7e18 ns).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(sch).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

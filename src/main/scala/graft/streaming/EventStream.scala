@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference is a
+  * bounded one-pass push stream with sink-side micro-batching
+  * (filter.py:192-211); its Spark-native generalization is
+  * `readStream → transform → writeStream`:
+  *   - [[hourlyAgg]] — event-time tumbling-window aggregation with a
+  *     watermark (shares semantics with the batch `events_hourly`
+  *     query: same groupBy, same results on bounded input);
+  *   - [[sessionize]] — keyed custom state via flatMapGroupsWithState
+  *     (event-time timeout = the 30-min session gap), the streaming
+  *     twin of the batch `events_sessionize` lag/running-sum query;
+  *   - [[microBatchParquetSink]] — foreachBatch append, the K2
+  *     micro-batch-flush shape (WRITE_AFTER, settings_default.py:50)
+  *     with Spark managing batch boundaries and exactly-once bookkeeping.
+  */
+object EventStream {
+
+  /** Events schema for streaming reads (ns timestamps arrive as INT64 —
+    * see [[graft.sources.Tables.events]]).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour event-time windows, 2-hour watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Carries the watermarked `ts` column through groupByKey — the
+    * unsupported-operation checker requires the event-time attribute to
+    * survive into the flatMapGroupsWithState child.
+    */
+  case class SessionEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+  case class SessionBuf(start_us: Long, last_us: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Keyed sessionization with a gap timeout: events within
+    * `gapMinutes` of the previous event extend the session; a closed
+    * session is emitted when the event-time watermark passes
+    * last + gap. State is one small buffer per open session — O(active
+    * users), spilling and fault tolerance handled by the state store.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionBuf]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val b = state.get
+        state.remove()
+        Iterator.single(Session(userId, b.start_us, b.last_us, b.n))
+      } else {
+        val sorted = rows.map(_.ts_us).toArray.sorted
+        var out = List.empty[Session]
+        var buf = state.getOption.orNull
+        sorted.foreach { t =>
+          if (buf == null) buf = SessionBuf(t, t, 1)
+          else if (t - buf.last_us > gapUs) {
+            out = Session(userId, buf.start_us, buf.last_us, buf.n) :: out
+            buf = SessionBuf(t, t, 1)
+          } else buf = SessionBuf(buf.start_us, math.max(buf.last_us, t), buf.n + 1)
+        }
+        if (buf != null) {
+          state.update(buf)
+          state.setTimeoutTimestamp((buf.last_us + gapUs) / 1000) // ms
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** K2 — micro-batch parquet append via foreachBatch. */
+  def microBatchParquetSink(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("streaming hourlyAgg on bounded input equals the batch aggregate") {
+    val inDir = tmp("evt-in")
+    // stage the sf0.001 events file as the stream source
+    val src = new java.io.File(sf() + "/events.parquet")
+    Files.copy(src.toPath, new java.io.File(inDir, "events.parquet").toPath)
+
+    val q = EventStream.hourlyAgg(EventStream.readStream(spark, inDir))
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type").collect()
+    val batch = Tables.events(spark, sf())
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize: event-time timeout closes sessions across micro-batches") {
+    val inDir = tmp("sess-in")
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+
+    def writeBatch(file: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id").as("uid"), col("us"))
+        .select(lit(1L).as("event_id"), (col("us") * 1000).as("ts"),
+          col("uid").as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir + "/" + file)
+
+    // batch 0: user 7 has two events 1 min apart; batch 1 (staged after
+    // the first trigger via maxFilesPerTrigger=1): an event 3 h later
+    // advances the watermark past the session timeout
+    writeBatch("b0", Seq((7L, base), (7L, base + 60L * 1000000)))
+    writeBatch("b1", Seq((7L, base + 3L * 3600 * 1000000)))
+
+    val sessions = EventStream.sessionize(
+      EventStream.readStream(spark, inDir + "/*"), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.contains((7L, base, base + 60L * 1000000, 2L)), s"got=$got")
+  }
+
+  test("microBatchParquetSink appends batches (K2 shape)") {
+    val inDir = tmp("mb-in")
+    val outDir = tmp("mb-out") + "/data"
+    val ckDir = tmp("mb-ck")
+    val src = new java.io.File(sf() + "/events.parquet")
+    Files.copy(src.toPath, new java.io.File(inDir, "events.parquet").toPath)
+
+    val q = EventStream.microBatchParquetSink(
+      EventStream.readStream(spark, inDir).select("event_id", "event_type"),
+      outDir, ckDir).start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.read.parquet(outDir).count() ==
+      Tables.events(spark, sf()).count())
+  }
+}
