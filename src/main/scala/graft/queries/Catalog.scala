@@ -20,7 +20,8 @@ object Catalog {
     AnalyticsQueries.all ++
     DedupQueries.all ++
     SimilarityQueries.all ++
-    TextQueries.all
+    TextQueries.all ++
+    MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

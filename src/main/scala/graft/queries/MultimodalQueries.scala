@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked multimodal-plumbing queries. The decode kernels are
+  * deterministic stubs over payload byte length (documents are ASCII,
+  * so byte length = length(text)), which lets DuckDB reproduce the
+  * arithmetic while the Spark side exercises the real plumbing
+  * (binary columns, batched mapPartitions kernels, typed schemas).
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("mm_image_meta",
+      (s, dir) => Multimodal.imageMeta(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image"))
+        .toDF()
+        .orderBy(col("id")),
+      Some("""SELECT doc_id AS id,
+             |       CAST(1 + length(text) % 640 AS INTEGER) AS width,
+             |       CAST(1 + length(text) % 480 AS INTEGER) AS height,
+             |       3 AS channels
+             |FROM documents ORDER BY id""".stripMargin),
+      doc = "binary image column -> batched decode kernel -> typed metadata"),
+
+    Q("mm_resize_meta",
+      (s, dir) => Multimodal.clampMeta(
+        Multimodal.imageMeta(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image")),
+        maxW = 256, maxH = 256)
+        .orderBy(col("id")),
+      Some("""SELECT doc_id AS id,
+             |       CAST(least(1 + length(text) % 640, 256) AS INTEGER) AS width,
+             |       CAST(least(1 + length(text) % 480, 256) AS INTEGER) AS height,
+             |       3 AS channels
+             |FROM documents ORDER BY id""".stripMargin),
+      doc = "resize plan step over decoded metadata"),
+
+    Q("mm_features",
+      (s, dir) => {
+        val f = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image"), dim = 8)
+        f.toDF().select(col("id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+             |       round(CAST(CAST((length(text) * 1) % 97 AS FLOAT) / CAST(97.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+             |       round(CAST(CAST((length(text) * 8) % 97 AS FLOAT) / CAST(97.0 AS FLOAT) AS DOUBLE), 6) AS f7
+             |FROM documents ORDER BY id""".stripMargin),
+      doc = "batched feature-extraction kernel -> embedding column"),
+
+    Q("mm_frame_sample",
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir), "video"), n = 4)
+        .select(col("id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_len"))
+        .orderBy(col("id"), col("frame_idx")),
+      Some("""WITH f AS (SELECT doc_id, length(text) AS L,
+             |                  (length(text) + 3) // 4 AS flen
+             |           FROM documents)
+             |SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             |       CAST(least(flen, L - i * flen) AS INTEGER) AS frame_len
+             |FROM (SELECT doc_id, L, flen, unnest(generate_series(0, 3)) AS i FROM f)
+             |WHERE L - i * flen > 0
+             |ORDER BY id, frame_idx""".stripMargin),
+      doc = "video frame sampling: binary substring slices, codegen only")
+  )
+}
