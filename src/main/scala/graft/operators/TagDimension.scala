@@ -1,9 +1,10 @@
 package graft.operators
 
-import graft.model.PoiSettings
-import org.apache.spark.sql.DataFrame
+import graft.model.{OsmModel, PoiSettings}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The TagInfo tag dimension — build-side of the POI classification join
   * (SURVEY.md §2: S2/S3 sources, F5 dimension filter, T1 per-key top-k).
@@ -34,6 +35,47 @@ object TagDimension {
       .filter(col("__rank") <= topK)
       .drop("__rank")
   }
+
+  /** S2/S3/C11 — load a dimension from the reference's `tags.json`
+    * memo format `{retrieval_date, data: {key: {value: count}}}`
+    * (filter.py:282-299). The nested dynamic keys parse as nested maps,
+    * then unnest to the relational (key, value, count) shape. `in_wiki`
+    * is true: the reference applies that filter before writing the memo
+    * (filter.py:241-247).
+    */
+  def loadJson(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("retrieval_date", StringType),
+      StructField("data", MapType(StringType, MapType(StringType, LongType)))))
+    spark.read.text(path)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(explode(col("j.data")).as(Seq("key", "values")))
+      .select(col("key"), explode(col("values")).as(Seq("value", "count")))
+      .withColumn("in_wiki", lit(true))
+  }
+
+  /** K4 — persist a dimension back to the tags.json memo shape. */
+  def saveJson(dim: DataFrame, path: String, retrievalDate: String): Unit = {
+    val byKey = dim.groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("value"), col("count"))))
+        .as("values"))
+    val json = byKey
+      .agg(map_from_entries(collect_list(struct(col("key"), col("values"))))
+        .as("data"))
+      .select(to_json(struct(lit(retrievalDate).as("retrieval_date"), col("data")))
+        .as("j"))
+    json.coalesce(1).write.mode("overwrite").text(path)
+  }
+
+  /** A1 — rebuild the tag-usage dimension from raw tagged objects:
+    * `count(*) GROUP BY key, value` over exploded tag maps (the
+    * reference consumes this pre-aggregated from the TagInfo service;
+    * SURVEY.md §2.5 A1). Hash aggregate, partial+final.
+    */
+  def fromTaggedObjects(objs: DataFrame): DataFrame =
+    objs.select(explode(col("tags")).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value"))
+      .agg(count(lit(1)).as("count"))
 
   /** Collapse the (tiny, bounded) dimension to the in-plan probe set for
     * [[graft.functions.TagsAnyMatch]]. The collect here is the broadcast:

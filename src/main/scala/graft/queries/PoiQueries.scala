@@ -72,6 +72,19 @@ object PoiQueries {
           Tables.osmNodes(s, dir), dim, baseSettings))
       },
       Some(oracle("")),
-      doc = "J1 cross-check: explode + broadcast left-semi relational path")
+      doc = "J1 cross-check: explode + broadcast left-semi relational path"),
+
+    Q("tag_value_counts",
+      (s, dir) => TagDimension.fromTaggedObjects(Tables.osmNodes(s, dir))
+        .filter(col("key") =!= "name") // name values are per-row-unique noise
+        .orderBy(col("key"), col("value")),
+      Some("""SELECT * FROM (
+             |  SELECT 'orderstatus' AS key, o_orderstatus AS value, count(*) AS count
+             |  FROM orders GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'priority' AS key, o_orderpriority AS value, count(*) AS count
+             |  FROM orders GROUP BY o_orderpriority)
+             |ORDER BY key, value""".stripMargin),
+      doc = "A1: rebuild tag-usage dimension from raw objects (explode + hash agg)")
   )
 }

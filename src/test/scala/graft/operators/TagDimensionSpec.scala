@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** S2/S3/K4/C11 — the tags.json memo format round-trip
+  * (reference filter.py:282-299).
+  */
+class TagDimensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sampleJson =
+    """{"retrieval_date": "2024-01-02T03:04", "data": {"amenity": {"cafe": 150000, "bar": 90000}, "shop": {"bakery": 120000}}}"""
+
+  test("loadJson parses the reference memo shape into (key, value, count)") {
+    val dir = Files.createTempDirectory("tags").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "tags.json"), sampleJson)
+    val dim = TagDimension.loadJson(spark, dir + "/tags.json")
+    val got = dim.select("key", "value", "count")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("amenity", "cafe", 150000L), ("amenity", "bar", 90000L),
+      ("shop", "bakery", 120000L)))
+  }
+
+  test("saveJson/loadJson round-trips") {
+    val dim = Seq(("amenity", "cafe", 150000L, true), ("shop", "bakery", 120000L, true))
+      .toDF("key", "value", "count", "in_wiki")
+    val out = Files.createTempDirectory("tags-out").toString + "/memo"
+    TagDimension.saveJson(dim, out, "2024-01-02T03:04")
+    val back = TagDimension.loadJson(spark, out)
+    assert(back.select("key", "value", "count").as[(String, String, Long)]
+      .collect().toSet ==
+      Set(("amenity", "cafe", 150000L), ("shop", "bakery", 120000L)))
+  }
+
+  test("fromTaggedObjects rebuilds counts from tag maps") {
+    val objs = Seq(
+      (1L, Map("amenity" -> "cafe")),
+      (2L, Map("amenity" -> "cafe", "shop" -> "bakery")),
+      (3L, Map("amenity" -> "bar"))
+    ).toDF("id", "tags")
+    val got = TagDimension.fromTaggedObjects(objs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("amenity", "cafe", 2L), ("amenity", "bar", 1L), ("shop", "bakery", 1L)))
+  }
+}
