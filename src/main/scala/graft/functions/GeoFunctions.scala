@@ -134,6 +134,12 @@ object GeoFunctions {
   private val wkbMultiPolygonUdf = udf((ring: Seq[Row]) =>
     Option(wkbMultiPolygonBytes(Seq(rowRing(ring)).filter(_ != null))))
 
+  /** Named result type so the struct column has (lon, lat) fields. */
+  case class CentroidPt(lon: Double, lat: Double)
+
+  private val centroidUdf = udf((ring: Seq[Row]) =>
+    centroidLonLat(rowRing(ring)).map { case (x, y) => CentroidPt(x, y) })
+
   private val centroidLonUdf = udf((ring: Seq[Row]) => centroidLonLat(rowRing(ring)).map(_._1))
   private val centroidLatUdf = udf((ring: Seq[Row]) => centroidLonLat(rowRing(ring)).map(_._2))
 
@@ -148,7 +154,12 @@ object GeoFunctions {
   /** C4 — exterior ring → single-polygon WKB multipolygon; null if invalid (F6). */
   def wkb_multipolygon(ring: Column): Column = wkbMultiPolygonUdf(ring)
 
-  /** C8 — ST_Centroid as decomposed lon/lat (oracle-friendly) or WKB. */
+  /** C8 — ST_Centroid as decomposed lon/lat (oracle-friendly) or WKB.
+    * `centroid` returns one struct<lon,lat> per call — prefer it when
+    * both coordinates are needed (a single shoelace pass; separate
+    * lon/lat columns would each re-walk the ring).
+    */
+  def centroid(ring: Column): Column = centroidUdf(ring)
   def centroid_lon(ring: Column): Column = centroidLonUdf(ring)
   def centroid_lat(ring: Column): Column = centroidLatUdf(ring)
   def centroid_wkb(ring: Column): Column = centroidWkbUdf(ring)

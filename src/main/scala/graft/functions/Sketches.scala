@@ -187,14 +187,46 @@ case class SimHash64(child: Expression)
 /** Cosine similarity of two double arrays in one fused pass (dot and
   * both norms accumulated together) — the hot inner loop of brute-force
   * similarity search, where three separate higher-order-function
-  * evaluations per pair would dominate runtime. Returns null on null or
+  * evaluations per pair would dominate runtime. Implements `doGenCode`
+  * so the loop inlines into whole-stage codegen (the brute-force path
+  * evaluates this O(|Q|·N) times). Returns null on null or
   * length-mismatched inputs; 0 when either vector is all-zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = ($na == 0.0 || $nb == 0.0)
+            ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+      """
+    })
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

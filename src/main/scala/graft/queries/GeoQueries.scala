@@ -40,10 +40,11 @@ object GeoQueries {
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)
-        .select(
-          (col("id") + OsmModel.CentroidIdOffset).as("id"),
-          round(GeoFunctions.centroid_lon(col("ring")), 6).as("lon"),
-          round(GeoFunctions.centroid_lat(col("ring")), 6).as("lat"))
+        .select((col("id") + OsmModel.CentroidIdOffset).as("id"),
+          GeoFunctions.centroid(col("ring")).as("c"))
+        .select(col("id"),
+          round(col("c.lon"), 6).as("lon"),
+          round(col("c.lat"), 6).as("lat"))
         .orderBy(col("id")),
       Some(s"""SELECT id + 36000000000 AS id,
               |       round(lon0 + d / 2, 6) AS lon,

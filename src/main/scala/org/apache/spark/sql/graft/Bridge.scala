@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder in the session's FunctionRegistry (also
+    * `private[sql]`), making an expression callable from `spark.sql`.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -1,0 +1,35 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("SQL registration exposes the custom expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       rolling_hash64('hello world') AS rh,
+        |       size(minhash_signature(array('a b c'), 16)) AS ms,
+        |       tags_any_match(map('amenity', 'cafe'),
+        |                      array('amenity=cafe', 'shop=bakery')) AS hit,
+        |       tags_any_match(map('amenity', 'bar'),
+        |                      array('amenity=cafe')) AS miss
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getLong(2) > 0L)
+    assert(r.getInt(3) == 16)
+    assert(r.getBoolean(4))
+    assert(!r.getBoolean(5))
+  }
+
+  test("extensions class injects every builder without error") {
+    // A genuinely fresh SparkContext isn't possible in this shared JVM
+    // (getOrCreate would return the live session and ignore the
+    // extensions conf), so apply the extension object directly.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftExtensions.builders.map(_._1).toSet ==
+      Set("cosine_sim", "minhash_signature", "simhash64",
+        "rolling_hash64", "tags_any_match"))
+  }
+}
