@@ -126,7 +126,11 @@ object Tables {
     ("orderstatus", "O", 900L, true),       // dropped: count ≤ 1000
     ("priority", "1-URGENT", 2000L, true),  // survives
     ("priority", "2-HIGH;X", 3000L, true),  // dropped: ';' multi-value (F5)
-    ("priority", "3-MEDIUM", 3000L, false)  // dropped: not in wiki (F5)
+    ("priority", "3-MEDIUM", 3000L, false), // dropped: not in wiki (F5)
+    // ways-side keys (only selected when settings.keys includes them)
+    ("parttype", "PROMO", 3000L, true),     // survives
+    ("parttype", "ECONOMY", 1500L, true),   // survives
+    ("brand", "Brand#13", 2000L, true)      // survives
   )
 
   def classificationDimDf(spark: SparkSession): DataFrame = {
