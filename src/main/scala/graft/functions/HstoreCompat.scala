@@ -51,6 +51,45 @@ object HstoreCompat {
         sanitize(e.getField("value")), lit("\""))))
   }
 
+  /** Parse an hstore text literal (`"k"=>"v",...`) back to a map — the
+    * inverse of [[tagsAsHstore]] for values the reference escaping can
+    * round-trip (the C1 chain is lossy for control characters: LF and
+    * CR both map to `\\r`). Handles the quote escape (`\\"` → `"`) and
+    * the doubled-backslash-pair escape.
+    */
+  def parseHstoreString(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    def readQuoted(): String = {
+      require(s.charAt(i) == '"', s"expected quote at $i in: $s")
+      i += 1
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\' && i + 2 < s.length && s.charAt(i + 1) == '\\') {
+          s.charAt(i + 2) match {
+            case '"' => sb.append('"'); i += 3
+            case '\\' if i + 3 < s.length && s.charAt(i + 3) == '\\' =>
+              sb.append("\\\\"); i += 4
+            case 'r' => sb.append('\r'); i += 3
+            case 't' => sb.append('\t'); i += 3
+            case _ => sb.append(s.charAt(i)); i += 1
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    while (i < s.length) {
+      val k = readQuoted()
+      require(s.startsWith("=>", i), s"expected => at $i in: $s")
+      i += 2
+      val v = readQuoted()
+      out(k) = v
+      if (i < s.length && s.charAt(i) == ',') i += 1
+    }
+    out.toMap
+  }
+
   /** C6 — timestamp to the reference's `%Y-%m-%d %H:%M:%S`
     * (filter.py:147).
     */

@@ -167,6 +167,26 @@ object AnalyticsQueries {
              |       round(max(c_acctbal), 2) AS max_bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
-      doc = "broadcast dim join + multi-aggregate over signed values")
+      doc = "broadcast dim join + multi-aggregate over signed values"),
+
+    Q("events_props_map",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{MapType, StringType}
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            element_at(from_json(col("props"), MapType(StringType, StringType)), "k")
+              .cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            round(avg(col("k")), 6).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |            AS BIGINT) AS sum_k,
+             |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             |         AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "C11/open-column: schema-on-read JSON props -> map, aggregate")
   )
 }
