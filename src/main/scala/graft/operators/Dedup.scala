@@ -99,10 +99,10 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.__id"))
       .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
-          (size(col("sa.sh")) + size(col("sb.sh")) -
-            size(array_intersect(col("sa.sh"), col("sb.sh"))))).as("jaccard"))
+        (col("__i") / (size(col("sa.sh")) + size(col("sb.sh")) - col("__i")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -28,8 +28,14 @@ object PoiPipeline {
     val prepared = TagDimension.prepare(dim, settings)
     val pairs = TagDimension.toPairs(prepared, settings)
 
+    // A2 — progress instrumentation: the reference logs a line per 1M
+    // objects evaluated (filter.py:213-228); the declarative analog is
+    // an Observation-style metric riding the existing pass (no extra
+    // job). Read them from a QueryExecutionListener or
+    // df.observe-returned Observation.
     val poiNodes = PoiProjector.projectNodes(
       PoiClassifier.classify(nodes, pairs, settings), settings)
+      .observe("poi_nodes", count(lit(1)).as("rows_kept"))
 
     if (settings.skipWays) {
       val emptyWays = PoiProjector.projectWays(ways.limit(0), settings)

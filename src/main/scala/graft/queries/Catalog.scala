@@ -23,8 +23,12 @@ object Catalog {
     TextQueries.all ++
     MultimodalQueries.all
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = all.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     all.map(q => q.name -> q.run).toMap
+  }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap

@@ -76,6 +76,22 @@ object TextQueries {
         .select(col("doc_id"), col("fp_rolling"))
         .orderBy(col("doc_id")),
       None, // Rabin-Karp mod-2^61-1 internals not expressible in ANSI SQL
-      doc = "document fingerprint: Rabin-Karp rolling hash (rows-only check)")
+      doc = "document fingerprint: Rabin-Karp rolling hash (rows-only check)"),
+
+    Q("text_vocab_by_lang",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("vocab"),
+          count(lit(1)).as("total_tokens"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang,
+             |       count(DISTINCT tok) AS vocab,
+             |       count(*) AS total_tokens
+             |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "distinct-aggregate: per-language vocabulary size (expand+dedup shuffle)")
   )
 }
