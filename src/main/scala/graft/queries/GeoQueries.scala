@@ -168,6 +168,27 @@ object GeoQueries {
              |      FROM part)
              |WHERE rk <= 3
              |ORDER BY p_brand, rk""".stripMargin),
-      doc = "T1: per-key top-k via window rank (TagInfo rp=100 source-side top-k)")
+      doc = "T1: per-key top-k via window rank (TagInfo rp=100 source-side top-k)"),
+
+    Q("poi_cell_density",
+      (s, dir) => {
+        val settings = PoiQueries.baseSettings
+        val dim = TagDimension.prepare(Tables.classificationDimDf(s), settings)
+        val pairs = TagDimension.toPairs(dim, settings)
+        PoiClassifier.classify(Tables.osmNodes(s, dir), pairs, settings)
+          .groupBy(graft.functions.SpatialCell
+            .cellId(col("lon"), col("lat"), 10.0).as("cell"))
+          .agg(count(lit(1)).as("n_pois"))
+          .orderBy(col("cell"))
+      },
+      Some("""SELECT CAST(least(floor((lat + 90) / 10.0), 17) AS BIGINT) * 36
+             |         + CAST(least(floor((lon + 180) / 10.0), 35) AS BIGINT) AS cell,
+             |       count(*) AS n_pois
+             |FROM (SELECT (o_totalprice % 360 - 180) AS lon,
+             |             (o_totalprice % 170 - 85) AS lat
+             |      FROM orders
+             |      WHERE o_orderstatus IN ('F', 'P') OR o_orderpriority = '1-URGENT')
+             |GROUP BY cell ORDER BY cell""".stripMargin),
+      doc = "spatial grid-cell aggregation (z-order-lite layout key)")
   )
 }

@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("bucketed-by-key join plans with no shuffle exchange") {
+    // clean both catalog entries and any leftover warehouse dirs from a
+    // previous JVM (the in-memory catalog forgets them but the
+    // location survives on disk)
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     Bucketing.writeBucketed(Tables.lineitem(spark, sf()),
       "li_bucketed", "l_orderkey", numBuckets = 4, sortCols = Seq("l_orderkey"))
     Bucketing.writeBucketed(Tables.orders(spark, sf()),

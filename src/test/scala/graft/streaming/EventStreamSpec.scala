@@ -67,6 +67,41 @@ class EventStreamSpec extends SparkSpec {
     assert(got.contains((7L, base, base + 60L * 1000000, 2L)), s"got=$got")
   }
 
+  test("hourlyAgg append mode drops late data behind the watermark") {
+    val inDir = tmp("late-in")
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z micros
+
+    def writeBatch(file: String, rows: Seq[Long]): Unit =
+      rows.toDF("us")
+        .select(lit(1L).as("event_id"), (col("us") * 1000).as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir + "/" + file)
+
+    // batch 0: one event in hour H0, one 5 h later (watermark → T0+3h).
+    // batch 1: a late H0 event in the same batch as H0's eviction —
+    // Spark admits it (late-drop is best-effort pre-close). batch 2:
+    // a late H0 event AFTER the window closed — the append guarantee:
+    // no duplicate emission, no resurrected window.
+    writeBatch("b0", Seq(base, base + 5L * 3600 * 1000000))
+    Thread.sleep(1100)
+    writeBatch("b1", Seq(base + 30L * 60 * 1000000))
+    Thread.sleep(1100)
+    writeBatch("b2", Seq(base + 31L * 60 * 1000000))
+
+    val q = EventStream.hourlyAgg(EventStream.readStream(spark, inDir + "/*"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val h0 = spark.table("late_out")
+      .filter(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss") === "2024-01-01 00:00:00")
+      .select("n").as[Long].collect()
+    assert(h0.length == 1, s"H0 must be emitted exactly once, got: ${h0.toSeq}")
+    assert(h0.head <= 2L, s"post-close late event leaked into H0: ${h0.toSeq}")
+  }
+
   test("microBatchParquetSink appends batches (K2 shape)") {
     val inDir = tmp("mb-in")
     val outDir = tmp("mb-out") + "/data"
