@@ -65,6 +65,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Same contract as [[jaccardPairs]] with the intersection counts
+    * produced from grouped inverted lists instead of a self-join: group
+    * by shingle, keep postings with ≥ 2 docs (singleton shingles —
+    * most of a natural corpus — never reach the pair stage), expand
+    * each posting list to its ordered pairs with array combinatorics,
+    * then count per pair. One shuffle fewer than the self-join and the
+    * singleton fast-path; the per-shingle pair fan-out is bounded by
+    * `maxShingleDf`² when the cap is set.
+    */
+  def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, k)
+    val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("c"))
+    var postings = sh.groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    if (maxShingleDf > 0) postings = postings.filter(size(col("ids")) <= maxShingleDf)
+    val inter = postings
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.__id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.__id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures banded into (band, bandHash) bucket keys.
     * numHashes = bands · rowsPerBand.
     */

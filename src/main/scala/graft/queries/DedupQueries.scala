@@ -60,11 +60,11 @@ object DedupQueries {
       doc = "exact dedup: group on 128-bit content hash, canonical = min id"),
 
     Q("dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.jaccardPairsGrouped(Tables.documents(s, dir), "doc_id", "text",
         k = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b")),
       Some(jaccardOracle),
-      doc = "exact n-gram Jaccard via shingle inverted-index self-join"),
+      doc = "exact n-gram Jaccard via grouped inverted lists (singleton shingles pruned)"),
 
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -58,6 +58,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("grouped and self-join Jaccard implementations agree") {
+    val docs = Tables.documents(spark, sf())
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.jaccardPairsGrouped(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("exactCanonical: duplicates map to min id") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
     val got = Dedup.exactCanonical(df, "doc_id", "text")
