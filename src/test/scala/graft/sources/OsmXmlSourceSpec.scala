@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.PoiSettings
+import graft.operators.{PoiClassifier, WayAssembly}
+import org.apache.spark.sql.functions._
+
+/** S1 — the OSM XML DataSource V2 (SURVEY.md §2.1), end-to-end into the
+  * classification and assembly operators.
+  */
+class OsmXmlSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samplePath =
+    getClass.getResource("/sample.osm").getPath
+
+  private def nodes = spark.read.format("osm-xml")
+    .option("kind", "nodes").load(samplePath)
+  private def ways = spark.read.format("osm-xml")
+    .option("kind", "ways").load(samplePath)
+
+  test("reads nodes with tags, coordinates, and timestamps") {
+    val rows = nodes.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(101L, 102L, 103L))
+    val cafe = rows(0)
+    assert(cafe.getAs[Map[String, String]]("tags") ==
+      Map("amenity" -> "cafe", "name" -> "Espresso Lab"))
+    assert(cafe.getAs[Double]("lon") == 13.405 && cafe.getAs[Double]("lat") == 52.52)
+    assert(cafe.getAs[java.sql.Timestamp]("tstamp").toInstant.toString ==
+      "2024-03-04T05:06:07Z")
+    assert(rows(1).getAs[Map[String, String]]("tags").isEmpty)
+  }
+
+  test("reads ways with ordered node refs; relations are skipped (F7)") {
+    val rows = ways.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 201L)
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("nodes")).toList ==
+      List(101L, 102L, 103L, 101L))
+    assert(rows(0).getAs[Map[String, String]]("tags")("amenity") == "restaurant")
+  }
+
+  test("classification + J2 ring assembly run directly on the source") {
+    val settings = PoiSettings(keys = Seq("amenity", "name"), minOccurrences = 100L)
+    val pairs = Seq(("amenity", "cafe"), ("amenity", "restaurant"))
+    val poiNodes = PoiClassifier.classify(nodes, pairs, settings)
+    assert(poiNodes.select("id").as[Long].collect().toSeq == Seq(101L))
+
+    val nodeLoc = nodes.select(col("id").as("node_id"), col("lon"), col("lat"))
+    val rings = WayAssembly.assembleRings(ways, nodeLoc)
+    val ring = rings.filter(col("id") === 201L)
+      .select(col("ring")).as[Seq[(Double, Double)]].head()
+    assert(ring.length == 4 && ring.head == ring.last)
+    assert(ring.head == ((13.405, 52.52)))
+  }
+}
