@@ -102,6 +102,66 @@ class EventStreamSpec extends SparkSpec {
     assert(h0.head <= 2L, s"post-close late event leaked into H0: ${h0.toSeq}")
   }
 
+  test("streaming sessionize equals batch sessionization for closed sessions") {
+    val inDir = tmp("sess-eq")
+    val src = new java.io.File(sf() + "/events.parquet")
+    Files.copy(src.toPath, new java.io.File(inDir, "events.parquet").toPath)
+
+    val q = EventStream.sessionize(
+      EventStream.readStream(spark, inDir), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_eq_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_eq_out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // batch twin: lag-gap sessionization, keeping only sessions the
+    // stream could have closed (timeout passed by the final watermark)
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, sf())
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val watermark = maxUs - 10L * 60 * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev
+      .withColumn("gap", unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("end_us") + gapUs < watermark)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(batch.nonEmpty)
+    assert(batch.subsetOf(streamed),
+      s"batch-closed sessions missing from stream: ${batch.diff(streamed).take(3)}")
+    // streamed may additionally contain sessions whose timeout fired in
+    // the final batch; every streamed session must match batch sessions
+    // ignoring the closed-filter
+    val batchAll = ev
+      .withColumn("gap", unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.subsetOf(batchAll),
+      s"stream emitted sessions batch never saw: ${streamed.diff(batchAll).take(3)}")
+  }
+
   test("microBatchParquetSink appends batches (K2 shape)") {
     val inDir = tmp("mb-in")
     val outDir = tmp("mb-out") + "/data"
