@@ -187,6 +187,47 @@ object AnalyticsQueries {
              |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
              |         AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "C11/open-column: schema-on-read JSON props -> map, aggregate")
+      doc = "C11/open-column: schema-on-read JSON props -> map, aggregate"),
+
+    Q("skew_salted_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_quantity"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", n = 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      doc = "salted hot-key join: replicated build side, results equal the plain join"),
+
+    Q("events_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      doc = "native session_window gap sessions (same semantics as the lag formulation)")
   )
 }
