@@ -1,0 +1,297 @@
+package graft.sources.osmpbf
+
+import java.util
+
+import graft.sources.osmxml.OsmXmlSource
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for OSM PBF files — the reference's preferred
+  * input ("PBF is quickest", README.md:7; S1 in SURVEY.md §2.1).
+  *
+  * {{{
+  *   spark.read.format("osm-pbf").option("kind", "nodes").load("planet.osm.pbf")
+  * }}}
+  *
+  * Wire format per the public spec (wiki.openstreetmap.org/wiki/PBF_Format):
+  * a sequence of [4-byte BE length][BlobHeader][Blob] frames; each
+  * OSMData blob zlib-compresses a PrimitiveBlock (string table +
+  * primitive groups; dense nodes are delta-coded). Decoded with the
+  * hand-rolled [[ProtoReader]] and `java.util.zip.Inflater` — no
+  * dependencies.
+  *
+  * Scale model — this is why PBF beats XML at 100 TB: the driver scans
+  * only the ~16-byte frame headers to index blob offsets (no
+  * decompression), then schedules ONE INPUT PARTITION PER DATA BLOB, so
+  * a single planet file parallelizes across the cluster; each reader
+  * seeks to its blob, inflates ~8k entities, and streams rows. Schemas
+  * match the osm-xml source exactly.
+  */
+class OsmPbfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm-pbf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getOrDefault("kind", "nodes") == "nodes") OsmXmlSource.nodesSchema
+    else OsmXmlSource.waysSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OsmPbfTable(schema, properties.getOrDefault("kind", "nodes"),
+      Option(properties.get("path")).toSeq)
+}
+
+private[osmpbf] class OsmPbfTable(schema: StructType, kind: String, paths: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"osm-pbf($kind)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+
+      /** Index (file, offset, compressedLen) per OSMData blob by reading
+        * frame headers only.
+        */
+      override def planInputPartitions(): Array[InputPartition] = {
+        val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        paths.flatMap { p =>
+          val hp = new Path(p)
+          val fs = hp.getFileSystem(conf)
+          val files = fs.globStatus(hp) match {
+            case null => Seq.empty
+            case gs => gs.toSeq.flatMap(s =>
+              if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile).toSeq else Seq(s))
+          }
+          files.flatMap { st =>
+            val in = fs.open(st.getPath)
+            val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+            try {
+              var offset = 0L
+              val size = st.getLen
+              while (offset < size) {
+                val headerLen = in.readInt() // 4-byte BE
+                val headerBytes = new Array[Byte](headerLen)
+                in.readFully(headerBytes)
+                val hr = new ProtoReader(headerBytes)
+                var blobType = ""
+                var dataSize = 0
+                while (hr.hasNext) hr.readTag() match {
+                  case (1, 2) => blobType = hr.readString()
+                  case (3, 0) => dataSize = hr.readVarint().toInt
+                  case (_, wt) => hr.skip(wt)
+                }
+                val dataOffset = offset + 4 + headerLen
+                if (blobType == "OSMData")
+                  parts += PbfBlobPartition(st.getPath.toString, dataOffset, dataSize)
+                offset = dataOffset + dataSize
+                in.seek(offset)
+              }
+            } finally in.close()
+            parts
+          }
+        }.toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PbfReaderFactory(kind)
+    }
+}
+
+/** Top-level (serializable) factory — an anonymous one would capture
+  * the non-serializable ScanBuilder.
+  */
+private[osmpbf] class PbfReaderFactory(kind: String) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PbfBlobReader(p.asInstanceOf[PbfBlobPartition], kind)
+}
+
+private[osmpbf] case class PbfBlobPartition(path: String, offset: Long, length: Int)
+    extends InputPartition
+
+/** Decodes one OSMData blob into rows of the requested kind. */
+private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val hp = new Path(part.path)
+    val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    val compressed = new Array[Byte](part.length)
+    try { in.seek(part.offset); in.readFully(compressed) } finally in.close()
+
+    // Blob: 1=raw bytes, 2=raw_size, 3=zlib_data
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: Array[Byte] = null
+    val br = new ProtoReader(compressed)
+    while (br.hasNext) br.readTag() match {
+      case (1, 2) => val (o, l) = br.readBytes(); raw = compressed.slice(o, o + l)
+      case (2, 0) => rawSize = br.readVarint().toInt
+      case (3, 2) => val (o, l) = br.readBytes(); zlib = compressed.slice(o, o + l)
+      case (_, wt) => br.skip(wt)
+    }
+    val block =
+      if (raw != null) raw
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(zlib)
+        val out = new Array[Byte](if (rawSize > 0) rawSize else zlib.length * 16)
+        val n = inf.inflate(out)
+        inf.end()
+        out.take(n)
+      }
+    parsePrimitiveBlock(block)
+  }
+
+  private def parsePrimitiveBlock(block: Array[Byte]): Iterator[InternalRow] = {
+    val pr = new ProtoReader(block)
+    var strings = Array.empty[UTF8String]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000L
+    val groups = scala.collection.mutable.ArrayBuffer.empty[ProtoReader]
+    while (pr.hasNext) pr.readTag() match {
+      case (1, 2) => // StringTable: repeated bytes s = 1
+        val st = pr.subReader()
+        val acc = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+        while (st.hasNext) st.readTag() match {
+          case (1, 2) => acc += UTF8String.fromString(st.readString())
+          case (_, wt) => st.skip(wt)
+        }
+        strings = acc.toArray
+      case (2, 2) => groups += pr.subReader()
+      case (17, 0) => granularity = pr.readVarint()
+      case (18, 0) => dateGranularity = pr.readVarint()
+      case (19, 0) => latOffset = pr.readVarint()
+      case (20, 0) => lonOffset = pr.readVarint()
+      case (_, wt) => pr.skip(wt)
+    }
+
+    groups.iterator.flatMap { g =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      while (g.hasNext) g.readTag() match {
+        case (2, 2) if kind == "nodes" => // DenseNodes
+          out ++= parseDenseNodes(g.subReader(), strings, granularity,
+            latOffset, lonOffset, dateGranularity)
+        case (3, 2) if kind == "ways" =>
+          out += parseWay(g.subReader(), strings, dateGranularity)
+        case (_, wt) => g.skip(wt)
+      }
+      out
+    }
+  }
+
+  private def tsMicros(raw: Long, dateGranularity: Long): Any =
+    if (raw == 0) null else java.lang.Long.valueOf(raw * dateGranularity * 1000L)
+
+  private def parseDenseNodes(d: ProtoReader, strings: Array[UTF8String],
+      granularity: Long, latOffset: Long, lonOffset: Long,
+      dateGranularity: Long): Seq[InternalRow] = {
+    var ids = Array.empty[Long]
+    var lats = Array.empty[Long]
+    var lons = Array.empty[Long]
+    var keysVals = Array.empty[Long]
+    var versions = Array.empty[Long]
+    var timestamps = Array.empty[Long]
+    var changesets = Array.empty[Long]
+    var uids = Array.empty[Long]
+    while (d.hasNext) d.readTag() match {
+      case (1, 2) => ids = d.packedSVarints()
+      case (5, 2) => // DenseInfo
+        val di = d.subReader()
+        while (di.hasNext) di.readTag() match {
+          case (1, 2) => versions = di.packedVarints()
+          case (2, 2) => timestamps = di.packedSVarints()
+          case (3, 2) => changesets = di.packedSVarints()
+          case (4, 2) => uids = di.packedSVarints()
+          case (_, wt) => di.skip(wt)
+        }
+      case (8, 2) => lats = d.packedSVarints()
+      case (9, 2) => lons = d.packedSVarints()
+      case (10, 2) => keysVals = d.packedVarints()
+      case (_, wt) => d.skip(wt)
+    }
+    val n = ids.length
+    var id = 0L; var lat = 0L; var lon = 0L; var ts = 0L; var cs = 0L; var uid = 0L
+    var kv = 0
+    (0 until n).map { i =>
+      id += ids(i); lat += lats(i); lon += lons(i)
+      if (timestamps.nonEmpty) ts += timestamps(i)
+      if (changesets.nonEmpty) cs += changesets(i)
+      if (uids.nonEmpty) uid += uids(i)
+      val keys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      while (kv < keysVals.length && keysVals(kv) != 0) {
+        keys += strings(keysVals(kv).toInt)
+        vals += strings(keysVals(kv + 1).toInt)
+        kv += 2
+      }
+      kv += 1 // the 0 separator
+      new GenericInternalRow(Array[Any](
+        id,
+        if (versions.nonEmpty) Int.box(versions(i).toInt) else null,
+        if (uids.nonEmpty) Int.box(uid.toInt) else null,
+        if (timestamps.nonEmpty) tsMicros(ts, dateGranularity) else null,
+        if (changesets.nonEmpty) Long.box(cs) else null,
+        new ArrayBasedMapData(new GenericArrayData(keys.toArray[Any]),
+          new GenericArrayData(vals.toArray[Any])),
+        Double.box(1e-9 * (lonOffset + granularity * lon)),
+        Double.box(1e-9 * (latOffset + granularity * lat))))
+    }
+  }
+
+  private def parseWay(w: ProtoReader, strings: Array[UTF8String],
+      dateGranularity: Long): InternalRow = {
+    var id = 0L
+    var keys = Array.empty[Long]
+    var vals = Array.empty[Long]
+    var refs = Array.empty[Long]
+    var version: Any = null
+    var ts: Any = null
+    var changeset: Any = null
+    var uid: Any = null
+    while (w.hasNext) w.readTag() match {
+      case (1, 0) => id = w.readVarint()
+      case (2, 2) => keys = w.packedVarints()
+      case (3, 2) => vals = w.packedVarints()
+      case (4, 2) => // Info
+        val info = w.subReader()
+        while (info.hasNext) info.readTag() match {
+          case (1, 0) => version = Int.box(info.readVarint().toInt)
+          case (2, 0) => ts = tsMicros(info.readVarint(), dateGranularity)
+          case (3, 0) => changeset = Long.box(info.readVarint())
+          case (4, 0) => uid = Int.box(info.readVarint().toInt)
+          case (_, wt) => info.skip(wt)
+        }
+      case (8, 2) =>
+        val deltas = w.packedSVarints()
+        var acc = 0L
+        refs = deltas.map { d => acc += d; acc }
+      case (_, wt) => w.skip(wt)
+    }
+    new GenericInternalRow(Array[Any](
+      id, version, uid, ts, changeset,
+      new ArrayBasedMapData(
+        new GenericArrayData(keys.map(k => strings(k.toInt): Any)),
+        new GenericArrayData(vals.map(v => strings(v.toInt): Any))),
+      new GenericArrayData(refs)))
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.osmpbf.ProtoWriter
+import org.apache.spark.sql.functions._
+
+/** S1 (PBF) — fixture file hand-encoded with [[ProtoWriter]] per the
+  * public wire spec, carrying the SAME entities as sample.osm; the test
+  * asserts the two sources agree.
+  */
+class OsmPbfSourceSpec extends SparkSpec {
+
+  private lazy val pbfPath: String = {
+    val path = Files.createTempDirectory("pbf").toString + "/sample.osm.pbf"
+    writeFixture(path)
+    path
+  }
+
+  private def epoch(s: String): Long = java.time.Instant.parse(s).getEpochSecond
+
+  private def writeFixture(path: String): Unit = {
+    val strings = Seq("", "amenity", "cafe", "name", "Espresso Lab", "highway",
+      "bus_stop", "building", "yes", "restaurant", "Corner Bistro")
+    def si(s: String): Long = strings.indexOf(s).toLong
+
+    val st = new ProtoWriter
+    strings.foreach(s => st.stringField(1, s))
+
+    val t1 = epoch("2024-03-04T05:06:07Z")
+    val t2 = epoch("2024-03-04T06:00:00Z")
+    val t3 = epoch("2024-03-04T06:01:00Z")
+    val di = new ProtoWriter
+    di.packedVarintField(1, Seq(2L, 1L, 1L))
+    di.packedSVarintField(2, Seq(t1, t2 - t1, t3 - t2))
+    di.packedSVarintField(3, Seq(900L, 1L, 0L))
+    di.packedSVarintField(4, Seq(7L, 1L, 0L))
+
+    val dn = new ProtoWriter
+    dn.packedSVarintField(1, Seq(101L, 1L, 1L))
+    dn.bytesField(5, di.toByteArray)
+    dn.packedSVarintField(8, Seq(525200000L, -200000L, 100000L)) // lat/100nano
+    dn.packedSVarintField(9, Seq(134050000L, -50000L, 100000L))
+    dn.packedVarintField(10, Seq(si("amenity"), si("cafe"), si("name"),
+      si("Espresso Lab"), 0L, 0L, si("highway"), si("bus_stop"), 0L))
+    val g1 = new ProtoWriter
+    g1.bytesField(2, dn.toByteArray)
+
+    val info = new ProtoWriter
+    info.varintField(1, 3L)
+    info.varintField(2, epoch("2024-03-05T00:00:00Z"))
+    info.varintField(3, 902L)
+    info.varintField(4, 9L)
+    val way = new ProtoWriter
+    way.varintField(1, 201L)
+    way.packedVarintField(2, Seq(si("building"), si("amenity"), si("name")))
+    way.packedVarintField(3, Seq(si("yes"), si("restaurant"), si("Corner Bistro")))
+    way.bytesField(4, info.toByteArray)
+    way.packedSVarintField(8, Seq(101L, 1L, 1L, -2L))
+    val g2 = new ProtoWriter
+    g2.bytesField(3, way.toByteArray)
+
+    val pb = new ProtoWriter
+    pb.bytesField(1, st.toByteArray)
+    pb.bytesField(2, g1.toByteArray)
+    pb.bytesField(2, g2.toByteArray)
+    val raw = pb.toByteArray
+
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val cbuf = new Array[Byte](raw.length * 2 + 64)
+    val clen = deflater.deflate(cbuf)
+    deflater.end()
+
+    val blob = new ProtoWriter
+    blob.varintField(2, raw.length.toLong)
+    blob.bytesField(3, cbuf.take(clen))
+    val blobBytes = blob.toByteArray
+    val bh = new ProtoWriter
+    bh.stringField(1, "OSMData")
+    bh.varintField(3, blobBytes.length.toLong)
+    val bhBytes = bh.toByteArray
+
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(path))
+    out.writeInt(bhBytes.length)
+    out.write(bhBytes)
+    out.write(blobBytes)
+    out.close()
+  }
+
+  private def xmlPath = getClass.getResource("/sample.osm").getPath
+
+  test("PBF nodes agree with the XML source on the same entities") {
+    val pbf = spark.read.format("osm-pbf").option("kind", "nodes").load(pbfPath)
+      .orderBy("id").collect()
+    val xml = spark.read.format("osm-xml").option("kind", "nodes").load(xmlPath)
+      .orderBy("id").collect()
+    assert(pbf.length == xml.length)
+    pbf.zip(xml).foreach { case (p, x) =>
+      assert(p.getLong(0) == x.getLong(0))
+      assert(p.getAs[Map[String, String]]("tags") == x.getAs[Map[String, String]]("tags"))
+      assert(p.getAs[java.sql.Timestamp]("tstamp") == x.getAs[java.sql.Timestamp]("tstamp"))
+      assert(p.getAs[Int]("version") == x.getAs[Int]("version"))
+      assert(p.getAs[Long]("changeset_id") == x.getAs[Long]("changeset_id"))
+      assert(math.abs(p.getAs[Double]("lon") - x.getAs[Double]("lon")) < 1e-9)
+      assert(math.abs(p.getAs[Double]("lat") - x.getAs[Double]("lat")) < 1e-9)
+    }
+  }
+
+  test("PBF ways agree with the XML source") {
+    val pbf = spark.read.format("osm-pbf").option("kind", "ways").load(pbfPath).collect()
+    val xml = spark.read.format("osm-xml").option("kind", "ways").load(xmlPath).collect()
+    assert(pbf.length == 1 && xml.length == 1)
+    val (p, x) = (pbf(0), xml(0))
+    assert(p.getLong(0) == x.getLong(0))
+    assert(p.getSeq[Long](p.fieldIndex("nodes")).toList ==
+      x.getSeq[Long](x.fieldIndex("nodes")).toList)
+    assert(p.getAs[Map[String, String]]("tags") == x.getAs[Map[String, String]]("tags"))
+    assert(p.getAs[java.sql.Timestamp]("tstamp") == x.getAs[java.sql.Timestamp]("tstamp"))
+  }
+
+  test("blob index partitions the file (one partition per data blob)") {
+    val df = spark.read.format("osm-pbf").option("kind", "nodes").load(pbfPath)
+    assert(df.rdd.getNumPartitions == 1) // fixture has one OSMData blob
+    assert(df.count() == 3)
+  }
+}
