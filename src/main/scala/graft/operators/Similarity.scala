@@ -64,6 +64,44 @@ object Similarity {
       .select(col("__id"), col("v"), (-col("best.ncid")).as("cell"))
   }
 
+  /** Lloyd's k-means over the embedding column, expressed entirely as
+    * DataFrame ops so it scales like any other aggregation: per
+    * iteration one broadcast cross-join assignment (O(N·k) narrow) and
+    * one groupBy-mean (single shuffle of k·dim partial sums via partial
+    * aggregation). Deterministic: initial centroids are the k
+    * lowest-id vectors; ties in assignment go to the lowest centroid id.
+    * Returns (cid, cv) — feed to [[ivfTopK]] via a rename, or use
+    * [[assignCells]] with any corpus.
+    */
+  def fitCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int): DataFrame = {
+    val e = asDouble(corpus, idCol, vecCol)
+    var centroids = e.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("cid"), col("v").as("cv"))
+    var i = 0
+    while (i < iterations) {
+      val assigned = e.crossJoin(broadcast(centroids))
+        .groupBy(col("__id"), col("v"))
+        .agg(max(struct(
+          Sketches.cosineSim(col("v"), col("cv")).as("cs"),
+          (-col("cid")).as("ncid"))).as("best"))
+        .select(col("v"), (-col("best.ncid")).as("cid"))
+      // mean per cell: explode to (cid, dimension, value) so sum/count
+      // partial-aggregate map-side — each partition ships only k·dim
+      // partial sums into the shuffle — then reassemble the k vectors
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+          p => p.getField("m")).as("cv"))
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF top-k: probe only the query's own cell. Output:
     * (query_id, rank, neighbor_id), rank 1..k by cos desc within cell.
     */

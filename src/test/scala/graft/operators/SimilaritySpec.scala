@@ -36,6 +36,32 @@ class SimilaritySpec extends SparkSpec {
     assert(own.forall(p => p._1 == p._2))
   }
 
+  test("fitCentroidsKMeans: deterministic, improves mean assignment similarity") {
+    val emb = Tables.embeddings(spark, sf())
+    def meanBestSim(cents: org.apache.spark.sql.DataFrame): Double = {
+      val e = emb.select(col("vec_id").as("__id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.crossJoin(broadcast(cents))
+        .groupBy(col("__id"))
+        .agg(max(graft.functions.Sketches.cosineSim(col("v"), col("cv"))).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val init = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val fitted = Similarity.fitCentroidsKMeans(emb, "vec_id", "embedding",
+      k = 8, iterations = 3)
+    assert(fitted.count() <= 8 && fitted.count() > 0)
+    // Lloyd iterations should improve (or match) the k-means objective
+    assert(meanBestSim(fitted) >= meanBestSim(init) - 1e-9)
+    // deterministic across runs
+    val again = Similarity.fitCentroidsKMeans(emb, "vec_id", "embedding",
+      k = 8, iterations = 3)
+    val a = fitted.orderBy("cid").collect().map(_.toString)
+    val b = again.orderBy("cid").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ivfTopK: IVF neighbors are a subset of the query's cell") {
     val emb = Tables.embeddings(spark, sf())
     val cents = emb.filter(col("vec_id") < 8)
