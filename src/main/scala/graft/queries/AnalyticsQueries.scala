@@ -140,10 +140,10 @@ object AnalyticsQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, ts,
-             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
-             |                  THEN 1 ELSE 0 END)
-             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                       THEN 1 ELSE 0 END)
+             |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
              |  FROM g)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
