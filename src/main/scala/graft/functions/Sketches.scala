@@ -68,7 +68,7 @@ object Sketches {
   * Single pass, no allocation.
   */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
@@ -105,6 +105,36 @@ case class RollingHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen support for kernel-style unary expressions: the child is
+  * compiled into whole-stage codegen and the generated code calls the
+  * expression's `kernelPublic` once per row. This avoids the
+  * CodegenFallback trap of re-evaluating the ENTIRE subtree interpreted
+  * — for the sketches the child is a higher-order-function shingling
+  * chain, which interpreted eval walks lambda-by-lambda per row.
+  */
+trait KernelCodegen extends UnaryExpression {
+  /** Public so generated Java can call it. Input is the non-null child
+    * value in Catalyst internal form.
+    */
+  def kernelPublic(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("kernel", this, classOf[KernelCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val call = s"$ref.kernelPublic($c)"
+      dataType match {
+        case LongType => s"${ev.value} = ((java.lang.Long) $call).longValue();"
+        case DoubleType => s"${ev.value} = ((java.lang.Double) $call).doubleValue();"
+        case _ => s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $call;"
+      }
+    })
+  }
+}
+
 /** MinHash signature of a token/shingle array: for each of `numHashes`
   * hash functions, the unsigned-min over tokens of
   * h_i(xxh64(token)) = a_i·x + b_i (wrap-around 64-bit). Null tokens are
@@ -112,7 +142,7 @@ case class RollingHash64(child: Expression)
   * (never collides with real content across bands).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -149,7 +179,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * approximates cosine distance of the bag-of-token vectors.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
