@@ -57,9 +57,13 @@ private[osmpbf] class OsmPbfTable(schema: StructType, kind: String, paths: Seq[S
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       /** Index (file, offset, compressedLen) per OSMData blob by reading
@@ -106,16 +110,18 @@ private[osmpbf] class OsmPbfTable(schema: StructType, kind: String, paths: Seq[S
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PbfReaderFactory(kind)
+        new PbfReaderFactory(kind, schema, required)
     }
 }
 
 /** Top-level (serializable) factory — an anonymous one would capture
   * the non-serializable ScanBuilder.
   */
-private[osmpbf] class PbfReaderFactory(kind: String) extends PartitionReaderFactory {
+private[osmpbf] class PbfReaderFactory(kind: String, full: StructType,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PbfBlobReader(p.asInstanceOf[PbfBlobPartition], kind)
+    graft.sources.Pruning.project(
+      new PbfBlobReader(p.asInstanceOf[PbfBlobPartition], kind), full, required)
 }
 
 private[osmpbf] case class PbfBlobPartition(path: String, offset: Long, length: Int)

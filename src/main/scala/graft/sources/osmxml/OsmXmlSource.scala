@@ -69,9 +69,13 @@ private[osmxml] class OsmXmlTable(schema: StructType, kind: String, paths: Seq[S
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val conf = org.apache.spark.sql.SparkSession.active
@@ -89,16 +93,18 @@ private[osmxml] class OsmXmlTable(schema: StructType, kind: String, paths: Seq[S
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new OsmXmlReaderFactory(kind)
+        new OsmXmlReaderFactory(kind, schema, required)
     }
 }
 
 private[osmxml] case class OsmXmlPartition(path: String) extends InputPartition
 
-private[osmxml] class OsmXmlReaderFactory(kind: String)
-    extends PartitionReaderFactory {
+private[osmxml] class OsmXmlReaderFactory(kind: String, full: StructType,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OsmXmlPartitionReader(partition.asInstanceOf[OsmXmlPartition].path, kind)
+    graft.sources.Pruning.project(
+      new OsmXmlPartitionReader(partition.asInstanceOf[OsmXmlPartition].path, kind),
+      full, required)
 }
 
 /** Streaming StAX parse of one OSM XML file, emitting one InternalRow

@@ -74,6 +74,22 @@ class PoiClassifierSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("classification is invariant under tag-map key order") {
+    val dimP = Seq(("amenity", "cafe"), ("shop", "bakery"))
+    val s = PoiSettings(keys = Seq("amenity", "shop", "name"), minOccurrences = 1000L)
+    val forward = Seq(
+      (1L, Map("amenity" -> "cafe", "shop" -> "x", "name" -> "A")),
+      (2L, Map("x" -> "1", "y" -> "2", "shop" -> "bakery"))
+    ).toDF("id", "tags")
+    val reversed = Seq(
+      (1L, Map("name" -> "A", "shop" -> "x", "amenity" -> "cafe")),
+      (2L, Map("shop" -> "bakery", "y" -> "2", "x" -> "1"))
+    ).toDF("id", "tags")
+    val a = PoiClassifier.classify(forward, dimP, s).select("id").as[Long].collect().sorted
+    val b = PoiClassifier.classify(reversed, dimP, s).select("id").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq && a.toSeq == Seq(1L, 2L))
+  }
+
   test("dimension prepare: F5 drops ';' values and non-wiki, threshold applies") {
     val s = PoiSettings(keys = Seq("orderstatus", "priority"), minOccurrences = 1000L)
     val pairs = TagDimension.toPairs(

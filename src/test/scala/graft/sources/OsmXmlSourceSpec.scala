@@ -40,6 +40,15 @@ class OsmXmlSourceSpec extends SparkSpec {
     assert(rows(0).getAs[Map[String, String]]("tags")("amenity") == "restaurant")
   }
 
+  test("column pruning reaches the scan (pruned ReadSchema, correct values)") {
+    val pruned = nodes.select("id", "lat")
+    val leafOutput = pruned.queryExecution.executedPlan.collectLeaves().head.output
+    assert(leafOutput.map(_.name).toSet == Set("id", "lat"),
+      s"scan not pruned: ${leafOutput.map(_.name)}")
+    val got = pruned.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((101L, 52.52), (102L, 52.50), (103L, 52.51)))
+  }
+
   test("classification + J2 ring assembly run directly on the source") {
     val settings = PoiSettings(keys = Seq("amenity", "name"), minOccurrences = 100L)
     val pairs = Seq(("amenity", "cafe"), ("amenity", "restaurant"))
