@@ -102,7 +102,7 @@ object Similarity {
     centroids
   }
 
-  /** IVF top-k: probe only the query's own cell. Output:
+  /** IVF top-k: probe only the query's own cell (nprobe = 1). Output:
     * (query_id, rank, neighbor_id), rank 1..k by cos desc within cell.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queryFilter: org.apache.spark.sql.Column,
@@ -114,6 +114,36 @@ object Similarity {
       .filter(col("__id") =!= col("qid"))
       .select(col("qid"), col("__id").as("nid"),
         Sketches.cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor_id"))
+  }
+
+  /** IVF top-k with multi-cell probing: each query scans its `nprobe`
+    * nearest cells (the recall/latency knob). With nprobe = |centroids|
+    * this degenerates to exact brute force — the invariant the tests
+    * pin. Output: (query_id, rank, neighbor_id).
+    */
+  def ivfTopKProbed(corpus: DataFrame, centroids: DataFrame,
+      queryFilter: org.apache.spark.sql.Column, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+    val c = asDouble(centroids, idCol, vecCol)
+      .select(col("__id").as("cid"), col("v").as("cv"))
+    val q = assigned.filter(queryFilter)
+      .select(col("__id").as("qid"), col("v").as("qv"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(Sketches.cosineSim(col("qv"), col("cv")).desc, col("cid"))
+    val probeCells = q.crossJoin(broadcast(c))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val scored = probeCells.join(assigned, Seq("cell"))
+      .filter(col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("nid"),
+        Sketches.cosineSim(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -62,6 +62,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("ivfTopKProbed with nprobe = |centroids| equals brute force") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = emb.filter(col("vec_id") < 8)
+    val probedAll = Similarity.ivfTopKProbed(emb, cents, col("__id") < 5,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(probedAll == brute)
+    // and nprobe=1 recall ≤ nprobe=2 recall (both subsets of candidates)
+    val p1 = Similarity.ivfTopKProbed(emb, cents, col("__id") < 5,
+      "vec_id", "embedding", k = 3, nprobe = 1).count()
+    val p2 = Similarity.ivfTopKProbed(emb, cents, col("__id") < 5,
+      "vec_id", "embedding", k = 3, nprobe = 2).count()
+    assert(p1 <= p2)
+  }
+
   test("ivfTopK: IVF neighbors are a subset of the query's cell") {
     val emb = Tables.embeddings(spark, sf())
     val cents = emb.filter(col("vec_id") < 8)
