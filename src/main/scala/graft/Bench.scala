@@ -5,6 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every catalog query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Queries run in sorted-name order so run-to-run
   * timings are comparable (first query still pays JVM/codegen warm-up).
+  *
+  * Each query is executed to a noop DSv2 sink (`format("noop")`), which
+  * consumes EVERY output column and preserves the query's own ordering —
+  * unlike `.count()`, which lets Catalyst prune projections and drop the
+  * ORDER BY, timing narrow queries as little more than a scan. Failures
+  * are reported per-query in an `errors` object (a crashed query must
+  * never masquerade as a fast one).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,13 +29,22 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(160)).trim)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

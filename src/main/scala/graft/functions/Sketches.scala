@@ -228,6 +228,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** Always nullable: null is returned on length-mismatched inputs even
+    * when both children are non-nullable — and the codegen below
+    * assigns `isNull = true`, which would be the invalid Java
+    * `false = true;` if nullable were derived as false (nullSafeCodeGen
+    * inlines isNull as a literal for non-nullable children).
+    */
+  override def nullable: Boolean = true
+
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)

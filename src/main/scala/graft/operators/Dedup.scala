@@ -4,6 +4,7 @@ import graft.functions.{Sketches, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash-group), exact-similarity (shingle inverted index),
@@ -81,7 +82,13 @@ object Dedup {
     var postings = sh.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    if (maxShingleDf > 0) postings = postings.filter(size(col("ids")) <= maxShingleDf)
+    if (maxShingleDf > 0) postings = postings
+      // free-rider metric on the normal pass: how many hot postings the
+      // skew cap dropped (visible via the CollectMetrics/observe API)
+      .observe("jaccard_skew_cap",
+        sum(when(size(col("ids")) > maxShingleDf, 1L).otherwise(0L))
+          .as("pruned_postings"))
+      .filter(size(col("ids")) <= maxShingleDf)
     val inter = postings
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
@@ -115,18 +122,89 @@ object Dedup {
     * b=16, r=2: P(miss) = (1-s²)¹⁶ ≤ 4e-8 — the verified output equals
     * [[jaccardPairs]] with near-certainty while never scoring non-
     * candidate pairs. Output: (id_a, id_b, jaccard).
+    *
+    * The shingle/MinHash sketch pipeline (a higher-order-function chain
+    * that Spark evaluates interpreted, not codegen'd) is computed ONCE
+    * per document and persisted; the band self-join and both verify
+    * joins read the cached (id, shingles, sig) rows instead of
+    * re-sketching the corpus per join side. At 100 TB the sketch pass is
+    * the dominant scan — paying it once vs four times is the difference
+    * between LSH beating the exact path and losing to it.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    val b = minhashBands(docs, idCol, textCol, k, bands, rowsPerBand)
+    val sk = docs.select(col(idCol).as("__id"),
+        TextFunctions.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // banding over the cached signature: explode+hash only (cheap)
+    val b = sk.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => hash(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bh")))
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+    val sets = sk.select(col("__id"), col("sh"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .select(col("id_a"), col("id_b"),
+        (col("__i") / (size(col("sa.sh")) + size(col("sb.sh")) - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard pairs via classic prefix filtering (Chaudhuri et al.
+    * "A Primitive Operator for Similarity Joins", ICDE 2006; Bayardo et
+    * al. "Scaling Up All Pairs Similarity Search", WWW 2007): order all
+    * shingles by ascending global document frequency (rarest first, ties
+    * by shingle value — any total order works), index only each
+    * document's first ⌊(1−t)·|x|⌋+1 shingles, generate candidate pairs
+    * from that prefix inverted index, then verify candidates against the
+    * FULL shingle sets. Exact: J(x,y) ≥ t forces |x∩y| ≥ ⌈t·max(|x|,|y|)⌉,
+    * so under a shared total order both prefixes must contain an element
+    * of the intersection. Hot stop-shingles sort last and almost never
+    * enter a prefix — the quadratic fan-out of [[jaccardPairs]] on
+    * skewed natural corpora collapses without giving up exactness.
+    * Output: (id_a, id_b, jaccard), identical to [[jaccardPairs]].
+    *
+    * Constant-factor note: the df join, per-document sort, and
+    * candidate verify add ~4 extra stages, so on a SMALL dense corpus
+    * with no hot shingles (like the synthetic test tables, max df 25)
+    * [[jaccardPairsGrouped]] is faster; prefix filtering wins when the
+    * df distribution has a heavy head (natural text, where a handful of
+    * stop-shingles would otherwise fan out quadratically).
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = docs.select(col(idCol).as("__id"),
-      TextFunctions.shingleSet(col(textCol), k).as("sh"))
+        TextFunctions.shingleSet(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("__id"), explode(col("sh")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-document shingles in (df, shingle) order; prefix length
+    // floor((1-t)*n)+1 — everything past it cannot be a pair's sole
+    // shared prefix element
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        s => s.getField("sh")).as("ordered"))
+      .select(col("__id"), explode(slice(col("ordered"), lit(1),
+        (floor(lit(1.0 - threshold) * size(col("ordered"))) + 1).cast("int")))
+        .as("sh"))
+    val cand = prefix.groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.__id"))
       .join(sets.as("sb"), col("id_b") === col("sb.__id"))

@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.functions.Sketches
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -15,19 +17,54 @@ import org.apache.spark.sql.functions._
   *     window takes top-k. Cost O(|Q|·N); the correctness baseline and
   *     the right tool when |Q| is small.
   *   - [[ivfTopK]] — IVF (inverted-file) ANN: vectors are assigned to
-  *     their nearest centroid once (broadcast cross-join + argmax — a
-  *     single narrow pass), and a query only scores candidates in its
-  *     own cell (nprobe=1 here; probing more cells is a union of cells).
-  *     Cost O(N·C) assignment + O(|Q|·N/C) probe. Centroid choice is
-  *     pluggable; harness queries use a deterministic subset so the
-  *     result is oracle-checkable (k-means would converge better but
-  *     needs iterative fitting).
+  *     their nearest centroid MAP-SIDE (argmax over a constant-folded
+  *     centroid literal — no exchange at all), and a query only scores
+  *     candidates in its own cell (nprobe=1; [[ivfTopKProbed]] scans
+  *     more cells as the recall knob). Cost O(N·C) narrow assignment +
+  *     O(|Q|·N/C) probe. Centroid sets are small by contract (they fit
+  *     on the driver and in a literal); that is what makes the
+  *     assignment shuffle-free — the previous formulation
+  *     (crossJoin + groupBy with the vector in the grouping key)
+  *     shuffled one row per corpus vector with the embedding inside the
+  *     key, a pure waste at 100 TB.
   */
 object Similarity {
 
   private def asDouble(df: DataFrame, idCol: String, vecCol: String) =
     df.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+
+  /** Driver-local centroids, cid-ascending (the tie-break order). */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Array[(Any, Array[Double])] = {
+    val rows = asDouble(centroids, idCol, vecCol).orderBy(col("__id")).collect()
+    require(rows.nonEmpty, "centroid set must be non-empty")
+    rows.map(r => (r.get(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Literal `array<struct<cid, cv>>` of the centroid set. All children
+    * are foldable, so ConstantFolding collapses the whole thing into a
+    * single Literal — evaluated zero times per row.
+    */
+  private def centroidLit(cents: Array[(Any, Array[Double])],
+      idType: DataType): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(lit(cid).cast(idType).as("cid"),
+        array(cv.map(lit).toIndexedSeq: _*).as("cv"))
+    }.toIndexedSeq: _*)
+
+  /** Map-side argmax: nearest centroid by cosine, ties to the lowest
+    * cid (the literal is cid-ascending and the scan keeps the first
+    * max). Purely narrow — no shuffle, no join.
+    */
+  private def argmaxCell(v: Column, cents: Column, idType: DataType): Column =
+    aggregate(cents,
+      struct(lit(-2.0).as("cs"), lit(null).cast(idType).as("cid")),
+      (acc, c) => {
+        val s = Sketches.cosineSim(v, c.getField("cv"))
+        when(s > acc.getField("cs"),
+          struct(s.as("cs"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cos), rank 1..k by cos desc
@@ -49,63 +86,110 @@ object Similarity {
   }
 
   /** Assign every vector to its nearest centroid (max cosine, ties to
-    * the lowest centroid id). Output: (__id, v, cell).
+    * the lowest centroid id). Output: (__id, v, cell). One narrow
+    * stage: the centroid set is collected (small by contract) and
+    * folded into a literal; no exchange anywhere in the plan.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val e = asDouble(corpus, idCol, vecCol)
-    val c = asDouble(centroids, idCol, vecCol)
-      .select(col("__id").as("cid"), col("v").as("cv"))
-    e.crossJoin(broadcast(c))
-      .groupBy(col("__id"), col("v"))
-      .agg(max(struct(
-        Sketches.cosineSim(col("v"), col("cv")).as("cs"),
-        (-col("cid")).as("ncid"))).as("best"))
-      .select(col("__id"), col("v"), (-col("best.ncid")).as("cell"))
+    val idType = centroids.schema(idCol).dataType
+    val cents = centroidLit(collectCentroids(centroids, idCol, vecCol), idType)
+    asDouble(corpus, idCol, vecCol)
+      .select(col("__id"), col("v"),
+        argmaxCell(col("v"), cents, idType).as("cell"))
   }
 
-  /** Lloyd's k-means over the embedding column, expressed entirely as
-    * DataFrame ops so it scales like any other aggregation: per
-    * iteration one broadcast cross-join assignment (O(N·k) narrow) and
-    * one groupBy-mean (single shuffle of k·dim partial sums via partial
-    * aggregation). Deterministic: initial centroids are the k
-    * lowest-id vectors; ties in assignment go to the lowest centroid id.
-    * Returns (cid, cv) — feed to [[ivfTopK]] via a rename, or use
-    * [[assignCells]] with any corpus.
+  /** Deterministic farthest-first traversal (Gonzalez k-center — the
+    * deterministic cousin of k-means++ seeding): start from the lowest
+    * id, then repeatedly add the point minimizing max-cosine to the
+    * chosen set (ties to the lowest id). Spreads initial centroids
+    * across the data instead of clustering them at the lowest ids.
+    * Each round is one narrow scan + a k-row takeOrdered.
+    * Output: (cid, cv).
+    */
+  def farthestFirstCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    val e = asDouble(corpus, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = e.orderBy(col("__id")).limit(1).collect()(0)
+      var chosen = Array[(Any, Array[Double])](
+        (first.get(0), first.getSeq[Double](1).toArray))
+      while (chosen.length < k) {
+        val cents = centroidLit(chosen, idType)
+        val maxCos = aggregate(cents, lit(-2.0),
+          (acc, c) => greatest(acc, Sketches.cosineSim(col("v"), c.getField("cv"))))
+        val next = e.select(col("__id"), col("v"), maxCos.as("mc"))
+          .orderBy(col("mc").asc, col("__id").asc)
+          .limit(1).collect()(0)
+        chosen :+= ((next.get(0), next.getSeq[Double](1).toArray))
+      }
+      centroidsToDf(corpus, chosen, idType)
+    } finally e.unpersist()
+  }
+
+  private def centroidsToDf(corpus: DataFrame,
+      cents: Array[(Any, Array[Double])], idType: DataType): DataFrame = {
+    val schema = StructType(Seq(StructField("cid", idType),
+      StructField("cv", ArrayType(DoubleType, containsNull = false))))
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, cv) =>
+        Row(cid, cv.toSeq) }: _*), schema)
+  }
+
+  /** Lloyd's k-means over the embedding column. Per iteration: ONE
+    * narrow map-side assignment (argmax over the centroid literal — no
+    * join, no shuffle) and one groupBy-mean whose shuffle carries only
+    * k·dim partial sums (sum/count partial-aggregate map-side). The
+    * centroids live on the driver between iterations (k·dim doubles),
+    * so lineage does NOT grow with the iteration count — every
+    * iteration's plan starts from the persisted corpus, no checkpoint
+    * needed. Deterministic: `init = "lowid"` seeds with the k lowest-id
+    * vectors; `init = "farthest"` uses [[farthestFirstCentroids]]
+    * (also deterministic); ties in assignment go to the lowest
+    * centroid id. Returns (cid, cv).
     */
   def fitCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int): DataFrame = {
-    val e = asDouble(corpus, idCol, vecCol)
-    var centroids = e.orderBy(col("__id")).limit(k)
-      .select(col("__id").as("cid"), col("v").as("cv"))
-    var i = 0
-    while (i < iterations) {
-      val assigned = e.crossJoin(broadcast(centroids))
-        .groupBy(col("__id"), col("v"))
-        .agg(max(struct(
-          Sketches.cosineSim(col("v"), col("cv")).as("cs"),
-          (-col("cid")).as("ncid"))).as("best"))
-        .select(col("v"), (-col("best.ncid")).as("cid"))
-      // mean per cell: explode to (cid, dimension, value) so sum/count
-      // partial-aggregate map-side — each partition ships only k·dim
-      // partial sums into the shuffle — then reassemble the k vectors
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("cid"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
-          p => p.getField("m")).as("cv"))
-      i += 1
-    }
-    centroids
+      k: Int, iterations: Int, init: String = "lowid"): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    val e = asDouble(corpus, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[(Any, Array[Double])] = init match {
+        case "farthest" =>
+          collectCentroids(farthestFirstCentroids(corpus, idCol, vecCol, k),
+            "cid", "cv")
+        case _ =>
+          e.orderBy(col("__id")).limit(k).collect()
+            .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      }
+      var i = 0
+      while (i < iterations) {
+        val assigned = e.select(col("v"),
+          argmaxCell(col("v"), centroidLit(cents, idType), idType).as("cid"))
+        // mean per cell: explode to (cid, dimension, value) so sum/count
+        // partial-aggregate map-side — each partition ships only k·dim
+        // partial sums into the shuffle — then reassemble the k vectors
+        cents = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+            p => p.getField("m")).as("cv"))
+          .orderBy(col("cid"))
+          .collect()
+          .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+        i += 1
+      }
+      centroidsToDf(corpus, cents, idType)
+    } finally e.unpersist()
   }
 
   /** IVF top-k: probe only the query's own cell (nprobe = 1). Output:
     * (query_id, rank, neighbor_id), rank 1..k by cos desc within cell.
     */
-  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queryFilter: org.apache.spark.sql.Column,
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queryFilter: Column,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val assigned = assignCells(corpus, centroids, idCol, vecCol)
     val q = assigned.filter(queryFilter)
@@ -123,22 +207,28 @@ object Similarity {
   /** IVF top-k with multi-cell probing: each query scans its `nprobe`
     * nearest cells (the recall/latency knob). With nprobe = |centroids|
     * this degenerates to exact brute force — the invariant the tests
-    * pin. Output: (query_id, rank, neighbor_id).
+    * pin. Probe-cell selection is map-side too: sort the per-query
+    * cosine scores against the centroid literal and explode the top
+    * nprobe cids — no crossJoin, no window over a shuffle.
+    * Output: (query_id, rank, neighbor_id).
     */
   def ivfTopKProbed(corpus: DataFrame, centroids: DataFrame,
-      queryFilter: org.apache.spark.sql.Column, idCol: String, vecCol: String,
+      queryFilter: Column, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
+    val idType = centroids.schema(idCol).dataType
+    val cents = centroidLit(collectCentroids(centroids, idCol, vecCol), idType)
     val assigned = assignCells(corpus, centroids, idCol, vecCol)
-    val c = asDouble(centroids, idCol, vecCol)
-      .select(col("__id").as("cid"), col("v").as("cv"))
-    val q = assigned.filter(queryFilter)
+    // cid list sorted by (cos desc, cid asc): negate cos so the
+    // lexicographic struct sort gives the probe order
+    val probeOrder = transform(
+      array_sort(transform(cents, c => struct(
+        (-Sketches.cosineSim(col("qv"), c.getField("cv"))).as("ncs"),
+        c.getField("cid").as("cid")))),
+      s => s.getField("cid"))
+    val probeCells = assigned.filter(queryFilter)
       .select(col("__id").as("qid"), col("v").as("qv"))
-    val wc = Window.partitionBy(col("qid"))
-      .orderBy(Sketches.cosineSim(col("qv"), col("cv")).desc, col("cid"))
-    val probeCells = q.crossJoin(broadcast(c))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"),
+        explode(slice(probeOrder, 1, nprobe)).as("cell"))
     val scored = probeCells.join(assigned, Seq("cell"))
       .filter(col("__id") =!= col("qid"))
       .select(col("qid"), col("__id").as("nid"),

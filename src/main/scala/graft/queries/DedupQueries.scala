@@ -59,12 +59,18 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "exact dedup: group on 128-bit content hash, canonical = min id"),
 
+    // The skew cap is ON by default (500 ≫ this corpus's max df of 25,
+    // so the result is still exact and hash-matches the oracle); on a
+    // natural corpus it bounds the per-shingle pair fan-out to cap², and
+    // the observe("jaccard_skew_cap") metric reports what it pruned.
+    // Dedup.jaccardPairsPrefix is the fully-exact alternative for
+    // corpora where dropping stop-shingles is not acceptable.
     Q("dedup_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairsGrouped(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.8)
+        k = 3, threshold = 0.8, maxShingleDf = 500)
         .orderBy(col("id_a"), col("id_b")),
       Some(jaccardOracle),
-      doc = "exact n-gram Jaccard via grouped inverted lists (singleton shingles pruned)"),
+      doc = "exact n-gram Jaccard via grouped inverted lists, skew cap on (df>500 shingles pruned)"),
 
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",

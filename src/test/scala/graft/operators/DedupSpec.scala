@@ -67,6 +67,19 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("prefix-filtered Jaccard equals the self-join implementation") {
+    val docs = Tables.documents(spark, sf())
+    // 0.5 is below every planted pair's similarity band — a stronger
+    // recall check than 0.8 (longer prefixes, more candidates to match)
+    for (t <- Seq(0.5, 0.8)) {
+      val a = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val b = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(a == b && a.nonEmpty, s"threshold $t")
+    }
+  }
+
   test("exactCanonical: duplicates map to min id") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
     val got = Dedup.exactCanonical(df, "doc_id", "text")

@@ -62,6 +62,28 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("farthest-first init: deterministic, k distinct centroids, Lloyd improves it") {
+    val emb = Tables.embeddings(spark, sf())
+    val init = Similarity.farthestFirstCentroids(emb, "vec_id", "embedding", k = 8)
+    val ids = init.select("cid").as[Long].collect()
+    assert(ids.length == 8 && ids.distinct.length == 8)
+    assert(ids.head == 0L) // seeds from the lowest id
+    val again = Similarity.farthestFirstCentroids(emb, "vec_id", "embedding", k = 8)
+    assert(init.orderBy("cid").collect().map(_.toString).toSeq ==
+      again.orderBy("cid").collect().map(_.toString).toSeq)
+    def meanBestSim(cents: org.apache.spark.sql.DataFrame): Double = {
+      val e = emb.select(col("vec_id").as("__id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.crossJoin(broadcast(cents))
+        .groupBy(col("__id"))
+        .agg(max(graft.functions.Sketches.cosineSim(col("v"), col("cv"))).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val fitted = Similarity.fitCentroidsKMeans(emb, "vec_id", "embedding",
+      k = 8, iterations = 3, init = "farthest")
+    assert(meanBestSim(fitted) >= meanBestSim(init) - 1e-9)
+  }
+
   test("ivfTopKProbed with nprobe = |centroids| equals brute force") {
     val emb = Tables.embeddings(spark, sf())
     val cents = emb.filter(col("vec_id") < 8)
