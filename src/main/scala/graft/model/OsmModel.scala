@@ -47,6 +47,29 @@ object OsmModel {
       StructField("lat", DoubleType, nullable = false))), containsNull = false), nullable = true)
   ))
 
+  /** `public.relations` + `public.relation_members`
+    * (schema.sql:130-138, 112-122) fused into one row shape: the
+    * ordered member list rides along as an array (sequence_id =
+    * position), exactly like way node refs; the normalized
+    * `relation_members` relation is derived by
+    * [[graft.operators.RelationAssembly.relationMembers]] (posexplode),
+    * mirroring X2. `member_type` uses Osmosis's single characters
+    * N/W/R (schema.sql:116 `character(1)`).
+    */
+  val relationsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("version", IntegerType, nullable = true),
+    StructField("user_id", IntegerType, nullable = true),
+    StructField("tstamp", TimestampType, nullable = true),
+    StructField("changeset_id", LongType, nullable = true),
+    StructField("tags", MapType(StringType, StringType, valueContainsNull = false), nullable = true),
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("member_type", StringType, nullable = false),
+      StructField("member_id", LongType, nullable = false),
+      StructField("member_role", StringType, nullable = false))), containsNull = false),
+      nullable = true)
+  ))
+
   /** The TagInfo dimension (reference: tags.json shape, filter.py:291-299;
     * one row per (key, value) with the usage count and wiki flag consumed
     * by predicate F5, filter.py:241-247).

@@ -17,6 +17,7 @@ object Catalog {
   def all: Seq[Q] =
     PoiQueries.all ++
     GeoQueries.all ++
+    RelationQueries.all ++
     AnalyticsQueries.all ++
     DedupQueries.all ++
     SimilarityQueries.all ++

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.functions.GeoFunctions
+import graft.operators.RelationAssembly
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the relation surface (SURVEY.md §2.4 J3:
+  * `relations` / `relation_members`, schema.sql:105-138, and the
+  * multipolygon assembly the reference receives through osmium's area
+  * callback, filter.py:227-232) over the [[Tables.osmRelations]]
+  * derivation: each relation's outer square arrives SPLIT into two open
+  * member ways (ring stitching is exercised for every row), and every
+  * 10th part also carries a closed inner ring — a hole — so assembled
+  * area has the closed form outer − inner.
+  */
+object RelationQueries {
+
+  /** The relation parameters as SQL, mirroring [[Tables.osmRelations]]. */
+  private val relSql =
+    """(SELECT p_partkey AS id,
+      |        CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+      |        (p_retailprice % 300) - 150 AS lon0,
+      |        (p_partkey % 120) - 60 AS lat0,
+      |        p_partkey % 10 = 0 AS has_inner
+      | FROM part WHERE p_partkey % 5 = 0) r""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("rel_members_explode",
+      (s, dir) => RelationAssembly.relationMembers(Tables.osmRelations(s, dir))
+        .orderBy(col("relation_id"), col("sequence_id")),
+      Some("""SELECT id AS relation_id, CAST(seq AS INTEGER) AS sequence_id,
+             |       'W' AS member_type,
+             |       CASE seq WHEN 0 THEN id + 5000000
+             |                WHEN 1 THEN id + 7000000
+             |                ELSE id + 6000000 END AS member_id,
+             |       CASE WHEN seq = 2 THEN 'inner' ELSE 'outer' END AS member_role
+             |FROM (SELECT p_partkey AS id,
+             |             unnest(generate_series(0, CASE WHEN p_partkey % 10 = 0
+             |                                           THEN 2 ELSE 1 END)) AS seq
+             |      FROM part WHERE p_partkey % 5 = 0)
+             |ORDER BY relation_id, sequence_id""".stripMargin),
+      doc = "J3/X2: pgsnapshot relation_members via posexplode (sequence_id = position)"),
+
+    Q("multipolygon_assembly",
+      (s, dir) => {
+        val mp = RelationAssembly.assembleMultipolygons(
+          Tables.osmRelations(s, dir), Tables.osmRelationWays(s, dir))
+        mp.select(col("id"),
+            size(col("outers")).as("n_outer"),
+            size(col("inners")).as("n_inner"),
+            size(element_at(col("outers"), 1)).as("outer_pts"),
+            round(
+              GeoFunctions.geodesic_area(element_at(col("outers"), 1)) -
+                aggregate(col("inners"), lit(0.0),
+                  (acc, ring) => acc + GeoFunctions.geodesic_area(ring)),
+              1).as("area_m2"))
+          .orderBy(col("id"))
+      },
+      Some(s"""SELECT id, 1 AS n_outer,
+              |       CASE WHEN has_inner THEN 1 ELSE 0 END AS n_inner,
+              |       5 AS outer_pts,
+              |       round(abs(radians(d) * (2 + 2 * sin(radians(lat0)))
+              |               - radians(d) * (2 + 2 * sin(radians(lat0 + d))))
+              |             * 6378137.0 * 6378137.0 / 2
+              |           - CASE WHEN has_inner THEN
+              |               abs(radians(d / 2) * (2 + 2 * sin(radians(lat0 + d / 4)))
+              |                 - radians(d / 2) * (2 + 2 * sin(radians(lat0 + d / 4 + d / 2))))
+              |               * 6378137.0 * 6378137.0 / 2
+              |             ELSE 0 END, 1) AS area_m2
+              |FROM $relSql
+              |ORDER BY id""".stripMargin),
+      doc = "J3+C4+C9: stitch split outer ways into a ring, subtract hole areas")
+  )
+}

@@ -111,6 +111,64 @@ object Tables {
         pt(lon0, lat0 + d), pt(lon0, lat0)).as("ring"))
   }
 
+  /** OSM-multipolygon-relations-shaped table derived from `part`
+    * (schema: [[graft.model.OsmModel.relationsSchema]] — Osmosis
+    * `relations` + member array, schema.sql:105-138). One relation per
+    * part with `p_partkey % 5 = 0`:
+    *   - members[0..1]: TWO OPEN outer ways (the osmWays square split at
+    *     opposite corners — exercises real ring stitching)
+    *   - members[2] (only when `p_partkey % 10 = 0`): a closed inner
+    *     ring (the inset square with side d/2 at lon0+d/4, lat0+d/4) —
+    *     a hole, so assembled area has the closed form
+    *     outer_area − inner_area the DuckDB oracle reproduces
+    * Member way ids live at 5e6/7e6 (outers) and 6e6 (inner) + p_partkey.
+    */
+  def osmRelations(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = part(spark, sfDir).filter(col("p_partkey") % 5 === 0)
+    def member(idc: org.apache.spark.sql.Column, role: String) =
+      struct(lit("W").as("member_type"), idc.as("member_id"),
+        lit(role).as("member_role"))
+    val mA = member(col("p_partkey") + 5000000L, "outer")
+    val mB = member(col("p_partkey") + 7000000L, "outer")
+    val mI = member(col("p_partkey") + 6000000L, "inner")
+    p.select(
+      col("p_partkey").as("id"),
+      lit(1).cast("int").as("version"),
+      col("p_size").cast("int").as("user_id"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("tstamp"),
+      col("p_partkey").as("changeset_id"),
+      map(lit("type"), lit("multipolygon"), lit("parttype"), col("p_type")).as("tags"),
+      when(col("p_partkey") % 10 === 0, array(mA, mB, mI))
+        .otherwise(array(mA, mB)).as("members"))
+  }
+
+  /** Member-way geometry for [[osmRelations]]: (way_id, path). The two
+    * outer halves share endpoint doubles bit-for-bit (same column
+    * expressions), so the stitcher's exact endpoint matching holds.
+    */
+  def osmRelationWays(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = part(spark, sfDir).filter(col("p_partkey") % 5 === 0)
+    val d = when(col("p_size") <= 25, lit(0.001)).otherwise(lit(0.1))
+    val lon0 = col("p_retailprice") % 300 - 150
+    val lat0 = col("p_partkey") % 120 - 60
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.cast("double").as("lon"), y.cast("double").as("lat"))
+    val li0 = lon0 + d / 4
+    val la0 = lat0 + d / 4
+    val h = d / 2
+    p.select(explode(array(
+        struct((col("p_partkey") + 5000000L).as("way_id"),
+          array(pt(lon0, lat0), pt(lon0 + d, lat0), pt(lon0 + d, lat0 + d))
+            .as("path")),
+        struct((col("p_partkey") + 7000000L).as("way_id"),
+          array(pt(lon0 + d, lat0 + d), pt(lon0, lat0 + d), pt(lon0, lat0))
+            .as("path")),
+        struct((col("p_partkey") + 6000000L).as("way_id"),
+          array(pt(li0, la0), pt(li0 + h, la0), pt(li0 + h, la0 + h),
+            pt(li0, la0 + h), pt(li0, la0)).as("path")))).as("w"))
+      .select(col("w.way_id").as("way_id"), col("w.path").as("path"))
+  }
+
   /** The literal TagInfo-shaped dimension used by the oracle-checked
     * classification queries: exercises the threshold (MIN_OCCURENCES =
     * 1000, settings_default.py:17), the ';' multi-value drop and the

@@ -40,8 +40,7 @@ class OsmPbfSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osm-pbf"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getOrDefault("kind", "nodes") == "nodes") OsmXmlSource.nodesSchema
-    else OsmXmlSource.waysSchema
+    OsmXmlSource.schemaFor(options.getOrDefault("kind", "nodes"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -110,30 +109,36 @@ private[osmpbf] class OsmPbfTable(schema: StructType, kind: String, paths: Seq[S
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PbfReaderFactory(kind, schema, required)
+        new PbfReaderFactory(kind, schema, required,
+          new graft.sources.SerializableHadoopConf(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
     }
 }
 
 /** Top-level (serializable) factory — an anonymous one would capture
-  * the non-serializable ScanBuilder.
+  * the non-serializable ScanBuilder. Ships the driver's Hadoop conf so
+  * session-configured filesystem options reach the executor readers.
   */
 private[osmpbf] class PbfReaderFactory(kind: String, full: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, conf: graft.sources.SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     graft.sources.Pruning.project(
-      new PbfBlobReader(p.asInstanceOf[PbfBlobPartition], kind), full, required)
+      new PbfBlobReader(p.asInstanceOf[PbfBlobPartition], kind, conf.value),
+      full, required)
 }
 
 private[osmpbf] case class PbfBlobPartition(path: String, offset: Long, length: Int)
     extends InputPartition
 
 /** Decodes one OSMData blob into rows of the requested kind. */
-private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
+private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
     val hp = new Path(part.path)
-    val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    val in = hp.getFileSystem(conf).open(hp)
     val compressed = new Array[Byte](part.length)
     try { in.seek(part.offset); in.readFully(compressed) } finally in.close()
 
@@ -151,12 +156,21 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
     val block =
       if (raw != null) raw
       else {
+        // raw_size is optional in the spec: when absent, loop inflate()
+        // growing the buffer until finished() — a fixed guess would
+        // silently truncate the block
         val inf = new java.util.zip.Inflater()
         inf.setInput(zlib)
-        val out = new Array[Byte](if (rawSize > 0) rawSize else zlib.length * 16)
-        val n = inf.inflate(out)
+        var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(zlib.length * 4, 1 << 16))
+        var n = 0
+        while (!inf.finished() && n < Int.MaxValue / 2) {
+          if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          n += inf.inflate(out, n, out.length - n)
+          if (inf.needsInput() && !inf.finished())
+            throw new java.io.IOException(s"truncated zlib data in ${part.path}")
+        }
         inf.end()
-        out.take(n)
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n)
       }
     parsePrimitiveBlock(block)
   }
@@ -194,6 +208,8 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
             latOffset, lonOffset, dateGranularity)
         case (3, 2) if kind == "ways" =>
           out += parseWay(g.subReader(), strings, dateGranularity)
+        case (4, 2) if kind == "relations" =>
+          out += parseRelation(g.subReader(), strings, dateGranularity)
         case (_, wt) => g.skip(wt)
       }
       out
@@ -214,20 +230,31 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
     var timestamps = Array.empty[Long]
     var changesets = Array.empty[Long]
     var uids = Array.empty[Long]
+    // packed (wiretype 2) chunks concatenate; spec-legal UNPACKED
+    // encodings (wiretype 0, one value per tag) append too instead of
+    // falling into the skip case and silently dropping data
     while (d.hasNext) d.readTag() match {
-      case (1, 2) => ids = d.packedSVarints()
+      case (1, 2) => ids ++= d.packedSVarints()
+      case (1, 0) => ids :+= d.readSVarint()
       case (5, 2) => // DenseInfo
         val di = d.subReader()
         while (di.hasNext) di.readTag() match {
-          case (1, 2) => versions = di.packedVarints()
-          case (2, 2) => timestamps = di.packedSVarints()
-          case (3, 2) => changesets = di.packedSVarints()
-          case (4, 2) => uids = di.packedSVarints()
+          case (1, 2) => versions ++= di.packedVarints()
+          case (1, 0) => versions :+= di.readVarint()
+          case (2, 2) => timestamps ++= di.packedSVarints()
+          case (2, 0) => timestamps :+= di.readSVarint()
+          case (3, 2) => changesets ++= di.packedSVarints()
+          case (3, 0) => changesets :+= di.readSVarint()
+          case (4, 2) => uids ++= di.packedSVarints()
+          case (4, 0) => uids :+= di.readSVarint()
           case (_, wt) => di.skip(wt)
         }
-      case (8, 2) => lats = d.packedSVarints()
-      case (9, 2) => lons = d.packedSVarints()
-      case (10, 2) => keysVals = d.packedVarints()
+      case (8, 2) => lats ++= d.packedSVarints()
+      case (8, 0) => lats :+= d.readSVarint()
+      case (9, 2) => lons ++= d.packedSVarints()
+      case (9, 0) => lons :+= d.readSVarint()
+      case (10, 2) => keysVals ++= d.packedVarints()
+      case (10, 0) => keysVals :+= d.readVarint()
       case (_, wt) => d.skip(wt)
     }
     val n = ids.length
@@ -269,10 +296,13 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
     var ts: Any = null
     var changeset: Any = null
     var uid: Any = null
+    var refDeltas = Array.empty[Long]
     while (w.hasNext) w.readTag() match {
       case (1, 0) => id = w.readVarint()
-      case (2, 2) => keys = w.packedVarints()
-      case (3, 2) => vals = w.packedVarints()
+      case (2, 2) => keys ++= w.packedVarints()
+      case (2, 0) => keys :+= w.readVarint()
+      case (3, 2) => vals ++= w.packedVarints()
+      case (3, 0) => vals :+= w.readVarint()
       case (4, 2) => // Info
         val info = w.subReader()
         while (info.hasNext) info.readTag() match {
@@ -282,18 +312,75 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String)
           case (4, 0) => uid = Int.box(info.readVarint().toInt)
           case (_, wt) => info.skip(wt)
         }
-      case (8, 2) =>
-        val deltas = w.packedSVarints()
-        var acc = 0L
-        refs = deltas.map { d => acc += d; acc }
+      case (8, 2) => refDeltas ++= w.packedSVarints()
+      case (8, 0) => refDeltas :+= w.readSVarint()
       case (_, wt) => w.skip(wt)
     }
+    var acc = 0L
+    refs = refDeltas.map { d => acc += d; acc }
     new GenericInternalRow(Array[Any](
       id, version, uid, ts, changeset,
       new ArrayBasedMapData(
         new GenericArrayData(keys.map(k => strings(k.toInt): Any)),
         new GenericArrayData(vals.map(v => strings(v.toInt): Any))),
       new GenericArrayData(refs)))
+  }
+
+  /** Relation message (osmformat.proto): roles_sid=8 (string-table
+    * indexes), memids=9 (delta-coded sint64), types=10 (enum
+    * 0=NODE 1=WAY 2=RELATION → Osmosis N/W/R codes).
+    */
+  private def parseRelation(r: ProtoReader, strings: Array[UTF8String],
+      dateGranularity: Long): InternalRow = {
+    var id = 0L
+    var keys = Array.empty[Long]
+    var vals = Array.empty[Long]
+    var roles = Array.empty[Long]
+    var memidDeltas = Array.empty[Long]
+    var types = Array.empty[Long]
+    var version: Any = null
+    var ts: Any = null
+    var changeset: Any = null
+    var uid: Any = null
+    while (r.hasNext) r.readTag() match {
+      case (1, 0) => id = r.readVarint()
+      case (2, 2) => keys ++= r.packedVarints()
+      case (2, 0) => keys :+= r.readVarint()
+      case (3, 2) => vals ++= r.packedVarints()
+      case (3, 0) => vals :+= r.readVarint()
+      case (4, 2) => // Info
+        val info = r.subReader()
+        while (info.hasNext) info.readTag() match {
+          case (1, 0) => version = Int.box(info.readVarint().toInt)
+          case (2, 0) => ts = tsMicros(info.readVarint(), dateGranularity)
+          case (3, 0) => changeset = Long.box(info.readVarint())
+          case (4, 0) => uid = Int.box(info.readVarint().toInt)
+          case (_, wt) => info.skip(wt)
+        }
+      case (8, 2) => roles ++= r.packedVarints()
+      case (8, 0) => roles :+= r.readVarint()
+      case (9, 2) => memidDeltas ++= r.packedSVarints()
+      case (9, 0) => memidDeltas :+= r.readSVarint()
+      case (10, 2) => types ++= r.packedVarints()
+      case (10, 0) => types :+= r.readVarint()
+      case (_, wt) => r.skip(wt)
+    }
+    val typeCodes = Array(UTF8String.fromString("N"), UTF8String.fromString("W"),
+      UTF8String.fromString("R"))
+    var acc = 0L
+    val members = memidDeltas.indices.map { i =>
+      acc += memidDeltas(i)
+      new GenericInternalRow(Array[Any](
+        typeCodes(types(i).toInt),
+        acc,
+        if (i < roles.length) strings(roles(i).toInt) else UTF8String.fromString("")))
+    }
+    new GenericInternalRow(Array[Any](
+      id, version, uid, ts, changeset,
+      new ArrayBasedMapData(
+        new GenericArrayData(keys.map(k => strings(k.toInt): Any)),
+        new GenericArrayData(vals.map(v => strings(v.toInt): Any))),
+      new GenericArrayData(members.toArray[Any])))
   }
 
   private var current: InternalRow = _

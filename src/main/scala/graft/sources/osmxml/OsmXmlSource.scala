@@ -41,12 +41,13 @@ class OsmXmlSource extends TableProvider with DataSourceRegister {
 
   private def kindOf(options: CaseInsensitiveStringMap): String = {
     val k = options.getOrDefault("kind", "nodes")
-    require(k == "nodes" || k == "ways", s"osm-xml kind must be nodes|ways, got $k")
+    require(k == "nodes" || k == "ways" || k == "relations",
+      s"osm-xml kind must be nodes|ways|relations, got $k")
     k
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (kindOf(options) == "nodes") OsmXmlSource.nodesSchema else OsmXmlSource.waysSchema
+    OsmXmlSource.schemaFor(kindOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -60,6 +61,14 @@ object OsmXmlSource {
   val nodesSchema: StructType = OsmModel.nodesSchema
   /** Osmosis ways shape minus the assembled ring (refs only). */
   val waysSchema: StructType = StructType(OsmModel.waysSchema.fields.filterNot(_.name == "ring"))
+  /** Osmosis relations shape with the ordered member array. */
+  val relationsSchema: StructType = OsmModel.relationsSchema
+
+  def schemaFor(kind: String): StructType = kind match {
+    case "ways" => waysSchema
+    case "relations" => relationsSchema
+    case _ => nodesSchema
+  }
 }
 
 private[osmxml] class OsmXmlTable(schema: StructType, kind: String, paths: Seq[String])
@@ -93,33 +102,44 @@ private[osmxml] class OsmXmlTable(schema: StructType, kind: String, paths: Seq[S
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new OsmXmlReaderFactory(kind, schema, required)
+        new OsmXmlReaderFactory(kind, schema, required,
+          new graft.sources.SerializableHadoopConf(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
     }
 }
 
 private[osmxml] case class OsmXmlPartition(path: String) extends InputPartition
 
 private[osmxml] class OsmXmlReaderFactory(kind: String, full: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, conf: graft.sources.SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     graft.sources.Pruning.project(
-      new OsmXmlPartitionReader(partition.asInstanceOf[OsmXmlPartition].path, kind),
+      new OsmXmlPartitionReader(partition.asInstanceOf[OsmXmlPartition].path, kind,
+        conf.value),
       full, required)
 }
 
 /** Streaming StAX parse of one OSM XML file, emitting one InternalRow
   * per requested entity kind.
   */
-private[osmxml] class OsmXmlPartitionReader(path: String, kind: String)
+private[osmxml] class OsmXmlPartitionReader(path: String, kind: String,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   import javax.xml.stream.XMLStreamConstants._
 
   private val hp = new Path(path)
-  private val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+  private val in = hp.getFileSystem(conf).open(hp)
   private val reader = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
 
   private var row: InternalRow = _
+
+  private val targetElement = kind match {
+    case "ways" => "way"
+    case "relations" => "relation"
+    case _ => "node"
+  }
 
   private def attr(name: String): String = {
     var i = 0
@@ -138,17 +158,22 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String)
     }
 
   override def next(): Boolean = {
-    val wantNode = kind == "nodes"
     while (reader.hasNext) {
       if (reader.next() == START_ELEMENT) {
-        val el = reader.getLocalName
-        if ((wantNode && el == "node") || (!wantNode && el == "way")) {
-          row = readEntity(el)
+        if (reader.getLocalName == targetElement) {
+          row = readEntity(targetElement)
           return true
         }
       }
     }
     false
+  }
+
+  /** Osmosis `character(1)` member-type codes (schema.sql:116). */
+  private def memberTypeCode(t: String): UTF8String = t match {
+    case "node" => UTF8String.fromString("N")
+    case "way" => UTF8String.fromString("W")
+    case _ => UTF8String.fromString("R")
   }
 
   private def readEntity(el: String): InternalRow = {
@@ -163,6 +188,7 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String)
     val tagKeys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val tagVals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val refs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val members = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var depth = 1
     while (depth > 0 && reader.hasNext) {
       reader.next() match {
@@ -172,6 +198,10 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String)
               tagKeys += UTF8String.fromString(attr("k"))
               tagVals += UTF8String.fromString(attr("v"))
             case "nd" => refs += attr("ref").toLong
+            case "member" =>
+              members += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](memberTypeCode(attr("type")), attr("ref").toLong,
+                  UTF8String.fromString(Option(attr("role")).getOrElse(""))))
             case _ =>
           }
           depth += 1
@@ -184,9 +214,11 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String)
       new GenericArrayData(tagKeys.toArray[Any]),
       new GenericArrayData(tagVals.toArray[Any]))
     val common = Array[Any](id, version, uid, ts, changeset, tags)
-    val extra: Array[Any] =
-      if (el == "node") Array(lon, lat)
-      else Array(new GenericArrayData(refs.toArray[Any]): ArrayData)
+    val extra: Array[Any] = el match {
+      case "node" => Array(lon, lat)
+      case "way" => Array(new GenericArrayData(refs.toArray[Any]): ArrayData)
+      case _ => Array(new GenericArrayData(members.toArray[Any]): ArrayData)
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(common ++ extra)
   }
 

@@ -22,7 +22,8 @@ class OsmPbfSourceSpec extends SparkSpec {
 
   private def writeFixture(path: String): Unit = {
     val strings = Seq("", "amenity", "cafe", "name", "Espresso Lab", "highway",
-      "bus_stop", "building", "yes", "restaurant", "Corner Bistro")
+      "bus_stop", "building", "yes", "restaurant", "Corner Bistro",
+      "type", "multipolygon", "outer")
     def si(s: String): Long = strings.indexOf(s).toLong
 
     val st = new ProtoWriter
@@ -61,10 +62,27 @@ class OsmPbfSourceSpec extends SparkSpec {
     val g2 = new ProtoWriter
     g2.bytesField(3, way.toByteArray)
 
+    val relInfo = new ProtoWriter
+    relInfo.varintField(1, 1L)
+    relInfo.varintField(2, epoch("2024-03-05T00:00:00Z"))
+    relInfo.varintField(3, 903L)
+    relInfo.varintField(4, 9L)
+    val rel = new ProtoWriter
+    rel.varintField(1, 301L)
+    rel.packedVarintField(2, Seq(si("type")))
+    rel.packedVarintField(3, Seq(si("multipolygon")))
+    rel.bytesField(4, relInfo.toByteArray)
+    rel.packedVarintField(8, Seq(si("outer"))) // roles_sid
+    rel.packedSVarintField(9, Seq(201L)) // memids (delta)
+    rel.packedVarintField(10, Seq(1L)) // types: WAY
+    val g3 = new ProtoWriter
+    g3.bytesField(4, rel.toByteArray)
+
     val pb = new ProtoWriter
     pb.bytesField(1, st.toByteArray)
     pb.bytesField(2, g1.toByteArray)
     pb.bytesField(2, g2.toByteArray)
+    pb.bytesField(2, g3.toByteArray)
     val raw = pb.toByteArray
 
     val deflater = new java.util.zip.Deflater()
@@ -118,6 +136,62 @@ class OsmPbfSourceSpec extends SparkSpec {
       x.getSeq[Long](x.fieldIndex("nodes")).toList)
     assert(p.getAs[Map[String, String]]("tags") == x.getAs[Map[String, String]]("tags"))
     assert(p.getAs[java.sql.Timestamp]("tstamp") == x.getAs[java.sql.Timestamp]("tstamp"))
+  }
+
+  test("PBF relations agree with the XML source") {
+    val pbf = spark.read.format("osm-pbf").option("kind", "relations").load(pbfPath).collect()
+    val xml = spark.read.format("osm-xml").option("kind", "relations").load(xmlPath).collect()
+    assert(pbf.length == 1 && xml.length == 1)
+    val (p, x) = (pbf(0), xml(0))
+    assert(p.getLong(0) == 301L && x.getLong(0) == 301L)
+    assert(p.getAs[Map[String, String]]("tags") ==
+      Map("type" -> "multipolygon"))
+    assert(p.getAs[Map[String, String]]("tags") == x.getAs[Map[String, String]]("tags"))
+    def members(r: org.apache.spark.sql.Row): Seq[(String, Long, String)] =
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("members"))
+        .map(m => (m.getString(0), m.getLong(1), m.getString(2)))
+    assert(members(p) == Seq(("W", 201L, "outer")))
+    assert(members(p) == members(x))
+    assert(p.getAs[java.sql.Timestamp]("tstamp") == x.getAs[java.sql.Timestamp]("tstamp"))
+  }
+
+  test("unpacked (wiretype-0) repeated fields decode like packed ones") {
+    // same way as the main fixture but with refs/keys/vals written one
+    // tag per value — spec-legal, and previously silently dropped
+    val strings = Seq("", "building", "yes")
+    def si(s: String): Long = strings.indexOf(s).toLong
+    val st = new ProtoWriter
+    strings.foreach(s => st.stringField(1, s))
+    val way = new ProtoWriter
+    way.varintField(1, 77L)
+    way.varintField(2, si("building"))
+    way.varintField(3, si("yes"))
+    way.tag(8, 0).writeSVarint(101L)
+    way.tag(8, 0).writeSVarint(1L)
+    way.tag(8, 0).writeSVarint(-2L)
+    val g = new ProtoWriter
+    g.bytesField(3, way.toByteArray)
+    val pb = new ProtoWriter
+    pb.bytesField(1, st.toByteArray)
+    pb.bytesField(2, g.toByteArray)
+    val raw = pb.toByteArray
+    val blob = new ProtoWriter
+    blob.bytesField(1, raw) // uncompressed variant (no raw_size)
+    val blobBytes = blob.toByteArray
+    val bh = new ProtoWriter
+    bh.stringField(1, "OSMData")
+    bh.varintField(3, blobBytes.length.toLong)
+    val bhBytes = bh.toByteArray
+    val path = Files.createTempDirectory("pbf-unpacked").toString + "/u.osm.pbf"
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(path))
+    out.writeInt(bhBytes.length); out.write(bhBytes); out.write(blobBytes); out.close()
+
+    val rows = spark.read.format("osm-pbf").option("kind", "ways").load(path).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 77L)
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("nodes")).toList ==
+      List(101L, 102L, 100L))
+    assert(rows(0).getAs[Map[String, String]]("tags") == Map("building" -> "yes"))
   }
 
   test("blob index partitions the file (one partition per data blob)") {
