@@ -54,6 +54,19 @@ object GeoFunctions {
     bb.array()
   }
 
+  /** WKB LINESTRING (type 2) — the pgsnapshot `ways.linestring` column
+    * (schema.sql:194): open ways (roads — most of OSM) carry this
+    * geometry; closed ways get a closed linestring, as Osmosis writes
+    * them. Null when < 2 points.
+    */
+  def wkbLineStringBytes(path: Seq[(Double, Double)]): Array[Byte] = {
+    if (path == null || path.size < 2) return null
+    val bb = ByteBuffer.allocate(9 + 16 * path.size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(2).putInt(path.size)
+    path.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    bb.array()
+  }
+
   /** A linear ring needs ≥ 4 points and closure (F6 validity). */
   def ringValid(ring: Seq[(Double, Double)]): Boolean =
     ring != null && ring.size >= 4 && ring.head == ring.last
@@ -112,6 +125,13 @@ object GeoFunctions {
     (bb.getDouble(), bb.getDouble())
   }
 
+  def decodeLineString(wkb: Array[Byte]): Seq[(Double, Double)] = {
+    val bb = ByteBuffer.wrap(wkb).order(
+      if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.get(); require(bb.getInt() == 2, "not a WKB linestring")
+    (0 until bb.getInt()).map(_ => (bb.getDouble(), bb.getDouble()))
+  }
+
   def decodeMultiPolygon(wkb: Array[Byte]): Seq[Seq[Seq[(Double, Double)]]] = {
     val bb = ByteBuffer.wrap(wkb).order(
       if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
@@ -134,6 +154,15 @@ object GeoFunctions {
   private val wkbMultiPolygonUdf = udf((ring: Seq[Row]) =>
     Option(wkbMultiPolygonBytes(Seq(rowRing(ring)).filter(_ != null))))
 
+  private val wkbLineStringUdf = udf((path: Seq[Row]) =>
+    Option(wkbLineStringBytes(rowRing(path))))
+
+  /** Rings arrive as `array<array<array<double>>>` (nested Row inputs
+    * have no UDF encoder); see [[wkb_multipolygon_rings]].
+    */
+  private val wkbMultiPolygonRingsUdf = udf((rings: Seq[Seq[Seq[Double]]]) =>
+    Option(wkbMultiPolygonBytes(rings.map(_.map(p => (p(0), p(1)))))))
+
   /** Named result type so the struct column has (lon, lat) fields. */
   case class CentroidPt(lon: Double, lat: Double)
 
@@ -153,6 +182,21 @@ object GeoFunctions {
 
   /** C4 — exterior ring → single-polygon WKB multipolygon; null if invalid (F6). */
   def wkb_multipolygon(ring: Column): Column = wkbMultiPolygonUdf(ring)
+
+  /** C4 with holes — `array<ring>` (first exterior, rest interior, each
+    * `array<struct<lon,lat>>`) → one-polygon WKB multipolygon; null if
+    * any ring is invalid. The shape [[graft.operators.RelationAssembly]]
+    * emits: `concat(array(outers[0]), inners)`.
+    */
+  def wkb_multipolygon_rings(rings: Column): Column =
+    wkbMultiPolygonRingsUdf(org.apache.spark.sql.functions.transform(rings,
+      r => org.apache.spark.sql.functions.transform(r,
+        q => org.apache.spark.sql.functions.array(q.getField("lon"), q.getField("lat")))))
+
+  /** pgsnapshot `ways.linestring` (schema.sql:194) — ordered way path →
+    * WKB linestring; null when < 2 points.
+    */
+  def wkb_linestring(path: Column): Column = wkbLineStringUdf(path)
 
   /** C8 — ST_Centroid as decomposed lon/lat (oracle-friendly) or WKB.
     * `centroid` returns one struct<lon,lat> per call — prefer it when

@@ -43,6 +43,20 @@ object PoiProjector {
       trimTags(settings).as("tags"),
       GeoFunctions.wkb_multipolygon(col("ring")).as("geom"))
 
+  /** pgsnapshot `ways.linestring` (schema.sql:194): every way with ≥ 2
+    * resolved points carries linestring geometry — the path for roads
+    * (most of OSM), which never close into areas. Closed rings produce a
+    * closed linestring, exactly as Osmosis stores them; this is a
+    * SEPARATE column from the area multipolygon ([[projectWays]]), not a
+    * fallback — matching the reference's two-geometry way row.
+    */
+  def projectWayLinestrings(classified: DataFrame, settings: PoiSettings): DataFrame =
+    classified.select(
+      col("id"), col("version"), col("user_id"), col("tstamp"),
+      col("changeset_id"),
+      trimTags(settings).as("tags"),
+      GeoFunctions.wkb_linestring(col("ring")).as("geom"))
+
   /** F6 — split valid rows from the invalid-geometry dead-letter branch
     * (reference records invalid ids and excludes them,
     * filter.py:119-137,185-203; the dead-letter dump is K3,

@@ -51,6 +51,10 @@ object RelationQueries {
             size(col("outers")).as("n_outer"),
             size(col("inners")).as("n_inner"),
             size(element_at(col("outers"), 1)).as("outer_pts"),
+            // C4 with holes: one polygon, exterior + interior rings;
+            // the byte length has the closed form 22 + Σ(4 + 16·pts)
+            length(GeoFunctions.wkb_multipolygon_rings(
+              concat(slice(col("outers"), 1, 1), col("inners")))).as("wkb_bytes"),
             round(
               GeoFunctions.geodesic_area(element_at(col("outers"), 1)) -
                 aggregate(col("inners"), lit(0.0),
@@ -61,6 +65,9 @@ object RelationQueries {
       Some(s"""SELECT id, 1 AS n_outer,
               |       CASE WHEN has_inner THEN 1 ELSE 0 END AS n_inner,
               |       5 AS outer_pts,
+              |       CAST(22 + (4 + 16 * 5)
+              |            + CASE WHEN has_inner THEN 4 + 16 * 5 ELSE 0 END
+              |            AS INTEGER) AS wkb_bytes,
               |       round(abs(radians(d) * (2 + 2 * sin(radians(lat0)))
               |               - radians(d) * (2 + 2 * sin(radians(lat0 + d))))
               |             * 6378137.0 * 6378137.0 / 2
@@ -71,6 +78,35 @@ object RelationQueries {
               |             ELSE 0 END, 1) AS area_m2
               |FROM $relSql
               |ORDER BY id""".stripMargin),
-      doc = "J3+C4+C9: stitch split outer ways into a ring, subtract hole areas")
+      doc = "J3+C4+C9: stitch split outer ways into a ring, WKB with holes, subtract hole areas"),
+
+    Q("way_linestring",
+      (s, dir) => {
+        val wp = Tables.osmRelationWays(s, dir)
+        val segs = zip_with(
+          slice(col("path"), lit(1), size(col("path")) - 1),
+          slice(col("path"), lit(2), size(col("path")) - 1),
+          (a, b) => sqrt(
+            pow(b.getField("lon") - a.getField("lon"), 2) +
+              pow(b.getField("lat") - a.getField("lat"), 2)))
+        wp.select(col("way_id"),
+            size(col("path")).as("n_pts"),
+            (element_at(col("path"), 1) === element_at(col("path"), -1))
+              .cast("int").as("closed"),
+            length(GeoFunctions.wkb_linestring(col("path"))).as("wkb_bytes"),
+            round(aggregate(segs, lit(0.0), (acc, x) => acc + x), 6).as("len_deg"))
+          .orderBy(col("way_id"))
+      },
+      Some(s"""SELECT CASE seq WHEN 0 THEN id + 5000000
+              |                WHEN 1 THEN id + 7000000
+              |                ELSE id + 6000000 END AS way_id,
+              |       CAST(CASE WHEN seq = 2 THEN 5 ELSE 3 END AS INTEGER) AS n_pts,
+              |       CAST(CASE WHEN seq = 2 THEN 1 ELSE 0 END AS INTEGER) AS closed,
+              |       CAST(9 + 16 * (CASE WHEN seq = 2 THEN 5 ELSE 3 END)
+              |            AS INTEGER) AS wkb_bytes,
+              |       round(2 * d, 6) AS len_deg
+              |FROM (SELECT id, d, unnest(generate_series(0, 2)) AS seq FROM $relSql)
+              |ORDER BY way_id""".stripMargin),
+      doc = "schema.sql:194 ways.linestring: WKB linestring for open ways + path length")
   )
 }

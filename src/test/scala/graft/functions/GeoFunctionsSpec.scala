@@ -28,6 +28,27 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(wkbMultiPolygonBytes(Nil) == null)
   }
 
+  test("C4 holes: multi-ring multipolygon round-trips exterior + interior") {
+    val hole = Seq((0.25, 0.25), (0.75, 0.25), (0.75, 0.75), (0.25, 0.75), (0.25, 0.25))
+    val wkb = wkbMultiPolygonBytes(Seq(unitSquare, hole))
+    assert(wkb.length == 22 + (4 + 16 * 5) * 2)
+    assert(decodeMultiPolygon(wkb) == Seq(Seq(unitSquare, hole)))
+    assert(wkbMultiPolygonBytes(Seq(unitSquare, hole.dropRight(1))) == null)
+  }
+
+  test("linestring WKB: byte-level golden, open + closed, < 2 pts null") {
+    val path = Seq((2.0, 3.0), (4.0, 5.0), (6.0, 7.0))
+    val wkb = wkbLineStringBytes(path)
+    assert(wkb.length == 9 + 16 * 3)
+    // little-endian marker, type=2, count=3
+    assert(wkb(0) == 1 && wkb(1) == 2 && wkb(2) == 0 && wkb(3) == 0 && wkb(4) == 0)
+    assert(wkb(5) == 3 && wkb(6) == 0)
+    assert(decodeLineString(wkb) == path)
+    assert(decodeLineString(wkbLineStringBytes(unitSquare)) == unitSquare)
+    assert(wkbLineStringBytes(Seq((1.0, 1.0))) == null)
+    assert(wkbLineStringBytes(null) == null)
+  }
+
   test("C8: shoelace centroid — square, triangle, far-from-origin precision") {
     assert(centroidLonLat(unitSquare).get == ((0.5, 0.5)))
     val tri = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (0.0, 0.0))
