@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value-level pins for the two catalog queries the DuckDB oracle
+  * cannot express (64-bit SimHash / rolling-hash internals). A
+  * rows-only check would keep passing with a broken bit in
+  * SimHash64/RollingHash64; these content hashes fail on any value
+  * change. Recompute (deliberately) by printing the same aggregate if
+  * the kernels' hash definitions are intentionally revised.
+  */
+class GoldenOutputSpec extends SparkSpec {
+
+  private def contentHash(name: String): (Long, String) = {
+    val df = graft.SparkEntry.queries(name)(spark, sf())
+    val h = df.select(xxhash64(concat_ws("|",
+        df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)).as("h"))
+      .agg(sum(col("h").cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger.toString
+    (df.count(), h)
+  }
+
+  test("dedup_simhash output is bit-stable (golden content hash)") {
+    assert(contentHash("dedup_simhash") == ((401L, "-27796369444963981091")))
+  }
+
+  test("text_fingerprint_rolling output is bit-stable (golden content hash)") {
+    assert(contentHash("text_fingerprint_rolling") == ((500L, "111465474591936582990")))
+  }
+}
