@@ -18,6 +18,12 @@ object OsmModel {
     * lon/lat doubles on the input side; the WKB `geom` column is derived
     * by [[graft.functions.GeoFunctions.wkb_point]] (C3).
     */
+  /** Source rows also carry `user_name` (the pgsnapshot `users` table
+    * is its normalization, schema.sql:152-159) and the OSM `visible`
+    * flag (absent in data extracts → true; PBF DenseInfo field 6) —
+    * the pgsnapshot projection drops both, the layout writer
+    * ([[graft.sinks.PgSnapshotLayout]]) extracts `users` from them.
+    */
   val nodesSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("version", IntegerType, nullable = true),
@@ -26,7 +32,9 @@ object OsmModel {
     StructField("changeset_id", LongType, nullable = true),
     StructField("tags", MapType(StringType, StringType, valueContainsNull = false), nullable = true),
     StructField("lon", DoubleType, nullable = true),
-    StructField("lat", DoubleType, nullable = true)
+    StructField("lat", DoubleType, nullable = true),
+    StructField("user_name", StringType, nullable = true),
+    StructField("visible", BooleanType, nullable = true)
   ))
 
   /** `public.ways` (schema.sql:186-195): ordered node refs as
@@ -44,7 +52,9 @@ object OsmModel {
     StructField("nodes", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("ring", ArrayType(StructType(Seq(
       StructField("lon", DoubleType, nullable = false),
-      StructField("lat", DoubleType, nullable = false))), containsNull = false), nullable = true)
+      StructField("lat", DoubleType, nullable = false))), containsNull = false), nullable = true),
+    StructField("user_name", StringType, nullable = true),
+    StructField("visible", BooleanType, nullable = true)
   ))
 
   /** `public.relations` + `public.relation_members`
@@ -67,7 +77,9 @@ object OsmModel {
       StructField("member_type", StringType, nullable = false),
       StructField("member_id", LongType, nullable = false),
       StructField("member_role", StringType, nullable = false))), containsNull = false),
-      nullable = true)
+      nullable = true),
+    StructField("user_name", StringType, nullable = true),
+    StructField("visible", BooleanType, nullable = true)
   ))
 
   /** The TagInfo dimension (reference: tags.json shape, filter.py:291-299;

@@ -230,6 +230,8 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
     var timestamps = Array.empty[Long]
     var changesets = Array.empty[Long]
     var uids = Array.empty[Long]
+    var usids = Array.empty[Long]
+    var visibles = Array.empty[Long]
     // packed (wiretype 2) chunks concatenate; spec-legal UNPACKED
     // encodings (wiretype 0, one value per tag) append too instead of
     // falling into the skip case and silently dropping data
@@ -247,6 +249,10 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
           case (3, 0) => changesets :+= di.readSVarint()
           case (4, 2) => uids ++= di.packedSVarints()
           case (4, 0) => uids :+= di.readSVarint()
+          case (5, 2) => usids ++= di.packedSVarints() // user_sid, delta
+          case (5, 0) => usids :+= di.readSVarint()
+          case (6, 2) => visibles ++= di.packedVarints()
+          case (6, 0) => visibles :+= di.readVarint()
           case (_, wt) => di.skip(wt)
         }
       case (8, 2) => lats ++= d.packedSVarints()
@@ -259,12 +265,14 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
     }
     val n = ids.length
     var id = 0L; var lat = 0L; var lon = 0L; var ts = 0L; var cs = 0L; var uid = 0L
+    var usid = 0L
     var kv = 0
     (0 until n).map { i =>
       id += ids(i); lat += lats(i); lon += lons(i)
       if (timestamps.nonEmpty) ts += timestamps(i)
       if (changesets.nonEmpty) cs += changesets(i)
       if (uids.nonEmpty) uid += uids(i)
+      if (usids.nonEmpty) usid += usids(i)
       val keys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       while (kv < keysVals.length && keysVals(kv) != 0) {
@@ -282,7 +290,10 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
         new ArrayBasedMapData(new GenericArrayData(keys.toArray[Any]),
           new GenericArrayData(vals.toArray[Any])),
         Double.box(1e-9 * (lonOffset + granularity * lon)),
-        Double.box(1e-9 * (latOffset + granularity * lat))))
+        Double.box(1e-9 * (latOffset + granularity * lat)),
+        if (usids.nonEmpty && usid != 0) strings(usid.toInt) else null,
+        // visible absent → true (only history files carry deletions)
+        Boolean.box(if (visibles.isEmpty) true else visibles(i) != 0L)))
     }
   }
 
@@ -296,6 +307,8 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
     var ts: Any = null
     var changeset: Any = null
     var uid: Any = null
+    var userName: Any = null
+    var visible: Any = Boolean.box(true)
     var refDeltas = Array.empty[Long]
     while (w.hasNext) w.readTag() match {
       case (1, 0) => id = w.readVarint()
@@ -310,6 +323,10 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
           case (2, 0) => ts = tsMicros(info.readVarint(), dateGranularity)
           case (3, 0) => changeset = Long.box(info.readVarint())
           case (4, 0) => uid = Int.box(info.readVarint().toInt)
+          case (5, 0) =>
+            val sid = info.readVarint().toInt
+            if (sid != 0) userName = strings(sid)
+          case (6, 0) => visible = Boolean.box(info.readVarint() != 0L)
           case (_, wt) => info.skip(wt)
         }
       case (8, 2) => refDeltas ++= w.packedSVarints()
@@ -323,7 +340,7 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
       new ArrayBasedMapData(
         new GenericArrayData(keys.map(k => strings(k.toInt): Any)),
         new GenericArrayData(vals.map(v => strings(v.toInt): Any))),
-      new GenericArrayData(refs)))
+      new GenericArrayData(refs), userName, visible))
   }
 
   /** Relation message (osmformat.proto): roles_sid=8 (string-table
@@ -342,6 +359,8 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
     var ts: Any = null
     var changeset: Any = null
     var uid: Any = null
+    var userName: Any = null
+    var visible: Any = Boolean.box(true)
     while (r.hasNext) r.readTag() match {
       case (1, 0) => id = r.readVarint()
       case (2, 2) => keys ++= r.packedVarints()
@@ -355,6 +374,10 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
           case (2, 0) => ts = tsMicros(info.readVarint(), dateGranularity)
           case (3, 0) => changeset = Long.box(info.readVarint())
           case (4, 0) => uid = Int.box(info.readVarint().toInt)
+          case (5, 0) =>
+            val sid = info.readVarint().toInt
+            if (sid != 0) userName = strings(sid)
+          case (6, 0) => visible = Boolean.box(info.readVarint() != 0L)
           case (_, wt) => info.skip(wt)
         }
       case (8, 2) => roles ++= r.packedVarints()
@@ -380,7 +403,7 @@ private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,
       new ArrayBasedMapData(
         new GenericArrayData(keys.map(k => strings(k.toInt): Any)),
         new GenericArrayData(vals.map(v => strings(v.toInt): Any))),
-      new GenericArrayData(members.toArray[Any])))
+      new GenericArrayData(members.toArray[Any]), userName, visible))
   }
 
   private var current: InternalRow = _

@@ -184,6 +184,11 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String,
     val changeset = Option(attr("changeset")).map(s => Long.box(s.toLong)).orNull
     val lon = Option(attr("lon")).map(s => Double.box(s.toDouble)).orNull
     val lat = Option(attr("lat")).map(s => Double.box(s.toDouble)).orNull
+    // `visible` is absent in data extracts (deleted objects never ship
+    // there) → true, matching osmium/Osmosis semantics; both attributes
+    // must be read here, before the child loop advances the cursor
+    val userName = Option(attr("user")).map(UTF8String.fromString).orNull
+    val visible = Boolean.box(Option(attr("visible")).forall(_.toBoolean))
 
     val tagKeys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val tagVals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
@@ -219,7 +224,8 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String,
       case "way" => Array(new GenericArrayData(refs.toArray[Any]): ArrayData)
       case _ => Array(new GenericArrayData(members.toArray[Any]): ArrayData)
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(common ++ extra)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      common ++ extra ++ Array[Any](userName, visible))
   }
 
   override def get(): InternalRow = row

@@ -23,7 +23,7 @@ class OsmPbfSourceSpec extends SparkSpec {
   private def writeFixture(path: String): Unit = {
     val strings = Seq("", "amenity", "cafe", "name", "Espresso Lab", "highway",
       "bus_stop", "building", "yes", "restaurant", "Corner Bistro",
-      "type", "multipolygon", "outer")
+      "type", "multipolygon", "outer", "alice", "bob", "carol")
     def si(s: String): Long = strings.indexOf(s).toLong
 
     val st = new ProtoWriter
@@ -37,6 +37,7 @@ class OsmPbfSourceSpec extends SparkSpec {
     di.packedSVarintField(2, Seq(t1, t2 - t1, t3 - t2))
     di.packedSVarintField(3, Seq(900L, 1L, 0L))
     di.packedSVarintField(4, Seq(7L, 1L, 0L))
+    di.packedSVarintField(5, Seq(si("alice"), si("bob") - si("alice"), 0L)) // user_sid (delta)
 
     val dn = new ProtoWriter
     dn.packedSVarintField(1, Seq(101L, 1L, 1L))
@@ -53,6 +54,7 @@ class OsmPbfSourceSpec extends SparkSpec {
     info.varintField(2, epoch("2024-03-05T00:00:00Z"))
     info.varintField(3, 902L)
     info.varintField(4, 9L)
+    info.varintField(5, si("carol"))
     val way = new ProtoWriter
     way.varintField(1, 201L)
     way.packedVarintField(2, Seq(si("building"), si("amenity"), si("name")))
@@ -67,6 +69,7 @@ class OsmPbfSourceSpec extends SparkSpec {
     relInfo.varintField(2, epoch("2024-03-05T00:00:00Z"))
     relInfo.varintField(3, 903L)
     relInfo.varintField(4, 9L)
+    relInfo.varintField(5, si("carol"))
     val rel = new ProtoWriter
     rel.varintField(1, 301L)
     rel.packedVarintField(2, Seq(si("type")))
@@ -123,6 +126,8 @@ class OsmPbfSourceSpec extends SparkSpec {
       assert(p.getAs[Long]("changeset_id") == x.getAs[Long]("changeset_id"))
       assert(math.abs(p.getAs[Double]("lon") - x.getAs[Double]("lon")) < 1e-9)
       assert(math.abs(p.getAs[Double]("lat") - x.getAs[Double]("lat")) < 1e-9)
+      assert(p.getAs[String]("user_name") == x.getAs[String]("user_name"))
+      assert(p.getAs[Boolean]("visible") && x.getAs[Boolean]("visible"))
     }
   }
 
@@ -136,6 +141,8 @@ class OsmPbfSourceSpec extends SparkSpec {
       x.getSeq[Long](x.fieldIndex("nodes")).toList)
     assert(p.getAs[Map[String, String]]("tags") == x.getAs[Map[String, String]]("tags"))
     assert(p.getAs[java.sql.Timestamp]("tstamp") == x.getAs[java.sql.Timestamp]("tstamp"))
+    assert(p.getAs[String]("user_name") == "carol")
+    assert(p.getAs[String]("user_name") == x.getAs[String]("user_name"))
   }
 
   test("PBF relations agree with the XML source") {
