@@ -49,11 +49,37 @@ class OsmPbfSource extends TableProvider with DataSourceRegister {
 }
 
 private[osmpbf] class OsmPbfTable(schema: StructType, kind: String, paths: Seq[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"osm-pbf($kind)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** Write side: one `.osm.pbf` file per task under the target
+    * directory (an OSMHeader frame + one OSMData blob per 8k entities),
+    * readable back by this source's directory/glob scan — the same
+    * blob-parallel layout the read side exploits. Tasks write to a temp
+    * name and rename on commit (idempotent under retries); `append`
+    * mode only.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1, "osm-pbf write needs exactly one target path")
+    require(info.schema().fieldNames.sameElements(schema.fieldNames),
+      s"osm-pbf($kind) write schema must be ${schema.fieldNames.mkString(", ")}; " +
+        s"got ${info.schema().fieldNames.mkString(", ")}")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new PbfBatchWrite(kind, paths.head,
+              new graft.sources.SerializableHadoopConf(
+                org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
@@ -130,6 +156,65 @@ private[osmpbf] class PbfReaderFactory(kind: String, full: StructType,
 
 private[osmpbf] case class PbfBlobPartition(path: String, offset: Long, length: Int)
     extends InputPartition
+
+private[osmpbf] class PbfBatchWrite(kind: String, dir: String,
+    conf: graft.sources.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PbfDataWriterFactory(kind, dir, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[osmpbf] class PbfDataWriterFactory(kind: String, dir: String,
+    conf: graft.sources.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PbfDataWriter(kind, dir, partitionId, taskId, conf.value)
+}
+
+private[osmpbf] case class PbfCommitMessage(path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Buffers rows and flushes one OSMData blob per `blockSize` entities;
+  * writes to a task-unique temp file, renamed into place on commit so
+  * task retries never leave partial files visible.
+  */
+private[osmpbf] class PbfDataWriter(kind: String, dir: String,
+    partitionId: Int, taskId: Long, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(conf)
+  private val finalPath = new Path(dir, f"part-$partitionId%05d.osm.pbf")
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.osm.pbf.tmp")
+  private val out = { fs.mkdirs(new Path(dir)); fs.create(tmpPath, true) }
+  out.write(OsmPbfEncoder.headerFrame(kind))
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    out.write(OsmPbfEncoder.encodeBlock(kind, buf.toSeq))
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += row.copy()
+    if (buf.size >= OsmPbfEncoder.DefaultBlockSize) flush()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush(); out.close()
+    fs.delete(finalPath, false)
+    fs.rename(tmpPath, finalPath)
+    PbfCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = { out.close(); fs.delete(tmpPath, false) }
+  override def close(): Unit = ()
+}
 
 /** Decodes one OSMData blob into rows of the requested kind. */
 private[osmpbf] class PbfBlobReader(part: PbfBlobPartition, kind: String,

@@ -72,11 +72,32 @@ object OsmXmlSource {
 }
 
 private[osmxml] class OsmXmlTable(schema: StructType, kind: String, paths: Seq[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"osm-xml($kind)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** Write side: one `.osm` document per task under the target
+    * directory (the read side scans directories/globs, so the output is
+    * immediately re-readable). Temp-file + rename per task; `append`
+    * mode only.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1, "osm-xml write needs exactly one target path")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new OsmXmlBatchWrite(kind, paths.head,
+              new graft.sources.SerializableHadoopConf(
+                org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        }
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

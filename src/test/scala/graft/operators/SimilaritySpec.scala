@@ -84,6 +84,20 @@ class SimilaritySpec extends SparkSpec {
     assert(meanBestSim(fitted) >= meanBestSim(init) - 1e-9)
   }
 
+  test("assignCells plans with NO exchange (map-side argmax over centroid literal)") {
+    val emb = Tables.embeddings(spark, sf())
+    val cells = Similarity.assignCells(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding")
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    // and the probe side of IVF only exchanges for the join itself —
+    // no pre-join shuffle of the assignment
+    val ivfPlan = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+      col("__id") < 5, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("Exchange rangepartitioning"), ivfPlan)
+  }
+
   test("ivfTopKProbed with nprobe = |centroids| equals brute force") {
     val emb = Tables.embeddings(spark, sf())
     val cents = emb.filter(col("vec_id") < 8)
