@@ -41,15 +41,25 @@ object GeoFunctions {
   /** WKB MULTIPOLYGON with one polygon from rings (first = exterior,
     * rest = holes) (C4). Returns null on any invalid ring.
     */
-  def wkbMultiPolygonBytes(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
-    if (rings == null || rings.isEmpty || rings.exists(!ringValid(_))) return null
-    val size = 9 + 9 + 4 + rings.map(r => 4 + 16 * r.size).sum
+  def wkbMultiPolygonBytes(rings: Seq[Seq[(Double, Double)]]): Array[Byte] =
+    if (rings == null) null else wkbMultiPolygonPolygonsBytes(Seq(rings))
+
+  /** General WKB MULTIPOLYGON: one entry per polygon, each a ring list
+    * (first exterior, rest holes). Null when empty or any ring invalid.
+    */
+  def wkbMultiPolygonPolygonsBytes(
+      polys: Seq[Seq[Seq[(Double, Double)]]]): Array[Byte] = {
+    if (polys == null || polys.isEmpty ||
+      polys.exists(p => p == null || p.isEmpty || p.exists(!ringValid(_)))) return null
+    val size = 9 + polys.map(p => 9 + 4 + p.map(r => 4 + 16 * r.size).sum).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(1.toByte).putInt(6).putInt(1) // multipolygon, 1 polygon
-    bb.put(1.toByte).putInt(3).putInt(rings.size) // polygon, numRings
-    rings.foreach { r =>
-      bb.putInt(r.size)
-      r.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    bb.put(1.toByte).putInt(6).putInt(polys.size)
+    polys.foreach { rings =>
+      bb.put(1.toByte).putInt(3).putInt(rings.size) // polygon, numRings
+      rings.foreach { r =>
+        bb.putInt(r.size)
+        r.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+      }
     }
     bb.array()
   }
@@ -163,6 +173,20 @@ object GeoFunctions {
   private val wkbMultiPolygonRingsUdf = udf((rings: Seq[Seq[Seq[Double]]]) =>
     Option(wkbMultiPolygonBytes(rings.map(_.map(p => (p(0), p(1)))))))
 
+  /** First outer polygon carries the holes; additional outers become
+    * their own hole-less polygons (hole-to-outer assignment by
+    * containment is the osmium refinement; single-outer relations —
+    * the typical building — are exact).
+    */
+  private val wkbAreasUdf = udf(
+    (outers: Seq[Seq[Seq[Double]]], inners: Seq[Seq[Seq[Double]]]) => {
+      val o = outers.map(_.map(p => (p(0), p(1))))
+      val i = inners.map(_.map(p => (p(0), p(1))))
+      Option(
+        if (o.isEmpty) null
+        else wkbMultiPolygonPolygonsBytes((o.head +: i) +: o.tail.map(Seq(_))))
+    })
+
   /** Named result type so the struct column has (lon, lat) fields. */
   case class CentroidPt(lon: Double, lat: Double)
 
@@ -197,6 +221,18 @@ object GeoFunctions {
     * WKB linestring; null when < 2 points.
     */
   def wkb_linestring(path: Column): Column = wkbLineStringUdf(path)
+
+  private def ringsAsDoubles(rings: Column): Column =
+    org.apache.spark.sql.functions.transform(rings,
+      r => org.apache.spark.sql.functions.transform(r,
+        q => org.apache.spark.sql.functions.array(q.getField("lon"), q.getField("lat"))))
+
+  /** Assembled relation geometry ([[graft.operators.RelationAssembly]]
+    * `outers`/`inners` columns) → WKB multipolygon; null when no valid
+    * outer ring (F6).
+    */
+  def wkb_multipolygon_areas(outers: Column, inners: Column): Column =
+    wkbAreasUdf(ringsAsDoubles(outers), ringsAsDoubles(inners))
 
   /** C8 — ST_Centroid as decomposed lon/lat (oracle-friendly) or WKB.
     * `centroid` returns one struct<lon,lat> per call — prefer it when

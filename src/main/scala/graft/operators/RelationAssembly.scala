@@ -108,4 +108,21 @@ object RelationAssembly {
         stitchUdf(pathsAsDoubles(col("inner_paths"))).as("inners"))
       .filter(size(col("outers")) >= 1)
   }
+
+  /** Relation-derived AREA rows in the ways/areas projection shape —
+    * what the reference's `area()` callback actually receives (its
+    * `isinstance` guard never fires, filter.py:227-232): the relation's
+    * own metadata and tags (C5 `orig_id` semantics — osmium area ids
+    * are synthetic, the originating relation id is the durable one)
+    * with assembled multipolygon WKB geometry (holes included). Feed to
+    * [[PoiClassifier.classify]] exactly like nodes/ways.
+    */
+  def relationAreas(relations: DataFrame, wayPaths: DataFrame): DataFrame =
+    assembleMultipolygons(relations, wayPaths)
+      .join(relations.select(col("id"), col("version"), col("user_id"),
+        col("tstamp"), col("changeset_id"), col("tags")), Seq("id"))
+      .select(col("id"), col("version"), col("user_id"), col("tstamp"),
+        col("changeset_id"), col("tags"),
+        graft.functions.GeoFunctions
+          .wkb_multipolygon_areas(col("outers"), col("inners")).as("geom"))
 }

@@ -107,6 +107,33 @@ object RelationQueries {
               |       round(2 * d, 6) AS len_deg
               |FROM (SELECT id, d, unnest(generate_series(0, 2)) AS seq FROM $relSql)
               |ORDER BY way_id""".stripMargin),
-      doc = "schema.sql:194 ways.linestring: WKB linestring for open ways + path length")
+      doc = "schema.sql:194 ways.linestring: WKB linestring for open ways + path length"),
+
+    // the reference's real F7 behavior: multipolygon-relation-derived
+    // areas REACH the classifier (the isinstance guard never fires,
+    // filter.py:227-232) — so classification must run on relation areas
+    // with the relation's own tags and id (C5 orig_id)
+    Q("poi_classify_multipolygon",
+      (s, dir) => {
+        val settings = PoiQueries.baseSettings.copy(keys = Seq("brand", "parttype"))
+        val dim = graft.operators.TagDimension.prepare(
+          Tables.classificationDimDf(s), settings)
+        val pairs = graft.operators.TagDimension.toPairs(dim, settings)
+        val areas = graft.operators.RelationAssembly.relationAreas(
+          Tables.osmRelations(s, dir), Tables.osmRelationWays(s, dir))
+        graft.operators.PoiClassifier.classify(areas, pairs, settings)
+          .select(col("id"),
+            element_at(col("tags"), "brand").as("brand"),
+            length(col("geom")).as("wkb_bytes"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT p_partkey AS id, p_brand AS brand,
+             |       CAST(106 + CASE WHEN p_partkey % 10 = 0 THEN 84 ELSE 0 END
+             |            AS INTEGER) AS wkb_bytes
+             |FROM part
+             |WHERE p_partkey % 5 = 0
+             |  AND (p_brand = 'Brand#13' OR p_type IN ('PROMO', 'ECONOMY'))
+             |ORDER BY id""".stripMargin),
+      doc = "F7-real+J3+C4+C5: classify relation-derived areas (orig_id, holes in WKB)")
   )
 }

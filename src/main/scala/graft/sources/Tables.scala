@@ -137,7 +137,8 @@ object Tables {
       col("p_size").cast("int").as("user_id"),
       to_timestamp(lit("2024-01-01 00:00:00")).as("tstamp"),
       col("p_partkey").as("changeset_id"),
-      map(lit("type"), lit("multipolygon"), lit("parttype"), col("p_type")).as("tags"),
+      map(lit("type"), lit("multipolygon"), lit("parttype"), col("p_type"),
+        lit("brand"), col("p_brand")).as("tags"),
       when(col("p_partkey") % 10 === 0, array(mA, mB, mI))
         .otherwise(array(mA, mB)).as("members"))
   }
