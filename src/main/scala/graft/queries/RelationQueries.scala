@@ -134,6 +134,32 @@ object RelationQueries {
              |WHERE p_partkey % 5 = 0
              |  AND (p_brand = 'Brand#13' OR p_type IN ('PROMO', 'ECONOMY'))
              |ORDER BY id""".stripMargin),
-      doc = "F7-real+J3+C4+C5: classify relation-derived areas (orig_id, holes in WKB)")
+      doc = "F7-real+J3+C4+C5: classify relation-derived areas (orig_id, holes in WKB)"),
+
+    // X1-real: the reference ships an (empty) osmosisupdate() hook for
+    // replication diffs; this is the actual operation — upsert by
+    // (id, max version), visible=false rows delete
+    Q("osm_apply_diff",
+      (s, dir) => {
+        val base = Tables.osmNodes(s, dir).withColumn("visible", lit(true))
+        val changes = Tables.osmNodes(s, dir)
+          .filter(col("id") % 7 === 3 || col("id") % 7 === 5)
+          .withColumn("version", lit(2).cast("int"))
+          .withColumn("tags",
+            map_concat(col("tags"), map(lit("edited"), lit("yes"))))
+          .withColumn("visible", col("id") % 7 =!= 5)
+        graft.operators.OsmDiff.applyDiff(base, changes)
+          .select(col("id"), col("version"),
+            element_at(col("tags"), "edited").as("edited"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT o_orderkey AS id,
+             |       CAST(CASE WHEN o_orderkey % 7 = 3 THEN 2 ELSE 1 END
+             |            AS INTEGER) AS version,
+             |       CASE WHEN o_orderkey % 7 = 3 THEN 'yes' END AS edited
+             |FROM orders
+             |WHERE o_orderkey % 7 <> 5
+             |ORDER BY id""".stripMargin),
+      doc = "X1-real: replication-diff upsert (max-version wins, visible=false deletes)")
   )
 }
