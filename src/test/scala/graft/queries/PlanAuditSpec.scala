@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins the physical-plan shapes BASELINE.md claims for the headline
+  * queries — the properties that make them survive a 100× scale-up. A
+  * regression that introduces an extra shuffle, loses a pushed filter,
+  * or drops a broadcast fails here, not in a bench three rounds later.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  /** The AQE final plan (codegen spans only materialize post-execution;
+    * sf0.001 keeps the collect trivial).
+    */
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf())
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("poi_classify_basic: one narrow stage, only the ORDER BY exchanges") {
+    val p = finalPlan("poi_classify_basic")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastExchange"), p) // dim rides in-plan, not as a join
+  }
+
+  test("classify chain over plain source tags is whole-stage-codegen'd") {
+    // the synthetic osmNodes derivation wraps tags in map_filter (a
+    // CodegenFallback HOF) which blocks the span; a real source's tags
+    // column arrives plain and the F1+F4 chain compiles into codegen
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(col("id"),
+      map(lit("amenity"),
+        when(col("id") % 2 === 0, lit("cafe")).otherwise(lit("bar"))).as("tags"))
+    val classified = graft.operators.PoiClassifier.classify(
+      df, Seq(("amenity", "cafe")), PoiQueries.baseSettings)
+    assert(classified.count() == 50)
+    // "*(1)" is the whole-stage-codegen marker in the plan string:
+    // range, filter (incl. the custom tags_any_match), and project all
+    // fused into codegen stage 1
+    val p = classified.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Filter") && p.contains("*(1) Project"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q5_local_supplier: date filter pushed to parquet, dims broadcast") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // every dim small enough to ship
+  }
+
+  test("q3_shipping_priority: filters pushed on both scans") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text/token queries: single stage, no exchange before the sort") {
+    for (name <- Seq("text_token_stats", "text_fingerprint", "text_langid")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name:\n$p")
+    }
+  }
+
+  test("dedup_exact: shuffles the 16-byte hash window key, not a join") {
+    val p = plan("dedup_exact")
+    assert(!p.contains("Join"), p) // window over md5, no self-join
+  }
+}
