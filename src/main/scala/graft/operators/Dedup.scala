@@ -78,7 +78,10 @@ object Dedup {
   def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
     val sh = shingled(docs, idCol, textCol, k)
-    val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("c"))
+    // per-doc shingle count = size of the (distinct) shingle set —
+    // computable map-side, no explode + groupBy shuffle needed
+    val cnt = docs.select(col(idCol).as("__id"),
+      size(TextFunctions.shingleSet(col(textCol), k)).cast("long").as("c"))
     var postings = sh.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)

@@ -105,4 +105,19 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(path)
       }
+
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.operators.Dedup.exactCanonical]]: keep the FIRST document
+    * per content hash across micro-batches. State is one 16-byte hash
+    * per distinct document, bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts hashes once no duplicate
+    * can still arrive — the unbounded-state trap of plain
+    * dropDuplicates on an infinite stream). Rows must carry an
+    * event-time column already watermarked by the caller.
+    */
+  def dedupExactStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__h", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
 }

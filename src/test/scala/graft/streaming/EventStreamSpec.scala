@@ -178,4 +178,25 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() ==
       Tables.events(spark, sf()).count())
   }
+  test("dedupExactStream: first-wins across micro-batches, state bounded by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val deduped = EventStream.dedupExactStream(
+      in.toDF().toDF("doc_id", "ts", "text").withWatermark("ts", "10 minutes"),
+      "text")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: two distinct docs + one duplicate of the first
+    in.addData((1L, t(0), "alpha"), (2L, t(1), "beta"), (3L, t(2), "alpha"))
+    q.processAllAvailable()
+    // batch 2: duplicate arriving within the watermark is still dropped
+    in.addData((4L, t(3), "beta"), (5L, t(4), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+  }
 }
