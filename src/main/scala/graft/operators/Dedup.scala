@@ -253,4 +253,29 @@ object Dedup {
         Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** The sub-quadratic embedding near-dup: vectors are multi-probe
+    * assigned to their `nprobe` nearest IVF cells
+    * ([[Similarity.multiProbeAssign]] — map-side, no shuffle), and only
+    * pairs SHARING a probed cell are cosine-verified. Candidate space
+    * is O(Σ cell²/…) instead of O(N²); recall is the nprobe knob (a
+    * near-dup pair has near-identical vectors, so both land in the same
+    * nearest cells with overwhelming probability — the spec pins 100%
+    * recall vs [[embeddingNearDupPairs]] on the testdata). Centroids:
+    * deterministic farthest-first seeding over the corpus itself.
+    * Output: (id_a, id_b, cos), id_a < id_b.
+    */
+  def embeddingNearDupPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val centroids = Similarity.farthestFirstCentroids(emb, idCol, vecCol, numCells)
+      .select(col("cid").as(idCol), col("cv").as(vecCol))
+    val probed = Similarity.multiProbeAssign(emb, centroids, idCol, vecCol,
+      nprobe = nprobe)
+    probed.as("a").join(probed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

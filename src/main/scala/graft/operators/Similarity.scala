@@ -186,6 +186,27 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Multi-probe assignment: every vector lands in its `nprobe`
+    * nearest cells (map-side over the centroid literal, one exploded
+    * row per probe). The candidate-generation primitive for
+    * cell-bucketed NEAR-DUP joins: two vectors are candidates iff they
+    * share a probed cell, so recall grows with nprobe at O(nprobe·N)
+    * space — never all-pairs. Output: (__id, v, cell).
+    */
+  def multiProbeAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val idType = centroids.schema(idCol).dataType
+    val cents = centroidLit(collectCentroids(centroids, idCol, vecCol), idType)
+    val probeOrder = transform(
+      array_sort(transform(cents, c => struct(
+        (-Sketches.cosineSim(col("v"), c.getField("cv"))).as("ncs"),
+        c.getField("cid").as("cid")))),
+      s => s.getField("cid"))
+    asDouble(corpus, idCol, vecCol)
+      .select(col("__id"), col("v"),
+        explode(slice(probeOrder, 1, nprobe)).as("cell"))
+  }
+
   /** IVF top-k: probe only the query's own cell (nprobe = 1). Output:
     * (query_id, rank, neighbor_id), rank 1..k by cos desc within cell.
     */

@@ -99,6 +99,28 @@ object DedupQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE $cosExpr >= 0.45
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "embedding-cosine near-dup pairs (brute-force exact baseline)")
+      doc = "embedding-cosine near-dup pairs (brute-force exact baseline)"),
+
+    // the SCALE path for embedding dedup: multi-probe IVF candidates
+    // (pairs sharing one of each vector's 4-of-8 nearest cells) +
+    // cosine verify. Probing half the cells is what full recall costs
+    // at this corpus's borderline threshold (max pairwise cos ≈ 0.51);
+    // genuine near-dup corpora (cos ≥ 0.9) reach full recall at
+    // nprobe=2 — recall/nprobe is the knob, candidates stay
+    // sub-quadratic either way (DedupIvfSpec pins both properties).
+    Q("dedup_embedding_ivf",
+      (s, dir) => Dedup.embeddingNearDupPairsIvf(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45, numCells = 8, nprobe = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       round($cosExpr, 6) AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE $cosExpr >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "embedding near-dup via multi-probe IVF cells + cosine verify (sub-quadratic)")
   )
 }
