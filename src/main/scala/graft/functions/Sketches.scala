@@ -58,6 +58,9 @@ object Sketches {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  def signSketch(vec: Column): Column =
+    Bridge.column(SignSketch64(Bridge.expression(vec)))
+
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(s)))
 }
@@ -211,6 +214,55 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** 64-bit random-hyperplane sign sketch of a numeric vector (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC
+  * 2002 — the cosine-LSH family): bit j = sign(v · h_j) for 64
+  * deterministic pseudo-random hyperplanes, components SplitMix64-mapped
+  * to [-1, 1) (symmetric, which is all sign-LSH needs; no RNG state, so
+  * sketches are identical across sessions/partitions). Hamming distance
+  * between sketches estimates the angle: collinear vectors sketch
+  * IDENTICALLY regardless of scale — the near-duplicate signal.
+  * Accepts array<float> or array<double> input.
+  */
+case class SignSketch64(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_sketch64"
+
+  private def plane(j: Int, i: Int): Double = {
+    val v = Sketches.splitmix64(j.toLong * 131071L + i.toLong)
+    (v >>> 11) * (2.0 / (1L << 53)) - 1.0
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * plane(j, i)
+        i += 1
+      }
+      if (dot > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketch64 =
     copy(child = newChild)
 }
 

@@ -254,17 +254,58 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** The sub-quadratic embedding near-dup: vectors are multi-probe
-    * assigned to their `nprobe` nearest IVF cells
-    * ([[Similarity.multiProbeAssign]] — map-side, no shuffle), and only
-    * pairs SHARING a probed cell are cosine-verified. Candidate space
-    * is O(Σ cell²/…) instead of O(N²); recall is the nprobe knob (a
-    * near-dup pair has near-identical vectors, so both land in the same
-    * nearest cells with overwhelming probability — the spec pins 100%
-    * recall vs [[embeddingNearDupPairs]] on the testdata). Centroids:
-    * deterministic farthest-first seeding over the corpus itself.
+  /** IVF-bucketed embedding near-dup: vectors are multi-probe assigned
+    * to their `nprobe` nearest cells ([[Similarity.multiProbeAssign]] —
+    * map-side, no shuffle) and only pairs SHARING a probed cell are
+    * cosine-verified; recall is the nprobe knob (the spec pins 100%
+    * recall vs [[embeddingNearDupPairs]] on the testdata). Candidate
+    * work is ~N²·nprobe²/numCells, so the win REQUIRES
+    * numCells ≫ nprobe² — i.e. a corpus big enough to carry a large
+    * centroid set AND a threshold high enough that few probes reach
+    * full recall. For the general case (no fitted centroids, guaranteed
+    * collision for collinear vectors) prefer
+    * [[embeddingNearDupPairsSignLsh]]. Output: (id_a, id_b, cos).
+    */
+  /** Sign-LSH embedding near-dup — the cosine twin of
+    * [[minhashLshPairs]]: 64-bit random-hyperplane sketches
+    * ([[graft.functions.SignSketch64]], one narrow pass), banded into
+    * `64/chunkBits` chunks; candidates share ≥ 1 chunk value (by
+    * pigeonhole this catches every pair within `64/chunkBits − 1`
+    * sketch bits — collinear near-dups sketch identically and ALWAYS
+    * collide), then exact cosine verify of candidates only against the
+    * persisted vectors. Bucket count is 2^chunkBits per band — at the
+    * default 8 bits that is 256 buckets/band, so candidate work is
+    * ~N²·bands/2^chunkBits instead of N²: genuinely sub-quadratic
+    * without centroid fitting, unlike [[embeddingNearDupPairsIvf]]
+    * whose win requires numCells ≫ nprobe².
     * Output: (id_a, id_b, cos), id_a < id_b.
     */
+  def embeddingNearDupPairsSignLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, chunkBits: Int = 8): DataFrame = {
+    val chunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sk = emb.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        Sketches.signSketch(col(vecCol)).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sk.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("f"), c * chunkBits).bitwiseAND(lit(mask))))
+        .as(Seq("chunk", "cv")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col("__id"), col("v")).as("sa"), col("id_a") === col("sa.__id"))
+      .join(sk.select(col("__id").as("__id2"), col("v").as("v2")).as("sb"),
+        col("id_b") === col("sb.__id2"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.cosineSim(col("v"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDupPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
     val centroids = Similarity.farthestFirstCentroids(emb, idCol, vecCol, numCells)

@@ -101,26 +101,40 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (brute-force exact baseline)"),
 
-    // the SCALE path for embedding dedup: multi-probe IVF candidates
-    // (pairs sharing one of each vector's 4-of-8 nearest cells) +
-    // cosine verify. Probing half the cells is what full recall costs
-    // at this corpus's borderline threshold (max pairwise cos ≈ 0.51);
-    // genuine near-dup corpora (cos ≥ 0.9) reach full recall at
-    // nprobe=2 — recall/nprobe is the knob, candidates stay
-    // sub-quadratic either way (DedupIvfSpec pins both properties).
-    Q("dedup_embedding_ivf",
-      (s, dir) => Dedup.embeddingNearDupPairsIvf(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.45, numCells = 8, nprobe = 4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH e AS (SELECT vec_id,
-              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-              |           FROM embeddings)
+    // the SCALE path for embedding dedup: sign-LSH (random-hyperplane
+    // sketches, 8 bands x 8 bits = 256 buckets/band) + exact cosine
+    // verify of candidates only. The corpus plants no true near-dups
+    // (max pairwise cos ≈ 0.51), so x2-scaled copies of the first 50
+    // vectors are injected — scaling preserves direction exactly (x*2
+    // is exact in IEEE float), giving 50 planted cos=1.0 pairs that
+    // sketch identically and ALWAYS collide; threshold 0.9 sits in the
+    // huge gap above every natural pair.
+    Q("dedup_embedding_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(
+          emb.filter(col("vec_id") < 50)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        Dedup.embeddingNearDupPairsSignLsh(planted, "vec_id", "embedding",
+          threshold = 0.9, chunkBits = 8)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH all_e AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 100000 AS vec_id,
+              |         list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+              |  FROM embeddings WHERE vec_id < 50),
+              |e AS (SELECT vec_id,
+              |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |      FROM all_e)
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |       round($cosExpr, 6) AS cos
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |WHERE $cosExpr >= 0.45
+              |WHERE $cosExpr >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "embedding near-dup via multi-probe IVF cells + cosine verify (sub-quadratic)")
+      doc = "embedding near-dup via sign-LSH bands + exact cosine verify (sub-quadratic)")
   )
 }

@@ -31,4 +31,28 @@ class DedupIvfSpec extends SparkSpec {
       .select("a.__id", "b.__id").distinct().count()
     assert(cand < n * (n - 1) / 2, s"cand=$cand n=$n")
   }
+  test("sign-LSH near-dup: planted collinear pairs found, equals brute force") {
+    val emb = Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val brute = Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsSignLsh(planted, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size == 20) // exactly the planted collinear pairs
+    assert(lsh == brute)
+  }
+
+  test("sign sketch: scale-invariant, deterministic, discriminates direction") {
+    val got = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), 0),
+      (Seq(2.0f, 4.0f, 6.0f), 1), // x2 scale, same direction
+      (Seq(-5.0f, 1.0f, -9.0f), 2)
+    ).toDF("v", "i").select(graft.functions.Sketches.signSketch(col("v")).as("f"), col("i"))
+      .orderBy("i").as[(Long, Int)].collect().map(_._1)
+    assert(got(0) == got(1)) // collinear -> identical sketch
+    assert(got(0) != got(2))
+  }
 }
