@@ -37,6 +37,9 @@ object Bench {
           Some((e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(160)).trim)
       }
+      // drop caches a query persisted (LSH sketches etc.) so later
+      // queries aren't timed under another query's storage footprint
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -1,10 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Tokenization / shingling built entirely from codegen'd built-ins —
-  * the shared text layer under the dedup and text-analysis operators.
+/** Tokenization / shingling — the shared text layer under the dedup
+  * and text-analysis operators.
   */
 object TextFunctions {
 
@@ -13,13 +18,55 @@ object TextFunctions {
 
   /** Distinct word-k-gram shingles ("a b c" style), the unit set for
     * Jaccard/MinHash dedup. Empty array when the text has < k words.
+    * One fused codegen'd pass ([[ShingleSet]]) — the equivalent
+    * built-in chain (split → sequence → transform(concat_ws(slice)) →
+    * array_distinct) is a higher-order-function tree that Spark
+    * evaluates INTERPRETED per row and re-walks lambda-by-lambda; on
+    * the dedup hot path that interpretation dominated runtime.
     */
-  def shingleSet(text: Column, k: Int): Column = {
-    val w = words(text)
-    array_distinct(
-      when(size(w) >= k,
-        transform(sequence(lit(0), size(w) - k),
-          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
-        .otherwise(array()))
+  def shingleSet(text: Column, k: Int): Column =
+    Bridge.column(ShingleSet(Bridge.expression(text), k))
+}
+
+/** Fused shingle kernel: split on single spaces (empty tokens kept,
+  * exactly like `split(text, " ")` / DuckDB `string_split(text, ' ')`),
+  * emit each k-gram joined by one space, distinct in first-occurrence
+  * order — element-for-element what the built-in chain
+  * `array_distinct(transform(sequence(...), concat_ws(" ", slice(words,
+  * i+1, k))))` produces, in one pass with one output allocation.
+  */
+case class ShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
 }
