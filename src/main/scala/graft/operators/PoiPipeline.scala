@@ -56,4 +56,35 @@ object PoiPipeline {
         WaysToCentroids.appendToNodes(poiNodes, centroids), invalidWays)
     }
   }
+
+  /** Full ETL INCLUDING relation-derived areas — the reference's actual
+    * F7 behavior (osmium feeds multipolygon-relation areas through the
+    * same filter; the `isinstance` guard never fires,
+    * filter.py:227-232). Relation multipolygons are assembled from
+    * `wayPaths(way_id, path)`, classified with the same dimension, and
+    * unioned into the areas output (their geometry already carries
+    * holes; F6 split applies the same way). Ids stay the originating
+    * relation ids (C5 `orig_id`) — callers whose way and relation id
+    * spaces overlap can apply osmium's 2n / 2n+1 area-id convention
+    * before the union; the relation rows remain identifiable by their
+    * `type=multipolygon` tag either way.
+    */
+  def runWithRelations(nodes: DataFrame, ways: DataFrame,
+      relations: DataFrame, wayPaths: DataFrame, dim: DataFrame,
+      settings: PoiSettings = PoiSettings()): Result = {
+    val base = run(nodes, ways, dim, settings)
+    if (settings.skipWays) base
+    else {
+      val pairs = TagDimension.toPairs(TagDimension.prepare(dim, settings), settings)
+      val areas = RelationAssembly.relationAreas(relations, wayPaths)
+      val classified = PoiClassifier.classify(areas, pairs, settings)
+      val trimmed =
+        if (settings.trimTags.isEmpty) classified
+        else classified.withColumn("tags", map_filter(col("tags"),
+          (k, _) => !k.isin(settings.trimTags.map(x => x: Any): _*)))
+      val (goodAreas, badAreas) = PoiProjector.splitInvalid(trimmed)
+      base.copy(ways = base.ways.unionByName(goodAreas),
+        invalidWays = base.invalidWays.unionByName(badAreas))
+    }
+  }
 }

@@ -30,6 +30,24 @@ class PoiPipelineSpec extends SparkSpec {
     assert(ngeom.length == 21)
   }
 
+  test("runWithRelations unions classified relation areas into the ways output") {
+    val base = PoiPipeline.run(
+      Tables.osmNodes(spark, sf()), Tables.osmWays(spark, sf()),
+      Tables.classificationDimDf(spark), settings)
+    val withRels = PoiPipeline.runWithRelations(
+      Tables.osmNodes(spark, sf()), Tables.osmWays(spark, sf()),
+      Tables.osmRelations(spark, sf()), Tables.osmRelationWays(spark, sf()),
+      Tables.classificationDimDf(spark), settings)
+    val extra = withRels.ways.count() - base.ways.count()
+    assert(extra > 0) // classified multipolygon areas joined the output
+    // relation-derived rows are tagged type=multipolygon (way rows are
+    // not); every one of them carries valid multi-ring WKB
+    val relRows = withRels.ways
+      .filter(element_at(col("tags"), "type") === "multipolygon")
+    assert(relRows.count() == extra)
+    assert(relRows.filter(col("geom").isNull).count() == 0)
+  }
+
   test("skipWays settings short-circuit the way branch (F7)") {
     val r = PoiPipeline.run(
       Tables.osmNodes(spark, sf()), Tables.osmWays(spark, sf()),
