@@ -26,6 +26,10 @@ object TextFunctions {
     */
   def shingleSet(text: Column, k: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(text), k))
+
+  /** Ordered (a, b) pairs from a sorted long array ([[OrderedPairs]]). */
+  def orderedPairs(ids: Column): Column =
+    Bridge.column(OrderedPairs(Bridge.expression(ids)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,
@@ -68,5 +72,48 @@ case class ShingleSet(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** All ordered pairs (a, b) with a before b from a sorted long array —
+  * the posting-list → candidate-pairs step of the grouped inverted
+  * index. Fused for the same reason as [[ShingleSet]]: the equivalent
+  * `flatten(transform(ids, (x,i) => transform(slice(...), ...)))` is an
+  * interpreted higher-order chain evaluated once per posting row.
+  * Output: array<struct<id_a: long, id_b: long>>.
+  */
+case class OrderedPairs(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, arr.getLong(j)))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
     copy(child = newChild)
 }

@@ -93,9 +93,7 @@ object Dedup {
           .as("pruned_postings"))
       .filter(size(col("ids")) <= maxShingleDf)
     val inter = postings
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -203,9 +201,7 @@ object Dedup {
     val cand = prefix.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     cand
