@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** A2 — progress counters: the reference logs one line per 1M objects
+  * (filter.py:213-228); the declarative analog is `observe()` metrics
+  * riding the existing pass. This spec captures them through a
+  * QueryExecutionListener, proving they are populated (not just
+  * plan decoration).
+  */
+class ObserveMetricsSpec extends SparkSpec {
+
+  private def captureMetrics(action: => Unit): Map[String, Map[String, Any]] = {
+    val seen = scala.collection.mutable.Map.empty[String, Map[String, Any]]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, duration: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          seen.synchronized {
+            seen(name) = row.schema.fieldNames.zip(row.toSeq).toMap
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      // listener delivery is async; poll briefly for the metrics
+      var waited = 0
+      while (seen.synchronized(seen.isEmpty) && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+    } finally spark.listenerManager.unregister(listener)
+    seen.toMap
+  }
+
+  test("PoiPipeline emits the A2 rows_kept progress metric") {
+    val metrics = captureMetrics {
+      PoiPipeline.run(
+        Tables.osmNodes(spark, sf()), Tables.osmWays(spark, sf()),
+        Tables.classificationDimDf(spark),
+        graft.queries.PoiQueries.baseSettings).nodesWithCentroids.count()
+    }
+    val kept = metrics.get("poi_nodes").flatMap(_.get("rows_kept"))
+    assert(kept.exists(_.asInstanceOf[Long] > 0), metrics.toString)
+  }
+
+  test("jaccard skew cap reports pruned postings (0 on this corpus)") {
+    val metrics = captureMetrics {
+      Dedup.jaccardPairsGrouped(Tables.documents(spark, sf()),
+        "doc_id", "text", k = 3, threshold = 0.8, maxShingleDf = 500).count()
+    }
+    val pruned = metrics.get("jaccard_skew_cap").flatMap(_.get("pruned_postings"))
+    assert(pruned.contains(0L), metrics.toString) // max df 25 << 500
+    // with a tight cap the metric counts what was dropped
+    val tight = captureMetrics {
+      Dedup.jaccardPairsGrouped(Tables.documents(spark, sf()),
+        "doc_id", "text", k = 3, threshold = 0.8, maxShingleDf = 2).count()
+    }
+    val prunedTight = tight.get("jaccard_skew_cap").flatMap(_.get("pruned_postings"))
+    assert(prunedTight.exists(_.asInstanceOf[Long] > 0), tight.toString)
+  }
+}
