@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, RollingHash64, SimHash64, TagsAnyMatch}
+import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
@@ -18,6 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `minhash_signature(array<string>, numHashes int) -> array<bigint>`
   *   - `simhash64(array<string>) -> bigint`
   *   - `rolling_hash64(string) -> bigint`
+  *   - `sign_sketch64(array<float|double>) -> bigint` (cosine LSH)
+  *   - `shingle_set(string, k int) -> array<string>`
+  *   - `ordered_pairs(array<bigint>) -> array<struct<id_a,id_b>>`
   *   - `tags_any_match(map<string,string>, array<string 'k=v'>) -> boolean`
   *     (the dimension argument must be a foldable literal array — it IS
   *     the broadcast build side)
@@ -72,6 +75,9 @@ object GraftExtensions {
       MinHashSignature(es(0), intArg(es(1), "minhash_signature numHashes"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "rolling_hash64" -> (es => RollingHash64(es(0))),
+    "sign_sketch64" -> (es => SignSketch64(es(0))),
+    "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1), "shingle_set k"))),
+    "ordered_pairs" -> (es => OrderedPairs(es(0))),
     "tags_any_match" -> (es => TagsAnyMatch(es(0), pairsArg(es(1))))
   )
 

@@ -12,7 +12,10 @@ class GraftExtensionsSpec extends SparkSpec {
         |       tags_any_match(map('amenity', 'cafe'),
         |                      array('amenity=cafe', 'shop=bakery')) AS hit,
         |       tags_any_match(map('amenity', 'bar'),
-        |                      array('amenity=cafe')) AS miss
+        |                      array('amenity=cafe')) AS miss,
+        |       shingle_set('a b c d', 3) AS shg,
+        |       sign_sketch64(array(1.0d, 2.0d)) AS ss,
+        |       size(ordered_pairs(array(1L, 2L, 3L))) AS op
         |""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
@@ -20,6 +23,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
     assert(r.getBoolean(4))
     assert(!r.getBoolean(5))
+    assert(r.getSeq[String](6) == Seq("a b c", "b c d"))
+    assert(r.getLong(7) == spark.sql(
+      "SELECT sign_sketch64(array(2.0d, 4.0d))").head().getLong(0)) // scale-invariant
+    assert(r.getInt(8) == 3)
   }
 
   test("extensions class injects every builder without error") {
@@ -30,6 +37,7 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("cosine_sim", "minhash_signature", "simhash64",
-        "rolling_hash64", "tags_any_match"))
+        "rolling_hash64", "tags_any_match", "sign_sketch64",
+        "shingle_set", "ordered_pairs"))
   }
 }
