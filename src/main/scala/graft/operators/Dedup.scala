@@ -221,8 +221,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist the fingerprints: the chunk self-join would otherwise
+    // re-evaluate the tokenize+SimHash pipeline on BOTH sides (the
+    // same recompute trap minhashLshPairs had)
     val f = docs.select(col(idCol).as("__id"),
-      Sketches.simhash(TextFunctions.words(col(textCol))).as("f"))
+        Sketches.simhash(TextFunctions.words(col(textCol))).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = f.select(col("__id"), col("f"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("f"), c * 16).bitwiseAND(lit(0xFFFFL))))
