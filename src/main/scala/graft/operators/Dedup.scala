@@ -45,7 +45,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
-    val sh0 = shingled(docs, idCol, textCol, k)
+    // persisted: the inverted-index self-join reads it twice and the
+    // count/df branches once more — without the cache each consumer
+    // re-shingles the corpus
+    val sh0 = shingled(docs, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK)
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
