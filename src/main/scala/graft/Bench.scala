@@ -37,10 +37,16 @@ object Bench {
           Some((e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(160)).trim)
       }
-      // drop caches a query persisted (LSH sketches etc.) so later
-      // queries aren't timed under another query's storage footprint
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cleanup OUTSIDE the timed window: drop caches a query persisted
+      // (LSH sketches etc.) so later queries aren't timed under another
+      // query's storage footprint, and collect now so the freed blocks'
+      // GC debt doesn't land on whichever query happens to run next
+      // (observed as bimodal 10x spikes on the query after the dedup
+      // block)
       spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      System.gc()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
