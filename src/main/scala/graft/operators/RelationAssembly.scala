@@ -60,7 +60,12 @@ object RelationAssembly {
     rings.toSeq
   }
 
-  private case class Pt(lon: Double, lat: Double)
+  /** Public: the UDF encoder generates Java that constructs/reads this
+    * class; `private` makes it inaccessible to the generated code —
+    * Janino fails with "No applicable constructor/method found" and the
+    * whole projection silently falls back to interpreter mode.
+    */
+  case class Pt(lon: Double, lat: Double)
 
   /** Point structs ride in as `array<array<double>>` (nested Row inputs
     * have no UDF encoder in Spark 4); output re-materializes the
