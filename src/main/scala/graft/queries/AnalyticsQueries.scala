@@ -230,6 +230,35 @@ object AnalyticsQueries {
              |       count(*) AS n_events
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin),
-      doc = "native session_window gap sessions (same semantics as the lag formulation)")
+      doc = "native session_window gap sessions (same semantics as the lag formulation)"),
+
+    Q("events_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("t", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("t"))
+        // one build row per (key, time) keeps the as-of pick deterministic
+        val build = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("t").as("pt"))
+          .agg(round(max(col("value")), 2).as("purchase_value"))
+        graft.operators.AsofJoin.asof(
+            probe, build, key = "user_id", probeTime = "t", buildTime = "pt",
+            payload = Seq("purchase_value"), buildTimeAs = Some("purchase_t"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS t
+             |  FROM events WHERE event_type = 'click'),
+             |b AS (
+             |  SELECT user_id, epoch_us(ts) AS pt,
+             |         round(max(value), 2) AS purchase_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.t, b.purchase_value,
+             |       b.pt AS purchase_t
+             |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.t >= b.pt
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "as-of (point-in-time) join: latest preceding purchase per click, " +
+        "single-shuffle union+carry-forward form (AsofJoin)")
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  // probe: (key, t, label); build: (key, t, value)
+  private def probe = Seq(
+    ("a", 10L, "p1"), ("a", 20L, "p2"), ("a", 5L, "p0"),
+    ("b", 15L, "p3"), ("c", 7L, "p4")
+  ).toDF("k", "t", "label")
+
+  private def build = Seq(
+    ("a", 10L, 1.0), ("a", 18L, 2.0), ("a", 30L, 3.0),
+    ("b", 1L, 4.0), ("b", 15L, 5.0)
+  ).toDF("k", "bt", "v")
+
+  test("inner as-of: latest build at-or-before each probe time, inclusive") {
+    val out = AsofJoin.asof(probe, build, "k", "t", "bt",
+      payload = Seq("v"), buildTimeAs = Some("matched_t"))
+      .orderBy($"k", $"t")
+      .as[(String, Long, String, Double, Long)].collect()
+    assert(out === Seq(
+      ("a", 10L, "p1", 1.0, 10L), // equal time matches (inclusive)
+      ("a", 20L, "p2", 2.0, 18L), // latest preceding, not the 30L one
+      ("b", 15L, "p3", 5.0, 15L)))
+    // a@5 (before any build) and c@7 (no build key) dropped by inner
+  }
+
+  test("left as-of keeps unmatched probe rows with null payload") {
+    val out = AsofJoin.asof(probe, build, "k", "t", "bt",
+      payload = Seq("v"), inner = false)
+      .orderBy($"k", $"t").collect()
+    assert(out.length === probe.count())
+    val unmatched = out.filter(r => r.isNullAt(3)).map(r => (r.getString(0), r.getLong(1)))
+    assert(unmatched.toSeq === Seq(("a", 5L), ("c", 7L)))
+  }
+
+  test("single shuffle: exactly one Exchange in the physical plan") {
+    val df = AsofJoin.asof(probe, build, "k", "t", "bt", payload = Seq("v"))
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("payload name collision with probe columns is rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(probe, build.withColumnRenamed("v", "label"),
+        "k", "t", "bt", payload = Seq("label"))
+    }
+  }
+
+  test("matches the explode-and-prune reference formulation") {
+    // reference: equi-join on key + time inequality, keep max build time
+    val ref = probe.as("p").join(build.as("b"),
+        $"p.k" === $"b.k" && $"p.t" >= $"b.bt")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"p.k", $"p.t", $"p.label")
+          .orderBy($"b.bt".desc)))
+      .filter($"rn" === 1)
+      .select($"p.k", $"p.t", $"p.label", $"b.v", $"b.bt".as("matched_t"))
+      .orderBy($"p.k", $"p.t")
+    val out = AsofJoin.asof(probe, build, "k", "t", "bt",
+        payload = Seq("v"), buildTimeAs = Some("matched_t"))
+      .orderBy($"k", $"t")
+    assert(out.collect().toSeq === ref.collect().toSeq)
+  }
+}
