@@ -25,8 +25,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up so the alphabetically-first query isn't
-    // penalized ~4s relative to the rest
+    // penalized ~4s relative to the rest. A range query alone leaves the
+    // parquet scan path, broadcast machinery, and noop sink cold — the
+    // first real query used to absorb all of that (~2.5s); warm each.
     spark.range(1000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val n = graft.sources.Tables.nation(spark, sfDir)
+      val r = graft.sources.Tables.region(spark, sfDir)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try {
