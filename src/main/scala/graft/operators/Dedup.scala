@@ -322,4 +322,76 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Connected components over a near-dup pair relation — the last step
+    * of a dedup pipeline: pairwise output (from Jaccard / MinHash-LSH /
+    * SimHash / embedding dedup) becomes canonical document groups, so
+    * "keep one doc per component" is a single join away.
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label with the min over its own and
+    * its neighbors' labels; fixpoint = per-component min id. Each round
+    * is one shuffle-join + one partial-aggregated groupBy on the edge
+    * relation, converging in O(component diameter) rounds — near-dup
+    * components are dense (cliques/stars from a shared source doc), so
+    * diameter is small; the alternating large-star/small-star
+    * contraction (Kiveris et al., MR-CC) is the O(log n) fallback if a
+    * corpus ever produces long chains. Convergence is detected with a
+    * cheap monotone witness: sum(label) strictly decreases while any
+    * label changes, so one scalar aggregate per round replaces a
+    * change-count join, and intermediates are persisted/unpersisted
+    * round-to-round to keep lineage flat.
+    *
+    * @return one row per node appearing in `pairs`:
+    *         (`idCol`, component = min node id in its component)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      idOut: String = "id", compOut: String = "component",
+      maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // AQE's per-stage materialization barriers add ~200-400ms latency to
+    // every round of a fixpoint loop whose per-round data is tiny
+    // relative to the stage overhead; the loop plans are simple enough
+    // (one join + one groupBy) that static planning loses nothing. The
+    // flag is restored after the loop — the caller's own queries keep
+    // their AQE behavior.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    // round 0 fused into initialization: label = min(self, neighbors) —
+    // for the star/clique components near-dup pair lists produce, this
+    // IS the fixpoint and the loop only runs the convergence check
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+      .select(col("u").as("id"), least(col("u"), col("__mv")).as("comp")).persist()
+    var witness = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // One join + one groupBy per round. The message relation unions
+      // three "edges" whose v-side label is the candidate new label:
+      //   (u, v)        neighbor labels  l(v)
+      //   (id, id)      own label        l(id)
+      //   (id, comp)    label-of-label   l(l(id)) — path halving free
+      val msgs = edges
+        .unionByName(labels.select(col("id").as("u"), col("id").as("v")))
+        .unionByName(labels.select(col("id").as("u"), col("comp").as("v")))
+      val next = msgs.join(labels.select(col("id"), col("comp")), msgs("v") === col("id"))
+        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
+        .select(col("u").as("id"), col("comp"))
+        .persist()
+      val w = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = w == witness
+      witness = w
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idOut), col("comp").as(compOut))
+    } finally spark.conf.set(aqeKey, aqeBefore)
+  }
 }

@@ -135,6 +135,57 @@ object DedupQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE $cosExpr >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "embedding near-dup via sign-LSH bands + exact cosine verify (sub-quadratic)")
+      doc = "embedding near-dup via sign-LSH bands + exact cosine verify (sub-quadratic)"),
+
+    // Pair output -> canonical groups: union the Jaccard near-dup pairs
+    // with exact-dup edges (the dedup_exact injection as an edge list),
+    // so components chain through BOTH relations (a~b by Jaccard, a~a'
+    // by content hash => {a, a', b} is one cluster) and the closure is
+    // genuinely transitive, not just the input pairs echoed back.
+    Q("dedup_cc_clusters",
+      (s, dir) => {
+        val jp = Dedup.jaccardPairsGrouped(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleDf = 500)
+          .select(col("id_a"), col("id_b"))
+        val exact = Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        val cc = Dedup.connectedComponents(jp.unionByName(exact), "id_a", "id_b",
+          idOut = "doc_id")
+        val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        cc.select(col("doc_id"), col("component"),
+            count(lit(1)).over(byComp).as("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |s AS (SELECT DISTINCT doc_id,
+             |             unnest(list_transform(range(1, len(l) - 1),
+             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |      FROM d),
+             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.doc_id
+             |       JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |ex AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+             |       FROM documents WHERE doc_id < 50),
+             |alle AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM ex),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM alle
+             |          UNION SELECT id_b, id_a FROM alle),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id)
+             |SELECT c.id AS doc_id, c.component, z.cluster_size
+             |FROM comp c
+             |JOIN (SELECT component, count(*) AS cluster_size
+             |      FROM comp GROUP BY component) z USING (component)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "connected components over near-dup pairs (min-label propagation) -> canonical cluster per doc")
   )
 }

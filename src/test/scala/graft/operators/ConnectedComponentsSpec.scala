@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("path graph: min label propagates the full chain length") {
+    // 1-2-3-4-5-6 needs multiple propagation rounds to reach the tail
+    val got = cc(Seq((5L, 6L), (1L, 2L), (3L, 4L), (2L, 3L), (4L, 5L)))
+    assert(got === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("star + isolated pair + singleton-free: disjoint components keep distinct roots") {
+    val got = cc(Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)))
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("two merging chains: component id is the global min, not a local one") {
+    // 7-8-9 and 3-4 merge via 9-3: everything lands on 3
+    val got = cc(Seq((7L, 8L), (8L, 9L), (3L, 4L), (9L, 3L)))
+    assert(got.values.toSet === Set(3L))
+    assert(got.keySet === Set(3L, 4L, 7L, 8L, 9L))
+  }
+
+  test("empty pair relation yields an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+}
