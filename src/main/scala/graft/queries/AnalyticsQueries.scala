@@ -259,6 +259,40 @@ object AnalyticsQueries {
              |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.t >= b.pt
              |ORDER BY p.event_id""".stripMargin),
       doc = "as-of (point-in-time) join: latest preceding purchase per click, " +
-        "single-shuffle union+carry-forward form (AsofJoin)")
+        "single-shuffle union+carry-forward form (AsofJoin)"),
+
+    // Attribution windows: every signup opens a 24h interval; count the
+    // same user's purchases inside it. Windows of one user overlap when
+    // signups are < 24h apart, so pair-uniqueness of the binned join is
+    // exercised, not just containment.
+    Q("events_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+        val dayUs = 24L * 3600 * 1000000
+        val windows = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("t").as("lo"), (col("t") + dayUs).as("hi"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t"))
+        graft.operators.RangeJoin.pointInInterval(purchases, windows,
+            key = "user_id", t = "t", lo = "lo", hi = "hi", binWidth = dayUs)
+          .groupBy(col("user_id"), col("signup_id"))
+          .agg(min(col("lo")).as("window_start"), count(lit(1)).as("n_purchases"))
+          .orderBy(col("signup_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS lo,
+             |         epoch_us(ts) + 86400000000 AS hi
+             |  FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT user_id, epoch_us(ts) AS t
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT p.user_id, s.signup_id, s.lo AS window_start,
+             |       count(*) AS n_purchases
+             |FROM p JOIN s ON p.user_id = s.user_id
+             |              AND p.t BETWEEN s.lo AND s.hi
+             |GROUP BY p.user_id, s.signup_id, s.lo
+             |ORDER BY s.signup_id""".stripMargin),
+      doc = "range (interval-containment) join: purchases inside 24h signup " +
+        "attribution windows, binned equi-join form (RangeJoin), not a nested loop")
   )
 }
