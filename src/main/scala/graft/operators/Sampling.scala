@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Both forms key
+  * off a portable multiplicative hash of a stable id (Knuth's 2654435761
+  * mod 2^32) instead of an RNG: the sample is reproducible across runs,
+  * engines (the hash is plain integer arithmetic, expressible in ANSI
+  * SQL), partition counts, and cluster sizes — `df.sample()` is none of
+  * those (seed + partition-order dependent), which breaks train/eval
+  * split stability when a corpus is re-partitioned.
+  */
+object Sampling {
+
+  /** Hash in [0, 2^32): well-mixed for sequential ids. */
+  def idHash(id: Column): Column = pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen
+    * by hash threshold. Narrow (a pure filter — no shuffle, no window),
+    * so it costs one codegen'd comparison per row at any scale, and a
+    * row's membership never changes as the corpus grows.
+    */
+  def bernoulliByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.filter(idHash(col(idCol)) < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Deterministic stratified sample: exactly `n` rows per stratum
+    * (fewer if the stratum is smaller), the n smallest hashes winning.
+    * One shuffle on the stratum key + a per-partition sorted rank; at
+    * scale the usual keyed-window caveat applies (a single giant stratum
+    * serializes through one partition — pre-aggregate or salt+re-rank if
+    * a stratum exceeds a partition's memory).
+    */
+  def stratifiedByHash(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, rankOut: String = "rk"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn(rankOut, row_number().over(w)).filter(col(rankOut) <= n)
+  }
+}

@@ -22,6 +22,7 @@ object Catalog {
     DedupQueries.all ++
     SimilarityQueries.all ++
     TextQueries.all ++
+    SamplingQueries.all ++
     MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

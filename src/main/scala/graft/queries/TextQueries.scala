@@ -92,6 +92,34 @@ object TextQueries {
              |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
              |      FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "distinct-aggregate: per-language vocabulary size (expand+dedup shuffle)")
+      doc = "distinct-aggregate: per-language vocabulary size (expand+dedup shuffle)"),
+
+    // Exact quantiles of the token-count distribution per language —
+    // the length profile a pretraining mix is tuned against. Spark's
+    // `percentile` and DuckDB's `quantile_cont` both interpolate
+    // linearly; round(,6) absorbs last-bit arithmetic-order noise.
+    // At 100 TB swap percentile for approx_percentile (t-digest sketch,
+    // map-side combinable) — the exact form shuffles every value.
+    Q("text_token_quantiles",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_words"))
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_words, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_words, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_words, 0.75)"), 6).as("p75"),
+          round(expr("percentile(n_words, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang,
+             |       round(quantile_cont(n_words, 0.25), 6) AS p25,
+             |       round(quantile_cont(n_words, 0.50), 6) AS p50,
+             |       round(quantile_cont(n_words, 0.75), 6) AS p75,
+             |       round(quantile_cont(n_words, 0.95), 6) AS p95,
+             |       count(*) AS n_docs
+             |FROM (SELECT lang, len(string_split(text, ' ')) AS n_words
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "exact token-count quantiles per language (percentile agg; t-digest at scale)")
   )
 }
