@@ -186,6 +186,56 @@ object DedupQueries {
              |JOIN (SELECT component, count(*) AS cluster_size
              |      FROM comp GROUP BY component) z USING (component)
              |ORDER BY doc_id""".stripMargin),
-      doc = "connected components over near-dup pairs (min-label propagation) -> canonical cluster per doc")
+      doc = "connected components over near-dup pairs (min-label propagation) -> canonical cluster per doc"),
+
+    // The end of the dedup pipeline: the surviving corpus. A doc is kept
+    // iff it is untouched by any near-dup relation OR it is its
+    // component's canonical (min-id) representative. Left-join docs to
+    // the component labeling — nodes only exist for docs that appear in
+    // some pair, so the join is small-side bounded by |dup candidates|,
+    // not |corpus|.
+    Q("dedup_keep_canonical",
+      (s, dir) => {
+        // pair source is the SCALE path (MinHash+LSH + exact verify) —
+        // it converges to the exact-Jaccard pair set the oracle computes
+        // (miss probability <= 4e-8 at s >= 0.8 with 16x2 bands)
+        val jp = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(jp, "id_a", "id_b", idOut = "cid")
+        Tables.documents(s, dir)
+          .join(cc, col("doc_id") === col("cid"), "left")
+          .filter(col("cid").isNull || col("component") === col("doc_id"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |s AS (SELECT DISTINCT doc_id,
+             |             unnest(list_transform(range(1, len(l) - 1),
+             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |      FROM d),
+             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.doc_id
+             |       JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+             |          UNION SELECT id_b, id_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id)
+             |SELECT doc.doc_id, doc.lang
+             |FROM documents doc
+             |LEFT JOIN comp c ON doc.doc_id = c.id
+             |WHERE c.id IS NULL OR c.component = doc.doc_id
+             |ORDER BY doc.doc_id""".stripMargin),
+      doc = "surviving corpus after near-dup clustering: keep untouched docs + per-component canonical")
   )
 }

@@ -120,6 +120,55 @@ object TextQueries {
              |FROM (SELECT lang, len(string_split(text, ' ')) AS n_words
              |      FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "exact token-count quantiles per language (percentile agg; t-digest at scale)")
+      doc = "exact token-count quantiles per language (percentile agg; t-digest at scale)"),
+
+    // TF-IDF top terms: tf per (doc, term) is one expand+aggregate; df
+    // per term is a second aggregate over the SAME expanded relation;
+    // the doc-count scalar broadcasts. Restricted to doc_id < 50 on the
+    // tf side to bound output; df/N stay corpus-wide (that's the point
+    // of idf). Ties broken by term so top-3 is deterministic.
+    Q("text_tfidf_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        val df = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("doc_id") < 50)
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log((col("n_docs") + lit(1)).cast("double")
+              / (col("df") + lit(1)).cast("double")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM toks WHERE doc_id < 50 GROUP BY doc_id, term),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |         round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6)
+             |           AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df, tfidf,
+             |         CAST(row_number() OVER (PARTITION BY doc_id
+             |                ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, tf, df, tfidf
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin),
+      doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank")
   )
 }
