@@ -169,6 +169,62 @@ object TextQueries {
              |SELECT doc_id, rk, term, tf, df, tfidf
              |FROM ranked WHERE rk <= 3
              |ORDER BY doc_id, rk""".stripMargin),
-      doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank")
+      doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank"),
+
+    // Context-window chunking: overlapping 16-token windows at stride 12
+    // (the packing primitive for pretraining / RAG ingestion). One
+    // narrow expand per doc — generate window starts with sequence(),
+    // slice the token array per start — no shuffle until the oracle
+    // ORDER BY. Chunk count scales with doc length, not corpus size.
+    Q("text_chunk_windows",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1), size(col("toks")), lit(12))).as(Seq("chunk_idx", "start")),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("start"), lit(16))).as("n_tok"),
+          array_join(slice(col("toks"), col("start"), lit(16)), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |st AS (
+             |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS start
+             |  FROM t)
+             |SELECT doc_id,
+             |       CAST((start - 1) / 12 AS INTEGER) AS chunk_idx,
+             |       CAST(len(toks[start:start+15]) AS INTEGER) AS n_tok,
+             |       array_to_string(toks[start:start+15], ' ') AS chunk
+             |FROM st
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      doc = "overlapping context-window chunking: 16-token windows, stride 12, per-doc expand"),
+
+    // PII scrubbing: the corpus has no planted contact strings, so the
+    // query synthesizes a deterministic one per doc, then scrubs it —
+    // the oracle applies the same construction + regexes, so the check
+    // covers the replace mechanics end-to-end. Patterns stay in the
+    // RE2/Java-regex common dialect.
+    Q("text_scrub_pii",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"), col("doc_id")).as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("raw"), lit("[a-z0-9.]+@[a-z0-9.]+"), lit("<EMAIL>")),
+            lit("555-[0-9]+"), lit("<PHONE>")).as("scrubbed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       regexp_replace(
+             |         regexp_replace(text || ' contact user' || doc_id
+             |                          || '@example.com or 555-' || doc_id,
+             |           '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             |         '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin),
+      doc = "PII scrubbing: codegen'd chained regexp_replace (email + phone patterns)")
   )
 }
