@@ -80,6 +80,53 @@ object SimilarityQueries {
               |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
               |FROM ranked WHERE rank <= 3
               |ORDER BY query_id, rank""".stripMargin),
-      doc = "IVF ANN: one-pass centroid assignment, probe own cell (nprobe=1)")
+      doc = "IVF ANN: one-pass centroid assignment, probe own cell (nprobe=1)"),
+
+    // Int8 symmetric quantization — the vector-store prep step: scale =
+    // maxabs/127 per vector, q_i = round(x_i/scale) in [-127,127].
+    // Everything is per-row array arithmetic (narrow, no shuffle until
+    // the output sort); the scalar summaries (q L1 mass, mean abs
+    // reconstruction error) keep the oracle hash over scalars, and both
+    // engines run the identical left-fold double arithmetic.
+    Q("emb_quantize_int8",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("q", transform(col("v"), x => round(x * lit(127) / col("maxabs"))))
+          // NOTE: rounding maxabs in the same select would shadow the
+          // input column for the mae expression via lateral column
+          // alias resolution (Spark 3.4+) — round only afterwards
+          .select(col("vec_id"), col("maxabs"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+            round(aggregate(
+              zip_with(col("v"), col("q"), (x, q) => abs(x - q * col("maxabs") / lit(127))),
+              lit(0.0), (acc, e) => acc + e) / size(col("v")), 6).as("mae"))
+          .select(col("vec_id"), round(col("maxabs"), 6).as("maxabs"),
+            col("q_l1"), col("mae"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, v,
+             |         list_max(list_transform(v, x -> abs(x))) AS maxabs
+             |  FROM e),
+             |q AS (
+             |  SELECT vec_id, v, maxabs,
+             |         list_transform(v, x -> round(x * 127 / maxabs)) AS qv
+             |  FROM m)
+             |SELECT vec_id,
+             |       round(maxabs, 6) AS maxabs,
+             |       CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT)))
+             |            AS BIGINT) AS q_l1,
+             |       round(list_reduce(list_transform(range(1, len(v) + 1),
+             |               i -> abs(v[i] - qv[i] * maxabs / 127)),
+             |             (a, b) -> a + b) / len(v), 6) AS mae
+             |FROM q
+             |ORDER BY vec_id""".stripMargin),
+      doc = "int8 symmetric vector quantization: per-vector scale, L1 mass, reconstruction MAE")
   )
 }
