@@ -38,6 +38,48 @@ object SamplingQueries {
              |  FROM documents)
              |WHERE rk <= 20
              |ORDER BY lang, rk""".stripMargin),
-      doc = "deterministic stratified sample: 20 docs per language, smallest id-hashes win")
+      doc = "deterministic stratified sample: 20 docs per language, smallest id-hashes win"),
+
+    // Sequence-packing layout: pretraining concatenates docs in a
+    // deterministic order and cuts at context-window boundaries. The
+    // layout (which pack, at what offset, each doc lands in) is a
+    // per-stratum running token count — one keyed window, integer
+    // arithmetic, exact in both engines. Docs are ordered by the same
+    // portable id-hash as the samplers so the layout is reproducible
+    // regardless of partitioning.
+    Q("doc_pack_layout",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 512
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+          .withColumn("cum_before", coalesce(sum(col("n_words")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            floor(col("cum_before") / cap).cast("long").as("pack_id"),
+            pmod(col("cum_before"), lit(cap.toLong)).as("pack_offset"))
+          .orderBy(col("lang"), col("pack_id"), col("pack_offset"), col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_words,
+             |         COALESCE(sum(n_words) OVER (
+             |           PARTITION BY lang
+             |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS cum_before
+             |  FROM d)
+             |SELECT doc_id, lang, n_words,
+             |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |       cum_before % 512 AS pack_offset
+             |FROM c
+             |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin),
+      doc = "sequence-packing layout: per-language running token offset -> (pack, offset) at 512-token context")
   )
 }

@@ -120,4 +120,36 @@ object EventStream {
       .withColumn("__h", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  /** Streaming point-in-time enrichment — the stream-static twin of
+    * [[graft.operators.AsofJoin]]: attach to each event the latest
+    * static snapshot at-or-before its time. Instead of a streaming
+    * aggregation (which would force update mode + state), the STATIC
+    * side is rewritten batch-side into SCD-2 validity intervals
+    * (valid_from = snapshot time, valid_to = next snapshot's time via
+    * lead()), so each event equi-matches exactly one snapshot row under
+    * a stateless stream-static join — append mode, zero streaming
+    * state, watermark-free. The interval rewrite is one keyed window
+    * over the (small, static) snapshot table, re-planned per
+    * micro-batch by Spark as usual for stream-static joins.
+    *
+    * @param events    streaming side; must carry `key` and `eventTime`
+    * @param snapshots static side with `key`, `snapTime`, `payload` cols
+    * @param inner     false keeps events before any snapshot (null payload)
+    */
+  def enrichAsof(events: DataFrame, snapshots: DataFrame, key: String,
+      eventTime: String, snapTime: String, payload: Seq[String],
+      inner: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__from"))
+    val iv = snapshots.select(
+      (col(key).as("__k") +: col(snapTime).as("__from") +: payload.map(col)): _*)
+      .withColumn("__to", lead(col("__from"), 1).over(w))
+    val joined = events.join(iv,
+      events(key) === iv("__k") && events(eventTime) >= iv("__from") &&
+        (iv("__to").isNull || events(eventTime) < iv("__to")),
+      if (inner) "inner" else "left")
+    joined.select(events.columns.map(events(_)).toSeq ++
+      payload.map(iv(_)) :+ iv("__from").as("snap_time"): _*)
+  }
 }
