@@ -35,6 +35,15 @@ object Bench {
       val r = graft.sources.Tables.region(spark, sfDir)
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .write.format("noop").mode("overwrite").save()
+      // the shingle/minhash kernels codegen-compile on first use (~3s);
+      // bill that to warm-up, not to whichever dedup query sorts first
+      import org.apache.spark.sql.functions.{col, concat_ws, lit}
+      val tiny = spark.range(8).select(col("id"),
+        concat_ws(" ", lit("a"), lit("b"), lit("c"), col("id").cast("string"),
+          lit("d"), lit("e")).as("text"))
+      graft.operators.Dedup.minhashLshPairs(tiny, "id", "text",
+          k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+        .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

