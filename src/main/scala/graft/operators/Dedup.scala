@@ -383,10 +383,12 @@ object Dedup {
       val msgs = edges
         .unionByName(labels.select(col("id").as("u"), col("id").as("v")))
         .unionByName(labels.select(col("id").as("u"), col("comp").as("v")))
-      val next = msgs.join(labels.select(col("id"), col("comp")), msgs("v") === col("id"))
+      val next0 = msgs.join(labels.select(col("id"), col("comp")), msgs("v") === col("id"))
         .groupBy(col("u")).agg(min(col("comp")).as("comp"))
         .select(col("u").as("id"), col("comp"))
-        .persist()
+      // labels appears ~3x per round in the plan, so lineage grows ~3^k;
+      // truncate periodically for graphs that need many rounds
+      val next = if (it % 6 == 5) next0.localCheckpoint(true) else next0.persist()
       val w = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -397,5 +399,86 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as(idOut), col("comp").as(compOut))
     } finally spark.conf.set(aqeKey, aqeBefore)
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the O(log n)-
+    * round fallback to [[connectedComponents]] for graphs with long
+    * chains, where min-label propagation needs O(diameter) rounds.
+    * Near-dup graphs are star/clique-shaped (diameter 2-3), so the
+    * simpler operator is the catalog default; this one exists for
+    * corpora that chain (e.g. overlapping-window shingles of one long
+    * document family).
+    *
+    * Edges stay canonically oriented u > v. Large-star hangs every
+    * above-min neighbor of u onto min(N(u) ∪ u); small-star re-hangs
+    * the below-u neighborhood onto its min. At fixpoint every component
+    * is a star rooted at its min id, read off directly as the labeling.
+    * Convergence is detected with an order-insensitive edge-set witness
+    * (count + sum of per-edge hashes) — both change monotonically-ish
+    * but equality of BOTH to the previous round means the canonical
+    * edge set is stable.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      idOut: String = "id", compOut: String = "component",
+      maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // (v, m(u)) for v in N(u) with v > u; v > u >= m keeps orientation
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hang = e.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m: m is the min
+      val root = m.select(col("u"), col("m").as("v"))
+      canon(hang.unionByName(root))
+    }
+
+    def witness(e: DataFrame): (Long, Long) = {
+      // hashes reduced mod a prime before summing — raw 64-bit sums
+      // overflow under ANSI mode; ±1e9-bounded terms stay exact to ~9e9 edges
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // each round references `e` ~a dozen times (sym unions, min joins),
+    // so building rounds on raw lineage grows the LOGICAL plan
+    // exponentially (persist caches data, not the plan) — OOM in the
+    // analyzer after a handful of rounds. localCheckpoint(eager)
+    // truncates the plan to the materialized partitions every round.
+    var e = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var w = witness(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val w2 = witness(next)
+      e.unpersist()
+      e = next
+      converged = w2 == w
+      w = w2
+      it += 1
+    }
+    // fixpoint: every component is a star (member, root) + the root itself
+    val labels = e.select(col("u").as(idOut), col("v").as(compOut))
+      .unionByName(e.select(col("v").as(idOut), col("v").as(compOut)).distinct())
+      .distinct()
+    labels
   }
 }
