@@ -80,6 +80,35 @@ object SamplingQueries {
              |       cum_before % 512 AS pack_offset
              |FROM c
              |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin),
-      doc = "sequence-packing layout: per-language running token offset -> (pack, offset) at 512-token context")
+      doc = "sequence-packing layout: per-language running token offset -> (pack, offset) at 512-token context"),
+
+    // Train/val/test assignment by disjoint hash ranges (80/10/10): the
+    // same narrow filter arithmetic as the Bernoulli sampler, so splits
+    // are stable under repartitioning AND mutually exclusive by
+    // construction — and because the hash threshold is a pure function
+    // of the id, membership never migrates as the corpus grows.
+    Q("doc_split_assign",
+      (s, dir) => {
+        val h = Sampling.idHash(col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            when(h < lit((0.8 * 4294967296.0).toLong), "train")
+              .when(h < lit((0.9 * 4294967296.0).toLong), "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""SELECT lang,
+             |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+             |              THEN 'train'
+             |            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+             |              THEN 'val'
+             |            ELSE 'test' END AS split,
+             |       count(*) AS n_docs
+             |FROM documents
+             |GROUP BY lang, split
+             |ORDER BY lang, split""".stripMargin),
+      doc = "deterministic 80/10/10 train/val/test assignment by disjoint id-hash ranges")
   )
 }
