@@ -293,6 +293,30 @@ object AnalyticsQueries {
              |GROUP BY p.user_id, s.signup_id, s.lo
              |ORDER BY s.signup_id""".stripMargin),
       doc = "range (interval-containment) join: purchases inside 24h signup " +
-        "attribution windows, binned equi-join form (RangeJoin), not a nested loop")
+        "attribution windows, binned equi-join form (RangeJoin), not a nested loop"),
+
+    // The anti-join operator class: parts with no shipment since a
+    // cutoff. The probe side stays the full dimension; the build side is
+    // date-filtered BEFORE the join (the filter reaches the parquet
+    // scan), so the anti semi-structure shuffles only surviving keys.
+    Q("parts_dormant",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("2001-06-01 00:00:00"))
+        val recent = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= cutoff)
+          .select(col("l_partkey"))
+        Tables.part(s, dir)
+          .join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_brand"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_brand
+             |FROM part
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_partkey = p_partkey
+             |    AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "left-anti join: parts with no shipment since cutoff (filter pushed below the anti join)")
   )
 }
