@@ -317,6 +317,47 @@ object AnalyticsQueries {
              |  WHERE l_partkey = p_partkey
              |    AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
              |ORDER BY p_partkey""".stripMargin),
-      doc = "left-anti join: parts with no shipment since cutoff (filter pushed below the anti join)")
+      doc = "left-anti join: parts with no shipment since cutoff (filter pushed below the anti join)"),
+
+    // ROLLUP: the multi-level aggregate class. Spark emits NULL for
+    // rolled-up levels; both engines coalesce to a label so the NULL
+    // sort-order difference between engines never matters. Grouping
+    // columns are non-null enum chars, so the label can't collide.
+    Q("q1_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |       round(sum(l_extendedprice), 2) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin),
+      doc = "ROLLUP multi-level aggregate: per (flag, status), per flag, grand total in one pass"),
+
+    // PIVOT with an explicit value list (the only scale-sane form —
+    // inferring pivot values is a driver-side distinct). The oracle is
+    // the equivalent conditional aggregate.
+    Q("events_pivot_by_type",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |       count(*) FILTER (event_type = 'click') AS click,
+             |       count(*) FILTER (event_type = 'view') AS view,
+             |       count(*) FILTER (event_type = 'purchase') AS purchase
+             |FROM events WHERE user_id < 20
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "PIVOT with explicit value list -> per-user event-type count columns")
   )
 }
