@@ -39,6 +39,59 @@ object DedupQueries {
     """list_inner_product(a.v, b.v)
       | / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))""".stripMargin
 
+  /** Shared by dedup_cc_clusters / dedup_cc_star: LSH near-dup pairs
+    * unioned with exact-dup edges, closed into components by `ccAlgo`,
+    * sized via a window.
+    */
+  private def ccClusterQuery(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      ccAlgo: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val jp = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"))
+    val exact = Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+    val cc = ccAlgo(jp.unionByName(exact), "id_a", "id_b")
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    cc.select(col("doc_id"), col("component"),
+        count(lit(1)).over(byComp).as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE transitive closure over the same edge relation. */
+  private val ccOracle =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      |s AS (SELECT DISTINCT doc_id,
+      |             unnest(list_transform(range(1, len(l) - 1),
+      |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |      FROM d),
+      |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT id_a, id_b FROM inter
+      |       JOIN cnt ca ON id_a = ca.doc_id
+      |       JOIN cnt cb ON id_b = cb.doc_id
+      |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+      |ex AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      |       FROM documents WHERE doc_id < 50),
+      |alle AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM ex),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM alle
+      |          UNION SELECT id_b, id_a FROM alle),
+      |reach(id, r) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+      |comp AS (SELECT id, least(id, min(r)) AS component
+      |         FROM reach GROUP BY id)
+      |SELECT c.id AS doc_id, c.component, z.cluster_size
+      |FROM comp c
+      |JOIN (SELECT component, count(*) AS cluster_size
+      |      FROM comp GROUP BY component) z USING (component)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("dedup_exact",
@@ -142,55 +195,21 @@ object DedupQueries {
     // so components chain through BOTH relations (a~b by Jaccard, a~a'
     // by content hash => {a, a', b} is one cluster) and the closure is
     // genuinely transitive, not just the input pairs echoed back.
+    // LSH pair source (the scale path; converges to the oracle's
+    // exact-Jaccard pair set — miss prob <= 4e-8 at s >= 0.8) —
+    // grouped-jaccard is already benchmarked by dedup_jaccard_pairs.
     Q("dedup_cc_clusters",
-      (s, dir) => {
-        // LSH pair source (the scale path; converges to the oracle's
-        // exact-Jaccard pair set — miss prob <= 4e-8 at s >= 0.8) —
-        // grouped-jaccard is already benchmarked by dedup_jaccard_pairs
-        val jp = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-            k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
-          .select(col("id_a"), col("id_b"))
-        val exact = Tables.documents(s, dir).filter(col("doc_id") < 50)
-          .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
-        val cc = Dedup.connectedComponents(jp.unionByName(exact), "id_a", "id_b",
-          idOut = "doc_id")
-        val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-        cc.select(col("doc_id"), col("component"),
-            count(lit(1)).over(byComp).as("cluster_size"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH RECURSIVE
-             |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
-             |s AS (SELECT DISTINCT doc_id,
-             |             unnest(list_transform(range(1, len(l) - 1),
-             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-             |      FROM d),
-             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-             |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |jp AS (SELECT id_a, id_b FROM inter
-             |       JOIN cnt ca ON id_a = ca.doc_id
-             |       JOIN cnt cb ON id_b = cb.doc_id
-             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
-             |ex AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b
-             |       FROM documents WHERE doc_id < 50),
-             |alle AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM ex),
-             |edges AS (SELECT id_a AS u, id_b AS v FROM alle
-             |          UNION SELECT id_b, id_a FROM alle),
-             |reach(id, r) AS (
-             |  SELECT u, v FROM edges
-             |  UNION
-             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
-             |comp AS (SELECT id, least(id, min(r)) AS component
-             |         FROM reach GROUP BY id)
-             |SELECT c.id AS doc_id, c.component, z.cluster_size
-             |FROM comp c
-             |JOIN (SELECT component, count(*) AS cluster_size
-             |      FROM comp GROUP BY component) z USING (component)
-             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => ccClusterQuery(s, dir, Dedup.connectedComponents(_, _, _, idOut = "doc_id")),
+      Some(ccOracle),
       doc = "connected components over near-dup pairs (min-label propagation) -> canonical cluster per doc"),
 
+    // Same closure via the alternating large-star/small-star contraction
+    // (the O(log n)-round path for long-chain graphs) — identical oracle
+    // by construction, so both algorithms are value-checked end-to-end.
+    Q("dedup_cc_star",
+      (s, dir) => ccClusterQuery(s, dir, Dedup.connectedComponentsStar(_, _, _, idOut = "doc_id")),
+      Some(ccOracle),
+      doc = "connected components via large-star/small-star contraction (same clusters, O(log n) rounds)"),
     // The end of the dedup pipeline: the surviving corpus. A doc is kept
     // iff it is untouched by any near-dup relation OR it is its
     // component's canonical (min-id) representative. Left-join docs to
