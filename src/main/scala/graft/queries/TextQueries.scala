@@ -225,6 +225,31 @@ object TextQueries {
              |         '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin),
-      doc = "PII scrubbing: codegen'd chained regexp_replace (email + phone patterns)")
+      doc = "PII scrubbing: codegen'd chained regexp_replace (email + phone patterns)"),
+
+    // INTERSECT / EXCEPT set ops (distinct semantics in both engines):
+    // which corpus sources feed both of two languages, and which feed
+    // one but not the other.
+    Q("doc_source_setops",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def srcs(lang: String) = docs.filter(col("lang") === lang).select(col("source"))
+        val both = srcs("en").intersect(srcs("de"))
+          .select(lit("intersect_en_de").as("op"), col("source"))
+        val only = srcs("en").except(srcs("zh"))
+          .select(lit("except_en_zh").as("op"), col("source"))
+        both.unionByName(only).orderBy(col("op"), col("source"))
+      },
+      Some("""SELECT 'intersect_en_de' AS op, source FROM (
+             |  SELECT source FROM documents WHERE lang = 'en'
+             |  INTERSECT
+             |  SELECT source FROM documents WHERE lang = 'de')
+             |UNION ALL
+             |SELECT 'except_en_zh' AS op, source FROM (
+             |  SELECT source FROM documents WHERE lang = 'en'
+             |  EXCEPT
+             |  SELECT source FROM documents WHERE lang = 'zh')
+             |ORDER BY op, source""".stripMargin),
+      doc = "INTERSECT / EXCEPT set ops over per-language source sets")
   )
 }
