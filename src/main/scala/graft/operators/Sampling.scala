@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hash in [0, 2^32): well-mixed for sequential ids. */
-  def idHash(id: Column): Column = pmod(id * lit(2654435761L), lit(4294967296L))
+  /** Hash in [0, 2^32): well-mixed for sequential ids. The id is reduced
+    * mod 2^31 BEFORE the multiply so the product stays < 2^62 — a raw
+    * `id * 2654435761` overflows Long for id ≳ 3.47e9, which throws under
+    * Spark's default ANSI mode and wraps differently from DuckDB (HUGEINT
+    * promotion) with ANSI off. For ids < 2^31 the value is identical to
+    * the unreduced form, so the oracle arithmetic mirrors this exactly.
+    */
+  def idHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen
     * by hash threshold. Narrow (a pure filter — no shuffle, no window),

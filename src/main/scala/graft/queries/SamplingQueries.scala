@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling queries over `documents`. The hash is plain
-  * integer arithmetic ((id * 2654435761) % 2^32), so the DuckDB oracle
+  * integer arithmetic (((id % 2^31) * 2654435761) % 2^32), so the DuckDB oracle
   * computes the identical sample — which is the point: the sample is an
   * engine-independent function of the data, not of a seed or partition
   * layout.
@@ -20,7 +20,7 @@ object SamplingQueries {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, lang, n_chars
              |FROM documents
-             |WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+             |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 429496729
              |ORDER BY doc_id""".stripMargin),
       doc = "deterministic ~10% Bernoulli sample by id hash (narrow filter, no RNG)"),
 
@@ -33,7 +33,7 @@ object SamplingQueries {
              |  SELECT doc_id, lang,
              |         CAST(row_number() OVER (
              |           PARTITION BY lang
-             |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
              |           AS INTEGER) AS rk
              |  FROM documents)
              |WHERE rk <= 20
@@ -71,13 +71,13 @@ object SamplingQueries {
              |  SELECT doc_id, lang, n_words,
              |         COALESCE(sum(n_words) OVER (
              |           PARTITION BY lang
-             |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |           AS cum_before
              |  FROM d)
              |SELECT doc_id, lang, n_words,
              |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
-             |       cum_before % 512 AS pack_offset
+             |       CAST(cum_before % 512 AS BIGINT) AS pack_offset
              |FROM c
              |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin),
       doc = "sequence-packing layout: per-language running token offset -> (pack, offset) at 512-token context"),
@@ -100,9 +100,9 @@ object SamplingQueries {
           .orderBy(col("lang"), col("split"))
       },
       Some("""SELECT lang,
-             |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+             |       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836
              |              THEN 'train'
-             |            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+             |            WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3865470566
              |              THEN 'val'
              |            ELSE 'test' END AS split,
              |       count(*) AS n_docs
