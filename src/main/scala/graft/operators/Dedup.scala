@@ -4,6 +4,7 @@ import graft.functions.{Sketches, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a large-scale training-data pipeline:
@@ -355,28 +356,46 @@ object Dedup {
     // materialize the edge relation — including whatever (possibly
     // expensive, AQE-dependent) pipeline produced `pairs` — under the
     // caller's settings BEFORE touching the AQE flag
-    edges.count()
+    val edgeCount = edges.count()
     // AQE's per-stage materialization barriers add ~200-400ms latency to
     // every round of a fixpoint loop whose per-round data is tiny
     // relative to the stage overhead; the loop plans are simple enough
-    // (one join + one groupBy) that static planning loses nothing. The
-    // flag is restored after the loop — the caller's own queries keep
-    // their AQE behavior.
+    // (one join + one groupBy) that static planning loses nothing. With
+    // AQE suspended nothing coalesces the loop's shuffles either, so
+    // size them from the measured edge count: a fixpoint over thousands
+    // of edges runs single-task rounds instead of paying the session's
+    // full shuffle width in scheduler latency every round, while a
+    // billion-edge graph keeps the session's parallelism. Both settings
+    // are restored after the loop.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = spark.conf.get(aqeKey, "true")
+    val partsBefore = spark.conf.get(partsKey, "200")
+    val loopParts = math.min(partsBefore.toLong, edgeCount / 500000L + 1L)
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(partsKey, loopParts.toString)
     try {
+    // convergence witness: sum(label) strictly decreases while any label
+    // changes (labels only move down), so sum-equality <=> fixpoint. The
+    // sum runs in Decimal(38,0): exact, monotone, and safe from the
+    // Long overflow an ANSI-mode sum(BIGINT) hits at billions of large
+    // ids — without the mod-reduction that would break the
+    // equality<=>no-change argument.
+    val decSum = coalesce(sum(col("comp").cast(types.DecimalType(38, 0))),
+      lit(0).cast(types.DecimalType(38, 0)))
     // round 0 fused into initialization: label = min(self, neighbors) —
     // for the star/clique components near-dup pair lists produce, this
     // IS the fixpoint and the loop only runs the convergence check
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
       .select(col("u").as("id"), least(col("u"), col("__mv")).as("comp")).persist()
-    var witness = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var witness = labels.agg(decSum).head().getDecimal(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // One join + one groupBy per round. The message relation unions
-      // three "edges" whose v-side label is the candidate new label:
+      // One join + one groupBy per round, ONE action: the witness agg
+      // materializes the lazily-persisted `next` and computes the scalar
+      // in the same job. The message relation unions three "edges" whose
+      // v-side label is the candidate new label:
       //   (u, v)        neighbor labels  l(v)
       //   (id, id)      own label        l(id)
       //   (id, comp)    label-of-label   l(l(id)) — path halving free
@@ -389,16 +408,30 @@ object Dedup {
       // labels appears ~3x per round in the plan, so lineage grows ~3^k;
       // truncate periodically for graphs that need many rounds
       val next = if (it % 6 == 5) next0.localCheckpoint(true) else next0.persist()
-      val w = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      val w = next.agg(decSum).head().getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = w == witness
+      converged = w.compareTo(witness) == 0
       witness = w
       it += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as(idOut), col("comp").as(compOut))
-    } finally spark.conf.set(aqeKey, aqeBefore)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: no fixpoint after $maxIter rounds " +
+          s"($edgeCount edges) — labeling may be non-final; raise maxIter " +
+          "or use connectedComponentsStar for long-chain graphs")
+    // hand back a lineage-truncated copy and drop the loop's cache —
+    // returning the persisted frame itself would leak executor cache
+    // per call (nothing downstream ever unpersists it)
+    val out = labels.select(col("id").as(idOut), col("comp").as(compOut))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+    } finally {
+      spark.conf.set(aqeKey, aqeBefore)
+      spark.conf.set(partsKey, partsBefore)
+      edges.unpersist()
+    }
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,
