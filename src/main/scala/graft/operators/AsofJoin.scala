@@ -57,31 +57,37 @@ object AsofJoin {
       s"payload columns collide with probe columns: ${payload.intersect(probeCols)}")
 
     // One unified schema; side 0 (build) sorts before side 1 (probe) at
-    // equal timestamps so equal-time matches are included. `__bt` (the
-    // build row's own time) doubles as the match marker: it is non-null
-    // exactly when a preceding build row exists, independent of payload
-    // nullability.
+    // equal timestamps so equal-time matches are included. The build
+    // time plus ALL payload columns travel as ONE struct (`__b`): a
+    // struct literal is non-null for every build row even when payload
+    // fields are null, so last(ignoreNulls) carries the whole matched
+    // row atomically — carrying columns independently would pair an
+    // OLDER row's non-null payload with a NEWER row's time whenever the
+    // newest preceding build row has a null payload field (diverging
+    // from ASOF JOIN semantics, which return the newer row's null).
+    require(!payload.contains("__bt"), "payload column name __bt is reserved")
+    val bStruct = struct(col(buildTime).as("__bt") +: payload.map(col): _*)
+    val bType = build.select(bStruct.as("__b")).schema("__b").dataType
     val buildRows = build.select(
       col(key).as("__k") +: col(buildTime).as("__t") +: lit(0).as("__side") +:
-        col(buildTime).as("__bt") +:
-        (probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
-          payload.map(col)): _*)
+        bStruct.as("__b") +:
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
     val probeRows = probe.select(
       col(key).as("__k") +: col(probeTime).as("__t") +: lit(1).as("__side") +:
-        lit(null).cast(build.schema(buildTime).dataType).as("__bt") +:
-        (probeCols.map(col) ++
-          payload.map(p => lit(null).cast(build.schema(p).dataType).as(p))): _*)
+        lit(null).cast(bType).as("__b") +: probeCols.map(col): _*)
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry = (payload :+ "__bt").map(p =>
-      last(col(p), ignoreNulls = true).over(w).as(p))
     val carried = buildRows.unionByName(probeRows)
-      .select(col("__side") +: (probeCols.map(col) ++ carry): _*)
+      .select(col("__side") +: (probeCols.map(col) :+
+        last(col("__b"), ignoreNulls = true).over(w).as("__b")): _*)
       .filter(col("__side") === 1)
-    val joined = if (inner) carried.filter(col("__bt").isNotNull) else carried
-    val out = probeCols.map(col) ++ payload.map(col) ++
-      buildTimeAs.map(a => col("__bt").as(a)).toSeq
+    // the carried struct is non-null exactly when a preceding build row
+    // exists — the match marker, independent of payload nullability
+    val joined = if (inner) carried.filter(col("__b").isNotNull) else carried
+    val out = probeCols.map(col) ++
+      payload.map(p => col("__b").getField(p).as(p)) ++
+      buildTimeAs.map(a => col("__b").getField("__bt").as(a)).toSeq
     joined.select(out: _*)
   }
 }

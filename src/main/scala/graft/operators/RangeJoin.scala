@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval-containment) join: attach to each point row the
@@ -41,10 +41,20 @@ object RangeJoin {
     val collide = iCols.intersect(points.columns.toSeq)
     require(collide.isEmpty, s"interval columns collide with point columns: $collide")
 
+    // Pure integer floor-division for bin ids: `floor(col / w)` promotes
+    // to double, and a quotient within one ulp of an integer can round a
+    // point into the wrong bin — since a match must meet in exactly the
+    // point's bin, that silently drops a true pair (and doubles are only
+    // exact below 2^53 anyway). `(x - pmod(x, w)) div w` is exact at any
+    // Long: the numerator is the floor multiple (pmod is non-negative,
+    // so this floors rather than truncates for negative x), and `div`'s
+    // truncation is exact on an exact multiple.
+    def bin(c: String): Column =
+      expr(s"(CAST(`$c` AS BIGINT) - pmod(CAST(`$c` AS BIGINT), ${binWidth}L))" +
+        s" div ${binWidth}L")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(floor(col(lo) / binWidth).cast("long"),
-        floor(col(hi) / binWidth).cast("long"))))
-    val p = points.withColumn("__bin", floor(col(t) / binWidth).cast("long"))
+      explode(sequence(bin(lo), bin(hi))))
+    val p = points.withColumn("__bin", bin(t))
     p.join(binned,
         p(key) === binned(key) && p("__bin") === binned("__bin") &&
           p(t) >= binned(lo) && p(t) <= binned(hi))
