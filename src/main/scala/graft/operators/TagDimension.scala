@@ -54,6 +54,31 @@ object TagDimension {
       .withColumn("in_wiki", lit(true))
   }
 
+  /** C11 completeness — parse a RAW TagInfo API envelope
+    * `{data: [{value, count, in_wiki, ...}], ...}` as returned by
+    * `/api/4/key/values` (filter.py:239-247), applying the reference's
+    * retrieval-time filters: multi-values (`;`) and values without an
+    * OSM wiki entry are dropped. The envelope does not name its key
+    * (it lives in the request URL), so the caller supplies it — one
+    * envelope file per key, exactly like the reference's one API call
+    * per configured tag. Extra envelope fields (fraction, description,
+    * paging) are ignored by the explicit schema. Produces the same
+    * (key, value, count, in_wiki) shape as [[loadJson]], so a freshly
+    * fetched TagInfo dump feeds [[prepare]] without pre-conversion.
+    */
+  def loadApiEnvelope(spark: SparkSession, path: String, key: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("data", ArrayType(StructType(Seq(
+        StructField("value", StringType),
+        StructField("count", LongType),
+        StructField("in_wiki", BooleanType)))))))
+    spark.read.schema(schema).option("multiLine", "true").json(path)
+      .select(explode(col("data")).as("d"))
+      .filter(!col("d.value").contains(";") && col("d.in_wiki"))
+      .select(lit(key).as("key"), col("d.value").as("value"),
+        col("d.count").as("count"), col("d.in_wiki").as("in_wiki"))
+  }
+
   /** K4 — persist a dimension back to the tags.json memo shape. */
   def saveJson(dim: DataFrame, path: String, retrievalDate: String): Unit = {
     val byKey = dim.groupBy(col("key"))

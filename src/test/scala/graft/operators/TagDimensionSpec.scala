@@ -35,6 +35,33 @@ class TagDimensionSpec extends SparkSpec {
       Set(("amenity", "cafe", 150000L), ("shop", "bakery", 120000L)))
   }
 
+  test("loadApiEnvelope parses the raw API envelope with retrieval-time filters (C11)") {
+    import graft.model.PoiSettings
+    val fixture = getClass.getResource("/taginfo_amenity.json").getPath
+    val dim = TagDimension.loadApiEnvelope(spark, fixture, "amenity")
+    // the ';' multi-value and the in_wiki=false row are dropped at parse
+    // time, like retrieve_taginfo (filter.py:241-247); paging/fraction/
+    // description fields are ignored
+    assert(dim.select("key", "value", "count").as[(String, String, Long)]
+      .collect().toSet == Set(
+        ("amenity", "parking", 6120000L),
+        ("amenity", "restaurant", 1520000L),
+        ("amenity", "bench", 2490000L)))
+
+    // same dim as the memo path: a tags.json carrying the envelope's
+    // surviving entries prepares to identical rows
+    val memo = """{"retrieval_date": "2024-05-01", "data": {"amenity": {"parking": 6120000, "restaurant": 1520000, "bench": 2490000}}}"""
+    val dir = Files.createTempDirectory("tags-env").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "tags.json"), memo)
+    val settings = PoiSettings(keys = Seq("amenity"))
+    val viaEnvelope = TagDimension.prepare(dim, settings)
+      .select("key", "value", "count").as[(String, String, Long)].collect().toSet
+    val viaMemo = TagDimension.prepare(
+        TagDimension.loadJson(spark, dir + "/tags.json"), settings)
+      .select("key", "value", "count").as[(String, String, Long)].collect().toSet
+    assert(viaEnvelope == viaMemo)
+  }
+
   test("fromTaggedObjects rebuilds counts from tag maps") {
     val objs = Seq(
       (1L, Map("amenity" -> "cafe")),
