@@ -48,4 +48,29 @@ object Sampling {
       .orderBy(idHash(col(idCol)), col(idCol))
     df.withColumn(rankOut, row_number().over(w)).filter(col(rankOut) <= n)
   }
+
+  /** The giant-stratum-safe form of [[stratifiedByHash]]: identical
+    * output, two phases. Phase 1 ranks within (stratum, salt) — the salt
+    * is a deterministic function of the id hash, so a stratum's sort is
+    * split across `salts` window partitions instead of serializing
+    * through one — and keeps each salt's top n. Any row in the stratum's
+    * true top n is also in its own salt's top n, so the ≤ n·salts
+    * survivors are a superset of the answer; phase 2 re-ranks that tiny
+    * set per stratum with the same ordering. This is the standard salted
+    * two-phase top-n; the same pattern un-skews any keyed window with a
+    * dominant key (e.g. an [[AsofJoin]] build side concentrated on one
+    * key — rank phase-1 on (key, salt(time)) there).
+    */
+  def stratifiedByHashSalted(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, salts: Int = 16, rankOut: String = "rk"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(salts > 0, s"salts must be positive: $salts")
+    val h = idHash(col(idCol))
+    val w1 = Window.partitionBy(col(stratumCol), pmod(h, lit(salts.toLong)))
+      .orderBy(h, col(idCol))
+    val survivors = df.withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= n).drop("__srk")
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    survivors.withColumn(rankOut, row_number().over(w2)).filter(col(rankOut) <= n)
+  }
 }

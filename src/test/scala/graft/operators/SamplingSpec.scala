@@ -41,4 +41,30 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.stratifiedByHash(tiny, "stratum", "doc_id", 10)
     assert(out.count() === 6)
   }
+
+  test("salted two-phase stratified equals the plain form (rows AND ranks)") {
+    for (salts <- Seq(1, 4, 16, 64)) {
+      val plain = Sampling.stratifiedByHash(docs, "stratum", "doc_id", 25)
+        .select($"doc_id", $"stratum", $"rk").as[(Long, String, Int)].collect().toSet
+      val salted = Sampling.stratifiedByHashSalted(docs, "stratum", "doc_id", 25,
+          salts = salts)
+        .select($"doc_id", $"stratum", $"rk").as[(Long, String, Int)].collect().toSet
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
+  test("salted phase 1 splits the stratum's shuffle across salt groups") {
+    // one giant stratum: the plain form sorts it through ONE window
+    // partition; the salted form's first window must key on
+    // (stratum, salt), splitting the sort 16 ways
+    val one = docs.withColumn("stratum", lit("all"))
+    val out = Sampling.stratifiedByHashSalted(one, "stratum", "doc_id", 25)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val windowSpecs = plan.split("\n").filter(_.contains("Window"))
+    // first (inner) window partitions by 2 expressions, second by 1
+    assert(plan.contains("pmod"), "salt expression missing from plan")
+    assert(windowSpecs.length >= 2, s"expected two window operators:\n$plan")
+    assert(out.count() === 25)
+  }
 }
