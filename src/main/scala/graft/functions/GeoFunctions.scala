@@ -126,6 +126,50 @@ object GeoFunctions {
     Some(math.abs(s) * EarthRadiusM * EarthRadiusM / 2)
   }
 
+  /** WGS84 first eccentricity squared. */
+  val E2: Double = 0.00669437999014132
+  private val Ecc = math.sqrt(E2)
+
+  /** Snyder, "Map Projections — A Working Manual", eq. 3-12: the
+    * authalic q-function; q(φ)/q(90°) = sin of the authalic latitude.
+    */
+  private def qAuth(latRad: Double): Double = {
+    val s = math.sin(latRad)
+    (1 - E2) * (s / (1 - E2 * s * s) +
+      math.log((1 + Ecc * s) / (1 - Ecc * s)) / (2 * Ecc))
+  }
+  private val Qp = qAuth(math.Pi / 2)
+
+  /** WGS84 authalic radius (≈ 6371007.181 m): the sphere with the
+    * ellipsoid's surface area.
+    */
+  val AuthalicRadiusM: Double = EarthRadiusM * math.sqrt(Qp / 2)
+
+  /** Spheroid-accuracy geodesic area (C9 option): map each vertex to its
+    * authalic latitude and run Chamberlain–Duquette on the authalic
+    * sphere. The authalic projection is exactly equal-area
+    * (ellipsoid → sphere), so the only residual vs PostGIS
+    * `ST_Area(geography)` (reference threshold site
+    * ways_to_centroids.sql:4) is edge treatment — negligible for
+    * OSM-building-sized rings, vs the ~0.1–0.5% the plain spherical
+    * formula is off by. For a lon/lat-aligned rectangle this is EXACT:
+    * Δλ·Ra²·Δsin β = Δλ·a²·Δq/2, the closed-form ellipsoid integral.
+    */
+  def geodesicAreaSpheroidM2(ring: Seq[(Double, Double)]): Option[Double] = {
+    if (!ringValid(ring)) return None
+    def sinAuth(latDeg: Double): Double =
+      math.max(-1.0, math.min(1.0, qAuth(math.toRadians(latDeg)) / Qp))
+    var s = 0.0
+    var i = 0
+    while (i < ring.size - 1) {
+      val (lon1, lat1) = ring(i)
+      val (lon2, lat2) = ring(i + 1)
+      s += math.toRadians(lon2 - lon1) * (2 + sinAuth(lat1) + sinAuth(lat2))
+      i += 1
+    }
+    Some(math.abs(s) * AuthalicRadiusM * AuthalicRadiusM / 2)
+  }
+
   // ---- WKB decode (for tests / round-trips) ----
 
   def decodePoint(wkb: Array[Byte]): (Double, Double) = {
@@ -201,6 +245,9 @@ object GeoFunctions {
 
   private val geodesicAreaUdf = udf((ring: Seq[Row]) => geodesicAreaM2(rowRing(ring)))
 
+  private val geodesicAreaSpheroidUdf =
+    udf((ring: Seq[Row]) => geodesicAreaSpheroidM2(rowRing(ring)))
+
   /** C3 — node lon/lat → WKB point bytes. */
   def wkb_point(lon: Column, lat: Column): Column = wkbPointUdf(lon, lat)
 
@@ -246,4 +293,9 @@ object GeoFunctions {
 
   /** C9 — ST_Area(geom::geography) on the sphere, m²; null if invalid. */
   def geodesic_area(ring: Column): Column = geodesicAreaUdf(ring)
+
+  /** C9, spheroid accuracy — authalic-latitude area, matching PostGIS
+    * geography to well under 0.05% on OSM-scale rings; null if invalid.
+    */
+  def geodesic_area_spheroid(ring: Column): Column = geodesicAreaSpheroidUdf(ring)
 }

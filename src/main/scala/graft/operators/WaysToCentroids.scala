@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object WaysToCentroids {
 
-  /** F8 + C8 + C10: ways with spherical area ≤ threshold (m²) become
+  /** F8 + C8 + C10: ways with geodesic area ≤ threshold (m²) become
     * centroid node rows with the +36e9 id offset keeping the id space
-    * disjoint from real nodes (README.md:50).
+    * disjoint from real nodes (README.md:50). `spheroid = true` applies
+    * the threshold to the authalic (PostGIS-geography-grade) area, so
+    * polygons near the 20,000 m² boundary classify as the reference
+    * does; the spherical default is ~0.1–0.5% off but cheaper.
     */
   def centroidRows(ways: DataFrame,
-      areaThresholdM2: Double = OsmModel.CentroidAreaThreshold): DataFrame =
+      areaThresholdM2: Double = OsmModel.CentroidAreaThreshold,
+      spheroid: Boolean = false): DataFrame =
     ways
-      .filter(GeoFunctions.geodesic_area(col("ring")) <= areaThresholdM2)
+      .filter((if (spheroid) GeoFunctions.geodesic_area_spheroid(col("ring"))
+        else GeoFunctions.geodesic_area(col("ring"))) <= areaThresholdM2)
       .select(
         (col("id") + OsmModel.CentroidIdOffset).as("id"),
         col("version"), col("user_id"), col("tstamp"), col("changeset_id"),

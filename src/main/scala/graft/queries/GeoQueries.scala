@@ -37,6 +37,44 @@ object GeoQueries {
               |ORDER BY id""".stripMargin),
       doc = "C9: spherical geodesic area (Chamberlain-Duquette) vs closed form"),
 
+    // The spheroid-accuracy C9 option: every step of the authalic
+    // computation (Snyder q, clamp, Chamberlain-Duquette on the authalic
+    // sphere) is plain arithmetic + sin/ln/sqrt, so the oracle mirrors
+    // the Scala operation-for-operation — same literals, same
+    // association — and both engines produce the same doubles.
+    Q("way_geodesic_area_spheroid",
+      (s, dir) => Tables.osmWays(s, dir)
+        .select(col("id"),
+          round(GeoFunctions.geodesic_area_spheroid(col("ring")), 1).as("area_m2"))
+        .orderBy(col("id")),
+      Some(s"""SELECT id,
+              |       round(abs(radians(d) * (2 + r0 + r0)
+              |               - radians(d) * (2 + r1 + r1))
+              |             * ra * ra / 2, 1) AS area_m2
+              |FROM (
+              |  SELECT id, d,
+              |         greatest(-1.0, least(1.0, q0 / qp)) AS r0,
+              |         greatest(-1.0, least(1.0, q1 / qp)) AS r1,
+              |         6378137.0 * sqrt(qp / 2) AS ra
+              |  FROM (
+              |    SELECT id, d,
+              |           (1 - 0.00669437999014132)
+              |             * (s0 / (1 - 0.00669437999014132 * s0 * s0)
+              |               + ln((1 + e * s0) / (1 - e * s0)) / (2 * e)) AS q0,
+              |           (1 - 0.00669437999014132)
+              |             * (s1 / (1 - 0.00669437999014132 * s1 * s1)
+              |               + ln((1 + e * s1) / (1 - e * s1)) / (2 * e)) AS q1,
+              |           (1 - 0.00669437999014132)
+              |             * (1.0 / (1 - 0.00669437999014132 * 1.0 * 1.0)
+              |               + ln((1 + e * 1.0) / (1 - e * 1.0)) / (2 * e)) AS qp
+              |    FROM (SELECT id, d,
+              |                 sin(radians(lat0)) AS s0,
+              |                 sin(radians(lat0 + d)) AS s1,
+              |                 sqrt(0.00669437999014132) AS e
+              |          FROM $waySql)))
+              |ORDER BY id""".stripMargin),
+      doc = "C9 spheroid option: authalic-latitude area vs the same formula in SQL"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

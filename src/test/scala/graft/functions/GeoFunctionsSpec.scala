@@ -87,4 +87,63 @@ class GeoFunctionsSpec extends SparkSpec {
       assert(geodesicAreaM2(large).get > 20000.0)
     }
   }
+
+  /** Exact WGS84 ellipsoid area of a lon/lat-aligned rectangle:
+    * A = Δλ · a² · (q(φ₂) − q(φ₁)) / 2 with Snyder's authalic q —
+    * the independent truth the spheroid function is judged against.
+    */
+  private def ellipsoidRectAreaM2(dLonDeg: Double, lat1: Double, lat2: Double): Double = {
+    val e2 = 0.00669437999014132
+    val e = math.sqrt(e2)
+    def q(latDeg: Double): Double = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1 - e2) * (s / (1 - e2 * s * s) +
+        math.log((1 + e * s) / (1 - e * s)) / (2 * e))
+    }
+    math.toRadians(dLonDeg) * EarthRadiusM * EarthRadiusM * (q(lat2) - q(lat1)) / 2
+  }
+
+  private def rect(lon0: Double, lat0: Double, dLon: Double, dLat: Double) =
+    Seq((lon0, lat0), (lon0 + dLon, lat0), (lon0 + dLon, lat0 + dLat),
+      (lon0, lat0 + dLat), (lon0, lat0))
+
+  test("C9 spheroid: within 0.05% of the closed-form ellipsoid area; spherical is not") {
+    for (lat <- Seq(-59.0, -30.0, 0.0, 22.5, 45.0, 60.0); d <- Seq(0.001, 0.01, 0.1)) {
+      val ring = rect(12.3, lat, d, d)
+      val truth = ellipsoidRectAreaM2(d, lat, lat + d)
+      val sph = geodesicAreaSpheroidM2(ring).get
+      assert(math.abs(sph - truth) / truth < 5e-4,
+        s"lat=$lat d=$d spheroid=$sph truth=$truth")
+    }
+    // the plain spherical value misses the ellipsoid truth (worst near
+    // the equator, ~0.67%, where the radius and latitude biases don't
+    // cancel — they nearly do around |lat| ≈ 45°)
+    val ring = rect(12.3, 0.0, 0.01, 0.01)
+    val truth = ellipsoidRectAreaM2(0.01, 0.0, 0.01)
+    val sphere = geodesicAreaM2(ring).get
+    assert(math.abs(sphere - truth) / truth > 5e-4, s"sphere=$sphere truth=$truth")
+    assert(geodesicAreaSpheroidM2(Seq((0.0, 0.0))) == None)
+  }
+
+  test("F8 spheroid: 20000 m² boundary polygons classify as PostGIS would") {
+    // rectangles sized to straddle the threshold by ±0.1% TRUE area at
+    // the equator: spheroid classification must match the truth; the
+    // sphere (radius a, no flattening correction: ~+0.67% there)
+    // misclassifies the just-under ring — exactly the boundary drift
+    // this option removes
+    val lat = 0.0
+    val unit = ellipsoidRectAreaM2(0.001, lat, lat + 0.001) // per (0.001°)²
+    def ringOfArea(target: Double) = {
+      val scale = math.sqrt(target / unit)
+      val d = 0.001 * scale
+      (rect(7.0, lat, d, d), ellipsoidRectAreaM2(d, lat, lat + d))
+    }
+    val (under, underTruth) = ringOfArea(19980.0)
+    val (over, overTruth) = ringOfArea(20020.0)
+    assert(underTruth <= 20000.0 && overTruth > 20000.0) // construction sanity
+    assert(geodesicAreaSpheroidM2(under).get <= 20000.0)
+    assert(geodesicAreaSpheroidM2(over).get > 20000.0)
+    assert(geodesicAreaM2(under).get > 20000.0,
+      "spherical should misclassify the just-under ring (+0.22% radius bias)")
+  }
 }
