@@ -14,9 +14,19 @@ import org.apache.spark.sql.SparkSession
   * never masquerade as a fast one).
   */
 object Bench {
+  /** 1/5/15-minute system load — totals on this box have swung 61–103 s
+    * for identical code purely with machine load, so every bench line
+    * records the load context it ran under.
+    */
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ")
+    catch { case _: Exception => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +81,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

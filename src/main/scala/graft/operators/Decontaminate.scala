@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination — the step a pretraining pipeline runs
+  * before anything else ships: mark every training document that shares
+  * at least one k-gram with a held-out evaluation corpus, so benchmark
+  * text can be scrubbed from the training set (the n-gram-overlap
+  * procedure published with GPT-3 appendix C / PaLM; k of 8–13 words in
+  * production, smaller here only because the synthetic docs are short).
+  *
+  * Scale design (100 TB corpus, benchmark-sized eval set): the eval
+  * side's distinct shingle set is tiny — thousands of documents —
+  * against a corpus of billions, so it broadcasts and the corpus side
+  * NEVER shuffles at full width: explode the (codegen'd, per-doc
+  * distinct) shingle set, probe the broadcast hash relation, and the
+  * per-doc overlap count partial-aggregates map-side before the only
+  * (contaminated-ids-sized) shuffle. No all-pairs anything.
+  */
+object Decontaminate {
+
+  /** @return (`idCol`, n_shared) — one row per CONTAMINATED training
+    *         doc, n_shared = how many distinct k-shingles it shares
+    *         with the eval corpus. Clean docs don't appear; anti-join
+    *         the output against the corpus to get the keep-set.
+    */
+  def contaminated(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val evalShingles = evalCorpus
+      .select(explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+      .distinct()
+    train
+      .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // shingleSet is per-doc distinct
+  }
+
+  /** The surviving training set: drop contaminated docs (left-anti on
+    * the flag relation — the corpus-side shuffle is still only keyed by
+    * id against a contaminated-sized right side).
+    */
+  def decontaminate(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame =
+    train.join(contaminated(train, evalCorpus, idCol, textCol, k)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+}

@@ -40,6 +40,26 @@ object SamplingQueries {
              |ORDER BY lang, rk""".stripMargin),
       doc = "deterministic stratified sample: 20 docs per language, smallest id-hashes win"),
 
+    // The giant-stratum-safe sampler: by construction it returns the
+    // SAME rows and ranks as the plain form, so it shares the oracle —
+    // which is exactly the property worth pinning end-to-end: salting
+    // the window must not change the sample.
+    Q("doc_sample_stratified_salted",
+      (s, dir) => Sampling.stratifiedByHashSalted(Tables.documents(s, dir),
+          stratumCol = "lang", idCol = "doc_id", n = 20, salts = 8)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+      Some("""SELECT doc_id, lang, rk FROM (
+             |  SELECT doc_id, lang,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY lang
+             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
+             |           AS INTEGER) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin),
+      doc = "salted two-phase stratified sample == plain stratified sample (skew-safe path)"),
+
     // Sequence-packing layout: pretraining concatenates docs in a
     // deterministic order and cuts at context-window boundaries. The
     // layout (which pack, at what offset, each doc lands in) is a

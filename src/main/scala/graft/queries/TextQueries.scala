@@ -206,6 +206,36 @@ object TextQueries {
     // the oracle applies the same construction + regexes, so the check
     // covers the replace mechanics end-to-end. Patterns stay in the
     // RE2/Java-regex common dialect.
+    // Train/eval decontamination: docs 0-24 stand in for the eval
+    // corpus, the rest is the training set. The 25 planted near-dup
+    // pairs guarantee heavy overlaps beyond chance collisions, so the
+    // query exercises both regimes.
+    Q("text_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Decontaminate.contaminated(
+            docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+            "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') l
+             |            FROM documents WHERE doc_id >= 25),
+             |ev AS (SELECT string_split(text, ' ') l
+             |       FROM documents WHERE doc_id < 25),
+             |ts AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(range(1, len(l) - 1),
+             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |       FROM tr),
+             |es AS (SELECT DISTINCT
+             |              unnest(list_transform(range(1, len(l) - 1),
+             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |       FROM ev)
+             |SELECT doc_id, count(*) AS n_shared
+             |FROM ts JOIN es USING (sh)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "eval-set decontamination: n-gram overlap flags (broadcast probe, corpus never shuffles)"),
+
     Q("text_scrub_pii",
       (s, dir) => Tables.documents(s, dir)
         .filter(col("doc_id") < 100)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination: overlap flags, keep-set, and the broadcast
+  * plan shape (the corpus side must not shuffle to meet the eval set).
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "completely unrelated text about spark physical plans"),
+    (102L, "quick brown fox jumps high today"),
+    (103L, "one two three four five six")
+  ).toDF("doc_id", "text")
+
+  private val evalSet = Seq(
+    (1L, "the quick brown fox jumps far"),
+    (2L, "one two three")
+  ).toDF("doc_id", "text")
+
+  test("contaminated: counts distinct shared k-shingles per train doc") {
+    val got = Decontaminate.contaminated(train, evalSet, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // 100 shares {the quick brown, quick brown fox, brown fox jumps};
+    // 102 shares {quick brown fox, brown fox jumps}; 103 shares
+    // {one two three}; 101 shares nothing and must be absent
+    assert(got == Map(100L -> 3L, 102L -> 2L, 103L -> 1L))
+  }
+
+  test("decontaminate: drops flagged docs, keeps the clean ones") {
+    val kept = Decontaminate.decontaminate(train, evalSet, "doc_id", "text", k = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L))
+  }
+
+  test("plan: eval shingles broadcast; the corpus probe is map-side") {
+    val df = Decontaminate.contaminated(train, evalSet, "doc_id", "text", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+    // structural check: the join's STREAMED (corpus) child subtree must
+    // contain no shuffle — the eval side may shuffle inside its own
+    // BroadcastExchange (the tiny distinct), and the per-doc count
+    // shuffles above the join; neither touches the corpus' path to the
+    // probe
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE wraps materialized stages in QueryStageExec whose subtree is a
+    // field, not a child — unwrap while flattening
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = flatten(exec).collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"no BroadcastHashJoin in final plan:\n$exec")
+    joins.foreach { j =>
+      val shuffles = flatten(j.left).collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"corpus side shuffled before the probe:\n$exec")
+    }
+  }
+
+  test("k larger than a doc's length yields no shingles, never a crash") {
+    val tiny = Seq((7L, "two words")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(tiny, evalSet, "doc_id", "text", k = 3)
+      .count() == 0)
+  }
+}
