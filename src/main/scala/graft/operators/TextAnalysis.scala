@@ -67,6 +67,41 @@ object TextAnalysis {
     docs.select(col(idCol), pred.as("lang_pred"))
   }
 
+  /** Gopher/FineWeb-style repetition signals — the boilerplate/spam
+    * filters a pretraining pipeline runs alongside [[qualityScore]]:
+    * the word-mass fraction of the single most frequent word, the
+    * fraction of duplicated words (1 − distinct/total), and the
+    * fraction of duplicated 2-grams. Relational shape: explode →
+    * per-(doc, term) count → per-doc aggregate — two keyed shuffles
+    * with map-side partial aggregation, no per-row lambda fallback, no
+    * window; bigrams are built map-side by zipping the word array with
+    * its own tail (slice + arrays_zip, both codegen'd).
+    * Output: (id, top_word_frac, dup_word_frac, dup_2gram_frac).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__ws"))
+    val words = base.select(col(idCol), explode(col("__ws")).as("w"))
+    val wa = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n"), max(col("c")).as("mx"), count(lit(1)).as("d"))
+    val bigrams = base.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("w1"),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("w2"))).as("p"))
+      .select(col(idCol), concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"))
+    val ba = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum(col("c")).as("nb"), count(lit(1)).as("db"))
+    wa.join(ba, Seq(idCol), "left")
+      .select(col(idCol),
+        round(col("mx").cast("double") / col("n").cast("double"), 6)
+          .as("top_word_frac"),
+        round((col("n") - col("d")).cast("double") / col("n").cast("double"), 6)
+          .as("dup_word_frac"),
+        coalesce(
+          round((col("nb") - col("db")).cast("double") / col("nb").cast("double"), 6),
+          lit(0.0)).as("dup_2gram_frac"))
+  }
+
   /** Fingerprints: 64-bit-hex prefix of md5 over whitespace-normalized
     * lowercase text (portable, oracle-checkable) plus the Rabin–Karp
     * rolling hash (the windowed-fingerprint primitive).

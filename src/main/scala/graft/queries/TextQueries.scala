@@ -61,6 +61,33 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "heuristic language ID: marker-word argmax with tie preference order"),
 
+    Q("text_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |           FROM documents),
+             |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+             |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             |              max(c) AS mx, count(*) AS d
+             |       FROM wc GROUP BY 1),
+             |b AS (SELECT doc_id,
+             |             unnest(list_transform(range(1, len(l)),
+             |                    i -> l[i] || ' ' || l[i+1])) AS bg
+             |      FROM (SELECT doc_id, string_split(text, ' ') AS l
+             |            FROM documents)),
+             |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+             |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+             |              count(*) AS db
+             |       FROM bc GROUP BY 1)
+             |SELECT wa.doc_id,
+             |       round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_word_frac,
+             |       round(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_word_frac,
+             |       COALESCE(round(CAST(nb - db AS DOUBLE) / CAST(nb AS DOUBLE), 6),
+             |                0.0) AS dup_2gram_frac
+             |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+             |ORDER BY wa.doc_id""".stripMargin),
+      doc = "Gopher-style repetition signals: top-word mass, duplicate-word and duplicate-2-gram fractions"),
+
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("fp_md5"))

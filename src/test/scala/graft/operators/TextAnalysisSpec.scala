@@ -22,6 +22,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6)         // stopword 1/3
   }
 
+  test("repetitionStats: hand-computed fractions, single-word edge") {
+    val df = Seq(
+      (1L, "a a a b"),      // top a: 3/4; dup words: (4-2)/4; bigrams: {a a, a a, a b} → (3-2)/3
+      (2L, "x y z w"),      // no repetition anywhere
+      (3L, "solo")          // one word, zero bigrams → dup_2gram_frac 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got(0) == ((1L, 0.75, 0.5, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+    assert(got(1) == ((2L, 0.25, 0.0, 0.0)))
+    assert(got(2) == ((3L, 1.0, 0.0, 0.0)))
+  }
+
   test("langId: marker argmax, tie preference, und fallback") {
     val df = Seq(
       (1L, "the cat and dog"),   // en
