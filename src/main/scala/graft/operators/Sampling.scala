@@ -49,6 +49,43 @@ object Sampling {
     df.withColumn(rankOut, row_number().over(w)).filter(col(rankOut) <= n)
   }
 
+  /** Data-mixing sampler — the mixture-recipe step of a pretraining
+    * pipeline ("keep 100% of source A, 50% of B, 10% of everything
+    * else"): a per-source keep rate applied with the same portable
+    * id-hash, so the mixture is deterministic, repartition-stable, and
+    * nested (raising a source's rate only ADDS documents). Still one
+    * narrow codegen'd filter — no shuffle at any corpus size. Rates are
+    * keep probabilities in [0,1]; upsampling (> 1 epoch of a source) is
+    * a separate explode-by-epoch-count concern.
+    */
+  def mixtureByHash(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    require(rates.nonEmpty, "empty mixture")
+    val sorted = rates.toSeq.sortBy(_._1)
+    val threshold = sorted.tail.foldLeft(
+        when(col(sourceCol) === sorted.head._1,
+          lit((sorted.head._2 * 4294967296.0).toLong))) {
+        case (acc, (s, r)) =>
+          acc.when(col(sourceCol) === s, lit((r * 4294967296.0).toLong))
+      }.otherwise(lit((defaultRate * 4294967296.0).toLong))
+    df.filter(idHash(col(idCol)) < threshold)
+  }
+
+  /** Curriculum bucketing: per-stratum quantile buckets (NTILE) over an
+    * ordering signal (length, quality score, perplexity) — the
+    * easy-to-hard schedule assignment. One keyed window; salt via
+    * [[stratifiedByHashSalted]]'s two-phase pattern if a stratum
+    * dominates.
+    */
+  def curriculumBuckets(df: DataFrame, stratumCol: String, orderCol: String,
+      idCol: String, n: Int, bucketOut: String = "bucket"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol), col(idCol))
+    df.withColumn(bucketOut, ntile(n).over(w))
+  }
+
   /** The giant-stratum-safe form of [[stratifiedByHash]]: identical
     * output, two phases. Phase 1 ranks within (stratum, salt) — the salt
     * is a deterministic function of the id hash, so a stratum's sort is

@@ -40,6 +40,40 @@ object SamplingQueries {
              |ORDER BY lang, rk""".stripMargin),
       doc = "deterministic stratified sample: 20 docs per language, smallest id-hashes win"),
 
+    // Mixture recipe: keep-all src0, half of src1, a quarter of src2,
+    // 10% of the rest. Thresholds are the exact Long truncations of
+    // rate*2^32, written as integer literals in the oracle.
+    Q("doc_mixture_sample",
+      (s, dir) => Sampling.mixtureByHash(Tables.documents(s, dir), "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source
+             |FROM documents
+             |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |      CASE WHEN source = 'src0' THEN 4294967296
+             |           WHEN source = 'src1' THEN 2147483648
+             |           WHEN source = 'src2' THEN 1073741824
+             |           ELSE 429496729 END
+             |ORDER BY doc_id""".stripMargin),
+      doc = "data-mixing sampler: per-source deterministic keep rates (one narrow filter)"),
+
+    // Curriculum assignment: 4 length-quantile buckets per language —
+    // the easy-to-hard schedule a curriculum trainer consumes.
+    Q("doc_curriculum_buckets",
+      (s, dir) => Sampling.curriculumBuckets(Tables.documents(s, dir),
+          stratumCol = "lang", orderCol = "n_chars", idCol = "doc_id", n = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+        .orderBy(col("lang"), col("bucket"), col("doc_id")),
+      Some("""SELECT doc_id, lang, n_chars,
+             |       CAST(ntile(4) OVER (
+             |         PARTITION BY lang
+             |         ORDER BY n_chars, doc_id) AS INTEGER) AS bucket
+             |FROM documents
+             |ORDER BY lang, bucket, doc_id""".stripMargin),
+      doc = "curriculum bucketing: per-language NTILE(4) over length (easy-to-hard schedule)"),
+
     // The giant-stratum-safe sampler: by construction it returns the
     // SAME rows and ranks as the plain form, so it shares the oracle —
     // which is exactly the property worth pinning end-to-end: salting

@@ -42,6 +42,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === 6)
   }
 
+  test("mixture: per-source rates, nested (raising a rate only adds docs)") {
+    val src = docs.withColumn("source",
+      concat(lit("s"), pmod($"doc_id", lit(3L)).cast("string")))
+    val m1 = Sampling.mixtureByHash(src, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.3), defaultRate = 0.0)
+    val got = m1.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(got("s0") == 334)                      // rate 1.0 keeps all of s0
+    assert(!got.contains("s2"))                   // default 0.0 drops s2
+    assert(got("s1") > 40 && got("s1") < 160, got.toString) // ~30% of 333
+    // nested: raising s1's rate keeps every previously-sampled doc
+    val m2 = Sampling.mixtureByHash(src, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.6), defaultRate = 0.0)
+    val ids1 = m1.select($"doc_id").as[Long].collect().toSet
+    val ids2 = m2.select($"doc_id").as[Long].collect().toSet
+    assert(ids1.subsetOf(ids2))
+  }
+
+  test("curriculum buckets: balanced NTILE per stratum, deterministic order") {
+    val out = Sampling.curriculumBuckets(docs, "stratum", "doc_id", "doc_id", 4)
+    val sizes = out.groupBy($"stratum", $"bucket").count()
+      .as[(String, Int, Long)].collect()
+    assert(sizes.length == 16)
+    assert(sizes.forall { case (_, _, c) => c >= 62 && c <= 63 }) // 250/4
+    // bucket ordering follows the order column within each stratum
+    val perStratum = out.filter($"stratum" === "0")
+      .orderBy($"doc_id").select($"bucket").as[Int].collect()
+    assert(perStratum.sorted.sameElements(perStratum))
+  }
+
   test("salted two-phase stratified equals the plain form (rows AND ranks)") {
     for (salts <- Seq(1, 4, 16, 64)) {
       val plain = Sampling.stratifiedByHash(docs, "stratum", "doc_id", 25)
