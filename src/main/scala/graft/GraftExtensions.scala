@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch}
+import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleList, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `rolling_hash64(string) -> bigint`
   *   - `sign_sketch64(array<float|double>) -> bigint` (cosine LSH)
   *   - `shingle_set(string, k int) -> array<string>`
+  *   - `shingle_list(string, k int) -> array<string>` (non-distinct)
   *   - `ordered_pairs(array<bigint>) -> array<struct<id_a,id_b>>`
   *   - `tags_any_match(map<string,string>, array<string 'k=v'>) -> boolean`
   *     (the dimension argument must be a foldable literal array — it IS
@@ -77,6 +78,7 @@ object GraftExtensions {
     "rolling_hash64" -> (es => RollingHash64(es(0))),
     "sign_sketch64" -> (es => SignSketch64(es(0))),
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1), "shingle_set k"))),
+    "shingle_list" -> (es => ShingleList(es(0), intArg(es(1), "shingle_list k"))),
     "ordered_pairs" -> (es => OrderedPairs(es(0))),
     "tags_any_match" -> (es => TagsAnyMatch(es(0), pairsArg(es(1))))
   )

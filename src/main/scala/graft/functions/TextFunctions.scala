@@ -27,6 +27,13 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(text), k))
 
+  /** Non-distinct word-k-grams in document order ([[ShingleList]]) —
+    * the multiset form repetition statistics need ([[shingleSet]] would
+    * collapse exactly the duplicates being measured).
+    */
+  def shingleList(text: Column, k: Int): Column =
+    Bridge.column(ShingleList(Bridge.expression(text), k))
+
   /** Ordered (a, b) pairs from a sorted long array ([[OrderedPairs]]). */
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))
@@ -72,6 +79,42 @@ case class ShingleSet(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Fused non-distinct k-gram kernel: like [[ShingleSet]] but keeping
+  * every occurrence in document order — one pass, one allocation, same
+  * tokenization (`split(text, " ")`, empty tokens kept).
+  */
+case class ShingleList(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_list"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleList =
     copy(child = newChild)
 }
 

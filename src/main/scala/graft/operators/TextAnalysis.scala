@@ -71,27 +71,27 @@ object TextAnalysis {
     * filters a pretraining pipeline runs alongside [[qualityScore]]:
     * the word-mass fraction of the single most frequent word, the
     * fraction of duplicated words (1 − distinct/total), and the
-    * fraction of duplicated 2-grams. Relational shape: explode →
-    * per-(doc, term) count → per-doc aggregate — two keyed shuffles
-    * with map-side partial aggregation, no per-row lambda fallback, no
-    * window; bigrams are built map-side by zipping the word array with
-    * its own tail (slice + arrays_zip, both codegen'd).
+    * fraction of duplicated 2-grams. ONE corpus scan: words and
+    * (non-distinct, [[graft.functions.ShingleList]]) bigrams explode
+    * from the same codegen'd pass and discriminate for free — a
+    * whitespace-split word never contains a space, a 2-gram always
+    * does — then one per-(doc, term) count and one per-doc conditional
+    * aggregate, both map-side partial. No per-row lambda fallback, no
+    * window, no second scan.
     * Output: (id, top_word_frac, dup_word_frac, dup_2gram_frac).
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__ws"))
-    val words = base.select(col(idCol), explode(col("__ws")).as("w"))
-    val wa = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val terms = docs.select(col(idCol),
+      explode(concat(TextFunctions.words(col(textCol)),
+        TextFunctions.shingleList(col(textCol), 2))).as("t"))
+    val isWord = !col("t").contains(" ")
+    terms.groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
-        sum(col("c")).as("n"), max(col("c")).as("mx"), count(lit(1)).as("d"))
-    val bigrams = base.select(col(idCol),
-        explode(arrays_zip(
-          slice(col("__ws"), lit(1), size(col("__ws")) - 1).as("w1"),
-          slice(col("__ws"), lit(2), size(col("__ws")) - 1).as("w2"))).as("p"))
-      .select(col(idCol), concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"))
-    val ba = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(sum(col("c")).as("nb"), count(lit(1)).as("db"))
-    wa.join(ba, Seq(idCol), "left")
+        sum(when(isWord, col("c"))).as("n"),
+        max(when(isWord, col("c"))).as("mx"),
+        sum(when(isWord, lit(1L))).as("d"),
+        sum(when(!isWord, col("c"))).as("nb"),
+        sum(when(!isWord, lit(1L))).as("db"))
       .select(col(idCol),
         round(col("mx").cast("double") / col("n").cast("double"), 6)
           .as("top_word_frac"),

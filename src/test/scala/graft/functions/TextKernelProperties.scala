@@ -36,6 +36,17 @@ object TextKernelProperties extends Properties("graft.textkernels") {
       kernelShingles(text, k) == refShingles(text, k)
     }
 
+  property("ShingleList == split/sliding reference (duplicates kept, in order), k in 1..4") =
+    forAll(textGen, Gen.chooseNum(1, 4)) { (text, k) =>
+      val w = text.split(" ", -1).toSeq
+      val ref = if (w.length < k) Nil else w.sliding(k).map(_.mkString(" ")).toSeq
+      val e = ShingleList(org.apache.spark.sql.catalyst.expressions.Literal(text), k)
+      val got = e.nullSafeEval(UTF8String.fromString(text)).asInstanceOf[ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      got == ref
+    }
+
   property("OrderedPairs emits all C(n,2) ordered pairs in order") =
     forAll(Gen.chooseNum(0, 20).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)))) { ids =>
