@@ -46,4 +46,35 @@ object Decontaminate {
       idCol: String, textCol: String, k: Int = 3): DataFrame =
     train.join(contaminated(train, evalCorpus, idCol, textCol, k)
       .select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** [[contaminated]] for an eval corpus whose exact shingle set is too
+    * big to broadcast as a hash relation: a Bloom filter over the eval
+    * shingles broadcasts instead (8 bits/element ≈ 2% fp at any set
+    * size), the corpus pre-filters map-side against it — discarding the
+    * overwhelmingly-clean bulk without a shuffle — and only the
+    * candidate survivors pay the exact shuffle join that removes the
+    * false positives. Identical output to [[contaminated]] (a Bloom
+    * filter has no false negatives; positives are verified exactly);
+    * the cost model shifts from |eval| broadcast bytes to |eval| bits.
+    */
+  def contaminatedBloom(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      expectedEvalShingles: Long = 10000000L, fpp: Double = 0.02): DataFrame = {
+    val evalShingles = evalCorpus
+      .select(explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+      .distinct()
+    // public sketch API: per-partition filters built on executors,
+    // OR-merged at the driver — the merged filter (~10 bits/element at
+    // 2% fpp) IS the broadcast, orders of magnitude under the exact
+    // string hash relation
+    val bf = evalShingles.stat.bloomFilter("sh", expectedEvalShingles, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    train
+      .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+      .filter(mightContain(col("sh")))
+      .join(evalShingles, "sh") // exact verify: candidates only reach here
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

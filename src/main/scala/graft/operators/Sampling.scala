@@ -73,6 +73,41 @@ object Sampling {
     df.filter(idHash(col(idCol)) < threshold)
   }
 
+  /** Epoch-based upsampling — the other half of a mixture recipe
+    * ("3.4 epochs of source A"): every row is replicated floor(e) times
+    * and one extra time for a deterministic hash-selected `e − floor(e)`
+    * fraction of rows, so the EXPECTED multiplicity is exactly `e` and
+    * the realized copy set is reproducible and nested in `e`. The
+    * fractional decision hashes `id + 1` so it is independent of the
+    * (same-hash) downsampling filter a recipe typically composes with.
+    * Narrow generate — rows replicate in place, no shuffle. Output
+    * carries an `epoch` column (1-based copy index).
+    */
+  def upsampleByEpochs(df: DataFrame, idCol: String, sourceCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      epochOut: String = "epoch"): DataFrame = {
+    require((epochs.values.toSeq :+ defaultEpochs).forall(_ >= 0),
+      s"epoch counts must be >= 0: $epochs default=$defaultEpochs")
+    require(epochs.nonEmpty, "empty epoch map")
+    val sorted = epochs.toSeq.sortBy(_._1)
+    def copiesFor(e: Double): Column = {
+      val full = math.floor(e).toLong
+      val fracThresh = ((e - full) * 4294967296.0).toLong
+      // reduce before the +1 so the salt can't overflow at Long.MaxValue
+      (lit(full) + when(idHash(pmod(col(idCol), lit(2147483648L)) + 1) <
+          lit(fracThresh), 1L)
+        .otherwise(0L)).cast("int")
+    }
+    val copies = sorted.tail.foldLeft(
+        when(col(sourceCol) === sorted.head._1, copiesFor(sorted.head._2))) {
+        case (acc, (s, e)) => acc.when(col(sourceCol) === s, copiesFor(e))
+      }.otherwise(copiesFor(defaultEpochs))
+    df.withColumn("__nc", copies)
+      .filter(col("__nc") >= 1)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1), col("__nc"))).as(epochOut): _*)
+  }
+
   /** Curriculum bucketing: per-stratum quantile buckets (NTILE) over an
     * ordering signal (length, quality score, perplexity) — the
     * easy-to-hard schedule assignment. One keyed window; salt via

@@ -59,6 +59,30 @@ object SamplingQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "data-mixing sampler: per-source deterministic keep rates (one narrow filter)"),
 
+    // Epoch upsampling: 2 epochs of src0, 2.5 of src1 (half the rows
+    // get a 3rd copy, hash-selected), 1 of the rest. The fractional
+    // threshold 0.5*2^32 = 2147483648; the salt hashes (id % 2^31) + 1.
+    Q("doc_upsample_epochs",
+      (s, dir) => Sampling.upsampleByEpochs(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source", epochs = Map("src0" -> 2.0, "src1" -> 2.5))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""WITH c AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN source = 'src0' THEN 2
+             |              WHEN source = 'src1' THEN 2 +
+             |                CASE WHEN (((doc_id % 2147483648 + 1) % 2147483648)
+             |                           * 2654435761) % 4294967296 < 2147483648
+             |                     THEN 1 ELSE 0 END
+             |              ELSE 1 END AS n_copies
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |       CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch
+             |FROM c
+             |ORDER BY doc_id, epoch""".stripMargin),
+      doc = "epoch-based upsampling: floor(e) copies + hash-selected fractional copy, expected multiplicity e"),
+
     // Curriculum assignment: 4 length-quantile buckets per language —
     // the easy-to-hard schedule a curriculum trainer consumes.
     Q("doc_curriculum_buckets",

@@ -69,6 +69,15 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefilter path equals the exact broadcast path") {
+    val exact = Decontaminate.contaminated(train, evalSet, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Decontaminate.contaminatedBloom(train, evalSet, "doc_id", "text",
+        k = 3, expectedEvalShingles = 1000L)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact)
+  }
+
   test("k larger than a doc's length yields no shingles, never a crash") {
     val tiny = Seq((7L, "two words")).toDF("doc_id", "text")
     assert(Decontaminate.contaminated(tiny, evalSet, "doc_id", "text", k = 3)

@@ -59,6 +59,27 @@ class SamplingSpec extends SparkSpec {
     assert(ids1.subsetOf(ids2))
   }
 
+  test("upsample: floor copies + ~fractional extras, epoch indices 1..n") {
+    val src = docs.withColumn("source",
+      concat(lit("s"), pmod($"doc_id", lit(2L)).cast("string")))
+    val up = Sampling.upsampleByEpochs(src, "doc_id", "source",
+      Map("s0" -> 3.0, "s1" -> 1.5))
+    val perDoc = up.groupBy($"doc_id", $"source").count()
+      .as[(Long, String, Long)].collect()
+    assert(perDoc.filter(_._2 == "s0").forall(_._3 == 3))
+    val s1Counts = perDoc.filter(_._2 == "s1").map(_._3)
+    assert(s1Counts.forall(c => c == 1 || c == 2))
+    val frac = s1Counts.count(_ == 2).toDouble / s1Counts.length
+    assert(frac > 0.4 && frac < 0.6, s"fractional-copy rate $frac")
+    // epoch indices are 1..n per doc
+    val epochs = up.filter($"doc_id" === 0).select($"epoch").as[Int].collect().sorted
+    assert(epochs.sameElements(1 to epochs.length))
+    // zero epochs drops the source entirely
+    val none = Sampling.upsampleByEpochs(src, "doc_id", "source",
+      Map("s0" -> 0.0), defaultEpochs = 1.0)
+    assert(none.filter($"source" === "s0").count() == 0)
+  }
+
   test("curriculum buckets: balanced NTILE per stratum, deterministic order") {
     val out = Sampling.curriculumBuckets(docs, "stratum", "doc_id", "doc_id", 4)
     val sizes = out.groupBy($"stratum", $"bucket").count()
