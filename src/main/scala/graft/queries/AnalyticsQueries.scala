@@ -344,6 +344,56 @@ object AnalyticsQueries {
     // PIVOT with an explicit value list (the only scale-sane form —
     // inferring pivot values is a driver-side distinct). The oracle is
     // the equivalent conditional aggregate.
+    // RANGE-frame rolling window — the feature-store "activity in the
+    // hour before each event" signal. A RANGE frame is tie-inclusive,
+    // so the in-frame row SET is deterministic even when a user has
+    // equal timestamps; round(,2) absorbs the (set-identical)
+    // accumulation-order float noise.
+    Q("events_rolling_1h",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000 * 1000, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 2).as("sum_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       count(*) OVER w AS n_1h,
+             |       round(sum(value) OVER w, 2) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      doc = "RANGE-frame rolling 1-hour window per user (point-in-time activity features)"),
+
+    // TPC-H Q18 shape: HAVING over a grouped join chain — the
+    // large-order customers.
+    Q("q18_large_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, total_qty
+             |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING round(sum(l_quantity), 2) > 250) big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total_qty DESC, o_orderkey""".stripMargin),
+      doc = "TPC-H Q18 shape: HAVING over grouped join chain (large-order customers)"),
+
     Q("events_pivot_by_type",
       (s, dir) => Tables.events(s, dir)
         .filter(col("user_id") < 20)
