@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale model: ONE shuffle of |build| + |probe| rows keyed by the join
   * key, one sort per partition, zero row explosion, no driver state.
-  * Survives 100 TB under the usual keyed-window caveat (salt upstream if
-  * a single key dominates). Determinism caveat: if build has several
+  * Survives 100 TB under the usual keyed-window caveat; if a single key
+  * dominates, apply the salted two-phase pattern
+  * [[Sampling.stratifiedByHashSalted]] demonstrates — phase-1 the
+  * carry-forward within (key, time-bucket) salts, then stitch bucket
+  * boundaries with a per-(key, bucket) last-build row relation. Determinism caveat: if build has several
   * rows at the same (key, time), which one wins is sort-order dependent
   * — pre-aggregate build to one row per (key, time) for a deterministic
   * result.

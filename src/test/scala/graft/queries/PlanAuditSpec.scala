@@ -71,4 +71,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), p) // window over md5, no self-join
   }
+
+  test("samplers stay narrow: mixture filter and epoch upsampling never shuffle") {
+    for (name <- Seq("doc_sample_bernoulli", "doc_mixture_sample",
+        "doc_upsample_epochs")) {
+      val p = plan(name)
+      // the only allowed exchange is the final ORDER BY's range partition
+      assert(!p.contains("Exchange hashpartitioning"), s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+  }
+
+  test("text_repetition: ONE corpus scan feeds both word and bigram stats") {
+    val p = plan("text_repetition")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$p")
+  }
 }
