@@ -93,4 +93,91 @@ object AsofJoin {
       buildTimeAs.map(a => col("__b").getField("__bt").as(a)).toSeq
     joined.select(out: _*)
   }
+
+  /** Skew-safe [[asof]] for a dominant key: the keyed window above
+    * serializes ALL of a key's rows through one partition, so a key
+    * holding 10% of 100 TB stalls the stage. This variant runs the
+    * carry-forward within (key, time-bucket) — the hot key's sort
+    * splits across its time range — then fixes up the only rows that
+    * lost information (probes whose latest build sits in an EARLIER
+    * bucket) with a bucket-level boundary relation: one row per
+    * (key, bucket), carry-forwarded over buckets (bounded by the bucket
+    * count, not the row count) and joined back on (key, bucket) — a key
+    * whose skew is spread over time stays spread in the join. Output is
+    * row-for-row [[asof]] (spec-pinned).
+    *
+    * Times must be integral (e.g. epoch micros); `bucketWidth` is in
+    * those units — pick it so a hot key's per-bucket row count fits a
+    * partition (e.g. a day of micros for a year-spanning feed).
+    */
+  def asofSalted(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      probeTime: String,
+      buildTime: String,
+      payload: Seq[String],
+      bucketWidth: Long,
+      buildTimeAs: Option[String] = None,
+      inner: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val probeCols = probe.columns.toSeq
+    require(payload.intersect(probeCols).isEmpty,
+      s"payload columns collide with probe columns: ${payload.intersect(probeCols)}")
+    require(!payload.contains("__bt"), "payload column name __bt is reserved")
+
+    val bStruct = struct(col(buildTime).as("__bt") +: payload.map(col): _*)
+    val bType = build.select(bStruct.as("__b")).schema("__b").dataType
+    val buildRows = build.select(
+      col(key).as("__k") +: col(buildTime).as("__t") +: lit(0).as("__side") +:
+        bStruct.as("__b") +:
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeRows = probe.select(
+      col(key).as("__k") +: col(probeTime).as("__t") +: lit(1).as("__side") +:
+        lit(null).cast(bType).as("__b") +: probeCols.map(col): _*)
+    // integer floor-bucket (see RangeJoin for why not floor(t / w))
+    val unified = buildRows.unionByName(probeRows).withColumn("__bk",
+      expr(s"(__t - pmod(__t, ${bucketWidth}L)) div ${bucketWidth}L"))
+
+    // phase 1: the asof carry-forward, but per (key, BUCKET)
+    val w1 = Window.partitionBy(col("__k"), col("__bk"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = unified
+      .select(col("__side") +: col("__k") +: col("__bk") +:
+        (probeCols.map(col) :+
+          last(col("__b"), ignoreNulls = true).over(w1).as("__b")): _*)
+      .filter(col("__side") === 1)
+
+    // bucket-level boundary: latest build per (key, bucket) ...
+    val lastPerBucket = unified.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__bk"))
+      .agg(max_by(col("__b"), col("__b.__bt")).as("__bb"))
+    // ... carry-forwarded to each PROBE bucket over strictly-earlier
+    // buckets (probe side orders BEFORE build side at the same bucket,
+    // so same-bucket builds — phase 1's job — are excluded). One row
+    // per (key, bucket): the dominant key contributes #buckets rows to
+    // this window, not #rows.
+    val probeBuckets = inBucket.select(col("__k"), col("__bk")).distinct()
+      .select(col("__k"), col("__bk"), lit(0).as("__s"),
+        lit(null).cast(bType).as("__bb"))
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__bk"), col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = probeBuckets
+      .unionByName(lastPerBucket.select(col("__k"), col("__bk"),
+        lit(1).as("__s"), col("__bb")))
+      .select(col("__k"), col("__bk"), col("__s"),
+        last(col("__bb"), ignoreNulls = true).over(w2).as("__bb"))
+      .filter(col("__s") === 0)
+      .drop("__s")
+
+    // fix-up join keyed (key, bucket) — skew stays bucket-spread
+    val carried = inBucket.join(boundary, Seq("__k", "__bk"), "left")
+      .withColumn("__b", coalesce(col("__b"), col("__bb")))
+    val joined = if (inner) carried.filter(col("__b").isNotNull) else carried
+    val out = probeCols.map(col) ++
+      payload.map(p => col("__b").getField(p).as(p)) ++
+      buildTimeAs.map(a => col("__b").getField("__bt").as(a)).toSeq
+    joined.select(out: _*)
+  }
 }

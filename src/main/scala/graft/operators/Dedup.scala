@@ -496,6 +496,19 @@ object Dedup {
     // truncates the plan to the materialized partitions every round.
     var e = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
+    // same loop-shuffle treatment as [[connectedComponents]]: with the
+    // per-round data materialized, suspend AQE's per-stage barriers and
+    // size the static shuffles from the measured edge count
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeBefore = spark.conf.get(aqeKey, "true")
+    val partsBefore = spark.conf.get(partsKey, "200")
+    val edgeCount = e.count()
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partsKey,
+      math.min(partsBefore.toLong, edgeCount / 500000L + 1L).toString)
+    try {
     var w = witness(e)
     var converged = false
     var it = 0
@@ -508,10 +521,18 @@ object Dedup {
       w = w2
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds " +
+          s"($edgeCount edges) — labeling may be non-final; raise maxIter")
     // fixpoint: every component is a star (member, root) + the root itself
     val labels = e.select(col("u").as(idOut), col("v").as(compOut))
       .unionByName(e.select(col("v").as(idOut), col("v").as(compOut)).distinct())
       .distinct()
     labels
+    } finally {
+      spark.conf.set(aqeKey, aqeBefore)
+      spark.conf.set(partsKey, partsBefore)
+    }
   }
 }

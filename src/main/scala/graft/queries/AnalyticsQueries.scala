@@ -261,6 +261,38 @@ object AnalyticsQueries {
       doc = "as-of (point-in-time) join: latest preceding purchase per click, " +
         "single-shuffle union+carry-forward form (AsofJoin)"),
 
+    // The skew-safe variant against the SAME DuckDB ASOF JOIN oracle:
+    // bucketing the carry-forward by time (1h buckets over the ~week of
+    // events) must not change a single row.
+    Q("events_asof_join_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("t", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("t"))
+        val build = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("t").as("pt"))
+          .agg(round(max(col("value")), 2).as("purchase_value"))
+        graft.operators.AsofJoin.asofSalted(
+            probe, build, key = "user_id", probeTime = "t", buildTime = "pt",
+            payload = Seq("purchase_value"), bucketWidth = 3600L * 1000 * 1000,
+            buildTimeAs = Some("purchase_t"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS t
+             |  FROM events WHERE event_type = 'click'),
+             |b AS (
+             |  SELECT user_id, epoch_us(ts) AS pt,
+             |         round(max(value), 2) AS purchase_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.t, b.purchase_value,
+             |       b.pt AS purchase_t
+             |FROM p ASOF JOIN b ON p.user_id = b.user_id AND p.t >= b.pt
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "skew-safe as-of join: (key, time-bucket) carry-forward + bucket-level " +
+        "boundary fix-up == plain as-of (AsofJoin.asofSalted)"),
+
     // Attribution windows: every signup opens a 24h interval; count the
     // same user's purchases inside it. Windows of one user overlap when
     // signups are < 24h apart, so pair-uniqueness of the binned join is

@@ -49,6 +49,33 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size === 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("salted variant equals plain asof at every bucket width (inner + left)") {
+    for (w <- Seq(1L, 3L, 7L, 100L); in <- Seq(true, false)) {
+      val plain = AsofJoin.asof(probe, build, "k", "t", "bt",
+          payload = Seq("v"), buildTimeAs = Some("mt"), inner = in)
+        .orderBy($"k", $"t").collect().toSeq
+      val salted = AsofJoin.asofSalted(probe, build, "k", "t", "bt",
+          payload = Seq("v"), bucketWidth = w, buildTimeAs = Some("mt"), inner = in)
+        .orderBy($"k", $"t").collect().toSeq
+      assert(salted === plain, s"bucketWidth=$w inner=$in")
+    }
+  }
+
+  test("salted variant on a dominant key: correct across bucket boundaries") {
+    // one key holds everything; builds sparse, probes dense — most
+    // probes must reach back across several empty buckets
+    val hotBuild = (0 until 10).map(i => ("hot", i * 50L, i.toDouble)).toDF("k", "bt", "v")
+    val hotProbe = (0 until 500).map(i => ("hot", i.toLong, s"p$i")).toDF("k", "t", "label")
+    val plain = AsofJoin.asof(hotProbe, hotBuild, "k", "t", "bt", payload = Seq("v"))
+      .orderBy($"t").as[(String, Long, String, Double)].collect().toSeq
+    val salted = AsofJoin.asofSalted(hotProbe, hotBuild, "k", "t", "bt",
+        payload = Seq("v"), bucketWidth = 7L)
+      .orderBy($"t").as[(String, Long, String, Double)].collect().toSeq
+    assert(salted === plain)
+    // spot-check the semantics themselves: probe t=123 → build at 100 (v=2)
+    assert(plain.find(_._2 == 123L).get._4 === 2.0)
+  }
+
   test("payload name collision with probe columns is rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.asof(probe, build.withColumnRenamed("v", "label"),
