@@ -73,6 +73,62 @@ object Sampling {
     df.filter(idHash(col(idCol)) < threshold)
   }
 
+  /** Sequence-packing layout: order docs by the portable id-hash within
+    * each stratum, run an EXCLUSIVE running weight total, and cut packs
+    * at `cap`: (pack_id, pack_offset) per doc — deterministic under any
+    * partitioning. One keyed window (the giant-stratum caveat applies —
+    * use [[packLayoutSalted]] past one partition's worth of stratum).
+    */
+  def packLayout(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / cap).cast("long"))
+      .withColumn("pack_offset", pmod(col("cum_before"), lit(cap)))
+      .drop("cum_before")
+  }
+
+  /** [[packLayout]] as a DISTRIBUTED prefix scan — the classic
+    * two-phase form every runtime uses for scan at scale: bucket the
+    * hash order into `buckets` contiguous ranges (order-preserving, so
+    * the global ordering is untouched), run the running total within
+    * (stratum, bucket) — the giant stratum's sort now splits `buckets`
+    * ways — then lift each bucket by the exclusive cumulative total of
+    * its predecessors (a window over ≤ `buckets` rows per stratum) via
+    * an equi-join on (stratum, bucket). Byte-identical output to
+    * [[packLayout]] (spec-pinned; the catalog query shares the oracle).
+    */
+  def packLayoutSalted(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, cap: Long, buckets: Int = 32): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(buckets > 0 && 4294967296L % buckets == 0,
+      s"buckets must divide 2^32: $buckets")
+    val width = 4294967296L / buckets
+    // h is non-negative, so `div` floors; bucket is monotone in h and
+    // ties share a bucket — global (h, id) order is preserved
+    val base = df.withColumn("__h", idHash(col(idCol)))
+      .withColumn("__bk", expr(s"__h div ${width}L"))
+    val w1 = Window.partitionBy(col(stratumCol), col("__bk"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = base.withColumn("__cin",
+      coalesce(sum(col(weightCol)).over(w1), lit(0L)))
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(stratumCol), col("__bk"))
+      .agg(sum(col(weightCol)).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(w2), lit(0L)))
+      .select(col(stratumCol), col("__bk"), col("__off"))
+    inBucket.join(offsets, Seq(stratumCol, "__bk"))
+      .withColumn("cum_before", col("__cin") + col("__off"))
+      .withColumn("pack_id", floor(col("cum_before") / cap).cast("long"))
+      .withColumn("pack_offset", pmod(col("cum_before"), lit(cap)))
+      .drop("cum_before", "__h", "__bk", "__cin", "__off")
+  }
+
   /** Epoch-based upsampling — the other half of a mixture recipe
     * ("3.4 epochs of source A"): every row is replicated floor(e) times
     * and one extra time for a deterministic hash-selected `e − floor(e)`

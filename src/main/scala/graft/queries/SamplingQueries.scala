@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries {
 
+  /** Shared by doc_pack_layout and its salted twin — identical output
+    * is the property under test.
+    */
+  private val packOracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_words,
+      |         COALESCE(sum(n_words) OVER (
+      |           PARTITION BY lang
+      |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_before
+      |  FROM d)
+      |SELECT doc_id, lang, n_words,
+      |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+      |       CAST(cum_before % 512 AS BIGINT) AS pack_offset
+      |FROM c
+      |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("doc_sample_bernoulli",
@@ -126,39 +148,30 @@ object SamplingQueries {
     // portable id-hash as the samplers so the layout is reproducible
     // regardless of partitioning.
     Q("doc_pack_layout",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cap = 512
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast("long").as("n_words"))
-          .withColumn("cum_before", coalesce(sum(col("n_words")).over(w), lit(0L)))
-          .select(col("doc_id"), col("lang"), col("n_words"),
-            floor(col("cum_before") / cap).cast("long").as("pack_id"),
-            pmod(col("cum_before"), lit(cap.toLong)).as("pack_offset"))
-          .orderBy(col("lang"), col("pack_id"), col("pack_offset"), col("doc_id"))
-      },
-      Some("""WITH d AS (
-             |  SELECT doc_id, lang,
-             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, lang, n_words,
-             |         COALESCE(sum(n_words) OVER (
-             |           PARTITION BY lang
-             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |           AS cum_before
-             |  FROM d)
-             |SELECT doc_id, lang, n_words,
-             |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
-             |       CAST(cum_before % 512 AS BIGINT) AS pack_offset
-             |FROM c
-             |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin),
+      (s, dir) => Sampling.packLayout(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_words")),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_words", cap = 512)
+        .orderBy(col("lang"), col("pack_id"), col("pack_offset"), col("doc_id")),
+      Some(packOracle),
       doc = "sequence-packing layout: per-language running token offset -> (pack, offset) at 512-token context"),
+
+    // The distributed-prefix-scan form against the SAME oracle: bucketed
+    // running totals + bucket-offset lift must reproduce the layout
+    // byte-for-byte while the giant stratum's scan splits 16 ways.
+    Q("doc_pack_layout_salted",
+      (s, dir) => Sampling.packLayoutSalted(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_words")),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_words",
+          cap = 512, buckets = 16)
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("lang"), col("pack_id"), col("pack_offset"), col("doc_id")),
+      Some(packOracle),
+      doc = "two-phase distributed prefix scan == plain pack layout (giant-stratum-safe)"),
 
     // Train/val/test assignment by disjoint hash ranges (80/10/10): the
     // same narrow filter arithmetic as the Bernoulli sampler, so splits

@@ -92,6 +92,29 @@ class SamplingSpec extends SparkSpec {
     assert(perStratum.sorted.sameElements(perStratum))
   }
 
+  test("pack layout: salted prefix scan == plain, incl. one giant stratum") {
+    val weighted = docs.withColumn("w", pmod($"doc_id" * 7, lit(40L)) + 1)
+    for (buckets <- Seq(1, 4, 16, 256)) {
+      val plain = Sampling.packLayout(weighted, "stratum", "doc_id", "w", cap = 100)
+        .select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().toSet
+      val salted = Sampling.packLayoutSalted(weighted, "stratum", "doc_id", "w",
+          cap = 100, buckets = buckets)
+        .select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(salted === plain, s"buckets=$buckets")
+    }
+    // a single stratum holding everything — the case the scan exists for
+    val one = weighted.withColumn("stratum", lit("all"))
+    val p = Sampling.packLayout(one, "stratum", "doc_id", "w", cap = 100)
+      .select($"doc_id", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    val sd = Sampling.packLayoutSalted(one, "stratum", "doc_id", "w", cap = 100)
+      .select($"doc_id", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sd === p)
+  }
+
   test("salted two-phase stratified equals the plain form (rows AND ranks)") {
     for (salts <- Seq(1, 4, 16, 64)) {
       val plain = Sampling.stratifiedByHash(docs, "stratum", "doc_id", 25)
