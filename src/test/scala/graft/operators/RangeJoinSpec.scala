@@ -43,6 +43,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned === naive)
   }
 
+  test("negative coordinates bin by FLOOR, matches the naive join") {
+    // truncation-style division would bin -5 and 5 together and can
+    // drop a true pair at a negative boundary; pmod-floor must not
+    val negPoints = Seq(("a", -25L), ("a", -10L), ("a", -1L), ("a", 0L))
+      .toDF("k", "t")
+    val negIntervals = Seq(("a", -30L, -10L, "n1"), ("a", -5L, 5L, "n2"))
+      .toDF("k", "lo", "hi", "iv")
+    val naive = negPoints.as("p").join(negIntervals.as("i"),
+        $"p.k" === $"i.k" && $"p.t" >= $"i.lo" && $"p.t" <= $"i.hi")
+      .select($"p.k", $"p.t", $"i.iv").as[(String, Long, String)].collect().toSet
+    for (w <- Seq(1L, 7L, 10L, 100L)) {
+      val binned = RangeJoin.pointInInterval(negPoints, negIntervals,
+          "k", "t", "lo", "hi", w)
+        .select($"k", $"t", $"iv").as[(String, Long, String)].collect().toSet
+      assert(binned === naive, s"width=$w")
+    }
+  }
+
   test("colliding interval column names are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, intervals.withColumnRenamed("iv", "t"),

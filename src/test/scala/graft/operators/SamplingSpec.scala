@@ -42,6 +42,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === 6)
   }
 
+  test("idHash and the upsample salt are ANSI-safe at any Long id") {
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // ids past 3.47e9 overflowed the raw Knuth multiply (ADVICE r3);
+      // the mod-2^31 reduction must keep every id in range, throw-free
+      val big = Seq(Long.MaxValue, Long.MaxValue - 1, 3470000001L, 0L)
+        .toDF("doc_id").withColumn("source", lit("s"))
+      val hashes = big.select(Sampling.idHash($"doc_id").as("h"))
+        .as[Long].collect()
+      assert(hashes.forall(h => h >= 0 && h < 4294967296L))
+      // small ids are unchanged vs the unreduced form (oracle parity)
+      assert(Seq((42L, "s")).toDF("doc_id", "source")
+        .select(Sampling.idHash($"doc_id")).as[Long].head() ==
+        (42L * 2654435761L) % 4294967296L)
+      // the epoch-upsampling fractional salt also survives Long.MaxValue
+      val up = Sampling.upsampleByEpochs(big, "doc_id", "source", Map("s" -> 1.5))
+      assert(up.count() >= 4)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("mixture: per-source rates, nested (raising a rate only adds docs)") {
     val src = docs.withColumn("source",
       concat(lit("s"), pmod($"doc_id", lit(3L)).cast("string")))
