@@ -68,6 +68,48 @@ object MultimodalQueries {
              |FROM (SELECT doc_id, L, flen, unnest(generate_series(0, 3)) AS i FROM f)
              |WHERE L - i * flen > 0
              |ORDER BY id, frame_idx""".stripMargin),
-      doc = "video frame sampling: binary substring slices, codegen only")
+      doc = "video frame sampling: binary substring slices, codegen only"),
+
+    // Frame-level exact dedup: multimodal feeding the dedup surface.
+    // Byte-identical media (the injected doc_id+100000 copies, as in
+    // dedup_exact) slice into byte-identical frames, so canonical =
+    // min id per distinct frame content maps every injected frame back
+    // to its original — the same 16-byte-hash group as dedup_exact,
+    // over binary media slices.
+    Q("mm_frame_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val withDups = docs.select(col("doc_id"), col("text")).unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val frames = Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(withDups, "video"), n = 4)
+        frames.select(col("id"), col("frame_idx"),
+            min(col("id")).over(Window.partitionBy(md5(col("frame"))))
+              .as("canonical_id"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      // documents are ASCII, so character slices equal the Spark side's
+      // UTF-8 byte slices (DuckDB's substring has no BLOB overload)
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text
+             |  FROM documents WHERE doc_id < 50),
+             |f AS (SELECT doc_id, text,
+             |                  (length(text) + 3) // 4 AS flen
+             |           FROM all_docs),
+             |fr AS (SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             |              substring(text, i * flen + 1, flen) AS frame
+             |       FROM (SELECT doc_id, text, flen,
+             |                    unnest(generate_series(0, 3)) AS i
+             |             FROM f)
+             |       WHERE length(substring(text, i * flen + 1, flen)) > 0)
+             |SELECT id, frame_idx,
+             |       min(id) OVER (PARTITION BY frame) AS canonical_id
+             |FROM fr
+             |ORDER BY id, frame_idx""".stripMargin),
+      doc = "frame-level exact dedup: canonical = min id per distinct frame bytes")
   )
 }
