@@ -173,6 +173,72 @@ object SamplingQueries {
       Some(packOracle),
       doc = "two-phase distributed prefix scan == plain pack layout (giant-stratum-safe)"),
 
+    // The whole recipe as ONE oracled query: mixture-sample the
+    // training split, scrub eval n-gram contamination, lay the
+    // survivors out into 512-token packs, and summarize per pack —
+    // every stage is the engine's own operator, and DuckDB reproduces
+    // the entire chain (the point: the pipeline's semantics are
+    // engine-independent, not an artifact of Spark's execution).
+    Q("doc_pipeline_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val evalSet = docs.filter(col("doc_id") < 25)
+        val train = docs.filter(col("doc_id") >= 25)
+        val mixed = Sampling.mixtureByHash(train, "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.4)
+        val clean = graft.operators.Decontaminate.decontaminate(
+          mixed, evalSet, "doc_id", "text", k = 3)
+        val packed = Sampling.packLayoutSalted(
+          clean.select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_words")),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_words",
+          cap = 512, buckets = 16)
+        packed.groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some("""WITH ev AS (SELECT string_split(text, ' ') AS l
+             |            FROM documents WHERE doc_id < 25),
+             |evs AS (SELECT DISTINCT
+             |               unnest(list_transform(range(1, len(l) - 1),
+             |                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |        FROM ev),
+             |mixed AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id >= 25
+             |    AND ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |        CASE WHEN source = 'src0' THEN 4294967296
+             |             WHEN source = 'src1' THEN 2147483648
+             |             WHEN source = 'src2' THEN 1073741824
+             |             ELSE 1717986918 END),
+             |ts AS (SELECT DISTINCT doc_id, unnest(list_transform(
+             |               range(1, len(string_split(text, ' ')) - 1),
+             |               i -> string_split(text, ' ')[i] || ' '
+             |                    || string_split(text, ' ')[i+1] || ' '
+             |                    || string_split(text, ' ')[i+2])) AS sh
+             |       FROM mixed),
+             |bad AS (SELECT DISTINCT doc_id FROM ts JOIN evs USING (sh)),
+             |clean AS (SELECT m.doc_id, m.lang,
+             |                 CAST(len(string_split(m.text, ' ')) AS BIGINT) AS n_words
+             |          FROM mixed m LEFT JOIN bad b USING (doc_id)
+             |          WHERE b.doc_id IS NULL),
+             |c AS (SELECT doc_id, lang, n_words,
+             |             COALESCE(sum(n_words) OVER (
+             |               PARTITION BY lang
+             |               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+             |                        doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |               AS cum_before
+             |      FROM clean)
+             |SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_words) AS BIGINT) AS n_words_total
+             |FROM c
+             |GROUP BY lang, pack_id
+             |ORDER BY lang, pack_id""".stripMargin),
+      doc = "end-to-end recipe: mixture sample -> decontaminate -> pack layout -> per-pack summary, one oracle"),
+
     // Train/val/test assignment by disjoint hash ranges (80/10/10): the
     // same narrow filter arithmetic as the Bernoulli sampler, so splits
     // are stable under repartitioning AND mutually exclusive by
