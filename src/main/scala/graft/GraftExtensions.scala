@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleList, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch}
+import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleList, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch, WinnowSet}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `sign_sketch64(array<float|double>) -> bigint` (cosine LSH)
   *   - `shingle_set(string, k int) -> array<string>`
   *   - `shingle_list(string, k int) -> array<string>` (non-distinct)
+  *   - `winnow_set(string, k int, w int) -> array<bigint>` (MOSS fingerprints)
   *   - `ordered_pairs(array<bigint>) -> array<struct<id_a,id_b>>`
   *   - `tags_any_match(map<string,string>, array<string 'k=v'>) -> boolean`
   *     (the dimension argument must be a foldable literal array — it IS
@@ -80,6 +81,8 @@ object GraftExtensions {
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1), "shingle_set k"))),
     "shingle_list" -> (es => ShingleList(es(0), intArg(es(1), "shingle_list k"))),
     "ordered_pairs" -> (es => OrderedPairs(es(0))),
+    "winnow_set" -> (es => WinnowSet(es(0),
+      intArg(es(1), "winnow_set k"), intArg(es(2), "winnow_set w"))),
     "tags_any_match" -> (es => TagsAnyMatch(es(0), pairsArg(es(1))))
   )
 

@@ -63,6 +63,9 @@ object Sketches {
 
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(s)))
+
+  def winnowSet(s: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowSet(Bridge.expression(s), k, w))
 }
 
 /** Polynomial rolling hash (Rabin–Karp) of a string's UTF-8 bytes:
@@ -105,6 +108,83 @@ case class RollingHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003 — the MOSS algorithm): hash every k-char window with a
+  * Rabin–Karp rolling hash, then in every window of `w` consecutive
+  * hashes select the minimum (rightmost on ties), recording each newly
+  * selected position once. Guarantee: any shared substring of length
+  * ≥ w + k − 1 between two documents shares at least one selected
+  * fingerprint, while only ~2/(w+1) of all window hashes are kept —
+  * the sub-linear fingerprint set near-dup detection over long
+  * documents wants. Output: the selected hashes, distinct, ascending
+  * (a canonical set — document order doesn't survive, matching use as
+  * a set-membership fingerprint).
+  */
+case class WinnowSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  require(k >= 1, "k-gram size must be >= 1")
+  require(w >= 1, "winnow window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_set"
+
+  private final val P = (1L << 61) - 1
+  private final val B = 131L
+
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val part = ((hi % P) * 8) % P
+    (part + java.lang.Long.remainderUnsigned(lo, P)) % P
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // leading-byte-highest-power orientation rolls in O(1):
+    // h_{i+1} = (h_i − b_i·B^{k−1})·B + b_{i+k}
+    var powK1 = 1L
+    var j = 0
+    while (j < k - 1) { powK1 = mulMod(powK1, B); j += 1 }
+    val hashes = new Array[Long](n)
+    var h = 0L
+    j = 0
+    while (j < k) { h = (mulMod(h, B) + (bytes(j) & 0xFFL)) % P; j += 1 }
+    hashes(0) = h
+    var i = 1
+    while (i < n) {
+      h = (h - mulMod(bytes(i - 1) & 0xFFL, powK1) % P + P) % P
+      h = (mulMod(h, B) + (bytes(i + k - 1) & 0xFFL)) % P
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum per w-window, each position once
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(1, n - w + 1)
+    var lastIdx = -1
+    var p = 0
+    while (p < windows) {
+      val end = math.min(p + w, n)
+      var minIdx = p
+      var q = p + 1
+      while (q < end) { if (hashes(q) <= hashes(minIdx)) minIdx = q; q += 1 }
+      if (minIdx != lastIdx) { selected.add(hashes(minIdx)); lastIdx = minIdx }
+      p += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
     copy(child = newChild)
 }
 

@@ -263,6 +263,19 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "eval-set decontamination: n-gram overlap flags (broadcast probe, corpus never shuffles)"),
 
+    // MOSS winnowing fingerprints (Schleimer et al. 2003): the
+    // sub-linear robust fingerprint set for long-document near-dup
+    // detection. Rolling-hash internals aren't ANSI-expressible —
+    // golden-pinned (GoldenOutputSpec), rows-only at the driver.
+    Q("text_winnow_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.Sketches.winnowSet(
+            regexp_replace(lower(col("text")), " +", " "), k = 8, w = 16)).as("fp"))
+        .orderBy(col("doc_id"), col("fp")),
+      None, // 61-bit rolling-hash fingerprints not expressible in ANSI SQL
+      doc = "winnowing (MOSS) fingerprint selection: ~2/(w+1) density, shared-substring guarantee"),
+
     Q("text_scrub_pii",
       (s, dir) => Tables.documents(s, dir)
         .filter(col("doc_id") < 100)

@@ -38,6 +38,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("cosine_sim", "minhash_signature", "simhash64",
         "rolling_hash64", "tags_any_match", "sign_sketch64",
-        "shingle_set", "shingle_list", "ordered_pairs"))
+        "shingle_set", "shingle_list", "ordered_pairs", "winnow_set"))
   }
 }

@@ -28,4 +28,9 @@ class GoldenOutputSpec extends SparkSpec {
   test("text_fingerprint_rolling output is bit-stable (golden content hash)") {
     assert(contentHash("text_fingerprint_rolling") == ((500L, "111465474591936582990")))
   }
+
+  test("text_winnow_fingerprint output is bit-stable (golden content hash)") {
+    assert(contentHash("text_winnow_fingerprint") ==
+      ((13799L, "338014082844834428634")))
+  }
 }
