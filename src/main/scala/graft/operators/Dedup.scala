@@ -434,6 +434,36 @@ object Dedup {
     }
   }
 
+  /** Winnowing-fingerprint near-dup pairs — the MOSS matching step:
+    * [[graft.functions.WinnowSet]] selects ~2/(w+1) of each document's
+    * k-char-gram hashes (with the shared-substring guarantee), and the
+    * usual inverted-index machinery pairs documents by shared
+    * fingerprints. The SUB-LINEAR per-doc fingerprint set is what makes
+    * this the long-document path: a 100-page document contributes
+    * dozens of postings, not tens of thousands of shingles — the
+    * posting relation shrinks by ~(w+1)/2 versus shingle-Jaccard
+    * before any join happens. Same skew cap as
+    * [[jaccardPairsGrouped]]; candidates are pairs sharing at least
+    * `minShared` fingerprints (exact similarity verification is the
+    * caller's policy — fingerprint overlap IS the MOSS score).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Long = 2L,
+      maxFpDf: Long = 0L): DataFrame = {
+    val fps = docs.select(col(idCol).as("__id"),
+      explode(Sketches.winnowSet(
+        regexp_replace(lower(col(textCol)), " +", " "), k, w)).as("fp"))
+    var postings = fps.groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    if (maxFpDf > 0) postings = postings.filter(size(col("ids")) <= maxFpDf)
+    postings
+      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — the O(log n)-
     * round fallback to [[connectedComponents]] for graphs with long

@@ -132,6 +132,21 @@ object DedupQueries {
       Some(jaccardOracle),
       doc = "MinHash(32) + LSH banding (16x2) + exact verify of candidates"),
 
+    // MOSS winnowing pairs: sub-linear fingerprints feed the same
+    // inverted-index pairing as Jaccard — the long-document dedup path.
+    // Knobs are corpus-tuned, as MOSS's are: this synthetic corpus is
+    // template-generated, so fingerprints with df > 50 are template
+    // noise (the skew cap doubles as the noise filter — probed: planted
+    // near-dup pairs share 50-58 capped fingerprints, noise pairs ≤ 18,
+    // so minShared = 20 sits in the gap). Golden-pinned: rolling-hash
+    // fingerprints aren't ANSI-expressible.
+    Q("dedup_winnow_pairs",
+      (s, dir) => Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 8, minShared = 20, maxFpDf = 50)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      doc = "winnowing-fingerprint near-dup pairs (MOSS matching; sub-linear postings)"),
+
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8)

@@ -87,6 +87,46 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("winnowPairs: near-identical docs pair strongly, unrelated never") {
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green bottles stand quietly on the old stone wall near the river bend"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("seventeen", "nineteen")), // one-word edit
+      (3L, "completely different content about spark catalyst physical " +
+        "plans and adaptive query execution at large scale")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 8, w = 4,
+        minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 3, s"expected strong overlap, got ${pairs.head._3}")
+    // exact duplicates share their ENTIRE fingerprint set
+    val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val n = Dedup.winnowPairs(dup, "doc_id", "text", k = 8, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].head()._3
+    val fpCount = dup.select(explode(graft.functions.Sketches.winnowSet(
+        regexp_replace(lower($"text"), " +", " "), 8, 4))).distinct().count()
+    assert(n == fpCount)
+  }
+
+  test("winnowPairs on testdata: pairs agree with the exact-Jaccard planted set") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val jaccard = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val winnow = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 8, minShared = 20, maxFpDf = 50)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // different modality (char-gram fingerprints vs word-shingle
+    // Jaccard) — expect majority agreement, not identity
+    val hit = winnow.intersect(jaccard).size
+    assert(hit >= jaccard.size / 2,
+      s"winnow recovered $hit of ${jaccard.size} Jaccard pairs (winnow=${winnow.size})")
+    assert((winnow -- jaccard).size <= winnow.size / 2,
+      s"too many non-Jaccard extras: ${(winnow -- jaccard).size} of ${winnow.size}")
+  }
+
   test("maxShingleDf skew guard drops hot shingles but keeps planted dups") {
     val docs = Tables.documents(spark, sf())
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = 1000)

@@ -33,4 +33,8 @@ class GoldenOutputSpec extends SparkSpec {
     assert(contentHash("text_winnow_fingerprint") ==
       ((13799L, "338014082844834428634")))
   }
+
+  test("dedup_winnow_pairs output is bit-stable (golden content hash)") {
+    assert(contentHash("dedup_winnow_pairs") == ((21L, "-38919771205913306528")))
+  }
 }
