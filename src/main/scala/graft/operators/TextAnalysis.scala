@@ -102,6 +102,75 @@ object TextAnalysis {
           lit(0.0)).as("dup_2gram_frac"))
   }
 
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016, as used
+    * by every BPE/WordPiece-family tokenizer): start from characters,
+    * repeatedly count adjacent symbol pairs across the corpus weighted
+    * by word frequency, and merge the most frequent pair. The learned
+    * merge list IS the tokenizer.
+    *
+    * Distributed shape: the corpus collapses to (symbol-array, count)
+    * word frequencies ONCE — all further rounds run on the vocabulary,
+    * which is orders of magnitude smaller than the corpus and shrinks
+    * as merges land. Each round is one map-side-combinable pair-count
+    * aggregate (explode of zipped array slices) + a driver argmax of
+    * ONE row + a narrow merge map; per-round results are persisted and
+    * the previous round dropped, so lineage stays flat. Ties break
+    * deterministically by (count desc, left, right).
+    *
+    * @return one row per learned merge: (rank, left, right, pair_count)
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .persist()
+    vocab.count()
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2 // greedy left-to-right, no overlap
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = vocab
+        .select(explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, n))
+        val next = vocab
+          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Fingerprints: 64-bit-hex prefix of md5 over whitespace-normalized
     * lowercase text (portable, oracle-checkable) plus the Rabin–Karp
     * rolling hash (the windowed-fingerprint primitive).

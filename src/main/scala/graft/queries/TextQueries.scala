@@ -263,6 +263,17 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "eval-set decontamination: n-gram overlap flags (broadcast probe, corpus never shuffles)"),
 
+    // BPE merge training (the tokenizer-learning step): iterative
+    // corpus-wide pair counting over the collapsed word-frequency
+    // vocabulary. Golden-pinned — the iterative argmax isn't
+    // ANSI-expressible.
+    Q("text_bpe_merges",
+      (s, dir) => TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), "text",
+        numMerges = 8)
+        .orderBy(col("rank")),
+      None,
+      doc = "BPE merge training: per-round corpus-wide pair argmax over word frequencies"),
+
     // MOSS winnowing fingerprints (Schleimer et al. 2003): the
     // sub-linear robust fingerprint set for long-document near-dup
     // detection. Rolling-hash internals aren't ANSI-expressible —

@@ -22,6 +22,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6)         // stopword 1/3
   }
 
+  test("bpeTrainMerges: hand-computed merges on a toy corpus, deterministic") {
+    // corpus: "low low low lower lowest"
+    //   word counts: low:3, lower:1, lowest:1
+    //   pair counts round 1: (l,o):5 (o,w):5 (w,e):2 (e,r):1 (e,s):1 (s,t):1
+    //   tie (l,o) vs (o,w) breaks on left asc -> (l,o) first
+    //   round 2: (lo,w):5 wins; round 3: (low,e):2
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (0, "l", "o", 5L),
+      (1, "lo", "w", 5L),
+      (2, "low", "e", 2L)))
+    // deterministic under repartition
+    val m2 = TextAnalysis.bpeTrainMerges(
+        docs.union(docs).repartition(7).except(docs.limit(0)).distinct(), "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m2.map(t => (t._1, t._2, t._3)) == m.map(t => (t._1, t._2, t._3)))
+  }
+
+  test("bpeTrainMerges: stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // single-char words
+    val m = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 5)
+    assert(m.count() == 0)
+  }
+
   test("repetitionStats: hand-computed fractions, single-word edge") {
     val df = Seq(
       (1L, "a a a b"),      // top a: 3/4; dup words: (4-2)/4; bigrams: {a a, a a, a b} → (3-2)/3

@@ -37,4 +37,8 @@ class GoldenOutputSpec extends SparkSpec {
   test("dedup_winnow_pairs output is bit-stable (golden content hash)") {
     assert(contentHash("dedup_winnow_pairs") == ((21L, "-38919771205913306528")))
   }
+
+  test("text_bpe_merges output is bit-stable (golden content hash)") {
+    assert(contentHash("text_bpe_merges") == ((8L, "-8506858618753235583")))
+  }
 }
