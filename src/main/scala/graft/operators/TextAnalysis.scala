@@ -171,6 +171,39 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned BPE merge list ([[bpeTrainMerges]] output order):
+    * each word starts as characters and replays the merges in rank
+    * order — the standard greedy left-to-right application. One narrow
+    * map (the merge list rides in the closure — it IS the tokenizer,
+    * a few-thousand-entry broadcast), so encoding runs inline with the
+    * ingest scan at any corpus size.
+    * Output: (id, tokens array<string>, n_tokens).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encodeUdf = udf((text: String) => {
+      if (text == null) null
+      else text.split(" ", -1).filter(_.nonEmpty).flatMap { w =>
+        var syms: Array[String] = w.split("")
+        merges.foreach { case (a, b) =>
+          if (syms.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+        }
+        syms
+      }.toSeq
+    })
+    docs.select(col(idCol), encodeUdf(col(textCol)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Fingerprints: 64-bit-hex prefix of md5 over whitespace-normalized
     * lowercase text (portable, oracle-checkable) plus the Rabin–Karp
     * rolling hash (the windowed-fingerprint primitive).

@@ -42,6 +42,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2.map(t => (t._1, t._2, t._3)) == m.map(t => (t._1, t._2, t._3)))
   }
 
+  test("bpeEncode: learned merges tokenize as trained; unseen text falls back to chars") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(t => (t._2, t._3)) // rank order is the replay order
+    val enc = TextAnalysis.bpeEncode(
+        Seq((1L, "low lower"), (2L, "zz")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .orderBy($"doc_id")
+      .as[(Long, Seq[String], Int)].collect()
+    // merges: (l,o), (lo,w), (low,e) → "low"=[low], "lower"=[lowe,r]
+    assert(enc(0)._2 == Seq("low", "lowe", "r"))
+    assert(enc(0)._3 == 3)
+    assert(enc(1)._2 == Seq("z", "z")) // no merge covers zz
+  }
+
   test("bpeTrainMerges: stops early when no pairs remain") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // single-char words
     val m = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 5)
