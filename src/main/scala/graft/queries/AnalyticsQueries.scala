@@ -426,6 +426,72 @@ object AnalyticsQueries {
              |ORDER BY total_qty DESC, o_orderkey""".stripMargin),
       doc = "TPC-H Q18 shape: HAVING over grouped join chain (large-order customers)"),
 
+    // TPC-H Q4 shape: EXISTS decorrelates to a left-semi join with a
+    // non-equi conjunct; Catalyst plans the semi probe, never a
+    // row-multiplying inner join.
+    Q("q4_late_shipments",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      doc = "TPC-H Q4 shape: EXISTS -> left-semi with non-equi conjunct, grouped"),
+
+    // GROUPING SETS beyond ROLLUP: an explicit lattice of (flag,
+    // status), (flag), and grand total.
+    Q("q1_grouping_sets",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       count(*) AS n,
+             |       round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())
+             |ORDER BY rf, ls""".stripMargin),
+      doc = "GROUPING SETS lattice: (flag,status) + (flag) + grand total"),
+
+    // Rank-family windows beyond row_number/ntile: percent_rank and
+    // cume_dist are ratios of integers — bit-identical IEEE division
+    // in both engines.
+    Q("doc_length_percentiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd
+             |FROM documents
+             |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "percent_rank + cume_dist per language over document length"),
+
     Q("events_pivot_by_type",
       (s, dir) => Tables.events(s, dir)
         .filter(col("user_id") < 20)
