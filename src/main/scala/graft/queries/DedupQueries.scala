@@ -138,13 +138,43 @@ object DedupQueries {
     // template-generated, so fingerprints with df > 50 are template
     // noise (the skew cap doubles as the noise filter — probed: planted
     // near-dup pairs share 50-58 capped fingerprints, noise pairs ≤ 18,
-    // so minShared = 20 sits in the gap). Golden-pinned: rolling-hash
-    // fingerprints aren't ANSI-expressible.
+    // so minShared = 20 sits in the gap). Oracled: the winnow set is
+    // SQL-expressible (see text_winnow_fingerprint) and the pairing is
+    // a self-join; also golden-pinned in GoldenOutputSpec.
     Q("dedup_winnow_pairs",
       (s, dir) => Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 8, minShared = 20, maxFpDf = 50)
         .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some("""WITH t AS (SELECT doc_id,
+             |                  regexp_replace(lower(text), ' +', ' ', 'g') AS t
+             |           FROM documents),
+             |g AS (SELECT doc_id, i AS pos,
+             |        CAST(list_reduce(
+             |          list_prepend([CAST(0 AS HUGEINT)],
+             |            list_transform(range(i, i + 8),
+             |              j -> [CAST(unicode(substring(t, j, 1)) AS HUGEINT)])),
+             |          (acc, x) -> [(acc[1] * 131 + x[1])
+             |                       % 2305843009213693951])[1] AS BIGINT) AS h
+             |      FROM (SELECT doc_id, t,
+             |                   unnest(generate_series(1, length(t) - 8 + 1)) AS i
+             |            FROM t)),
+             |w AS (SELECT doc_id, pos, h,
+             |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
+             |        count(*) OVER (PARTITION BY doc_id) AS n
+             |      FROM g),
+             |fps AS (SELECT DISTINCT doc_id, wm AS fp FROM w
+             |        WHERE pos <= greatest(1, n - 8 + 1)),
+             |df AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       count(*) AS n_shared_fp
+             |FROM fps a
+             |JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |JOIN df ON df.fp = a.fp
+             |WHERE df.c BETWEEN 2 AND 50
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 20
+             |ORDER BY id_a, id_b""".stripMargin),
       doc = "winnowing-fingerprint near-dup pairs (MOSS matching; sub-linear postings)"),
 
     Q("dedup_simhash",

@@ -98,12 +98,29 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "document fingerprint: md5-64 over normalized text"),
 
+    // The mod-2^61-1 Rabin-Karp IS expressible in DuckDB: 128-bit
+    // HUGEINT arithmetic makes b·131^i mod p exact, and list_reduce
+    // carries (hash, power) as a 2-element accumulator. unicode() of a
+    // 1-char substring equals the UTF-8 byte for this ASCII corpus.
+    // (Kept golden-pinned too — GoldenOutputSpec — as the
+    // engine-independent belt to this oracle's braces.)
     Q("text_fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("fp_rolling"))
         .orderBy(col("doc_id")),
-      None, // Rabin-Karp mod-2^61-1 internals not expressible in ANSI SQL
-      doc = "document fingerprint: Rabin-Karp rolling hash (rows-only check)"),
+      Some("""SELECT doc_id,
+             |  CAST(list_reduce(
+             |    list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
+             |      list_transform(range(1, length(t) + 1),
+             |        i -> [CAST(unicode(substring(t, i, 1)) AS HUGEINT),
+             |              CAST(0 AS HUGEINT)])),
+             |    (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2305843009213693951,
+             |                 (acc[2] * 131) % 2305843009213693951])[1]
+             |    AS BIGINT) AS fp_rolling
+             |FROM (SELECT doc_id, regexp_replace(lower(text), ' +', ' ', 'g') AS t
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "document fingerprint: Rabin-Karp rolling hash (HUGEINT modular oracle)"),
 
     Q("text_vocab_by_lang",
       (s, dir) => Tables.documents(s, dir)
@@ -276,15 +293,38 @@ object TextQueries {
 
     // MOSS winnowing fingerprints (Schleimer et al. 2003): the
     // sub-linear robust fingerprint set for long-document near-dup
-    // detection. Rolling-hash internals aren't ANSI-expressible —
-    // golden-pinned (GoldenOutputSpec), rows-only at the driver.
+    // detection. The oracle exploits that the DISTINCT selected VALUES
+    // are exactly the distinct per-window minima (the rightmost-tie
+    // rule picks a position, never changes the value), so SQL window
+    // frames + the HUGEINT modular k-gram hash reproduce the set.
+    // Also golden-pinned in GoldenOutputSpec.
     Q("text_winnow_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.Sketches.winnowSet(
             regexp_replace(lower(col("text")), " +", " "), k = 8, w = 16)).as("fp"))
         .orderBy(col("doc_id"), col("fp")),
-      None, // 61-bit rolling-hash fingerprints not expressible in ANSI SQL
+      Some("""WITH t AS (SELECT doc_id,
+             |                  regexp_replace(lower(text), ' +', ' ', 'g') AS t
+             |           FROM documents),
+             |g AS (SELECT doc_id, i AS pos,
+             |        CAST(list_reduce(
+             |          list_prepend([CAST(0 AS HUGEINT)],
+             |            list_transform(range(i, i + 8),
+             |              j -> [CAST(unicode(substring(t, j, 1)) AS HUGEINT)])),
+             |          (acc, x) -> [(acc[1] * 131 + x[1])
+             |                       % 2305843009213693951])[1] AS BIGINT) AS h
+             |      FROM (SELECT doc_id, t,
+             |                   unnest(generate_series(1, length(t) - 8 + 1)) AS i
+             |            FROM t)),
+             |w AS (SELECT doc_id, pos, h,
+             |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                     ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wm,
+             |        count(*) OVER (PARTITION BY doc_id) AS n
+             |      FROM g)
+             |SELECT DISTINCT doc_id, wm AS fp FROM w
+             |WHERE pos <= greatest(1, n - 16 + 1)
+             |ORDER BY doc_id, fp""".stripMargin),
       doc = "winnowing (MOSS) fingerprint selection: ~2/(w+1) density, shared-substring guarantee"),
 
     Q("text_scrub_pii",
