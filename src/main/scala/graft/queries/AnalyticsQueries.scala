@@ -426,6 +426,45 @@ object AnalyticsQueries {
              |ORDER BY total_qty DESC, o_orderkey""".stripMargin),
       doc = "TPC-H Q18 shape: HAVING over grouped join chain (large-order customers)"),
 
+    // Correlated scalar subquery — exercises Catalyst's decorrelation
+    // (DecorrelateInnerQuery rewrites the per-row subquery into an
+    // aggregate + join; no per-row re-execution).
+    Q("orders_above_cust_avg",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+                |FROM orders_v o
+                |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+                |                            FROM orders_v i
+                |                            WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+             |                            FROM orders i
+             |                            WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "correlated scalar subquery (decorrelated to aggregate+join by Catalyst)"),
+
+    // min_by/max_by: the argmax aggregate family (one pass, no window).
+    // Scalar ordering key is deterministic here: verified 0 per-nation
+    // acctbal ties at every testdata SF (DuckDB's max_by takes no
+    // composite key, so a tie would make both engines order-dependent).
+    Q("supplier_top_by_nation",
+      (s, dir) => Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(max_by(col("s_name"), col("s_acctbal")).as("top_supplier"),
+          round(max(col("s_acctbal")), 2).as("top_acctbal"))
+        .orderBy(col("s_nationkey")),
+      Some("""SELECT s_nationkey,
+             |       max_by(s_name, s_acctbal) AS top_supplier,
+             |       round(max(s_acctbal), 2) AS top_acctbal
+             |FROM supplier
+             |GROUP BY s_nationkey
+             |ORDER BY s_nationkey""".stripMargin),
+      doc = "argmax aggregate (max_by), one pass, no window"),
+
     // TPC-H Q4 shape: EXISTS decorrelates to a left-semi join with a
     // non-equi conjunct; Catalyst plans the semi probe, never a
     // row-multiplying inner join.
