@@ -33,6 +33,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.keySet === Set(3L, 4L, 7L, 8L, 9L))
   }
 
+  test("loop conf (AQE + shuffle partitions) is restored after both CC variants") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    Dedup.connectedComponents(pairs, "a", "b").collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    Dedup.connectedComponentsStar(pairs, "a", "b").collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    // a failing edge pipeline must restore conf too (the finally path)
+    val bad = spark.range(2).selectExpr("CAST(id AS LONG) AS a",
+      "CAST(raise_error('boom') AS LONG) AS b")
+    intercept[Exception] { Dedup.connectedComponents(bad, "a", "b").collect() }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+  }
+
   test("empty pair relation yields an empty labeling") {
     assert(cc(Seq.empty).isEmpty)
   }
