@@ -39,6 +39,38 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin),
       doc = "quality scoring: mean word length, stopword ratio, composite score"),
 
+    // Per-source quality calibration: raw quality scores aren't
+    // comparable across sources (different length/stopword profiles),
+    // so pipelines threshold on the per-source PERCENTILE of the score
+    // (FineWeb-style per-dump thresholds). Tie-break on doc_id keeps
+    // ranks deterministic where rounded scores collide.
+    Q("quality_calibrated_by_source",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality"), col("doc_id"))
+        q.select(col("doc_id"), col("source"), col("quality"),
+            round(percent_rank().over(w), 6).as("quality_pct"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |         round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+              |               + (1.0 - CAST(len(list_filter(w, x -> x IN $stopList))
+              |                             AS DOUBLE) / len(w)) * 0.5, 6) AS quality
+              |  FROM (SELECT doc_id, source, string_split(text, ' ') w
+              |        FROM documents))
+              |SELECT doc_id, source, quality,
+              |       round(percent_rank() OVER (
+              |         PARTITION BY source
+              |         ORDER BY quality, doc_id), 6) AS quality_pct
+              |FROM q
+              |ORDER BY doc_id""".stripMargin),
+      doc = "per-source quality percentile calibration (comparable thresholds across sources)"),
+
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id")),
