@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Settings for the end-to-end training-corpus pipeline — the LLM-side
+  * analogue of [[graft.model.PoiSettings]].
+  *
+  * @param mixtureRates  per-source keep probabilities (empty = keep all)
+  * @param defaultRate   keep rate for unlisted sources
+  * @param epochs        per-source epoch multiplicities (empty = 1 pass)
+  * @param dedupK        word-shingle size for near-dup detection
+  * @param dedupThreshold Jaccard threshold for near-duplicates
+  * @param lshBands/lshRowsPerBand MinHash banding (recall 1−(1−s^r)^b)
+  * @param decontaminateK n-gram size for eval-overlap scrubbing
+  * @param packCap       context-window token budget per pack
+  * @param packBuckets   distributed-prefix-scan fan-out for the layout
+  */
+final case class CorpusSettings(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    sourceCol: String = "source",
+    stratumCol: String = "lang",
+    mixtureRates: Map[String, Double] = Map.empty,
+    defaultRate: Double = 1.0,
+    epochs: Map[String, Double] = Map.empty,
+    defaultEpochs: Double = 1.0,
+    dedupK: Int = 3,
+    dedupThreshold: Double = 0.8,
+    lshBands: Int = 16,
+    lshRowsPerBand: Int = 2,
+    decontaminateK: Int = 8,
+    packCap: Long = 8192,
+    packBuckets: Int = 32)
+
+/** The whole training-data recipe as ONE composable operator, each
+  * stage the library's own primitive:
+  *
+  *   mixture-sample → decontaminate → near-dup dedup (LSH → connected
+  *   components → keep canonical) → sequence-pack → epoch-upsample
+  *
+  * Stage order is load-bearing: dedup runs BEFORE upsampling so
+  * intentional epoch copies aren't deduped away, and packing runs
+  * before upsampling so every epoch replays the SAME pack layout (what
+  * a trainer actually does). Every stage is deterministic (portable
+  * id-hash, no RNG) and shuffle-shaped for scale: narrow filters,
+  * broadcast probes, candidate-bounded dedup, a distributed prefix
+  * scan, and a narrow generate. An `observe("corpus_pipeline", …)`
+  * metric on the result reports surviving docs and total packed tokens.
+  *
+  * @param docs       the corpus; must carry id/text/source/stratum cols
+  * @param evalCorpus held-out eval docs to scrub against (None = skip)
+  * @return one row per (surviving doc × epoch):
+  *         all input columns + n_words, pack_id, pack_offset, epoch
+  */
+object CorpusPipeline {
+
+  def run(docs: DataFrame, evalCorpus: Option[DataFrame],
+      s: CorpusSettings): DataFrame = {
+    // 1. mixture: per-source deterministic keep rates (narrow filter)
+    val mixed =
+      if (s.mixtureRates.isEmpty) docs
+      else Sampling.mixtureByHash(docs, s.idCol, s.sourceCol,
+        s.mixtureRates, s.defaultRate)
+    // 2. decontaminate: drop docs sharing eval n-grams (broadcast probe)
+    val clean = evalCorpus match {
+      case Some(ev) =>
+        Decontaminate.decontaminate(mixed, ev, s.idCol, s.textCol,
+          s.decontaminateK)
+      case None => mixed
+    }
+    // 3. near-dup dedup: LSH candidates → components → keep canonical
+    val pairs = Dedup.minhashLshPairs(clean, s.idCol, s.textCol,
+        k = s.dedupK, threshold = s.dedupThreshold,
+        bands = s.lshBands, rowsPerBand = s.lshRowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", idOut = "__cid")
+    val kept = clean
+      .join(cc, col(s.idCol) === col("__cid"), "left")
+      .filter(col("__cid").isNull || col("component") === col(s.idCol))
+      .drop("__cid", "component")
+    // 4. pack layout: deterministic hash order, distributed prefix scan
+    val packed = Sampling.packLayoutSalted(
+      kept.withColumn("n_words",
+        size(split(col(s.textCol), " ")).cast("long")),
+      s.stratumCol, s.idCol, "n_words", s.packCap, s.packBuckets)
+    // 5. epochs: replicate the packed layout per source multiplicity
+    val out =
+      if (s.epochs.isEmpty) packed.withColumn("epoch", lit(1))
+      else Sampling.upsampleByEpochs(packed, s.idCol, s.sourceCol,
+        s.epochs, s.defaultEpochs)
+    out.observe("corpus_pipeline",
+      count(lit(1)).as("rows_out"),
+      sum(col("n_words")).as("tokens_out"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The composed pipeline must equal the manual chain of its stages,
+  * stage order must protect epoch copies from dedup, and the observe
+  * metric must report the output honestly.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def settings = CorpusSettings(
+    mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5),
+    defaultRate = 0.4,
+    epochs = Map("src0" -> 2.0),
+    dedupK = 3, dedupThreshold = 0.8,
+    decontaminateK = 3,
+    packCap = 512, packBuckets = 8)
+
+  test("composition equals the manual stage chain") {
+    val docs = Tables.documents(spark, sf())
+    val evalSet = docs.filter($"doc_id" < 25)
+    val train = docs.filter($"doc_id" >= 25)
+    val s = settings
+
+    val got = CorpusPipeline.run(train, Some(evalSet), s)
+      .select($"doc_id", $"pack_id", $"pack_offset", $"epoch")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    // the same stages, chained by hand
+    val mixed = Sampling.mixtureByHash(train, "doc_id", "source",
+      s.mixtureRates, s.defaultRate)
+    val clean = Decontaminate.decontaminate(mixed, evalSet, "doc_id", "text", 3)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(clean, "doc_id", "text", 3, 0.8, 16, 2)
+        .select($"id_a", $"id_b"), "id_a", "id_b", idOut = "cid")
+    val kept = clean.join(cc, $"doc_id" === $"cid", "left")
+      .filter($"cid".isNull || $"component" === $"doc_id")
+      .drop("cid", "component")
+    val packed = Sampling.packLayoutSalted(
+      kept.withColumn("n_words", size(split($"text", " ")).cast("long")),
+      "lang", "doc_id", "n_words", 512, 8)
+    val manual = Sampling.upsampleByEpochs(packed, "doc_id", "source",
+        s.epochs, s.defaultEpochs)
+      .select($"doc_id", $"pack_id", $"pack_offset", $"epoch")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    assert(got == manual && got.nonEmpty)
+  }
+
+  test("stage order: epoch copies share one pack layout, dedup can't eat them") {
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
+    val out = CorpusPipeline.run(docs, None, settings)
+    // every src0 doc appears exactly twice, with IDENTICAL pack placement
+    val src0 = out.filter($"source" === "src0")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct($"pack_id", $"pack_offset").as("placements"))
+      .as[(Long, Long, Long)].collect()
+    assert(src0.nonEmpty && src0.forall { case (_, n, p) => n == 2 && p == 1 })
+    // offsets respect the context budget
+    assert(out.filter($"pack_offset" >= 512 || $"pack_offset" < 0).count() == 0)
+  }
+
+  test("observe metric reports output rows and token mass") {
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
+    val out = CorpusPipeline.run(docs, None, settings)
+    @volatile var metric: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("corpus_pipeline").foreach(r =>
+          metric = Some((r.getLong(0), r.getLong(1))))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = out.count()
+      val tokens = out.agg(sum($"n_words")).as[Long].head()
+      var tries = 0
+      while (metric.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(metric.contains((n, tokens)))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
