@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Sampling
+import graft.operators.{CorpusPipeline, CorpusSettings, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -238,6 +238,95 @@ object SamplingQueries {
              |GROUP BY lang, pack_id
              |ORDER BY lang, pack_id""".stripMargin),
       doc = "end-to-end recipe: mixture sample -> decontaminate -> pack layout -> per-pack summary, one oracle"),
+
+    // The ONE-CALL pipeline operator itself, hash-verified end-to-end —
+    // including the LSH→connected-components dedup (recursive-CTE
+    // transitive closure in the oracle) and epoch replication. This is
+    // the strongest statement the catalog makes: the packaged API's
+    // output, not just its stages, is an engine-independent function of
+    // the data.
+    Q("doc_pipeline_full",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val out = CorpusPipeline.run(
+          docs.filter(col("doc_id") >= 25),
+          Some(docs.filter(col("doc_id") < 25)),
+          CorpusSettings(
+            mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+            defaultRate = 0.4,
+            epochs = Map("src3" -> 2.0), defaultEpochs = 1.0,
+            dedupK = 3, dedupThreshold = 0.8,
+            decontaminateK = 3,
+            packCap = 512, packBuckets = 16))
+        out.select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+            col("pack_id"), col("pack_offset"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""WITH RECURSIVE
+             |ev AS (SELECT string_split(text, ' ') AS l
+             |       FROM documents WHERE doc_id < 25),
+             |evs AS (SELECT DISTINCT
+             |               unnest(list_transform(range(1, len(l) - 1),
+             |                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |        FROM ev),
+             |mixed AS (
+             |  SELECT doc_id, lang, source, text FROM documents
+             |  WHERE doc_id >= 25
+             |    AND ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |        CASE WHEN source = 'src0' THEN 4294967296
+             |             WHEN source = 'src1' THEN 2147483648
+             |             WHEN source = 'src2' THEN 1073741824
+             |             ELSE 1717986918 END),
+             |msh AS (SELECT doc_id, string_split(text, ' ') AS l FROM mixed),
+             |ts AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(range(1, len(l) - 1),
+             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |       FROM msh),
+             |bad AS (SELECT DISTINCT doc_id FROM ts JOIN evs USING (sh)),
+             |clean AS (SELECT m.* FROM mixed m LEFT JOIN bad b USING (doc_id)
+             |          WHERE b.doc_id IS NULL),
+             |cs AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |                     i -> string_split(text, ' ')[i] || ' '
+             |                          || string_split(text, ' ')[i+1] || ' '
+             |                          || string_split(text, ' ')[i+2])) AS sh
+             |       FROM clean),
+             |cnt AS (SELECT doc_id, count(*) c FROM cs GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |          FROM cs a JOIN cs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.doc_id
+             |       JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+             |          UNION SELECT id_b, id_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id),
+             |keep AS (SELECT cl.doc_id, cl.lang, cl.source,
+             |                CAST(len(string_split(cl.text, ' ')) AS BIGINT) AS n_words
+             |         FROM clean cl LEFT JOIN comp c ON cl.doc_id = c.id
+             |         WHERE c.id IS NULL OR c.component = cl.doc_id),
+             |pk AS (SELECT doc_id, lang, source, n_words,
+             |              COALESCE(sum(n_words) OVER (
+             |                PARTITION BY lang
+             |                ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+             |                         doc_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |                AS cum_before
+             |       FROM keep)
+             |SELECT doc_id, lang, source, n_words,
+             |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |       CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+             |       CAST(unnest(generate_series(1,
+             |         CASE WHEN source = 'src3' THEN 2 ELSE 1 END)) AS INTEGER) AS epoch
+             |FROM pk
+             |ORDER BY doc_id, epoch""".stripMargin),
+      doc = "the ONE-CALL CorpusPipeline.run, oracle-verified end-to-end (mixture, decon, LSH+CC dedup-keep, pack, epochs)"),
 
     // Train/val/test assignment by disjoint hash ranges (80/10/10): the
     // same narrow filter arithmetic as the Bernoulli sampler, so splits
