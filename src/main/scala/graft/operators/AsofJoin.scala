@@ -157,8 +157,11 @@ object AsofJoin {
     // buckets (probe side orders BEFORE build side at the same bucket,
     // so same-bucket builds — phase 1's job — are excluded). One row
     // per (key, bucket): the dominant key contributes #buckets rows to
-    // this window, not #rows.
-    val probeBuckets = inBucket.select(col("__k"), col("__bk")).distinct()
+    // this window, not #rows. The bucket set comes from the PRE-window
+    // frame — deriving it from `inBucket` would re-run the full phase-1
+    // carry-forward a second time just to enumerate distinct buckets.
+    val probeBuckets = unified.filter(col("__side") === 1)
+      .select(col("__k"), col("__bk")).distinct()
       .select(col("__k"), col("__bk"), lit(0).as("__s"),
         lit(null).cast(bType).as("__bb"))
     val w2 = Window.partitionBy(col("__k")).orderBy(col("__bk"), col("__s"))

@@ -343,9 +343,28 @@ object Dedup {
     * change-count join, and intermediates are persisted/unpersisted
     * round-to-round to keep lineage flat.
     *
+    * NOTE: both CC loops briefly set session-GLOBAL confs (AQE off,
+    * `spark.sql.shuffle.partitions` sized from the edge count) for the
+    * loop's duration and restore them in a finally — queries running
+    * CONCURRENTLY on the same SparkSession during a CC fixpoint will
+    * plan under those loop settings. Isolate with
+    * `spark.newSession()` if that matters.
+    *
     * @return one row per node appearing in `pairs`:
     *         (`idCol`, component = min node id in its component)
     */
+  /** Shuffle width for a CC fixpoint round: the session's width capped
+    * by the measured edge count (≥1 task per ~500k edges). The session
+    * value is user-supplied free text ("auto" on some managed
+    * platforms, injected via spark-defaults where no set-time
+    * validation runs) — a non-numeric value falls back to Spark's
+    * default 200 rather than throwing mid-pipeline.
+    */
+  private[operators] def loopShufflePartitions(partsBefore: String, edgeCount: Long): Long =
+    math.min(
+      scala.util.Try(partsBefore.trim.toLong).toOption.filter(_ > 0).getOrElse(200L),
+      edgeCount / 500000L + 1L)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String = "id", compOut: String = "component",
       maxIter: Int = 25): DataFrame = {
@@ -371,7 +390,7 @@ object Dedup {
     val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = spark.conf.get(aqeKey, "true")
     val partsBefore = spark.conf.get(partsKey, "200")
-    val loopParts = math.min(partsBefore.toLong, edgeCount / 500000L + 1L)
+    val loopParts = loopShufflePartitions(partsBefore, edgeCount)
     spark.conf.set(aqeKey, "false")
     spark.conf.set(partsKey, loopParts.toString)
     try {
@@ -537,7 +556,7 @@ object Dedup {
     val edgeCount = e.count()
     spark.conf.set(aqeKey, "false")
     spark.conf.set(partsKey,
-      math.min(partsBefore.toLong, edgeCount / 500000L + 1L).toString)
+      loopShufflePartitions(partsBefore, edgeCount).toString)
     try {
     var w = witness(e)
     var converged = false

@@ -14,15 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hash in [0, 2^32): well-mixed for sequential ids. The id is reduced
-    * mod 2^31 BEFORE the multiply so the product stays < 2^62 — a raw
-    * `id * 2654435761` overflows Long for id ≳ 3.47e9, which throws under
-    * Spark's default ANSI mode and wraps differently from DuckDB (HUGEINT
-    * promotion) with ANSI off. For ids < 2^31 the value is identical to
-    * the unreduced form, so the oracle arithmetic mirrors this exactly.
+  /** Hash in [0, 2^32): two multiply-mod rounds over the SPLIT id, so
+    * the full id domain [0, 2^62) feeds the mix — a single
+    * `(id mod 2^31) * C mod 2^32` round (the previous form) aliased any
+    * two ids differing by exactly 2^31, perfectly correlating their
+    * sample/split/pack decisions on corpora with ids ≥ 2^31. Here the
+    * low 31 bits and bits 31..61 each get their own odd multiplier
+    * (Knuth's 2654435761; xxHash's PRIME32_2/3) before a second
+    * multiply-mod remix of the folded value; property-tested collision
+    * free at fixed offsets 1, 2, 2^31, 2^32, 2^33, 2^40 (SamplingSpec).
+    *
+    * Every intermediate stays < 2^63: each product has a ≤ 2^31 operand
+    * and is reduced mod 2^32 before the add — a raw `id * C` overflows
+    * Long for id ≳ 3.47e9, which throws under Spark's default ANSI mode
+    * and wraps differently from DuckDB (HUGEINT promotion) with ANSI
+    * off. The same arithmetic is plain ANSI SQL (`%`, `//`), mirrored
+    * op-for-op by [[graft.queries.SamplingQueries.hashSql]] so the
+    * DuckDB oracle computes the identical sample. Ids ≥ 2^62 reduce mod
+    * 2^62 first (documented domain edge; 61 bits of id entropy mix).
     */
-  def idHash(id: Column): Column =
-    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+  def idHash(id: Column): Column = {
+    val n = pmod(id.cast("long"), lit(4611686018427387904L)) // [0, 2^62)
+    val lo = pmod(n, lit(2147483648L)) // bits 0..30
+    val hi = shiftright(n, 31) // bits 31..61 (n >= 0, so >> = floor-div)
+    val r1 = pmod(
+      pmod(lo * lit(2654435761L), lit(4294967296L)) +
+        pmod(hi * lit(2246822519L), lit(4294967296L)),
+      lit(4294967296L))
+    pmod(
+      pmod(pmod(r1, lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) +
+        shiftright(r1, 31) * lit(3266489917L),
+      lit(4294967296L))
+  }
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen
     * by hash threshold. Narrow (a pure filter — no shuffle, no window),
@@ -86,7 +109,12 @@ object Sampling {
       .orderBy(idHash(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("cum_before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("cum_before") / cap).cast("long"))
+      // exact integer floor-div (cum_before >= 0, so `div` floors):
+      // floor(x / cap) promotes to DOUBLE and mis-bins past 2^53 —
+      // e.g. cum_before = 2^60-1 lands in pack 2251799813685248 instead
+      // of ...247 (spec-pinned). Real risk at the 100 TB design point:
+      // a stratum's running token total exceeds 2^53 at ~9 PB-tokens.
+      .withColumn("pack_id", expr(s"cum_before div ${cap}L"))
       .withColumn("pack_offset", pmod(col("cum_before"), lit(cap)))
       .drop("cum_before")
   }
@@ -124,7 +152,8 @@ object Sampling {
       .select(col(stratumCol), col("__bk"), col("__off"))
     inBucket.join(offsets, Seq(stratumCol, "__bk"))
       .withColumn("cum_before", col("__cin") + col("__off"))
-      .withColumn("pack_id", floor(col("cum_before") / cap).cast("long"))
+      // exact integer floor-div, same as [[packLayout]] (cum_before >= 0)
+      .withColumn("pack_id", expr(s"cum_before div ${cap}L"))
       .withColumn("pack_offset", pmod(col("cum_before"), lit(cap)))
       .drop("cum_before", "__h", "__bk", "__cin", "__off")
   }
@@ -150,7 +179,9 @@ object Sampling {
       val full = math.floor(e).toLong
       val fracThresh = ((e - full) * 4294967296.0).toLong
       // reduce before the +1 so the salt can't overflow at Long.MaxValue
-      (lit(full) + when(idHash(pmod(col(idCol), lit(2147483648L)) + 1) <
+      // (mod 2^62-1 keeps the salted value inside idHash's full-mixing
+      // domain [0, 2^62) — only ids 2^62-1 apart share a salt)
+      (lit(full) + when(idHash(pmod(col(idCol), lit(4611686018427387903L)) + 1) <
           lit(fracThresh), 1L)
         .otherwise(0L)).cast("int")
     }

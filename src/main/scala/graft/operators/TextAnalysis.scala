@@ -129,7 +129,6 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .persist()
-    vocab.count()
     val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
@@ -141,6 +140,16 @@ object TextAnalysis {
       out.toSeq
     })
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // ONE action per merge round: the argmax job ALSO materializes the
+    // (lazily persisted) current vocab — only then is the previous
+    // round's cache dropped, so nothing ever recomputes through deep
+    // lineage. The old shape ran a second `persist(); count()` action
+    // per round purely to materialize, doubling the per-round driver
+    // round-trips (and with them the latency floor under scheduler
+    // load). The logical plan grows by one projection per round
+    // (linear, not the CC-star 12^k case) — fine for the tens of
+    // merges a demo vocab learns; checkpoint if ever in the thousands.
+    var prev: Option[DataFrame] = None
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
@@ -153,19 +162,21 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // vocab is materialized now; parent cache can go
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, n))
         val next = vocab
           .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
-          .persist()
-        next.count()
-        vocab.unpersist()
+          .persist() // lazy — next round's argmax materializes it
+        prev = Some(vocab)
         vocab = next
         rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")

@@ -5,18 +5,35 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling queries over `documents`. The hash is plain
-  * integer arithmetic (((id % 2^31) * 2654435761) % 2^32), so the DuckDB oracle
-  * computes the identical sample — which is the point: the sample is an
-  * engine-independent function of the data, not of a seed or partition
-  * layout.
+  * integer arithmetic (two multiply-mod-2^32 rounds over the id split at
+  * bit 31 — see [[graft.operators.Sampling.idHash]]), so the DuckDB
+  * oracle computes the identical sample — which is the point: the sample
+  * is an engine-independent function of the data, not of a seed or
+  * partition layout.
   */
 object SamplingQueries {
 
+  /** The DuckDB mirror of [[graft.operators.Sampling.idHash]], op-for-op:
+    * same split (`%` / `//` on non-negative BIGINTs), same constants,
+    * same mod-2^32 reductions before every add so no product exceeds
+    * BIGINT. Any change to `idHash` MUST land here in the same commit —
+    * every sampling oracle embeds this expression.
+    */
+  def hashSql(id: String): String = {
+    val n = s"(($id) % 4611686018427387904)"
+    val r1 = s"(((($n % 2147483648) * 2654435761) % 4294967296 + (($n // 2147483648) * 2246822519) % 4294967296) % 4294967296)"
+    s"(((($r1 % 2147483648) * 2654435761) % 4294967296 + (($r1 // 2147483648) * 3266489917) % 4294967296) % 4294967296)"
+  }
+
+  private val h = hashSql("doc_id")
+
   /** Shared by doc_pack_layout and its salted twin — identical output
-    * is the property under test.
+    * is the property under test. `cum_before // 512` is DuckDB's exact
+    * integer floor division, mirroring the engine's `div` (the
+    * double-promoting `floor(x / 512.0)` mis-bins past 2^53).
     */
   private val packOracle =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, lang,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
       |  FROM documents),
@@ -24,12 +41,12 @@ object SamplingQueries {
       |  SELECT doc_id, lang, n_words,
       |         COALESCE(sum(n_words) OVER (
       |           PARTITION BY lang
-      |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+      |           ORDER BY $h, doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |           AS cum_before
       |  FROM d)
       |SELECT doc_id, lang, n_words,
-      |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+      |       CAST(cum_before // 512 AS BIGINT) AS pack_id,
       |       CAST(cum_before % 512 AS BIGINT) AS pack_offset
       |FROM c
       |ORDER BY lang, pack_id, pack_offset, doc_id""".stripMargin
@@ -40,9 +57,9 @@ object SamplingQueries {
       (s, dir) => Sampling.bernoulliByHash(Tables.documents(s, dir), "doc_id", 0.1)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, lang, n_chars
+      Some(s"""SELECT doc_id, lang, n_chars
              |FROM documents
-             |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 429496729
+             |WHERE $h < 429496729
              |ORDER BY doc_id""".stripMargin),
       doc = "deterministic ~10% Bernoulli sample by id hash (narrow filter, no RNG)"),
 
@@ -51,11 +68,11 @@ object SamplingQueries {
           stratumCol = "lang", idCol = "doc_id", n = 20)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("lang"), col("rk")),
-      Some("""SELECT doc_id, lang, rk FROM (
+      Some(s"""SELECT doc_id, lang, rk FROM (
              |  SELECT doc_id, lang,
              |         CAST(row_number() OVER (
              |           PARTITION BY lang
-             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
+             |           ORDER BY $h, doc_id)
              |           AS INTEGER) AS rk
              |  FROM documents)
              |WHERE rk <= 20
@@ -71,9 +88,9 @@ object SamplingQueries {
           defaultRate = 0.1)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, source
+      Some(s"""SELECT doc_id, source
              |FROM documents
-             |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |WHERE $h <
              |      CASE WHEN source = 'src0' THEN 4294967296
              |           WHEN source = 'src1' THEN 2147483648
              |           WHEN source = 'src2' THEN 1073741824
@@ -83,19 +100,20 @@ object SamplingQueries {
 
     // Epoch upsampling: 2 epochs of src0, 2.5 of src1 (half the rows
     // get a 3rd copy, hash-selected), 1 of the rest. The fractional
-    // threshold 0.5*2^32 = 2147483648; the salt hashes (id % 2^31) + 1.
+    // threshold 0.5*2^32 = 2147483648; the salt hashes
+    // (id % (2^62-1)) + 1.
     Q("doc_upsample_epochs",
       (s, dir) => Sampling.upsampleByEpochs(
           Tables.documents(s, dir).select(col("doc_id"), col("source")),
           "doc_id", "source", epochs = Map("src0" -> 2.0, "src1" -> 2.5))
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch")),
-      Some("""WITH c AS (
+      Some(s"""WITH c AS (
              |  SELECT doc_id, source,
              |         CASE WHEN source = 'src0' THEN 2
              |              WHEN source = 'src1' THEN 2 +
-             |                CASE WHEN (((doc_id % 2147483648 + 1) % 2147483648)
-             |                           * 2654435761) % 4294967296 < 2147483648
+             |                CASE WHEN ${hashSql("(doc_id % 4611686018427387903) + 1")}
+             |                     < 2147483648
              |                     THEN 1 ELSE 0 END
              |              ELSE 1 END AS n_copies
              |  FROM documents)
@@ -129,11 +147,11 @@ object SamplingQueries {
           stratumCol = "lang", idCol = "doc_id", n = 20, salts = 8)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("lang"), col("rk")),
-      Some("""SELECT doc_id, lang, rk FROM (
+      Some(s"""SELECT doc_id, lang, rk FROM (
              |  SELECT doc_id, lang,
              |         CAST(row_number() OVER (
              |           PARTITION BY lang
-             |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
+             |           ORDER BY $h, doc_id)
              |           AS INTEGER) AS rk
              |  FROM documents)
              |WHERE rk <= 20
@@ -198,7 +216,7 @@ object SamplingQueries {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
           .orderBy(col("lang"), col("pack_id"))
       },
-      Some("""WITH ev AS (SELECT string_split(text, ' ') AS l
+      Some(s"""WITH ev AS (SELECT string_split(text, ' ') AS l
              |            FROM documents WHERE doc_id < 25),
              |evs AS (SELECT DISTINCT
              |               unnest(list_transform(range(1, len(l) - 1),
@@ -207,7 +225,7 @@ object SamplingQueries {
              |mixed AS (
              |  SELECT doc_id, lang, text FROM documents
              |  WHERE doc_id >= 25
-             |    AND ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |    AND $h <
              |        CASE WHEN source = 'src0' THEN 4294967296
              |             WHEN source = 'src1' THEN 2147483648
              |             WHEN source = 'src2' THEN 1073741824
@@ -226,12 +244,12 @@ object SamplingQueries {
              |c AS (SELECT doc_id, lang, n_words,
              |             COALESCE(sum(n_words) OVER (
              |               PARTITION BY lang
-             |               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+             |               ORDER BY $h,
              |                        doc_id
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |               AS cum_before
              |      FROM clean)
-             |SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |SELECT lang, CAST(cum_before // 512 AS BIGINT) AS pack_id,
              |       count(*) AS n_docs,
              |       CAST(sum(n_words) AS BIGINT) AS n_words_total
              |FROM c
@@ -245,6 +263,22 @@ object SamplingQueries {
     // the strongest statement the catalog makes: the packaged API's
     // output, not just its stages, is an engine-independent function of
     // the data.
+    //
+    // ORACLE RECALL ASSUMPTION: the engine generates candidate pairs by
+    // MinHash-LSH banding (16 bands × 2 rows) then verifies exact
+    // Jaccard ≥ 0.8; the oracle computes exact all-pairs Jaccard ≥ 0.8
+    // directly (the banding's XXH64 permutations aren't
+    // ANSI-expressible). Equality therefore relies on the banding
+    // CATCHING every true pair: P(candidate | J=s) = 1-(1-s^2)^16,
+    // which at the threshold s=0.8 is 1-0.36^16 ≈ 1 - 8.6e-8, and
+    // higher for the planted near-exact dups in this corpus — so ~100%
+    // recall here, by construction rather than luck. The same
+    // assumption underlies dedup_minhash_lsh and dedup_cc_* (their
+    // oracles are exact-Jaccard too). If a testdata refresh ever lands
+    // a pair with J barely ≥ 0.8 that banding misses, those queries
+    // hash-mismatching together while dedup_jaccard_pairs (exact
+    // grouped inverted lists, no banding) stays green is the
+    // signature; the fix is more bands, not an oracle edit.
     Q("doc_pipeline_full",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -262,7 +296,7 @@ object SamplingQueries {
             col("pack_id"), col("pack_offset"), col("epoch"))
           .orderBy(col("doc_id"), col("epoch"))
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |ev AS (SELECT string_split(text, ' ') AS l
              |       FROM documents WHERE doc_id < 25),
              |evs AS (SELECT DISTINCT
@@ -272,7 +306,7 @@ object SamplingQueries {
              |mixed AS (
              |  SELECT doc_id, lang, source, text FROM documents
              |  WHERE doc_id >= 25
-             |    AND ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+             |    AND $h <
              |        CASE WHEN source = 'src0' THEN 4294967296
              |             WHEN source = 'src1' THEN 2147483648
              |             WHEN source = 'src2' THEN 1073741824
@@ -314,13 +348,13 @@ object SamplingQueries {
              |pk AS (SELECT doc_id, lang, source, n_words,
              |              COALESCE(sum(n_words) OVER (
              |                PARTITION BY lang
-             |                ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+             |                ORDER BY $h,
              |                         doc_id
              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |                AS cum_before
              |       FROM keep)
              |SELECT doc_id, lang, source, n_words,
-             |       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+             |       CAST(cum_before // 512 AS BIGINT) AS pack_id,
              |       CAST(cum_before % 512 AS BIGINT) AS pack_offset,
              |       CAST(unnest(generate_series(1,
              |         CASE WHEN source = 'src3' THEN 2 ELSE 1 END)) AS INTEGER) AS epoch
@@ -345,10 +379,10 @@ object SamplingQueries {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("lang"), col("split"))
       },
-      Some("""SELECT lang,
-             |       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836
+      Some(s"""SELECT lang,
+             |       CASE WHEN $h < 3435973836
              |              THEN 'train'
-             |            WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3865470566
+             |            WHEN $h < 3865470566
              |              THEN 'val'
              |            ELSE 'test' END AS split,
              |       count(*) AS n_docs

@@ -76,6 +76,24 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plain.find(_._2 == 123L).get._4 === 2.0)
   }
 
+  test("salted plan runs the phase-1 carry-forward window exactly once (ADVICE r4)") {
+    // probe buckets used to be enumerated FROM the phase-1 output, so
+    // the full-data windowed carry-forward subtree appeared twice in
+    // the plan and ran twice; they now come from the pre-window frame.
+    // Plan shape: one window over (__k, __bk) [phase 1], one over (__k)
+    // [bucket boundary] — exactly two WindowExec nodes, not three.
+    val df = AsofJoin.asofSalted(probe, build, "k", "t", "bt",
+      payload = Seq("v"), bucketWidth = 7L)
+    df.collect()
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2,
+      s"expected 2 windows (phase-1 + boundary):\n${df.queryExecution.executedPlan}")
+    val twoKey = windows.count(_.partitionSpec.size == 2)
+    assert(twoKey === 1, "phase-1 (__k, __bk) window must appear exactly once")
+  }
+
   test("payload name collision with probe columns is rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.asof(probe, build.withColumnRenamed("v", "label"),

@@ -54,4 +54,27 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty pair relation yields an empty labeling") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("non-numeric shuffle.partitions conf doesn't break the loops (ADVICE r4)") {
+    // some managed platforms set spark.sql.shuffle.partitions to free
+    // text ("auto") via spark-defaults, where no set-time validation
+    // runs (RuntimeConfig.set rejects it, so the loop can't meet it in
+    // this OSS test session — the parse helper is what guards it). It
+    // must fall back to Spark's default 200, not throw mid-pipeline.
+    assert(Dedup.loopShufflePartitions("auto", 10L) == 1L)
+    assert(Dedup.loopShufflePartitions("auto", 600000000L) == 200L)
+    assert(Dedup.loopShufflePartitions(" 32 ", 600000000L) == 32L)
+    assert(Dedup.loopShufflePartitions("32", 10L) == 1L)
+    assert(Dedup.loopShufflePartitions("-5", 600000000L) == 200L)
+    assert(Dedup.loopShufflePartitions("", 1000000000L) == 200L)
+    // and a loop actually runs green under a small numeric width
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+  }
 }

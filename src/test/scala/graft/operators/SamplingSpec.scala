@@ -47,20 +47,66 @@ class SamplingSpec extends SparkSpec {
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
       // ids past 3.47e9 overflowed the raw Knuth multiply (ADVICE r3);
-      // the mod-2^31 reduction must keep every id in range, throw-free
+      // the split-at-bit-31 reduction must keep every id in range,
+      // throw-free
       val big = Seq(Long.MaxValue, Long.MaxValue - 1, 3470000001L, 0L)
         .toDF("doc_id").withColumn("source", lit("s"))
       val hashes = big.select(Sampling.idHash($"doc_id").as("h"))
         .as[Long].collect()
       assert(hashes.forall(h => h >= 0 && h < 4294967296L))
-      // small ids are unchanged vs the unreduced form (oracle parity)
-      assert(Seq((42L, "s")).toDF("doc_id", "source")
-        .select(Sampling.idHash($"doc_id")).as[Long].head() ==
-        (42L * 2654435761L) % 4294967296L)
+      // pinned reference values (independently computed in exact
+      // arithmetic) — the DuckDB oracle mirror must stay in lockstep
+      val pins = Seq(0L -> 0L, 1L -> 1117354654L, 42L -> 1049638439L,
+        1000L -> 2643352296L, 2147483648L -> 1056762244L,
+        2147483690L -> 4163355441L, (1L << 40) + 7 -> 2479236263L,
+        4611686018427387903L -> 1182901909L)
+      val got = pins.map(_._1).toDF("doc_id")
+        .select($"doc_id", Sampling.idHash($"doc_id").as("h"))
+        .as[(Long, Long)].collect().toMap
+      pins.foreach { case (id, h) => assert(got(id) == h, s"idHash($id)") }
       // the epoch-upsampling fractional salt also survives Long.MaxValue
       val up = Sampling.upsampleByEpochs(big, "doc_id", "source", Map("s" -> 1.5))
       assert(up.count() >= 4)
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("idHash: ids a fixed offset apart never alias (ADVICE r4: 2^31 did)") {
+    // the old single-round hash reduced id mod 2^31 before the multiply,
+    // so EVERY pair (x, x + 2^31) hashed identically — perfectly
+    // correlated split/sample/pack decisions on corpora with ids >= 2^31.
+    // The two-round split hash must keep every such pair distinct.
+    val xs = (0L until 2000L) ++
+      Seq(3470000001L, (1L << 35) + 17, (1L << 45) + 123, (1L << 55) + 9)
+    for (delta <- Seq(1L << 31, 1L << 32, 1L << 33, 1L << 40)) {
+      val n = xs.toDF("x")
+        .filter(Sampling.idHash($"x") === Sampling.idHash($"x" + delta))
+        .count()
+      assert(n == 0, s"${n} aliased pairs at offset $delta")
+    }
+  }
+
+  test("pack layout: pack_id is exact past 2^53 (double floor mis-bins)") {
+    // cum_before = 2^60-1: floor((2^60-1) / 512.0) promotes to DOUBLE,
+    // rounds up to 2^60, and bins into pack 2251799813685248 — one past
+    // the true 2251799813685247 (= (2^60-1) div 512). At the 100 TB
+    // design point a stratum's running token total crosses 2^53 at
+    // ~9e15 tokens, so the integer-div path is the only correct one.
+    // doc_id 0 hashes to 0, so it always orders first in the stratum.
+    val rows = Seq((0L, "all", (1L << 60) - 1), (1L, "all", 5L))
+      .toDF("doc_id", "stratum", "w")
+    for (df <- Seq(
+        Sampling.packLayout(rows, "stratum", "doc_id", "w", cap = 512),
+        Sampling.packLayoutSalted(rows, "stratum", "doc_id", "w", cap = 512))) {
+      val out = df.select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(out(0) == ((0L, 0L, 0L)))
+      assert(out(1) == ((1L, 2251799813685247L, 511L)),
+        s"mis-binned: ${out(1)} (double floor would give 2251799813685248)")
+      // and the double expression really would have mis-binned:
+      val viaDouble = rows.sparkSession.range(1)
+        .select(floor(lit((1L << 60) - 1) / 512).cast("long")).as[Long].head()
+      assert(viaDouble == 2251799813685248L, "witness: double path rounds up")
+    }
   }
 
   test("mixture: per-source rates, nested (raising a rate only adds docs)") {
