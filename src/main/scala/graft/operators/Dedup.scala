@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Sketches, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
@@ -365,6 +365,23 @@ object Dedup {
       scala.util.Try(partsBefore.trim.toLong).toOption.filter(_ > 0).getOrElse(200L),
       edgeCount / 500000L + 1L)
 
+  /** Best-effort conf restore after a fixpoint loop. OSS
+    * `RuntimeConfig.set` validates values, so restoring a
+    * platform-specific free-text original (e.g. shuffle partitions
+    * "auto" injected via spark-defaults, where no set-time validation
+    * runs) throws — out of a `finally` block that would mask the loop's
+    * result AND skip the remaining cleanup. Logged and swallowed: the
+    * session staying at the loop's shuffle width is recoverable, a
+    * leaked executor cache or a masked result is not.
+    */
+  private def restoreConf(spark: SparkSession, key: String, value: String): Unit =
+    try spark.conf.set(key, value)
+    catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"could not restore $key=$value after fixpoint loop: ${e.getMessage}")
+    }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String = "id", compOut: String = "component",
       maxIter: Int = 25): DataFrame = {
@@ -447,9 +464,10 @@ object Dedup {
     labels.unpersist()
     out
     } finally {
-      spark.conf.set(aqeKey, aqeBefore)
-      spark.conf.set(partsKey, partsBefore)
+      // unpersist FIRST: a failed conf restore must not leak the edge cache
       edges.unpersist()
+      restoreConf(spark, aqeKey, aqeBefore)
+      restoreConf(spark, partsKey, partsBefore)
     }
   }
 
@@ -578,10 +596,14 @@ object Dedup {
     val labels = e.select(col("u").as(idOut), col("v").as(compOut))
       .unionByName(e.select(col("v").as(idOut), col("v").as(compOut)).distinct())
       .distinct()
-    labels
+    // truncate onto fresh partitions and drop the loop's final
+    // checkpoint — same cache-hygiene as [[connectedComponents]]
+    val out = labels.localCheckpoint(true)
+    e.unpersist()
+    out
     } finally {
-      spark.conf.set(aqeKey, aqeBefore)
-      spark.conf.set(partsKey, partsBefore)
+      restoreConf(spark, aqeKey, aqeBefore)
+      restoreConf(spark, partsKey, partsBefore)
     }
   }
 }

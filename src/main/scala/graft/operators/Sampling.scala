@@ -4,47 +4,89 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deterministic sampling for training-data pipelines. Both forms key
-  * off a portable multiplicative hash of a stable id (Knuth's 2654435761
-  * mod 2^32) instead of an RNG: the sample is reproducible across runs,
-  * engines (the hash is plain integer arithmetic, expressible in ANSI
-  * SQL), partition counts, and cluster sizes — `df.sample()` is none of
-  * those (seed + partition-order dependent), which breaks train/eval
-  * split stability when a corpus is re-partitioned.
+/** Deterministic sampling for training-data pipelines. Every form keys
+  * off a portable hash of a stable id (split multiplicative mix +
+  * murmur3 fmix32 avalanche — see [[Sampling.idHash]]) instead of an
+  * RNG: the sample is reproducible across runs, engines (the hash is
+  * plain integer arithmetic, expressible in ANSI SQL), partition
+  * counts, and cluster sizes — `df.sample()` is none of those (seed +
+  * partition-order dependent), which breaks train/eval split stability
+  * when a corpus is re-partitioned.
   */
 object Sampling {
 
-  /** Hash in [0, 2^32): two multiply-mod rounds over the SPLIT id, so
-    * the full id domain [0, 2^62) feeds the mix — a single
-    * `(id mod 2^31) * C mod 2^32` round (the previous form) aliased any
-    * two ids differing by exactly 2^31, perfectly correlating their
-    * sample/split/pack decisions on corpora with ids ≥ 2^31. Here the
-    * low 31 bits and bits 31..61 each get their own odd multiplier
-    * (Knuth's 2654435761; xxHash's PRIME32_2/3) before a second
-    * multiply-mod remix of the folded value; property-tested collision
-    * free at fixed offsets 1, 2, 2^31, 2^32, 2^33, 2^40 (SamplingSpec).
+  /** Version of [[idHash]]'s mixing function. Bump = every persisted
+    * sample/split/pack assignment derived from the hash is invalidated
+    * (see the re-keying note on [[idHash]]). History: 1 = single
+    * multiply-mod round (aliased ids differing by 2^31); 2 = two-round
+    * multiply-mod split mix (no aliasing, but measurably biased on
+    * consecutive-id populations: the top bit of evens 2..1000 split
+    * 33.6/66.4 — a 5-sigma monobit failure); 3 = murmur3 fmix32
+    * finalizer over the split-multiplied words (worst monobit z = 2.4
+    * across consecutive / strided / offset populations x 32 bits).
+    */
+  val hashVersion: Int = 3
+
+  /** `x * c mod 2^32` for `x` in [0, 2^32), `c` < 2^32, with every
+    * intermediate < 2^63: a raw 32x32-bit product overflows Long (which
+    * throws under Spark's default ANSI mode and wraps differently from
+    * DuckDB's HUGEINT promotion with ANSI off), so the multiply runs in
+    * 16-bit halves — `(x % 2^16) * c` < 2^48 and
+    * `((x >> 16) * c mod 2^16) << 16` < 2^32 — and the halves add
+    * exactly mod 2^32. Plain ANSI arithmetic, mirrored op-for-op by the
+    * DuckDB oracle.
+    */
+  private def mulMod32(x: Column, c: Long): Column =
+    pmod(
+      pmod(x, lit(65536L)) * lit(c) +
+        pmod(shiftright(x, 16) * lit(c), lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+
+  /** murmur3's 32-bit finalizer (public domain; Appleby's xorshift-
+    * multiply avalanche chain) on a value in [0, 2^32), multiplies via
+    * [[mulMod32]]. xor and right-shift on non-negative Longs are exact
+    * and identical in Spark and DuckDB (`xor()` there — `^` is power in
+    * DuckDB).
+    */
+  private def fmix32(h0: Column): Column = {
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h2 = mulMod32(h1, 0x85ebca6bL)
+    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
+    val h4 = mulMod32(h3, 0xc2b2ae35L)
+    h4.bitwiseXOR(shiftright(h4, 16))
+  }
+
+  /** Hash in [0, 2^32): the id (reduced to [0, 2^62) — documented
+    * domain edge; 61 bits of id entropy mix) splits into two 32-bit
+    * words, each gets its own odd multiplier (Knuth's 2654435761;
+    * xxHash's PRIME32_2), and the xor-folded result runs through the
+    * murmur3 fmix32 avalanche. The multiplies before the fold keep
+    * fixed-offset pairs from aliasing (property-tested at offsets 1, 2,
+    * 2^31, 2^32, 2^33, 2^40 — SamplingSpec); fmix32 supplies the
+    * per-bit uniformity the bare multiply-mod lattice lacked
+    * (hash v2's top bit was 5 sigma biased on consecutive even ids).
     *
-    * Every intermediate stays < 2^63: each product has a ≤ 2^31 operand
-    * and is reduced mod 2^32 before the add — a raw `id * C` overflows
-    * Long for id ≳ 3.47e9, which throws under Spark's default ANSI mode
-    * and wraps differently from DuckDB (HUGEINT promotion) with ANSI
-    * off. The same arithmetic is plain ANSI SQL (`%`, `//`), mirrored
-    * op-for-op by [[graft.queries.SamplingQueries.hashSql]] so the
-    * DuckDB oracle computes the identical sample. Ids ≥ 2^62 reduce mod
-    * 2^62 first (documented domain edge; 61 bits of id entropy mix).
+    * '''Hash version 3 — a re-keying, not a compatible upgrade.''' Each
+    * version change re-keys EVERY id (v1 `idHash(42)` = 2529120690,
+    * v2 = 1049638439, v3 = 1716251024), so every Bernoulli sample,
+    * mixture, pack layout, and train/val/test split assignment migrates
+    * across versions. The documented "membership never changes"
+    * stability guarantee holds WITHIN a hash version: splits persisted
+    * under an older version must be either re-derived or kept on a
+    * pinned library release. [[hashVersion]] is exposed so pipelines
+    * can stamp persisted splits with the hash that produced them and
+    * fail fast on mismatch.
+    *
+    * Every intermediate stays < 2^63 (see [[mulMod32]]), and the whole
+    * chain is plain ANSI SQL (`%`, `//`, `xor`), mirrored op-for-op by
+    * [[graft.queries.SamplingQueries.hashSql]] so the DuckDB oracle
+    * computes the identical sample.
     */
   def idHash(id: Column): Column = {
     val n = pmod(id.cast("long"), lit(4611686018427387904L)) // [0, 2^62)
-    val lo = pmod(n, lit(2147483648L)) // bits 0..30
-    val hi = shiftright(n, 31) // bits 31..61 (n >= 0, so >> = floor-div)
-    val r1 = pmod(
-      pmod(lo * lit(2654435761L), lit(4294967296L)) +
-        pmod(hi * lit(2246822519L), lit(4294967296L)),
-      lit(4294967296L))
-    pmod(
-      pmod(pmod(r1, lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) +
-        shiftright(r1, 31) * lit(3266489917L),
-      lit(4294967296L))
+    val lo = pmod(n, lit(4294967296L)) // bits 0..31
+    val hi = shiftright(n, 32) // bits 32..61 (n >= 0, so >> = floor-div)
+    fmix32(mulMod32(lo, 2654435761L).bitwiseXOR(mulMod32(hi, 2246822519L)))
   }
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen

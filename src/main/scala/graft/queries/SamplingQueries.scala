@@ -18,9 +18,15 @@ object SamplingQueries {
     * same mod-2^32 reductions before every add so no product exceeds
     * BIGINT. Any change to `idHash` MUST land here in the same commit —
     * every sampling oracle embeds this expression.
+    *
+    * The first reduction mirrors Spark's `pmod` explicitly
+    * (`((x % m) + m) % m`): DuckDB's `%` takes the dividend's sign, so
+    * a negative id would otherwise make the oracle diverge from the
+    * engine. Every subsequent operand is provably non-negative, where
+    * plain `%` and `pmod` agree.
     */
   def hashSql(id: String): String = {
-    val n = s"(($id) % 4611686018427387904)"
+    val n = s"((($id) % 4611686018427387904 + 4611686018427387904) % 4611686018427387904)"
     val r1 = s"(((($n % 2147483648) * 2654435761) % 4294967296 + (($n // 2147483648) * 2246822519) % 4294967296) % 4294967296)"
     s"(((($r1 % 2147483648) * 2654435761) % 4294967296 + (($r1 // 2147483648) * 3266489917) % 4294967296) % 4294967296)"
   }
