@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, OrderedPairs, RollingHash64, ShingleList, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch, WinnowSet}
+import graft.functions.{CosineSimilarity, IdHash, MinHashSignature, OrderedPairs, RollingHash64, ShingleList, ShingleSet, SignSketch64, SimHash64, TagsAnyMatch, WinnowSet}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `minhash_signature(array<string>, numHashes int) -> array<bigint>`
   *   - `simhash64(array<string>) -> bigint`
   *   - `rolling_hash64(string) -> bigint`
+  *   - `graft_id_hash(bigint) -> bigint` (the v3 portable sampling hash)
   *   - `sign_sketch64(array<float|double>) -> bigint` (cosine LSH)
   *   - `shingle_set(string, k int) -> array<string>`
   *   - `shingle_list(string, k int) -> array<string>` (non-distinct)
@@ -77,6 +78,7 @@ object GraftExtensions {
       MinHashSignature(es(0), intArg(es(1), "minhash_signature numHashes"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "rolling_hash64" -> (es => RollingHash64(es(0))),
+    "graft_id_hash" -> (es => IdHash(es(0))),
     "sign_sketch64" -> (es => SignSketch64(es(0))),
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1), "shingle_set k"))),
     "shingle_list" -> (es => ShingleList(es(0), intArg(es(1), "shingle_list k"))),

@@ -27,35 +27,6 @@ object Sampling {
     */
   val hashVersion: Int = 3
 
-  /** `x * c mod 2^32` for `x` in [0, 2^32), `c` < 2^32, with every
-    * intermediate < 2^63: a raw 32x32-bit product overflows Long (which
-    * throws under Spark's default ANSI mode and wraps differently from
-    * DuckDB's HUGEINT promotion with ANSI off), so the multiply runs in
-    * 16-bit halves — `(x % 2^16) * c` < 2^48 and
-    * `((x >> 16) * c mod 2^16) << 16` < 2^32 — and the halves add
-    * exactly mod 2^32. Plain ANSI arithmetic, mirrored op-for-op by the
-    * DuckDB oracle.
-    */
-  private def mulMod32(x: Column, c: Long): Column =
-    pmod(
-      pmod(x, lit(65536L)) * lit(c) +
-        pmod(shiftright(x, 16) * lit(c), lit(65536L)) * lit(65536L),
-      lit(4294967296L))
-
-  /** murmur3's 32-bit finalizer (public domain; Appleby's xorshift-
-    * multiply avalanche chain) on a value in [0, 2^32), multiplies via
-    * [[mulMod32]]. xor and right-shift on non-negative Longs are exact
-    * and identical in Spark and DuckDB (`xor()` there — `^` is power in
-    * DuckDB).
-    */
-  private def fmix32(h0: Column): Column = {
-    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
-    val h2 = mulMod32(h1, 0x85ebca6bL)
-    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
-    val h4 = mulMod32(h3, 0xc2b2ae35L)
-    h4.bitwiseXOR(shiftright(h4, 16))
-  }
-
   /** Hash in [0, 2^32): the id (reduced to [0, 2^62) — documented
     * domain edge; 61 bits of id entropy mix) splits into two 32-bit
     * words, each gets its own odd multiplier (Knuth's 2654435761;
@@ -77,17 +48,18 @@ object Sampling {
     * can stamp persisted splits with the hash that produced them and
     * fail fast on mismatch.
     *
-    * Every intermediate stays < 2^63 (see [[mulMod32]]), and the whole
-    * chain is plain ANSI SQL (`%`, `//`, `xor`), mirrored op-for-op by
-    * [[graft.queries.SamplingQueries.hashSql]] so the DuckDB oracle
+    * Compiles to the [[graft.functions.IdHash]] kernel expression — ~10
+    * Java statements inside whole-stage codegen (a `Column`-built chain
+    * duplicates the tree 2^5-fold and crashed Janino; see the kernel's
+    * scaladoc). The function itself is still plain integer arithmetic,
+    * mirrored ANSI-safely (16-bit-halves multiplies) by the DuckDB
+    * oracle in [[graft.queries.SamplingQueries.hashSql]] so the oracle
     * computes the identical sample.
     */
-  def idHash(id: Column): Column = {
-    val n = pmod(id.cast("long"), lit(4611686018427387904L)) // [0, 2^62)
-    val lo = pmod(n, lit(4294967296L)) // bits 0..31
-    val hi = shiftright(n, 32) // bits 32..61 (n >= 0, so >> = floor-div)
-    fmix32(mulMod32(lo, 2654435761L).bitwiseXOR(mulMod32(hi, 2246822519L)))
-  }
+  def idHash(id: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.IdHash(
+        org.apache.spark.sql.graft.Bridge.expression(id.cast("long"))))
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen
     * by hash threshold. Narrow (a pure filter — no shuffle, no window),

@@ -5,30 +5,49 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling queries over `documents`. The hash is plain
-  * integer arithmetic (two multiply-mod-2^32 rounds over the id split at
-  * bit 31 — see [[graft.operators.Sampling.idHash]]), so the DuckDB
-  * oracle computes the identical sample — which is the point: the sample
-  * is an engine-independent function of the data, not of a seed or
-  * partition layout.
+  * integer arithmetic (hash v3: split multiplicative mix at bit 32 +
+  * murmur3 fmix32 avalanche — see [[graft.operators.Sampling.idHash]]),
+  * so the DuckDB oracle computes the identical sample — which is the
+  * point: the sample is an engine-independent function of the data, not
+  * of a seed or partition layout.
   */
 object SamplingQueries {
 
-  /** The DuckDB mirror of [[graft.operators.Sampling.idHash]], op-for-op:
-    * same split (`%` / `//` on non-negative BIGINTs), same constants,
-    * same mod-2^32 reductions before every add so no product exceeds
-    * BIGINT. Any change to `idHash` MUST land here in the same commit —
-    * every sampling oracle embeds this expression.
+  /** The DuckDB mirror of [[graft.operators.Sampling.idHash]] (hash v3),
+    * op-for-op: same bit-32 split, same multipliers, same murmur3 fmix32
+    * finalizer, with every multiply run in 16-bit halves (the `mm` form
+    * below mirrors `Sampling.mulMod32`) so no intermediate exceeds
+    * BIGINT. `xor()` is DuckDB's bitwise xor (`^` is power there);
+    * `// 65536` / `// 8192` are the `>> 16` / `>> 13` shifts — exact
+    * floor division on the non-negative intermediates. Any change to
+    * `idHash` MUST land here in the same commit — every sampling oracle
+    * embeds this expression, and [[graft.operators.Sampling.hashVersion]]
+    * names the version both sides implement.
     *
     * The first reduction mirrors Spark's `pmod` explicitly
     * (`((x % m) + m) % m`): DuckDB's `%` takes the dividend's sign, so
     * a negative id would otherwise make the oracle diverge from the
     * engine. Every subsequent operand is provably non-negative, where
     * plain `%` and `pmod` agree.
+    *
+    * String-substituting the chain doubles the text per step (each step
+    * references its input twice), so the rendered expression is ~18 KB.
+    * That is deliberate: the oracle stays a single self-contained scalar
+    * expression embeddable in any clause (WHERE / window ORDER BY), and
+    * DuckDB parses it without issue at oracle scale.
     */
   def hashSql(id: String): String = {
+    def mm(x: String, c: Long): String =
+      s"((($x % 65536) * $c + (($x // 65536) * $c % 65536) * 65536) % 4294967296)"
     val n = s"((($id) % 4611686018427387904 + 4611686018427387904) % 4611686018427387904)"
-    val r1 = s"(((($n % 2147483648) * 2654435761) % 4294967296 + (($n // 2147483648) * 2246822519) % 4294967296) % 4294967296)"
-    s"(((($r1 % 2147483648) * 2654435761) % 4294967296 + (($r1 // 2147483648) * 3266489917) % 4294967296) % 4294967296)"
+    val lo = s"($n % 4294967296)"
+    val hi = s"($n // 4294967296)"
+    val h0 = s"xor(${mm(lo, 2654435761L)}, ${mm(hi, 2246822519L)})"
+    val h1 = s"xor($h0, $h0 // 65536)"
+    val h2 = mm(h1, 0x85ebca6bL)
+    val h3 = s"xor($h2, $h2 // 8192)"
+    val h4 = mm(h3, 0xc2b2ae35L)
+    s"xor($h4, $h4 // 65536)"
   }
 
   private val h = hashSql("doc_id")

@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |                      array('amenity=cafe')) AS miss,
         |       shingle_set('a b c d', 3) AS shg,
         |       sign_sketch64(array(1.0d, 2.0d)) AS ss,
-        |       size(ordered_pairs(array(1L, 2L, 3L))) AS op
+        |       size(ordered_pairs(array(1L, 2L, 3L))) AS op,
+        |       graft_id_hash(42L) AS ih
         |""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
@@ -27,6 +28,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(7) == spark.sql(
       "SELECT sign_sketch64(array(2.0d, 4.0d))").head().getLong(0)) // scale-invariant
     assert(r.getInt(8) == 3)
+    assert(r.getLong(9) == 1716251024L) // v3 pin, lockstep with SamplingSpec
   }
 
   test("extensions class injects every builder without error") {
@@ -37,7 +39,7 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.builders.map(_._1).toSet ==
       Set("cosine_sim", "minhash_signature", "simhash64",
-        "rolling_hash64", "tags_any_match", "sign_sketch64",
+        "rolling_hash64", "graft_id_hash", "tags_any_match", "sign_sketch64",
         "shingle_set", "shingle_list", "ordered_pairs", "winnow_set"))
   }
 }

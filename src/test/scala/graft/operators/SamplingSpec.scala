@@ -56,10 +56,11 @@ class SamplingSpec extends SparkSpec {
       assert(hashes.forall(h => h >= 0 && h < 4294967296L))
       // pinned reference values (independently computed in exact
       // arithmetic) — the DuckDB oracle mirror must stay in lockstep
-      val pins = Seq(0L -> 0L, 1L -> 1117354654L, 42L -> 1049638439L,
-        1000L -> 2643352296L, 2147483648L -> 1056762244L,
-        2147483690L -> 4163355441L, (1L << 40) + 7 -> 2479236263L,
-        4611686018427387903L -> 1182901909L)
+      // hash v3 (split mix + fmix32) — recomputed in exact arithmetic
+      val pins = Seq(0L -> 0L, 1L -> 301794027L, 42L -> 1716251024L,
+        1000L -> 1495803851L, 2147483648L -> 1832674720L,
+        2147483690L -> 31986815L, (1L << 40) + 7 -> 3008568897L,
+        4611686018427387903L -> 2155639862L)
       val got = pins.map(_._1).toDF("doc_id")
         .select($"doc_id", Sampling.idHash($"doc_id").as("h"))
         .as[(Long, Long)].collect().toMap
@@ -68,6 +69,38 @@ class SamplingSpec extends SparkSpec {
       val up = Sampling.upsampleByEpochs(big, "doc_id", "source", Map("s" -> 1.5))
       assert(up.count() >= 4)
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("idHash kernel: codegen path == interpreted model, negatives included") {
+    // the generated Java and IdHash.hash are separate implementations of
+    // the same v3 chain — evaluate through a real (codegen'd) plan and
+    // compare every value against the Scala model
+    val ids = ((-1000L to 1000L) ++ Seq(Long.MaxValue, Long.MinValue,
+      Long.MinValue + 1, 3470000001L, (1L << 61) + 5, -(1L << 40) - 7)).toSeq
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", Sampling.idHash($"doc_id").as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(got(id) == graft.functions.IdHash.hash(id), s"idHash($id)")
+    }
+  }
+
+  test("idHash stays inside whole-stage codegen (r7: Column chain crashed Janino)") {
+    // the Column-built v3 chain duplicated the tree 2^5-fold, produced
+    // >20k lines of generated Java, and threw InternalCompilerException —
+    // Spark silently fell back to interpreted projection for EVERY
+    // sampling plan. fallback=false turns that silent regression into a
+    // test failure.
+    val before = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Sampling.packLayoutSalted(
+        Sampling.mixtureByHash(docs.withColumn("source", lit("s")), "doc_id",
+            "source", rates = Map("s" -> 0.7), defaultRate = 0.1)
+          .withColumn("w", $"doc_id" % 37 + 1),
+        "stratum", "doc_id", "w", cap = 512, buckets = 4)
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", before)
   }
 
   test("idHash: ids a fixed offset apart never alias (ADVICE r4: 2^31 did)") {
