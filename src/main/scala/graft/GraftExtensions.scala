@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL signatures:
   *   - `cosine_sim(array<double>, array<double>) -> double`
   *   - `minhash_signature(array<string>, numHashes int) -> array<bigint>`
-  *   - `simhash64(array<string>) -> bigint`
+  *   - `simhash64(array<string> [, portable boolean]) -> bigint`
   *   - `rolling_hash64(string) -> bigint`
   *   - `graft_id_hash(bigint) -> bigint` (the v3 portable sampling hash)
   *   - `sign_sketch64(array<float|double>) -> bigint` (cosine LSH)
@@ -44,6 +44,12 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 
   private def pairsArg(e: Expression): Seq[(String, String)] = e match {
@@ -76,7 +82,8 @@ object GraftExtensions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "minhash_signature" -> (es =>
       MinHashSignature(es(0), intArg(es(1), "minhash_signature numHashes"))),
-    "simhash64" -> (es => SimHash64(es(0))),
+    "simhash64" -> (es => SimHash64(es(0),
+      if (es.length > 1) boolArg(es(1), "simhash64 portable") else false)),
     "rolling_hash64" -> (es => RollingHash64(es(0))),
     "graft_id_hash" -> (es => IdHash(es(0))),
     "sign_sketch64" -> (es => SignSketch64(es(0))),

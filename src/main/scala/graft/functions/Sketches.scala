@@ -52,8 +52,59 @@ object Sketches {
   def minhash(tokens: Column, numHashes: Int = 32): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
 
-  def simhash(tokens: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), portable))
+
+  /** mod-2^61−1 arithmetic shared by the rolling-hash family. */
+  private[functions] final val P61 = (1L << 61) - 1
+
+  /** (a·b) mod 2^61−1 without overflow, via Math.multiplyHigh:
+    * 2^64 mod p = 8, so the 128-bit product folds in two mod steps.
+    */
+  private[functions] def mulModP61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val part = ((hi % P61) * 8) % P61
+    (part + java.lang.Long.remainderUnsigned(lo, P61)) % P61
+  }
+
+  /** Rabin–Karp h = Σ bᵢ·131^i mod 2^61−1 over the UTF-8 bytes — the
+    * exact chain [[RollingHash64]] exposes, factored out so the
+    * portable SimHash token hash is byte-identical with the DuckDB
+    * oracle's `list_reduce` mirror (see DedupQueries' dedup_simhash).
+    */
+  private[functions] def rollingHash61(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h + mulModP61(bytes(i) & 0xFFL, pow)) % P61
+      pow = mulModP61(pow, 131L)
+      i += 1
+    }
+    h
+  }
+
+  /** Salt for the portable token hash's high word: Knuth's MMIX LCG
+    * increment (public domain), chosen < 2^61 so the salted value stays
+    * inside IdHash's full-mixing domain [0, 2^62).
+    */
+  private[functions] final val PortableSalt = 0x14057B7EF767814FL
+
+  /** Oracle-portable 64-bit token hash: t = rollingHash61(token), low
+    * word = IdHash v3 of t, high word = IdHash v3 of (t xor salt).
+    * Every step is exact integer arithmetic a DuckDB oracle reproduces
+    * (HUGEINT list_reduce for t, the SamplingQueries.hashSql chain for
+    * the two words) — the hash family [[SimHash64]]'s `portable` mode
+    * votes with. XXH64 remains the default family: one multiply per
+    * 8 bytes vs. one mulMod per byte here, so portable mode is for
+    * oracle-verified catalogs, not the 100 TB hot path.
+    */
+  private[functions] def portableTokenHash(tok: UTF8String): Long = {
+    val t = rollingHash61(tok)
+    (IdHash.hash(t ^ PortableSalt) << 32) | IdHash.hash(t)
+  }
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -79,33 +130,8 @@ case class RollingHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
 
-  private final val P = (1L << 61) - 1
-  private final val B = 131L
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val bytes = s.getBytes
-    var h = 0L
-    var pow = 1L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h + mulMod(bytes(i) & 0xFFL, pow)) % P
-      pow = mulMod(pow, B)
-      i += 1
-    }
-    java.lang.Long.valueOf(h)
-  }
-
-  /** (a·b) mod p without overflow, via Math.multiplyHigh. */
-  private def mulMod(a: Long, b: Long): Long = {
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    // fold 128-bit product into mod 2^61-1: (hi·2^64 + lo) mod p
-    // 2^64 mod p = 8, since 2^64 = 8·(2^61-1) + 8
-    val part = ((hi % P) * 8) % P
-    val r = (part + java.lang.Long.remainderUnsigned(lo, P)) % P
-    r
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Sketches.rollingHash61(input.asInstanceOf[UTF8String]))
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
@@ -258,10 +284,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** 64-bit SimHash over a token array: per-bit vote of each token's
-  * XXH64, sign-thresholded. Hamming distance between fingerprints
+  * hash, sign-thresholded. Hamming distance between fingerprints
   * approximates cosine distance of the bag-of-token vectors.
+  *
+  * Token-hash family is a parameter: XXH64 (default — fastest, the
+  * 100 TB path) or the oracle-portable rolling-hash/IdHash chain
+  * ([[Sketches.portableTokenHash]]), which a DuckDB oracle reproduces
+  * exactly — that is how the dedup_simhash catalog query is verified
+  * end-to-end rather than only golden-pinned. The banding/verify
+  * structure above the fingerprint is hash-agnostic.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
@@ -275,7 +308,8 @@ case class SimHash64(child: Expression)
     while (t < n) {
       val tok = arr.getUTF8String(t)
       if (tok != null) {
-        val h = Sketches.hashToken(tok, 42L)
+        val h = if (portable) Sketches.portableTokenHash(tok)
+                else Sketches.hashToken(tok, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

@@ -222,14 +222,21 @@ object Dedup {
     * least one of 4 16-bit chunks (guarantees recall for hamming ≤ 3 by
     * pigeonhole), verified with bit_count(xor) ≤ maxHamming.
     * Output: (id_a, id_b, hamming).
+    *
+    * `portableHash` selects the token-hash family under the
+    * fingerprint: false (default) = XXH64, the fastest kernel for the
+    * 100 TB path; true = the rolling-hash/IdHash chain a DuckDB oracle
+    * reproduces exactly (see [[graft.functions.SimHash64]]) — same
+    * banding, same recall structure, different (but equally avalanched)
+    * bits.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
     // persist the fingerprints: the chunk self-join would otherwise
     // re-evaluate the tokenize+SimHash pipeline on BOTH sides (the
     // same recompute trap minhashLshPairs had)
     val f = docs.select(col(idCol).as("__id"),
-        Sketches.simhash(TextFunctions.words(col(textCol))).as("f"))
+        Sketches.simhash(TextFunctions.words(col(textCol)), portableHash).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = f.select(col("__id"), col("f"),
       posexplode(transform(sequence(lit(0), lit(3)),

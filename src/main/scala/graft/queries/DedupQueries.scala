@@ -177,12 +177,70 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       doc = "winnowing-fingerprint near-dup pairs (MOSS matching; sub-linear postings)"),
 
+    // SimHash with the ORACLE-PORTABLE token-hash family: per token,
+    // t61 = Rabin–Karp Σ bᵢ·131^i mod 2^61−1 (HUGEINT list_reduce, the
+    // text_fingerprint_rolling mirror), then 64 hash bits = two IdHash
+    // v3 words (SamplingQueries.hashSql) of t61 and t61 xor the MMIX
+    // salt. Bit votes, sign threshold, 4×16-bit chunk banding, and the
+    // hamming verify are then all plain integer SQL — the whole
+    // operator hash-verifies against DuckDB instead of the former
+    // rows-only check. (The XXH64 default family stays the 100 TB hot
+    // path — DedupSpec covers it at unit level.) The fingerprint is
+    // assembled unsigned (HUGEINT) so bit 63 survives, then converted
+    // to two's-complement BIGINT to match the engine's Long.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, portableHash = true)
         .orderBy(col("id_a"), col("id_b")),
-      None, // 64-bit fingerprint internals not expressible in ANSI SQL
-      doc = "SimHash64 + 16-bit chunk banding + hamming verify (rows-only check)"),
+      Some {
+        val t61Lo = SamplingQueries.hashSql("t61")
+        val t61Hi = SamplingQueries.hashSql("xor(t61, 1442695040888963407)")
+        s"""WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |th AS (
+          |  SELECT doc_id, CAST(list_reduce(
+          |      list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
+          |        list_transform(range(1, length(tok) + 1),
+          |          i -> [CAST(unicode(substring(tok, i, 1)) AS HUGEINT),
+          |                CAST(0 AS HUGEINT)])),
+          |      (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2305843009213693951,
+          |                   (acc[2] * 131) % 2305843009213693951])[1] AS BIGINT)
+          |    AS t61
+          |  FROM tok),
+          |tb AS (
+          |  SELECT doc_id, $t61Lo AS lo, $t61Hi AS hi
+          |  FROM th),
+          |bits AS (
+          |  SELECT doc_id, r.b,
+          |         sum(CASE WHEN r.b < 32
+          |                  THEN (lo // (CAST(1 AS BIGINT) << r.b)) % 2
+          |                  ELSE (hi // (CAST(1 AS BIGINT) << (r.b - 32))) % 2
+          |             END * 2 - 1) AS vote
+          |  FROM tb CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+          |  GROUP BY doc_id, r.b),
+          |fp AS (
+          |  SELECT doc_id,
+          |         sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END)
+          |           AS fh
+          |  FROM bits GROUP BY doc_id),
+          |fps AS (
+          |  SELECT doc_id, fh,
+          |         CAST(CASE WHEN fh >= 9223372036854775808
+          |                   THEN fh - 18446744073709551616
+          |                   ELSE fh END AS BIGINT) AS f
+          |  FROM fp),
+          |ch AS (
+          |  SELECT doc_id, f, r.c,
+          |         CAST((fh // (CAST(1 AS HUGEINT) << (16 * r.c))) % 65536 AS BIGINT)
+          |           AS cv
+          |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS c) r)
+          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+          |FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.f, b.f)) <= 8
+          |ORDER BY id_a, id_b""".stripMargin
+      },
+      doc = "SimHash64 (portable hash family) + 16-bit chunk banding + hamming verify, DuckDB hash-verified"),
 
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),

@@ -30,12 +30,37 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical → hamming 0; disjoint → large hamming") {
-    val f = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
-      .toDF("text").select(
-        Sketches.simhash(TextFunctions.words(col("text"))).as("f"))
-      .as[Long].collect()
-    assert(f(0) == f(1))
-    assert(java.lang.Long.bitCount(f(0) ^ f(2)) > 10)
+    for (portable <- Seq(false, true)) {
+      val f = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
+        .toDF("text").select(
+          Sketches.simhash(TextFunctions.words(col("text")), portable).as("f"))
+        .as[Long].collect()
+      assert(f(0) == f(1), s"portable=$portable")
+      assert(java.lang.Long.bitCount(f(0) ^ f(2)) > 10, s"portable=$portable")
+    }
+  }
+
+  test("portable simhash: pinned token hashes match the oracle arithmetic") {
+    // a single-token SimHash is the token hash itself (every bit's vote
+    // is that token's bit), so the portable token-hash family is
+    // pinnable through the public surface. Reference values computed
+    // independently in exact arithmetic (rolling61 -> IdHash v3 words),
+    // the same chain the dedup_simhash DuckDB oracle emits — a third
+    // leg to the engine/oracle lockstep.
+    val pins = Seq(
+      "hello" -> -1509909043340189158L,
+      "a" -> -8679703077701031026L,
+      "" -> 1149937279725207552L,
+      "world99" -> -6124952676412939618L,
+      "the" -> 1043226192125739856L)
+    val got = pins.map(_._1).toDF("tok")
+      .select(col("tok"), Sketches.simhash(array(col("tok")), portable = true).as("h"))
+      .as[(String, Long)].collect().toMap
+    pins.foreach { case (tok, h) => assert(got(tok) == h, s"portableTokenHash($tok)") }
+    // multi-token vote pin
+    val multi = Seq(Seq("a", "b", "c")).toDF("toks")
+      .select(Sketches.simhash(col("toks"), portable = true)).as[Long].head()
+    assert(multi == -5788364107809592027L)
   }
 
   test("cosineSim expression: known vectors, zero vector, null") {

@@ -3,9 +3,10 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Value-level pins for the two catalog queries the DuckDB oracle
-  * cannot express (64-bit SimHash / rolling-hash internals). A
-  * rows-only check would keep passing with a broken bit in
+/** Value-level pins for catalog queries: the engine-independent belt
+  * to the DuckDB-oracle braces (and the only value gate for
+  * text_bpe_merges, whose iterative argmax has no oracle). A rows-only
+  * check would keep passing with a broken bit in
   * SimHash64/RollingHash64; these content hashes fail on any value
   * change. Recompute (deliberately) by printing the same aggregate if
   * the kernels' hash definitions are intentionally revised.
@@ -22,7 +23,10 @@ class GoldenOutputSpec extends SparkSpec {
   }
 
   test("dedup_simhash output is bit-stable (golden content hash)") {
-    assert(contentHash("dedup_simhash") == ((401L, "-27796369444963981091")))
+    // r8: the catalog query moved to the oracle-portable token-hash
+    // family (and gained a full DuckDB oracle); row count cross-checked
+    // against an independent exact-arithmetic reference (625 at sf0.001)
+    assert(contentHash("dedup_simhash") == ((625L, "-115058100784351564062")))
   }
 
   test("text_fingerprint_rolling output is bit-stable (golden content hash)") {
