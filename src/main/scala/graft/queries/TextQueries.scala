@@ -12,6 +12,53 @@ object TextQueries {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
 
+  /** DuckDB oracle for [[TextAnalysis.bpeTrainMerges]]: the iterative
+    * training loop UNROLLED as `numMerges` CTE layers. Layer k derives
+    * pair counts `p{k}` from vocabulary `v{k}` (adjacent symbol pairs
+    * weighted by word frequency), takes the argmax `m{k}` with the
+    * engine's exact tie-break (n DESC, l, r — binary collation both
+    * sides), and applies the merge to produce `v{k+1}` via a
+    * `list_reduce` that folds symbols left-to-right, merging whenever
+    * the last emitted symbol is `l` and the next is `r`. That fold IS
+    * the engine's greedy non-overlapping scan: a merged token l||r can
+    * never equal l (r is nonempty), so a just-merged site can't
+    * re-trigger. The text doubles per round in rendered size but stays
+    * a few KB at numMerges = 8.
+    */
+  private[queries] def bpeOracle(numMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """v0 AS (
+      |  SELECT list_transform(range(1, length(w) + 1),
+      |                        i -> substring(w, i, 1)) AS syms,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0
+      |  GROUP BY w)""".stripMargin
+    for (k <- 0 until numMerges) {
+      parts += s"""p$k AS (
+        |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |               i -> [syms[i], syms[i + 1]])) AS pr
+        |        FROM v$k)
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""m$k AS (
+        |  SELECT $k AS rank, l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      if (k < numMerges - 1)
+        parts += s"""v${k + 1} AS (
+          |  SELECT list_reduce(list_transform(v.syms, s -> [s]),
+          |           (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
+          |                            THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+          |                            ELSE list_concat(acc, x) END) AS syms,
+          |         v.cnt
+          |  FROM v$k v CROSS JOIN m$k m)""".stripMargin
+    }
+    val union = (0 until numMerges)
+      .map(k => s"""SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+        |       n AS pair_count FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    "WITH " + parts.result().mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("text_token_stats",
@@ -314,14 +361,22 @@ object TextQueries {
 
     // BPE merge training (the tokenizer-learning step): iterative
     // corpus-wide pair counting over the collapsed word-frequency
-    // vocabulary. Golden-pinned — the iterative argmax isn't
-    // ANSI-expressible.
+    // vocabulary. The oracle UNROLLS the 8 merge rounds as CTE layers
+    // (generated below — each round is pair-count → argmax with the
+    // engine's exact (n DESC, l, r) tie-break → list_reduce greedy
+    // left-to-right merge application), so the formerly golden-pinned
+    // iterative argmax is now DuckDB hash-verified end-to-end. The
+    // list_reduce merge is equivalent to the engine's scan because a
+    // merged token a||b can never equal a (b is nonempty), so "last
+    // output element = a" only holds at genuine merge sites.
+    // Golden-pinned too (GoldenOutputSpec) as the engine-independent
+    // belt.
     Q("text_bpe_merges",
       (s, dir) => TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), "text",
         numMerges = 8)
         .orderBy(col("rank")),
-      None,
-      doc = "BPE merge training: per-round corpus-wide pair argmax over word frequencies"),
+      Some(bpeOracle(numMerges = 8)),
+      doc = "BPE merge training: per-round corpus-wide pair argmax over word frequencies (unrolled-CTE oracle)"),
 
     // MOSS winnowing fingerprints (Schleimer et al. 2003): the
     // sub-linear robust fingerprint set for long-document near-dup
