@@ -123,6 +123,33 @@ object TextAnalysis {
       numMerges: Int): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     val spark = docs.sparkSession
+    // The rounds' latency floor is task-scheduling, not compute: the
+    // vocabulary (distinct words) is orders of magnitude smaller than
+    // the corpus, so running each round's argmax at the CORPUS shuffle
+    // width schedules ~2×partitions near-empty tasks per round — and
+    // the per-round driver synchronization multiplies that under load.
+    // Run the loop at width defaultParallelism/8 (≥ 2): still
+    // distributed — a 4000-core cluster keeps a 500-way vocab — but the
+    // local[32] demo drops from 64 to ~8 tiny tasks per round.
+    // Conf is saved/restored (same discipline as the CC loop); the
+    // width applies to the initial vocab groupBy too, so the CACHED
+    // vocab carries the narrow layout through every round.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsBefore = spark.conf.get(partsKey)
+    val loopParts = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    spark.conf.set(partsKey, loopParts)
+    try bpeTrainLoop(docs, textCol, numMerges)
+    finally
+      try spark.conf.set(partsKey, partsBefore)
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"failed to restore $partsKey=$partsBefore", e)
+      }
+  }
+
+  private def bpeTrainLoop(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
     var vocab = docs
       .select(explode(TextFunctions.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)

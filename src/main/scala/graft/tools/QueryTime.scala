@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev loop: time named catalog queries in isolation (same session
+  * shape as Bench, same noop sink) without paying for the whole
+  * catalog. `runMain graft.tools.QueryTime <sfDir> <query> [query ...]`
+  * — each query runs `reps` times (env SPARK_GRAFT_REPS, default 3) so
+  * scheduler-noise vs. plan cost separates.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryTime <sfDir> <query> [query ...]")
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
+    args.drop(1).foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qtime] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
+    }
+    spark.stop()
+  }
+}

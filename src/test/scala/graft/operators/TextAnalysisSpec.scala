@@ -64,6 +64,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.count() == 0)
   }
 
+  test("bpeTrainMerges restores the loop's shuffle-partitions override") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    TextAnalysis.bpeTrainMerges(
+      Seq((1L, "low low lower")).toDF("doc_id", "text"), "text", 2).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("repetitionStats: hand-computed fractions, single-word edge") {
     val df = Seq(
       (1L, "a a a b"),      // top a: 3/4; dup words: (4-2)/4; bigrams: {a a, a a, a b} → (3-2)/3
