@@ -209,6 +209,30 @@ object Sampling {
         explode(sequence(lit(1), col("__nc"))).as(epochOut): _*)
   }
 
+  /** Deterministic dataloader shard layout — the last hop of a
+    * training-data pipeline: every row gets a `shard` in
+    * [0, numShards) (id-hash mod, so each shard is a uniform
+    * pseudo-random subset and membership is repartition/growth-stable
+    * within a hash version) and a dense 0-based `pos` within its shard
+    * in portable hash order — exactly the (shard, position) contract a
+    * distributed dataloader consumes. Implemented as the unit-weight
+    * case of [[packLayoutSalted]] (cap = 1 makes the exclusive running
+    * count the position), so the giant-shard prefix scan splits
+    * `buckets` ways instead of serializing — sharding 100 TB into 64
+    * shards is 64 × ~1.6 TB windows otherwise.
+    */
+  def shardLayout(df: DataFrame, idCol: String, numShards: Int,
+      buckets: Int = 32): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val withShard = df.withColumn("shard",
+      pmod(idHash(col(idCol)), lit(numShards.toLong)).cast("int"))
+    packLayoutSalted(withShard.withColumn("__one", lit(1L)),
+        stratumCol = "shard", idCol = idCol, weightCol = "__one",
+        cap = 1, buckets = buckets)
+      .withColumnRenamed("pack_id", "pos")
+      .drop("pack_offset", "__one")
+  }
+
   /** Curriculum bucketing: per-stratum quantile buckets (NTILE) over an
     * ordering signal (length, quality score, perplexity) — the
     * easy-to-hard schedule assignment. One keyed window; salt via

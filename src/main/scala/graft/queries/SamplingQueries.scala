@@ -387,6 +387,27 @@ object SamplingQueries {
              |ORDER BY doc_id, epoch""".stripMargin),
       doc = "the ONE-CALL CorpusPipeline.run, oracle-verified end-to-end (mixture, decon, LSH+CC dedup-keep, pack, epochs)"),
 
+    // Dataloader sharding: shard = hash mod 8 (uniform pseudo-random
+    // subsets, growth-stable membership), pos = dense hash-order index
+    // within the shard — the (shard, position) contract a distributed
+    // dataloader consumes. The engine runs the salted distributed
+    // prefix scan (unit-weight packLayoutSalted); the oracle is the
+    // windowed row_number the scan must equal.
+    Q("doc_shard_layout",
+      (s, dir) => Sampling.shardLayout(Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang")),
+          idCol = "doc_id", numShards = 8)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+      Some(s"""SELECT doc_id, lang,
+             |       CAST($h % 8 AS INTEGER) AS shard,
+             |       CAST(row_number() OVER (
+             |         PARTITION BY $h % 8
+             |         ORDER BY $h, doc_id) - 1 AS BIGINT) AS pos
+             |FROM documents
+             |ORDER BY shard, pos""".stripMargin),
+      doc = "deterministic dataloader shard layout: hash-mod shard + dense hash-order position (distributed prefix scan)"),
+
     // Train/val/test assignment by disjoint hash ranges (80/10/10): the
     // same narrow filter arithmetic as the Bernoulli sampler, so splits
     // are stable under repartitioning AND mutually exclusive by

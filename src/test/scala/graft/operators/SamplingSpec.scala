@@ -215,6 +215,34 @@ class SamplingSpec extends SparkSpec {
     assert(sd === p)
   }
 
+  test("shardLayout: dense positions, stable shards, repartition-independent") {
+    val out = Sampling.shardLayout(docs, "doc_id", numShards = 8)
+    val rows = out.select($"doc_id", $"shard", $"pos")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 1000)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are dense 0..n-1 within every shard
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(0L until rs.length),
+        s"shard $s positions not dense")
+    }
+    // shards are roughly balanced (uniform hash mod)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n > 80 && n < 170), sizes.toMap.toString)
+    // deterministic under repartition
+    val again = Sampling.shardLayout(docs.repartition(13), "doc_id", 8)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(again.toSet == rows.toSet)
+    // growth stability: adding rows never changes an existing row's shard
+    val grown = Sampling.shardLayout(
+        docs.union(spark.range(1000, 1500).select($"id".as("doc_id"),
+          lit("x").as("stratum"))), "doc_id", 8)
+      .filter($"doc_id" < 1000)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val orig = rows.map(r => r._1 -> r._2).toMap
+    assert(grown == orig)
+  }
+
   test("salted two-phase stratified equals the plain form (rows AND ranks)") {
     for (salts <- Seq(1, 4, 16, 64)) {
       val plain = Sampling.stratifiedByHash(docs, "stratum", "doc_id", 25)
