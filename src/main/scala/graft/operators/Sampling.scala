@@ -209,6 +209,29 @@ object Sampling {
         explode(sequence(lit(1), col("__nc"))).as(epochOut): _*)
   }
 
+  /** Deterministic token-budget sample: the maximal hash-order prefix
+    * of each stratum whose running weight stays within `budget` — "give
+    * me 10B tokens of each language, reproducibly". A row survives iff
+    * its exclusive running total plus its own weight fits, so the
+    * selection is exactly the greedy prefix a sequential sampler would
+    * take, at any partitioning. Composes [[packLayoutSalted]]'s
+    * distributed prefix scan (the budget is NOT a pack cap — a doc
+    * never splits), so a giant stratum's scan splits `buckets` ways.
+    * Output: the surviving rows + `cum_before` (tokens consumed before
+    * each, for auditability).
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    // cap = budget only to reuse the scan; the filter below is on the
+    // running total itself, so cap never bins anything
+    packLayoutSalted(df, stratumCol, idCol, weightCol, cap = budget, buckets)
+      .withColumn("cum_before",
+        col("pack_id") * budget + col("pack_offset"))
+      .filter(col("cum_before") + col(weightCol) <= budget)
+      .drop("pack_id", "pack_offset")
+  }
+
   /** Deterministic dataloader shard layout — the last hop of a
     * training-data pipeline: every row gets a `shard` in
     * [0, numShards) (id-hash mod, so each shard is a uniform

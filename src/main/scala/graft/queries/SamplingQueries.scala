@@ -387,6 +387,38 @@ object SamplingQueries {
              |ORDER BY doc_id, epoch""".stripMargin),
       doc = "the ONE-CALL CorpusPipeline.run, oracle-verified end-to-end (mixture, decon, LSH+CC dedup-keep, pack, epochs)"),
 
+    // Token-budget sampling: the greedy hash-order prefix of each
+    // language under a 3000-token budget — the "N tokens per language,
+    // reproducibly" selector. The oracle is the windowed running total
+    // the distributed scan must equal; survival is exclusive-total +
+    // own weight <= budget (a doc never splits).
+    Q("doc_token_budget",
+      (s, dir) => Sampling.tokenBudgetSample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_words")),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_words",
+          budget = 3000)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("cum_before"))
+        .orderBy(col("lang"), col("cum_before"), col("doc_id")),
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_words,
+             |         CAST(COALESCE(sum(n_words) OVER (
+             |           PARTITION BY lang
+             |           ORDER BY $h, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS BIGINT) AS cum_before
+             |  FROM d)
+             |SELECT doc_id, lang, n_words, cum_before
+             |FROM c
+             |WHERE cum_before + n_words <= 3000
+             |ORDER BY lang, cum_before, doc_id""".stripMargin),
+      doc = "token-budget sampling: maximal deterministic hash-order prefix per language within a 3000-token budget"),
+
     // Dataloader sharding: shard = hash mod 8 (uniform pseudo-random
     // subsets, growth-stable membership), pos = dense hash-order index
     // within the shard — the (shard, position) contract a distributed

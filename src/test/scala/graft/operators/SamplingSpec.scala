@@ -215,6 +215,37 @@ class SamplingSpec extends SparkSpec {
     assert(sd === p)
   }
 
+  test("tokenBudgetSample: exact greedy prefix, stops at first straddler") {
+    val weighted = docs.withColumn("w", pmod($"doc_id" * 7, lit(40L)) + 1)
+    val out = Sampling.tokenBudgetSample(weighted, "stratum", "doc_id", "w",
+      budget = 500)
+    val rows = out.select($"stratum", $"doc_id", $"w", $"cum_before")
+      .as[(String, Long, Long, Long)].collect()
+    // reference: sequential greedy prefix over hash order per stratum
+    val hashes = weighted.select($"doc_id", Sampling.idHash($"doc_id"))
+      .as[(Long, Long)].collect().toMap
+    val all = weighted.select($"stratum", $"doc_id", $"w")
+      .as[(String, Long, Long)].collect()
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (st, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (hashes(r._2), r._2)).takeWhile { r =>
+        val fits = cum + r._3 <= 500
+        if (fits) cum += r._3
+        fits
+      }.map(r => (st, r._2))
+    }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expect)
+    // budgets nest: a larger budget only ADDS rows
+    val bigger = Sampling.tokenBudgetSample(weighted, "stratum", "doc_id", "w",
+        budget = 900)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._2).toSet.subsetOf(bigger))
+    // per-stratum consumed totals respect the budget
+    rows.groupBy(_._1).foreach { case (st, rs) =>
+      assert(rs.map(_._3).sum <= 500, s"stratum $st over budget")
+    }
+  }
+
   test("shardLayout: dense positions, stable shards, repartition-independent") {
     val out = Sampling.shardLayout(docs, "doc_id", numShards = 8)
     val rows = out.select($"doc_id", $"shard", $"pos")
