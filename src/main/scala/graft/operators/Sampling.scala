@@ -142,6 +142,12 @@ object Sampling {
     * its predecessors (a window over ≤ `buckets` rows per stratum) via
     * an equi-join on (stratum, bucket). Byte-identical output to
     * [[packLayout]] (spec-pinned; the catalog query shares the oracle).
+    *
+    * The offsets side is `strata × buckets` rows. It is deliberately
+    * NOT a static `broadcast()`: for the typical few-strata corpus AQE
+    * broadcasts it at runtime (PlanAuditSpec pins that), while a
+    * high-cardinality-strata call (where salting is unnecessary but
+    * harmless) isn't forced into an oversized broadcast.
     */
   def packLayoutSalted(df: DataFrame, stratumCol: String, idCol: String,
       weightCol: String, cap: Long, buckets: Int = 32): DataFrame = {

@@ -82,6 +82,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shard/pack prefix scan: the bucket-offset lift joins BROADCAST") {
+    // packLayoutSalted's offsets side is ≤ strata × buckets rows by
+    // construction — at 100 TB it must ship to the big side, never
+    // sort-merge it. AQE gets there at runtime on stats; assert it so a
+    // refactor that bloats the offsets side (or a conf change that caps
+    // broadcasts) fails here.
+    for (name <- Seq("doc_shard_layout", "doc_pack_layout_salted")) {
+      val p = finalPlan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
+    }
+  }
+
   test("text_repetition: ONE corpus scan feeds both word and bigram stats") {
     val p = plan("text_repetition")
     val scans = "documents\\.parquet".r.findAllIn(p).length
