@@ -209,6 +209,54 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Bigram-LM perplexity — the CCNet-style quality signal: train an
+    * add-α-smoothed bigram language model ON the corpus itself and
+    * score every document by exp(mean −ln p(w₂|w₁)). Repetitive or
+    * template text scores LOW, token soup scores HIGH; threshold on
+    * the score (or feed it to [[graft.operators.Sampling.curriculumBuckets]])
+    * to filter or schedule.
+    *
+    * p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V) with V = |vocabulary|.
+    *
+    * Distributed shape, 100 TB-first: per-document bigrams are
+    * pre-aggregated to (doc, w₁, w₂, k) BEFORE joining (map-side
+    * combine cuts the join input to distinct-bigrams-per-doc), the
+    * count model (unigram + bigram tables, vocabulary-sized ≪ corpus)
+    * joins on its keys, and the single scalar V rides a broadcast
+    * cross join — no driver-side state. Documents with < 2 tokens
+    * have no bigrams and yield no row (score is undefined there;
+    * filter or coalesce downstream).
+    * Output: (id, n_bigrams, perplexity) — perplexity rounded to 6
+    * decimals (the ln/exp libm in Spark and an oracle engine agree far
+    * beyond 1e-6; summation order differs at ~1e-13 relative).
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    val bi = toks.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), size(col("__w")) - 1).as("w1"),
+          slice(col("__w"), lit(2), size(col("__w")) - 1).as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("__w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigramCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val docBigrams = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    docBigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", -log((col("cb") + lit(alpha)) /
+        (col("cu").cast("double") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(exp(sum(col("k") * col("__nll")) / sum(col("k"))), 6)
+          .as("perplexity"))
+  }
+
   /** Apply a learned BPE merge list ([[bpeTrainMerges]] output order):
     * each word starts as characters and replays the merges in rank
     * order — the standard greedy left-to-right application. One narrow

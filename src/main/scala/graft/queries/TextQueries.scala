@@ -294,6 +294,42 @@ object TextQueries {
              |ORDER BY doc_id, rk""".stripMargin),
       doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank"),
 
+    // Bigram-LM perplexity (CCNet-style quality signal): the corpus
+    // trains its own add-0.5-smoothed bigram model; each doc scores
+    // exp(mean -ln p(w2|w1)). Identical double arithmetic both sides
+    // (same operands into /, ln, exp), round(,6) absorbs summation
+    // order; n_bigrams pins the support.
+    Q("text_perplexity",
+      (s, dir) => TextAnalysis.perplexityScore(Tables.documents(s, dir),
+          "doc_id", "text", alpha = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bi AS (
+             |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |               i -> [w[i], w[i + 1]])) AS pr
+             |        FROM toks)),
+             |uni AS (
+             |  SELECT w1, count(*) AS cu
+             |  FROM (SELECT doc_id, unnest(w) AS w1 FROM toks) GROUP BY w1),
+             |v AS (SELECT count(*) AS v FROM uni),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+             |db AS (SELECT doc_id, w1, w2, count(*) AS k
+             |       FROM bi GROUP BY doc_id, w1, w2),
+             |nll AS (
+             |  SELECT db.doc_id, db.k,
+             |         -ln((bc.cb + 0.5) / (CAST(uni.cu AS DOUBLE) + 0.5 * v.v))
+             |           AS nll
+             |  FROM db JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+             |SELECT doc_id,
+             |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |       round(exp(sum(k * nll) / sum(k)), 6) AS perplexity
+             |FROM nll
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "bigram-LM perplexity per doc (CCNet-style quality signal; corpus-trained add-alpha model)"),
+
     // Context-window chunking: overlapping 16-token windows at stride 12
     // (the packing primitive for pretraining / RAG ingestion). One
     // narrow expand per doc — generate window starts with sequence(),

@@ -64,6 +64,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.count() == 0)
   }
 
+  test("perplexityScore: hand-computed bigram model on a toy corpus") {
+    // corpus: "a b a b" + "a b" + "solo" → cu(a)=3, cu(b)=3,
+    // cu(solo)=1, V=3, cb(a,b)=3, cb(b,a)=1, alpha=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // p(b|a) = 3.5/4.5
+    val pBA = (1 + 0.5) / (3 + 0.5 * 3) // p(a|b) = 1.5/4.5
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6(math.exp((2 * -math.log(pAB) + -math.log(pBA)) / 3))
+    val exp2 = r6(math.exp(-math.log(pAB)))
+    assert(got.length == 2) // "solo" has no bigram, no row
+    assert(got(0) == ((1L, 3L, exp1)))
+    assert(got(1) == ((2L, 1L, exp2)))
+    // the natural-text property: a shuffled-vocabulary doc scores
+    // HIGHER than a repeated-template doc under the corpus model
+    val corpus = Seq((1L, "the cat sat on the mat " * 20),
+      (2L, "mat the on sat zq cat xv the xw on"))
+      .toDF("doc_id", "text")
+    val ppl = TextAnalysis.perplexityScore(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(ppl(0)._3 < ppl(1)._3, ppl.mkString(", "))
+  }
+
   test("bpeTrainMerges restores the loop's shuffle-partitions override") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     TextAnalysis.bpeTrainMerges(
