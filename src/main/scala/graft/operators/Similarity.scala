@@ -85,6 +85,33 @@ object Similarity {
         col("nid").as("neighbor_id"), col("cos"))
   }
 
+  /** Matryoshka-style truncation: keep the first `d` dimensions and
+    * L2-renormalize — the MRL serving trick (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): a prefix of
+    * a nested embedding is itself a usable lower-cost embedding.
+    * Renormalization doesn't change cosine RANKING (scale-invariant);
+    * it matters for dot-product consumers and quantizers downstream.
+    * Zero vectors pass through untouched (no 0/0). One narrow map —
+    * runs inline with the scan; output keeps `idCol`/`vecCol` names so
+    * it drops into [[bruteForceTopK]]/[[ivfTopK]] unchanged.
+    */
+  def truncateRenorm(emb: DataFrame, idCol: String, vecCol: String,
+      d: Int): DataFrame = {
+    require(d > 0, s"d must be positive: $d")
+    // norm materializes in its own projection: folded ONCE per row —
+    // inlining it in the per-element division lambda would re-run the
+    // O(d) fold d times (HOF lambdas evaluate interpreted, no CSE)
+    emb.select(col(idCol),
+        transform(slice(col(vecCol), lit(1), lit(d)),
+          x => x.cast("double")).as("__t"))
+      .select(col(idCol), col("__t"),
+        aggregate(col("__t"), lit(0.0), (acc, x) => acc + x * x).as("__n2"))
+      .select(col(idCol),
+        when(col("__n2") === 0.0, col("__t"))
+          .otherwise(transform(col("__t"), x => x / sqrt(col("__n2"))))
+          .as(vecCol))
+  }
+
   /** Assign every vector to its nearest centroid (max cosine, ties to
     * the lowest centroid id). Output: (__id, v, cell). One narrow
     * stage: the centroid set is collected (small by contract) and

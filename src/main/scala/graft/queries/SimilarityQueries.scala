@@ -82,6 +82,68 @@ object SimilarityQueries {
               |ORDER BY query_id, rank""".stripMargin),
       doc = "IVF ANN: one-pass centroid assignment, probe own cell (nprobe=1)"),
 
+    // Matryoshka truncation eval: top-5 agreement between full-dim and
+    // 16-dim-truncated-renormalized retrieval, per query — the metric
+    // that decides whether the cheap prefix embedding is servable.
+    // Renorm arithmetic is identical on both sides (same operands into
+    // x/sqrt(left-fold sum of squares)); ranks compare unrounded cos,
+    // same measure-zero-ties argument as the other sim queries.
+    Q("emb_matryoshka_agreement",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val full = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        val tr = Similarity.truncateRenorm(emb, "vec_id", "embedding", d = 16)
+        val trTop = Similarity.bruteForceTopK(tr,
+          tr.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        full.as("f")
+          .join(trTop.as("t"),
+            col("f.query_id") === col("t.query_id") &&
+              col("f.neighbor_id") === col("t.neighbor_id"), "left")
+          .groupBy(col("f.query_id").as("query_id"))
+          .agg(sum(when(col("t.neighbor_id").isNotNull, 1).otherwise(0))
+            .cast("int").as("n_agree"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |tn AS (
+              |  SELECT vec_id, v[1:16] AS t,
+              |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |             list_transform(v[1:16], x -> x * x)),
+              |           (a, b) -> a + b) AS n2
+              |  FROM e),
+              |tr AS (
+              |  SELECT vec_id,
+              |         CASE WHEN n2 = 0 THEN t
+              |              ELSE list_transform(t, x -> x / sqrt(n2)) END AS v
+              |  FROM tn),
+              |fullr AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |           row_number() OVER (PARTITION BY q.vec_id
+              |               ORDER BY ${cos("q.v", "c.v")} DESC, c.vec_id) AS rank
+              |    FROM e q JOIN e c ON c.vec_id != q.vec_id
+              |    WHERE q.vec_id < 10)
+              |  WHERE rank <= 5),
+              |trr AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |           row_number() OVER (PARTITION BY q.vec_id
+              |               ORDER BY ${cos("q.v", "c.v")} DESC, c.vec_id) AS rank
+              |    FROM tr q JOIN tr c ON c.vec_id != q.vec_id
+              |    WHERE q.vec_id < 10)
+              |  WHERE rank <= 5)
+              |SELECT f.query_id,
+              |       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+              |                     THEN 1 ELSE 0 END) AS INTEGER) AS n_agree
+              |FROM fullr f LEFT JOIN trr t
+              |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+              |GROUP BY f.query_id
+              |ORDER BY f.query_id""".stripMargin),
+      doc = "matryoshka (MRL) truncation eval: top-5 agreement of 16-dim prefix retrieval vs full-dim"),
+
     // Int8 symmetric quantization — the vector-store prep step: scale =
     // maxabs/127 per vector, q_i = round(x_i/scale) in [-127,127].
     // Everything is per-row array arithmetic (narrow, no shuffle until

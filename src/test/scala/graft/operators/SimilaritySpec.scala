@@ -23,6 +23,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncateRenorm: unit norm, prefix values, zero-vector passthrough") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f, 100.0f)),
+      (2L, Seq(0.0f, 0.0f, 5.0f, 5.0f))) // zero prefix
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncateRenorm(df, "vec_id", "embedding", d = 2)
+      .orderBy($"vec_id").as[(Long, Seq[Double])].collect()
+    assert(out(0)._2 == Seq(0.6, 0.8)) // (3,4)/5
+    assert(out(1)._2 == Seq(0.0, 0.0)) // no 0/0 NaN
+    // cosine ranking is invariant under the renorm: truncation alone
+    // and truncate+renorm rank identically
+    val emb = Tables.embeddings(spark, sf())
+    val plain = emb.select($"vec_id",
+      transform(slice($"embedding", 1, 16), x => x.cast("double")).as("embedding"))
+    val renormed = Similarity.truncateRenorm(emb, "vec_id", "embedding", 16)
+    def ranks(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(c, c.filter($"vec_id" < 5), "vec_id", "embedding", 5)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(ranks(renormed) == ranks(plain))
+  }
+
   test("assignCells: every vector gets exactly one cell from the centroid set") {
     val emb = Tables.embeddings(spark, sf())
     val cells = Similarity.assignCells(emb, emb.filter(col("vec_id") < 8),
