@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * @param dedupThreshold Jaccard threshold for near-duplicates
   * @param lshBands/lshRowsPerBand MinHash banding (recall 1−(1−s^r)^b)
   * @param decontaminateK n-gram size for eval-overlap scrubbing
+  * @param maxPerplexity drop docs whose corpus-trained bigram-LM
+  *                      perplexity exceeds this (None = stage off);
+  *                      docs with < 2 tokens score no perplexity and
+  *                      are dropped when the stage is on
   * @param packCap       context-window token budget per pack
   * @param packBuckets   distributed-prefix-scan fan-out for the layout
   */
@@ -30,14 +34,16 @@ final case class CorpusSettings(
     lshBands: Int = 16,
     lshRowsPerBand: Int = 2,
     decontaminateK: Int = 8,
+    maxPerplexity: Option[Double] = None,
     packCap: Long = 8192,
     packBuckets: Int = 32)
 
 /** The whole training-data recipe as ONE composable operator, each
   * stage the library's own primitive:
   *
-  *   mixture-sample → decontaminate → near-dup dedup (LSH → connected
-  *   components → keep canonical) → sequence-pack → epoch-upsample
+  *   mixture-sample → decontaminate → [perplexity quality gate] →
+  *   near-dup dedup (LSH → connected components → keep canonical) →
+  *   sequence-pack → epoch-upsample
   *
   * Stage order is load-bearing: dedup runs BEFORE upsampling so
   * intentional epoch copies aren't deduped away, and packing runs
@@ -69,13 +75,25 @@ object CorpusPipeline {
           s.decontaminateK)
       case None => mixed
     }
+    // 2b. optional quality gate: corpus-trained bigram-LM perplexity
+    // threshold (CCNet-style). The model trains on the decontaminated
+    // survivors — the same corpus the filter then prunes — so the
+    // stage is one aggregate pass + an equi-join, no external model.
+    val scored = s.maxPerplexity match {
+      case Some(maxPpl) =>
+        val ppl = TextAnalysis.perplexityScore(clean, s.idCol, s.textCol)
+          .filter(col("perplexity") <= maxPpl)
+          .select(col(s.idCol))
+        clean.join(ppl, s.idCol) // inner: < 2-token docs score nothing, drop
+      case None => clean
+    }
     // 3. near-dup dedup: LSH candidates → components → keep canonical
-    val pairs = Dedup.minhashLshPairs(clean, s.idCol, s.textCol,
+    val pairs = Dedup.minhashLshPairs(scored, s.idCol, s.textCol,
         k = s.dedupK, threshold = s.dedupThreshold,
         bands = s.lshBands, rowsPerBand = s.lshRowsPerBand)
       .select(col("id_a"), col("id_b"))
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", idOut = "__cid")
-    val kept = clean
+    val kept = scored
       .join(cc, col(s.idCol) === col("__cid"), "left")
       .filter(col("__cid").isNull || col("component") === col(s.idCol))
       .drop("__cid", "component")

@@ -50,6 +50,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == manual && got.nonEmpty)
   }
 
+  test("perplexity quality gate drops exactly the above-threshold docs") {
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
+    val base = settings.copy(mixtureRates = Map("src0" -> 1.0), defaultRate = 1.0,
+      epochs = Map.empty)
+    // pick a threshold at the corpus median so the gate provably bites
+    val ppl = TextAnalysis.perplexityScore(docs, "doc_id", "text")
+    val median = ppl.stat.approxQuantile("perplexity", Array(0.5), 0.0)(0)
+    val gated = CorpusPipeline.run(docs, None,
+      base.copy(maxPerplexity = Some(median)))
+    val open = CorpusPipeline.run(docs, None, base)
+    val gatedIds = gated.select($"doc_id").distinct().as[Long].collect().toSet
+    val openIds = open.select($"doc_id").distinct().as[Long].collect().toSet
+    val badIds = ppl.filter($"perplexity" > median)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gatedIds.nonEmpty && badIds.nonEmpty)
+    assert(gatedIds.intersect(badIds).isEmpty, "above-threshold doc survived")
+    // the gate genuinely removed something (no subset claim: dropping a
+    // dup-cluster's canonical doc promotes another member, so the gated
+    // survivor set is not necessarily contained in the open one)
+    assert(gatedIds.size < openIds.size)
+  }
+
   test("stage order: epoch copies share one pack layout, dedup can't eat them") {
     val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
     val out = CorpusPipeline.run(docs, None, settings)
