@@ -262,6 +262,36 @@ object Sampling {
       .drop("pack_offset", "__one")
   }
 
+  /** Deterministic negative sampling for contrastive training: each row
+    * gets `k` pseudo-random negatives drawn from the corpus itself —
+    * reproducible across runs/partitionings (no RNG), self-exclusive by
+    * construction. Shape: (1) a dense 0-based index in portable hash
+    * order via the distributed prefix scan ([[shardLayout]] with one
+    * shard — the giant "stratum" still splits `buckets` ways); (2)
+    * negative index j = (pos + 1 + (idHash(pos·k + j) mod (N−1))) mod N,
+    * which can never equal pos; (3) one equi-join maps indexes back to
+    * ids. N rides a broadcast scalar. Corpora with < 2 rows yield no
+    * negatives. Output: (idCol, neg_rank 0..k−1, neg_id).
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      buckets: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val idx = shardLayout(df.select(col(idCol)), idCol, numShards = 1, buckets)
+      .select(col(idCol), col("pos"))
+    val n = idx.agg(count(lit(1)).as("__n"))
+    val negs = idx.crossJoin(broadcast(n))
+      .filter(col("__n") > 1)
+      .select(col(idCol), col("pos"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
+      .withColumn("__negpos",
+        pmod(col("pos") + 1 +
+          pmod(idHash(col("pos") * k + col("neg_rank")), col("__n") - 1),
+          col("__n")))
+    negs.join(idx.select(col(idCol).as("neg_id"), col("pos").as("__negpos")),
+        Seq("__negpos"))
+      .select(col(idCol), col("neg_rank").cast("int").as("neg_rank"), col("neg_id"))
+  }
+
   /** Curriculum bucketing: per-stratum quantile buckets (NTILE) over an
     * ordering signal (length, quality score, perplexity) — the
     * easy-to-hard schedule assignment. One keyed window; salt via

@@ -387,6 +387,33 @@ object SamplingQueries {
              |ORDER BY doc_id, epoch""".stripMargin),
       doc = "the ONE-CALL CorpusPipeline.run, oracle-verified end-to-end (mixture, decon, LSH+CC dedup-keep, pack, epochs)"),
 
+    // Deterministic negative sampling (contrastive-training pairs):
+    // 4 hash-derived negatives per doc, self-exclusive by the modular
+    // +1 offset, reproducible at any partitioning. The oracle replays
+    // the dense-rank + modular arithmetic with the same idHash mirror.
+    Q("doc_negative_samples",
+      (s, dir) => Sampling.negativeSamples(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          idCol = "doc_id", k = 4)
+        .orderBy(col("doc_id"), col("neg_rank")),
+      Some(s"""WITH idx AS (
+             |  SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY $h, doc_id) - 1 AS BIGINT)
+             |           AS pos
+             |  FROM documents WHERE doc_id < 100),
+             |n AS (SELECT count(*) AS n FROM idx),
+             |neg AS (
+             |  SELECT doc_id, pos, j,
+             |         (pos + 1 + (${hashSql("pos * 4 + j")} % (n - 1))) % n
+             |           AS neg_pos
+             |  FROM idx CROSS JOIN n
+             |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+             |SELECT a.doc_id, CAST(a.j AS INTEGER) AS neg_rank,
+             |       b.doc_id AS neg_id
+             |FROM neg a JOIN idx b ON b.pos = a.neg_pos
+             |ORDER BY a.doc_id, neg_rank""".stripMargin),
+      doc = "deterministic contrastive negatives: dense hash-rank + modular hash offset, self-exclusive"),
+
     // Token-budget sampling: the greedy hash-order prefix of each
     // language under a 3000-token budget — the "N tokens per language,
     // reproducibly" selector. The oracle is the windowed running total

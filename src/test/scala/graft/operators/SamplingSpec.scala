@@ -215,6 +215,26 @@ class SamplingSpec extends SparkSpec {
     assert(sd === p)
   }
 
+  test("negativeSamples: k per row, self-exclusive, repartition-stable") {
+    val out = Sampling.negativeSamples(docs, "doc_id", k = 4)
+    val rows = out.select($"doc_id", $"neg_rank", $"neg_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 4000)
+    assert(rows.forall { case (id, _, neg) => neg != id })
+    assert(rows.forall { case (_, _, neg) => neg >= 0 && neg < 1000 })
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(0 until 4), s"doc $id ranks")
+    }
+    val again = Sampling.negativeSamples(docs.repartition(17), "doc_id", 4)
+      .select($"doc_id", $"neg_rank", $"neg_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(again == rows.toSet)
+    // negatives spread across the corpus, not clustered on a few ids
+    assert(rows.map(_._3).distinct.length > 900)
+    // a 1-row corpus has no valid negative
+    assert(Sampling.negativeSamples(docs.limit(1), "doc_id", 4).count() == 0)
+  }
+
   test("tokenBudgetSample: exact greedy prefix, stops at first straddler") {
     val weighted = docs.withColumn("w", pmod($"doc_id" * 7, lit(40L)) + 1)
     val out = Sampling.tokenBudgetSample(weighted, "stratum", "doc_id", "w",
