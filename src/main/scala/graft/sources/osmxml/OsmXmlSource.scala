@@ -151,7 +151,17 @@ private[osmxml] class OsmXmlPartitionReader(path: String, kind: String,
   import javax.xml.stream.XMLStreamConstants._
 
   private val hp = new Path(path)
-  private val in = hp.getFileSystem(conf).open(hp)
+  // transparent decompression by extension (.osm.bz2 / .osm.gz — the
+  // forms planet extracts actually ship in; osmium reads them natively,
+  // cf. /root/reference/README.md:7's format guidance). A compressed
+  // XML file stays one partition — none of these codecs are splittable,
+  // and the source's unit of parallelism is the file either way.
+  private val in = {
+    val raw = hp.getFileSystem(conf).open(hp)
+    val codec =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(hp)
+    if (codec == null) raw else codec.createInputStream(raw)
+  }
   private val reader = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
 
   private var row: InternalRow = _

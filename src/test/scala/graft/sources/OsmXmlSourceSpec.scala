@@ -31,6 +31,25 @@ class OsmXmlSourceSpec extends SparkSpec {
     assert(rows(1).getAs[Map[String, String]]("tags").isEmpty)
   }
 
+  test("reads .osm.bz2 and .osm.gz transparently (planet-extract forms)") {
+    val conf = spark.sessionState.newHadoopConf()
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(samplePath))
+    for (ext <- Seq("bz2", "gz")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"osm$ext")
+      val out = new org.apache.hadoop.fs.Path(s"$dir/sample.osm.$ext")
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(out)
+      assert(codec != null, s"no hadoop codec for .$ext")
+      val os = codec.createOutputStream(
+        out.getFileSystem(conf).create(out))
+      os.write(raw); os.close()
+      val got = spark.read.format("osm-xml").option("kind", "nodes")
+        .load(out.toString).orderBy("id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(101L, 102L, 103L), s".$ext")
+      assert(got(0).getAs[Map[String, String]]("tags")("amenity") == "cafe")
+    }
+  }
+
   test("reads ways with ordered node refs; relations are skipped (F7)") {
     val rows = ways.collect()
     assert(rows.length == 1)
