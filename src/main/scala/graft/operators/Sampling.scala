@@ -178,6 +178,27 @@ object Sampling {
       .drop("cum_before", "__h", "__bk", "__cin", "__off")
   }
 
+  /** Per-pack manifest — the consumable form of [[packLayout]]: one row
+    * per (stratum, pack) with the ORDERED doc ids the pack concatenates
+    * (offset order), plus doc/token totals. The id list is emitted as a
+    * comma-joined string: engine-portable (a DuckDB `string_agg`
+    * mirrors it exactly) and directly usable as a dataloader manifest.
+    * One keyed aggregate over the layout; per-pack state is bounded by
+    * `cap` (a pack holds at most `cap` unit-weight docs), so the
+    * collect_list can't blow a partition regardless of corpus size.
+    */
+  def packManifest(layout: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String): DataFrame =
+    layout.groupBy(col(stratumCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pack_offset"), col(idCol)))),
+            x => x.getField(idCol).cast("string")),
+          ",").as("doc_ids"))
+
   /** Epoch-based upsampling — the other half of a mixture recipe
     * ("3.4 epochs of source A"): every row is replicated floor(e) times
     * and one extra time for a deterministic hash-selected `e − floor(e)`

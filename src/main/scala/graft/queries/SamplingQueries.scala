@@ -216,6 +216,42 @@ object SamplingQueries {
       Some(packOracle),
       doc = "two-phase distributed prefix scan == plain pack layout (giant-stratum-safe)"),
 
+    // The manifest form of the layout: one row per pack with the
+    // ordered comma-joined doc ids a dataloader consumes. DuckDB's
+    // ordered string_agg mirrors the engine's sorted collect_list
+    // exactly (offset order, id tie-break).
+    Q("doc_pack_manifest",
+      (s, dir) => Sampling.packManifest(
+          Sampling.packLayout(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("n_words")),
+            stratumCol = "lang", idCol = "doc_id", weightCol = "n_words",
+            cap = 512),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_words")
+        .orderBy(col("lang"), col("pack_id")),
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_words,
+             |         COALESCE(sum(n_words) OVER (
+             |           PARTITION BY lang
+             |           ORDER BY $h, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS cum_before
+             |  FROM d)
+             |SELECT lang, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+             |       string_agg(CAST(doc_id AS VARCHAR), ','
+             |                  ORDER BY cum_before % 512, doc_id) AS doc_ids
+             |FROM c
+             |GROUP BY lang, pack_id
+             |ORDER BY lang, pack_id""".stripMargin),
+      doc = "per-pack manifest: ordered doc-id list + doc/token totals per (lang, pack)"),
+
     // The whole recipe as ONE oracled query: mixture-sample the
     // training split, scrub eval n-gram contamination, lay the
     // survivors out into 512-token packs, and summarize per pack —

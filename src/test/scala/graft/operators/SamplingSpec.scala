@@ -215,6 +215,29 @@ class SamplingSpec extends SparkSpec {
     assert(sd === p)
   }
 
+  test("packManifest: ordered ids per pack, totals match the layout") {
+    val weighted = docs.withColumn("w", pmod($"doc_id" * 7, lit(40L)) + 1)
+    val layout = Sampling.packLayout(weighted, "stratum", "doc_id", "w", cap = 100)
+    val man = Sampling.packManifest(layout, "stratum", "doc_id", "w")
+      .select($"stratum", $"pack_id", $"n_docs", $"n_tokens", $"doc_ids")
+      .as[(String, Long, Long, Long, String)].collect()
+    val byPack = layout.select($"stratum", $"pack_id", $"doc_id", $"pack_offset", $"w")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    assert(man.length == byPack.size)
+    man.foreach { case (st, pk, nDocs, nTok, ids) =>
+      val rows = byPack((st, pk))
+      assert(nDocs == rows.length && nTok == rows.map(_._5).sum)
+      val want = rows.sortBy(r => (r._4, r._3)).map(_._3).mkString(",")
+      assert(ids == want, s"pack ($st, $pk)")
+    }
+    // every pack starts within the cap: min offset < cap by construction
+    // (a doc's WEIGHT may straddle the boundary — pack_id keys on the
+    // start offset, so totals can exceed cap; that's the layout's
+    // documented cut rule, not a manifest defect)
+    byPack.values.foreach { rows => assert(rows.map(_._4).min < 100) }
+  }
+
   test("negativeSamples: k per row, self-exclusive, repartition-stable") {
     val out = Sampling.negativeSamples(docs, "doc_id", k = 4)
     val rows = out.select($"doc_id", $"neg_rank", $"neg_id")
