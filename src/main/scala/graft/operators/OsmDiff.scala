@@ -23,15 +23,9 @@ object OsmDiff {
   /** Apply `changes` to `base`; both need (id, version, visible, …)
     * with identical schemas. Output: the updated snapshot (all
     * surviving rows, `visible` column retained, always true).
+    * The OSM-schema instantiation of [[Upsert.mergeLatest]].
     */
-  def applyDiff(base: DataFrame, changes: DataFrame): DataFrame = {
-    val unioned = base.withColumn("__src", lit(0))
-      .unionByName(changes.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("version").desc, col("__src").desc)
-    unioned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("visible"))
-      .drop("__rn", "__src")
-  }
+  def applyDiff(base: DataFrame, changes: DataFrame): DataFrame =
+    Upsert.mergeLatest(base, changes, idCol = "id", versionCol = "version",
+      aliveExpr = col("visible"))
 }

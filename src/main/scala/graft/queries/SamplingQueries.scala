@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CorpusPipeline, CorpusSettings, Sampling}
+import graft.operators.{CorpusPipeline, CorpusSettings, Sampling, Upsert}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -502,6 +502,52 @@ object SamplingQueries {
              |FROM documents
              |ORDER BY shard, pos""".stripMargin),
       doc = "deterministic dataloader shard layout: hash-mod shard + dense hash-order position (distributed prefix scan)"),
+
+    // Incremental corpus refresh: MERGE a deterministic change batch
+    // (refreshed docs v2, takedowns v2 dead, a tie-test v1 batch that
+    // must beat base v1) into the v1 snapshot — Upsert.mergeLatest,
+    // the documents-side generalization of osm_apply_diff. One keyed
+    // window pass; the oracle replays the union + window.
+    Q("doc_apply_diff",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"))
+        val base = d.withColumn("version", lit(1L)).withColumn("alive", lit(true))
+        val mods = d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+          .withColumn("source", lit("refresh"))
+          .withColumn("version", lit(2L)).withColumn("alive", lit(true))
+        val dels = d.filter(col("doc_id") % 17 === 0)
+          .withColumn("version", lit(2L)).withColumn("alive", lit(false))
+        val ties = d.filter(col("doc_id") % 13 === 3)
+          .withColumn("source", lit("tiewin"))
+          .withColumn("version", lit(1L)).withColumn("alive", lit(true))
+        Upsert.mergeLatest(base, mods.unionByName(dels).unionByName(ties),
+            "doc_id", "version", col("alive"))
+          .select(col("doc_id"), col("lang"), col("source"), col("version"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source FROM documents),
+             |u AS (
+             |  SELECT doc_id, lang, source, 1 AS version, true AS alive,
+             |         0 AS src
+             |  FROM d
+             |  UNION ALL
+             |  SELECT doc_id, lang, 'refresh', 2, true, 1 FROM d
+             |  WHERE doc_id % 10 = 0 AND doc_id % 17 != 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, source, 2, false, 1 FROM d
+             |  WHERE doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, 'tiewin', 1, true, 1 FROM d
+             |  WHERE doc_id % 13 = 3),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY doc_id
+             |        ORDER BY version DESC, src DESC) AS rn
+             |      FROM u)
+             |SELECT doc_id, lang, source, CAST(version AS BIGINT) AS version
+             |FROM r WHERE rn = 1 AND alive
+             |ORDER BY doc_id""".stripMargin),
+      doc = "incremental corpus MERGE: latest-version-wins upsert with deletes and idempotent tie rule"),
 
     // Train/val/test assignment by disjoint hash ranges (80/10/10): the
     // same narrow filter arithmetic as the Bernoulli sampler, so splits

@@ -9,6 +9,21 @@ class OsmDiffSpec extends SparkSpec {
   private def snap(rows: (Long, Int, Boolean, String)*) =
     rows.toSeq.toDF("id", "version", "visible", "val")
 
+  test("mergeLatest generalizes: custom column names + predicate aliveness") {
+    val base = Seq((10L, 1L, "ok", "a"), (11L, 1L, "ok", "b"))
+      .toDF("doc_id", "ver", "status", "text")
+    val changes = Seq(
+      (10L, 2L, "ok", "a2"),        // update wins
+      (11L, 2L, "taken_down", "b"), // predicate-dead drops the key
+      (12L, 1L, "ok", "c"))         // insert
+      .toDF("doc_id", "ver", "status", "text")
+    val out = Upsert.mergeLatest(base, changes, "doc_id", "ver",
+        aliveExpr = col("status") === "ok")
+      .select($"doc_id", $"ver", $"text").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 2L, "a2"), (12L, 1L, "c")))
+  }
+
   test("applyDiff: create, modify, delete, and idempotent re-apply") {
     val base = snap((1L, 1, true, "a"), (2L, 1, true, "b"), (3L, 2, true, "c"))
     val diff = snap(
