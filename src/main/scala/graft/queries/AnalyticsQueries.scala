@@ -117,6 +117,53 @@ object AnalyticsQueries {
              |ORDER BY hour, event_type""".stripMargin),
       doc = "event-time tumbling-window aggregate (batch twin of the streaming path)"),
 
+    // Sequential funnel (view → click → purchase, strictly ordered in
+    // event time): per user, the first view, the first click AFTER it,
+    // the first purchase after that — the product-analytics staple the
+    // windowed/sessionized queries don't cover. Three keyed min-
+    // aggregates chained by equi-joins on user_id (each stage's table
+    // is |users|-sized, partial-aggregated; no window over raw events).
+    Q("events_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2).otherwise(1).as("stage"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t1
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             |  GROUP BY e.user_id)
+             |SELECT v.user_id,
+             |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+             |                 WHEN c.user_id IS NOT NULL THEN 2
+             |                 ELSE 1 END AS INTEGER) AS stage
+             |FROM v
+             |LEFT JOIN c ON v.user_id = c.user_id
+             |LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin),
+      doc = "sequential event-time funnel: first view -> first later click -> first later purchase, stage per user"),
+
     Q("events_sessionize",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
