@@ -82,7 +82,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$load,"sf":"$sfDir"}""")
+    // the compact summary is the LAST key: log capture keeps the tail of
+    // long lines, and the per-query map in front has twice outgrown the
+    // capture window — totals must survive truncation machine-readably
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val summary = s""""summary":{"total_s":${f"$total%.2f"},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$load,"sf":"$sfDir",$summary}""")
     spark.stop()
   }
 }

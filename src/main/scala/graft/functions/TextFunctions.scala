@@ -37,6 +37,12 @@ object TextFunctions {
   /** Ordered (a, b) pairs from a sorted long array ([[OrderedPairs]]). */
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))
+
+  /** One-pass word stats + per-set marker hit counts ([[MarkerCounts]])
+    * — the shared kernel under `qualityScore`/`langId`.
+    */
+  def markerCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(MarkerCounts(Bridge.expression(text), sets))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,
@@ -158,5 +164,64 @@ case class OrderedPairs(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}
+
+/** Fused word-stat/marker kernel: ONE pass over the `split(text, " ")`
+  * tokens (empty tokens kept, same tokenization as [[TextFunctions.words]])
+  * computing what `qualityScore` and `langId` previously derived from
+  * FOUR-plus interpreted higher-order-function lambdas per row
+  * (`aggregate(transform(...))` for summed word length, one
+  * `size(filter(isin))` per marker set — Spark evaluates each as
+  * CodegenFallback, re-walking the lambda tree per row; these two
+  * operators run inline with the ingest scan on every document, so the
+  * interpretation cost is ingest-proportional). Output struct:
+  *   - n_words:  token count (`size(split(text, " "))` exactly)
+  *   - sum_len:  Σ code-point length per token (`length()` semantics)
+  *   - hits[i]:  tokens contained in `sets(i)` (the `isin` count)
+  */
+case class MarkerCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_len",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "marker_counts"
+
+  @transient private lazy val lookups: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val h = new java.util.HashSet[String](s.size * 2)
+      s.foreach(h.add)
+      h
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val hits = new Array[Any](lookups.length)
+    val counts = new Array[Int](lookups.length)
+    var sumLen = 0
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      sumLen += t.codePointCount(0, t.length)
+      var j = 0
+      while (j < counts.length) {
+        if (lookups(j).contains(t)) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < counts.length) { hits(j) = counts(j); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tokens.length, sumLen, new GenericArrayData(hits)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
     copy(child = newChild)
 }

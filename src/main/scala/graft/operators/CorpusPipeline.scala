@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *                      are dropped when the stage is on
   * @param packCap       context-window token budget per pack
   * @param packBuckets   distributed-prefix-scan fan-out for the layout
+  * @param numShards     when set, append the dataloader shard contract
+  *                      (shard = hash mod n, pos = dense in-shard
+  *                      index) to every output row — computed on the
+  *                      PACKED layout before epoch replication, so all
+  *                      epochs of a doc land on the same shard
   */
 final case class CorpusSettings(
     idCol: String = "doc_id",
@@ -36,7 +41,8 @@ final case class CorpusSettings(
     decontaminateK: Int = 8,
     maxPerplexity: Option[Double] = None,
     packCap: Long = 8192,
-    packBuckets: Int = 32)
+    packBuckets: Int = 32,
+    numShards: Option[Int] = None)
 
 /** The whole training-data recipe as ONE composable operator, each
   * stage the library's own primitive:
@@ -79,12 +85,23 @@ object CorpusPipeline {
     // threshold (CCNet-style). The model trains on the decontaminated
     // survivors — the same corpus the filter then prunes — so the
     // stage is one aggregate pass + an equi-join, no external model.
+    // `clean` is PERSISTED when the gate is on: perplexityScore scans
+    // it three ways (doc bigrams, bigram counts, unigram counts), the
+    // gate joins back onto it, and the dedup stage re-derives it for
+    // both the LSH pairs and the keep pass — without the cache the
+    // whole mixture+decontaminate lineage would replay ~5×. Same
+    // persist-without-unpersist discipline as Dedup.minhashLshPairs'
+    // sketch cache (the result is returned lazily, so an eager
+    // unpersist here would drop the cache before the caller runs it;
+    // callers/bench clear caches between queries).
     val scored = s.maxPerplexity match {
       case Some(maxPpl) =>
-        val ppl = TextAnalysis.perplexityScore(clean, s.idCol, s.textCol)
+        val cached = clean.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ppl = TextAnalysis.perplexityScore(cached, s.idCol, s.textCol)
           .filter(col("perplexity") <= maxPpl)
           .select(col(s.idCol))
-        clean.join(ppl, s.idCol) // inner: < 2-token docs score nothing, drop
+        cached.join(ppl, s.idCol) // inner: < 2-token docs score nothing, drop
       case None => clean
     }
     // 3. near-dup dedup: LSH candidates → components → keep canonical
@@ -102,13 +119,46 @@ object CorpusPipeline {
       kept.withColumn("n_words",
         size(split(col(s.textCol), " ")).cast("long")),
       s.stratumCol, s.idCol, "n_words", s.packCap, s.packBuckets)
+    // 4b. optional dataloader shards: (shard, pos) per surviving doc —
+    // the same salted prefix scan, computed on the surviving id set
+    // only (one narrow projection in, one equi-join on the id out), so
+    // every epoch replica of a doc inherits one (shard, pos)
+    val sharded = s.numShards match {
+      case Some(n) =>
+        val sl = Sampling.shardLayout(packed.select(col(s.idCol)),
+          s.idCol, n, s.packBuckets)
+        packed.join(sl, Seq(s.idCol))
+      case None => packed
+    }
     // 5. epochs: replicate the packed layout per source multiplicity
     val out =
-      if (s.epochs.isEmpty) packed.withColumn("epoch", lit(1))
-      else Sampling.upsampleByEpochs(packed, s.idCol, s.sourceCol,
+      if (s.epochs.isEmpty) sharded.withColumn("epoch", lit(1))
+      else Sampling.upsampleByEpochs(sharded, s.idCol, s.sourceCol,
         s.epochs, s.defaultEpochs)
     out.observe("corpus_pipeline",
       count(lit(1)).as("rows_out"),
       sum(col("n_words")).as("tokens_out"))
   }
+
+  /** The per-pack manifest of a [[run]] output — the consumable
+    * dataloader artifact: one row per (stratum, pack, epoch) with the
+    * ordered doc ids the pack concatenates, doc/token counts riding
+    * along ([[Sampling.packManifest]] keyed per epoch, so each epoch
+    * replays the identical pack list). One keyed aggregate; per-pack
+    * state bounded by `packCap`. Same observe() discipline as [[run]]:
+    * a `corpus_manifest` metric reports packs and total tokens.
+    */
+  def manifest(out: DataFrame, s: CorpusSettings): DataFrame =
+    out.groupBy(col(s.stratumCol), col("pack_id"), col("epoch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pack_offset"), col(s.idCol)))),
+            x => x.getField(s.idCol).cast("string")),
+          ",").as("doc_ids"))
+      .observe("corpus_manifest",
+        count(lit(1)).as("packs_out"),
+        sum(col("n_tokens")).as("tokens_out"))
 }

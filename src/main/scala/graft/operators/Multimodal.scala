@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by batched per-partition
   * kernels.
   *
-  * The DECODE KERNELS ARE STUBS — this container has no image/audio
-  * libraries, so `decodeImageStub` / `featureStub` compute a
-  * deterministic fake from the byte payload (which also makes them
-  * oracle-checkable). Everything around them is the real thing and is
-  * what matters at scale:
+  * IMAGE DECODE IS REAL: `decodeImage` is JDK-builtin
+  * `javax.imageio.ImageIO` (the `java.desktop` module ships PNG/JPEG/
+  * BMP/GIF readers — zero added dependencies), run headless inside the
+  * batch boundary; payloads no registered reader accepts fall back to
+  * the documented deterministic stub formula (`decodeImageStub`), so
+  * text-derived fixture payloads stay oracle-checkable. `featureStub`
+  * remains a stub (no ML runtime in the container). The machinery
+  * around the kernels is the scale-relevant part:
   *   - rows flow `Dataset[(id, bytes)] → mapPartitions → grouped(batch)`
   *     — the executor-side batch boundary where a vectorized decoder,
   *     native library, or GPU kernel takes over (the JVM-side equivalent
@@ -20,11 +23,14 @@ import org.apache.spark.sql.functions._
   *     columnar Spark;
   *   - frame sampling is pure codegen'd SQL over the binary payload
   *     (substring on BinaryType), no kernel needed.
-  *
-  * To productionize: replace the two stub bodies with real decoders;
-  * signatures, batching, and schemas stay as-is.
   */
 object Multimodal {
+
+  // ImageIO must never touch a display; set before any AWT class loads.
+  // Executors are separate JVMs in cluster mode — the property is also
+  // (re-)set on first use per JVM via this object's initializer running
+  // wherever the decode closures deserialize.
+  System.setProperty("java.awt.headless", "true")
 
   /** Rows per decode batch — sized for decoder/accelerator hand-off,
     * not Spark semantics.
@@ -34,9 +40,42 @@ object Multimodal {
   case class ImageMeta(id: Long, width: Int, height: Int, channels: Int)
   case class MediaFeatures(id: Long, features: Array[Float])
 
-  /** STUB decode — deterministic dims from payload length. */
+  /** REAL decode — JDK ImageIO. None when no registered reader claims
+    * the payload (not an image / unsupported container).
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+    } catch { case _: Exception => None }
+
+  /** STUB fallback — deterministic dims from payload length, for
+    * payloads that aren't decodable media (text-derived fixtures).
+    */
   private def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) =
     (1 + bytes.length % 640, 1 + bytes.length % 480, 3)
+
+  /** Deterministic tiny truecolor PNG — REAL encoded bytes for
+    * fixtures and the oracle-checked decode queries. Pixel (x, y) =
+    * seed + 31x + 131y folded into 24-bit RGB.
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed + 31L * x + 131L * y) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** STUB feature extractor — f_j = ((len·(j+1)) mod 97) / 97. */
   private def featureStub(bytes: Array[Byte], dim: Int): Array[Float] =
@@ -50,14 +89,29 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** Batched image decode → typed metadata. */
+  /** Media table of REAL encoded PNGs, dims a closed form of the id
+    * (width = 1 + id % 64, height = 1 + id % 48) so a relational oracle
+    * can verify the decode round-trip without being able to decode.
+    */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) =>
+      encodePng(1 + (id % 64).toInt, 1 + (id % 48).toInt, seed = id))
+    docs.select(col("doc_id").as("id"),
+      lit("image").as("media_type"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Batched image decode → typed metadata: REAL ImageIO first, stub
+    * formula for undecodable payloads.
+    */
   def imageMeta(media: DataFrame): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
-        // batch boundary: a real decoder processes `batch` vectorized
+        // batch boundary: a vectorized decoder would process `batch`
+        // in one call; ImageIO decodes per element within it
         batch.map { case (id, bytes) =>
-          val (w, h, c) = decodeImageStub(bytes)
+          val (w, h, c) = decodeImage(bytes).getOrElse(decodeImageStub(bytes))
           ImageMeta(id, w, h, c)
         }
       })

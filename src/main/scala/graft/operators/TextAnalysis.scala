@@ -29,14 +29,22 @@ object TextAnalysis {
 
   /** Quality signals: mean word length, stopword ratio, and a bounded
     * composite score. Output: (id, mean_wlen, stopword_ratio, quality).
+    *
+    * One fused codegen'd pass ([[graft.functions.MarkerCounts]]): the
+    * former `aggregate(transform(length))` + `size(filter(isin))`
+    * lambda chain was a CodegenFallback evaluated interpreted per row
+    * — on the ingest-inline path that interpretation was the cost.
+    * The arithmetic on the struct fields is unchanged expression-for-
+    * expression, so results are bit-identical to the lambda form.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val w = TextFunctions.words(col(textCol))
-    val nWords = size(w)
-    val sumLen = aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
-    val nStop = size(filter(w, x => x.isin(stopwords.map(s => s: Any): _*)))
-    docs.select(col(idCol),
+    val base = docs.select(col(idCol),
+      TextFunctions.markerCounts(col(textCol), Seq(stopwords)).as("__mc"))
+    val nWords = col("__mc.n_words")
+    val sumLen = col("__mc.sum_len")
+    val nStop = element_at(col("__mc.hits"), 1)
+    base.select(col(idCol),
       round(sumLen.cast("double") / nWords, 6).as("mean_wlen"),
       round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
       round(least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
@@ -56,15 +64,18 @@ object TextAnalysis {
     * Output: (id, lang_pred).
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = TextFunctions.words(col(textCol))
-    val counts: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms.map(s => s: Any): _*)))
+    // one fused MarkerCounts pass for all five marker sets (was one
+    // interpreted filter(isin) lambda per language per row)
+    val base = docs.select(col(idCol),
+      TextFunctions.markerCounts(col(textCol), LangMarkers.map(_._2)).as("__mc"))
+    val counts: Seq[(String, Column)] = LangMarkers.zipWithIndex.map {
+      case ((lang, _), i) => lang -> element_at(col("__mc.hits"), i + 1)
     }
     val g = greatest(counts.map(_._2): _*)
     val pred = counts.foldLeft(when(g === 0, "und")) { case (acc, (lang, c)) =>
       acc.when(c === g, lang)
     }
-    docs.select(col(idCol), pred.as("lang_pred"))
+    base.select(col(idCol), pred.as("lang_pred"))
   }
 
   /** Gopher/FineWeb-style repetition signals — the boilerplate/spam
@@ -260,18 +271,22 @@ object TextAnalysis {
   /** Apply a learned BPE merge list ([[bpeTrainMerges]] output order):
     * each word starts as characters and replays the merges in rank
     * order — the standard greedy left-to-right application. One narrow
-    * map (the merge list rides in the closure — it IS the tokenizer,
-    * a few-thousand-entry broadcast), so encoding runs inline with the
-    * ingest scan at any corpus size.
+    * map, so encoding runs inline with the ingest scan at any corpus
+    * size. The merge list IS the tokenizer and rides a REAL
+    * `sparkContext.broadcast` (not closure capture): a production
+    * vocabulary is ~50k merges, and a broadcast ships it to each
+    * executor once instead of re-serializing it with every task —
+    * see BpeEncodeSpec's 5k-merge replay for the flat-cost check.
     * Output: (id, tokens array<string>, n_tokens).
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    val bcMerges = docs.sparkSession.sparkContext.broadcast(merges.toArray)
     val encodeUdf = udf((text: String) => {
       if (text == null) null
       else text.split(" ", -1).filter(_.nonEmpty).flatMap { w =>
         var syms: Array[String] = w.split("")
-        merges.foreach { case (a, b) =>
+        bcMerges.value.foreach { case (a, b) =>
           if (syms.length > 1) {
             val out = scala.collection.mutable.ArrayBuffer.empty[String]
             var i = 0

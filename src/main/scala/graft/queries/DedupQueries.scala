@@ -188,6 +188,13 @@ object DedupQueries {
     // path — DedupSpec covers it at unit level.) The fingerprint is
     // assembled unsigned (HUGEINT) so bit 63 survives, then converted
     // to two's-complement BIGINT to match the engine's Long.
+    //
+    // ASCII-CORPUS ASSUMPTION (same as text_fingerprint_rolling): the
+    // engine's rollingHash61 hashes UTF-8 BYTES, while this oracle
+    // hashes per-character CODE POINTS (unicode(substring(tok, i, 1)))
+    // — identical only while every token byte is ASCII, which the
+    // synthetic documents are. For a non-ASCII corpus the oracle would
+    // need to derive UTF-8 bytes in SQL (encode()/blob indexing).
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8, portableHash = true)

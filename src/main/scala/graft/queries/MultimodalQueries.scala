@@ -4,28 +4,40 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Oracle-checked multimodal-plumbing queries. The decode kernels are
-  * deterministic stubs over payload byte length (documents are ASCII,
-  * so byte length = length(text)), which lets DuckDB reproduce the
-  * arithmetic while the Spark side exercises the real plumbing
-  * (binary columns, batched mapPartitions kernels, typed schemas).
+/** Oracle-checked multimodal-plumbing queries. `mm_image_meta` runs
+  * the REAL JDK ImageIO decoder over real encoded PNG bytes — the
+  * payload dims are a closed form of the id, so DuckDB verifies the
+  * encode→decode round-trip without decoding anything. The remaining
+  * kernels are deterministic stubs over payload byte length (documents
+  * are ASCII, so byte length = length(text)), which lets DuckDB
+  * reproduce the arithmetic while the Spark side exercises the real
+  * plumbing (binary columns, batched mapPartitions kernels, typed
+  * schemas).
   */
 object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // REAL decode: per row the engine ENCODES a truecolor PNG of
+    // closed-form dims (1 + id%64 × 1 + id%48) and DECODES it back
+    // with javax.imageio inside the batched kernel; the oracle only
+    // checks the closed form — any encoder/decoder disagreement on
+    // actual pixels/dims/channels goes red
     Q("mm_image_meta",
       (s, dir) => Multimodal.imageMeta(
-        Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image"))
+        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
         .orderBy(col("id")),
       Some("""SELECT doc_id AS id,
-             |       CAST(1 + length(text) % 640 AS INTEGER) AS width,
-             |       CAST(1 + length(text) % 480 AS INTEGER) AS height,
+             |       CAST(1 + doc_id % 64 AS INTEGER) AS width,
+             |       CAST(1 + doc_id % 48 AS INTEGER) AS height,
              |       3 AS channels
              |FROM documents ORDER BY id""".stripMargin),
-      doc = "binary image column -> batched decode kernel -> typed metadata"),
+      doc = "REAL ImageIO round-trip: encode PNG -> batched ImageIO decode -> typed metadata, dims oracle-pinned"),
 
+    // stub-fallback path kept oracled on purpose: text payloads are
+    // not decodable media, so imageMeta falls back to the documented
+    // length formula — this query pins that fallback contract
     Q("mm_resize_meta",
       (s, dir) => Multimodal.clampMeta(
         Multimodal.imageMeta(

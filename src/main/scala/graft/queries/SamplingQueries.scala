@@ -52,6 +52,85 @@ object SamplingQueries {
 
   private val h = hashSql("doc_id")
 
+  /** The ONE recipe the doc_pipeline_* family shares (full / shards /
+    * manifest are three views of the same run, so any drift between
+    * them red-flags in all three oracles at once).
+    */
+  private val pipelineSettings = CorpusSettings(
+    mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+    defaultRate = 0.4,
+    epochs = Map("src3" -> 2.0), defaultEpochs = 1.0,
+    dedupK = 3, dedupThreshold = 0.8,
+    decontaminateK = 3,
+    packCap = 512, packBuckets = 16)
+
+  /** Shared oracle CTE chain for [[pipelineSettings]]: mixture →
+    * decontaminate → exact-Jaccard dedup-keep (recursive-CTE
+    * transitive closure) → pack prefix scan. Ends at `pk` = one row
+    * per SURVIVING doc with (doc_id, lang, source, n_words,
+    * cum_before); each doc_pipeline_* oracle appends its own final
+    * stage(s). See doc_pipeline_full's ORACLE RECALL ASSUMPTION note
+    * for why exact Jaccard stands in for the engine's banded LSH.
+    */
+  private val pipelineChainSql: String =
+    s"""WITH RECURSIVE
+       |ev AS (SELECT string_split(text, ' ') AS l
+       |       FROM documents WHERE doc_id < 25),
+       |evs AS (SELECT DISTINCT
+       |               unnest(list_transform(range(1, len(l) - 1),
+       |                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+       |        FROM ev),
+       |mixed AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  WHERE doc_id >= 25
+       |    AND $h <
+       |        CASE WHEN source = 'src0' THEN 4294967296
+       |             WHEN source = 'src1' THEN 2147483648
+       |             WHEN source = 'src2' THEN 1073741824
+       |             ELSE 1717986918 END),
+       |msh AS (SELECT doc_id, string_split(text, ' ') AS l FROM mixed),
+       |ts AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(range(1, len(l) - 1),
+       |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+       |       FROM msh),
+       |bad AS (SELECT DISTINCT doc_id FROM ts JOIN evs USING (sh)),
+       |clean AS (SELECT m.* FROM mixed m LEFT JOIN bad b USING (doc_id)
+       |          WHERE b.doc_id IS NULL),
+       |cs AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |                     i -> string_split(text, ' ')[i] || ' '
+       |                          || string_split(text, ' ')[i+1] || ' '
+       |                          || string_split(text, ' ')[i+2])) AS sh
+       |       FROM clean),
+       |cnt AS (SELECT doc_id, count(*) c FROM cs GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+       |          FROM cs a JOIN cs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT id_a, id_b FROM inter
+       |       JOIN cnt ca ON id_a = ca.doc_id
+       |       JOIN cnt cb ON id_b = cb.doc_id
+       |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+       |          UNION SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+       |comp AS (SELECT id, least(id, min(r)) AS component
+       |         FROM reach GROUP BY id),
+       |keep AS (SELECT cl.doc_id, cl.lang, cl.source,
+       |                CAST(len(string_split(cl.text, ' ')) AS BIGINT) AS n_words
+       |         FROM clean cl LEFT JOIN comp c ON cl.doc_id = c.id
+       |         WHERE c.id IS NULL OR c.component = cl.doc_id),
+       |pk AS (SELECT doc_id, lang, source, n_words,
+       |              COALESCE(sum(n_words) OVER (
+       |                PARTITION BY lang
+       |                ORDER BY $h,
+       |                         doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                AS cum_before
+       |       FROM keep)""".stripMargin
+
   /** Shared by doc_pack_layout and its salted twin — identical output
     * is the property under test. `cum_before // 512` is DuckDB's exact
     * integer floor division, mirroring the engine's `div` (the
@@ -346,82 +425,89 @@ object SamplingQueries {
         val out = CorpusPipeline.run(
           docs.filter(col("doc_id") >= 25),
           Some(docs.filter(col("doc_id") < 25)),
-          CorpusSettings(
-            mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-            defaultRate = 0.4,
-            epochs = Map("src3" -> 2.0), defaultEpochs = 1.0,
-            dedupK = 3, dedupThreshold = 0.8,
-            decontaminateK = 3,
-            packCap = 512, packBuckets = 16))
+          pipelineSettings)
         out.select(col("doc_id"), col("lang"), col("source"), col("n_words"),
             col("pack_id"), col("pack_offset"), col("epoch"))
           .orderBy(col("doc_id"), col("epoch"))
       },
-      Some(s"""WITH RECURSIVE
-             |ev AS (SELECT string_split(text, ' ') AS l
-             |       FROM documents WHERE doc_id < 25),
-             |evs AS (SELECT DISTINCT
-             |               unnest(list_transform(range(1, len(l) - 1),
-             |                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-             |        FROM ev),
-             |mixed AS (
-             |  SELECT doc_id, lang, source, text FROM documents
-             |  WHERE doc_id >= 25
-             |    AND $h <
-             |        CASE WHEN source = 'src0' THEN 4294967296
-             |             WHEN source = 'src1' THEN 2147483648
-             |             WHEN source = 'src2' THEN 1073741824
-             |             ELSE 1717986918 END),
-             |msh AS (SELECT doc_id, string_split(text, ' ') AS l FROM mixed),
-             |ts AS (SELECT DISTINCT doc_id,
-             |              unnest(list_transform(range(1, len(l) - 1),
-             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-             |       FROM msh),
-             |bad AS (SELECT DISTINCT doc_id FROM ts JOIN evs USING (sh)),
-             |clean AS (SELECT m.* FROM mixed m LEFT JOIN bad b USING (doc_id)
-             |          WHERE b.doc_id IS NULL),
-             |cs AS (SELECT DISTINCT doc_id,
-             |              unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |                     i -> string_split(text, ' ')[i] || ' '
-             |                          || string_split(text, ' ')[i+1] || ' '
-             |                          || string_split(text, ' ')[i+2])) AS sh
-             |       FROM clean),
-             |cnt AS (SELECT doc_id, count(*) c FROM cs GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-             |          FROM cs a JOIN cs b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |jp AS (SELECT id_a, id_b FROM inter
-             |       JOIN cnt ca ON id_a = ca.doc_id
-             |       JOIN cnt cb ON id_b = cb.doc_id
-             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
-             |edges AS (SELECT id_a AS u, id_b AS v FROM jp
-             |          UNION SELECT id_b, id_a FROM jp),
-             |reach(id, r) AS (
-             |  SELECT u, v FROM edges
-             |  UNION
-             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
-             |comp AS (SELECT id, least(id, min(r)) AS component
-             |         FROM reach GROUP BY id),
-             |keep AS (SELECT cl.doc_id, cl.lang, cl.source,
-             |                CAST(len(string_split(cl.text, ' ')) AS BIGINT) AS n_words
-             |         FROM clean cl LEFT JOIN comp c ON cl.doc_id = c.id
-             |         WHERE c.id IS NULL OR c.component = cl.doc_id),
-             |pk AS (SELECT doc_id, lang, source, n_words,
-             |              COALESCE(sum(n_words) OVER (
-             |                PARTITION BY lang
-             |                ORDER BY $h,
-             |                         doc_id
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |                AS cum_before
-             |       FROM keep)
-             |SELECT doc_id, lang, source, n_words,
-             |       CAST(cum_before // 512 AS BIGINT) AS pack_id,
-             |       CAST(cum_before % 512 AS BIGINT) AS pack_offset,
-             |       CAST(unnest(generate_series(1,
-             |         CASE WHEN source = 'src3' THEN 2 ELSE 1 END)) AS INTEGER) AS epoch
-             |FROM pk
-             |ORDER BY doc_id, epoch""".stripMargin),
+      // NOTE: concatenation, NOT interpolation-inside-stripMargin — the
+      // chain's own `|| string_split` continuation lines would lose a
+      // pipe to the outer stripMargin and become SQL `|`
+      Some(pipelineChainSql + "\n" +
+        """SELECT doc_id, lang, source, n_words,
+          |       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+          |       CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+          |       CAST(unnest(generate_series(1,
+          |         CASE WHEN source = 'src3' THEN 2 ELSE 1 END)) AS INTEGER) AS epoch
+          |FROM pk
+          |ORDER BY doc_id, epoch""".stripMargin),
       doc = "the ONE-CALL CorpusPipeline.run, oracle-verified end-to-end (mixture, decon, LSH+CC dedup-keep, pack, epochs)"),
+
+    // run() with the dataloader shard stage ON: same recipe, plus
+    // (shard = hash mod 4, pos = dense in-shard index over the
+    // SURVIVING docs) — computed before epoch replication, so both
+    // epochs of a src3 doc carry the same (shard, pos). The oracle
+    // appends one windowed row_number to the shared pipeline chain.
+    Q("doc_pipeline_shards",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val out = CorpusPipeline.run(
+          docs.filter(col("doc_id") >= 25),
+          Some(docs.filter(col("doc_id") < 25)),
+          pipelineSettings.copy(numShards = Some(4)))
+        out.select(col("doc_id"), col("pack_id"), col("shard"), col("pos"),
+            col("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some(pipelineChainSql + ",\n" +
+        s"""sh AS (SELECT doc_id, source, cum_before,
+           |              CAST($h % 4 AS INTEGER) AS shard,
+           |              CAST(row_number() OVER (
+           |                PARTITION BY $h % 4
+           |                ORDER BY $h, doc_id) - 1 AS BIGINT) AS pos
+           |       FROM pk)
+           |SELECT doc_id, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           |       shard, pos,
+           |       CAST(unnest(generate_series(1,
+           |         CASE WHEN source = 'src3' THEN 2 ELSE 1 END)) AS INTEGER) AS epoch
+           |FROM sh
+           |ORDER BY doc_id, epoch""".stripMargin),
+      doc = "CorpusPipeline.run + dataloader shard stage: (shard, pos) per surviving doc, epoch-stable"),
+
+    // The consumable dataloader artifact: CorpusPipeline.manifest over
+    // the full pipeline run — one row per (lang, pack, epoch) with the
+    // ORDERED doc ids the pack concatenates. The oracle replays the
+    // chain, explodes epochs, and string_agg's in (pack_offset, id)
+    // order — exactly the engine's array_sort(struct(offset, id)).
+    Q("doc_pipeline_manifest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val out = CorpusPipeline.run(
+          docs.filter(col("doc_id") >= 25),
+          Some(docs.filter(col("doc_id") < 25)),
+          pipelineSettings)
+        CorpusPipeline.manifest(out, pipelineSettings)
+          .select(col("lang"), col("pack_id"), col("epoch"), col("n_docs"),
+            col("n_tokens"), col("doc_ids"))
+          .orderBy(col("lang"), col("pack_id"), col("epoch"))
+      },
+      Some(pipelineChainSql + ",\n" +
+        """ep AS (SELECT doc_id, lang, source, n_words,
+          |              CAST(cum_before // 512 AS BIGINT) AS pack_id,
+          |              CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+          |              CAST(unnest(generate_series(1,
+          |                CASE WHEN source = 'src3' THEN 2 ELSE 1 END))
+          |                AS INTEGER) AS epoch
+          |       FROM pk)
+          |SELECT lang, pack_id, epoch,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          |       string_agg(CAST(doc_id AS VARCHAR), ','
+          |                  ORDER BY pack_offset, doc_id) AS doc_ids
+          |FROM ep
+          |GROUP BY lang, pack_id, epoch
+          |ORDER BY lang, pack_id, epoch""".stripMargin),
+      doc = "CorpusPipeline.manifest: per-(stratum, pack, epoch) ordered doc-id manifest of the full pipeline"),
 
     // Deterministic negative sampling (contrastive-training pairs):
     // 4 hash-derived negatives per doc, self-exclusive by the modular

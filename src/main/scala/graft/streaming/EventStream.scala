@@ -121,6 +121,94 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** One LSH bucket row: a doc's (band, band-hash) key plus what the
+    * verify step needs (shingle set + event time for state eviction).
+    */
+  case class BucketRow(band: Int, bh: Long, id: Long, ts_us: Long,
+      sh: Seq[String], ts: java.sql.Timestamp)
+  case class BucketState(docs: List[(Long, Long, Seq[String])]) // (id, ts_us, shingles)
+  case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup pairs — the FUZZY twin of
+    * [[dedupExactStream]] and the streaming form of
+    * [[graft.operators.Dedup.minhashLshPairs]]: same sketch (shingle
+    * set → MinHash signature → banded keys, all computed STATELESSLY
+    * per row by the batch kernels), then a keyed state store per LSH
+    * bucket replaces the batch band self-join. A new doc verifies
+    * exact Jaccard against the docs already in its bucket (and earlier
+    * same-batch arrivals, processed in deterministic (ts, id) order)
+    * and joins the bucket's state; the event-time timeout evicts a
+    * bucket once the watermark passes its newest doc + `stateTtl` — so
+    * state is bounded by the watermark horizon exactly like
+    * `dropDuplicatesWithinWatermark`, never corpus-proportional.
+    *
+    * Output may repeat a pair that collides in several bands (the
+    * batch operator's `.distinct()` — downstream dedups; within one
+    * bucket a pair is emitted once). A pair is found iff both docs
+    * arrive within `stateTtl` of each other — the watermark-bounded
+    * contract, same recall-vs-state trade every streaming dedup makes.
+    *
+    * `docs` must already carry the watermarked event-time column
+    * `tsCol` (same contract as [[dedupExactStream]]).
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      stateTtlMinutes: Int = 60): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{Sketches, TextFunctions}
+    val ttlMs = stateTtlMinutes.toLong * 60 * 1000
+
+    def jaccard(a: Seq[String], b: Seq[String]): Double = {
+      val sa = a.toSet
+      var inter = 0
+      b.foreach(x => if (sa.contains(x)) inter += 1)
+      val union = sa.size + b.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    def update(key: (Int, Long), rows: Iterator[BucketRow],
+        state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = rows.toArray.sortBy(r => (r.ts_us, r.id))
+        var known = state.getOption.map(_.docs).getOrElse(Nil)
+        val out = List.newBuilder[NearDupPair]
+        arrived.foreach { r =>
+          if (!known.exists(_._1 == r.id)) { // re-delivery is a no-op
+            known.foreach { case (oid, _, osh) =>
+              val j = jaccard(r.sh, osh)
+              if (j >= threshold)
+                out += NearDupPair(math.min(r.id, oid), math.max(r.id, oid), j)
+            }
+            known = (r.id, r.ts_us, r.sh) :: known
+          }
+        }
+        state.update(BucketState(known))
+        val newest = known.map(_._2).max
+        // timeout must sit strictly past the current watermark (Spark
+        // rejects a timestamp the watermark already passed — possible
+        // when only late-but-admitted rows extend an old bucket)
+        state.setTimeoutTimestamp(
+          math.max(newest / 1000 + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    docs
+      .select(col(idCol).as("id"), unix_micros(col(tsCol)).as("ts_us"),
+        TextFunctions.shingleSet(col(textCol), k).as("sh"), col(tsCol).as("ts"))
+      .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
+      .select(posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => hash(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bh")),
+        col("id"), col("ts_us"), col("sh"), col("ts"))
+      .as[BucketRow]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming point-in-time enrichment — the stream-static twin of
     * [[graft.operators.AsofJoin]]: attach to each event the latest
     * static snapshot at-or-before its time. Instead of a streaming

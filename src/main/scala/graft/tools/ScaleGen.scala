@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver testdata for stress runs:
+  * replicate `documents`/`embeddings`/`events` from a source sf dir
+  * `copies`× with per-copy transforms chosen so the WITHIN-copy
+  * structure (near-dup clusters, per-user event streams, embedding
+  * geometry) is preserved exactly while CROSS-copy similarity is
+  * destroyed — so a C-copy corpus has exactly C× the rows, C× the dup
+  * pairs, C× the users, and timing ratios measure the ENGINE's
+  * scaling, not an artifact of replica collisions:
+  *
+  *   - documents: copy 0 is verbatim; copy c > 0 renames every
+  *     whitespace token t → "t~c". A consistent token bijection
+  *     preserves every shingle/Jaccard/MinHash/SimHash relation inside
+  *     the copy and shares ZERO shingles (and essentially no token
+  *     hashes) across copies.
+  *   - embeddings: copy c cyclically rotates the vector by c
+  *     positions — an orthogonal transform, so norms and all
+  *     within-copy cosines/dot-products are exactly preserved while
+  *     cross-copy cosine drops to the random-vector baseline.
+  *   - events: ids and user_ids shift per copy (new users, same
+  *     per-user timelines), so sessionization/asof/funnel output
+  *     scales exactly linearly.
+  *
+  * `usage: ScaleGen <srcSfDir> <dstDir> <copies>`; dst is laid out like
+  * a driver sf dir, so Bench/QueryTime run against it unchanged. The
+  * tool is ONLY for stress timing — the DuckDB oracle gate stays on the
+  * driver's own sf0.01.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <copies>")
+    val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    require(copies >= 1, s"copies must be >= 1: $copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val c = spark.range(copies).select(col("id").cast("int").as("__copy"))
+
+    // documents: token bijection t → t~c per copy (copy 0 verbatim)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(c).select(
+        (col("doc_id") + col("__copy").cast("long") * 1000000L).as("doc_id"),
+        when(col("__copy") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("~"), col("__copy"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // embeddings: cyclic rotation by __copy positions (orthogonal)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(c).select(
+        (col("vec_id") + col("__copy").cast("long") * 1000000L).as("vec_id"),
+        expr("concat(slice(embedding, __copy + 1, size(embedding) - __copy)," +
+          " slice(embedding, 1, __copy))").as("embedding"),
+        col("label"))
+      .repartition(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // events: raw INT64 nanos schema (Tables.events reads it that way —
+    // Spark rejects the driver's TIMESTAMP(NANOS) logical type, and
+    // writing plain INT64 keeps the reader's explicit schema valid)
+    import org.apache.spark.sql.types._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ev = spark.read.schema(evSchema).parquet(s"$src/events.parquet")
+    ev.crossJoin(c).select(
+        (col("event_id") + col("__copy").cast("long") * 10000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__copy").cast("long") * 100000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(col("event_id"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // the TPC-H side isn't stress-targeted; symlink-free cheap copy so
+    // catalog queries that touch those tables still resolve against dst
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    println(s"[scalegen] wrote $dst at ${copies}x of $src")
+    spark.stop()
+  }
+}

@@ -85,6 +85,64 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.filter($"pack_offset" >= 512 || $"pack_offset" < 0).count() == 0)
   }
 
+  test("shard stage: epoch-stable (shard, pos), dense per shard, equals manual chain") {
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
+    val out = CorpusPipeline.run(docs, None, settings.copy(numShards = Some(4)))
+    // all epoch copies of a doc share ONE (shard, pos)
+    val perDoc = out.groupBy($"doc_id")
+      .agg(countDistinct($"shard", $"pos").as("p")).as[(Long, Long)].collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_._2 == 1))
+    // positions are dense 0..n-1 within each shard (over distinct docs)
+    val dense = out.select($"shard", $"pos", $"doc_id").distinct()
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(dense.nonEmpty && dense.forall { case (_, n, mx, mn) => mn == 0 && mx == n - 1 })
+    // composition ≡ manual: same run without shards + shardLayout joined on
+    val bare = CorpusPipeline.run(docs, None, settings)
+    val manual = bare.join(
+        Sampling.shardLayout(bare.select($"doc_id").distinct(), "doc_id", 4,
+          settings.packBuckets),
+        Seq("doc_id"))
+      .select($"doc_id", $"epoch", $"shard", $"pos")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val got = out.select($"doc_id", $"epoch", $"shard", $"pos")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == manual)
+  }
+
+  test("manifest: per-(stratum, pack, epoch) ordered ids reconstruct the layout") {
+    val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
+    val s = settings
+    val out = CorpusPipeline.run(docs, None, s).persist()
+    val man = CorpusPipeline.manifest(out, s)
+    val rows = man.as[(String, Long, Int, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // doc counts and token mass agree with the raw layout
+    val byKey = out.groupBy($"lang", $"pack_id", $"epoch")
+      .agg(count(lit(1)).as("n"), sum($"n_words").as("t"))
+      .as[(String, Long, Int, Long, Long)].collect()
+      .map(r => ((r._1, r._2, r._3), (r._4, r._5))).toMap
+    rows.foreach { case (lang, pack, epoch, nDocs, nTokens, ids) =>
+      assert(byKey((lang, pack, epoch)) == ((nDocs, nTokens)))
+      assert(ids.split(",").length.toLong == nDocs)
+    }
+    // ordering within a pack follows pack_offset
+    val firstByOffset = out.filter($"epoch" === 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"pack_id")
+          .orderBy($"pack_offset", $"doc_id")))
+      .filter($"rn" === 1)
+      .select($"lang", $"pack_id", $"doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    rows.filter(_._3 == 1).foreach { case (lang, pack, _, _, _, ids) =>
+      assert(ids.split(",").head.toLong == firstByOffset((lang, pack)))
+    }
+    out.unpersist()
+  }
+
   test("observe metric reports output rows and token mass") {
     val docs = Tables.documents(spark, sf()).filter($"doc_id" >= 25)
     val out = CorpusPipeline.run(docs, None, settings)

@@ -26,6 +26,35 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames.flatten, "UTF-8") == "hello world, twelve bytes plus")
   }
 
+  test("decodeImage: REAL ImageIO round-trip on encoded PNGs, None on non-images") {
+    for ((w, h, seed) <- Seq((1, 1, 0L), (64, 48, 7L), (13, 29, 123L))) {
+      val bytes = Multimodal.encodePng(w, h, seed)
+      // real PNG container: \x89 P N G magic
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+      assert(Multimodal.decodeImage(bytes) == Some((w, h, 3)))
+    }
+    // deterministic fixture bytes (seed-stable across JVMs/rounds)
+    assert(Multimodal.encodePng(5, 4, 9L).toSeq ==
+      Multimodal.encodePng(5, 4, 9L).toSeq)
+    assert(Multimodal.decodeImage("definitely not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageMeta: REAL decode on PNG payloads, stub fallback on text payloads") {
+    val docs = Tables.documents(spark, sf()).limit(20)
+    val real = Multimodal.imageMeta(Multimodal.pngMediaFromDocuments(docs)).collect()
+    assert(real.length == 20)
+    real.foreach { m =>
+      assert(m.width == 1 + (m.id % 64).toInt, s"id=${m.id}")
+      assert(m.height == 1 + (m.id % 48).toInt, s"id=${m.id}")
+      assert(m.channels == 3)
+    }
+    // text payloads aren't decodable media → documented stub formula
+    val stub = Multimodal.imageMeta(
+      Multimodal.mediaFromDocuments(docs, "image")).collect()
+    stub.foreach(m => assert(m.width <= 640 && m.height <= 480 && m.channels == 3))
+  }
+
   test("extractFeatures: fixed dim, deterministic") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf()).limit(10), "image")

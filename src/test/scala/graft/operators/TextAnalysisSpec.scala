@@ -58,6 +58,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(1)._2 == Seq("z", "z")) // no merge covers zz
   }
 
+  test("markerCounts kernel ≡ the interpreted HOF formulation (lockstep guard)") {
+    // the fused MarkerCounts expression replaced aggregate/transform/
+    // filter(isin) lambda chains in qualityScore/langId; this is the
+    // cross-implementation check — either side drifting alone goes red
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""),                      // empty → one empty token
+        (900002L, "a  b"),                  // double space → empty token
+        (900003L, "the the the"),           // all stopwords
+        (900004L, " leading and trailing ") // boundary empties
+      ).toDF("id", "text"))
+    val stop = TextAnalysis.DefaultStopwords
+    val w = split(col("text"), " ")
+    val hof = docs.select(col("id"),
+      size(w).as("n_words"),
+      aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
+        .as("sum_len"),
+      size(filter(w, x => x.isin(stop.map(s => s: Any): _*))).as("hits0"))
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val kernel = docs.select(col("id"),
+      graft.functions.TextFunctions.markerCounts(col("text"), Seq(stop)).as("mc"))
+      .select(col("id"), col("mc.n_words"), col("mc.sum_len"),
+        element_at(col("mc.hits"), 1))
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(kernel == hof)
+    // and the public operators agree with their pre-kernel outputs
+    val q = TextAnalysis.qualityScore(docs, "id", "text")
+      .orderBy("id").collect()
+    val nW = size(w).cast("double")
+    val nS = size(filter(w, x => x.isin(stop.map(s => s: Any): _*))).cast("double")
+    val qOld = docs.select(col("id"),
+        round(aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(w), 6).as("mean_wlen"),
+        round(nS / size(w), 6).as("stopword_ratio"),
+        round(least(nW / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - nS / size(w)) * 0.5, 6)
+          .as("quality"))
+      .orderBy("id").collect()
+    assert(q.toSeq == qOld.toSeq)
+  }
+
+  test("bpeEncode: 5000-merge vocabulary (broadcast path) encodes correctly") {
+    // production-shaped vocabulary size: the merge list rides a real
+    // sparkContext.broadcast — 4999 inert merges pad the table, the
+    // live ones must still fire in rank order through the replay
+    val merges = Seq(("l", "o"), ("lo", "w")) ++
+      (1 to 4998).map(i => (s"⟨x$i⟩", s"⟨y$i⟩"))
+    val enc = TextAnalysis.bpeEncode(
+        Seq((1L, "low lower zz")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Seq[String], Int)].head()
+    assert(enc._2 == Seq("low", "low", "e", "r", "z", "z"))
+    assert(enc._3 == 6)
+  }
+
   test("bpeTrainMerges: stops early when no pairs remain") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // single-char words
     val m = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 5)

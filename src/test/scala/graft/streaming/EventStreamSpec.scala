@@ -199,4 +199,75 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
   }
+
+  test("nearDupStream: stream equals batch minhashLshPairs across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words here nothing shared with others at all"
+    val docs = Seq(
+      (1L, t(0), base),
+      (2L, t(1), base + " extra"), // near-dup of 1
+      (3L, t(2), other),
+      (4L, t(3), base),            // exact dup of 1 → pairs with 1 AND 2
+      (5L, t(4), other + " okay")) // near-dup of 3
+    val stream = EventStream.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text").withWatermark("ts", "10 minutes"),
+      "doc_id", "text", "ts", k = 3, threshold = 0.8,
+      bands = 16, rowsPerBand = 2)
+    val q = stream.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    in.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(3): _*) // doc 4 must pair against batch-1 state
+    q.processAllAvailable()
+    q.stop()
+    // a pair colliding in several bands is emitted per bucket (the
+    // batch op's .distinct() lives downstream) → compare as sets
+    val streamed = spark.table("neardup_out")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.minhashLshPairs(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text",
+        k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && batch.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 5L)))
+    assert(streamed == batch,
+      s"stream=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+  }
+
+  test("nearDupStream: event-time timeout evicts buckets (state bounded by watermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val stream = EventStream.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text").withWatermark("ts", "10 minutes"),
+      "doc_id", "text", "ts", k = 3, threshold = 0.8,
+      bands = 16, rowsPerBand = 2, stateTtlMinutes = 60)
+    val q = stream.writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    in.addData((1L, t(0), base)) // seeds the buckets
+    q.processAllAvailable()
+    // advance the watermark far past bucket-1's timeout (t0 + 60 min)
+    // with unrelated docs; the third batch fires the timeouts (no data
+    // for doc-1's buckets in it)
+    in.addData((100L, t(500), "zz yy xx ww vv uu tt ss rr qq pp oo nn"))
+    q.processAllAvailable()
+    in.addData((101L, t(501), "aa bb cc dd ee ff gg hh ii jj kk ll mm"))
+    q.processAllAvailable()
+    // doc 6 is an exact dup of doc 1 — but the bucket state was evicted
+    in.addData((6L, t(502), base))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_ttl_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 6L),
+      s"evicted bucket resurrected: $pairs")
+  }
 }
