@@ -31,6 +31,11 @@ object Multimodal {
   // (re-)set on first use per JVM via this object's initializer running
   // wherever the decode closures deserialize.
   System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache is a TEMP FILE per read/write —
+  // three syscall-heavy file round-trips per decoded row. Tiny media
+  // payloads decode from heap; this is a multi-× win on the decode
+  // kernel and what any server-side ImageIO user sets.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Rows per decode batch — sized for decoder/accelerator hand-off,
     * not Spark semantics.

@@ -67,6 +67,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_quality/text_langid: the fused marker kernel replaced the HOF lambdas") {
+    // the MarkerCounts expression has a real doGenCode; the plan must
+    // show it — and must NOT show the interpreted higher-order chain
+    // (aggregate/transform/filter lambdas are CodegenFallback per row)
+    for (name <- Seq("text_quality", "text_langid")) {
+      val p = plan(name)
+      assert(p.contains("marker_counts"), s"$name:\n$p")
+      assert(!p.contains("aggregate(") && !p.contains("lambdafunction"),
+        s"$name still carries an interpreted HOF lambda:\n$p")
+    }
+  }
+
   test("dedup_exact: shuffles the 16-byte hash window key, not a join") {
     val p = plan("dedup_exact")
     assert(!p.contains("Join"), p) // window over md5, no self-join
