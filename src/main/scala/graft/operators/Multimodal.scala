@@ -86,6 +86,121 @@ object Multimodal {
   private def featureStub(bytes: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(j => ((bytes.length.toLong * (j + 1)) % 97).toFloat / 97.0f)
 
+  case class AudioMeta(id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long)
+
+  /** Deterministic PCM-16 WAV — a REAL RIFF/WAVE container (44-byte
+    * canonical header + seeded samples) for fixtures and the
+    * oracle-checked audio queries.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0)
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) {
+      bb.putShort(((seed + 31L * i) & 0x7FFF).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode — JDK `javax.sound.sampled.AudioSystem`
+    * (java.desktop ships WAV/AIFF/AU readers). None when no installed
+    * reader claims the payload.
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      val out = (f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, in.getFrameLength)
+      in.close()
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Batched audio decode → typed metadata: REAL AudioSystem first,
+    * a deterministic length formula for undecodable payloads (the
+    * audio analogue of `decodeImageStub`).
+    */
+  def audioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val (sr, ch, bits, n) = decodeAudio(bytes)
+            .getOrElse((8000, 1, 16, bytes.length.toLong))
+          AudioMeta(id, sr, ch, bits, n)
+        }
+      })
+  }
+
+  /** Media table of REAL PCM WAVs, parameters a closed form of the id
+    * so a relational oracle verifies the encode→decode round-trip.
+    */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => encodeWavPcm16(
+      sampleRate = 8000 + (id % 8).toInt * 1000,
+      channels = 1 + (id % 2).toInt,
+      nFrames = 100 + (id % 400).toInt,
+      seed = id))
+    docs.select(col("doc_id").as("id"),
+      lit("audio").as("media_type"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** REAL batched resize kernel: ImageIO decode → Graphics2D scale to
+    * fit (maxW, maxH) preserving aspect (scale ≤ 1, floor dims, min 1
+    * px) → PNG re-encode → re-decode, emitting the dims of the ACTUAL
+    * resized bytes. Undecodable payloads fall back to the clamped stub
+    * formula ([[clampMeta]]'s contract). The scale arithmetic is plain
+    * IEEE-double floor so an oracle reproduces it exactly.
+    */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0)
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+          if (img == null) {
+            val (w, h, c) = decodeImageStub(bytes)
+            ImageMeta(id, math.min(w, maxW), math.min(h, maxH), c)
+          } else {
+            val s = math.min(1.0, math.min(
+              maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val nw = math.max(1, math.floor(img.getWidth * s).toInt)
+            val nh = math.max(1, math.floor(img.getHeight * s).toInt)
+            val scaled = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = scaled.createGraphics()
+            try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            ImageMeta(id, back.getWidth, back.getHeight,
+              back.getColorModel.getNumComponents)
+          }
+        }
+      })
+  }
+
   /** Media table derived from `documents`: the text bytes stand in for
     * an encoded image/video payload (`media_type` tagged by caller).
     */

@@ -35,6 +35,46 @@ object MultimodalQueries {
              |FROM documents ORDER BY id""".stripMargin),
       doc = "REAL ImageIO round-trip: encode PNG -> batched ImageIO decode -> typed metadata, dims oracle-pinned"),
 
+    // REAL audio decode: per row the engine ENCODES a canonical PCM-16
+    // RIFF/WAVE container (rate/channels/frames a closed form of the
+    // id) and DECODES it back with JDK javax.sound.sampled inside the
+    // batched kernel; the oracle checks only the closed form
+    Q("mm_audio_meta",
+      (s, dir) => Multimodal.audioMeta(
+        Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("id")),
+      Some("""SELECT doc_id AS id,
+             |       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+             |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |       16 AS bits,
+             |       CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+             |FROM documents ORDER BY id""".stripMargin),
+      doc = "REAL AudioSystem round-trip: encode PCM WAV -> batched JDK decode -> typed metadata, params oracle-pinned"),
+
+    // REAL resize: decode -> Graphics2D scale-to-fit (IEEE floor
+    // arithmetic the oracle reproduces) -> PNG re-encode -> re-decode;
+    // the emitted dims come from the RESIZED BYTES, not the formula
+    Q("mm_resize_real",
+      (s, dir) => Multimodal.resizeImages(
+        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)),
+        maxW = 32, maxH = 32)
+        .toDF()
+        .orderBy(col("id")),
+      Some("""WITH d AS (SELECT doc_id,
+             |                  CAST(1 + doc_id % 64 AS DOUBLE) AS w,
+             |                  CAST(1 + doc_id % 48 AS DOUBLE) AS h
+             |           FROM documents),
+             |s AS (SELECT doc_id, w, h,
+             |             LEAST(1.0, 32.0 / w, 32.0 / h) AS sc
+             |      FROM d)
+             |SELECT doc_id AS id,
+             |       CAST(GREATEST(1, FLOOR(w * sc)) AS INTEGER) AS width,
+             |       CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS height,
+             |       3 AS channels
+             |FROM s ORDER BY id""".stripMargin),
+      doc = "REAL batched resize kernel: decode -> scale-to-fit -> re-encode -> re-decode, dims from the actual bytes"),
+
     // stub-fallback path kept oracled on purpose: text payloads are
     // not decodable media, so imageMeta falls back to the documented
     // length formula — this query pins that fallback contract

@@ -55,6 +55,34 @@ class MultimodalSpec extends SparkSpec {
     stub.foreach(m => assert(m.width <= 640 && m.height <= 480 && m.channels == 3))
   }
 
+  test("decodeAudio: REAL AudioSystem round-trip on PCM WAVs, None on non-audio") {
+    for ((sr, ch, n) <- Seq((8000, 1, 100), (44100, 2, 499), (11000, 2, 1))) {
+      val bytes = Multimodal.encodeWavPcm16(sr, ch, n, seed = 42L)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(Multimodal.decodeAudio(bytes) == Some((sr, ch, 16, n.toLong)))
+    }
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    // a PNG is not audio and a WAV is not an image — readers don't cross
+    assert(Multimodal.decodeAudio(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+    assert(Multimodal.decodeImage(Multimodal.encodeWavPcm16(8000, 1, 10, 1L)).isEmpty)
+  }
+
+  test("resizeImages: REAL scale-to-fit — resized bytes carry the predicted dims") {
+    val media = Seq(
+      (1L, "image", Multimodal.encodePng(64, 16, 5L)),  // wide: scale 1/2 → 32×8
+      (2L, "image", Multimodal.encodePng(10, 48, 6L)),  // tall: scale 2/3 → 6×32
+      (3L, "image", Multimodal.encodePng(20, 20, 7L)),  // fits: untouched
+      (4L, "image", "not an image".getBytes("UTF-8")))  // stub fallback, clamped
+      .toDF("id", "media_type", "content")
+    val out = Multimodal.resizeImages(media, maxW = 32, maxH = 32)
+      .collect().map(m => m.id -> ((m.width, m.height, m.channels))).toMap
+    assert(out(1L) == ((32, 8, 3)))
+    assert(out(2L) == ((6, 32, 3)))
+    assert(out(3L) == ((20, 20, 3)))
+    val (w4, h4, _) = out(4L)
+    assert(w4 <= 32 && h4 <= 32)
+  }
+
   test("extractFeatures: fixed dim, deterministic") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf()).limit(10), "image")
