@@ -201,6 +201,52 @@ object Multimodal {
       })
   }
 
+  case class PixelStats(id: Long, n_pixels: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL feature extraction over DECODED PIXELS: per-channel means of
+    * the raster — the simplest genuine image statistic (what a
+    * normalization stage computes before training). ImageIO decode +
+    * raster walk inside the batch boundary; exact integer sums, ONE
+    * double division and no rounding — `CAST(sum AS DOUBLE) / n` is
+    * the same IEEE-754 operation in every engine, so the oracle
+    * matches bit-for-bit (a 6-dp round would instead sit on half-even
+    * vs half-away tie behavior exactly where pixel sums can land).
+    * Undecodable payloads yield no row (a real feature extractor has
+    * nothing to say about non-media bytes — filter semantics, like
+    * dead-lettering).
+    */
+  def pixelStats(media: DataFrame): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xFF
+                sg += (v >> 8) & 0xFF
+                sb += v & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            Some(PixelStats(id, n,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+          }
+        }
+      })
+  }
+
   /** Media table derived from `documents`: the text bytes stand in for
     * an encoded image/video payload (`media_type` tagged by caller).
     */

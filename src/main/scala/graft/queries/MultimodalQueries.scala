@@ -35,6 +35,36 @@ object MultimodalQueries {
              |FROM documents ORDER BY id""".stripMargin),
       doc = "REAL ImageIO round-trip: encode PNG -> batched ImageIO decode -> typed metadata, dims oracle-pinned"),
 
+    // REAL pixel-level features: the engine decodes each PNG and walks
+    // the raster for per-channel means; the oracle recomputes them
+    // from the fixture's closed-form pixel function (seed + 31x + 131y
+    // folded into 24-bit RGB) without ever decoding — lossless PNG +
+    // exact integer sums + one IEEE division make it bit-exact
+    Q("mm_pixel_stats",
+      (s, dir) => Multimodal.pixelStats(
+        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("id")),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+             |                  CAST(1 + doc_id % 48 AS BIGINT) AS h
+             |           FROM documents),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+             |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, w, h,
+             |             (doc_id + 31 * x + 131 * y) % 16777216 AS v
+             |      FROM px),
+             |a AS (SELECT doc_id, w * h AS n_pixels,
+             |             sum(v // 65536) AS sr,
+             |             sum((v // 256) % 256) AS sg,
+             |             sum(v % 256) AS sb
+             |      FROM v GROUP BY doc_id, w, h)
+             |SELECT doc_id AS id, n_pixels,
+             |       CAST(sr AS DOUBLE) / n_pixels AS mean_r,
+             |       CAST(sg AS DOUBLE) / n_pixels AS mean_g,
+             |       CAST(sb AS DOUBLE) / n_pixels AS mean_b
+             |FROM a ORDER BY id""".stripMargin),
+      doc = "REAL decoded-pixel statistics: per-channel raster means vs the closed-form pixel oracle, bit-exact"),
+
     // REAL audio decode: per row the engine ENCODES a canonical PCM-16
     // RIFF/WAVE container (rate/channels/frames a closed form of the
     // id) and DECODES it back with JDK javax.sound.sampled inside the

@@ -83,6 +83,25 @@ class MultimodalSpec extends SparkSpec {
     assert(w4 <= 32 && h4 <= 32)
   }
 
+  test("pixelStats: raster means equal the closed-form pixel function (PNG lossless)") {
+    val (w, h, seed) = (7, 5, 3L)
+    val media = Seq((1L, "image", Multimodal.encodePng(w, h, seed)),
+        (2L, "image", "garbage".getBytes("UTF-8")))
+      .toDF("id", "media_type", "content")
+    val got = Multimodal.pixelStats(media).collect()
+    assert(got.length == 1 && got.head.id == 1L) // non-images dead-letter
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 31L * x + 131L * y) & 0xFFFFFF
+      sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+    }
+    val n = w.toLong * h
+    val p = got.head
+    assert(p.n_pixels == n)
+    assert(p.mean_r == sr.toDouble / n && p.mean_g == sg.toDouble / n &&
+      p.mean_b == sb.toDouble / n)
+  }
+
   test("extractFeatures: fixed dim, deterministic") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf()).limit(10), "image")
