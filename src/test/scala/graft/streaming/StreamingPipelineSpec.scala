@@ -47,6 +47,45 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("mixture + streaming near-dup compose: pairs == batch LSH over the survivors") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // plant near-dups across the mixture survivors: every 11th doc is
+    // a suffix-extended copy of doc (i - 11)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows: Seq[(Long, String, String)] = (0L until 100L).map { i =>
+      val text = if (i % 11 == 0) base + (" pad" * (i % 2).toInt)
+      else s"unique document $i " + (0 to 12).map(j => s"w$i$j").mkString(" ")
+      (i, s"src${i % 4}", text)
+    }
+    val in = MemoryStream[(Long, String, String)]
+    val streamed = in.toDF().toDF("doc_id", "source", "text")
+      .withColumn("ts", expr("timestamp_millis(3600000 + doc_id * 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val mixed = Sampling.mixtureByHash(streamed, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 1.0), defaultRate = 0.5)
+    val q = EventStream.nearDupStream(mixed, "doc_id", "text", "ts",
+        k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+      .writeStream.format("memory").queryName("mixdup_out")
+      .outputMode("append").start()
+    in.addData(rows.take(60))
+    q.processAllAvailable()
+    in.addData(rows.drop(60))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mixdup_out")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val batchMixed = Sampling.mixtureByHash(
+      rows.toDF("doc_id", "source", "text"), "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 1.0), defaultRate = 0.5)
+    val want = graft.operators.Dedup.minhashLshPairs(
+        batchMixed, "doc_id", "text", k = 3, threshold = 0.8,
+        bands = 16, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must keep some planted near-dup pairs")
+    assert(got == want, s"stream=${got.toSeq.sorted} batch=${want.toSeq.sorted}")
+  }
+
   test("stream-side decontamination: broadcast eval probe works per micro-batch") {
     implicit val sc = spark.sqlContext
     val evalSet = Seq((1L, "the quick brown fox jumps far")).toDF("doc_id", "text")
