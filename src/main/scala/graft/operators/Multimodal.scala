@@ -150,6 +150,7 @@ object Multimodal {
 
   /** Media table of REAL PCM WAVs, parameters a closed form of the id
     * so a relational oracle verifies the encode→decode round-trip.
+    * Repartitioned for the same reason as [[pngMediaFromDocuments]].
     */
   def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
     val gen = udf((id: Long) => encodeWavPcm16(
@@ -157,9 +158,10 @@ object Multimodal {
       channels = 1 + (id % 2).toInt,
       nFrames = 100 + (id % 400).toInt,
       seed = id))
-    docs.select(col("doc_id").as("id"),
-      lit("audio").as("media_type"),
-      gen(col("doc_id")).as("content"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        lit("audio").as("media_type"),
+        gen(col("doc_id")).as("content"))
   }
 
   /** REAL batched resize kernel: ImageIO decode → Graphics2D scale to
@@ -258,13 +260,22 @@ object Multimodal {
   /** Media table of REAL encoded PNGs, dims a closed form of the id
     * (width = 1 + id % 64, height = 1 + id % 48) so a relational oracle
     * can verify the decode round-trip without being able to decode.
+    *
+    * The input is REPARTITIONED to the session's default parallelism
+    * first: encode/decode are CPU-bound per-row kernels, and a small
+    * single-file corpus arrives as ONE input split — without the
+    * spread, every downstream media kernel runs single-threaded
+    * regardless of cluster size. (The standard pattern before any
+    * expensive per-row stage; at real scale many input files make it
+    * a near-no-op.)
     */
   def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
     val gen = udf((id: Long) =>
       encodePng(1 + (id % 64).toInt, 1 + (id % 48).toInt, seed = id))
-    docs.select(col("doc_id").as("id"),
-      lit("image").as("media_type"),
-      gen(col("doc_id")).as("content"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        lit("image").as("media_type"),
+        gen(col("doc_id")).as("content"))
   }
 
   /** Batched image decode → typed metadata: REAL ImageIO first, stub
