@@ -350,12 +350,12 @@ object Dedup {
     * change-count join, and intermediates are persisted/unpersisted
     * round-to-round to keep lineage flat.
     *
-    * NOTE: both CC loops briefly set session-GLOBAL confs (AQE off,
-    * `spark.sql.shuffle.partitions` sized from the edge count) for the
-    * loop's duration and restore them in a finally — queries running
-    * CONCURRENTLY on the same SparkSession during a CC fixpoint will
-    * plan under those loop settings. Isolate with
-    * `spark.newSession()` if that matters.
+    * NOTE: both CC loops run their conf overrides (AQE off,
+    * `spark.sql.shuffle.partitions` sized from the edge count) on a
+    * CLONED session — same SparkContext and cache manager, isolated
+    * SQLConf — so the caller's session is NEVER mutated and queries
+    * running concurrently on it plan under their own settings. The
+    * result is re-rooted in the caller's session before returning.
     *
     * @return one row per node appearing in `pairs`:
     *         (`idCol`, component = min node id in its component)
@@ -372,51 +372,40 @@ object Dedup {
       scala.util.Try(partsBefore.trim.toLong).toOption.filter(_ > 0).getOrElse(200L),
       edgeCount / 500000L + 1L)
 
-  /** Best-effort conf restore after a fixpoint loop. OSS
-    * `RuntimeConfig.set` validates values, so restoring a
-    * platform-specific free-text original (e.g. shuffle partitions
-    * "auto" injected via spark-defaults, where no set-time validation
-    * runs) throws — out of a `finally` block that would mask the loop's
-    * result AND skip the remaining cleanup. Logged and swallowed: the
-    * session staying at the loop's shuffle width is recoverable, a
-    * leaked executor cache or a masked result is not.
-    */
-  private def restoreConf(spark: SparkSession, key: String, value: String): Unit =
-    try spark.conf.set(key, value)
-    catch {
-      case e: Exception =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"could not restore $key=$value after fixpoint loop: ${e.getMessage}")
-    }
-
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String = "id", compOut: String = "component",
       maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
+    val parent = pairs.sparkSession
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val edgesParent = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
     // materialize the edge relation — including whatever (possibly
     // expensive, AQE-dependent) pipeline produced `pairs` — under the
-    // caller's settings BEFORE touching the AQE flag
-    val edgeCount = edges.count()
+    // caller's settings BEFORE the loop session takes over
+    val edgeCount = edgesParent.count()
     // AQE's per-stage materialization barriers add ~200-400ms latency to
     // every round of a fixpoint loop whose per-round data is tiny
     // relative to the stage overhead; the loop plans are simple enough
     // (one join + one groupBy) that static planning loses nothing. With
     // AQE suspended nothing coalesces the loop's shuffles either, so
     // size them from the measured edge count: a fixpoint over thousands
-    // of edges runs single-task rounds instead of paying the session's
-    // full shuffle width in scheduler latency every round, while a
-    // billion-edge graph keeps the session's parallelism. Both settings
-    // are restored after the loop.
+    // of edges runs single-task tiny rounds while a billion-edge graph
+    // keeps the session's parallelism.
+    //
+    // The overrides live on a CLONED session (same SparkContext, same
+    // cache manager, isolated SQLConf) — the caller's session is never
+    // mutated, so a concurrent query planning on it mid-loop keeps the
+    // caller's AQE/shuffle settings. Nothing to restore.
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
-    val aqeBefore = spark.conf.get(aqeKey, "true")
-    val partsBefore = spark.conf.get(partsKey, "200")
+    val partsBefore = parent.conf.get(partsKey, "200")
     val loopParts = loopShufflePartitions(partsBefore, edgeCount)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(partsKey, loopParts.toString)
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    loopSession.conf.set(aqeKey, "false")
+    loopSession.conf.set(partsKey, loopParts.toString)
+    // re-root the cached edges in the loop session (cache hit via the
+    // shared CacheManager — data is not recomputed)
+    val edges = org.apache.spark.sql.graft.Bridge.inSession(loopSession, edgesParent)
     try {
     // convergence witness: sum(label) strictly decreases while any label
     // changes (labels only move down), so sum-equality <=> fixpoint. The
@@ -465,16 +454,16 @@ object Dedup {
           "or use connectedComponentsStar for long-chain graphs")
     // hand back a lineage-truncated copy and drop the loop's cache —
     // returning the persisted frame itself would leak executor cache
-    // per call (nothing downstream ever unpersists it)
-    val out = labels.select(col("id").as(idOut), col("comp").as(compOut))
-      .localCheckpoint(true)
+    // per call (nothing downstream ever unpersists it). Re-rooted in
+    // the CALLER's session so downstream composition (joins against
+    // caller frames) stays single-session.
+    val out = org.apache.spark.sql.graft.Bridge.inSession(parent,
+      labels.select(col("id").as(idOut), col("comp").as(compOut))
+        .localCheckpoint(true))
     labels.unpersist()
     out
     } finally {
-      // unpersist FIRST: a failed conf restore must not leak the edge cache
-      edges.unpersist()
-      restoreConf(spark, aqeKey, aqeBefore)
-      restoreConf(spark, partsKey, partsBefore)
+      edgesParent.unpersist()
     }
   }
 
@@ -568,21 +557,21 @@ object Dedup {
     // exponentially (persist caches data, not the plan) — OOM in the
     // analyzer after a handful of rounds. localCheckpoint(eager)
     // truncates the plan to the materialized partitions every round.
+    val parent = pairs.sparkSession
     var e = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
-    // same loop-shuffle treatment as [[connectedComponents]]: with the
-    // per-round data materialized, suspend AQE's per-stage barriers and
-    // size the static shuffles from the measured edge count
-    val spark = pairs.sparkSession
+    // same loop-shuffle treatment as [[connectedComponents]], same
+    // isolation: the AQE/width overrides live on a cloned session, the
+    // caller's conf is never mutated, nothing to restore
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
-    val aqeBefore = spark.conf.get(aqeKey, "true")
-    val partsBefore = spark.conf.get(partsKey, "200")
+    val partsBefore = parent.conf.get(partsKey, "200")
     val edgeCount = e.count()
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(partsKey,
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    loopSession.conf.set(aqeKey, "false")
+    loopSession.conf.set(partsKey,
       loopShufflePartitions(partsBefore, edgeCount).toString)
-    try {
+    e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, e)
     var w = witness(e)
     var converged = false
     var it = 0
@@ -603,14 +592,12 @@ object Dedup {
     val labels = e.select(col("u").as(idOut), col("v").as(compOut))
       .unionByName(e.select(col("v").as(idOut), col("v").as(compOut)).distinct())
       .distinct()
-    // truncate onto fresh partitions and drop the loop's final
-    // checkpoint — same cache-hygiene as [[connectedComponents]]
-    val out = labels.localCheckpoint(true)
+    // truncate onto fresh partitions, drop the loop's final checkpoint,
+    // and re-root in the caller's session — same hygiene as
+    // [[connectedComponents]]
+    val out = org.apache.spark.sql.graft.Bridge.inSession(parent,
+      labels.localCheckpoint(true))
     e.unpersist()
     out
-    } finally {
-      restoreConf(spark, aqeKey, aqeBefore)
-      restoreConf(spark, partsKey, partsBefore)
-    }
   }
 }

@@ -142,20 +142,19 @@ object TextAnalysis {
     // Run the loop at width defaultParallelism/8 (≥ 2): still
     // distributed — a 4000-core cluster keeps a 500-way vocab — but the
     // local[32] demo drops from 64 to ~8 tiny tasks per round.
-    // Conf is saved/restored (same discipline as the CC loop); the
-    // width applies to the initial vocab groupBy too, so the CACHED
-    // vocab carries the narrow layout through every round.
+    // The override lives on a CLONED session (same discipline as the
+    // CC loops: isolated SQLConf, shared context/cache — the caller's
+    // session is never mutated, nothing to restore); the width applies
+    // to the initial vocab groupBy too, so the CACHED vocab carries
+    // the narrow layout through every round. The merge table is
+    // re-rooted in the caller's session before returning.
     val partsKey = "spark.sql.shuffle.partitions"
-    val partsBefore = spark.conf.get(partsKey)
     val loopParts = math.max(2, spark.sparkContext.defaultParallelism / 8)
-    spark.conf.set(partsKey, loopParts)
-    try bpeTrainLoop(docs, textCol, numMerges)
-    finally
-      try spark.conf.set(partsKey, partsBefore)
-      catch { case e: Exception =>
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"failed to restore $partsKey=$partsBefore", e)
-      }
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+    loopSession.conf.set(partsKey, loopParts.toString)
+    org.apache.spark.sql.graft.Bridge.inSession(spark,
+      bpeTrainLoop(org.apache.spark.sql.graft.Bridge.inSession(loopSession, docs),
+        textCol, numMerges))
   }
 
   private def bpeTrainLoop(docs: DataFrame, textCol: String,

@@ -22,4 +22,27 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Clone a session: a full copy of the caller's SQLConf / temp state
+    * over the SAME SparkContext, shared-state, and cache manager.
+    * `cloneSession()` is `private[sql]`; it is exactly what an
+    * operator that needs loop-local conf overrides (fixpoint shuffle
+    * width, AQE off) should mutate instead of the caller's session —
+    * concurrent queries on the caller's session then keep planning
+    * under their own settings.
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-root a DataFrame's logical plan in another session of the same
+    * SparkContext (`Dataset.ofRows` is `private[sql]`). Cached plans
+    * resolve through the shared CacheManager, so a frame persisted
+    * under the source session stays a cache hit after re-rooting.
+    */
+  def inSession(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
 }

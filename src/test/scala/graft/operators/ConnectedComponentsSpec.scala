@@ -33,7 +33,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.keySet === Set(3L, 4L, 7L, 8L, 9L))
   }
 
-  test("loop conf (AQE + shuffle partitions) is restored after both CC variants") {
+  test("loop conf overrides never touch the caller's session (cloned-session isolation)") {
+    // the AQE/width overrides live on a CLONED session now — the
+    // caller's conf must be byte-identical after both variants, after
+    // a failing edge pipeline, and (the part a restore-based design
+    // could not promise) there is no window where a concurrent query
+    // on the caller's session would plan under loop settings
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
@@ -43,12 +48,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     Dedup.connectedComponentsStar(pairs, "a", "b").collect()
     assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
-    // a failing edge pipeline must restore conf too (the finally path)
+    // a failing edge pipeline must leave the caller untouched too
     val bad = spark.range(2).selectExpr("CAST(id AS LONG) AS a",
       "CAST(raise_error('boom') AS LONG) AS b")
     intercept[Exception] { Dedup.connectedComponents(bad, "a", "b").collect() }
     assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    // the result is re-rooted in the CALLER's session (composition
+    // with caller frames must stay single-session)
+    assert(Dedup.connectedComponents(pairs, "a", "b").sparkSession eq spark)
   }
 
   test("empty pair relation yields an empty labeling") {
