@@ -66,17 +66,61 @@ object TagDimension {
     * (key, value, count, in_wiki) shape as [[loadJson]], so a freshly
     * fetched TagInfo dump feeds [[prepare]] without pre-conversion.
     */
-  def loadApiEnvelope(spark: SparkSession, path: String, key: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("data", ArrayType(StructType(Seq(
-        StructField("value", StringType),
-        StructField("count", LongType),
-        StructField("in_wiki", BooleanType)))))))
-    spark.read.schema(schema).option("multiLine", "true").json(path)
-      .select(explode(col("data")).as("d"))
+  private val envelopeSchema = StructType(Seq(
+    StructField("data", ArrayType(StructType(Seq(
+      StructField("value", StringType),
+      StructField("count", LongType),
+      StructField("in_wiki", BooleanType)))))))
+
+  /** The shared envelope → (key, value, count, in_wiki) transform —
+    * ONE implementation under both the fixture-file and live-HTTP
+    * paths, so they cannot drift.
+    */
+  private def envelopeRows(parsed: DataFrame, key: String): DataFrame =
+    parsed.select(explode(col("data")).as("d"))
       .filter(!col("d.value").contains(";") && col("d.in_wiki"))
       .select(lit(key).as("key"), col("d.value").as("value"),
         col("d.count").as("count"), col("d.in_wiki").as("in_wiki"))
+
+  def loadApiEnvelope(spark: SparkSession, path: String, key: String): DataFrame =
+    envelopeRows(
+      spark.read.schema(envelopeSchema).option("multiLine", "true").json(path),
+      key)
+
+  /** S2-LIVE — fetch the dimension over REAL HTTP: one GET per key
+    * against a TagInfo-shaped endpoint
+    * (`{base}/api/4/key/values?key=K&page=1&rp=N&sortname=count_ways&sortorder=desc`
+    * — the reference's exact request, filter.py:235-247), parsed
+    * through the SAME envelope schema and retrieval-time filters as
+    * [[loadApiEnvelope]]. Fetching runs DRIVER-side on JDK
+    * `java.net.http.HttpClient` deliberately: the dimension is bounded
+    * tiny by construction (≤ topK × |keys| rows), so a distributed
+    * fetch would be pure overhead — the 100 TB side of this join is
+    * the probe, never the dimension. The zero-egress container drives
+    * this code path in tests against an in-JVM
+    * `com.sun.net.httpserver` serving the checked-in fixture, so the
+    * full network stack (socket, status handling, query string) runs.
+    */
+  def fetchApi(spark: SparkSession, baseUrl: String, keys: Seq[String],
+      resultsPerPage: Int = 100,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30)): DataFrame = {
+    require(keys.nonEmpty, "fetchApi needs at least one key")
+    import spark.implicits._
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    keys.map { k =>
+      val url = s"$baseUrl/api/4/key/values" +
+        s"?key=${java.net.URLEncoder.encode(k, "UTF-8")}" +
+        s"&page=1&rp=$resultsPerPage&sortname=count_ways&sortorder=desc"
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"TagInfo GET $url returned HTTP ${resp.statusCode()}")
+      envelopeRows(
+        spark.read.schema(envelopeSchema).json(Seq(resp.body()).toDS()), k)
+    }.reduce(_.unionByName(_))
   }
 
   /** K4 — persist a dimension back to the tags.json memo shape. */

@@ -35,6 +35,48 @@ class TagDimensionSpec extends SparkSpec {
       Set(("amenity", "cafe", 150000L), ("shop", "bakery", 120000L)))
   }
 
+  test("fetchApi: REAL HTTP round-trip against an in-JVM TagInfo-shaped server (S2-live)") {
+    // the zero-egress container can't reach taginfo.openstreetmap.org;
+    // a JDK com.sun.net.httpserver serving the checked-in fixture
+    // drives the full network code path (socket, status, query string)
+    val fixtureBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/taginfo_amenity.json").getPath))
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/4/key/values",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        requests.add(ex.getRequestURI.toString)
+        ex.sendResponseHeaders(200, fixtureBytes.length)
+        ex.getResponseBody.write(fixtureBytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val live = TagDimension.fetchApi(spark, base, Seq("amenity"))
+        .as[(String, String, Long, Boolean)].collect().toSet
+      // the HTTP path and the fixture-file path must parse identically
+      val file = TagDimension.loadApiEnvelope(spark,
+          getClass.getResource("/taginfo_amenity.json").getPath, "amenity")
+        .as[(String, String, Long, Boolean)].collect().toSet
+      assert(live == file && live.nonEmpty)
+      // the request is the reference's exact shape (filter.py:235-239)
+      val uri = requests.poll()
+      assert(uri.contains("key=amenity") && uri.contains("rp=100") &&
+        uri.contains("sortname=count_ways") && uri.contains("sortorder=desc"),
+        uri)
+      // a non-200 must abort loudly, never yield an empty dimension
+      server.createContext("/broken/api/4/key/values",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(503, -1); ex.close()
+        })
+      intercept[IllegalArgumentException] {
+        TagDimension.fetchApi(spark, s"$base/broken", Seq("amenity")).collect()
+      }
+    } finally server.stop(0)
+  }
+
   test("loadApiEnvelope parses the raw API envelope with retrieval-time filters (C11)") {
     import graft.model.PoiSettings
     val fixture = getClass.getResource("/taginfo_amenity.json").getPath
