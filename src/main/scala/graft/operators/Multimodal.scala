@@ -117,20 +117,48 @@ object Multimodal {
     bb.array()
   }
 
-  /** REAL audio decode — JDK `javax.sound.sampled.AudioSystem`
-    * (java.desktop ships WAV/AIFF/AU readers). None when no installed
-    * reader claims the payload.
+  /** The JDK's registered audio container parsers (WAV/AIFF/AU etc.),
+    * resolved ONCE per JVM and kept success-ordered.
+    * `AudioSystem.getAudioInputStream` re-walks every provider per
+    * call, and each non-matching reader signals by THROWING — on a
+    * homogeneous 50k-row WAV batch that is 2+ filled-in exception
+    * stacks per row before the WAV reader gets asked, which measured
+    * ~4× slower than the image kernel on smaller payloads. Caching the
+    * provider list and moving the last-successful reader to the front
+    * makes the steady state one try, zero exceptions, same REAL JDK
+    * parser.
     */
-  private[graft] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val f = in.getFormat
-      val out = (f.getSampleRate.toInt, f.getChannels,
-        f.getSampleSizeInBits, in.getFrameLength)
-      in.close()
-      Some(out)
-    } catch { case _: Exception => None }
+  @transient private lazy val audioReaders =
+    new java.util.concurrent.atomic.AtomicReference[List[javax.sound.sampled.spi.AudioFileReader]]({
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toList
+    })
+
+  /** REAL audio decode — the JDK's `javax.sound.sampled` readers (see
+    * [[audioReaders]] for why not `AudioSystem` directly). None when
+    * no installed reader claims the payload.
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    val readers = audioReaders.get()
+    var rest = readers
+    while (rest.nonEmpty) {
+      val r = rest.head
+      try {
+        val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        val out = (f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, in.getFrameLength)
+        in.close()
+        if (r ne readers.head)
+          audioReaders.set(r :: readers.filterNot(_ eq r))
+        return Some(out)
+      } catch { case _: Exception => () }
+      rest = rest.tail
+    }
+    None
+  }
 
   /** Batched audio decode → typed metadata: REAL AudioSystem first,
     * a deterministic length formula for undecodable payloads (the
