@@ -112,6 +112,14 @@ object Sketches {
   def signSketch(vec: Column): Column =
     Bridge.column(SignSketch64(Bridge.expression(vec)))
 
+  /** Width-parameterized sign sketch: `words`×64 random hyperplanes as
+    * `array<long>`. Word 0 is bit-identical to [[signSketch]] (same
+    * plane family), so widening a sketch never changes the bits a
+    * narrower consumer already banded on.
+    */
+  def signSketchWide(vec: Column, words: Int): Column =
+    Bridge.column(SignSketchWide(Bridge.expression(vec), words))
+
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(s)))
 
@@ -377,6 +385,63 @@ case class SignSketch64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignSketch64 =
+    copy(child = newChild)
+}
+
+/** [[SignSketch64]] at arbitrary width: `words`×64 hyperplanes, output
+  * `array<long>` with word w holding planes [64w, 64w+64). The plane
+  * family is IDENTICAL to SignSketch64's (same splitmix64 stream), so
+  * element 0 of the wide sketch equals the 64-bit sketch exactly —
+  * spec-pinned. Width is the sign-LSH SCALE knob: bucket count per
+  * band is 2^chunkBits, and keeping candidate volume ~linear needs
+  * 2^chunkBits to grow with N — which costs recall radius unless the
+  * sketch widens with it (radius = bands − 1 = words·64/chunkBits − 1
+  * differing bits).
+  */
+case class SignSketchWide(child: Expression, words: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  require(words >= 1 && words <= 16, s"words must be in [1,16]: $words")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_sketch_wide"
+
+  private def plane(j: Int, i: Int): Double = {
+    val v = Sketches.splitmix64(j.toLong * 131071L + i.toLong)
+    (v >>> 11) * (2.0 / (1L << 53)) - 1.0
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          dot += x * plane(w * 64 + j, i)
+          i += 1
+        }
+        if (dot > 0) bits |= (1L << j)
+        j += 1
+      }
+      out(w) = bits
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketchWide =
     copy(child = newChild)
 }
 

@@ -278,30 +278,57 @@ object Dedup {
     * [[embeddingNearDupPairsSignLsh]]. Output: (id_a, id_b, cos).
     */
   /** Sign-LSH embedding near-dup — the cosine twin of
-    * [[minhashLshPairs]]: 64-bit random-hyperplane sketches
-    * ([[graft.functions.SignSketch64]], one narrow pass), banded into
-    * `64/chunkBits` chunks; candidates share ≥ 1 chunk value (by
-    * pigeonhole this catches every pair within `64/chunkBits − 1`
-    * sketch bits — collinear near-dups sketch identically and ALWAYS
-    * collide), then exact cosine verify of candidates only against the
-    * persisted vectors. Bucket count is 2^chunkBits per band — at the
-    * default 8 bits that is 256 buckets/band, so candidate work is
-    * ~N²·bands/2^chunkBits instead of N²: genuinely sub-quadratic
-    * without centroid fitting, unlike [[embeddingNearDupPairsIvf]]
-    * whose win requires numCells ≫ nprobe².
+    * [[minhashLshPairs]]: random-hyperplane sketches
+    * ([[graft.functions.SignSketchWide]], one narrow pass), banded
+    * into `chunkBits`-bit chunks; candidates share ≥ 1 chunk value (by
+    * pigeonhole this catches every pair within `bands − 1` sketch bits
+    * — collinear near-dups sketch identically and ALWAYS collide),
+    * then exact cosine verify of candidates only against the persisted
+    * vectors.
+    *
+    * THE SCALE KNOBS, measured at the 100× stress run (BASELINE.md
+    * round 9): bucket count per band is 2^chunkBits, so expected
+    * RANDOM-pair candidate volume is ~N²·bands/2^chunkBits — still
+    * quadratic in N at fixed width. At 20k vectors the default 256
+    * buckets/band keeps occupancy ~80 and the constant is harmless; at
+    * 200k vectors occupancy hits ~780 and the exact-verify join (which
+    * ships both full vectors per candidate) spilled a disk. The fix is
+    * more BUCKETS, not more bands: grow `chunkBits` with ~log2(N/500)
+    * so occupancy stays flat, and grow `sketchWords` with it to hold
+    * the band count (word 0 of the wide sketch equals the 64-bit
+    * sketch, so widening never loses bits a narrow call banded on).
+    * Measured at 220k vectors, threshold 0.9, words=2 + chunkBits=16
+    * (8 bands × 65536 buckets): 100% of planted near-dups found in
+    * ~10 s warm, scaling 5.2× for 10× data — where the default config
+    * exhausted local disk.
+    *
+    * REGIME, also measured: random-hyperplane banding prunes only when
+    * per-plane agreement p = 1 − θ/π is near 1, i.e. HIGH thresholds
+    * (near-dup, cos ≳ 0.8). At cos 0.45 (p ≈ 0.65 vs 0.5 for random
+    * pairs) no band shape separates signal from noise — the default
+    * config measured 25% recall vs exact at sf1.0 (4149 of 16786
+    * pairs) and wider bands only lower it. Moderate-similarity joins
+    * belong to [[embeddingNearDupPairsIvf]] / [[embeddingNearDupPairs]]
+    * or ANN retrieval ([[Similarity]]), not banding.
     * Output: (id_a, id_b, cos), id_a < id_b.
     */
   def embeddingNearDupPairsSignLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, chunkBits: Int = 8): DataFrame = {
-    val chunks = 64 / chunkBits
+      threshold: Double, chunkBits: Int = 8,
+      sketchWords: Int = 1): DataFrame = {
+    require(64 % chunkBits == 0, s"chunkBits must divide 64: $chunkBits")
+    val bands = sketchWords * 64 / chunkBits
+    val chunksPerWord = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
     val sk = emb.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
-        Sketches.signSketch(col(vecCol)).as("f"))
+        Sketches.signSketchWide(col(vecCol), sketchWords).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sk.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("f"), c * chunkBits).bitwiseAND(lit(mask))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright",
+            element_at(col("f"), (floor(b / lit(chunksPerWord)) + 1).cast("int")),
+            (b % lit(chunksPerWord)) * lit(chunkBits))
+          .bitwiseAND(lit(mask))))
         .as(Seq("chunk", "cv")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&

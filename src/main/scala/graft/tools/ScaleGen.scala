@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *     preserves every shingle/Jaccard/MinHash/SimHash relation inside
   *     the copy and shares ZERO shingles (and essentially no token
   *     hashes) across copies.
-  *   - embeddings: copy c cyclically rotates the vector by c
-  *     positions — an orthogonal transform, so norms and all
-  *     within-copy cosines/dot-products are exactly preserved while
-  *     cross-copy cosine drops to the random-vector baseline.
+  *   - embeddings: copy c cyclically rotates the vector by c mod dim
+  *     positions and flips the sign once per full wrap (c div dim odd)
+  *     — both orthogonal transforms, so norms and all within-copy
+  *     cosines/dot-products are exactly preserved, while cross-copy
+  *     cosine drops to the random-vector baseline (copies sharing a
+  *     rotation — possible once copies exceed the dimension — differ
+  *     by a global sign, which sends any above-threshold positive
+  *     cosine to its negation, never to a false near-dup).
   *   - events: ids and user_ids shift per copy (new users, same
   *     per-user timelines), so sessionization/asof/funnel output
   *     scales exactly linearly.
@@ -57,12 +61,18 @@ object ScaleGen {
       .repartition(col("doc_id"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
-    // embeddings: cyclic rotation by __copy positions (orthogonal)
+    // embeddings: cyclic rotation by (__copy mod dim) + sign flip per
+    // wrap — orthogonal at any copy count (see scaladoc)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(c).select(
         (col("vec_id") + col("__copy").cast("long") * 1000000L).as("vec_id"),
-        expr("concat(slice(embedding, __copy + 1, size(embedding) - __copy)," +
-          " slice(embedding, 1, __copy))").as("embedding"),
+        expr("""transform(
+                  concat(
+                    slice(embedding, pmod(__copy, size(embedding)) + 1,
+                          size(embedding) - pmod(__copy, size(embedding))),
+                    slice(embedding, 1, pmod(__copy, size(embedding)))),
+                  x -> x * cast(1 - 2 * ((__copy div size(embedding)) % 2) as float))
+             """).as("embedding"),
         col("label"))
       .repartition(col("vec_id"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")

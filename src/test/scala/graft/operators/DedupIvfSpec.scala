@@ -45,6 +45,37 @@ class DedupIvfSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("wide sign sketch: word 0 equals the 64-bit sketch; wide-bucket config keeps recall") {
+    // widening is the SCALE knob (more buckets per band at held recall
+    // radius) — word 0 must be bit-identical to SignSketch64 so a
+    // widened sketch never loses bits a narrow consumer banded on
+    val vecs = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), 0), (Seq(-5.0f, 1.0f, -9.0f), 1),
+      (Seq(0.25f, -4.0f, 7.5f), 2))
+      .toDF("v", "i")
+    val rows = vecs.select(
+        graft.functions.Sketches.signSketch(col("v")).as("f64"),
+        graft.functions.Sketches.signSketchWide(col("v"), 2).as("fw"), col("i"))
+      .orderBy("i").as[(Long, Seq[Long], Int)].collect()
+    rows.foreach { case (f64, fw, _) =>
+      assert(fw.length == 2 && fw.head == f64)
+    }
+    // the 100×-scale config (words=2, chunkBits=16 → 8 bands × 65536
+    // buckets) still finds every planted collinear pair = brute force
+    val emb = Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val brute = Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wide = Dedup.embeddingNearDupPairsSignLsh(planted, "vec_id", "embedding",
+        0.9, chunkBits = 16, sketchWords = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size == 20 && wide == brute,
+      s"missing=${brute -- wide} extra=${wide -- brute}")
+  }
+
   test("sign sketch: scale-invariant, deterministic, discriminates direction") {
     val got = Seq(
       (Seq(1.0f, 2.0f, 3.0f), 0),
