@@ -85,10 +85,14 @@ object Bench {
     // the compact summary is the LAST key: log capture keeps the tail of
     // long lines, and the per-query map in front has twice outgrown the
     // capture window — totals must survive truncation machine-readably
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON here
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val summary = s""""summary":{"total_s":${f"$total%.2f"},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
+    val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$load,"sf":"$sfDir",$summary}""")
     spark.stop()
   }

@@ -64,6 +64,15 @@ final case class CorpusSettings(
   * @param evalCorpus held-out eval docs to scrub against (None = skip)
   * @return one row per (surviving doc × epoch):
   *         all input columns + n_words, pack_id, pack_offset, epoch
+  *
+  * @note When `maxPerplexity` is set, the mixture+decontaminate frame is
+  *       persisted (MEMORY_AND_DISK) and deliberately NOT unpersisted —
+  *       the returned plan still references it lazily, so an eager
+  *       unpersist would drop the cache before the caller materializes
+  *       the result. Callers running many pipelines in one long-lived
+  *       session should `spark.catalog.clearCache()` (or unpersist via
+  *       the cache manager) between runs, or the gate caches accumulate
+  *       executor memory.
   */
 object CorpusPipeline {
 

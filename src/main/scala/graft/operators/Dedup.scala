@@ -315,7 +315,11 @@ object Dedup {
   def embeddingNearDupPairsSignLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, chunkBits: Int = 8,
       sketchWords: Int = 1): DataFrame = {
-    require(64 % chunkBits == 0, s"chunkBits must divide 64: $chunkBits")
+    // upper bound 32: chunkBits = 64 would make `(1L << 64) - 1` wrap to
+    // mask 0 (Java shifts are mod 64), silently sending every row to
+    // bucket 0 — i.e. a full N² self-join instead of an error
+    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
+      s"chunkBits must divide 64 and lie in [1, 32]: $chunkBits")
     val bands = sketchWords * 64 / chunkBits
     val chunksPerWord = 64 / chunkBits
     val mask = (1L << chunkBits) - 1

@@ -49,6 +49,19 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val c = spark.range(copies).select(col("id").cast("int").as("__copy"))
 
+    // Per-copy id offsets are fixed constants; a source whose ids reach
+    // the offset would alias across copies (duplicate doc_id/user_id),
+    // silently breaking the "exactly C× rows / C× users" invariant every
+    // scaling measurement depends on — fail loudly instead.
+    def assertIdHeadroom(table: String, idCol: String, offset: Long): Unit = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(idCol))).head.getLong(0)
+      require(mx < offset,
+        s"$table.$idCol max $mx >= per-copy offset $offset: copies would alias")
+    }
+    assertIdHeadroom("documents", "doc_id", 1000000L)
+    assertIdHeadroom("embeddings", "vec_id", 1000000L)
+
     // documents: token bijection t → t~c per copy (copy 0 verbatim)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.crossJoin(c).select(
@@ -86,6 +99,14 @@ object ScaleGen {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val ev = spark.read.schema(evSchema).parquet(s"$src/events.parquet")
+    // same aliasing guard for the two event-side id spaces (see above)
+    locally {
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      require(r.getLong(0) < 10000000L,
+        s"events.event_id max ${r.getLong(0)} >= per-copy offset 10000000")
+      require(r.getLong(1) < 100000L,
+        s"events.user_id max ${r.getLong(1)} >= per-copy offset 100000")
+    }
     ev.crossJoin(c).select(
         (col("event_id") + col("__copy").cast("long") * 10000000L).as("event_id"),
         col("ts"),
