@@ -109,6 +109,16 @@ object AsofJoin {
     * Times must be integral (e.g. epoch micros); `bucketWidth` is in
     * those units — pick it so a hot key's per-bucket row count fits a
     * partition (e.g. a day of micros for a year-spanning feed).
+    *
+    * Measured under adversarial skew (SkewGen: one user holds 50% of
+    * 100M events; 1h buckets over ~a week; round-10 BASELINE.md): the
+    * SLOWEST TASK — which is what a real cluster's wall-clock follows,
+    * since the other 999 executors wait on the hot key's partition —
+    * drops from 8.4–10.5 s (plain, the hot key's serialized window
+    * sort) to 3.1–4.8 s here, with local[32] wall-clock already
+    * slightly ahead despite the two extra shuffles. At local[32] the
+    * hot task hides behind 31 busy cores, so end-to-end time
+    * understates the cluster-scale win; maxtask is the honest metric.
     */
   def asofSalted(
       probe: DataFrame,

@@ -78,6 +78,22 @@ object Dedup {
     * then count per pair. One shuffle fewer than the self-join and the
     * singleton fast-path; the per-shingle pair fan-out is bounded by
     * `maxShingleDf`² when the cap is set.
+    *
+    * THE CAP IS LOSSY ON ZIPF CORPORA — measured, not hypothetical
+    * (SkewGen/SkewProbe, round-10 BASELINE.md): a pruned posting's
+    * shingle vanishes from the INTERSECTION count but stays in both
+    * docs' set sizes, so every pair sharing hot shingles has its
+    * Jaccard underestimated — even EXACT DUPLICATES can drop below
+    * threshold. On a corpus with a 10-stop-word sentence prepended to
+    * half the docs, cap=64 lost 12.3% of true pairs at 52k docs (all
+    * of them hot+hot, true J ∈ [0.9, 1.0]) and 16.7% at 510k docs.
+    * Decision rule: cap uncrossed (uniform df head, like this repo's
+    * synthetic tables at df ≤ 25 vs cap 500) → exact and ~2× faster
+    * than prefix filtering; heavy df head and misses unacceptable →
+    * [[jaccardPairsPrefix]], which stays exact at ~2× the wall-clock
+    * (45–50 s vs 84–101 s at 510k docs, 32 threads). The
+    * observe("jaccard_skew_cap") metric reports pruned postings > 0
+    * whenever this run's output may be incomplete.
     */
   def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
@@ -184,6 +200,16 @@ object Dedup {
     * [[jaccardPairsGrouped]] is faster; prefix filtering wins when the
     * df distribution has a heavy head (natural text, where a handful of
     * stop-shingles would otherwise fan out quadratically).
+    *
+    * Measured crossover (SkewProbe on the SkewGen Zipf corpus, 510k
+    * docs, hot shingles at df ≈ 255k, 32 threads): this operator 84–101
+    * s and EXACT (30316 pairs) vs grouped+cap 45–50 s but missing 16.7%
+    * of true pairs (the cap undercounts intersections of docs sharing
+    * hot shingles — see [[jaccardPairsGrouped]]). Uncapped grouped is
+    * not runnable there at all (hot postings fan out ~255k² pairs per
+    * stop-shingle). Rule: exactness on a heavy-head corpus → pay the
+    * ~2×; recall-tolerant speed → grouped with the cap and the
+    * observe() metric as the loss warning.
     */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -536,6 +562,16 @@ object Dedup {
     * simpler operator is the catalog default; this one exists for
     * corpora that chain (e.g. overlapping-window shingles of one long
     * document family).
+    *
+    * Measured on exactly that regime (SkewGen's sliding-window near-dup
+    * chain, edges straight from minhashLshPairs; round-10 BASELINE.md):
+    * 10k-doc chain — this operator 6.1–6.6 s vs min-label 81–88 s
+    * (13×); 2k-doc chain — 3.9–4.5 s vs 66–72 s; identical labelings,
+    * both converged. Min-label's label-of-label message gives it path
+    * halving (O(log diameter) ROUNDS, not O(diameter)), but each of its
+    * rounds joins the full edge relation three ways, while star
+    * contraction's rounds shrink the edge set geometrically — the
+    * chain's fixpoint arrives in fewer, cheaper rounds.
     *
     * Edges stay canonically oriented u > v. Large-star hangs every
     * above-min neighbor of u onto min(N(u) ∪ u); small-star re-hangs

@@ -73,10 +73,18 @@ object Sampling {
 
   /** Deterministic stratified sample: exactly `n` rows per stratum
     * (fewer if the stratum is smaller), the n smallest hashes winning.
-    * One shuffle on the stratum key + a per-partition sorted rank; at
-    * scale the usual keyed-window caveat applies (a single giant stratum
-    * serializes through one partition — pre-aggregate or salt+re-rank if
-    * a stratum exceeds a partition's memory).
+    * One shuffle on the stratum key + a per-partition sorted rank.
+    *
+    * Giant-stratum note: this rank-limit shape (`row_number() <= n`)
+    * gets Catalyst's WindowGroupLimit pushdown (partial BEFORE the
+    * stratum shuffle + final), so each map partition pre-prunes to its
+    * own top n and the giant stratum never ships or sorts its full row
+    * set — measured skew-IMMUNE on a 4.6M-row stratum (SkewProbe,
+    * round-10 BASELINE.md: max task 0.34 s plain vs 0.41 s salted).
+    * [[stratifiedByHashSalted]] remains the pattern for keyed-window
+    * shapes the pushdown does NOT match (running aggregates like
+    * [[packLayout]], carry-forwards like asof — both measured heavily
+    * skew-bound), and pins plain==salted end-to-end in the catalog.
     */
   def stratifiedByHash(df: DataFrame, stratumCol: String, idCol: String,
       n: Int, rankOut: String = "rk"): DataFrame = {
@@ -113,8 +121,14 @@ object Sampling {
   /** Sequence-packing layout: order docs by the portable id-hash within
     * each stratum, run an EXCLUSIVE running weight total, and cut packs
     * at `cap`: (pack_id, pack_offset) per doc — deterministic under any
-    * partitioning. One keyed window (the giant-stratum caveat applies —
-    * use [[packLayoutSalted]] past one partition's worth of stratum).
+    * partitioning. One keyed window; the giant-stratum caveat applies
+    * WITH FORCE here — a running aggregate gets no WindowGroupLimit
+    * pushdown, so every row of the stratum flows through one task's
+    * sort. Measured on a 4.6M-row stratum of 5M docs (SkewProbe,
+    * round-10 BASELINE.md): 11.7–16.3 s wall with an 11.4–12.9 s max
+    * task here vs 1.7–4.0 s / 1.0–1.7 s max task for
+    * [[packLayoutSalted]] — 7× wall-clock, 11× slowest-task. Use the
+    * salted form past one partition's worth of stratum.
     */
   def packLayout(df: DataFrame, stratumCol: String, idCol: String,
       weightCol: String, cap: Long): DataFrame = {

@@ -125,6 +125,20 @@ object DedupQueries {
       Some(jaccardOracle),
       doc = "exact n-gram Jaccard via grouped inverted lists, skew cap on (df>500 shingles pruned)"),
 
+    // The heavy-head scale path against the SAME exact oracle: prefix
+    // filtering never drops a true pair no matter how hot the shingle
+    // head (hot shingles sort LAST in the df order and fall out of the
+    // prefixes). SkewProbe-measured crossover on a Zipf corpus (10
+    // stop-words prepended to half the docs, round-10 BASELINE.md):
+    // grouped+cap runs ~2x faster but silently loses 12-17% of true
+    // pairs — including exact duplicates — while prefix stays exact.
+    Q("dedup_jaccard_prefix",
+      (s, dir) => Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle),
+      doc = "exact n-gram Jaccard via prefix filtering (Bayardo/Chaudhuri) — the Zipf-head-safe exact path"),
+
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
