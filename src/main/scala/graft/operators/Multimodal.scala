@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * BMP/GIF readers — zero added dependencies), run headless inside the
   * batch boundary; payloads no registered reader accepts fall back to
   * the documented deterministic stub formula (`decodeImageStub`), so
-  * text-derived fixture payloads stay oracle-checkable. `featureStub`
-  * remains a stub (no ML runtime in the container). The machinery
+  * text-derived fixture payloads stay oracle-checkable. Feature
+  * extraction (`extractFeatures`) is REAL decoded-pixel work too —
+  * per-channel raster histograms, the normalization-stage shape (a
+  * learned-model embedding would drop into the same batch boundary;
+  * no ML runtime ships in this container). The machinery
   * around the kernels is the scale-relevant part:
   *   - rows flow `Dataset[(id, bytes)] → mapPartitions → grouped(batch)`
   *     — the executor-side batch boundary where a vectorized decoder,
@@ -63,7 +66,12 @@ object Multimodal {
 
   /** Deterministic tiny truecolor PNG — REAL encoded bytes for
     * fixtures and the oracle-checked decode queries. Pixel (x, y) =
-    * seed + 31x + 131y folded into 24-bit RGB.
+    * seed + 262147x + 40961y folded into 24-bit RGB. The coefficients
+    * are sized so the fixture SPANS the 24-bit range at fixture dims
+    * (x ≤ 63 → 262147x reaches 16.5M): with the earlier small
+    * coefficients every value stayed < 2^16, which left the R channel
+    * constant-zero and the R/G histogram bins of [[extractFeatures]]
+    * unexercised by the oracle.
     */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
@@ -72,7 +80,7 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, ((seed + 31L * x + 131L * y) & 0xFFFFFF).toInt)
+        img.setRGB(x, y, ((seed + 262147L * x + 40961L * y) & 0xFFFFFF).toInt)
         x += 1
       }
       y += 1
@@ -82,9 +90,6 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB feature extractor — f_j = ((len·(j+1)) mod 97) / 97. */
-  private def featureStub(bytes: Array[Byte], dim: Int): Array[Float] =
-    Array.tabulate(dim)(j => ((bytes.length.toLong * (j + 1)) % 97).toFloat / 97.0f)
 
   case class AudioMeta(id: Long, sample_rate: Int, channels: Int,
       bits: Int, n_frames: Long)
@@ -322,12 +327,47 @@ object Multimodal {
       })
   }
 
-  /** Batched feature extraction → fixed-dim float vector per row. */
-  def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  /** REAL batched feature extraction → fixed-dim float vector per
+    * row: decode the image and histogram the raster per channel —
+    * `bins` buckets of width 256/bins each for R, G, B, normalized by
+    * pixel count. Layout: features[c·bins + b] = |{pixels: channel c
+    * in bucket b}| / n. This is the normalization-stage feature shape
+    * (a channel-distribution summary) computed from DECODED PIXELS,
+    * not a length formula; the exact-integer counts and the single
+    * double division then float32 narrowing are the same IEEE-754
+    * operations in every engine, so the oracle matches bit-for-bit.
+    * Undecodable payloads yield no row (filter semantics, like
+    * [[pixelStats]]).
+    */
+  def extractFeatures(media: DataFrame, bins: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256: $bins")
+    val width = 256 / bins
     media.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.map { case (id, bytes) => MediaFeatures(id, featureStub(bytes, dim)) }
+        batch.flatMap { case (id, bytes) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val counts = new Array[Long](3 * bins)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                counts(((v >> 16) & 0xFF) / width) += 1
+                counts(bins + (((v >> 8) & 0xFF) / width)) += 1
+                counts(2 * bins + ((v & 0xFF) / width)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            Some(MediaFeatures(id, counts.map(c => (c.toDouble / n).toFloat)))
+          }
+        }
       })
   }
 
@@ -339,6 +379,134 @@ object Multimodal {
       least(col("width"), lit(maxW)).as("width"),
       least(col("height"), lit(maxH)).as("height"),
       col("channels"))
+
+  /** Deterministic multi-frame grayscale GIF — REAL container bytes
+    * from the JDK's GIF sequence writer (the one multi-frame format
+    * `javax.imageio` both writes and reads in-container). Frames are
+    * 8-bit indexed with an explicit 256-gray palette, so the encode→
+    * decode round-trip is LOSSLESS (no quantizer involved): frame f
+    * pixel (x, y) = (seed + 7f + 31x + 131y) mod 256, the closed form
+    * the frame-level oracles recompute.
+    */
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && seed >= 0)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // the JDK GIF writer's default progressive mode writes INTERLACED
+    // frames, and the de-interlace round-trip is wrong for tiny frame
+    // heights (rows permuted, last row dropped) — sequential scan
+    // order is also what the closed-form oracle assumes
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              ((seed + 7L * f + 31L * x + 131L * y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame container decode — the JDK GIF reader, all
+    * frames by index. None when the payload isn't a readable GIF.
+    */
+  private[graft] def decodeFrames(
+      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) None else Some((0 until n).map(reader.read))
+    } catch { case _: Exception => None }
+    finally reader.dispose()
+  }
+
+  case class DecodedFrame(id: Long, frame_idx: Int, src_frame: Int,
+      width: Int, height: Int, mean_gray: Double, gray: Array[Byte])
+
+  /** REAL frame sampling over DECODED video frames (vs [[frameSample]]
+    * 's byte-slice fallback for containers the JVM can't decode):
+    * container-decode all frames in the batched kernel, keep
+    * k = min(n, frames) of them evenly (src = ⌊i·frames/k⌋ — exact
+    * integer arithmetic an oracle reproduces), and emit each sampled
+    * frame's dims, gray raster, and mean level. Undecodable payloads
+    * yield no row; route those to [[frameSample]] if byte slices are
+    * an acceptable degraded mode.
+    */
+  def frameSampleDecoded(media: DataFrame, n: Int): Dataset[DecodedFrame] = {
+    require(n > 0, s"n must be positive: $n")
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodeFrames(bytes).toSeq.flatMap { frames =>
+            val k = math.min(n, frames.size)
+            (0 until k).map { i =>
+              val src = i * frames.size / k
+              val img = frames(src)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val gray = new Array[Byte](w * h)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val g = img.getRGB(x, y) & 0xFF
+                  sum += g
+                  gray(y * w + x) = g.toByte
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(id, i, src, w, h,
+                sum.toDouble / (w.toLong * h), gray)
+            }
+          }
+        }
+      })
+  }
+
+  /** Media table of REAL multi-frame GIFs, every parameter a closed
+    * form of the id (width = 1 + id%32, height = 1 + id%24, frames =
+    * 2 + id%7, seed = id) so a relational oracle verifies frame
+    * sampling and frame dedup over actually-decoded frames.
+    * Repartitioned for the same reason as [[pngMediaFromDocuments]].
+    */
+  def gifMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => encodeGif(
+      width = 1 + (id % 32).toInt,
+      height = 1 + (id % 24).toInt,
+      nFrames = 2 + (id % 7).toInt,
+      seed = id))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        lit("video").as("media_type"),
+        gen(col("doc_id")).as("content"))
+  }
 
   /** Frame sampling: split the payload into `n` equal byte slices —
     * codegen'd binary ops only (substring on BinaryType), one narrow

@@ -37,9 +37,9 @@ object MultimodalQueries {
 
     // REAL pixel-level features: the engine decodes each PNG and walks
     // the raster for per-channel means; the oracle recomputes them
-    // from the fixture's closed-form pixel function (seed + 31x + 131y
-    // folded into 24-bit RGB) without ever decoding — lossless PNG +
-    // exact integer sums + one IEEE division make it bit-exact
+    // from the fixture's closed-form pixel function (seed + 262147x +
+    // 40961y folded into 24-bit RGB) without ever decoding — lossless
+    // PNG + exact integer sums + one IEEE division make it bit-exact
     Q("mm_pixel_stats",
       (s, dir) => Multimodal.pixelStats(
         Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
@@ -51,7 +51,7 @@ object MultimodalQueries {
              |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
              |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
              |v AS (SELECT doc_id, w, h,
-             |             (doc_id + 31 * x + 131 * y) % 16777216 AS v
+             |             (doc_id + 262147 * x + 40961 * y) % 16777216 AS v
              |      FROM px),
              |a AS (SELECT doc_id, w * h AS n_pixels,
              |             sum(v // 65536) AS sr,
@@ -121,20 +121,42 @@ object MultimodalQueries {
              |FROM documents ORDER BY id""".stripMargin),
       doc = "resize plan step over decoded metadata"),
 
+    // REAL feature extraction: decode each PNG, histogram the raster
+    // per channel (4 buckets × R,G,B = a 12-dim vector), emit EVERY
+    // dimension exploded; the oracle recomputes the full histogram
+    // from the closed-form pixel function. Exact integer counts, one
+    // double division, one float32 narrowing — bit-exact both sides.
     Q("mm_features",
       (s, dir) => {
         val f = Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image"), dim = 8)
-        f.toDF().select(col("id"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-          round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
-          .orderBy(col("id"))
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)), bins = 4)
+        f.toDF()
+          .select(col("id"), posexplode(col("features")).as(Seq("j", "share")))
+          .select(col("id"), col("j").cast("int").as("j"),
+            col("share").cast("double").as("share"))
+          .orderBy(col("id"), col("j"))
       },
-      Some("""SELECT doc_id AS id,
-             |       round(CAST(CAST((length(text) * 1) % 97 AS FLOAT) / CAST(97.0 AS FLOAT) AS DOUBLE), 6) AS f0,
-             |       round(CAST(CAST((length(text) * 8) % 97 AS FLOAT) / CAST(97.0 AS FLOAT) AS DOUBLE), 6) AS f7
-             |FROM documents ORDER BY id""".stripMargin),
-      doc = "batched feature-extraction kernel -> embedding column"),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+             |                  CAST(1 + doc_id % 48 AS BIGINT) AS h
+             |           FROM documents),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+             |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |v AS (SELECT doc_id, w * h AS n,
+             |             (doc_id + 262147 * x + 40961 * y) % 16777216 AS v
+             |      FROM px),
+             |ch AS (SELECT doc_id, n, 0 AS c, v // 65536 AS val FROM v
+             |       UNION ALL SELECT doc_id, n, 1, (v // 256) % 256 FROM v
+             |       UNION ALL SELECT doc_id, n, 2, v % 256 FROM v),
+             |b AS (SELECT doc_id, c, (val * 4) // 256 AS bin, count(*) AS cnt
+             |      FROM ch GROUP BY 1, 2, 3),
+             |g AS (SELECT DISTINCT d.doc_id, d.w * d.h AS n, cc.c, bb.bin
+             |      FROM d, (SELECT unnest(range(0, 3)) AS c) cc,
+             |              (SELECT unnest(range(0, 4)) AS bin) bb)
+             |SELECT g.doc_id AS id, CAST(g.c * 4 + g.bin AS INTEGER) AS j,
+             |       CAST(CAST(CAST(coalesce(b.cnt, 0) AS DOUBLE) / g.n AS FLOAT) AS DOUBLE) AS share
+             |FROM g LEFT JOIN b ON g.doc_id = b.doc_id AND g.c = b.c AND g.bin = b.bin
+             |ORDER BY id, j""".stripMargin),
+      doc = "REAL feature extraction: decoded-pixel per-channel histograms vs the closed-form oracle, bit-exact"),
 
     Q("mm_frame_sample",
       (s, dir) => Multimodal.frameSample(
@@ -151,6 +173,81 @@ object MultimodalQueries {
              |WHERE L - i * flen > 0
              |ORDER BY id, frame_idx""".stripMargin),
       doc = "video frame sampling: binary substring slices, codegen only"),
+
+    // REAL frame sampling: per row the engine ENCODES a multi-frame
+    // grayscale GIF (dims/frame-count/pixels closed forms of the id),
+    // container-DECODES every frame with the JDK GIF reader inside the
+    // batched kernel, samples k = min(4, frames) evenly, and emits the
+    // decoded dims + exact raster mean; the oracle recomputes all of
+    // it from the closed form without decoding. One IEEE division both
+    // sides — bit-exact.
+    Q("mm_frame_sample_real",
+      (s, dir) => Multimodal.frameSampleDecoded(
+        Multimodal.gifMediaFromDocuments(Tables.documents(s, dir)), n = 4)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("src_frame"),
+          col("width"), col("height"), col("mean_gray"))
+        .orderBy(col("id"), col("frame_idx")),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 32 AS BIGINT) AS w,
+             |                  CAST(1 + doc_id % 24 AS BIGINT) AS h,
+             |                  CAST(2 + doc_id % 7 AS BIGINT) AS fc
+             |           FROM documents),
+             |k AS (SELECT *, least(4, fc) AS k FROM d),
+             |i AS (SELECT doc_id, w, h, fc, k, unnest(range(0, k)) AS i FROM k),
+             |fr AS (SELECT doc_id, w, h, i, (i * fc) // k AS src FROM i),
+             |xs AS (SELECT doc_id, w, h, i, src, unnest(range(0, w)) AS x FROM fr),
+             |px AS (SELECT doc_id, w, h, i, src, x, unnest(range(0, h)) AS y FROM xs),
+             |a AS (SELECT doc_id, i, src, w, h,
+             |             sum((doc_id + 7 * src + 31 * x + 131 * y) % 256) AS s
+             |      FROM px GROUP BY 1, 2, 3, 4, 5)
+             |SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             |       CAST(src AS INTEGER) AS src_frame,
+             |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |       CAST(s AS DOUBLE) / (w * h) AS mean_gray
+             |FROM a ORDER BY id, frame_idx""".stripMargin),
+      doc = "REAL multi-frame decode: encode GIF -> JDK frame-by-frame decode -> even sample -> raster means, bit-exact"),
+
+    // REAL frame dedup: byte-identical GIF payloads (the injected
+    // id+100000 copies) decode to pixel-identical frames; canonical =
+    // min id per distinct (dims, raster md5). The oracle derives frame
+    // identity from the closed form instead — frames are equal iff
+    // dims match and (base + 7·src) mod 256 matches (the pixel pattern
+    // is fully determined by that offset), so the two sides agree
+    // exactly when the decode round-trip is lossless.
+    Q("mm_frame_dedup_real",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val media = Multimodal.gifMediaFromDocuments(Tables.documents(s, dir))
+        val withDups = media.unionByName(
+          media.filter(col("id") < 50)
+            .select((col("id") + 100000).as("id"), col("media_type"),
+              col("content")))
+        Multimodal.frameSampleDecoded(withDups, n = 4)
+          .toDF()
+          .select(col("id"), col("frame_idx"),
+            min(col("id")).over(Window.partitionBy(
+              col("width"), col("height"), md5(col("gray"))))
+              .as("canonical_id"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 50),
+             |d AS (SELECT doc_id, doc_id % 100000 AS base FROM all_docs),
+             |p AS (SELECT doc_id, base, CAST(1 + base % 32 AS BIGINT) AS w,
+             |             CAST(1 + base % 24 AS BIGINT) AS h,
+             |             CAST(2 + base % 7 AS BIGINT) AS fc
+             |      FROM d),
+             |k AS (SELECT *, least(4, fc) AS k FROM p),
+             |i AS (SELECT doc_id, base, w, h, fc, k,
+             |             unnest(range(0, k)) AS i FROM k),
+             |fr AS (SELECT doc_id, i, w, h,
+             |              (base + 7 * ((i * fc) // k)) % 256 AS off FROM i)
+             |SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             |       min(doc_id) OVER (PARTITION BY w, h, off) AS canonical_id
+             |FROM fr ORDER BY id, frame_idx""".stripMargin),
+      doc = "REAL frame-level dedup: decoded-raster hash groups vs the closed-form frame-identity oracle"),
 
     // Frame-level exact dedup: multimodal feeding the dedup surface.
     // Byte-identical media (the injected doc_id+100000 copies, as in

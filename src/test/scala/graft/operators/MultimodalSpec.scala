@@ -92,7 +92,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 1 && got.head.id == 1L) // non-images dead-letter
     var (sr, sg, sb) = (0L, 0L, 0L)
     for (y <- 0 until h; x <- 0 until w) {
-      val v = (seed + 31L * x + 131L * y) & 0xFFFFFF
+      val v = (seed + 262147L * x + 40961L * y) & 0xFFFFFF
       sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
     }
     val n = w.toLong * h
@@ -102,12 +102,71 @@ class MultimodalSpec extends SparkSpec {
       p.mean_b == sb.toDouble / n)
   }
 
-  test("extractFeatures: fixed dim, deterministic") {
-    val media = Multimodal.mediaFromDocuments(
-      Tables.documents(spark, sf()).limit(10), "image")
-    val a = Multimodal.extractFeatures(media, dim = 8).collect().map(f => (f.id, f.features.toSeq))
-    val b = Multimodal.extractFeatures(media, dim = 8).collect().map(f => (f.id, f.features.toSeq))
-    assert(a.toSeq.sortBy(_._1) == b.toSeq.sortBy(_._1))
-    assert(a.forall(_._2.size == 8))
+  test("extractFeatures: REAL per-channel histogram of decoded pixels") {
+    // large enough that 262147x walks the R channel across bins
+    val (w, h, seed) = (40, 30, 11L)
+    val media = Seq((1L, "image", Multimodal.encodePng(w, h, seed)),
+        (2L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("id", "media_type", "content")
+    val got = Multimodal.extractFeatures(media, bins = 4).collect()
+    assert(got.length == 1 && got.head.id == 1L) // non-images dead-letter
+    // independent recomputation from the closed-form pixel function
+    val counts = new Array[Long](12)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 262147L * x + 40961L * y) & 0xFFFFFF
+      counts(((v >> 16) & 0xFF).toInt / 64) += 1
+      counts(4 + ((v >> 8) & 0xFF).toInt / 64) += 1
+      counts(8 + (v & 0xFF).toInt / 64) += 1
+    }
+    val n = w.toLong * h
+    val want = counts.map(c => (c.toDouble / n).toFloat).toSeq
+    assert(got.head.features.toSeq == want)
+    // the widened fixture coefficients must exercise EVERY channel's
+    // bins (the point of 262147/40961): each channel has >= 2 nonzero
+    for (c <- 0 until 3)
+      assert(want.slice(c * 4, c * 4 + 4).count(_ > 0f) >= 2, s"channel $c")
+    // normalized: each channel's shares sum to ~1
+    for (c <- 0 until 3)
+      assert(math.abs(want.slice(c * 4, c * 4 + 4).map(_.toDouble).sum - 1.0) < 1e-6)
+    // deterministic across evaluations
+    val again = Multimodal.extractFeatures(media, bins = 4).collect()
+    assert(again.head.features.toSeq == got.head.features.toSeq)
+  }
+
+  test("encodeGif/decodeFrames: REAL multi-frame round-trip, lossless pixels") {
+    val (w, h, frames, seed) = (13, 9, 5, 21L)
+    val bytes = Multimodal.encodeGif(w, h, frames, seed)
+    // real GIF container magic
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val got = Multimodal.decodeFrames(bytes).get
+    assert(got.size == frames)
+    for (f <- 0 until frames; y <- 0 until h; x <- 0 until w)
+      assert((got(f).getRGB(x, y) & 0xFF) ==
+        ((seed + 7L * f + 31L * x + 131L * y) % 256).toInt,
+        s"frame $f pixel ($x,$y)")
+    assert(Multimodal.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeFrames(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+  }
+
+  test("frameSampleDecoded: even sampling rule + exact means over real frames") {
+    // 7 frames sampled to 4: src = floor(i*7/4) = 0, 1, 3, 5
+    val media = Seq(
+        (1L, "video", Multimodal.encodeGif(6, 4, 7, 1L)),
+        (2L, "video", Multimodal.encodeGif(5, 3, 2, 2L)), // fewer than n
+        (3L, "video", "junk".getBytes("UTF-8")))          // dead-letters
+      .toDF("id", "media_type", "content")
+    val got = Multimodal.frameSampleDecoded(media, n = 4).collect()
+      .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    assert(!got.contains(3L))
+    assert(got(1L).map(_.src_frame).toSeq == Seq(0, 1, 3, 5))
+    assert(got(2L).map(_.src_frame).toSeq == Seq(0, 1))
+    for (fr <- got(1L)) {
+      var sum = 0L
+      for (y <- 0 until 4; x <- 0 until 6)
+        sum += ((1L + 7L * fr.src_frame + 31L * x + 131L * y) % 256).toInt
+      assert(fr.width == 6 && fr.height == 4)
+      assert(fr.mean_gray == sum.toDouble / 24)
+      assert(fr.gray.length == 24)
+    }
   }
 }
