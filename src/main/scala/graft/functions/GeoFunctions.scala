@@ -77,6 +77,26 @@ object GeoFunctions {
     bb.array()
   }
 
+  /** EWKB = WKB with PostGIS' embedded-SRID flag — the on-the-wire
+    * form a `geometry(…,4326)` column (reference schema.sql:102,194)
+    * accepts in COPY text, and what the reference actually ships
+    * (pyosmium's WKBFactory emits hex EWKB with SRID; plain WKB would
+    * fail the column's typmod SRID check). Header surgery only: the
+    * little-endian type word gains bit 0x20000000 and the 4-byte SRID
+    * follows it; the coordinate payload is untouched, so this wraps
+    * ANY of the WKB builders above.
+    */
+  def ewkbWithSridBytes(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    if (wkb == null) return null
+    require(wkb.length >= 5 && wkb(0) == 1.toByte,
+      "little-endian WKB expected")
+    val tpe = ByteBuffer.wrap(wkb, 1, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    val bb = ByteBuffer.allocate(wkb.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(tpe | 0x20000000).putInt(srid)
+    bb.put(wkb, 5, wkb.length - 5)
+    bb.array()
+  }
+
   /** A linear ring needs ≥ 4 points and closure (F6 validity). */
   def ringValid(ring: Seq[(Double, Double)]): Boolean =
     ring != null && ring.size >= 4 && ring.head == ring.last
@@ -247,6 +267,15 @@ object GeoFunctions {
 
   private val geodesicAreaSpheroidUdf =
     udf((ring: Seq[Row]) => geodesicAreaSpheroidM2(rowRing(ring)))
+
+  private val ewkbUdf =
+    udf((wkb: Array[Byte], srid: Int) => ewkbWithSridBytes(wkb, srid))
+
+  /** Any WKB column → EWKB with embedded SRID (default WGS84) — the
+    * PostGIS COPY-text geometry form (see [[ewkbWithSridBytes]]).
+    */
+  def ewkb(wkb: Column, srid: Int = 4326): Column =
+    ewkbUdf(wkb, org.apache.spark.sql.functions.lit(srid))
 
   /** C3 — node lon/lat → WKB point bytes. */
   def wkb_point(lon: Column, lat: Column): Column = wkbPointUdf(lon, lat)
