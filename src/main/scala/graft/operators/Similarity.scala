@@ -131,7 +131,11 @@ object Similarity {
     * id, then repeatedly add the point minimizing max-cosine to the
     * chosen set (ties to the lowest id). Spreads initial centroids
     * across the data instead of clustering them at the lowest ids.
-    * Each round is one narrow scan + a k-row takeOrdered.
+    * Each round is one narrow scan + a k-row takeOrdered — i.e. k
+    * driver-synchronized full scans total, fine at the catalog's
+    * k ≤ 16 but NOT the shape for k in the thousands: at large k,
+    * sample the corpus first (seed quality needs only a sample) or
+    * switch to `kmeansCentroids`' single-pass-per-iteration updates.
     * Output: (cid, cv).
     */
   def farthestFirstCentroids(corpus: DataFrame, idCol: String,
