@@ -325,8 +325,11 @@ object Dedup {
     * sketch, so widening never loses bits a narrow call banded on).
     * Measured at 220k vectors, threshold 0.9, words=2 + chunkBits=16
     * (8 bands × 65536 buckets): 100% of planted near-dups found in
-    * ~10 s warm, scaling 5.2× for 10× data — where the default config
-    * exhausted local disk.
+    * ~10 s warm, scaling 5.2× for 10× data — where a pinned
+    * 256-bucket config exhausted local disk. Since round 10 this rule
+    * IS the default: chunkBits = 0 self-sizes both knobs from a
+    * corpus count (see the inline note), so callers only pin widths to
+    * reproduce a specific configuration.
     *
     * REGIME, also measured: random-hyperplane banding prunes only when
     * per-plane agreement p = 1 − θ/π is near 1, i.e. HIGH thresholds
@@ -339,25 +342,46 @@ object Dedup {
     * Output: (id_a, id_b, cos), id_a < id_b.
     */
   def embeddingNearDupPairsSignLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, chunkBits: Int = 8,
-      sketchWords: Int = 1): DataFrame = {
+      threshold: Double, chunkBits: Int = 0,
+      sketchWords: Int = 0): DataFrame = {
+    // chunkBits = 0 (the default) self-sizes the sketch from the corpus
+    // count per the measured round-9 rule (BASELINE.md): bucket count
+    // 2^chunkBits must grow with N to hold per-band occupancy ~flat, or
+    // candidate volume N²·bands/2^chunkBits goes quadratic — the
+    // round-10 FULL-catalog sf10 run demonstrated it live: this very
+    // operator at a pinned chunkBits = 8 died on 200k vectors (candidate
+    // explosion → stage failure) while words=2/chunkBits=16 runs it in
+    // seconds. Auto costs one narrow count() pass before the sketch
+    // build, snaps to the divisors of 64 ({8,16,32} → ≤25.6k / ≤6.5M /
+    // beyond), and widens sketchWords with it so band count stays 8
+    // (word 0 is bit-equal to the narrow sketch, so widening never
+    // loses bits an explicit narrow call banded on).
+    val autoBits =
+      if (chunkBits > 0) chunkBits
+      else {
+        val n = emb.count()
+        if (n <= 25600L) 8 else if (n <= 6553600L) 16 else 32
+      }
+    val autoWords =
+      if (sketchWords > 0) sketchWords
+      else math.max(1, autoBits / 8)
     // upper bound 32: chunkBits = 64 would make `(1L << 64) - 1` wrap to
     // mask 0 (Java shifts are mod 64), silently sending every row to
     // bucket 0 — i.e. a full N² self-join instead of an error
-    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
-      s"chunkBits must divide 64 and lie in [1, 32]: $chunkBits")
-    val bands = sketchWords * 64 / chunkBits
-    val chunksPerWord = 64 / chunkBits
-    val mask = (1L << chunkBits) - 1
+    require(autoBits >= 1 && autoBits <= 32 && 64 % autoBits == 0,
+      s"chunkBits must divide 64 and lie in [1, 32]: $autoBits")
+    val bands = autoWords * 64 / autoBits
+    val chunksPerWord = 64 / autoBits
+    val mask = (1L << autoBits) - 1
     val sk = emb.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
-        Sketches.signSketchWide(col(vecCol), sketchWords).as("f"))
+        Sketches.signSketchWide(col(vecCol), autoWords).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sk.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright",
             element_at(col("f"), (floor(b / lit(chunksPerWord)) + 1).cast("int")),
-            (b % lit(chunksPerWord)) * lit(chunkBits))
+            (b % lit(chunksPerWord)) * lit(autoBits))
           .bitwiseAND(lit(mask))))
         .as(Seq("chunk", "cv")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -666,5 +690,80 @@ object Dedup {
       labels.localCheckpoint(true))
     e.unpersist()
     out
+  }
+
+  /** C4-style duplicated-span removal (Raffel et al. 2020 §2.2: "we
+    * removed all but one of any three-sentence span occurring more than
+    * once in the data set"), generalized to any literal line separator:
+    * split each doc into spans, and for every span occurring more than
+    * once CORPUS-WIDE keep only the occurrence(s) in the lowest-id doc,
+    * then reassemble each doc's surviving spans in original order.
+    * Intra-doc repeats inside the keeper doc all survive (the rule
+    * prunes cross-doc boilerplate, not within-doc structure); docs whose
+    * every span is pruned drop from the output.
+    *
+    * Shuffle profile — the honest global-group-by-span shape: one
+    * partial-aggregated count keyed on a 64-bit span hash (spans, not
+    * docs), one equi-join of the span relation against those stats
+    * (hash-keyed, so the wide span string ships once per occurrence and
+    * never as a join key), one doc-keyed groupBy to reassemble. No
+    * broadcast: unlike a stop-word head, the duplicated-span set on a
+    * crawl is NOT small. The xxhash64 keying accepts a 2^-64 per-pair
+    * collision chance (two distinct spans sharing a hash would share
+    * stats) — the same trade [[minhashBands]] makes.
+    *
+    * Output: (`idCol`, `textOut`) for every doc with ≥ 1 surviving span.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", textOut: String = "text"): DataFrame = {
+    val spans = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "span")))
+      .withColumn("sh", xxhash64(col("span")))
+    val stats = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("occurrences"), min(col("__id")).as("keeper"))
+    spans.join(stats, "sh")
+      .filter(col("occurrences") === 1 || col("__id") === col("keeper"))
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), sep).as(textOut))
+      .select(col("__id").as(idCol), col(textOut))
+  }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
+    * embeddings, prune within-cluster cosine near-dups, keep one
+    * representative): near-dup pairs from a sub-quadratic candidate
+    * path + exact cosine verify, closed into components, then one doc
+    * kept per component (the min id — deterministic, like
+    * [[exactCanonical]]). Candidate strategy:
+    *
+    *   - `"ivf"` (the paper's shape): [[Similarity.multiProbeAssign]]
+    *     cells, pairs verified within shared cells. Recall depends on
+    *     near-dups landing in a shared probed cell; the win condition
+    *     (numCells >> nprobe²) and regime notes live on
+    *     [[embeddingNearDupPairsIvf]].
+    *   - `"lsh"`: sign-LSH banding ([[embeddingNearDupPairsSignLsh]]) —
+    *     collinear near-dups sketch identically, so the high-threshold
+    *     regime this operator targets gets guaranteed candidate
+    *     collision; prefer it when no fitted cell structure is wanted.
+    *
+    * Returns the SURVIVORS: every input row minus non-canonical
+    * near-dup members, all input columns intact.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, method: String = "lsh",
+      numCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val pairs = (method match {
+      case "ivf" => embeddingNearDupPairsIvf(emb, idCol, vecCol, threshold,
+        numCells, nprobe)
+      case "lsh" => embeddingNearDupPairsSignLsh(emb, idCol, vecCol, threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown method '$other' (expected ivf | lsh)")
+    }).select(col("id_a"), col("id_b"))
+    val cc = connectedComponentsStar(pairs, "id_a", "id_b", idOut = "__cid")
+    emb.join(cc, col(idCol) === col("__cid"), "left")
+      .filter(col("__cid").isNull || col("component") === col(idCol))
+      .drop("__cid", "component")
   }
 }

@@ -118,6 +118,50 @@ object Sampling {
     df.filter(idHash(col(idCol)) < threshold)
   }
 
+  /** Temperature-scaled mixture rates: per-source keep probabilities
+    * that reshape source mass from observed `n_i` toward `n_i^alpha`
+    * (the standard multi-domain/multilingual rebalancing — alpha = 1
+    * keeps the natural mix, alpha = 0 equalizes sources; pretraining
+    * recipes typically use 0.3–0.7). rate_i = (n_min / n_i)^(1-alpha),
+    * so the smallest source keeps 100% and every other source is
+    * downsampled toward it — a pure-subsampling recipe (no epochs > 1;
+    * compose with [[upsampleByEpochs]] to upweight instead of drop).
+    *
+    * One partial-aggregated count per source + a driver collect bounded
+    * by source cardinality (a mixture recipe is small by contract —
+    * same bound as the centroid-set collects in
+    * [[graft.operators.Similarity]]); the returned map feeds
+    * [[mixtureByHash]]'s narrow codegen'd filter, so applying the
+    * mixture still touches each row exactly once with no shuffle.
+    *
+    * alpha = 0.5 computes via `sqrt`, which IEEE 754 requires to be
+    * correctly rounded — so the rate (and the hash threshold derived
+    * from it) is bit-identical in any compliant engine, and a DuckDB
+    * oracle can recompute it exactly. Other exponents go through
+    * `math.pow` (platform-dependent in the last ulp; fine for real
+    * recipes, not for bit-exact oracles).
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val nMin = counts.values.min
+    val e = 1.0 - alpha
+    counts.map { case (s, n) =>
+      val ratio = nMin.toDouble / n.toDouble
+      s -> (if (e == 0.5) math.sqrt(ratio) else math.pow(ratio, e))
+    }
+  }
+
+  /** [[temperatureRates]] + [[mixtureByHash]] in one call: deterministic
+    * temperature-balanced subsample of a multi-source corpus.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double): DataFrame =
+    mixtureByHash(df, idCol, sourceCol, temperatureRates(df, sourceCol, alpha))
+
   /** Sequence-packing layout: order docs by the portable id-hash within
     * each stratum, run an EXCLUSIVE running weight total, and cut packs
     * at `cap`: (pack_id, pack_offset) per doc — deterministic under any

@@ -293,8 +293,11 @@ object DedupQueries {
           emb.filter(col("vec_id") < 50)
             .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        // width auto-sized from the corpus count (chunkBits=0 default):
+        // 8 bits at bench SFs, 16 at the sf10 stress scale — the pinned
+        // chunkBits=8 form died at 200k vectors (round-10 BASELINE.md)
         Dedup.embeddingNearDupPairsSignLsh(planted, "vec_id", "embedding",
-          threshold = 0.9, chunkBits = 8)
+          threshold = 0.9)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -313,6 +316,52 @@ object DedupQueries {
               |WHERE $cosExpr >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding near-dup via sign-LSH bands + exact cosine verify (sub-quadratic)"),
+
+    // SemDeDup end-to-end: the planted collinear copies (same device as
+    // dedup_embedding_lsh — scaling by 2 is exact in float32, and
+    // collinear vectors sketch identically so sign-LSH recall is
+    // guaranteed, not probabilistic) must dedup back onto their
+    // originals: survivors = every natural vector, copies gone. The
+    // oracle recomputes the brute pair set and closes it with the same
+    // recursive-CTE transitive closure the CC queries pin.
+    Q("dedup_semantic_keep",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(
+          emb.filter(col("vec_id") < 50)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        Dedup.semanticDedup(planted, "vec_id", "embedding",
+            threshold = 0.9, method = "lsh")
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE all_e AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 100000 AS vec_id,
+              |         list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+              |  FROM embeddings WHERE vec_id < 50),
+              |e AS (SELECT vec_id,
+              |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |      FROM all_e),
+              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |      WHERE $cosExpr >= 0.9),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach(id, r) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT e2.u, r.r FROM edges e2 JOIN reach r ON r.id = e2.v),
+              |comp AS (SELECT id, least(id, min(r)) AS component
+              |         FROM reach GROUP BY id)
+              |SELECT ae.vec_id
+              |FROM all_e ae
+              |LEFT JOIN comp c ON ae.vec_id = c.id
+              |WHERE c.id IS NULL OR c.component = ae.vec_id
+              |ORDER BY vec_id""".stripMargin),
+      doc = "SemDeDup: embedding near-dup candidates -> cosine verify -> components -> keep min-id representative"),
 
     // Pair output -> canonical groups: union the Jaccard near-dup pairs
     // with exact-dup edges (the dedup_exact injection as an edge list),

@@ -202,6 +202,29 @@ object SamplingQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "data-mixing sampler: per-source deterministic keep rates (one narrow filter)"),
 
+    // Temperature rebalancing at alpha = 0.5: rate_i = sqrt(n_min/n_i).
+    // sqrt is IEEE-correctly-rounded in BOTH engines (unlike pow), the
+    // count ratio is a correctly-rounded division of exact <2^53
+    // integers, and the *2^32 scaling is exact — so the per-source hash
+    // thresholds are bit-identical and the oracle recomputes them from
+    // the same counts instead of hard-coding.
+    Q("doc_mixture_temperature",
+      (s, dir) => Sampling.temperatureMixture(Tables.documents(s, dir),
+          "doc_id", "source", alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH c AS (SELECT source, count(*) n FROM documents GROUP BY source),
+             |m AS (SELECT min(n) nmin FROM c),
+             |r AS (SELECT source,
+             |             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+             |                        * 4294967296.0) AS BIGINT) thr
+             |      FROM c, m)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN r USING (source)
+             |WHERE $h < thr
+             |ORDER BY doc_id""".stripMargin),
+      doc = "temperature-scaled mixture (alpha=0.5): keep rates from corpus counts, smallest source kept whole"),
+
     // Epoch upsampling: 2 epochs of src0, 2.5 of src1 (half the rows
     // get a 3rd copy, hash-selected), 1 of the rest. The fractional
     // threshold 0.5*2^32 = 2147483648; the salt hashes

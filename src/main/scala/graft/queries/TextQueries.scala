@@ -360,6 +360,43 @@ object TextQueries {
              |ORDER BY doc_id, chunk_idx""".stripMargin),
       doc = "overlapping context-window chunking: 16-token windows, stride 12, per-doc expand"),
 
+    // C4-style duplicated-span removal end-to-end: the corpus has no
+    // newlines, so each doc is first deterministically lined (7-word
+    // spans — the same slice idiom as text_chunk_windows, mirrored in
+    // the oracle), then every span occurring in 2+ docs keeps only its
+    // lowest-doc_id occurrence and docs are reassembled in order. The
+    // testdata's planted near-dup pairs make the rule bite: shared
+    // spans vanish from the higher-id twin (4 docs at sf0.01 lose
+    // every span and drop entirely).
+    Q("text_line_dedup",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val lined = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(transform(sequence(lit(1), size(ws), lit(7)),
+            st => array_join(slice(ws, st, lit(7)), " ")), "\n").as("text"))
+        graft.operators.Dedup.lineDedup(lined, "doc_id", "text", sep = "\n")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+             |           FROM documents),
+             |ld AS (SELECT doc_id,
+             |              list_transform(range(1, len(toks) + 1, 7),
+             |                st -> array_to_string(toks[st:st+6], ' ')) lines
+             |       FROM t),
+             |l AS (SELECT doc_id,
+             |             unnest(range(1, len(lines) + 1)) pos,
+             |             unnest(lines) line
+             |      FROM ld),
+             |stats AS (SELECT line, count(*) occ, min(doc_id) keeper
+             |          FROM l GROUP BY line),
+             |k AS (SELECT l.doc_id, l.pos, l.line
+             |      FROM l JOIN stats USING (line)
+             |      WHERE occ = 1 OR l.doc_id = keeper)
+             |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+             |FROM k GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "C4 duplicated-span removal: global span frequency, keep first occurrence, reassemble docs"),
+
     // PII scrubbing: the corpus has no planted contact strings, so the
     // query synthesizes a deterministic one per doc, then scrubs it —
     // the oracle applies the same construction + regexes, so the check
