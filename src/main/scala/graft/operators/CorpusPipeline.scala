@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 /** Settings for the end-to-end training-corpus pipeline — the LLM-side
   * analogue of [[graft.model.PoiSettings]].
   *
-  * @param mixtureRates  per-source keep probabilities (empty = keep all)
+  * @param mixtureRates  per-source keep probabilities (empty = keep all);
+  *                      for temperature-balanced recipes compute them
+  *                      from corpus counts with
+  *                      [[Sampling.temperatureRates]] and pass the
+  *                      result here
   * @param defaultRate   keep rate for unlisted sources
   * @param epochs        per-source epoch multiplicities (empty = 1 pass)
   * @param dedupK        word-shingle size for near-dup detection

@@ -94,6 +94,15 @@ object Dedup {
     * (45–50 s vs 84–101 s at 510k docs, 32 threads). The
     * observe("jaccard_skew_cap") metric reports pruned postings > 0
     * whenever this run's output may be incomplete.
+    *
+    * Memory-pressure clause (round-10 full-catalog sf10 run): the rule
+    * above assumes adequate execution memory. Starved of it (8g heap
+    * under local[32] at 500k docs), THIS path degraded 6.5× vs its
+    * isolated-warm time (196 s vs 30 s — the posting-list aggregation
+    * spills hardest) while prefix filtering only lost ~15% — flipping
+    * the comparison. At 48g the order restored (grouped 63 s < prefix
+    * 97 s in-catalog). On memory-tight executors prefer the prefix
+    * path even for uniform corpora.
     */
   def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
