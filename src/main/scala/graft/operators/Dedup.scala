@@ -189,6 +189,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash+LSH near-dup: pairs (id_new, id_ref) with
+    * exact-verified Jaccard ≥ threshold between a NEW batch and an
+    * existing REFERENCE corpus — the incremental-ingest twin of
+    * [[minhashLshPairs]]: dedup a fresh crawl against what is already
+    * ingested WITHOUT re-pairing the reference against itself (the
+    * within-reference pair work, the quadratic-ish part, never
+    * happens). Both sides are sketched once and persisted; candidates
+    * come from an equi-join of band buckets across the two sides (no
+    * self-join, no id-order condition — the id spaces may overlap or
+    * even coincide), then exact Jaccard verify of candidates only.
+    * The same banding recall bound applies (miss ≤ (1−s^r)^b). For
+    * streaming arrival rather than batch-vs-batch, see
+    * [[graft.streaming.EventStream]]'s near-dup stream, which keys the
+    * same sketches into a state store. Output: (id_new, id_ref,
+    * jaccard).
+    */
+  def minhashLshPairsCross(docsNew: DataFrame, docsRef: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    def sketch(d: DataFrame) = d.select(col(idCol).as("__id"),
+        TextFunctions.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sk: DataFrame) = sk.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => hash(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bh")))
+    val skNew = sketch(docsNew)
+    val skRef = sketch(docsRef)
+    val cand = banded(skNew).as("a").join(banded(skRef).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.__id").as("id_new"), col("b.__id").as("id_ref"))
+      .distinct()
+    cand
+      .join(skNew.select(col("__id"), col("sh")).as("sa"),
+        col("id_new") === col("sa.__id"))
+      .join(skRef.select(col("__id").as("__idr"), col("sh").as("shr")).as("sb"),
+        col("id_ref") === col("sb.__idr"))
+      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.shr"))))
+      .select(col("id_new"), col("id_ref"),
+        (col("__i") / (size(col("sa.sh")) + size(col("sb.shr")) - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard pairs via classic prefix filtering (Chaudhuri et al.
     * "A Primitive Operator for Similarity Joins", ICDE 2006; Bayardo et
     * al. "Scaling Up All Pairs Similarity Search", WWW 2007): order all
@@ -361,15 +406,25 @@ object Dedup {
     // operator at a pinned chunkBits = 8 died on 200k vectors (candidate
     // explosion → stage failure) while words=2/chunkBits=16 runs it in
     // seconds. Auto costs one narrow count() pass before the sketch
-    // build, snaps to the divisors of 64 ({8,16,32} → ≤25.6k / ≤6.5M /
-    // beyond), and widens sketchWords with it so band count stays 8
-    // (word 0 is bit-equal to the narrow sketch, so widening never
-    // loses bits an explicit narrow call banded on).
+    // build, snaps to the divisors of 64 ({8,16,32}), and widens
+    // sketchWords with it so band count stays 8 (word 0 is bit-equal
+    // to the narrow sketch, so widening never loses bits an explicit
+    // narrow call banded on). Boundaries follow the CANDIDATE-VOLUME
+    // budget, not occupancy alone: expected random candidates
+    // ≈ bands·N²/2^(chunkBits+1), and each candidate ships two full
+    // vectors through the verify join, so candidates must stay O(10·N).
+    // 16 bits holds that to ~800k vectors (22M candidates at 600k;
+    // measured 6.7 s at 200k). The first draft's 6.5M boundary ignored
+    // the budget and died at 2M vectors in the round-10 sf100 probe
+    // (244M candidates → hundreds of GB of verify shuffle) — the same
+    // bug class as the pinned 8-bit death, one decade later. 32 bits
+    // costs a 4-word sketch (256 hyperplane dots/vector, map-side
+    // linear) and holds candidates sub-N past 10^9 vectors.
     val autoBits =
       if (chunkBits > 0) chunkBits
       else {
         val n = emb.count()
-        if (n <= 25600L) 8 else if (n <= 6553600L) 16 else 32
+        if (n <= 25600L) 8 else if (n <= 800000L) 16 else 32
       }
     val autoWords =
       if (sketchWords > 0) sketchWords

@@ -146,6 +146,37 @@ object DedupQueries {
       Some(jaccardOracle),
       doc = "MinHash(32) + LSH banding (16x2) + exact verify of candidates"),
 
+    // Incremental ingest: odd doc_ids play the "new batch", even the
+    // existing reference corpus; near-dup pairs only ACROSS the split
+    // (the within-reference quadratic work never happens). The oracle
+    // is the exact cross Jaccard over the same parity split.
+    Q("dedup_cross_corpus",
+      (s, dir) => {
+        val doc = Tables.documents(s, dir)
+        Dedup.minhashLshPairsCross(
+            doc.filter(col("doc_id") % 2 === 1),
+            doc.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", k = 3, threshold = 0.8)
+          .orderBy(col("id_new"), col("id_ref"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |s AS (SELECT DISTINCT doc_id,
+             |             unnest(list_transform(range(1, len(l) - 1),
+             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |      FROM d),
+             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_new, b.doc_id id_ref, count(*) i
+             |          FROM s a JOIN s b ON a.sh = b.sh
+             |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+             |          GROUP BY 1, 2)
+             |SELECT id_new, id_ref, i / (ca.c + cb.c - i) AS jaccard
+             |FROM inter
+             |JOIN cnt ca ON id_new = ca.doc_id
+             |JOIN cnt cb ON id_ref = cb.doc_id
+             |WHERE i / (ca.c + cb.c - i) >= 0.8
+             |ORDER BY id_new, id_ref""".stripMargin),
+      doc = "cross-corpus near-dup (new batch vs reference): banded bucket equi-join, no reference self-pairing"),
+
     // MOSS winnowing pairs: sub-linear fingerprints feed the same
     // inverted-index pairing as Jaccard — the long-document dedup path.
     // Knobs are corpus-tuned, as MOSS's are: this synthetic corpus is

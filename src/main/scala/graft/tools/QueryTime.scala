@@ -24,12 +24,21 @@ object QueryTime {
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
     args.drop(1).foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      // Fault-isolated per query: a probe run deliberately walks operators
+      // up to (and past) their breaking scale, so one query's stage death
+      // must not cost the measurements queued behind it.
+      try {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[qtime] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
+      } catch {
+        case e: Throwable =>
+          println(s"[qtime] $name FAILED: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
-      println(f"[qtime] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
     }
     spark.stop()
   }

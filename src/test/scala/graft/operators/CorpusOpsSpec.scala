@@ -68,6 +68,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L -> "a.b", 2L -> "c"))
   }
 
+  test("minhashLshPairsCross: new-vs-reference pairs only, overlapping id spaces allowed") {
+    val ref = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "q r s t u v w x y z aa bb")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "a b c d e f g h i j k l"),   // dup of ref doc 1, SAME id
+      (9L, "totally different words here nothing shared at all ok then"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsCross(fresh, ref, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .select("id_new", "id_ref").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+    // no within-side pairs ever: ref docs 1~2 are never compared
+    val refDups = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val none = Dedup.minhashLshPairsCross(
+        Seq((9L, "x y z w v u t s")).toDF("doc_id", "text"), refDups,
+        "doc_id", "text", k = 3, threshold = 0.8)
+    assert(none.count() == 0)
+  }
+
   test("semanticDedup keeps one representative per near-dup component (both methods)") {
     // 3 collinear vectors (one component, min id 1 survives), one
     // opposite-direction vector (cos = -1, never a near-dup), one
