@@ -267,6 +267,50 @@ object TextAnalysis {
           .as("perplexity"))
   }
 
+  /** BM25 (Okapi, Lucene idf form) top-k retrieval of documents for a
+    * literal query-term set — the seed-set selection primitive of a
+    * curation pipeline ("find the k corpus docs most like these
+    * terms"). Scale shape: document length and the corpus-size/avgdl
+    * scalars come from ONE exact integer aggregate over a narrow
+    * projection (sum/count of per-doc token counts — no float
+    * accumulation), term frequencies from an explode filtered to the
+    * query terms (postings for non-query terms never shuffle), df per
+    * term from the tf relation itself, and the final global top-k is
+    * an orderBy+limit that Spark executes as TakeOrdered (per-partition
+    * heap + driver merge of k rows, never a full sort shuffle).
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0, so scores are
+    * monotone in tf; docs containing no query term score nothing and
+    * are absent. Output: (id, score) — score rounded to 6 dp, ordered
+    * by (score desc, id), limited to k rows. Ties order on the ROUNDED
+    * score then id, so the selected set is reproducible bit-for-bit.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    val dl = toks.select(col(idCol), size(col("__w")).as("dl"))
+    // one exact-integer aggregate: corpus size and total token count
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = toks.select(col(idCol), explode(col("__w")).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("tot").cast("double") / col("n")))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Apply a learned BPE merge list ([[bpeTrainMerges]] output order):
     * each word starts as characters and replays the merges in rank
     * order — the standard greedy left-to-right application. One narrow

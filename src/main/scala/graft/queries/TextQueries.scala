@@ -294,6 +294,37 @@ object TextQueries {
              |ORDER BY doc_id, rk""".stripMargin),
       doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank"),
 
+    // BM25 seed-set retrieval: top-15 docs for a 3-term query. The
+    // same bit-exactness discipline as text_perplexity (exact integer
+    // counts into identical double expressions, round(,6) absorbs the
+    // per-doc 3-term summation order) plus a rounded-score tie-break
+    // so the k-boundary selection is reproducible in both engines.
+    Q("text_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("vector", "stream", "spark"), k = 15),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+             |corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+             |tf AS (SELECT doc_id, t, count(*) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+             |       WHERE t IN ('vector', 'stream', 'spark')
+             |       GROUP BY doc_id, t),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |         ln(1.0 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |           * tf.tf * (1.2 + 1.0)
+             |           / (tf.tf + 1.2 * ((1.0 - 0.75)
+             |              + 0.75 * dl.dl / (CAST(corpus.tot AS DOUBLE) / corpus.n)))
+             |           AS contrib
+             |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus)
+             |SELECT doc_id, round(sum(contrib), 6) AS score
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin),
+      doc = "BM25 (Okapi/Lucene idf) top-k doc retrieval for a literal query-term set; TakeOrdered global top-k"),
+
     // Bigram-LM perplexity (CCNet-style quality signal): the corpus
     // trains its own add-0.5-smoothed bigram model; each doc scores
     // exp(mean -ln p(w2|w1)). Identical double arithmetic both sides

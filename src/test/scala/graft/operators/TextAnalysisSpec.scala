@@ -188,6 +188,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getString(1) == expected)
   }
 
+  test("bm25TopK: hand-computed scores, absent-term docs excluded, k bound") {
+    // 3 docs, query = {x}: doc 1 has x twice in 4 tokens, doc 2 once in
+    // 2 tokens, doc 3 never (must be absent). N=3, df(x)=2,
+    // idf = ln(1 + 1.5/2.5); avgdl = 8/3.
+    val docs = Seq(
+      (1L, "x y x z"),
+      (2L, "x y"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def score(tf: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+      val avgdl = 8.0 / 3L
+      val raw = idf * tf * (1.2 + 1.0) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val s1 = score(2, 4); val s2 = score(1, 2)
+    // doc 1: higher tf but longer; compute decides the order
+    val expected = Seq(1L -> s1, 2L -> s2).sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == expected)
+    // k truncates: k=1 keeps only the winner
+    val top1 = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(expected.head._1))
+  }
+
   test("rollingHash: known polynomial value and shift property") {
     val p = (1L << 61) - 1
     def ref(s: String): Long = {
