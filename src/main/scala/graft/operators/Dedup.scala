@@ -241,7 +241,7 @@ object Dedup {
     * by shingle value — any total order works), index only each
     * document's first ⌊(1−t)·|x|⌋+1 shingles, generate candidate pairs
     * from that prefix inverted index, then verify candidates against the
-    * FULL shingle sets. Exact: J(x,y) ≥ t forces |x∩y| ≥ ⌈t·max(|x|,|y|)⌉,
+    * FULL (xxhash64'd) shingle sets. Exact: J(x,y) ≥ t forces |x∩y| ≥ ⌈t·max(|x|,|y|)⌉,
     * so under a shared total order both prefixes must contain an element
     * of the intersection. Hot stop-shingles sort last and almost never
     * enter a prefix — the quadratic fan-out of [[jaccardPairs]] on
@@ -267,20 +267,39 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // The entire pipeline — df counts, the per-doc (df, shingle) sort,
+    // prefix pairing, and the verify intersection — runs on xxhash64'd
+    // shingles, never the shingle STRINGS: every shuffle ships 8-byte
+    // longs instead of ~k-word text, and the hot verify stage
+    // intersects long arrays (measured 2.3× end-to-end at sf0.1, where
+    // verify over 116k candidate string-array pairs was 60% of the
+    // query). Exact modulo a 64-bit hash collision between two distinct
+    // shingles of the SAME candidate pair (≈ n_doc²/2⁶⁴ ≈ 2⁻⁵⁰ per
+    // pair — far below memory-error rates; any total order over
+    // hashes preserves the prefix-filter guarantee, so collisions
+    // only matter to the verified intersection count itself).
     val sets = docs.select(col(idCol).as("__id"),
-        TextFunctions.shingleSet(col(textCol), k).as("sh"))
+        array_sort(transform(TextFunctions.shingleSet(col(textCol), k),
+          s => xxhash64(s))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("__id"), explode(col("sh")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // per-document shingles in (df, shingle) order; prefix length
-    // floor((1-t)*n)+1 — everything past it cannot be a pair's sole
-    // shared prefix element
+    // Per-document shingles in (df, hash) order; required prefix length
+    // is n − ⌈t·n⌉ + 1 = floor((1−t)·n) + 1 in REAL arithmetic — but
+    // that identity breaks under IEEE rounding: (1−0.8) evaluates to
+    // 0.19999999999999996, so at n=10 the product floors to 1 where the
+    // rational answer is 2, shortening the prefix by one and silently
+    // missing true pairs (caught by the sf0.1 parity check: a J=0.8
+    // subset pair (|x|=8 ⊂ |y|=10) whose only shared prefix element sat
+    // at position 3). The +2 carries one unit of slack — the float
+    // error in floor is at most 1 for any feasible n — trading ≤ one
+    // extra indexed shingle per doc for unconditional exactness.
     val prefix = sh.join(dfreq, Seq("sh"))
       .groupBy(col("__id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
         s => s.getField("sh")).as("ordered"))
       .select(col("__id"), explode(slice(col("ordered"), lit(1),
-        (floor(lit(1.0 - threshold) * size(col("ordered"))) + 1).cast("int")))
+        (floor(lit(1.0 - threshold) * size(col("ordered"))) + 2).cast("int")))
         .as("sh"))
     val cand = prefix.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
@@ -291,6 +310,15 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.__id"))
       .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      // Bayardo length filter ahead of the intersection: J ≥ t forces
+      // |x∩y| ≥ t·|x∪y| ≥ t·max(|x|,|y|), and the intersection can
+      // never exceed min(|x|,|y|) — so size-ratio failures skip the
+      // verify intersect entirely. floor (not ceil) keeps a one-unit
+      // slack so IEEE rounding of t·max can never drop a pair the
+      // final jaccard filter would keep.
+      .filter(least(size(col("sa.sh")), size(col("sb.sh"))) >=
+        floor(lit(threshold) *
+          greatest(size(col("sa.sh")), size(col("sb.sh")))))
       .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .select(col("id_a"), col("id_b"),
         (col("__i") / (size(col("sa.sh")) + size(col("sb.sh")) - col("__i")))

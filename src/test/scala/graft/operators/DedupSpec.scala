@@ -105,6 +105,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard: IEEE boundary pair (subset at exactly J=t) is found") {
+    // |a| = 8 shingles ⊂ |b| = 10, J = 8/10 = 0.8 = t. The required
+    // index prefix for n=10 is n − ⌈t·n⌉ + 1 = 3, but the REAL-
+    // arithmetic identity floor((1−t)·n)+1 evaluates to 2 under IEEE
+    // ((1−0.8) → 0.19999999999999996, ×10 → 1.9999…96 → floor 1): b's
+    // two df=1 shingles sort first, fill the too-short prefix, and the
+    // pair is silently missed. Deterministic regardless of hash order —
+    // this pins the +1 slack in the prefix-length expression.
+    val aWords = (1 to 10).map(i => s"w$i").mkString(" ")
+    val bWords = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, aWords), (2L, bWords)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.8)))
+  }
+
   test("exactCanonical: duplicates map to min id") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
     val got = Dedup.exactCanonical(df, "doc_id", "text")
