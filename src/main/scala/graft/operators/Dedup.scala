@@ -87,22 +87,25 @@ object Dedup {
     * threshold. On a corpus with a 10-stop-word sentence prepended to
     * half the docs, cap=64 lost 12.3% of true pairs at 52k docs (all
     * of them hot+hot, true J ∈ [0.9, 1.0]) and 16.7% at 510k docs.
-    * Decision rule: cap uncrossed (uniform df head, like this repo's
-    * synthetic tables at df ≤ 25 vs cap 500) → exact and ~2× faster
-    * than prefix filtering; heavy df head and misses unacceptable →
-    * [[jaccardPairsPrefix]], which stays exact at ~2× the wall-clock
-    * (45–50 s vs 84–101 s at 510k docs, 32 threads). The
+    * Decision rule (re-measured round 10 after [[jaccardPairsPrefix]]
+    * moved to hashed shingles): the prefix path is now the DEFAULT at
+    * scale in BOTH df regimes — it is exact and faster (510k-doc Zipf
+    * corpus: prefix 14.8–16.9 s vs this path 17.3–35.5 s with 16.7%
+    * of true pairs lost to the cap; 500k-doc uniform corpus: prefix
+    * 16.2 s warm vs 20.5 s — the string-shuffle penalty that made this
+    * path 2× faster before the hash rewrite is gone). This path keeps
+    * two niches: SMALL corpora, where its lower stage count dominates
+    * (5k docs: 1.7 s vs 3.5 s), and the cap as a deliberately
+    * recall-tolerant bounded-work mode whose
     * observe("jaccard_skew_cap") metric reports pruned postings > 0
-    * whenever this run's output may be incomplete.
+    * whenever the output may be incomplete.
     *
-    * Memory-pressure clause (round-10 full-catalog sf10 run): the rule
-    * above assumes adequate execution memory. Starved of it (8g heap
-    * under local[32] at 500k docs), THIS path degraded 6.5× vs its
-    * isolated-warm time (196 s vs 30 s — the posting-list aggregation
-    * spills hardest) while prefix filtering only lost ~15% — flipping
-    * the comparison. At 48g the order restored (grouped 63 s < prefix
-    * 97 s in-catalog). On memory-tight executors prefer the prefix
-    * path even for uniform corpora.
+    * Memory-pressure clause (round-10 full-catalog sf10 run): under
+    * execution-memory starvation (8g heap, local[32], 500k docs) THIS
+    * path degraded 6.5× vs its isolated-warm time (196 s vs 30 s —
+    * the posting-list aggregation spills hardest) while prefix
+    * filtering only lost ~15%; memory-tight executors have one more
+    * reason to prefer the prefix path.
     */
   def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
@@ -250,20 +253,22 @@ object Dedup {
     *
     * Constant-factor note: the df join, per-document sort, and
     * candidate verify add ~4 extra stages, so on a SMALL dense corpus
-    * with no hot shingles (like the synthetic test tables, max df 25)
-    * [[jaccardPairsGrouped]] is faster; prefix filtering wins when the
-    * df distribution has a heavy head (natural text, where a handful of
-    * stop-shingles would otherwise fan out quadratically).
+    * (5k docs: 3.5 s vs grouped's 1.7) [[jaccardPairsGrouped]] is
+    * still faster. Everywhere else this operator now wins — the
+    * round-10 hashed-shingle rewrite (longs in every shuffle and the
+    * verify intersect, Bayardo size-ratio filter before the
+    * intersection) took 510k-doc runs from 84–101 s to 14.8–16.9 s on
+    * the Zipf corpus and 16.2 s warm on the uniform one, beating
+    * grouped+cap in BOTH regimes (17.3–35.5 s lossy / 20.5 s) while
+    * staying exact.
     *
-    * Measured crossover (SkewProbe on the SkewGen Zipf corpus, 510k
-    * docs, hot shingles at df ≈ 255k, 32 threads): this operator 84–101
-    * s and EXACT (30316 pairs) vs grouped+cap 45–50 s but missing 16.7%
-    * of true pairs (the cap undercounts intersections of docs sharing
-    * hot shingles — see [[jaccardPairsGrouped]]). Uncapped grouped is
-    * not runnable there at all (hot postings fan out ~255k² pairs per
-    * stop-shingle). Rule: exactness on a heavy-head corpus → pay the
-    * ~2×; recall-tolerant speed → grouped with the cap and the
-    * observe() metric as the loss warning.
+    * Measured on SkewProbe's SkewGen Zipf corpus (510k docs, hot
+    * shingles at df ≈ 255k, 32 threads): 30343 pairs — 27 MORE than
+    * the pre-round-10 "exact" figure, recovered by the IEEE
+    * prefix-length fix below — vs grouped+cap missing 16.7% of true
+    * pairs outright. Uncapped grouped is not runnable there at all
+    * (hot postings fan out ~255k² pairs per stop-shingle; OOMs a 48g
+    * heap even at 52k docs).
     */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
