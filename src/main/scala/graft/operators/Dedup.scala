@@ -34,10 +34,18 @@ object Dedup {
     docs.select(col(idCol), min(col(idCol)).over(w).as("canonical_id"))
   }
 
-  /** Distinct (id, shingle) relation — the inverted-index base. */
+  /** Distinct (id, shingle-hash) relation — the inverted-index base.
+    * Shingles are xxhash64'd at the explode so every downstream
+    * shuffle/groupBy keys on 8-byte longs instead of k-word strings
+    * (the same trick, same ≈2⁻⁵⁰-per-pair collision caveat, as
+    * [[jaccardPairsPrefix]] — distinct shingles of one doc colliding
+    * is the only way a result changes, and every consumer counts set
+    * sizes in the same hashed domain).
+    */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int) =
     docs.select(col(idCol).as("__id"),
-      explode(TextFunctions.shingleSet(col(textCol), k)).as("sh"))
+      explode(transform(TextFunctions.shingleSet(col(textCol), k),
+        s => xxhash64(s))).as("sh"))
 
   /** Exact shingle-set Jaccard pairs ≥ threshold via inverted-index
     * self-join (id_a < id_b). `maxShingleDf` > 0 drops shingles that
@@ -87,18 +95,18 @@ object Dedup {
     * threshold. On a corpus with a 10-stop-word sentence prepended to
     * half the docs, cap=64 lost 12.3% of true pairs at 52k docs (all
     * of them hot+hot, true J ∈ [0.9, 1.0]) and 16.7% at 510k docs.
-    * Decision rule (re-measured round 10 after [[jaccardPairsPrefix]]
-    * moved to hashed shingles): the prefix path is now the DEFAULT at
-    * scale in BOTH df regimes — it is exact and faster (510k-doc Zipf
-    * corpus: prefix 14.8–16.9 s vs this path 17.3–35.5 s with 16.7%
-    * of true pairs lost to the cap; 500k-doc uniform corpus: prefix
-    * 16.2 s warm vs 20.5 s — the string-shuffle penalty that made this
-    * path 2× faster before the hash rewrite is gone). This path keeps
-    * two niches: SMALL corpora, where its lower stage count dominates
-    * (5k docs: 1.7 s vs 3.5 s), and the cap as a deliberately
-    * recall-tolerant bounded-work mode whose
-    * observe("jaccard_skew_cap") metric reports pruned postings > 0
-    * whenever the output may be incomplete.
+    * Decision rule (re-measured round 10 with BOTH paths on hashed
+    * shingles): [[jaccardPairsPrefix]] is the DEFAULT at scale in both
+    * df regimes — wall-clock is at par (510k-doc Zipf corpus: prefix
+    * 14.3–18.5 s exact vs this path 14.0–26.2 s missing 16.7% of true
+    * pairs to the cap; 500k-doc uniform corpus: prefix 16.2 s warm vs
+    * 18.5 s) and prefix is exact, so the cap's recall loss buys
+    * nothing. This path keeps two niches: SMALL corpora, where its
+    * lower stage count dominates (5k docs: 1.7 s vs 3.5 s), and the
+    * cap as a deliberately recall-tolerant HARD-BOUNDED-work mode (per-
+    * shingle fan-out ≤ cap² no matter how adversarial the df head)
+    * whose observe("jaccard_skew_cap") metric reports pruned
+    * postings > 0 whenever the output may be incomplete.
     *
     * Memory-pressure clause (round-10 full-catalog sf10 run): under
     * execution-memory starvation (8g heap, local[32], 500k docs) THIS
@@ -110,10 +118,14 @@ object Dedup {
   def jaccardPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxShingleDf: Long = 0L): DataFrame = {
     val sh = shingled(docs, idCol, textCol, k)
-    // per-doc shingle count = size of the (distinct) shingle set —
-    // computable map-side, no explode + groupBy shuffle needed
+    // per-doc shingle count = size of the (distinct) shingle-HASH set —
+    // computable map-side, no explode + groupBy shuffle needed; distinct
+    // over hashes (not strings) keeps sizes in the same domain the
+    // intersection counts in, so a within-doc collision can never skew
+    // a jaccard above 1
     val cnt = docs.select(col(idCol).as("__id"),
-      size(TextFunctions.shingleSet(col(textCol), k)).cast("long").as("c"))
+      size(array_distinct(transform(TextFunctions.shingleSet(col(textCol), k),
+        s => xxhash64(s)))).cast("long").as("c"))
     var postings = sh.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -167,9 +179,17 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // The cache holds the MinHash signature plus the verify set as
+    // xxhash64'd longs — banding recall is untouched (the signature is
+    // still computed from the string shingle set), but the verify
+    // joins ship and intersect 8-byte longs instead of k-word strings,
+    // and the persisted rows shrink accordingly (same collision caveat
+    // as [[jaccardPairsPrefix]]).
     val sk = docs.select(col(idCol).as("__id"),
-        TextFunctions.shingleSet(col(textCol), k).as("sh"))
-      .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
+        TextFunctions.shingleSet(col(textCol), k).as("__shs"))
+      .select(col("__id"),
+        Sketches.minhash(col("__shs"), bands * rowsPerBand).as("sig"),
+        array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s)))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // banding over the cached signature: explode+hash only (cheap)
     val b = sk.select(col("__id"),
@@ -211,9 +231,13 @@ object Dedup {
   def minhashLshPairsCross(docsNew: DataFrame, docsRef: DataFrame,
       idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // signature from strings (recall unchanged), verify set as hashed
+    // longs — see [[minhashLshPairs]] for the rationale
     def sketch(d: DataFrame) = d.select(col(idCol).as("__id"),
-        TextFunctions.shingleSet(col(textCol), k).as("sh"))
-      .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
+        TextFunctions.shingleSet(col(textCol), k).as("__shs"))
+      .select(col("__id"),
+        Sketches.minhash(col("__shs"), bands * rowsPerBand).as("sig"),
+        array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s)))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def banded(sk: DataFrame) = sk.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -257,10 +281,10 @@ object Dedup {
     * still faster. Everywhere else this operator now wins — the
     * round-10 hashed-shingle rewrite (longs in every shuffle and the
     * verify intersect, Bayardo size-ratio filter before the
-    * intersection) took 510k-doc runs from 84–101 s to 14.8–16.9 s on
-    * the Zipf corpus and 16.2 s warm on the uniform one, beating
-    * grouped+cap in BOTH regimes (17.3–35.5 s lossy / 20.5 s) while
-    * staying exact.
+    * intersection) took 510k-doc runs from 84–101 s to 14.3–18.5 s on
+    * the Zipf corpus and 16.2 s warm on the uniform one — at par or
+    * ahead of grouped+cap in BOTH regimes (14.0–26.2 s lossy / 18.5 s
+    * after ITS hash rewrite) while staying exact.
     *
     * Measured on SkewProbe's SkewGen Zipf corpus (510k docs, hot
     * shingles at df ≈ 255k, 32 threads): 30343 pairs — 27 MORE than
@@ -284,8 +308,9 @@ object Dedup {
     // hashes preserves the prefix-filter guarantee, so collisions
     // only matter to the verified intersection count itself).
     val sets = docs.select(col(idCol).as("__id"),
-        array_sort(transform(TextFunctions.shingleSet(col(textCol), k),
-          s => xxhash64(s))).as("sh"))
+        array_sort(array_distinct(transform(
+          TextFunctions.shingleSet(col(textCol), k),
+          s => xxhash64(s)))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("__id"), explode(col("sh")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
