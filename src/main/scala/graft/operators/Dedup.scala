@@ -641,8 +641,10 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("comp")).as("comp"))
         .select(col("u").as("id"), col("comp"))
       // labels appears ~3x per round in the plan, so lineage grows ~3^k;
-      // truncate periodically for graphs that need many rounds
-      val next = if (it % 6 == 5) next0.localCheckpoint(true) else next0.persist()
+      // truncate periodically for graphs that need many rounds (lazy:
+      // the witness aggregate below is the materializing action either
+      // way, so truncation rounds cost no extra job)
+      val next = if (it % 6 == 5) next0.localCheckpoint(false) else next0.persist()
       val w = next.agg(decSum).head().getDecimal(0)
       labels.unpersist()
       labels = next
@@ -768,11 +770,13 @@ object Dedup {
     // each round references `e` ~a dozen times (sym unions, min joins),
     // so building rounds on raw lineage grows the LOGICAL plan
     // exponentially (persist caches data, not the plan) — OOM in the
-    // analyzer after a handful of rounds. localCheckpoint(eager)
-    // truncates the plan to the materialized partitions every round.
+    // analyzer after a handful of rounds. localCheckpoint truncates the
+    // plan to the materialized partitions every round; the witness
+    // aggregate doubles as the materializing action (see loop).
     val parent = pairs.sparkSession
+    // lazy: the edgeCount action below materializes the checkpoint
     var e = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // same loop-shuffle treatment as [[connectedComponents]], same
     // isolation: the AQE/width overrides live on a cloned session, the
     // caller's conf is never mutated, nothing to restore
@@ -789,7 +793,13 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // LAZY localCheckpoint: the logical plan is truncated to a
+      // LogicalRDD at call time either way (eager only appends a
+      // count() job), so making the witness aggregate the FIRST action
+      // on the checkpoint-marked RDD materializes + caches the round's
+      // partitions and computes the witness in ONE job — halving the
+      // loop's jobs/round vs eager-checkpoint-then-aggregate
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val w2 = witness(next)
       e.unpersist()
       e = next

@@ -36,6 +36,45 @@ class StarContractionSpec extends SparkSpec {
     }
   }
 
+  test("witness aggregate doubles as checkpoint materializer: 1 action/round") {
+    // the loop's localCheckpoint is LAZY — the witness aggregate is the
+    // materializing action, so each round costs ONE job (plus whatever
+    // broadcast-exchange jobs the round's joins spawn, identical either
+    // way). The eager form this replaced ran a separate count() job per
+    // round; this pin goes red if that regresses.
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckptJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        if (desc.contains("localCheckpoint") || site.contains("localCheckpoint"))
+          ckptJobs.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val labels = Dedup.connectedComponentsStar(
+        chain.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+      assert(labels.values.toSet === Set(1L))
+      Thread.sleep(500) // listener bus is async
+      // exactly ONE job may carry the localCheckpoint action name: the
+      // final labels truncation. Every loop round's checkpoint must ride
+      // the witness aggregate (eager per-round checkpoints would add one
+      // such job per round — a 60-node chain runs several rounds).
+      assert(ckptJobs.get() <= 1,
+        s"per-round eager checkpoint jobs are back: ${ckptJobs.get()} " +
+          s"localCheckpoint-named jobs of ${jobs.get()} total")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("self-loops and duplicate edges are harmless") {
     val (star, prop) = both(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
