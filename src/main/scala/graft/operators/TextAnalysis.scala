@@ -359,4 +359,56 @@ object TextAnalysis {
       substring(md5(normalized), 1, 16).as("fp_md5"),
       Sketches.rollingHash(normalized).as("fp_rolling"))
   }
+
+  /** Hashed-bag-of-n-grams linear classifier — the fastText shape
+    * (Joulin et al. 2016) that CCNet-/LLaMA-/DCLM-style pipelines score
+    * quality and domain with: each unigram and word-bigram hashes into
+    * one of `weights.length` buckets, and the document's logit is
+    *
+    *   logit = bias + scale · (Σ_g weights[bucket(g)]) / n_grams
+    *
+    * Weights are QUANTIZED integers (the production deployment: a
+    * trained model quantized to milli-units, `scale` = the
+    * dequantization step — the same trade `emb_quantize_int8` pins for
+    * embeddings). Integer weights make the per-doc sum EXACT and
+    * aggregation-order-free: the one groupBy partial-aggregates a
+    * BIGINT map-side, so the result is bit-identical under any
+    * partitioning, and an oracle reproduces it without float-sum-order
+    * caveats (the final two IEEE double ops — multiply by `scale`,
+    * divide by `n_grams` — are each correctly rounded, so they are too).
+    *
+    * Shuffle profile at 100 TB: the weight table broadcasts as a plan
+    * literal (2^20 buckets × 4 bytes = 4 MB; the catalog uses 4096);
+    * gram hashing ([[graft.functions.RollingHash64]] →
+    * [[graft.functions.IdHash]]) and the bucket lookup
+    * (`element_at` on the literal) run inside whole-stage codegen; the
+    * only exchange is the partial-aggregated groupBy on the doc id —
+    * one BIGINT + one count per doc per partition.
+    *
+    * Bucketing is oracle-portable end to end: bucket(g) =
+    * IdHash(rollingHash61(g)) mod buckets — the text_fingerprint_rolling
+    * HUGEINT chain composed with [[graft.queries.SamplingQueries.hashSql]].
+    *
+    * Output: (id, n_grams, logit). Docs whose text is empty still carry
+    * `split`'s single empty token, so every input row scores.
+    */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Int], scale: Double = 1e-3, bias: Double = 0.0,
+      addBigrams: Boolean = true): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val grams =
+      if (addBigrams)
+        concat(TextFunctions.words(col(textCol)),
+          TextFunctions.shingleList(col(textCol), 2))
+      else TextFunctions.words(col(textCol))
+    val bucket = pmod(
+      Sampling.idHash(Sketches.rollingHash(col("g"))), lit(weights.length.toLong))
+    docs.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol),
+        element_at(lit(weights), (bucket + 1L).cast("int")).as("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("__wsum"), count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("n_grams"),
+        (lit(bias) + lit(scale) * col("__wsum") / col("n_grams")).as("logit"))
+  }
 }

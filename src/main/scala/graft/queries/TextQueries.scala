@@ -12,6 +12,16 @@ object TextQueries {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
 
+  /** Deterministic quantized weight table for `text_quality_classifier`:
+    * w[j] = IdHash(j) % 2001 − 1000 milli-units — a stand-in for a
+    * trained fastText-style model whose every weight the DuckDB oracle
+    * recomputes from the bucket id via the same closed form (no array
+    * literal crosses the engine boundary).
+    */
+  private val clfWeights: Array[Int] =
+    Array.tabulate(4096)(j =>
+      (graft.functions.IdHash.hash(j.toLong) % 2001L - 1000L).toInt)
+
   /** DuckDB oracle for [[TextAnalysis.bpeTrainMerges]]: the iterative
     * training loop UNROLLED as `numMerges` CTE layers. Layer k derives
     * pair counts `p{k}` from vocabulary `v{k}` (adjacent symbol pairs
@@ -117,6 +127,51 @@ object TextQueries {
               |FROM q
               |ORDER BY doc_id""".stripMargin),
       doc = "per-source quality percentile calibration (comparable thresholds across sources)"),
+
+    // fastText-shape hashed-n-gram linear classifier with a
+    // deterministic quantized weight table: w[j] = IdHash(j) % 2001 −
+    // 1000 milli-units, so the oracle derives every weight from the
+    // bucket id by the same closed form instead of shipping the array.
+    // Per gram the oracle replays the engine's exact hash chain:
+    // t61 = Rabin–Karp mod 2^61−1 (HUGEINT list_reduce, ASCII-corpus
+    // assumption as in text_fingerprint_rolling), bucket =
+    // hashSql(t61) % 4096, weight from hashSql(bucket). Integer gram
+    // sums make the aggregate order-free, so the only float ops are
+    // the final correctly-rounded multiply + divide — hash-exact, no
+    // rounding crutch.
+    Q("text_quality_classifier",
+      (s, dir) => TextAnalysis.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text", clfWeights)
+        .orderBy(col("doc_id")),
+      Some {
+        val bkt = s"(${SamplingQueries.hashSql("t61")} % 4096)"
+        val w = s"((${SamplingQueries.hashSql("bk")} % 2001) - 1000)"
+        s"""WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+          |uni AS (SELECT doc_id, unnest(s) AS g FROM toks),
+          |bi AS (SELECT doc_id, s[i] || ' ' || s[i + 1] AS g
+          |       FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+          |             FROM toks)),
+          |grams AS (SELECT doc_id, g FROM uni
+          |          UNION ALL SELECT doc_id, g FROM bi),
+          |h AS (
+          |  SELECT doc_id, CAST(list_reduce(
+          |      list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
+          |        list_transform(range(1, length(g) + 1),
+          |          i -> [CAST(unicode(substring(g, i, 1)) AS HUGEINT),
+          |                CAST(0 AS HUGEINT)])),
+          |      (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2305843009213693951,
+          |                   (acc[2] * 131) % 2305843009213693951])[1] AS BIGINT)
+          |    AS t61
+          |  FROM grams),
+          |b AS (SELECT doc_id, $bkt AS bk FROM h),
+          |a AS (SELECT doc_id, sum($w) AS __wsum, count(*) AS n_grams
+          |      FROM b GROUP BY doc_id)
+          |SELECT doc_id, n_grams,
+          |       0e0 + (1e-3 * __wsum) / n_grams AS logit
+          |FROM a ORDER BY doc_id""".stripMargin
+      },
+      doc = "fastText-shape hashed-bag-of-ngrams linear classifier (quantized weights, exact integer sums)"),
 
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")

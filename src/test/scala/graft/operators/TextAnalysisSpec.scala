@@ -215,6 +215,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 == Seq(expected.head._1))
   }
 
+  test("classifierScore: independent reimplementation, bigram toggle, empty text") {
+    // independent scorer: BigInt Rabin–Karp (base 131, mod 2^61−1) over
+    // UTF-8 bytes + the IdHash reference function — same spec the
+    // engine kernels implement, rebuilt from the definitions
+    val P = BigInt(2).pow(61) - 1
+    def t61(s: String): Long =
+      s.getBytes("UTF-8").zipWithIndex.map { case (b, i) =>
+        BigInt(b & 0xFF) * BigInt(131).modPow(i, P) % P
+      }.sum.mod(P).toLong
+    val B = 64
+    val weights = Array.tabulate(B)(j =>
+      (graft.functions.IdHash.hash(j.toLong) % 2001L - 1000L).toInt)
+    def score(text: String, bigrams: Boolean): (Long, Double) = {
+      val ws = text.split(" ", -1).toSeq
+      val grams = if (bigrams) ws ++ ws.zip(ws.drop(1)).map(p => s"${p._1} ${p._2}")
+                  else ws
+      val s = grams.map(g =>
+        weights((graft.functions.IdHash.hash(t61(g)) % B).toInt).toLong).sum
+      (grams.size.toLong, 0.0 + (1e-3 * s) / grams.size)
+    }
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "word"))
+      .toDF("doc_id", "text")
+    for (bigrams <- Seq(true, false)) {
+      val got = TextAnalysis.classifierScore(docs, "doc_id", "text", weights,
+          addBigrams = bigrams)
+        .orderBy("doc_id")
+        .as[(Long, Long, Double)].collect()
+      val want = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "word"))
+        .map { case (id, t) => val (n, l) = score(t, bigrams); (id, n, l) }
+      assert(got.toSeq === want, s"bigrams=$bigrams")
+    }
+    // empty text still scores: split keeps one empty token
+    assert(score("", bigrams = true)._1 === 1L)
+    // partitioning-invariant (integer sums are order-free)
+    val a = TextAnalysis.classifierScore(docs.repartition(7), "doc_id", "text",
+      weights).orderBy("doc_id").collect()
+    val b = TextAnalysis.classifierScore(docs.coalesce(1), "doc_id", "text",
+      weights).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("rollingHash: known polynomial value and shift property") {
     val p = (1L << 61) - 1
     def ref(s: String): Long = {

@@ -112,4 +112,19 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "documents\\.parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$p")
   }
+
+  test("text_quality_classifier: gram hashing codegen'd, one agg exchange, no join") {
+    // the weight table rides as a plan literal (element_at on a
+    // constant array), so the ONLY hash exchange is the doc-id groupBy
+    // (partial-aggregated map-side); the sort adds its range exchange
+    // the executed AdaptiveSparkPlan renders "== Final Plan ==" AND
+    // "== Initial Plan ==" — count exchanges in the final section only
+    val p = finalPlan("text_quality_classifier")
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected one agg exchange, saw $hashExchanges:\n$p")
+    // explode + hash chain + bucket lookup fuse into whole-stage codegen
+    assert(p.contains("*(1)"), p)
+  }
 }
