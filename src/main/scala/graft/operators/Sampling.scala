@@ -408,4 +408,45 @@ object Sampling {
     val w2 = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
     survivors.withColumn(rankOut, row_number().over(w2)).filter(col(rankOut) <= n)
   }
+
+  /** Leakage-safe train/val/test assignment: the split is decided per
+    * near-dup GROUP, not per document, so two near-duplicates can never
+    * land on opposite sides of a train/eval boundary (per-doc hash
+    * splits leak: a doc and its 0.9-Jaccard twin are independent coin
+    * flips, and at web-corpus dup rates thousands of eval docs get a
+    * training-set twin — the contamination dedup + decontamination
+    * exist to prevent, reintroduced by the splitter itself).
+    *
+    * `pairs` is any near-dup pair relation (Jaccard / MinHash-LSH /
+    * SimHash / embedding); [[Dedup.connectedComponents]] closes it into
+    * groups, every doc inherits its component's min id as `group_id`
+    * (docs in no pair group alone), and the split is the usual
+    * [[idHash]] range carve-up of `group_id` — so on a pair-free corpus
+    * the assignment degrades to exactly the per-doc hash split.
+    *
+    * Scale shape: the component labeling is bounded by the docs that
+    * appear in some pair (|dup candidates|, not |corpus|), so the one
+    * join is small-side broadcast-able; the hash carve-up is narrow.
+    *
+    * @param splits (name, fraction) in carve order; the remainder gets
+    *               `defaultSplit`. Fractions are of the 2^32 hash space.
+    * @return docs plus (group_id, split)
+    */
+  def splitByGroup(docs: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], defaultSplit: String = "test",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions exceed 1")
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol,
+      idOut = "__gid", compOut = "__gcomp")
+    val gid = coalesce(col("__gcomp"), col(idCol).cast("long"))
+    val h = idHash(gid)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c * 4294967296.0).toLong)
+    val split = splits.map(_._1).zip(thresholds)
+      .foldRight(lit(defaultSplit): Column) {
+        case ((name, thr), els) => when(h < lit(thr), name).otherwise(els)
+      }
+    docs.join(cc, docs(idCol) === col("__gid"), "left")
+      .select(docs.columns.map(col) :+ gid.as("group_id") :+ split.as("split"): _*)
+  }
 }

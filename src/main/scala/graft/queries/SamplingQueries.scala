@@ -685,6 +685,55 @@ object SamplingQueries {
              |FROM documents
              |GROUP BY lang, split
              |ORDER BY lang, split""".stripMargin),
-      doc = "deterministic 80/10/10 train/val/test assignment by disjoint id-hash ranges")
+      doc = "deterministic 80/10/10 train/val/test assignment by disjoint id-hash ranges"),
+
+    // Leakage-safe variant: the 80/10/10 carve-up keys on the near-dup
+    // GROUP id (min doc id of the LSH-pair component; own id when
+    // unpaired), so a doc and its near-duplicate always land in the
+    // same split. Oracle: the dedup_cc_clusters recursive-CTE closure
+    // (exact-Jaccard pairs — the LSH params converge to that pair set,
+    // see dedup_minhash_lsh) left-joined back to the corpus, then the
+    // doc_split_assign hash CASE on the group id.
+    Q("doc_split_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val jp = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+          .select(col("id_a"), col("id_b"))
+        Sampling.splitByGroup(docs, jp, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1))
+          .select(col("doc_id"), col("group_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+             |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |s AS (SELECT DISTINCT doc_id,
+             |             unnest(list_transform(range(1, len(l) - 1),
+             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |      FROM d),
+             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.doc_id
+             |       JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+             |          UNION SELECT id_b, id_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id),
+             |g AS (SELECT dd.doc_id, coalesce(c.component, dd.doc_id) AS group_id
+             |      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id)
+             |SELECT doc_id, group_id,
+             |       CASE WHEN ${hashSql("group_id")} < 3435973836 THEN 'train'
+             |            WHEN ${hashSql("group_id")} < 3865470566 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "leakage-safe 80/10/10 split: near-dup groups (LSH pairs -> components) share a split, so no eval doc has a training-set twin")
   )
 }

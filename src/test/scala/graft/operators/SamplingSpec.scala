@@ -328,6 +328,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitByGroup: near-dup groups share a split; unpaired = per-id hash split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val out = Sampling.splitByGroup(docs, pairs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 40)
+    val m = out.map(r => r._1 -> r).toMap
+    // the transitive group {1,2,3} keys on min id 1 and shares ONE split
+    assert(Seq(1L, 2L, 3L).map(m(_)._2).toSet === Set(1L))
+    assert(Seq(1L, 2L, 3L).map(m(_)._3).toSet.size === 1)
+    assert(Seq(10L, 20L).map(m(_)._2).toSet === Set(10L))
+    assert(Seq(10L, 20L).map(m(_)._3).toSet.size === 1)
+    // unpaired docs degrade to exactly the per-id hash carve-up
+    def expected(id: Long): String = {
+      val h = graft.functions.IdHash.hash(id)
+      if (h < 3435973836L) "train" else if (h < 3865470566L) "val" else "test"
+    }
+    for (id <- 4L to 9L) {
+      assert(m(id)._2 === id)
+      assert(m(id)._3 === expected(id))
+    }
+    // grouped docs score on the GROUP id, not their own
+    assert(m(3L)._3 === expected(1L))
+    assert(m(20L)._3 === expected(10L))
+  }
+
   test("salted phase 1 splits the stratum's shuffle across salt groups") {
     // one giant stratum: the plain form sorts it through ONE window
     // partition; the salted form's first window must key on
