@@ -23,10 +23,57 @@ object Bench {
       .split(" ").take(3).mkString(" ")
     catch { case _: Exception => "unavailable" }
 
+  /** Cumulative CPU jiffies from the aggregate `cpu` line of /proc/stat
+    * (user nice system idle iowait irq softirq steal ...). Empty on
+    * non-Linux; callers treat that as "trace unavailable".
+    */
+  private def statCpu(): Array[Long] =
+    try scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .split("\\s+").drop(1).flatMap(s => scala.util.Try(s.toLong).toOption)
+    catch { case _: Exception => Array.empty[Long] }
+
+  /** Mid-run load trace: a daemon thread samples 1-minute load plus
+    * whole-box busy%/iowait%/steal% (deltas over /proc/stat) every ~10 s.
+    * Start/end load samples alone left mid-run interference invisible and
+    * made "machine noise" unfalsifiable as an explanation for bench
+    * swings; the trace makes it checkable sample by sample.
+    */
+  private def startLoadTrace(t0: Long,
+      out: java.util.concurrent.ConcurrentLinkedQueue[String]): Unit = {
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val t = new Thread(() => {
+      var prev = statCpu()
+      while (true) {
+        Thread.sleep(10000)
+        val cur = statCpu()
+        if (cur.length >= 5 && prev.length == cur.length) {
+          val d = cur.zip(prev).map { case (a, b) => a - b }
+          val total = math.max(d.sum, 1L)
+          val idle = d(3)
+          val iowait = d(4)
+          val steal = if (d.length > 7) d(7) else 0L
+          val busy = 100.0 * (total - idle - iowait) / total
+          val sec = math.round((System.nanoTime() - t0) / 1e9)
+          val load1 = loadAvg().split(" ").head
+          out.add(s"""{"t":$sec,"load1":$load1,"busy_pct":${f1(busy)}""" +
+            s""","iowait_pct":${f1(100.0 * iowait / total)}""" +
+            s""","steal_pct":${f1(100.0 * steal / total)}}""")
+        }
+        prev = cur
+      }
+    }, "bench-load-trace")
+    t.setDaemon(true)
+    t.start()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg()
+    val benchT0 = System.nanoTime()
+    val traceBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    startLoadTrace(benchT0, traceBuf)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,6 +103,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startOff = math.round((System.nanoTime() - benchT0) / 1e9)
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -74,14 +122,25 @@ object Bench {
       // block)
       spark.catalog.clearCache()
       System.gc()
-      (name, elapsed, err)
+      (name, elapsed, err, startOff)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
+    val errs = results.collect { case (k, _, Some(m), _) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    // wall-clock start offset (s) per query — lets the load trace be
+    // aligned to exactly which query was running when a sample fired
+    val starts = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus"}"""
+    val trace = {
+      val it = traceBuf.iterator()
+      val b = new StringBuilder("[")
+      var first = true
+      while (it.hasNext) { if (!first) b.append(','); b.append(it.next()); first = false }
+      b.append(']').toString
+    }
+    val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus","trace":$trace}"""
     // the compact summary is the LAST key: log capture keeps the tail of
     // long lines, and the per-query map in front has twice outgrown the
     // capture window — totals must survive truncation machine-readably
@@ -90,10 +149,10 @@ object Bench {
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$load,"sf":"$sfDir",$summary}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,$load,"sf":"$sfDir",$summary}""")
     spark.stop()
   }
 }

@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   *                      index) to every output row — computed on the
   *                      PACKED layout before epoch replication, so all
   *                      epochs of a doc land on the same shard
+  * @param ccMinLabel    opt back into min-label propagation for the
+  *                      dedup stage's connected components. Default is
+  *                      star contraction: on chain-shaped near-dup
+  *                      graphs (template boilerplate on a real crawl)
+  *                      star is measured 13× faster (round-10
+  *                      BASELINE.md, 10k-doc chain: 6.1–6.6 s vs
+  *                      81–88 s), and the labelings are identical
+  *                      (both min-id, same recursive-CTE oracle). The
+  *                      min-label path remains for clique-shaped pair
+  *                      sets where its single-join rounds edge out
+  *                      star's two.
   */
 final case class CorpusSettings(
     idCol: String = "doc_id",
@@ -46,7 +57,8 @@ final case class CorpusSettings(
     maxPerplexity: Option[Double] = None,
     packCap: Long = 8192,
     packBuckets: Int = 32,
-    numShards: Option[Int] = None)
+    numShards: Option[Int] = None,
+    ccMinLabel: Boolean = false)
 
 /** The whole training-data recipe as ONE composable operator, each
   * stage the library's own primitive:
@@ -70,15 +82,54 @@ final case class CorpusSettings(
   *         all input columns + n_words, pack_id, pack_offset, epoch
   *
   * @note When `maxPerplexity` is set, the mixture+decontaminate frame is
-  *       persisted (MEMORY_AND_DISK) and deliberately NOT unpersisted —
-  *       the returned plan still references it lazily, so an eager
-  *       unpersist would drop the cache before the caller materializes
-  *       the result. Callers running many pipelines in one long-lived
-  *       session should `spark.catalog.clearCache()` (or unpersist via
-  *       the cache manager) between runs, or the gate caches accumulate
-  *       executor memory.
+  *       persisted (MEMORY_AND_DISK) for the duration of ONE
+  *       materialization: a QueryExecutionListener keyed on this
+  *       pipeline's observe() metric unpersists it as soon as the first
+  *       action on the returned plan completes (success or failure), so
+  *       N pipeline runs in a long-lived session no longer accumulate N
+  *       cache entries. If the caller never materializes the result the
+  *       cache (and one idle listener) persists until session end —
+  *       lazy-persist semantics make that unavoidable without a handle.
   */
 object CorpusPipeline {
+
+  /** Unpersist `cached` once the first action whose plan carries the
+    * observe() metric `metricName` completes — i.e. once the caller has
+    * materialized the pipeline result the cache existed to serve. Keyed
+    * on the metric (every [[run]] plan carries `corpus_pipeline`, and
+    * [[manifest]] plans retain it under their own metric) rather than on
+    * plan identity, because each action re-plans a fresh
+    * QueryExecution. The listener unregisters itself after firing, so a
+    * session running N sequential pipelines holds at most one gate
+    * cache + one listener at a time. Two pipelines materialized
+    * CONCURRENTLY in one session can release each other's cache one
+    * action early — harmless for correctness (unpersist never breaks
+    * lineage), it only forfeits that run's cache hits.
+    */
+  private def unpersistOnMaterialize(cached: DataFrame,
+      metricName: String): Unit = {
+    val spark = cached.sparkSession
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybe(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        // observedMetrics walks the executed plan; on a failed query
+        // that plan may never have been built — treat as "not ours"
+        if (scala.util.Try(qe.observedMetrics.contains(metricName))
+              .getOrElse(false) &&
+            fired.compareAndSet(false, true)) {
+          cached.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybe(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 
   def run(docs: DataFrame, evalCorpus: Option[DataFrame],
       s: CorpusSettings): DataFrame = {
@@ -102,15 +153,15 @@ object CorpusPipeline {
     // it three ways (doc bigrams, bigram counts, unigram counts), the
     // gate joins back onto it, and the dedup stage re-derives it for
     // both the LSH pairs and the keep pass — without the cache the
-    // whole mixture+decontaminate lineage would replay ~5×. Same
-    // persist-without-unpersist discipline as Dedup.minhashLshPairs'
-    // sketch cache (the result is returned lazily, so an eager
-    // unpersist here would drop the cache before the caller runs it;
-    // callers/bench clear caches between queries).
+    // whole mixture+decontaminate lineage would replay ~5×. An EAGER
+    // unpersist would drop the cache before the caller runs the lazy
+    // result, so the unpersist is deferred to the first completed
+    // action on the returned plan (see unpersistOnMaterialize).
     val scored = s.maxPerplexity match {
       case Some(maxPpl) =>
         val cached = clean.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unpersistOnMaterialize(cached, "corpus_pipeline")
         val ppl = TextAnalysis.perplexityScore(cached, s.idCol, s.textCol)
           .filter(col("perplexity") <= maxPpl)
           .select(col(s.idCol))
@@ -122,7 +173,11 @@ object CorpusPipeline {
         k = s.dedupK, threshold = s.dedupThreshold,
         bands = s.lshBands, rowsPerBand = s.lshRowsPerBand)
       .select(col("id_a"), col("id_b"))
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", idOut = "__cid")
+    val cc =
+      if (s.ccMinLabel)
+        Dedup.connectedComponents(pairs, "id_a", "id_b", idOut = "__cid")
+      else
+        Dedup.connectedComponentsStar(pairs, "id_a", "id_b", idOut = "__cid")
     val kept = scored
       .join(cc, col(s.idCol) === col("__cid"), "left")
       .filter(col("__cid").isNull || col("component") === col(s.idCol))

@@ -418,11 +418,22 @@ object Sampling {
     * exist to prevent, reintroduced by the splitter itself).
     *
     * `pairs` is any near-dup pair relation (Jaccard / MinHash-LSH /
-    * SimHash / embedding); [[Dedup.connectedComponents]] closes it into
-    * groups, every doc inherits its component's min id as `group_id`
-    * (docs in no pair group alone), and the split is the usual
-    * [[idHash]] range carve-up of `group_id` — so on a pair-free corpus
-    * the assignment degrades to exactly the per-doc hash split.
+    * SimHash / embedding); connected components close it into groups
+    * ([[Dedup.connectedComponentsStar]] by default — near-dup CHAINS,
+    * exactly what template boilerplate produces, are where min-label
+    * propagation is measured 13× slower; `ccMinLabel = true` opts back
+    * in for clique-shaped pair sets), every doc inherits its
+    * component's min id as `group_id` (docs in no pair group alone),
+    * and the split is the usual [[idHash]] range carve-up of
+    * `group_id` — so on a pair-free corpus the assignment degrades to
+    * exactly the per-doc hash split.
+    *
+    * `idCol` must be an integral column (the group id space is the CC
+    * label space, i.e. long doc ids): a string-id corpus would cast to
+    * null and silently route every unpaired doc to `defaultSplit`, so
+    * non-integral ids are rejected up front. `docs` must not already
+    * carry a `group_id`/`split` column — the output would otherwise
+    * hold duplicate names that fail only on first downstream reference.
     *
     * Scale shape: the component labeling is bounded by the docs that
     * appear in some pair (|dup candidates|, not |corpus|), so the one
@@ -434,10 +445,28 @@ object Sampling {
     */
   def splitByGroup(docs: DataFrame, pairs: DataFrame, idCol: String,
       splits: Seq[(String, Double)], defaultSplit: String = "test",
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b",
+      ccMinLabel: Boolean = false): DataFrame = {
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions exceed 1")
-    val cc = Dedup.connectedComponents(pairs, aCol, bCol,
-      idOut = "__gid", compOut = "__gcomp")
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = docs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"splitByGroup needs an integral id column; '$idCol' is $dt — " +
+          "a non-integral id casts to null and would silently send every " +
+          s"unpaired doc to the '$defaultSplit' split")
+      val taken = docs.columns.toSet.intersect(Set("group_id", "split"))
+      require(taken.isEmpty,
+        s"docs already has column(s) ${taken.mkString(", ")}; " +
+          "splitByGroup appends group_id and split")
+    }
+    val cc =
+      if (ccMinLabel)
+        Dedup.connectedComponents(pairs, aCol, bCol,
+          idOut = "__gid", compOut = "__gcomp")
+      else
+        Dedup.connectedComponentsStar(pairs, aCol, bCol,
+          idOut = "__gid", compOut = "__gcomp")
     val gid = coalesce(col("__gcomp"), col(idCol).cast("long"))
     val h = idHash(gid)
     val thresholds = splits.scanLeft(0.0)(_ + _._2).tail

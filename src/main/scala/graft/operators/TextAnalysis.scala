@@ -390,7 +390,10 @@ object TextAnalysis {
     * HUGEINT chain composed with [[graft.queries.SamplingQueries.hashSql]].
     *
     * Output: (id, n_grams, logit). Docs whose text is empty still carry
-    * `split`'s single empty token, so every input row scores.
+    * `split`'s single empty token, so every input row scores — including
+    * NULL text: `explode_outer` keeps the row through a null gram array
+    * and the null-gram weight lookup contributes nothing, so such docs
+    * surface as (id, n_grams = 0, logit = NULL) rather than vanishing.
     */
   def classifierScore(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Int], scale: Double = 1e-3, bias: Double = 0.0,
@@ -403,11 +406,11 @@ object TextAnalysis {
       else TextFunctions.words(col(textCol))
     val bucket = pmod(
       Sampling.idHash(Sketches.rollingHash(col("g"))), lit(weights.length.toLong))
-    docs.select(col(idCol), explode(grams).as("g"))
+    docs.select(col(idCol), explode_outer(grams).as("g"))
       .select(col(idCol),
         element_at(lit(weights), (bucket + 1L).cast("int")).as("w"))
       .groupBy(col(idCol))
-      .agg(sum(col("w")).as("__wsum"), count(lit(1)).as("n_grams"))
+      .agg(sum(col("w")).as("__wsum"), count(col("w")).as("n_grams"))
       .select(col(idCol), col("n_grams"),
         (lit(bias) + lit(scale) * col("__wsum") / col("n_grams")).as("logit"))
   }

@@ -45,4 +45,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
+
+  /** Deterministically drain the async SparkListener bus
+    * (`listenerBus.waitUntilEmpty` is `private[spark]`). Specs that
+    * assert on listener-observed counters need this instead of a sleep:
+    * a fixed sleep undercounts on a loaded machine and the assertion
+    * passes (or fails) vacuously.
+    */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession,
+      timeoutMillis: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
 }

@@ -64,7 +64,9 @@ class StarContractionSpec extends SparkSpec {
       val labels = Dedup.connectedComponentsStar(
         chain.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
       assert(labels.values.toSet === Set(1L))
-      Thread.sleep(500) // listener bus is async
+      // drain the async listener bus deterministically — a fixed sleep
+      // undercounts on a loaded machine and the pin goes vacuous
+      org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
       // exactly ONE job may carry the localCheckpoint action name: the
       // final labels truncation. Every loop round's checkpoint must ride
       // the witness aggregate (eager per-round checkpoints would add one
