@@ -414,4 +414,95 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"),
         (lit(bias) + lit(scale) * col("__wsum") / col("n_grams")).as("logit"))
   }
+
+  /** Train the [[classifierScore]] weight table IN-ENGINE: full-batch
+    * gradient descent on logistic loss with a hard-sigmoid link, in
+    * pure integer arithmetic so the learned weights are exactly
+    * reproducible by a SQL oracle that unrolls the rounds as CTEs (the
+    * [[bpeTrainMerges]] discipline — fixed round count, no floats, no
+    * RNG, no per-row sequencing).
+    *
+    * Model: margin z_d = Σ_b w[b]·x_{d,b} over the same hashed
+    * unigram+bigram buckets [[classifierScore]] reads
+    * (bucket(g) = IdHash(rollingHash61(g)) mod `buckets`), probability
+    * p = clamp(1/2 + z/(4K), 0, 1) — the "hard sigmoid" rational
+    * surrogate (Collobert 2004's piecewise-linear link; gradient
+    * (p − y)·x is the logistic gradient with p linearized). Scaled by
+    * 4K everything stays integral:
+    *
+    *   err_d  = clamp(2K + z_d, 0, 4K) − 4K·y_d          ∈ [−4K, 4K]
+    *   G[b]   = Σ_d err_d · x_{d,b}
+    *   w'[b]  = w[b] − tdiv(G[b], L)     (truncate toward zero)
+    *
+    * K (`marginScale`) sets the linear band half-width in margin
+    * units; L (`lrDenom`) is the inverse learning rate. Round 1 from
+    * w = 0 gives w[b] ∝ (positive-class count − negative-class count)
+    * of bucket b — the discriminative naive-Bayes-ish start — and
+    * later rounds sharpen only where the margin still errs (saturated
+    * correct docs contribute zero gradient, perceptron-style).
+    *
+    * Distributed shape: gram→bucket counts aggregate ONCE
+    * (map-side-combined, persisted); each round is one margin
+    * aggregate + one gradient aggregate. The weight vector is MODEL
+    * STATE, O(`buckets`) and corpus-size-independent — it rides the
+    * driver between rounds (collect of ≤ `buckets` rows/round, the
+    * same bounded-state call as the k-means centroid collect) and
+    * re-enters the plan as a broadcast literal. Rows with NULL text
+    * carry no grams and simply contribute nothing.
+    *
+    * @param label 0/1 integer label column (evaluated against `docs`)
+    * @return (bucket, weight) for every bucket with nonzero weight
+    */
+  def classifierTrain(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, buckets: Int = 4096, rounds: Int = 3,
+      marginScale: Long = 500L, lrDenom: Long = 4096L,
+      addBigrams: Boolean = true): DataFrame = {
+    require(buckets > 0 && rounds > 0 && marginScale > 0 && lrDenom > 0,
+      s"buckets/rounds/marginScale/lrDenom must be positive")
+    val spark = docs.sparkSession
+    val k = marginScale
+    val grams =
+      if (addBigrams)
+        concat(TextFunctions.words(col(textCol)),
+          TextFunctions.shingleList(col(textCol), 2))
+      else TextFunctions.words(col(textCol))
+    val bucket = pmod(
+      Sampling.idHash(Sketches.rollingHash(col("g"))), lit(buckets.toLong))
+    val gx = docs
+      .select(col(idCol).as("__id"), label.cast("long").as("__y"),
+        explode(grams).as("g"))
+      .select(col("__id"), col("__y"), bucket.as("__b"))
+      .groupBy(col("__id"), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__x"))
+      .persist()
+    val w = new Array[Long](buckets)
+    try {
+      for (_ <- 1 to rounds) {
+        // margin under the current weights (broadcast plan literal),
+        // then the per-bucket integer gradient — ONE shuffle pair per
+        // round, partial-aggregated on both sides
+        val wlit = lit(w)
+        val err = gx
+          .groupBy(col("__id"), col("__y"))
+          .agg(sum(element_at(wlit, (col("__b") + 1L).cast("int")) *
+            col("__x")).as("__z"))
+          .select(col("__id"),
+            (least(greatest(lit(2L * k) + col("__z"), lit(0L)), lit(4L * k)) -
+              lit(4L * k) * col("__y")).as("__e"))
+        val grad = gx.join(err, "__id")
+          .groupBy(col("__b"))
+          .agg(sum(col("__e") * col("__x")).as("__g"))
+          .collect()
+        grad.foreach { r =>
+          // Java integer division truncates toward zero — the oracle
+          // mirrors it as sign(g)·(|g| // L), floor == trunc on |g|
+          w(r.getLong(0).toInt) -= r.getLong(1) / lrDenom
+        }
+      }
+    } finally gx.unpersist()
+    val out = w.iterator.zipWithIndex
+      .collect { case (wt, j) if wt != 0L => (j.toLong, wt) }.toSeq
+    import spark.implicits._
+    out.toDF("bucket", "weight")
+  }
 }

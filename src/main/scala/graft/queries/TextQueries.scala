@@ -12,15 +12,90 @@ object TextQueries {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
 
-  /** Deterministic quantized weight table for `text_quality_classifier`:
-    * w[j] = IdHash(j) % 2001 − 1000 milli-units — a stand-in for a
-    * trained fastText-style model whose every weight the DuckDB oracle
-    * recomputes from the bucket id via the same closed form (no array
-    * literal crosses the engine boundary).
+  /** Shared gram→bucket CTE chain for the classifier entries: unigrams
+    * + word bigrams, rollingHash61 per gram (the HUGEINT fold), IdHash,
+    * mod 4096 — `b` is (doc_id, bk), the exact bucket stream
+    * [[TextAnalysis.classifierScore]] and [[TextAnalysis.classifierTrain]]
+    * aggregate.
     */
-  private val clfWeights: Array[Int] =
-    Array.tabulate(4096)(j =>
-      (graft.functions.IdHash.hash(j.toLong) % 2001L - 1000L).toInt)
+  private val clfGramCtes: String = {
+    val bkt = s"(${SamplingQueries.hashSql("t61")} % 4096)"
+    s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |uni AS (SELECT doc_id, unnest(s) AS g FROM toks),
+      |bi AS (SELECT doc_id, s[i] || ' ' || s[i + 1] AS g
+      |       FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+      |             FROM toks)),
+      |grams AS (SELECT doc_id, g FROM uni
+      |          UNION ALL SELECT doc_id, g FROM bi),
+      |h AS (
+      |  SELECT doc_id, CAST(list_reduce(
+      |      list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
+      |        list_transform(range(1, length(g) + 1),
+      |          i -> [CAST(unicode(substring(g, i, 1)) AS HUGEINT),
+      |                CAST(0 AS HUGEINT)])),
+      |      (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2305843009213693951,
+      |                   (acc[2] * 131) % 2305843009213693951])[1] AS BIGINT)
+      |    AS t61
+      |  FROM grams),
+      |b AS (SELECT doc_id, $bkt AS bk FROM h)""".stripMargin
+  }
+
+  /** DuckDB oracle CTEs for [[TextAnalysis.classifierTrain]]: the
+    * integer full-batch descent UNROLLED one CTE layer per round (the
+    * [[bpeOracle]] discipline). Round 1 starts from w = 0, so its error
+    * is the closed form 2K − 4K·y; later rounds recompute the margin
+    * against the previous weight relation. Truncating division is
+    * spelled sign(g)·(|g| // L) so the SQL is insensitive to the
+    * engine's negative-`//` convention (floor == trunc on |g|).
+    * Produces CTEs up to `w$rounds` with columns (bb, wv).
+    */
+  private[queries] def clfTrainCtes(rounds: Int, k: Long = 500L,
+      l: Long = 4096L): String = {
+    require(rounds >= 1)
+    def tdiv(x: String) =
+      s"(CASE WHEN $x >= 0 THEN $x // $l ELSE -((-($x)) // $l) END)"
+    val parts = Seq.newBuilder[String]
+    parts += clfGramCtes
+    parts += s"""gx AS (SELECT doc_id, bk AS bb, CAST(count(*) AS BIGINT) AS x
+      |            FROM b GROUP BY 1, 2)""".stripMargin
+    parts += s"""lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |             FROM documents)""".stripMargin
+    parts += s"""g1 AS (SELECT bb, sum((${2 * k} - ${4 * k} * y) * x) AS gr
+      |            FROM gx JOIN lab USING (doc_id) GROUP BY bb)""".stripMargin
+    parts += s"""w1 AS (SELECT bb, -${tdiv("gr")} AS wv FROM g1)""".stripMargin
+    for (r <- 2 to rounds) {
+      parts += s"""z$r AS (SELECT gx.doc_id, sum(coalesce(pw.wv, 0) * gx.x) AS z
+        |            FROM gx LEFT JOIN w${r - 1} pw USING (bb)
+        |            GROUP BY gx.doc_id)""".stripMargin
+      parts += s"""e$r AS (SELECT z$r.doc_id,
+        |              LEAST(GREATEST(${2 * k} + z, 0), ${4 * k}) - ${4 * k} * y AS err
+        |            FROM z$r JOIN lab USING (doc_id))""".stripMargin
+      parts += s"""g$r AS (SELECT bb, sum(err * x) AS gr
+        |            FROM gx JOIN e$r USING (doc_id) GROUP BY bb)""".stripMargin
+      parts += s"""w$r AS (SELECT bb, coalesce(pw.wv, 0) - ${tdiv("gr")} AS wv
+        |            FROM g$r LEFT JOIN w${r - 1} pw USING (bb))""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
+
+  /** Label column the classifier entries train on: is-English, the
+    * language-ID task a fastText-shape model classically learns. */
+  private def clfLabel = when(col("lang") === "en", 1L).otherwise(0L)
+
+  private val clfRounds = 3
+
+  /** Train on `documents` and return the DENSE 4096-wide weight table
+    * (driver-side; model state is O(buckets), corpus-independent). */
+  private def clfTrainedDense(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Int] = {
+    val dense = new Array[Int](4096)
+    TextAnalysis.classifierTrain(Tables.documents(s, dir), "doc_id", "text",
+        clfLabel, buckets = 4096, rounds = clfRounds)
+      .collect()
+      .foreach(r => dense(r.getLong(0).toInt) = math.toIntExact(r.getLong(1)))
+    dense
+  }
 
   /** DuckDB oracle for [[TextAnalysis.bpeTrainMerges]]: the iterative
     * training loop UNROLLED as `numMerges` CTE layers. Layer k derives
@@ -128,50 +203,47 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin),
       doc = "per-source quality percentile calibration (comparable thresholds across sources)"),
 
-    // fastText-shape hashed-n-gram linear classifier with a
-    // deterministic quantized weight table: w[j] = IdHash(j) % 2001 −
-    // 1000 milli-units, so the oracle derives every weight from the
-    // bucket id by the same closed form instead of shipping the array.
-    // Per gram the oracle replays the engine's exact hash chain:
-    // t61 = Rabin–Karp mod 2^61−1 (HUGEINT list_reduce, ASCII-corpus
-    // assumption as in text_fingerprint_rolling), bucket =
-    // hashSql(t61) % 4096, weight from hashSql(bucket). Integer gram
-    // sums make the aggregate order-free, so the only float ops are
-    // the final correctly-rounded multiply + divide — hash-exact, no
-    // rounding crutch.
+    // In-engine classifier TRAINING: integer full-batch descent on the
+    // is-English label, weights exactly reproducible by the oracle's
+    // unrolled round CTEs (see clfTrainCtes). The engine's driver loop
+    // and the SQL agree because every step is integral: bucket counts,
+    // hard-sigmoid error in quarter-K units, truncating-division
+    // updates.
+    Q("text_classifier_train",
+      (s, dir) => TextAnalysis.classifierTrain(Tables.documents(s, dir),
+          "doc_id", "text", clfLabel, buckets = 4096, rounds = clfRounds)
+        .orderBy(col("bucket")),
+      Some {
+        s"""WITH ${clfTrainCtes(clfRounds)}
+          |SELECT CAST(bb AS BIGINT) AS bucket, CAST(wv AS BIGINT) AS weight
+          |FROM w$clfRounds WHERE wv != 0 ORDER BY bucket""".stripMargin
+      },
+      doc = "in-engine integer SGD: train the fastText-shape weight table, oracle replays every round"),
+
+    // fastText-shape hashed-n-gram linear classifier scoring with the
+    // weights text_classifier_train LEARNS (no synthetic table): the
+    // engine trains in its driver loop, the oracle re-derives the same
+    // weights via the unrolled CTEs and joins them per gram. Per gram
+    // both replay the exact hash chain: t61 = Rabin–Karp mod 2^61−1
+    // (HUGEINT list_reduce, ASCII-corpus assumption as in
+    // text_fingerprint_rolling), bucket = hashSql(t61) % 4096. Integer
+    // gram sums make the aggregate order-free, so the only float ops
+    // are the final correctly-rounded multiply + divide — hash-exact.
     Q("text_quality_classifier",
       (s, dir) => TextAnalysis.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text", clfWeights)
+        "doc_id", "text", clfTrainedDense(s, dir))
         .orderBy(col("doc_id")),
       Some {
-        val bkt = s"(${SamplingQueries.hashSql("t61")} % 4096)"
-        val w = s"((${SamplingQueries.hashSql("bk")} % 2001) - 1000)"
-        s"""WITH toks AS (
-          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-          |uni AS (SELECT doc_id, unnest(s) AS g FROM toks),
-          |bi AS (SELECT doc_id, s[i] || ' ' || s[i + 1] AS g
-          |       FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
-          |             FROM toks)),
-          |grams AS (SELECT doc_id, g FROM uni
-          |          UNION ALL SELECT doc_id, g FROM bi),
-          |h AS (
-          |  SELECT doc_id, CAST(list_reduce(
-          |      list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
-          |        list_transform(range(1, length(g) + 1),
-          |          i -> [CAST(unicode(substring(g, i, 1)) AS HUGEINT),
-          |                CAST(0 AS HUGEINT)])),
-          |      (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2305843009213693951,
-          |                   (acc[2] * 131) % 2305843009213693951])[1] AS BIGINT)
-          |    AS t61
-          |  FROM grams),
-          |b AS (SELECT doc_id, $bkt AS bk FROM h),
-          |a AS (SELECT doc_id, sum($w) AS __wsum, count(*) AS n_grams
-          |      FROM b GROUP BY doc_id)
+        s"""WITH ${clfTrainCtes(clfRounds)},
+          |a AS (SELECT b.doc_id, sum(coalesce(tw.wv, 0)) AS __wsum,
+          |             count(*) AS n_grams
+          |      FROM b LEFT JOIN w$clfRounds tw ON b.bk = tw.bb
+          |      GROUP BY b.doc_id)
           |SELECT doc_id, n_grams,
           |       0e0 + (1e-3 * __wsum) / n_grams AS logit
           |FROM a ORDER BY doc_id""".stripMargin
       },
-      doc = "fastText-shape hashed-bag-of-ngrams linear classifier (quantized weights, exact integer sums)"),
+      doc = "fastText-shape classifier scoring with the in-engine-trained weight table (exact integer sums)"),
 
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
