@@ -55,7 +55,11 @@ object Bench {
           val steal = if (d.length > 7) d(7) else 0L
           val busy = 100.0 * (total - idle - iowait) / total
           val sec = math.round((System.nanoTime() - t0) / 1e9)
-          val load1 = loadAvg().split(" ").head
+          // loadAvg() returns "unavailable" when /proc/loadavg can't be
+          // read; interpolating that unquoted would corrupt the JSON
+          // line, so non-numeric load1 degrades to a JSON null
+          val load1 = scala.util.Try(loadAvg().split(" ").head.toDouble)
+            .toOption.map(_.toString).getOrElse("null")
           out.add(s"""{"t":$sec,"load1":$load1,"busy_pct":${f1(busy)}""" +
             s""","iowait_pct":${f1(100.0 * iowait / total)}""" +
             s""","steal_pct":${f1(100.0 * steal / total)}}""")

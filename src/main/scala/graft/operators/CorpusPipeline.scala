@@ -93,18 +93,21 @@ final case class CorpusSettings(
   */
 object CorpusPipeline {
 
+  /** Per-run sequence for the gate-cache listener's metric key; see
+    * [[unpersistOnMaterialize]]. */
+  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Unpersist `cached` once the first action whose plan carries the
     * observe() metric `metricName` completes — i.e. once the caller has
     * materialized the pipeline result the cache existed to serve. Keyed
-    * on the metric (every [[run]] plan carries `corpus_pipeline`, and
-    * [[manifest]] plans retain it under their own metric) rather than on
-    * plan identity, because each action re-plans a fresh
-    * QueryExecution. The listener unregisters itself after firing, so a
-    * session running N sequential pipelines holds at most one gate
-    * cache + one listener at a time. Two pipelines materialized
-    * CONCURRENTLY in one session can release each other's cache one
-    * action early — harmless for correctness (unpersist never breaks
-    * lineage), it only forfeits that run's cache hits.
+    * on a metric (rather than plan identity) because each action
+    * re-plans a fresh QueryExecution; the caller passes a PER-RUN
+    * UNIQUE metric name (`corpus_pipeline_gate_<seq>`, stamped into the
+    * run's plan alongside the stable public `corpus_pipeline` metric),
+    * so a session that builds several pipelines — sequentially or
+    * concurrently — before materializing them can never release one
+    * run's cache from another run's action. The listener unregisters
+    * itself after firing, so N pipeline runs leave no listener residue.
     */
   private def unpersistOnMaterialize(cached: DataFrame,
       metricName: String): Unit = {
@@ -157,11 +160,13 @@ object CorpusPipeline {
     // unpersist would drop the cache before the caller runs the lazy
     // result, so the unpersist is deferred to the first completed
     // action on the returned plan (see unpersistOnMaterialize).
+    val gateTag = s.maxPerplexity.map(_ =>
+      s"corpus_pipeline_gate_${gateSeq.incrementAndGet()}")
     val scored = s.maxPerplexity match {
       case Some(maxPpl) =>
         val cached = clean.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        unpersistOnMaterialize(cached, "corpus_pipeline")
+        unpersistOnMaterialize(cached, gateTag.get)
         val ppl = TextAnalysis.perplexityScore(cached, s.idCol, s.textCol)
           .filter(col("perplexity") <= maxPpl)
           .select(col(s.idCol))
@@ -203,9 +208,14 @@ object CorpusPipeline {
       if (s.epochs.isEmpty) sharded.withColumn("epoch", lit(1))
       else Sampling.upsampleByEpochs(sharded, s.idCol, s.sourceCol,
         s.epochs, s.defaultEpochs)
-    out.observe("corpus_pipeline",
+    val observed = out.observe("corpus_pipeline",
       count(lit(1)).as("rows_out"),
       sum(col("n_words")).as("tokens_out"))
+    // when the gate cached, stamp this run's unique listener key into
+    // the plan (a root-level CollectMetrics — no effect on the stages
+    // below it) so only THIS run's actions release the gate cache
+    gateTag.fold(observed)(tag =>
+      observed.observe(tag, count(lit(1)).as("rows_out")))
   }
 
   /** The per-pack manifest of a [[run]] output — the consumable

@@ -235,15 +235,20 @@ class TextAnalysisSpec extends SparkSpec {
         weights((graft.functions.IdHash.hash(t61(g)) % B).toInt).toLong).sum
       (grams.size.toLong, 0.0 + (1e-3 * s) / grams.size)
     }
-    val docs = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "word"))
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "word"),
+        (4L, null: String))
       .toDF("doc_id", "text")
     for (bigrams <- Seq(true, false)) {
       val got = TextAnalysis.classifierScore(docs, "doc_id", "text", weights,
           addBigrams = bigrams)
         .orderBy("doc_id")
-        .as[(Long, Long, Double)].collect()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
       val want = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "word"))
-        .map { case (id, t) => val (n, l) = score(t, bigrams); (id, n, l) }
+        .map { case (id, t) =>
+          val (n, l) = score(t, bigrams); (id, n, Some(l))
+        } :+ ((4L, 0L, None)) // NULL text survives as (id, 0, NULL)
       assert(got.toSeq === want, s"bigrams=$bigrams")
     }
     // empty text still scores: split keeps one empty token
