@@ -388,19 +388,41 @@ object Multimodal {
     * pixel (x, y) = (seed + 7f + 31x + 131y) mod 256, the closed form
     * the frame-level oracles recompute.
     */
-  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] =
+    encodeFrameSequence("gif", width, height, nFrames, seed)
+
+  /** Deterministic multi-PAGE grayscale TIFF via the JDK's TIFF plugin
+    * (bundled since Java 9) — same closed-form pixels and same indexed
+    * 256-gray palette as [[encodeGif]], so the decode round-trip is
+    * lossless and the same frame-level oracles apply. Proves the frame
+    * kernel ([[decodeFrames]] → [[frameSampleDecoded]]) is
+    * format-generic, not GIF-specific.
+    */
+  def encodeTiff(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] =
+    encodeFrameSequence("tiff", width, height, nFrames, seed)
+
+  /** Shared multi-frame encoder behind [[encodeGif]]/[[encodeTiff]]:
+    * any ImageIO writer whose container supports in-file sequences
+    * (`canWriteSequence`). Frames are 8-bit indexed over an explicit
+    * 256-gray palette so no quantizer or colorspace transform touches
+    * the pixel values in either direction.
+    */
+  private def encodeFrameSequence(format: String, width: Int, height: Int,
+      nFrames: Int, seed: Long): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0 && seed >= 0)
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+    require(writer.canWriteSequence, s"$format writer lacks sequence support")
     // the JDK GIF writer's default progressive mode writes INTERLACED
     // frames, and the de-interlace round-trip is wrong for tiny frame
     // heights (rows permuted, last row dropped) — sequential scan
     // order is also what the closed-form oracle assumes
     val param = writer.getDefaultWriteParam
-    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    if (param.canWriteProgressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -428,17 +450,22 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL multi-frame container decode — the JDK GIF reader, all
-    * frames by index. None when the payload isn't a readable GIF.
+  /** REAL multi-frame container decode, FORMAT-GENERIC: content-sniff
+    * the payload (`ImageIO.getImageReaders` over the stream — magic
+    * bytes, not extensions), then read every frame/page the container
+    * holds by index. Multi-frame GIF and multi-page TIFF both decode
+    * fully; single-frame formats (PNG/JPEG/BMP) yield one frame. None
+    * when no registered reader recognizes the bytes or decode fails.
     */
   private[graft] def decodeFrames(
       bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
-    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
     if (!readers.hasNext) return None
     val reader = readers.next()
     try {
-      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)), false, true)
+      reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
       if (n <= 0) None else Some((0 until n).map(reader.read))
     } catch { case _: Exception => None }
@@ -501,6 +528,25 @@ object Multimodal {
       width = 1 + (id % 32).toInt,
       height = 1 + (id % 24).toInt,
       nFrames = 2 + (id % 7).toInt,
+      seed = id))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        lit("video").as("media_type"),
+        gen(col("doc_id")).as("content"))
+  }
+
+  /** Media table of REAL multi-page TIFFs — the [[gifMediaFromDocuments]]
+    * construction through the JDK's TIFF plugin, with coprime moduli
+    * (17/13/5 vs GIF's 32/24/7) so the two tables exercise different
+    * frame shapes. One closed-form oracle verifies the whole
+    * encode → sniff → page-decode → sample chain on a second container
+    * format.
+    */
+  def tiffMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => encodeTiff(
+      width = 1 + (id % 17).toInt,
+      height = 1 + (id % 13).toInt,
+      nFrames = 2 + (id % 5).toInt,
       seed = id))
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id").as("id"),

@@ -207,6 +207,37 @@ object MultimodalQueries {
              |FROM a ORDER BY id, frame_idx""".stripMargin),
       doc = "REAL multi-frame decode: encode GIF -> JDK frame-by-frame decode -> even sample -> raster means, bit-exact"),
 
+    // The same decoded-frame pipeline over a SECOND container format:
+    // multi-page TIFF through the JDK's bundled TIFF plugin, sniffed
+    // by magic bytes (decodeFrames no longer assumes GIF). Coprime
+    // dimension moduli (17/13/5) vs the GIF table exercise different
+    // frame shapes; the oracle is the identical closed form.
+    Q("mm_frame_sample_tiff",
+      (s, dir) => Multimodal.frameSampleDecoded(
+        Multimodal.tiffMediaFromDocuments(Tables.documents(s, dir)), n = 4)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("src_frame"),
+          col("width"), col("height"), col("mean_gray"))
+        .orderBy(col("id"), col("frame_idx")),
+      Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 17 AS BIGINT) AS w,
+             |                  CAST(1 + doc_id % 13 AS BIGINT) AS h,
+             |                  CAST(2 + doc_id % 5 AS BIGINT) AS fc
+             |           FROM documents),
+             |k AS (SELECT *, least(4, fc) AS k FROM d),
+             |i AS (SELECT doc_id, w, h, fc, k, unnest(range(0, k)) AS i FROM k),
+             |fr AS (SELECT doc_id, w, h, i, (i * fc) // k AS src FROM i),
+             |xs AS (SELECT doc_id, w, h, i, src, unnest(range(0, w)) AS x FROM fr),
+             |px AS (SELECT doc_id, w, h, i, src, x, unnest(range(0, h)) AS y FROM xs),
+             |a AS (SELECT doc_id, i, src, w, h,
+             |             sum((doc_id + 7 * src + 31 * x + 131 * y) % 256) AS s
+             |      FROM px GROUP BY 1, 2, 3, 4, 5)
+             |SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             |       CAST(src AS INTEGER) AS src_frame,
+             |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |       CAST(s AS DOUBLE) / (w * h) AS mean_gray
+             |FROM a ORDER BY id, frame_idx""".stripMargin),
+      doc = "multi-page TIFF decode via the same frame kernel: format-generic sniff -> page sample -> raster means"),
+
     // REAL frame dedup: byte-identical GIF payloads (the injected
     // id+100000 copies) decode to pixel-identical frames; canonical =
     // min id per distinct (dims, raster md5). The oracle derives frame

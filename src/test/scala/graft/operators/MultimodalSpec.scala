@@ -145,7 +145,36 @@ class MultimodalSpec extends SparkSpec {
         ((seed + 7L * f + 31L * x + 131L * y) % 256).toInt,
         s"frame $f pixel ($x,$y)")
     assert(Multimodal.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
-    assert(Multimodal.decodeFrames(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+    // format-generic: a single-frame format decodes as exactly one frame
+    assert(Multimodal.decodeFrames(Multimodal.encodePng(4, 4, 1L)).get.size == 1)
+  }
+
+  test("encodeTiff/decodeFrames: multi-PAGE TIFF round-trip, lossless pixels") {
+    val (w, h, frames, seed) = (11, 7, 4, 33L)
+    val bytes = Multimodal.encodeTiff(w, h, frames, seed)
+    // real TIFF container magic (little- or big-endian header)
+    val magic = bytes.take(2).map(_ & 0xFF).toSeq
+    assert(magic == Seq(0x49, 0x49) || magic == Seq(0x4D, 0x4D))
+    val got = Multimodal.decodeFrames(bytes).get
+    assert(got.size == frames)
+    for (f <- 0 until frames; y <- 0 until h; x <- 0 until w)
+      assert((got(f).getRGB(x, y) & 0xFF) ==
+        ((seed + 7L * f + 31L * x + 131L * y) % 256).toInt,
+        s"page $f pixel ($x,$y)")
+  }
+
+  test("frameSampleDecoded is format-generic: mixed GIF + TIFF media") {
+    val media = Seq(
+        (1L, "video", Multimodal.encodeGif(6, 4, 5, 1L)),
+        (2L, "video", Multimodal.encodeTiff(6, 4, 5, 1L)))
+      .toDF("id", "media_type", "content")
+    val got = Multimodal.frameSampleDecoded(media, n = 3).collect()
+      .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    // same closed form, same pixels — the container must not matter
+    assert(got(1L).map(r => (r.src_frame, r.mean_gray)).toSeq ==
+      got(2L).map(r => (r.src_frame, r.mean_gray)).toSeq)
+    assert(got(1L).zip(got(2L)).forall { case (a, b) =>
+      a.gray.toSeq == b.gray.toSeq })
   }
 
   test("frameSampleDecoded: even sampling rule + exact means over real frames") {
