@@ -730,9 +730,16 @@ object Dedup {
     * but equality of BOTH to the previous round means the canonical
     * edge set is stable.
     */
+  /** @param eagerCheckpoint A/B instrument for the per-round
+    *        localCheckpoint mode: false (default) folds checkpoint
+    *        materialization into the witness aggregate (one job/round);
+    *        true materializes eagerly first (two jobs/round) — the
+    *        pre-round-10 behavior, kept so the fold's cost claim stays
+    *        measurable (SkewProbe `ccab`).
+    */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String = "id", compOut: String = "component",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, eagerCheckpoint: Boolean = false): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -799,7 +806,8 @@ object Dedup {
       // on the checkpoint-marked RDD materializes + caches the round's
       // partitions and computes the witness in ONE job — halving the
       // loop's jobs/round vs eager-checkpoint-then-aggregate
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      // (eagerCheckpoint = true restores the two-job form for A/B)
+      val next = smallStar(largeStar(e)).localCheckpoint(eagerCheckpoint)
       val w2 = witness(next)
       e.unpersist()
       e = next
@@ -886,14 +894,39 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, method: String = "lsh",
       numCells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val pairs = (method match {
-      case "ivf" => embeddingNearDupPairsIvf(emb, idCol, vecCol, threshold,
+    // Collapse EXACT-duplicate vectors before any candidate path:
+    // identical vectors are near-dups at every threshold (cos = 1) and
+    // share every LSH band / IVF cell, so a mass of C identical vectors
+    // (a failed-decode default embedding, an empty-doc vector — every
+    // production embedding table has such a head) would push a C²/2
+    // candidate clique through the verify join. Measured (round-12
+    // SkewProbe `semantic`, 200k vectors with a 25% identical mass):
+    // the collapsed path runs in seconds where the uncollapsed clique
+    // is ~1.2e9 candidate pairs — structurally unrunnable. One
+    // partial-aggregated groupBy on a 64-bit vector hash picks the
+    // min-id representative per distinct vector, only representatives
+    // enter the candidate path, and member→representative edges rejoin
+    // the component graph — cos(member, x) ≡ cos(rep, x), so the
+    // components (and therefore the survivors) are exactly those of
+    // the uncollapsed run. The xxhash64 keying accepts the same 2^-64
+    // false-merge chance as [[lineDedup]]'s span hash.
+    val keyed = emb.select(col(idCol).as("__mid"),
+      xxhash64(col(vecCol)).as("__vh"))
+    val reps = keyed.groupBy(col("__vh")).agg(min(col("__mid")).as("__rid"))
+    val tagged = keyed.join(reps, "__vh")
+    val repEmb = emb.join(reps.select(col("__rid")),
+      col(idCol) === col("__rid"), "leftsemi")
+    val repPairs = (method match {
+      case "ivf" => embeddingNearDupPairsIvf(repEmb, idCol, vecCol, threshold,
         numCells, nprobe)
-      case "lsh" => embeddingNearDupPairsSignLsh(emb, idCol, vecCol, threshold)
+      case "lsh" => embeddingNearDupPairsSignLsh(repEmb, idCol, vecCol, threshold)
       case other => throw new IllegalArgumentException(
         s"unknown method '$other' (expected ivf | lsh)")
     }).select(col("id_a"), col("id_b"))
-    val cc = connectedComponentsStar(pairs, "id_a", "id_b", idOut = "__cid")
+    val dupEdges = tagged.filter(col("__mid") =!= col("__rid"))
+      .select(col("__mid").as("id_a"), col("__rid").as("id_b"))
+    val cc = connectedComponentsStar(repPairs.unionByName(dupEdges),
+      "id_a", "id_b", idOut = "__cid")
     emb.join(cc, col(idCol) === col("__cid"), "left")
       .filter(col("__cid").isNull || col("component") === col(idCol))
       .drop("__cid", "component")

@@ -22,6 +22,18 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   pack        packLayout vs packLayoutSalted
   *   cc          min-label vs star contraction on the near-dup CHAIN
   *               (edges from minhashLshPairs over the src_chain docs)
+  *   ccab        star contraction LAZY vs EAGER per-round checkpoint on
+  *               the chain edges — the round-10 witness-fold A/B
+  *   linededup   C4 span removal on the 7-word-lined corpus — SkewGen's
+  *               hot prefix makes line #1 of ~half the docs identical,
+  *               so the span-hash groupBy/join carries a df≈N/2 key
+  *   semantic    semanticDedup on the embeddings as-is vs with ~25% of
+  *               vectors overwritten by ONE shared vector (the "default
+  *               embedding" mass a real corpus carries) — the
+  *               identical-vector clique is the quadratic hazard
+  *   split       splitByGroup over the full corpus with the chain docs'
+  *               LSH pairs as the leakage graph; prints the group-size
+  *               distribution a user should expect
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -200,6 +212,99 @@ object SkewProbe {
           report("star", rep, tS, nS, hS,
             if (nS == nM && hS == hM) " MATCH" else " **MISMATCH**")
           edges.unpersist()
+        case "ccab" =>
+          // lazy (witness aggregate materializes the checkpoint, one
+          // job/round) vs eager (checkpoint count job first, then the
+          // witness) on identical chain edges — settles whether the
+          // round-10 lazy fold costs or saves on a real loop
+          val chainDocs = docs.filter(col("source") === "src_chain")
+          val edges = graft.operators.Dedup.minhashLshPairs(
+              chainDocs, "doc_id", "text", k = 3, threshold = 0.8)
+            .select(col("id_a"), col("id_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nE = edges.count()
+          val ((nL, hL), tL) = time(sig(graft.operators.Dedup
+            .connectedComponentsStar(edges, "id_a", "id_b"),
+            Seq("id", "component")))
+          report("star_lazy", rep, tL, nL, hL, s" edges=$nE")
+          val ((nEg, hEg), tEg) = time(sig(graft.operators.Dedup
+            .connectedComponentsStar(edges, "id_a", "id_b",
+              eagerCheckpoint = true),
+            Seq("id", "component")))
+          report("star_eager", rep, tEg, nEg, hEg,
+            if (nEg == nL && hEg == hL) " MATCH" else " **MISMATCH**")
+          edges.unpersist()
+        case "linededup" =>
+          // the text_line_dedup lining (7-word spans) over the skewed
+          // corpus: SkewGen's 10-token hot prefix makes span #1 of every
+          // hot doc IDENTICAL — the df≈N/2 span the group-by-span-hash
+          // join must survive (boilerplate spans ARE the Zipf head)
+          val ws = split(col("text"), " ")
+          val lined = docs.select(col("doc_id"),
+            array_join(transform(sequence(lit(1), size(ws), lit(7)),
+              st => array_join(slice(ws, st, lit(7)), " ")), "\n").as("text"))
+          if (rep == 1) {
+            val r = lined
+              .select(explode(split(col("text"), "\n")).as("span"))
+              .groupBy(xxhash64(col("span"))).agg(count(lit(1)).as("c"))
+              .agg(max(col("c")), count(lit(1))).head
+            println(s"[skew] linededup hot_span_df=${r.getLong(0)} " +
+              s"distinct_spans=${r.getLong(1)}")
+          }
+          val ((n, h), t) = time(sig(
+            graft.operators.Dedup.lineDedup(lined, "doc_id", "text",
+              sep = "\n"),
+            Seq("doc_id", "text")))
+          report("span_rm", rep, t, n, h)
+        case "semantic" =>
+          val emb = graft.sources.Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"))
+          val ((n0, h0), t0) = time(sig(
+            graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding",
+              threshold = 0.9, method = "lsh"),
+            Seq("vec_id")))
+          report("uniform", rep, t0, n0, h0)
+          // identical-vector mass: ~25% of vectors become ONE shared
+          // vector (a failed-decode default embedding, an empty-doc
+          // vector — the head every production embedding table has).
+          // They always share every LSH band, so the candidate set
+          // carries a C²/2 clique unless the operator collapses it.
+          val proto = emb.orderBy(col("vec_id")).limit(1)
+            .select(col("embedding").as("__proto"))
+          val skewed = emb.crossJoin(broadcast(proto))
+            .select(col("vec_id"),
+              when(pmod(hash(col("vec_id")), lit(4)) === 0, col("__proto"))
+                .otherwise(col("embedding")).as("embedding"))
+          val ((n1, h1), t1) = time(sig(
+            graft.operators.Dedup.semanticDedup(skewed, "vec_id", "embedding",
+              threshold = 0.9, method = "lsh"),
+            Seq("vec_id")))
+          report("ident25", rep, t1, n1, h1)
+        case "split" =>
+          val chainDocs = docs.filter(col("source") === "src_chain")
+          val pairs = graft.operators.Dedup.minhashLshPairs(
+              chainDocs, "doc_id", "text", k = 3, threshold = 0.8)
+            .select(col("id_a"), col("id_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nE = pairs.count()
+          val out = graft.operators.Sampling.splitByGroup(docs, pairs,
+            "doc_id", Seq("train" -> 0.8, "val" -> 0.1))
+          val ((n, h), t) = time(sig(out, Seq("doc_id", "split")))
+          report("star", rep, t, n, h, s" edges=$nE")
+          if (rep == 1) {
+            // the leakage-group shape a user should expect from a
+            // chain-heavy near-dup graph: one group per component
+            val g = out.groupBy(col("group_id")).agg(count(lit(1)).as("c"))
+            val r = g.agg(count(lit(1)), max(col("c")),
+              sum(when(col("c") > 1, 1L).otherwise(0L))).head
+            val bySplit = out.groupBy(col("split")).count().collect()
+              .map(x => s"${x.getString(0)}=${x.getLong(1)}").sorted
+              .mkString(" ")
+            println(s"[skew] split groups=${r.getLong(0)} " +
+              s"max_group=${r.getLong(1)} multi_groups=${r.getLong(2)} " +
+              s"rows_by_split: $bySplit")
+          }
+          pairs.unpersist()
         case other =>
           sys.error(s"unknown family: $other")
       }

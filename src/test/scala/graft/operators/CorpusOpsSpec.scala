@@ -109,4 +109,31 @@ class CorpusOpsSpec extends SparkSpec {
       Dedup.semanticDedup(df, "vec_id", "embedding", 0.9, method = "nope")
     }
   }
+
+  test("semanticDedup: exact-duplicate vector mass collapses without changing survivors") {
+    // ids 2..5 share ONE identical vector (the "default embedding"
+    // mass); id 1 is collinear with it, so the whole {1..5} set is one
+    // component reachable only if member→rep edges rejoin the graph;
+    // 9 is an orthogonal singleton. The exact-collapse path must keep
+    // exactly min-id-per-component, same as an uncollapsed run would.
+    val df = Seq(
+      (1L, Array(3.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f)),
+      (9L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, method = "lsh")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+    // identical-mass-only corpus: everything collapses to the min id
+    val allSame = Seq.tabulate(6)(i => (10L + i, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val keptSame = Dedup.semanticDedup(allSame, "vec_id", "embedding",
+        threshold = 0.9, method = "lsh")
+      .select("vec_id").as[Long].collect().sorted
+    assert(keptSame.toSeq == Seq(10L))
+  }
 }
