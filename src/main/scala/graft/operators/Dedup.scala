@@ -852,6 +852,15 @@ object Dedup {
     * collision chance (two distinct spans sharing a hash would share
     * stats) — the same trade [[minhashBands]] makes.
     *
+    * Skew-probed on the real-world worst case (round-12 SkewProbe
+    * `linededup`: 510k docs where ONE boilerplate span has df 249,852 ≈
+    * N/2 — boilerplate IS the Zipf head): 5.5 s wall / 2.2 s max task
+    * warm at local[32]. The count side is immune (partial aggregation),
+    * and the span⋈stats equi-join survives the hot key because the
+    * stats side carries ONE row per span hash — AQE's skew-join split
+    * replicates it across the fat probe partitions. No salting needed;
+    * leave AQE on for this operator.
+    *
     * Output: (`idCol`, `textOut`) for every doc with ≥ 1 surviving span.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,

