@@ -25,20 +25,45 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events` carries a parquet TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
-    * physical INT64 with an explicit schema and floor-divide to micros
-    * (integer `div` — float division would lose precision at 1.7e18 ns).
+  /** The events parquet's `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL), so it must be read as the
+    * physical INT64 and floor-divided to micros (integer `div` — float
+    * division would lose precision at 1.7e18 ns) — versus plain
+    * TIMESTAMP(MICROS)/NTZ, which reads natively. Resolve whichever is
+    * on disk to one shape (session-tz TimestampType) so every consumer,
+    * batch or streaming, sees identical `ts` semantics.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] val eventsLongSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val sch = StructType(Seq(
+    StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(sch).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Read an events-shaped parquet path (file, dir, or glob), resolving
+    * the on-disk `ts` encoding per the note above. A native read that
+    * yields a timestamp `ts` wins; a LongType `ts` (raw INT64 nanos,
+    * also what the streaming-spec fixtures write) or an illegal-type
+    * failure (TIMESTAMP(NANOS) footer) falls back to the INT64 path.
+    */
+  private[graft] def readEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    scala.util.Try(spark.read.parquet(path)).toOption
+      .filter(df => df.schema.fieldNames.contains("ts") &&
+        (df.schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => true
+          case _ => false
+        }))
+      .map(df => df.withColumn("ts", col("ts").cast(TimestampType)))
+      .getOrElse(
+        spark.read.schema(eventsLongSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, s"$sfDir/events.parquet")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

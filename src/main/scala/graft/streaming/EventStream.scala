@@ -21,21 +21,44 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Events schema for streaming reads (ns timestamps arrive as INT64 —
-    * see [[graft.sources.Tables.events]]).
+  /** Events schema for streaming reads when `ts` arrives as raw INT64
+    * nanos (the TIMESTAMP(NANOS) testdata generation and the spec
+    * fixtures — see [[graft.sources.Tables.readEvents]]).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming reads must declare a schema up front, so sniff the
+    * on-disk `ts` encoding with ONE batch footer read of the same path
+    * (setup-time only — no per-batch cost), then declare the matching
+    * stream schema; both encodings resolve to session-tz TimestampType,
+    * mirroring [[graft.sources.Tables.readEvents]]. An unreadable or
+    * empty path falls back to the INT64-nanos shape.
+    */
   def readStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val sniffed = scala.util.Try(spark.read.parquet(dir).schema).toOption
+      .filter(s => s.fieldNames.contains("ts") && (s("ts").dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      }))
+    sniffed match {
+      case Some(schema) =>
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.readStream
+          .schema(rawSchema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
 
   /** Tumbling 1-hour event-time windows, 2-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -90,15 +90,10 @@ object ScaleGen {
       .repartition(col("vec_id"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // events: raw INT64 nanos schema (Tables.events reads it that way —
-    // Spark rejects the driver's TIMESTAMP(NANOS) logical type, and
-    // writing plain INT64 keeps the reader's explicit schema valid)
-    import org.apache.spark.sql.types._
-    val evSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val ev = spark.read.schema(evSchema).parquet(s"$src/events.parquet")
+    // events: readEvents resolves whichever ts encoding the source
+    // generation carries (TIMESTAMP(NANOS)-as-INT64 vs native micros);
+    // the copy writes plain TimestampType, which it also reads back
+    val ev = graft.sources.Tables.readEvents(spark, s"$src/events.parquet")
     // same aliasing guard for the two event-side id spaces (see above)
     locally {
       val r = ev.agg(max(col("event_id")), max(col("user_id"))).head

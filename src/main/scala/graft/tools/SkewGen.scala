@@ -95,14 +95,9 @@ object SkewGen {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     // events: user 0 takes ~50% of all rows (dominant asof/window key).
-    // Raw INT64 nanos schema, same as ScaleGen (Tables.events reads it
-    // with an explicit schema).
-    import org.apache.spark.sql.types._
-    val evSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(evSchema).parquet(s"$src/events.parquet")
+    // readEvents resolves whichever ts encoding the source generation
+    // carries; the copy writes plain TimestampType, which it also reads.
+    graft.sources.Tables.readEvents(spark, s"$src/events.parquet")
       .select(col("event_id"), col("ts"),
         when(pmod(hash(col("event_id")), lit(2)) === 0, lit(0L))
           .otherwise(col("user_id")).as("user_id"),
