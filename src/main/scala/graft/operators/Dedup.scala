@@ -832,6 +832,46 @@ object Dedup {
     out
   }
 
+  /** Quality-aware canonical selection: the surviving corpus after
+    * near-dup clustering, keeping for each component the member with
+    * the HIGHEST score (ties → lowest id) instead of the arbitrary
+    * min-id member. This is what production dedup recipes actually do —
+    * when a template cluster mixes a full article with its truncated
+    * syndicated copies, min-id keeps whichever crawled first; score-max
+    * keeps the best one (longest, highest quality-classifier margin,
+    * preferred source — any numeric `scoreCol` the caller puts on
+    * `docs`).
+    *
+    * Shuffle profile: component labeling is bounded by the docs that
+    * appear in some pair (star contraction, O(log n) rounds); the
+    * per-component winner is ONE partial-aggregated `max_by` — no
+    * window, so no per-key row sort and a giant component costs its
+    * share of a combine, not a single-task sort; survivors emerge from
+    * one id equi-join + one component equi-join back onto `docs`, both
+    * null-safe for untouched docs. At 100 TB the only corpus-sized
+    * shuffles are the id joins; everything else is |candidate-pair|
+    * sized.
+    *
+    * @param docs  corpus carrying `idCol` and `scoreCol`
+    * @param pairs near-dup pair relation (`aCol`, `bCol` id columns)
+    * @return `docs` rows surviving: untouched docs + each component's
+    *         best member, original columns intact
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponentsStar(pairs, aCol, bCol, idOut = "__kid")
+    val scored = docs.select(col(idCol).as("__kid"), col(scoreCol).as("__ks"))
+    val best = cc.join(scored, "__kid")
+      .groupBy(col("component"))
+      // maximize (score, -id): max score, then the LOWEST id among ties
+      .agg(max_by(col("__kid"),
+        struct(col("__ks"), (-col("__kid")).as("__neg"))).as("__keep"))
+    docs.join(cc, col(idCol) === col("__kid"), "left")
+      .join(best, Seq("component"), "left")
+      .filter(col("__kid").isNull || col(idCol) === col("__keep"))
+      .drop("__kid", "component", "__keep")
+  }
+
   /** C4-style duplicated-span removal (Raffel et al. 2020 §2.2: "we
     * removed all but one of any three-sentence span occurring more than
     * once in the data set"), generalized to any literal line separator:
