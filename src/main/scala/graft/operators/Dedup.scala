@@ -852,6 +852,16 @@ object Dedup {
     * shuffles are the id joins; everything else is |candidate-pair|
     * sized.
     *
+    * Type contract: `scoreCol` must be numeric — winners compare as
+    * DOUBLE (a > 2^53 integral score loses sub-ulp distinctions; null
+    * scores lose to any non-null score; an all-null component falls
+    * back to min-id). `idCol` may be ANY orderable type (Long, string,
+    * UUID-as-string …): the tie-break orders ids natively inside a
+    * struct instead of negating them, so there is no numeric-id
+    * requirement and no ANSI overflow at Long.MinValue. Internal
+    * columns use a reserved `__k` prefix; `docs` carrying a
+    * `component` (or any non-`__k*`) column joins through unharmed.
+    *
     * @param docs  corpus carrying `idCol` and `scoreCol`
     * @param pairs near-dup pair relation (`aCol`, `bCol` id columns)
     * @return `docs` rows surviving: untouched docs + each component's
@@ -860,16 +870,23 @@ object Dedup {
   def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val cc = connectedComponentsStar(pairs, aCol, bCol, idOut = "__kid")
+      .withColumnRenamed("component", "__kcomp")
     val scored = docs.select(col(idCol).as("__kid"), col(scoreCol).as("__ks"))
+    // maximize (score, then LOWEST id) as min_by over (-score, id):
+    // negating the DOUBLE-cast score instead of the id keeps any
+    // orderable id type safe; null scores coalesce to -Inf (their
+    // negation +Inf sorts last in the min), so they lose to any real
+    // score and an all-null component degrades to min-id
     val best = cc.join(scored, "__kid")
-      .groupBy(col("component"))
-      // maximize (score, -id): max score, then the LOWEST id among ties
-      .agg(max_by(col("__kid"),
-        struct(col("__ks"), (-col("__kid")).as("__neg"))).as("__keep"))
+      .groupBy(col("__kcomp"))
+      .agg(min_by(col("__kid"),
+        struct((-coalesce(col("__ks").cast("double"),
+            lit(Double.NegativeInfinity))).as("__s"),
+          col("__kid").as("__i"))).as("__keep"))
     docs.join(cc, col(idCol) === col("__kid"), "left")
-      .join(best, Seq("component"), "left")
+      .join(best, Seq("__kcomp"), "left")
       .filter(col("__kid").isNull || col(idCol) === col("__keep"))
-      .drop("__kid", "component", "__keep")
+      .drop("__kid", "__kcomp", "__keep")
   }
 
   /** C4-style duplicated-span removal (Raffel et al. 2020 §2.2: "we

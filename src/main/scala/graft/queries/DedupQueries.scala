@@ -428,7 +428,11 @@ object DedupQueries {
         val jp = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
             k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
           .select(col("id_a"), col("id_b"))
-        val cc = Dedup.connectedComponents(jp, "id_a", "id_b", idOut = "cid")
+        // star contraction is the repo default for composite operators
+        // (BASELINE rounds 9-10: min-label 13x worse on chain graphs and
+        // the most load-sensitive driver-synchronized shape); min-label
+        // coverage lives on in dedup_cc_clusters' head-to-head
+        val cc = Dedup.connectedComponentsStar(jp, "id_a", "id_b", idOut = "cid")
         Tables.documents(s, dir)
           .join(cc, col("doc_id") === col("cid"), "left")
           .filter(col("cid").isNull || col("component") === col("doc_id"))
@@ -462,6 +466,56 @@ object DedupQueries {
              |LEFT JOIN comp c ON doc.doc_id = c.id
              |WHERE c.id IS NULL OR c.component = doc.doc_id
              |ORDER BY doc.doc_id""".stripMargin),
-      doc = "surviving corpus after near-dup clustering: keep untouched docs + per-component canonical")
+      doc = "surviving corpus after near-dup clustering: keep untouched docs + per-component canonical"),
+
+    // Quality-aware variant of keep_canonical: per component keep the
+    // HIGHEST-scoring member (score = n_chars — the longest copy of a
+    // template cluster, the production recipe) with ties broken to the
+    // lowest id. Same LSH pair source and recursive-CTE closure; the
+    // oracle picks its winner with a windowed row_number over
+    // (n_chars DESC, doc_id).
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val jp = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
+          .select(col("id_a"), col("id_b"))
+        Dedup.keepBest(docs, jp, "doc_id", "n_chars")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |s AS (SELECT DISTINCT doc_id,
+             |             unnest(list_transform(range(1, len(l) - 1),
+             |                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |      FROM d),
+             |cnt AS (SELECT doc_id, count(*) c FROM s GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.doc_id
+             |       JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+             |          UNION SELECT id_b, id_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id),
+             |win AS (SELECT c.component, d.doc_id,
+             |               row_number() OVER (PARTITION BY c.component
+             |                 ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             |        FROM comp c JOIN documents d ON d.doc_id = c.id)
+             |SELECT doc.doc_id, doc.lang
+             |FROM documents doc
+             |LEFT JOIN comp c ON doc.doc_id = c.id
+             |LEFT JOIN win w ON w.component = c.component AND w.rn = 1
+             |WHERE c.id IS NULL OR doc.doc_id = w.doc_id
+             |ORDER BY doc.doc_id""".stripMargin),
+      doc = "surviving corpus keeping each component's BEST member (score-max, min-id ties) instead of min-id")
   )
 }

@@ -64,47 +64,35 @@ object SamplingQueries {
     decontaminateK = 3,
     packCap = 512, packBuckets = 16)
 
-  /** Run-ONCE cache for the doc_pipeline_* family. full / shards /
-    * manifest are three VIEWS of the same [[CorpusPipeline.run]] (same
-    * corpus, same [[pipelineSettings]]), and the run is deterministic
-    * (portable id-hash, no RNG), so its output is a pure function of
-    * (corpus, settings) — memoizing the materialized frame per
-    * (sessionUUID, sfDir) changes nothing an oracle can observe; it
-    * only stops the catalog from paying the mixture→decontaminate→
-    * LSH→CC→pack chain once per entry (round-11 bench: full 4.9 s +
-    * shards 5.3 s + manifest 4.3 s, three near-identical runs). This is
-    * the production shape: a user materializes the pipeline once and
-    * derives every dataloader artifact — packs, shards, manifests —
-    * from that one output. Same discipline as TextQueries' clfCache:
-    * WEAK session keys so dropped sessions stay collectable; the value
-    * is one persisted frame per (session, dir), MEMORY_AND_DISK,
-    * bounded by the surviving-corpus size. The eager count() both
-    * fills the blocks and fires the run's gate-cache release listener.
+  /** The materialized [[CorpusPipeline.run]] output for
+    * [[pipelineSettings]], run ONCE per JVM per sf dir. full / shards /
+    * manifest are three VIEWS of the same run (same corpus, same
+    * settings), and the run is deterministic (portable id-hash, no
+    * RNG), so its output is a pure function of (corpus, settings) —
+    * sharing the materialization changes nothing an oracle can observe
+    * (round-11 bench: full 4.9 s + shards 5.3 s + manifest 4.3 s,
+    * three near-identical runs). This is the production shape: a user
+    * materializes the pipeline once and derives every dataloader
+    * artifact — packs, shards, manifests — from that one output.
+    *
+    * Memoized via [[QueryMemo]] (a parquet spill, not a persisted
+    * frame): the round-12 WeakHashMap-of-DataFrames version leaked —
+    * the cached frames strongly referenced their session key, pinning
+    * sessions and MEMORY_AND_DISK blocks for the JVM lifetime. The
+    * parquet write is also the full-materialization action that fires
+    * the run's gate-cache release listener (the job the old eager
+    * count() existed for). No shard stage here — see
+    * doc_pipeline_shards for how (shard, pos) derive from this frame.
     */
-  private val pipeCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]()
-
-  /** The memoized, materialized [[CorpusPipeline.run]] output for
-    * [[pipelineSettings]] (no shard stage — see doc_pipeline_shards for
-    * how (shard, pos) derive from this same frame). */
   private def pipelineOut(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val perSession = pipeCache.synchronized {
-      pipeCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty)
-    }
-    perSession.getOrElseUpdate(dir, {
+      dir: String): org.apache.spark.sql.DataFrame =
+    QueryMemo.materialized(s, s"doc_pipeline|$dir") {
       val docs = Tables.documents(s, dir)
-      val out = CorpusPipeline.run(
+      CorpusPipeline.run(
         docs.filter(col("doc_id") >= 25),
         Some(docs.filter(col("doc_id") < 25)),
         pipelineSettings)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
-    })
-  }
+    }
 
   /** Shared oracle CTE chain for [[pipelineSettings]]: mixture →
     * decontaminate → exact-Jaccard dedup-keep (recursive-CTE

@@ -34,29 +34,47 @@ object EventStream {
     * on-disk `ts` encoding with ONE batch footer read of the same path
     * (setup-time only — no per-batch cost), then declare the matching
     * stream schema; both encodings resolve to session-tz TimestampType,
-    * mirroring [[graft.sources.Tables.readEvents]]. An unreadable or
-    * empty path falls back to the INT64-nanos shape.
+    * mirroring [[graft.sources.Tables.readEvents]].
+    *
+    * The path must already contain at least one representative events
+    * file: a stream's declared schema is fixed for its lifetime, so
+    * sniff-failure (empty dir, unreadable files, no `ts` column) FAILS
+    * FAST instead of guessing. The round-12 behavior — silently
+    * assuming INT64 nanos — meant native TIMESTAMP(MICROS) files
+    * landing later were floor-divided by 1000, compressing the
+    * timeline 1000× with no error anywhere.
     */
   def readStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val sniffed = scala.util.Try(spark.read.parquet(dir).schema).toOption
-      .filter(s => s.fieldNames.contains("ts") && (s("ts").dataType match {
-        case TimestampType | TimestampNTZType => true
-        case _ => false
-      }))
-    sniffed match {
-      case Some(schema) =>
+    val onDisk = scala.util.Try(spark.read.parquet(dir).schema) match {
+      case scala.util.Success(s) if s.fieldNames.contains("ts") => s
+      case scala.util.Success(s) =>
+        throw new IllegalArgumentException(
+          s"events stream at $dir has no 'ts' column (schema: ${s.simpleString}); " +
+            "cannot declare a stream schema")
+      case scala.util.Failure(e) =>
+        throw new IllegalArgumentException(
+          s"cannot sniff the events 'ts' encoding at $dir — the stream's " +
+            "schema is fixed at start, so the path must contain at least one " +
+            "representative parquet file before readStream is called", e)
+    }
+    onDisk("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
         spark.readStream
-          .schema(schema)
+          .schema(onDisk)
           .option("maxFilesPerTrigger", maxFilesPerTrigger)
           .parquet(dir)
           .withColumn("ts", col("ts").cast(TimestampType))
-      case None =>
+      case LongType =>
         spark.readStream
           .schema(rawSchema)
           .option("maxFilesPerTrigger", maxFilesPerTrigger)
           .parquet(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events stream at $dir has unsupported ts type $other " +
+            "(expected TIMESTAMP or INT64 nanos)")
     }
   }
 

@@ -176,4 +176,34 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == exact) // cap far above any df in this corpus
   }
+
+  test("keepBest: score-max winner, min-id ties, untouched passthrough, null scores") {
+    // components: {1,2,3} (chain), {4,5}; 6 and 7 untouched.
+    // docs carry a pre-existing `component` column to pin that keepBest's
+    // internal names don't collide with caller columns.
+    val docs = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(30.0), "b"),
+      (3L, Some(30.0), "c"),      // tie 2 vs 3 → min id 2
+      (4L, None, "d"),            // null loses ...
+      (5L, Some(1.0), "e"),       // ... to any real score
+      (6L, Some(0.5), "f"), (7L, None, "g"))
+      .toDF("doc_id", "score", "payload")
+      .withColumn("component", lit("caller-owned"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(docs, pairs, "doc_id", "score")
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "score", "payload", "component")) // caller columns intact
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 5L, 6L, 7L))
+  }
+
+  test("keepBest: all-null-score component degrades to min id; string ids order natively") {
+    val docs = Seq(("b", Option.empty[Double]), ("a", Option.empty[Double]),
+        ("z", Some(9.0)))
+      .toDF("id", "score")
+    val pairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(docs, pairs, "id", "score")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a", "z")) // min string id wins the null cluster
+  }
 }

@@ -270,4 +270,25 @@ class EventStreamSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 6L),
       s"evicted bucket resurrected: $pairs")
   }
+
+  test("readStream fails fast on an empty source dir instead of guessing the ts encoding") {
+    // a stream's declared schema is fixed for its lifetime — silently
+    // assuming INT64 nanos here would divide later-arriving native
+    // TIMESTAMP(MICROS) files by 1000 for the whole run
+    val empty = tmp("evt-empty")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.readStream(spark, empty)
+    }
+    assert(e.getMessage.contains("representative parquet file"), e.getMessage)
+  }
+
+  test("readStream rejects a source whose ts column is neither timestamp nor long") {
+    val inDir = tmp("evt-badts")
+    Seq((1L, "not-a-ts")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(inDir)
+    val e = intercept[IllegalArgumentException] {
+      EventStream.readStream(spark, inDir)
+    }
+    assert(e.getMessage.contains("unsupported ts type"), e.getMessage)
+  }
 }
