@@ -199,6 +199,36 @@ object AnalyticsQueries {
              |ORDER BY user_id, session_idx""".stripMargin),
       doc = "sessionization: 30-min-gap windows via lag + running sum (batch twin of flatMapGroupsWithState)"),
 
+    // The whale-user-safe twin: identical sessions via time-bucketed
+    // two-phase windows (Skew.sessionizeBucketed) — event-level work
+    // keys on (user, 2h bucket), never on user alone, so one user
+    // owning half the events shards across its timeline instead of
+    // serializing one window task. Same oracle as events_sessionize:
+    // the pair is a value-level equivalence check, like the cc pair.
+    Q("events_sessionize_bucketed",
+      (s, dir) => graft.operators.Skew.sessionizeBucketed(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapMinutes = 30, bucketMinutes = 120)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                       THEN 1 ELSE 0 END)
+             |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+             |FROM s
+             |GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      doc = "whale-safe two-phase sessionization: (user, time-bucket) windows + tiny per-user bucket merge, sessions identical"),
+
     Q("customer_balance_by_nation",
       (s, dir) => Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -448,6 +478,26 @@ object AnalyticsQueries {
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
       doc = "RANGE-frame rolling 1-hour window per user (point-in-time activity features)"),
+
+    // Whale-user-safe twin of events_rolling_1h: own+context bucket
+    // slices (Skew.rollingBucketed) so the trailing-1h frame computes
+    // within (user, hour-bucket) — frame SETS identical to the plain
+    // window, so the rounded sums match the same oracle.
+    Q("events_rolling_1h_bucketed",
+      (s, dir) => graft.operators.Skew.rollingBucketed(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+          rangeUs = 3600L * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("n").as("n_1h"),
+          round(col("s"), 2).as("sum_1h"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id,
+             |       count(*) OVER w AS n_1h,
+             |       round(sum(value) OVER w, 2) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      doc = "whale-safe rolling 1-hour window: own+context time-bucket slices, no per-user window partition"),
 
     // TPC-H Q18 shape: HAVING over a grouped join chain — the
     // large-order customers.

@@ -34,6 +34,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   split       splitByGroup over the full corpus with the chain docs'
   *               LSH pairs as the leakage graph; prints the group-size
   *               distribution a user should expect
+  *   window      per-user window analytics on the whale-user events
+  *               (user 0 owns ~50%): plain sessionize + rolling-1h vs
+  *               their time-bucketed two-phase forms
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -305,6 +308,56 @@ object SkewProbe {
               s"rows_by_split: $bySplit")
           }
           pairs.unpersist()
+        case "window" =>
+          // the window-analytics whale: SkewGen routes ~50% of events
+          // to user_id 0, so the plain per-user window partition sorts
+          // half the table in ONE task. Head-to-head vs the bucketed
+          // two-phase forms, value-checked by sig.
+          val ev = graft.sources.Tables.events(spark, dir)
+          def sessPlain = {
+            import org.apache.spark.sql.expressions.Window
+            val byUser = Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+            val gapUs = unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(byUser))
+            val newSession =
+              when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L)
+            ev.withColumn("session_idx", sum(newSession)
+                .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy(col("user_id"), col("session_idx"))
+              .agg(count(lit(1)).as("n_events"),
+                (max(unix_micros(col("ts"))) -
+                  min(unix_micros(col("ts")))).as("dur_us"))
+          }
+          val sessCols = Seq("user_id", "session_idx", "n_events", "dur_us")
+          val ((nS, hS), tS) = time(sig(sessPlain, sessCols))
+          report("sess_plain", rep, tS, nS, hS)
+          val ((nB, hB), tB) = time(sig(graft.operators.Skew
+            .sessionizeBucketed(ev, "user_id", "ts", "event_id",
+              gapMinutes = 30, bucketMinutes = 120), sessCols))
+          report("sess_bucket", rep, tB, nB, hB,
+            if (nB == nS && hB == hS) " MATCH" else " **MISMATCH**")
+          def rollPlain = {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(unix_micros(col("ts")))
+              .rangeBetween(-3600L * 1000 * 1000, 0)
+            ev.select(col("event_id"), col("user_id"),
+              count(lit(1)).over(w).as("n_1h"),
+              round(sum(col("value")).over(w), 2).as("sum_1h"))
+          }
+          // sig on the ROUNDED sum: frame sets are identical, only
+          // float accumulation order differs between the variants
+          val rollCols = Seq("event_id", "user_id", "n_1h", "sum_1h")
+          val ((nR, hR), tR) = time(sig(rollPlain, rollCols))
+          report("roll_plain", rep, tR, nR, hR)
+          val ((nRB, hRB), tRB) = time(sig(graft.operators.Skew
+            .rollingBucketed(ev, "user_id", "ts", "event_id", "value",
+              rangeUs = 3600L * 1000 * 1000)
+            .select(col("event_id"), col("user_id"), col("n").as("n_1h"),
+              round(col("s"), 2).as("sum_1h")), rollCols))
+          report("roll_bucket", rep, tRB, nRB, hRB,
+            if (nRB == nR && hRB == hR) " MATCH" else " **MISMATCH**")
         case other =>
           sys.error(s"unknown family: $other")
       }
