@@ -41,6 +41,28 @@ object TextFunctions {
   /** One-pass word stats + per-set marker hit counts ([[MarkerCounts]])
     * — the shared kernel under `qualityScore`/`langId`.
     */
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers become `<EMAIL>` / `<IP>` / `<PHONE>`
+    * placeholder tokens (the convention of the public C4/Dolma-style
+    * cleanup recipes). Three chained `regexp_replace` stages — all
+    * codegen'd, no UDF — applied email-first so an address's host part
+    * can't be half-eaten by the IP pass. The patterns avoid
+    * backtracking-only constructs (no lookaround), so they mean the
+    * same thing to Java regex and to RE2-family engines (the DuckDB
+    * oracle runs the identical patterns).
+    *
+    * Scale shape: a pure per-row map — embarrassingly parallel, no
+    * shuffle, stays inside WholeStageCodegen with the scan.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit("<IP>"))
+    regexp_replace(ip,
+      lit("\\b\\d{3}-\\d{3}-\\d{4}\\b"), lit("<PHONE>"))
+  }
+
   def markerCounts(text: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(MarkerCounts(Bridge.expression(text), sets))
 }

@@ -29,6 +29,14 @@ object Skew {
   private def saltCol(df: DataFrame, n: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n)).cast("int")
 
+  /** Exact ⌊t/b⌋ on longs (floor semantics for negative t too, via the
+    * non-negative pmod) — `floor(col / b)` and Column `/` both round
+    * through a DOUBLE, which silently loses micros above 2^53; SQL
+    * `div` is true integral division.
+    */
+  private def floorDiv(t: Column, b: Long): Column =
+    call_function("div", t - pmod(t, lit(b)), lit(b))
+
   /** Inner equi-join `big ⋈ small` on `key`, salted `n` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     val salted = big.withColumn("__salt", saltCol(big, n))
@@ -87,7 +95,7 @@ object Skew {
     val bUs = bucketMinutes.toLong * 60 * 1000000
     val e = events.select(col(userCol).as("__u"), col(idCol).as("__eid"),
         unix_micros(col(tsCol)).as("__t"))
-      .withColumn("__tb", floor(col("__t") / bUs))
+      .withColumn("__tb", floorDiv(col("__t"), bUs))
     val inBucket = Window.partitionBy(col("__u"), col("__tb"))
       .orderBy(col("__t"), col("__eid"))
     // session-start flag for non-initial events; the bucket-initial
@@ -150,9 +158,9 @@ object Skew {
     require(rangeUs >= 1, s"rangeUs must be >= 1: $rangeUs")
     val base = events.select(col(idCol).as("__eid"), col(keyCol).as("__u"),
       unix_micros(col(tsCol)).as("__t"), col(valueCol).as("__v"))
-    val own = base.withColumn("__tb", floor(col("__t") / rangeUs))
+    val own = base.withColumn("__tb", floorDiv(col("__t"), rangeUs))
       .withColumn("__own", lit(true))
-    val ctx = base.withColumn("__tb", floor(col("__t") / rangeUs) + 1)
+    val ctx = base.withColumn("__tb", floorDiv(col("__t"), rangeUs) + 1)
       .withColumn("__own", lit(false))
     val w = Window.partitionBy(col("__u"), col("__tb")).orderBy(col("__t"))
       .rangeBetween(-rangeUs, 0)

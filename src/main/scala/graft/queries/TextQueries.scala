@@ -194,6 +194,37 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin),
       doc = "quality scoring: mean word length, stopword ratio, composite score"),
 
+    // PII redaction (the C4/Dolma-style cleanup stage). The synthetic
+    // corpus carries no organic PII, so each row gets a deterministic
+    // injected tail (email + IPv4 + phone derived from doc_id) built
+    // identically on both sides; the FULL scrubbed text is the output
+    // column, so the hash compare proves byte-identical redaction —
+    // pattern semantics must agree between Java regex and DuckDB's
+    // RE2 (why scrubPii avoids lookaround). Pure per-row map: no
+    // shuffle, codegen'd, scan-fused.
+    Q("text_pii_scrub",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 call 555-123-4567"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.scrubPii(injected).as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       regexp_replace(regexp_replace(regexp_replace(
+             |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+             |           || '@ex.com from 10.0.'
+             |           || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-4567',
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "PII scrub: email/IPv4/phone -> placeholder tokens, byte-identical to the RE2 oracle"),
+
     // Per-source quality calibration: raw quality scores aren't
     // comparable across sources (different length/stopword profiles),
     // so pipelines threshold on the per-source PERCENTILE of the score

