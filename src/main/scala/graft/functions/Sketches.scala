@@ -125,6 +125,9 @@ object Sketches {
 
   def winnowSet(s: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowSet(Bridge.expression(s), k, w))
+
+  def gramHashes(s: Column, k: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(s), k))
 }
 
 /** Polynomial rolling hash (Rabin–Karp) of a string's UTF-8 bytes:
@@ -219,6 +222,61 @@ case class WinnowSet(child: Expression, k: Int, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+    copy(child = newChild)
+}
+
+/** Every k-byte window hash of a string, in document order: element
+  * i−1 (0-based) is the Rabin–Karp hash of bytes [i, i+k) — the same
+  * leading-byte-highest-power mod-2^61−1 chain [[WinnowSet]] selects
+  * minima from, exposed whole so position-level duplicate detection
+  * (exact-substring dedup à la Lee et al. 2021) can join positions by
+  * hash. O(n) per row via the rolling recurrence
+  * h_{i+1} = (h_i − b_i·B^{k−1})·B + b_{i+k}; a string shorter than k
+  * yields an empty array. For ASCII text the byte positions this
+  * reports are also character positions, which is what lets a DuckDB
+  * oracle reproduce the array with per-character substring folds.
+  */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  require(k >= 1, "k-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  private final val P = (1L << 61) - 1
+  private final val B = 131L
+
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val part = ((hi % P) * 8) % P
+    (part + java.lang.Long.remainderUnsigned(lo, P)) % P
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    var powK1 = 1L
+    var j = 0
+    while (j < k - 1) { powK1 = mulMod(powK1, B); j += 1 }
+    val out = new Array[Any](n)
+    var h = 0L
+    j = 0
+    while (j < k) { h = (mulMod(h, B) + (bytes(j) & 0xFFL)) % P; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < n) {
+      h = (h - mulMod(bytes(i - 1) & 0xFFL, powK1) % P + P) % P
+      h = (mulMod(h, B) + (bytes(i + k - 1) & 0xFFL)) % P
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
 }
 

@@ -54,6 +54,24 @@ object TextFunctions {
     * Scale shape: a pure per-row map — embarrassingly parallel, no
     * shuffle, stays inside WholeStageCodegen with the scan.
     */
+  /** All URL hostnames in a text, in document order — the feature
+    * under RefinedWeb/C4-style URL quality filtering. One codegen'd
+    * `regexp_extract_all` (group 1 of an `https?://host` pattern,
+    * lookaround-free so Java regex ≡ RE2 ≡ the DuckDB oracle); hosts
+    * are lowercased, since URL authorities are case-insensitive.
+    * Pure per-row map: no shuffle, scan-fused.
+    */
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(lower(text), lit("https?://([a-z0-9.-]+)"), lit(1))
+
+  /** Registrable domain of a hostname — the last two dot-labels
+    * (`cdn3.mirror.example.com` → `example.com`), the grouping key
+    * domain blocklists are written against. Regex-anchored so both
+    * engines agree; a bare single-label host maps to itself.
+    */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$|^([a-z0-9-]+)$", 0)
+
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))

@@ -937,6 +937,95 @@ object Dedup {
       .select(col("__id").as(idCol), col(textOut))
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 ExactSubstr):
+    * find, per document, the maximal character ranges every k-length
+    * window of which appears ≥ `minCount` times corpus-wide (including
+    * repeats inside the same document — the paper's definition). The
+    * single-node reference implementation builds a suffix array over
+    * the concatenated corpus; the Spark-first re-expression is
+    * position-level hashing + relational algebra:
+    *
+    *   1. [[graft.functions.GramHashes]] emits every k-byte window's
+    *      Rabin–Karp hash in one O(n) pass per doc (no per-window
+    *      re-hash), posexploded to (id, pos, h) — one row per char;
+    *   2. a partial-aggregated groupBy(h) counts occurrences —
+    *      map-side combine collapses within-partition repeats, and the
+    *      shuffle carries (8-byte hash, count), never text;
+    *   3. positions join the df≥minCount hash set on h. The duplicated
+    *      set on a crawl is boilerplate-sized, not corpus-sized, but
+    *      not reliably broadcast-small — leave it a shuffle join and
+    *      let AQE downgrade to broadcast when stats allow;
+    *   4. duplicated windows merge into maximal spans with
+    *      gaps-and-islands over a per-doc window — overlapping OR
+    *      ADJACENT windows fuse, so a span is a contiguous duplicated
+    *      region (what removal cuts), bounded per-task by doc length.
+    *
+    * The position relation is O(total corpus bytes) — inherent to
+    * ExactSubstr (the suffix array is too). The 100 TB mitigation is a
+    * winnow prefilter: by the [[graft.functions.WinnowSet]] guarantee
+    * any shared substring of length ≥ w+k−1 shares a selected
+    * fingerprint, so a first pass over the ~2/(w+1)-density fingerprint
+    * relation finds candidate DOCS and the full per-position pass runs
+    * only over those. Hash keying accepts the usual ≈2^-61 per-pair
+    * collision odds (a collision could at worst mark one k-window
+    * falsely duplicated).
+    *
+    * Output: (`idCol`, `span_start`, `span_end`) — 1-based char
+    * positions, end-exclusive, only for docs with ≥ 1 duplicated
+    * window. Positions are byte offsets; for ASCII text those are char
+    * offsets (see [[graft.functions.GramHashes]]).
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    val grams = docs.select(col(idCol),
+        posexplode(Sketches.gramHashes(col(textCol), k)).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("__h"))
+    val dup = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minCount)
+      .select(col("__h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grams.join(dup, "__h")
+      .withColumn("__brk", when(col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k)).as("span_end"))
+      .drop("__island")
+  }
+
+  /** ExactSubstr removal: cut every duplicated span found by
+    * [[exactSubstrSpans]] out of the text. Spans are collected per doc
+    * (bounded by doc length), sorted, and stitched with one
+    * `aggregate` higher-order fold — the keep-pieces concat stays
+    * whole-stage-codegen'd, no UDF. Docs without duplicated spans pass
+    * through byte-identical; a doc that is entirely duplicated spans
+    * yields an empty string (kept, matching the paper's
+    * cut-not-drop semantics).
+    */
+  def exactSubstrClean(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L, textOut: String = "text"): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textOut,
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          expr(s"""concat(
+            aggregate(__spans,
+              struct(1 as cur, '' as acc),
+              (a, sp) -> struct(sp.e as cur,
+                concat(a.acc, substr($textCol, a.cur, sp.s - a.cur))),
+              a -> a.acc),
+            substr($textCol, element_at(__spans, -1).e))""")))
+      .drop("__spans")
+      .select(col(idCol), col(textOut))
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
     * embeddings, prune within-cluster cosine near-dups, keep one
     * representative): near-dup pairs from a sub-quadratic candidate

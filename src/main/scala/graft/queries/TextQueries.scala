@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions
 import graft.operators.TextAnalysis
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -11,6 +12,63 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+  /** Deterministic URL injection shared by the URL-filtering pair:
+    * every doc links `https://cdn<id%7>.host<id%3>.com/p/<id>`, and
+    * every fourth doc also links `http://mirror<id%5>.blocked.net/x`.
+    * [[urlInjectedSql]] is the byte-identical DuckDB construction.
+    */
+  private def urlInjected: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" ref http://mirror"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".blocked.net/x"))).otherwise(lit("")),
+      lit(" visit https://cdn"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".host"), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+
+  private val urlInjectedSql =
+    """WITH t AS (SELECT doc_id, source,
+      |             text || CASE WHEN doc_id % 4 = 0
+      |               THEN ' ref http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+      |                 || '.blocked.net/x' ELSE '' END
+      |               || ' visit https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+      |               || '.host' || CAST(doc_id % 3 AS VARCHAR)
+      |               || '.com/p/' || CAST(doc_id AS VARCHAR) AS t2
+      |           FROM documents)
+      |""".stripMargin
+
+  /** Shared oracle prefix for the ExactSubstr pair: per-position
+    * 30-char window hashes (the winnow-family HUGEINT fold — identical
+    * to [[graft.functions.GramHashes]] on ASCII), the df>=2 duplicated
+    * set, and the gaps-and-islands labeling of duplicated positions.
+    * The first-row NULL frame in `brk` falls to ELSE 0, matching the
+    * Spark side's when().otherwise(0).
+    */
+  private val exactSubstrSpanCte =
+    """WITH t AS (SELECT doc_id, text FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        CAST(list_reduce(
+      |          list_prepend([CAST(0 AS HUGEINT)],
+      |            list_transform(range(i, i + 30),
+      |              j -> [CAST(unicode(substring(text, j, 1)) AS HUGEINT)])),
+      |          (acc, x) -> [(acc[1] * 131 + x[1])
+      |                       % 2305843009213693951])[1] AS BIGINT) AS h
+      |      FROM (SELECT doc_id, text,
+      |                   unnest(generate_series(1, length(text) - 30 + 1)) AS i
+      |            FROM t)),
+      |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |p AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > max(pos + 30) OVER (PARTITION BY doc_id
+      |               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND 1 PRECEDING) THEN 1 ELSE 0 END AS brk
+      |      FROM p),
+      |isl AS (SELECT doc_id, pos,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |        FROM m)
+      |""".stripMargin
 
   /** Shared gram→bucket CTE chain for the classifier entries: unigrams
     * + word bigrams, rollingHash61 per gram (the HUGEINT fold), IdHash,
@@ -224,6 +282,68 @@ object TextQueries {
              |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "PII scrub: email/IPv4/phone -> placeholder tokens, byte-identical to the RE2 oracle"),
+
+    // URL quality filtering (the RefinedWeb/C4 provenance stage). The
+    // synthetic corpus carries no organic URLs, so each doc gets a
+    // deterministic injected tail: every doc links a cdn host whose
+    // registrable domain varies by doc_id%3, and every fourth doc also
+    // links a blocklisted mirror. Same construction on both sides;
+    // patterns in the RE2/Java common dialect.
+    Q("text_url_domains",
+      (s, dir) => {
+        val t2 = urlInjected
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextFunctions.urlHosts(t2)).as("host"))
+          .groupBy(TextFunctions.registrableDomain(col("host")).as("domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("domain"))
+      },
+      Some(urlInjectedSql +
+        """, h AS (SELECT doc_id,
+          |         unnest(regexp_extract_all(lower(t2),
+          |                'https?://([a-z0-9.-]+)', 1)) AS host
+          |       FROM t)
+          |SELECT regexp_extract(host,
+          |         '([a-z0-9-]+\.[a-z0-9-]+)$|^([a-z0-9-]+)$', 0) AS domain,
+          |       count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+          |FROM h GROUP BY domain ORDER BY domain""".stripMargin),
+      doc = "URL host extraction + registrable-domain link stats (RefinedWeb provenance features)"),
+
+    // ...and the blocklist drop itself: a doc is removed when ANY of
+    // its links resolves to a blocklisted registrable domain. The
+    // flagged set is built with a BROADCAST semi-join against the tiny
+    // blocklist dim and applied as a doc-level anti-join — the corpus
+    // never shuffles; only (doc_id, domain) links do.
+    Q("doc_domain_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        val bl = Seq("blocked.net", "spam.io").toDF("domain")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          urlInjected.as("t2"))
+        val flagged = docs
+          .select(col("doc_id"), explode(TextFunctions.urlHosts(col("t2"))).as("host"))
+          .select(col("doc_id"),
+            TextFunctions.registrableDomain(col("host")).as("domain"))
+          .join(broadcast(bl), "domain")
+          .select(col("doc_id")).distinct()
+        docs.join(flagged, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(urlInjectedSql +
+        """, h AS (SELECT doc_id,
+          |         unnest(regexp_extract_all(lower(t2),
+          |                'https?://([a-z0-9.-]+)', 1)) AS host
+          |       FROM t),
+          |f AS (SELECT DISTINCT doc_id FROM h
+          |      WHERE regexp_extract(host,
+          |              '([a-z0-9-]+\.[a-z0-9-]+)$|^([a-z0-9-]+)$', 0)
+          |            IN ('blocked.net', 'spam.io'))
+          |SELECT source, count(*) AS n_docs FROM t
+          |WHERE doc_id NOT IN (SELECT doc_id FROM f)
+          |GROUP BY source ORDER BY source""".stripMargin),
+      doc = "domain-blocklist document filtering: broadcast semi-join flag, doc-level anti-join"),
 
     // Per-source quality calibration: raw quality scores aren't
     // comparable across sources (different length/stopword profiles),
@@ -622,6 +742,49 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "C4 duplicated-span removal: global span frequency, keep first occurrence, reassemble docs"),
 
+    // ExactSubstr (Lee et al. 2021): maximal character spans whose
+    // every 30-char window repeats corpus-wide. The oracle mirrors the
+    // operator relationally — the winnow-family HUGEINT k-gram hash per
+    // position, df>=2 filter, gaps-and-islands span merge — so the
+    // hash compare pins positions exactly. The planted near-dup pairs
+    // plus organic boilerplate give ~12k duplicated positions at
+    // sf0.01 collapsing into a few hundred spans.
+    Q("text_exact_substr_spans",
+      (s, dir) => graft.operators.Dedup.exactSubstrSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 30)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(exactSubstrSpanCte +
+        """SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+          |       CAST(max(pos) + 30 AS INTEGER) AS span_end
+          |FROM isl GROUP BY doc_id, island
+          |ORDER BY doc_id, span_start""".stripMargin),
+      doc = "ExactSubstr duplicate spans: rolling k-gram hashes, df>=2, gaps-and-islands merge"),
+
+    // ...and the removal itself: every duplicated span cut out, docs
+    // without one passing through byte-identical. The oracle rebuilds
+    // each cleaned text from the span table with lag()-bracketed
+    // substrings, so the hash compare proves the aggregate-HOF stitch
+    // reproduces the cut corpus byte-for-byte.
+    Q("text_exact_substr_clean",
+      (s, dir) => graft.operators.Dedup.exactSubstrClean(
+          Tables.documents(s, dir), "doc_id", "text", k = 30, textOut = "clean_text")
+        .orderBy(col("doc_id")),
+      Some(exactSubstrSpanCte +
+        """, sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+          |       FROM isl GROUP BY doc_id, island),
+          |seg AS (SELECT doc_id, s, e,
+          |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS pe
+          |        FROM sp),
+          |cln AS (SELECT seg.doc_id,
+          |          string_agg(substring(t.text, pe, s - pe), '' ORDER BY s)
+          |            || substring(any_value(t.text), max(e)) AS ct
+          |        FROM seg JOIN t USING (doc_id)
+          |        GROUP BY seg.doc_id)
+          |SELECT t.doc_id, coalesce(cln.ct, t.text) AS clean_text
+          |FROM t LEFT JOIN cln USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin),
+      doc = "ExactSubstr removal: duplicated spans cut, remainder stitched, byte-identical oracle"),
+
     // PII scrubbing: the corpus has no planted contact strings, so the
     // query synthesizes a deterministic one per doc, then scrubs it —
     // the oracle applies the same construction + regexes, so the check
@@ -711,27 +874,6 @@ object TextQueries {
              |WHERE pos <= greatest(1, n - 16 + 1)
              |ORDER BY doc_id, fp""".stripMargin),
       doc = "winnowing (MOSS) fingerprint selection: ~2/(w+1) density, shared-substring guarantee"),
-
-    Q("text_scrub_pii",
-      (s, dir) => Tables.documents(s, dir)
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com or 555-"), col("doc_id")).as("raw"))
-        .select(col("doc_id"),
-          regexp_replace(
-            regexp_replace(col("raw"), lit("[a-z0-9.]+@[a-z0-9.]+"), lit("<EMAIL>")),
-            lit("555-[0-9]+"), lit("<PHONE>")).as("scrubbed"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |       regexp_replace(
-             |         regexp_replace(text || ' contact user' || doc_id
-             |                          || '@example.com or 555-' || doc_id,
-             |           '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-             |         '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
-             |FROM documents WHERE doc_id < 100
-             |ORDER BY doc_id""".stripMargin),
-      doc = "PII scrubbing: codegen'd chained regexp_replace (email + phone patterns)"),
 
     // INTERSECT / EXCEPT set ops (distinct semantics in both engines):
     // which corpus sources feed both of two languages, and which feed

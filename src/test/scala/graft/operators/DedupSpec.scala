@@ -206,4 +206,89 @@ class DedupSpec extends SparkSpec {
       .select("id").as[String].collect().sorted.toSeq
     assert(kept == Seq("a", "z")) // min string id wins the null cluster
   }
+
+  // --- ExactSubstr (Lee et al. 2021) ---
+
+  /** Naive reference: substring-count every k-window (no hashing),
+    * merge overlapping-or-adjacent duplicated windows per doc.
+    * Positions 1-based, spans end-exclusive.
+    */
+  private def naiveSpans(docs: Seq[(Long, String)], k: Int): Map[Long, Seq[(Int, Int)]] = {
+    val grams = docs.flatMap { case (id, t) =>
+      (0 to t.length - k).map(i => (t.substring(i, i + k), id, i + 1))
+    }
+    val counts = grams.groupBy(_._1).view.mapValues(_.size).toMap
+    grams.filter(g => counts(g._1) >= 2).groupBy(_._2).map { case (id, gs) =>
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      gs.map(_._3).sorted.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2)
+          spans(spans.size - 1) = (spans.last._1, math.max(spans.last._2, p + k))
+        else spans += ((p, p + k))
+      }
+      id -> spans.toSeq
+    }
+  }
+
+  private def naiveClean(text: String, spans: Seq[(Int, Int)]): String = {
+    val sb = new StringBuilder
+    var cur = 1
+    spans.foreach { case (s, e) => sb.append(text.substring(cur - 1, s - 1)); cur = e }
+    sb.append(text.substring(math.min(cur - 1, text.length))).toString
+  }
+
+  private val essCorpus = Seq(
+    // intra-doc repeat: the boilerplate occurs twice in ONE doc
+    1L -> "begin SHARED-BOILERPLATE-SPAN middle filler xyz SHARED-BOILERPLATE-SPAN end",
+    // cross-doc repeat with d4
+    2L -> "opening words COMMON-FOOTER-TEXT-HERE trailing bits",
+    // no duplicated window at k=12 — must pass through untouched
+    3L -> "entirely unique content with no repeats at all in this corpus",
+    // entirely duplicated: the whole text is the shared footer
+    4L -> "COMMON-FOOTER-TEXT-HERE",
+    // two SEPARATED duplicated regions — exercises multi-island merge
+    5L -> "SHARED-BOILERPLATE-SPAN unrelated unique middle COMMON-FOOTER-TEXT-HERE")
+
+  test("gramHashes: every window hash equals the direct fold; short strings empty") {
+    val k = 7
+    val texts = Seq("the quick brown fox", "abcdefg", "short", "", "aaaaaaaaaa")
+    val got = texts.toDF("t")
+      .select(Sketches.gramHashes(col("t"), k)).as[Seq[Long]].collect()
+    val P = (1L << 61) - 1
+    def fold(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L) { (acc, b) =>
+        (BigInt(acc) * 131 + (b & 0xFF)).mod(P).toLong }
+    texts.zip(got).foreach { case (t, hs) =>
+      val want = (0 to t.length - k).map(i => fold(t.substring(i, i + k)))
+      assert(hs == want, s"gramHashes('$t')")
+    }
+  }
+
+  test("exactSubstrSpans: matches the naive substring-count reference") {
+    val k = 12
+    val got = Dedup.exactSubstrSpans(essCorpus.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq).toMap
+    val want = naiveSpans(essCorpus, k)
+    assert(got == want)
+    // the corpus shape is what we think: an intra-doc dup, a clean doc,
+    // a fully-covered doc, and a doc with TWO merged islands
+    assert(got(1L).size == 2)      // intra-doc repeat -> both sites marked
+    assert(!got.contains(3L))      // unique doc absent from span relation
+    assert(got(4L) == Seq((1, essCorpus(3)._2.length + 1)))
+    assert(got(5L).size == 2)      // two separated islands stay separate
+  }
+
+  test("exactSubstrClean: cut corpus matches the naive reference; passthrough intact") {
+    val k = 12
+    val got = Dedup.exactSubstrClean(essCorpus.toDF("doc_id", "text"),
+        "doc_id", "text", k, textOut = "text")
+      .as[(Long, String)].collect().toMap
+    val spans = naiveSpans(essCorpus, k)
+    essCorpus.foreach { case (id, t) =>
+      assert(got(id) == naiveClean(t, spans.getOrElse(id, Nil)), s"doc $id")
+    }
+    assert(got(3L) == essCorpus(2)._2) // byte-identical passthrough
+    assert(got(4L) == "")              // fully-duplicated doc -> empty, kept
+  }
 }

@@ -297,4 +297,24 @@ class TextAnalysisSpec extends SparkSpec {
     // a documented (and RE2-identical) quirk of \b-anchored scrubbing
     assert(got(5) == "v1.<IP> semvers stay", got(5))
   }
+
+  test("urlHosts + registrableDomain: extraction order, case folding, bare hosts") {
+    val rows = Seq(
+      "see https://CDN3.Assets.Example.COM/p/1 then http://mirror.blocked.net/x",
+      "plain text no links",
+      "ftp://not.matched.org but https://a-b.x9.io/q?z=1",
+      "http://localhost/health")
+      .toDF("text")
+    val hosts = rows.select(
+        graft.functions.TextFunctions.urlHosts(col("text")).as("h"))
+      .as[Seq[String]].collect().toSeq
+    assert(hosts(0) == Seq("cdn3.assets.example.com", "mirror.blocked.net"))
+    assert(hosts(1).isEmpty)
+    assert(hosts(2) == Seq("a-b.x9.io")) // ftp scheme ignored
+    assert(hosts(3) == Seq("localhost"))
+    val doms = hosts.flatten.toDF("host")
+      .select(graft.functions.TextFunctions.registrableDomain(col("host")))
+      .as[String].collect().toSeq
+    assert(doms == Seq("example.com", "blocked.net", "x9.io", "localhost"))
+  }
 }
