@@ -415,6 +415,62 @@ object TextAnalysis {
         (lit(bias) + lit(scale) * col("__wsum") / col("n_grams")).as("logit"))
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much more likely its hashed-n-gram bag is under the TARGET
+    * distribution than under the RAW distribution,
+    *
+    *   avg_lw(d) = (1/n_d) · Σ_g [ ln p̂_t(b(g)) − ln p̂_r(b(g)) ],
+    *
+    * with add-½ smoothed bucket categoricals p̂(b) = (c_b + ½)/(C + B/2)
+    * over the same bucket(g) = IdHash(rollingHash61(g)) mod B
+    * unigram+bigram stream [[classifierScore]] and [[classifierTrain]]
+    * use — one shared, oracle-portable feature chain for the whole
+    * quality family. Per-gram averaging makes the score
+    * length-comparable (the resampling rank is what DSIR consumes).
+    *
+    * Distributed shape: two partial-aggregated bucket counts (shuffle
+    * carries ≤ B rows each), one O(B) driver collect to build the
+    * log-ratio table, then scoring is a narrow map over the raw corpus
+    * against a 32 KB plan literal plus one doc-keyed partial-aggregated
+    * sum — the corpus text never shuffles, and nothing on the driver
+    * grows with corpus size. Target must be a (logical) subset of the
+    * modeled vocabulary for the ratio to be meaningful, but any two
+    * corpora are accepted.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      addBigrams: Boolean = true): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val grams =
+      if (addBigrams)
+        concat(TextFunctions.words(col(textCol)),
+          TextFunctions.shingleList(col(textCol), 2))
+      else TextFunctions.words(col(textCol))
+    val bucket = pmod(
+      Sampling.idHash(Sketches.rollingHash(col("g"))), lit(buckets.toLong))
+    def bucketCounts(df: DataFrame): (Array[Long], Long) = {
+      val c = new Array[Long](buckets)
+      df.select(explode(grams).as("g")).select(bucket.as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect().foreach(r => c(r.getLong(0).toInt) = r.getLong(1))
+      (c, c.sum)
+    }
+    val (tc, tt) = bucketCounts(target)
+    val (rc, rt) = bucketCounts(raw)
+    val lr: Array[Double] = Array.tabulate(buckets) { b =>
+      math.log((tc(b) + 0.5) / (tt + 0.5 * buckets)) -
+        math.log((rc(b) + 0.5) / (rt + 0.5 * buckets))
+    }
+    raw.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol),
+        element_at(lit(lr), (bucket + 1L).cast("int")).as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        (col("__s") / col("n_grams")).as("avg_log_weight"))
+  }
+
   /** Train the [[classifierScore]] weight table IN-ENGINE: full-batch
     * gradient descent on logistic loss with a hard-sigmoid link, in
     * pure integer arithmetic so the learned weights are exactly

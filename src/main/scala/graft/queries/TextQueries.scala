@@ -432,6 +432,71 @@ object TextQueries {
       },
       doc = "fastText-shape classifier scoring with the in-engine-trained weight table (exact integer sums)"),
 
+    // DSIR importance resampling (Xie et al. 2023): the en-language
+    // slice stands in for the target corpus; every doc is scored by
+    // the per-gram average log-likelihood ratio of its hashed
+    // unigram+bigram buckets under target vs raw. Rides the exact
+    // classifier bucket chain (one shared feature CTE), ln + round(6)
+    // per the text_perplexity precedent. A doc's own language drives
+    // its score, so the en docs surface at the top — the select query
+    // pins the deterministic (rounded weight, doc_id) resample rank.
+    Q("text_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text")
+          .select(col("doc_id"), col("n_grams"),
+            round(col("avg_log_weight"), 6).as("avg_log_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $clfGramCtes,
+        |tb AS (SELECT bk FROM b JOIN documents USING (doc_id)
+        |       WHERE lang = 'en'),
+        |tc AS (SELECT bk, count(*) AS c FROM tb GROUP BY bk),
+        |tt AS (SELECT count(*) AS t FROM tb),
+        |rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        |rt AS (SELECT count(*) AS t FROM b),
+        |lr AS (SELECT rc.bk,
+        |         ln((coalesce(tc.c, 0) + 0.5) / (tt.t + 0.5 * 4096))
+        |           - ln((rc.c + 0.5) / (rt.t + 0.5 * 4096)) AS w
+        |       FROM rc LEFT JOIN tc USING (bk)
+        |       CROSS JOIN tt CROSS JOIN rt),
+        |d AS (SELECT doc_id, count(*) AS n, sum(w) AS s
+        |      FROM b JOIN lr USING (bk) GROUP BY doc_id)
+        |SELECT doc_id, n AS n_grams, round(s / n, 6) AS avg_log_weight
+        |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "DSIR importance log-weights: hashed-n-gram target/raw likelihood ratio per doc"),
+
+    Q("doc_dsir_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = TextAnalysis.dsirLogWeights(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text")
+          .select(col("doc_id"),
+            round(col("avg_log_weight"), 6).as("avg_log_weight"))
+        w.orderBy(col("avg_log_weight").desc, col("doc_id")).limit(100)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $clfGramCtes,
+        |tb AS (SELECT bk FROM b JOIN documents USING (doc_id)
+        |       WHERE lang = 'en'),
+        |tc AS (SELECT bk, count(*) AS c FROM tb GROUP BY bk),
+        |tt AS (SELECT count(*) AS t FROM tb),
+        |rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        |rt AS (SELECT count(*) AS t FROM b),
+        |lr AS (SELECT rc.bk,
+        |         ln((coalesce(tc.c, 0) + 0.5) / (tt.t + 0.5 * 4096))
+        |           - ln((rc.c + 0.5) / (rt.t + 0.5 * 4096)) AS w
+        |       FROM rc LEFT JOIN tc USING (bk)
+        |       CROSS JOIN tt CROSS JOIN rt),
+        |d AS (SELECT doc_id, round(sum(w) / count(*), 6) AS avg_log_weight
+        |      FROM b JOIN lr USING (bk) GROUP BY doc_id)
+        |SELECT doc_id, avg_log_weight FROM (
+        |  SELECT doc_id, avg_log_weight FROM d
+        |  ORDER BY avg_log_weight DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin),
+      doc = "DSIR resample selection: deterministic top-100 by (rounded weight, doc_id)"),
+
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id")),

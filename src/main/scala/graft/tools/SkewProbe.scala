@@ -34,6 +34,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   split       splitByGroup over the full corpus with the chain docs'
   *               LSH pairs as the leakage graph; prints the group-size
   *               distribution a user should expect
+  *   exactsubstr ExactSubstr spans + clean at k=30 on the skewed
+  *               corpus — the hot prefix's 6 fully-interior windows
+  *               each carry df ≈ N/2, so the positions⋈dup-hash join
+  *               probes a Zipf head (the stats side stays one row per
+  *               hash, the AQE-splittable shape linededup proved)
   *   window      per-user window analytics on the whale-user events
   *               (user 0 owns ~50%): plain sessionize + rolling-1h vs
   *               their time-bucketed two-phase forms
@@ -259,6 +264,26 @@ object SkewProbe {
               sep = "\n"),
             Seq("doc_id", "text")))
           report("span_rm", rep, t, n, h)
+        case "exactsubstr" =>
+          val k = 30
+          if (rep == 1) {
+            val r = docs.select(posexplode(
+                graft.functions.Sketches.gramHashes(col("text"), k))
+                .as(Seq("p", "h")))
+              .groupBy(col("h")).agg(count(lit(1)).as("c"))
+              .agg(max(col("c")), count(lit(1)),
+                sum(when(col("c") >= 2, col("c")).otherwise(0L))).head
+            println(s"[skew] exactsubstr hot_gram_df=${r.getLong(0)} " +
+              s"distinct_grams=${r.getLong(1)} dup_positions=${r.getLong(2)}")
+          }
+          val ((n1, h1), t1) = time(sig(
+            graft.operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", k),
+            Seq("doc_id", "span_start", "span_end")))
+          report("spans", rep, t1, n1, h1)
+          val ((n2, h2), t2) = time(sig(
+            graft.operators.Dedup.exactSubstrClean(docs, "doc_id", "text", k),
+            Seq("doc_id", "text")))
+          report("clean", rep, t2, n2, h2)
         case "semantic" =>
           val emb = graft.sources.Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding"))

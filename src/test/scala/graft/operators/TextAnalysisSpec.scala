@@ -317,4 +317,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(doms == Seq("example.com", "blocked.net", "x9.io", "localhost"))
   }
+
+  test("dsirLogWeights: target-like docs score above target-unlike; zero-sum sanity") {
+    // raw corpus: half 'alpha beta' style (the target), half 'zulu yankee'
+    val raw = (0L until 20L).map { i =>
+      if (i < 10) (i, "alpha beta gamma alpha beta")
+      else (i, "zulu yankee xray zulu yankee")
+    }.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") < 10)
+    val got = TextAnalysis.dsirLogWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 20)
+    val (tgt, rest) = got.partition(_._1 < 10)
+    // every target-like doc outranks every target-unlike doc
+    assert(tgt.map(_._3).min > rest.map(_._3).max)
+    // target-like docs score positive (their grams are ~2x as likely
+    // under target as under raw), target-unlike negative
+    assert(tgt.forall(_._3 > 0) && rest.forall(_._3 < 0))
+    // identical texts get identical weights
+    assert(tgt.map(_._3).distinct.length == 1)
+    assert(got.forall(_._2 == 9L)) // 5 unigrams + 4 bigrams
+  }
 }
