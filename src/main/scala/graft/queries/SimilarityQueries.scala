@@ -82,6 +82,71 @@ object SimilarityQueries {
               |ORDER BY query_id, rank""".stripMargin),
       doc = "IVF ANN: one-pass centroid assignment, probe own cell (nprobe=1)"),
 
+    // ANN quality evaluation: per-query recall@3 of the IVF path
+    // against exact brute force — the metric a user tunes nprobe /
+    // centroid count against. Both retrievals are deterministic
+    // ((cos DESC, neighbor_id) rank), so recall is a stable fraction,
+    // not a sampled estimate. The join is top-k-sized (queries x k
+    // rows), never corpus-sized.
+    Q("sim_ivf_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val brute = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16),
+            col("__id") < 10, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(round(sum(coalesce(col("__hit"), lit(0L))) / lit(3.0), 6)
+            .as("recall_at_3"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |bs AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${cos("q.v", "c.v")} AS cs
+              |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+              |  WHERE q.vec_id < 10),
+              |br AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM bs),
+              |bt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+              |asg AS (
+              |  SELECT vec_id, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |                            ORDER BY cs DESC, cid) AS rn
+              |  FROM (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+              |        FROM e CROSS JOIN c)),
+              |cell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+              |q AS (SELECT vec_id AS qid, cell FROM cell WHERE vec_id < 10),
+              |isc AS (
+              |  SELECT q.qid AS query_id, ce.vec_id AS neighbor_id,
+              |         ${cos("eq.v", "ec.v")} AS cs
+              |  FROM q
+              |  JOIN cell ce ON ce.cell = q.cell AND ce.vec_id != q.qid
+              |  JOIN e eq ON eq.vec_id = q.qid
+              |  JOIN e ec ON ec.vec_id = ce.vec_id),
+              |ir AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM isc),
+              |it AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 3)
+              |SELECT bt.query_id,
+              |       round(CAST(count(it.query_id) AS DOUBLE) / 3.0, 6)
+              |         AS recall_at_3
+              |FROM bt LEFT JOIN it ON it.query_id = bt.query_id
+              |                    AND it.neighbor_id = bt.neighbor_id
+              |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin),
+      doc = "ANN recall@3 eval: IVF top-k vs exact brute force, deterministic per-query fraction"),
+
     // Matryoshka truncation eval: top-5 agreement between full-dim and
     // 16-dim-truncated-renormalized retrieval, per query — the metric
     // that decides whether the cheap prefix embedding is servable.

@@ -264,6 +264,30 @@ object SkewProbe {
               sep = "\n"),
             Seq("doc_id", "text")))
           report("span_rm", rep, t, n, h)
+        case "exactsubstr_pre" =>
+          // run on the UNSKEWED scale corpus: organic dup density only
+          // (the planted near-dup pairs) — the regime the winnow
+          // prefilter exists for. Compare sigs: equal when every
+          // organic shared span is >= w+k-1 chars
+          val k = 30
+          if (rep == 1) {
+            val cand = docs.select(col("doc_id"),
+                explode(graft.functions.Sketches.winnowSet(col("text"), k, 16))
+                  .as("fp"))
+              .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("d"))
+              .filter(col("d") >= 2)
+            println(s"[skew] exactsubstr_pre hot_fps=${cand.count()} " +
+              s"docs=${docs.count()}")
+          }
+          val ((n1, h1), t1) = time(sig(
+            graft.operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", k),
+            Seq("doc_id", "span_start", "span_end")))
+          report("full", rep, t1, n1, h1)
+          val ((n2, h2), t2) = time(sig(
+            graft.operators.Dedup.exactSubstrSpansPrefiltered(
+              docs, "doc_id", "text", k, w = 16),
+            Seq("doc_id", "span_start", "span_end")))
+          report("prefiltered", rep, t2, n2, h2)
         case "exactsubstr" =>
           val k = 30
           if (rep == 1) {

@@ -279,6 +279,37 @@ class DedupSpec extends SparkSpec {
     assert(got(5L).size == 2)      // two separated islands stay separate
   }
 
+  test("exactSubstrSpansPrefiltered: equals exact above the winnow guarantee; intra-doc caught") {
+    val k = 12
+    val w = 8 // guarantee: shared spans >= w+k-1 = 19 chars can't be missed
+    val df = essCorpus.toDF("doc_id", "text")
+    val exact = Dedup.exactSubstrSpans(df, "doc_id", "text", k)
+      .as[(Long, Int, Int)].collect().toSet
+    val pre = Dedup.exactSubstrSpansPrefiltered(df, "doc_id", "text", k, w)
+      .as[(Long, Int, Int)].collect().toSet
+    // every planted span is 23+ chars, above the guarantee -> identical
+    assert(pre == exact)
+    // doc 1's repeat is INTRA-doc: invisible to the cross-doc fp df,
+    // caught by the per-row duplicate-window check
+    assert(pre.exists(_._1 == 1L))
+  }
+
+  test("exactSubstrSpansPrefiltered: never invents spans below the guarantee") {
+    val k = 12
+    val corpus = Seq(
+      1L -> "aaa SHORT-DUP-XX bbb entirely different tail one",
+      2L -> "ccc SHORT-DUP-XX ddd some other unrelated tail")
+    val df = corpus.toDF("doc_id", "text")
+    val exact = Dedup.exactSubstrSpans(df, "doc_id", "text", k)
+      .as[(Long, Int, Int)].collect().toSet
+    val pre = Dedup.exactSubstrSpansPrefiltered(df, "doc_id", "text", k, w = 16)
+      .as[(Long, Int, Int)].collect().toSet
+    // the shared window is exactly k chars, below w+k-1: the prefilter
+    // may miss it but must never report anything exact would not
+    assert(pre.subsetOf(exact))
+    assert(exact.nonEmpty) // the exact pass does see the short dup
+  }
+
   test("exactSubstrClean: cut corpus matches the naive reference; passthrough intact") {
     val k = 12
     val got = Dedup.exactSubstrClean(essCorpus.toDF("doc_id", "text"),
