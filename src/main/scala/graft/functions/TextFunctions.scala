@@ -83,6 +83,25 @@ object TextFunctions {
 
   def markerCounts(text: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(MarkerCounts(Bridge.expression(text), sets))
+
+  /** Pipeline text normalization — Unicode NFC composition, control
+    * stripping, ASCII-whitespace-run collapse, edge trim — in ONE
+    * codegen'd pass ([[NormalizeText]]). The contract (pinned by the
+    * DuckDB oracle, which has `nfc_normalize` natively) is exactly:
+    *
+    *   trim(regexp_replace(regexp_replace(nfc_normalize(s),
+    *        '[\x00-\x08\x0E-\x1F\x7F]', ''),      -- controls, not \t\n\v\f\r
+    *        '[ \t\n\r\x0B\x0C]+', ' '))           -- ASCII ws runs -> one space
+    *
+    * Unicode spaces (NBSP U+00A0, U+2007, ...) are deliberately NOT
+    * collapsed: RE2-class explicitness keeps Java/DuckDB/any-engine
+    * byte agreement, and NBSP is often semantic (numbers, French
+    * punctuation). Every serious corpus pipeline runs this exact stage
+    * before shingling/hashing so that "é" and "é" dedup
+    * together; scan-fused per-row map, no shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(text)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,
@@ -263,5 +282,47 @@ case class MarkerCounts(child: Expression, sets: Seq[Seq[String]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
+}
+
+/** Fused normalization kernel: NFC-compose (java.text.Normalizer — the
+  * same Unicode NFC the DuckDB oracle's `nfc_normalize` implements),
+  * then one char pass that drops control chars (C0 minus the five ASCII
+  * whitespace controls, plus DEL), collapses runs of
+  * `[ \t\n\r\x0B\x0C]` to a single space, and trims both edges.
+  * Equivalent to the strip-then-collapse-then-trim regex chain because
+  * a skipped control between two whitespace chars leaves the run
+  * contiguous, exactly as deleting it first would.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val isWs = c == ' ' || (c >= '\t' && c <= '\r')
+      val isCtl = (c < ' ' && !isWs) || c == '\u007f'
+      if (isWs) {
+        if (sb.length > 0) pendingSpace = true // leading ws never lands
+      } else if (!isCtl) {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString) // trailing ws stays pending -> trimmed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }

@@ -283,6 +283,31 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "PII scrub: email/IPv4/phone -> placeholder tokens, byte-identical to the RE2 oracle"),
 
+    // Unicode normalization (the stage every corpus runs before any
+    // hashing/shingling). The synthetic corpus is ASCII-clean, so each
+    // doc gets a deterministic gnarly tail: a decomposed e+combining-
+    // acute (NFC-composes to U+00E9), a C0 control, an NBSP (must be
+    // PRESERVED — only ASCII whitespace collapses), a tab+newline+space
+    // run, and trailing spaces. Identical construction on both sides;
+    // the oracle builds the chars with chr() so the SQL stays printable.
+    Q("text_normalize",
+      (s, dir) => {
+        val tail = lit("  A\u0001B e\u0301 X\u00A0Y \t\n end  ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions
+              .normalizeText(concat(col("text"), tail)).as("norm_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       trim(regexp_replace(regexp_replace(
+             |         nfc_normalize(text || '  A' || chr(1) || 'B e' || chr(769)
+             |           || ' X' || chr(160) || 'Y ' || chr(9) || chr(10) || ' end  '),
+             |         '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+             |         '[ \t\n\r\x0B\x0C]+', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Unicode NFC + control strip + ws collapse + trim, one codegen'd pass vs DuckDB nfc_normalize"),
+
     // URL quality filtering (the RefinedWeb/C4 provenance stage). The
     // synthetic corpus carries no organic URLs, so each doc gets a
     // deterministic injected tail: every doc links a cdn host whose
