@@ -642,6 +642,43 @@ object AnalyticsQueries {
              |       count(*) FILTER (event_type = 'purchase') AS purchase
              |FROM events WHERE user_id < 20
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
-      doc = "PIVOT with explicit value list -> per-user event-type count columns")
+      doc = "PIVOT with explicit value list -> per-user event-type count columns"),
+
+    // Z-order layout probe: Morton-interleave (user_id, epoch-hour)
+    // into one clustering key, cut the sorted order into 32 "files",
+    // and report each file's min/max envelope in BOTH dimensions. The
+    // envelopes being narrow on ux AND uh at once is the property a
+    // lexicographic (user-then-time) sort cannot give time-only
+    // predicates — ZOrderSpec quantifies the pruning gap. ntile over a
+    // total order keeps the stats oracle-deterministic; the WRITE path
+    // (Layout.zorderClustered) uses repartitionByRange, never a global
+    // window.
+    Q("events_zorder_layout",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("ux", col("user_id").cast("long").bitwiseAND(lit(1023L)))
+          .withColumn("uh", expr("unix_micros(ts) div 3600000000")
+            .bitwiseAND(lit(1023L)))
+          .withColumn("zkey",
+            graft.functions.ZOrder.key(10, col("ux"), col("uh")))
+        graft.operators.Layout.bucketEnvelopes(e,
+          col("zkey"), col("event_id"), 32,
+          ("ux", col("ux")), ("uh", col("uh")), ("zkey", col("zkey")))
+      },
+      Some(s"""WITH b AS (SELECT event_id,
+             |             (CAST(user_id AS BIGINT) & 1023) AS ux,
+             |             ((epoch_us(ts) // 3600000000) & 1023) AS uh
+             |           FROM events),
+             |z AS (SELECT event_id, ux, uh,
+             |        ${graft.functions.ZOrder.sqlTerms(10, Seq("ux", "uh"))} AS zkey
+             |      FROM b),
+             |t AS (SELECT *, ntile(32) OVER (ORDER BY zkey, event_id) AS bucket
+             |      FROM z)
+             |SELECT bucket, min(ux) AS min_ux, max(ux) AS max_ux,
+             |       min(uh) AS min_uh, max(uh) AS max_uh,
+             |       min(zkey) AS min_zkey, max(zkey) AS max_zkey,
+             |       count(*) AS n
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "Z-order (Morton) clustering: per-file min/max envelopes tight in both dims at once")
   )
 }
