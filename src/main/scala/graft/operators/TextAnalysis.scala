@@ -267,6 +267,51 @@ object TextAnalysis {
           .as("perplexity"))
   }
 
+  /** CCNet-style head/middle/tail quality buckets: per language, rank
+    * documents by LM perplexity and cut into terciles (lowest
+    * perplexity = "head", the slice CCNet keeps by default). This exact
+    * labeler uses ntile over (perplexity, id) — deterministic and
+    * oracle-checkable, but a per-language window is one sort task per
+    * language, so at corpus scale use [[pplBucketsByThreshold]]: the
+    * same assignment from mergeable approx-percentile cut points (what
+    * CCNet itself does — train cut points once, assign by comparison).
+    */
+  def pplBucketsExact(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, alpha: Double = 0.5): DataFrame = {
+    val ppl = perplexityScore(docs, idCol, textCol, alpha)
+      .select(col(idCol), col("perplexity"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("perplexity"), col(idCol))
+    docs.select(col(idCol), col(langCol)).join(ppl, Seq(idCol))
+      .withColumn("__t", ntile(3).over(w))
+      .select(col(idCol), col(langCol), col("perplexity"),
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Scale path for [[pplBucketsExact]]: per-language tercile cut
+    * points from `percentile_approx` (a mergeable partial-aggregated
+    * sketch — no per-language sort, no whale-language window task),
+    * broadcast back (|languages| rows) and assigned by comparison.
+    * Labels can differ from the exact ntile labeler only for docs whose
+    * perplexity sits within the sketch's rank-error of a cut point;
+    * PplBucketsSpec measures the agreement.
+    */
+  def pplBucketsByThreshold(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, alpha: Double = 0.5, accuracy: Int = 10000): DataFrame = {
+    val ppl = perplexityScore(docs, idCol, textCol, alpha)
+      .select(col(idCol), col("perplexity"))
+    val joined = docs.select(col(idCol), col(langCol)).join(ppl, Seq(idCol))
+    val cuts = joined.groupBy(col(langCol))
+      .agg(percentile_approx(col("perplexity"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__cuts"))
+    joined.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("perplexity"),
+        when(col("perplexity") <= col("__cuts").getItem(0), "head")
+          .when(col("perplexity") <= col("__cuts").getItem(1), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** BM25 (Okapi, Lucene idf form) top-k retrieval of documents for a
     * literal query-term set — the seed-set selection primitive of a
     * curation pipeline ("find the k corpus docs most like these

@@ -765,6 +765,48 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "bigram-LM perplexity per doc (CCNet-style quality signal; corpus-trained add-alpha model)"),
 
+    // CCNet head/middle/tail: per-language perplexity terciles over the
+    // SAME rounded perplexity relation as text_perplexity (ties broken
+    // by doc_id, so the ntile labeling is engine-independent). The
+    // catalog runs the exact labeler; the sketch-threshold scale path
+    // (percentile_approx cuts + broadcast compare, no per-language
+    // sort) is pinned against it in PplBucketsSpec.
+    Q("text_ppl_buckets",
+      (s, dir) => TextAnalysis.pplBucketsExact(Tables.documents(s, dir),
+          "doc_id", "text", "lang", alpha = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bi AS (
+             |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |               i -> [w[i], w[i + 1]])) AS pr
+             |        FROM toks)),
+             |uni AS (
+             |  SELECT w1, count(*) AS cu
+             |  FROM (SELECT doc_id, unnest(w) AS w1 FROM toks) GROUP BY w1),
+             |v AS (SELECT count(*) AS v FROM uni),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+             |db AS (SELECT doc_id, w1, w2, count(*) AS k
+             |       FROM bi GROUP BY doc_id, w1, w2),
+             |nll AS (
+             |  SELECT db.doc_id, db.k,
+             |         -ln((bc.cb + 0.5) / (CAST(uni.cu AS DOUBLE) + 0.5 * v.v))
+             |           AS nll
+             |  FROM db JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |p AS (SELECT doc_id,
+             |             round(exp(sum(k * nll) / sum(k)), 6) AS perplexity
+             |      FROM nll GROUP BY doc_id),
+             |t AS (SELECT d.doc_id, d.lang, p.perplexity,
+             |             ntile(3) OVER (PARTITION BY d.lang
+             |               ORDER BY p.perplexity, d.doc_id) AS tc
+             |      FROM documents d JOIN p USING (doc_id))
+             |SELECT doc_id, lang, perplexity,
+             |       CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |               ELSE 'tail' END AS bucket
+             |FROM t ORDER BY doc_id""".stripMargin),
+      doc = "CCNet head/middle/tail per-language perplexity terciles (exact labeler; sketch twin spec'd)"),
+
     // Context-window chunking: overlapping 16-token windows at stride 12
     // (the packing primitive for pretraining / RAG ingestion). One
     // narrow expand per doc — generate window starts with sequence(),
