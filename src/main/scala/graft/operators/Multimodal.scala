@@ -197,6 +197,75 @@ object Multimodal {
         gen(col("doc_id")).as("content"))
   }
 
+  case class WaveStats(id: Long, n_samples: Long, peak: Int,
+      sum_abs: Long, sum_sq: Long, n_silent: Long)
+
+  /** REAL PCM sample decode: the claimed reader's `AudioInputStream`
+    * (not our own header math) yields the decoded frames; 16-bit
+    * signed samples are then read in the stream format's endianness.
+    * None when no reader claims the payload or it isn't PCM-16.
+    */
+  private[graft] def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    val readers = audioReaders.get()
+    var rest = readers
+    while (rest.nonEmpty) {
+      val r = rest.head
+      try {
+        val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 ||
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
+          val data = in.readAllBytes()
+          val out = new Array[Short](data.length / 2)
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          if (r ne readers.head)
+            audioReaders.set(r :: readers.filterNot(_ eq r))
+          return Some(out)
+        } finally in.close()
+      } catch { case _: Exception => () }
+      rest = rest.tail
+    }
+    None
+  }
+
+  /** Waveform quality features over REAL decoded PCM — the audio
+    * analogue of the text quality signals: sample count, peak
+    * amplitude, exact integer |sample| and sample² sums (ratio/RMS
+    * math stays in Spark expressions so the oracle's double arithmetic
+    * is reproduced operation-for-operation), and the count of samples
+    * under the silence threshold (the silent/clipped-clip filter every
+    * audio corpus runs). Batched `mapPartitions` kernel, embarrassingly
+    * parallel, no shuffle; undecodable / non-PCM-16 payloads are
+    * dropped (the fixture generator always round-trips).
+    */
+  def audioWaveStats(media: DataFrame, silenceBelow: Int = 512): Dataset[WaveStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodePcm16(bytes).map { samples =>
+            var sumAbs = 0L; var sumSq = 0L; var peak = 0; var silent = 0L
+            var i = 0
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+              sumSq += a.toLong * a
+              if (a < silenceBelow) silent += 1
+              i += 1
+            }
+            WaveStats(id, samples.length.toLong, peak, sumAbs, sumSq, silent)
+          }
+        }
+      })
+  }
+
   /** REAL batched resize kernel: ImageIO decode → Graphics2D scale to
     * fit (maxW, maxH) preserving aspect (scale ≤ 1, floor dims, min 1
     * px) → PNG re-encode → re-decode, emitting the dims of the ACTUAL

@@ -106,6 +106,38 @@ object MultimodalQueries {
              |FROM documents ORDER BY id""".stripMargin),
       doc = "REAL AudioSystem round-trip: encode PCM WAV -> batched JDK decode -> typed metadata, params oracle-pinned"),
 
+    // REAL waveform analysis: the kernel parses the WAV container with
+    // the JDK reader and folds the DECODED samples into exact integer
+    // sums; the generator's sample law ((id + 31·i) & 0x7FFF) lets the
+    // oracle recompute peak/mean/RMS/silence from documents alone. All
+    // ratio arithmetic happens in Spark expressions over the exact
+    // sums, mirroring the oracle's ops one-for-one.
+    Q("mm_audio_wave_stats",
+      (s, dir) => Multimodal.audioWaveStats(
+          Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("id"), col("n_samples"), col("peak"),
+          round(col("sum_abs") / col("n_samples").cast("double"), 6)
+            .as("mean_abs"),
+          round(sqrt(col("sum_sq") / col("n_samples").cast("double")), 6)
+            .as("rms"),
+          round(col("n_silent") / col("n_samples").cast("double"), 6)
+            .as("silence_ratio"))
+        .orderBy(col("id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |             CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT) AS ns
+             |           FROM documents),
+             |s AS (SELECT doc_id, ns, ((doc_id + 31 * i) & 32767) AS v
+             |      FROM (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM p))
+             |SELECT doc_id AS id, ns AS n_samples,
+             |       CAST(max(v) AS INTEGER) AS peak,
+             |       round(sum(v) / CAST(ns AS DOUBLE), 6) AS mean_abs,
+             |       round(sqrt(sum(v * v) / CAST(ns AS DOUBLE)), 6) AS rms,
+             |       round(sum(CASE WHEN v < 512 THEN 1 ELSE 0 END)
+             |             / CAST(ns AS DOUBLE), 6) AS silence_ratio
+             |FROM s GROUP BY doc_id, ns ORDER BY id""".stripMargin),
+      doc = "REAL PCM decode -> waveform quality features (peak/mean/RMS/silence), sample-law oracled"),
+
     // REAL resize: decode -> Graphics2D scale-to-fit (IEEE floor
     // arithmetic the oracle reproduces) -> PNG re-encode -> re-decode;
     // the emitted dims come from the RESIZED BYTES, not the formula

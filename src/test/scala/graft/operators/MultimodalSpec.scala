@@ -198,4 +198,35 @@ class MultimodalSpec extends SparkSpec {
       assert(fr.gray.length == 24)
     }
   }
+
+  test("decodePcm16: JDK decode returns exactly the generator's samples, mono and stereo") {
+    for ((ch, n, seed) <- Seq((1, 100, 5L), (2, 37, 99L))) {
+      val wav = Multimodal.encodeWavPcm16(8000, ch, n, seed)
+      val got = Multimodal.decodePcm16(wav).get
+      assert(got.length == n * ch)
+      for (i <- got.indices)
+        assert(got(i) == ((seed + 31L * i) & 0x7FFF).toShort, s"sample $i")
+    }
+  }
+
+  test("decodePcm16: non-audio payloads return None") {
+    assert(Multimodal.decodePcm16("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePcm16(Multimodal.encodePng(4, 4, 1L)).isEmpty)
+  }
+
+  test("audioWaveStats: exact integer folds match a brute-force pass; junk rows drop") {
+    val media = Seq(
+        (7L, "audio", Multimodal.encodeWavPcm16(8000, 1, 50, 7L)),
+        (8L, "audio", "junk".getBytes("UTF-8")))
+      .toDF("id", "media_type", "content")
+    val rows = Multimodal.audioWaveStats(media, silenceBelow = 512).collect()
+    assert(rows.map(_.id).toSeq == Seq(7L))
+    val s = rows(0)
+    val ref = (0 until 50).map(i => ((7L + 31L * i) & 0x7FFF).toInt)
+    assert(s.n_samples == 50)
+    assert(s.peak == ref.max)
+    assert(s.sum_abs == ref.map(_.toLong).sum)
+    assert(s.sum_sq == ref.map(v => v.toLong * v).sum)
+    assert(s.n_silent == ref.count(_ < 512))
+  }
 }
