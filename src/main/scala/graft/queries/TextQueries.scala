@@ -308,6 +308,51 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Unicode NFC + control strip + ws collapse + trim, one codegen'd pass vs DuckDB nfc_normalize"),
 
+    // Unicode script profile (the langid-adjacent signal: which writing
+    // systems a doc actually uses). Counting rides codegen'd
+    // regexp_count with Java script properties; the oracle uses RE2's
+    // spelling of the SAME Unicode Script property. The ASCII corpus
+    // gets a deterministic multi-script tail (repeat() of one char per
+    // script, length keyed on doc_id) so every count column varies.
+    Q("text_script_profile",
+      (s, dir) => {
+        val injected = concat(col("text"), lit(" "),
+          expr("repeat('\u0430', CAST(doc_id % 4 AS INT))"),
+          expr("repeat('\u4e2d', CAST(doc_id % 3 AS INT))"),
+          expr("repeat('\u0645', CAST(doc_id % 2 AS INT))"),
+          expr("repeat('\u00e9', CAST(doc_id % 5 AS INT))"))
+        def sc(p: String) = regexp_count(injected, lit(p)).cast("long")
+        val total = greatest(lit(1L),
+          sc("\\p{IsLatin}") + sc("\\p{IsCyrillic}")
+            + sc("\\p{IsHan}") + sc("\\p{IsArabic}"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            sc("\\p{IsLatin}").as("n_latin"),
+            sc("\\p{IsCyrillic}").as("n_cyr"),
+            sc("\\p{IsHan}").as("n_han"),
+            sc("\\p{IsArabic}").as("n_arab"),
+            round(sc("\\p{IsLatin}") / total.cast("double"), 6)
+              .as("latin_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || ' ' || repeat(chr(1072), CAST(doc_id % 4 AS INT))
+             |         || repeat(chr(20013), CAST(doc_id % 3 AS INT))
+             |         || repeat(chr(1605), CAST(doc_id % 2 AS INT))
+             |         || repeat(chr(233), CAST(doc_id % 5 AS INT)) AS tx
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(tx, '\p{Latin}')) AS BIGINT) AS n_latin,
+             |    CAST(len(regexp_extract_all(tx, '\p{Cyrillic}')) AS BIGINT) AS n_cyr,
+             |    CAST(len(regexp_extract_all(tx, '\p{Han}')) AS BIGINT) AS n_han,
+             |    CAST(len(regexp_extract_all(tx, '\p{Arabic}')) AS BIGINT) AS n_arab
+             |  FROM t)
+             |SELECT doc_id, n_latin, n_cyr, n_han, n_arab,
+             |       round(n_latin / CAST(greatest(1, n_latin + n_cyr + n_han + n_arab)
+             |                            AS DOUBLE), 6) AS latin_ratio
+             |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "Unicode script counts + latin ratio: Java \\p{IsX} vs RE2 \\p{X}, same Script property"),
+
     // URL quality filtering (the RefinedWeb/C4 provenance stage). The
     // synthetic corpus carries no organic URLs, so each doc gets a
     // deterministic injected tail: every doc links a cdn host whose
