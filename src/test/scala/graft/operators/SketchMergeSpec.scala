@@ -52,6 +52,55 @@ class SketchMergeSpec extends SparkSpec {
       assert(math.abs(est(s) - n).toDouble / n < 0.05, s"$s: ${est(s)} vs $n")
   }
 
+  // Count-min: the frequency-estimate companion to HLL's cardinality.
+  // At 100 TB term/domain frequencies are CMS sketches built per
+  // partition and counter-added — mergeability is EXACT for CMS (same
+  // dims + seed => counter matrices add), unlike HLL's storage-type
+  // rounding. Zipf-ish data: token j appears ~2sqrt-decay heavy.
+  private def skewed = spark.range(5000).select(
+    $"id".as("doc_id"),
+    concat(lit("src"), pmod($"id", lit(4L)).cast("string")).as("source"),
+    concat(lit("tok"), floor(sqrt($"id")).cast("long").cast("string")).as("token"))
+
+  private def readCms(b: Array[Byte]) =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(b))
+
+  test("cms: per-source sketches counter-add to EXACTLY the global sketch") {
+    val eps = 0.001; val conf = 0.99; val seed = 42
+    val perSource = skewed.groupBy($"source")
+      .agg(count_min_sketch($"token", lit(eps), lit(conf), lit(seed)).as("sk"))
+      .as[(String, Array[Byte])].collect()
+    val merged = perSource.map(r => readCms(r._2)).reduce { (a, b) =>
+      a.mergeInPlace(b); a
+    }
+    val global = readCms(skewed
+      .agg(count_min_sketch($"token", lit(eps), lit(conf), lit(seed)).as("sk"))
+      .as[Array[Byte]].head())
+    val exact = skewed.groupBy($"token").count()
+      .as[(String, Long)].collect().toMap
+    for ((t, _) <- exact)
+      assert(merged.estimateCount(t) == global.estimateCount(t),
+        s"merge must be exact for $t")
+  }
+
+  test("cms: estimates never undercount and respect the eps*N bound; top token exact") {
+    val eps = 0.001; val n = 5000L
+    val sk = readCms(skewed
+      .agg(count_min_sketch($"token", lit(eps), lit(0.99), lit(7)).as("sk"))
+      .as[Array[Byte]].head())
+    val exact = skewed.groupBy($"token").count()
+      .as[(String, Long)].collect().toMap
+    for ((t, c) <- exact) {
+      val est = sk.estimateCount(t)
+      assert(est >= c, s"CMS must never undercount: $t $est < $c")
+      assert(est <= c + (eps * n).toLong + 1, s"$t overcount $est vs $c")
+    }
+    val topExact = exact.maxBy(c => (c._2, c._1))._1
+    val topCms = exact.keys.maxBy(t => (sk.estimateCount(t), t))
+    assert(topCms == topExact, "heavy hitter must survive the sketch")
+  }
+
   test("null text flows safely through the text/dedup surface") {
     val withNulls = Seq(
       (1L, "the quick brown fox jumps"),
