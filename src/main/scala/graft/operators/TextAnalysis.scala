@@ -51,6 +51,51 @@ object TextAnalysis {
         (lit(1.0) - nStop.cast("double") / nWords) * 0.5, 6).as("quality"))
   }
 
+  /** Gopher-style quality-rule filter (the published MassiveText rule
+    * set: word-count bounds, mean-word-length band, symbol-to-word
+    * ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    * fraction, minimum stop-word hits). One per-row pass — the word
+    * stats ride the fused [[TextFunctions.markerCounts]] kernel and
+    * every other signal is a codegen'd `regexp_count`, so the filter
+    * fuses into the ingest scan with no shuffle at any scale.
+    *
+    * Ratios divide exact integer counts; rule comparisons use the
+    * same round(,6) values that are emitted, so an oracle evaluating
+    * identical arithmetic agrees bit-for-bit. Words are single-space
+    * splits (empties kept); lines are `\n` splits.
+    *
+    * Output: (id, n_words, mean_wlen, symbol_ratio, bullet_ratio,
+    * ellipsis_ratio, alpha_ratio, n_stop, pass∈{0,1}).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      TextFunctions.markerCounts(col(textCol), Seq(stopwords)).as("__mc"))
+    val nWords = col("__mc.n_words").cast("long")
+    val nStop = element_at(col("__mc.hits"), 1).cast("long")
+    val nLines = regexp_count(col("__t"), lit("\n")) + lit(1L)
+    val meanWlen = round(col("__mc.sum_len").cast("double") / nWords, 6)
+    val symbolRatio = round(
+      regexp_count(col("__t"), lit("#|\\.\\.\\.")).cast("double") / nWords, 6)
+    val bulletRatio = round(
+      regexp_count(col("__t"), lit("(?m)^[-*] ")).cast("double") / nLines, 6)
+    val ellipsisRatio = round(
+      regexp_count(col("__t"), lit("(?m)\\.\\.\\.$")).cast("double") / nLines, 6)
+    val alphaRatio = round(
+      regexp_count(col("__t"), lit("[^ ]*[a-zA-Z][^ ]*")).cast("double") / nWords, 6)
+    base.select(col(idCol), nWords.as("n_words"), meanWlen.as("mean_wlen"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+        nStop.as("n_stop"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
+          col("ellipsis_ratio") < 0.3 && col("alpha_ratio") > 0.8 &&
+          col("n_stop") >= 2L).cast("int"))
+  }
+
   /** Language-marker word sets for [[langId]], in tie-preference order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
@@ -613,5 +658,110 @@ object TextAnalysis {
       .collect { case (wt, j) if wt != 0L => (j.toLong, wt) }.toSeq
     import spark.implicits._
     out.toDF("bucket", "weight")
+  }
+
+  /** EXACT corpus-wide heavy hitters — every whitespace token whose
+    * count is at least `thetaNum/thetaDen` of the N total tokens —
+    * without ever shuffling the full token stream's distinct keys.
+    *
+    * At 100 TB the naive `groupBy(token)` shuffles a key per DISTINCT
+    * token (billions of near-singleton keys whose counts are then
+    * thrown away by the threshold). This is the classic two-pass
+    * sketch-then-verify shape instead:
+    *
+    *  1. '''Candidates''' — a per-partition Misra–Gries summary
+    *     (bounded state: at most `capacity` counters per partition,
+    *     built inline with the scan, NO shuffle). Summaries are
+    *     count-mergeable; each partition also reports its exact token
+    *     count n_p and its exact decrement-round count d_p. Merged-MG
+    *     theory gives `mgSum(t) >= count(t) - D` with `D = sum(d_p) <=
+    *     N/(capacity+1)`, so filtering on `mgSum + D >= ceil(theta*N)`
+    *     yields a GUARANTEED superset of the true heavy hitters — the
+    *     shuffle carries only P*capacity summary rows, not the corpus.
+    *  2. '''Verify''' — one exact partial-aggregated count restricted
+    *     to the candidate set (broadcast semi-join probe on the token
+    *     stream; at most ~thetaDen/thetaNum + slack candidates
+    *     survive step 1's filter, a guaranteed-tiny broadcast).
+    *
+    * The result is EXACT (deterministic, partitioning-independent) —
+    * the sketch only prunes, never decides. The frequency threshold is
+    * evaluated in exact integer cross-multiplication
+    * (`cnt * thetaDen >= N * thetaNum`), no float boundary.
+    *
+    * Tokenization is `split(text, " ")` with trailing empties kept —
+    * identical to [[TextFunctions.words]] and DuckDB `string_split`.
+    *
+    * @param capacity per-partition MG counters; must satisfy
+    *   `(capacity+1) * thetaNum > thetaDen` (i.e. capacity+1 > 1/theta)
+    *   or the superset guarantee fails — enforced.
+    * @return (tok, cnt, n_total) for each heavy hitter
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+      thetaNum: Long, thetaDen: Long, capacity: Int = 1024): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0, "theta must be positive")
+    require((capacity + 1L) * thetaNum > thetaDen,
+      s"capacity+1 (${capacity + 1}) must exceed 1/theta ($thetaDen/$thetaNum) " +
+        "or a heavy hitter can vanish from every per-partition summary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val summaries = docs.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long](capacity * 2)
+        var np = 0L
+        var dp = 0L
+        while (it.hasNext) {
+          val text = it.next()
+          if (text != null) {
+            val toks = text.split(" ", -1)
+            var i = 0
+            while (i < toks.length) {
+              val t = toks(i)
+              np += 1L
+              val cur = m.get(t)
+              if (cur != 0L || m.containsKey(t)) m.put(t, cur + 1L)
+              else if (m.size < capacity) m.put(t, 1L)
+              else {
+                // decrement-all round: the incoming token and one unit
+                // of each stored counter cancel; zeros evicted
+                dp += 1L
+                val eit = m.entrySet().iterator()
+                while (eit.hasNext) {
+                  val e = eit.next()
+                  if (e.getValue == 1L) eit.remove()
+                  else e.setValue(e.getValue - 1L)
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)](m.size + 1)
+        val eit = m.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          rows += ((e.getKey, e.getValue, 0L, 0L))
+        }
+        rows += ((null, 0L, np, dp))
+        rows.iterator
+      }.toDF("tok", "w", "np", "dp")
+      // tiny after the merge (<= P*capacity + P rows pre-agg); persisted
+      // because totals, candidates, and the verify filter all read it
+      .groupBy(col("tok"))
+      .agg(sum(col("w")).as("w"), sum(col("np")).as("np"), sum(col("dp")).as("dp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = summaries.filter(col("tok").isNull)
+      .select(col("np").as("n_total"), col("dp").as("deficit"))
+    val candidates = summaries.filter(col("tok").isNotNull)
+      .crossJoin(broadcast(totals))
+      .filter((col("w") + col("deficit")) * lit(thetaDen) >=
+        col("n_total") * lit(thetaNum))
+      .select(col("tok"))
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals.select(col("n_total"))))
+      .filter(col("cnt") * lit(thetaDen) >= col("n_total") * lit(thetaNum))
+      .select(col("tok"), col("cnt"), col("n_total"))
   }
 }

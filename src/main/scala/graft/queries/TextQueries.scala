@@ -252,6 +252,62 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin),
       doc = "quality scoring: mean word length, stopword ratio, composite score"),
 
+    // Gopher/MassiveText rule filter. The single-line synthetic corpus
+    // gets a deterministic multi-line tail (bullet lines, ellipsis
+    // line, symbols, keyed on doc_id) so the line-based rules vary;
+    // same construction both sides. Rules compare the emitted
+    // round(,6) ratios, so the integer-count division is boundary-safe
+    // across engines.
+    Q("text_gopher_rules",
+      (s, dir) => {
+        val injected = concat(col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("- alpha item\n"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("ends here...\n"))
+            .otherwise(lit("")),
+          lit("* bullet 42 ###"))
+        TextAnalysis.gopherRules(
+            Tables.documents(s, dir).withColumn("text", injected),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    text || chr(10)
+              |      || CASE WHEN doc_id % 3 = 0 THEN '- alpha item' || chr(10)
+              |         ELSE '' END
+              |      || CASE WHEN doc_id % 4 = 0 THEN 'ends here...' || chr(10)
+              |         ELSE '' END
+              |      || '* bullet 42 ###' AS tx
+              |  FROM documents),
+              |sig AS (SELECT doc_id,
+              |    CAST(len(string_split(tx, ' ')) AS BIGINT) AS n_words,
+              |    round(CAST(list_sum(list_transform(string_split(tx, ' '),
+              |            x -> len(x))) AS DOUBLE)
+              |          / len(string_split(tx, ' ')), 6) AS mean_wlen,
+              |    round(CAST(len(regexp_extract_all(tx, '#|\\.\\.\\.')) AS DOUBLE)
+              |          / len(string_split(tx, ' ')), 6) AS symbol_ratio,
+              |    round(CAST(len(regexp_extract_all(tx, '(?m)^[-*] ')) AS DOUBLE)
+              |          / (len(regexp_extract_all(tx, chr(10))) + 1), 6)
+              |      AS bullet_ratio,
+              |    round(CAST(len(regexp_extract_all(tx, '(?m)\\.\\.\\.$$')) AS DOUBLE)
+              |          / (len(regexp_extract_all(tx, chr(10))) + 1), 6)
+              |      AS ellipsis_ratio,
+              |    round(CAST(len(regexp_extract_all(tx, '[^ ]*[a-zA-Z][^ ]*'))
+              |            AS DOUBLE)
+              |          / len(string_split(tx, ' ')), 6) AS alpha_ratio,
+              |    CAST(len(list_filter(string_split(tx, ' '),
+              |            x -> x IN $stopList)) AS BIGINT) AS n_stop
+              |  FROM t)
+              |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_ratio,
+              |       ellipsis_ratio, alpha_ratio, n_stop,
+              |       CAST(n_words >= 50 AND n_words <= 100000
+              |         AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+              |         AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+              |         AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+              |         AND n_stop >= 2 AS INT) AS pass
+              |FROM sig ORDER BY doc_id""".stripMargin),
+      doc = "Gopher/MassiveText rule filter: 7 published signals + pass flag, one scan-fused pass"),
+
     // PII redaction (the C4/Dolma-style cleanup stage). The synthetic
     // corpus carries no organic PII, so each row gets a deterministic
     // injected tail (email + IPv4 + phone derived from doc_id) built
@@ -665,6 +721,26 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "distinct-aggregate: per-language vocabulary size (expand+dedup shuffle)"),
+
+    // EXACT heavy hitters (tokens with frequency >= 1/500 of the
+    // corpus) via per-partition Misra-Gries candidate generation + an
+    // exact broadcast-probe verify — the scale-first alternative to
+    // groupBy over billions of near-singleton token keys. The sketch
+    // only PRUNES (guaranteed superset), so the result is exact and
+    // partitioning-independent; the oracle is the naive full groupBy.
+    Q("text_heavy_hitters",
+      (s, dir) => TextAnalysis.heavyHitters(
+          Tables.documents(s, dir), "text", thetaNum = 1L, thetaDen = 500L)
+        .orderBy(col("cnt").desc, col("tok")),
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |n AS (SELECT count(*) AS n_total FROM toks)
+             |SELECT tok, count(*) AS cnt, n.n_total
+             |FROM toks CROSS JOIN n
+             |GROUP BY tok, n.n_total
+             |HAVING count(*) * 500 >= n.n_total
+             |ORDER BY cnt DESC, tok""".stripMargin),
+      doc = "exact heavy hitters: Misra-Gries per-partition candidates + broadcast verify (never shuffles the vocabulary)"),
 
     // Exact quantiles of the token-count distribution per language —
     // the length profile a pretraining mix is tuned against. Spark's

@@ -338,4 +338,78 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tgt.map(_._3).distinct.length == 1)
     assert(got.forall(_._2 == 9L)) // 5 unigrams + 4 bigrams
   }
+
+  test("gopherRules: hand-computed signals on a multi-line doc") {
+    // words (space-split, empties kept): the|a|x\n-|b|c...\n### -> 5
+    // lines: "the a x" / "- b c..." / "###" -> 3
+    val got = TextAnalysis.gopherRules(
+      Seq((1L, "the a x\n- b c...\n###")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(got.getLong(1) == 5L)                        // n_words
+    assert(got.getDouble(2) == 3.2)                     // (3+1+3+1+8)/5
+    assert(got.getDouble(3) == 0.8)                     // 3x'#' + 1x'...' over 5
+    assert(got.getDouble(4) == 0.333333)                // 1 bullet line of 3
+    assert(got.getDouble(5) == 0.333333)                // 1 ellipsis-end line of 3
+    assert(got.getDouble(6) == 1.0)                     // every word has a letter
+    assert(got.getLong(7) == 2L)                        // the, a
+    assert(got.getInt(8) == 0)                          // n_words < 50 fails
+  }
+
+  test("gopherRules: a clean long doc passes") {
+    val text = (("the cats and dogs run to a tree in town " * 6).trim)
+    val got = TextAnalysis.gopherRules(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(got.getLong(1) == 60L)
+    assert(got.getInt(8) == 1)
+  }
+
+  private def exactHH(df: org.apache.spark.sql.DataFrame, num: Long,
+      den: Long): Set[(String, Long, Long)] = {
+    val toks = df.select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    toks.groupBy("tok").count()
+      .filter(col("count") * den >= n * num)
+      .as[(String, Long)].collect().map(t => (t._1, t._2, n)).toSet
+  }
+
+  test("heavyHitters: exact vs naive groupBy, any partitioning, capacity far below vocab") {
+    // 600 distinct rare tokens (one occurrence each) + 2 hot tokens
+    // carrying ~40% of mass: vocab 602 >> capacity 13 forces constant
+    // Misra-Gries decrement rounds in every partition
+    val docs = (0L until 200L).map { i =>
+      (i, s"hot cold r${3 * i} r${3 * i + 1} r${3 * i + 2}")
+    }.toDF("doc_id", "text")
+    val want = exactHH(docs, 1L, 10L) // threshold 100 of 1000: {hot, cold}
+    assert(want.map(_._1) == Set("hot", "cold"))
+    for (p <- Seq(1, 7, 32)) {
+      val got = TextAnalysis.heavyHitters(docs.repartition(p), "text",
+          thetaNum = 1L, thetaDen = 10L, capacity = 13)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"partitions=$p")
+    }
+  }
+
+  test("heavyHitters: integer threshold boundary is inclusive and exact") {
+    // 10 tokens total; theta=1/5 -> threshold exactly 2: a count-2
+    // token is IN, count-1 is OUT
+    val docs = Seq((1L, "a a b b b c d e f g")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "text", 1L, 5L, capacity = 8)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 10L), ("b", 3L, 10L)))
+  }
+
+  test("heavyHitters: empty tokens from doubled spaces count like the oracle's") {
+    val docs = Seq((1L, "x  x  x y")).toDF("doc_id", "text") // "", "" are tokens
+    val got = TextAnalysis.heavyHitters(docs, "text", 1L, 3L, capacity = 8)
+      .as[(String, Long, Long)].collect().toSet
+    // 6 tokens: x:3, "":2, y:1; threshold ceil(6/3)=2
+    assert(got == Set(("x", 3L, 6L), ("", 2L, 6L)))
+  }
+
+  test("heavyHitters: rejects a capacity too small for the guarantee") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", 1L, 500L, capacity = 400)
+    }
+  }
 }
