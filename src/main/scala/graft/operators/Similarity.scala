@@ -291,4 +291,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor_id"))
   }
+
+  /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011 — the FAISS
+    * IVFPQ storage path): split each d-dim vector into `m` contiguous
+    * subvectors and quantize each against its OWN small codebook
+    * (argmin L2, ties to the lowest code id), so a vector stores m
+    * small code ids instead of d floats — at m=4 codebooks of 16 codes
+    * over 64 float32 dims that is 4 x 4 bits vs 256 bytes, the
+    * compression that makes a 100 TB embedding store greppable. Like
+    * [[assignCells]], codebooks are small by contract: collected once,
+    * folded into per-subspace literals, and the encode is ONE narrow
+    * map stage — no exchange anywhere. (The per-row HOF fold is
+    * interpreted; at catalog codebook sizes that is m*|codes| fused
+    * multiply-adds per row, the same cost class as one centroid
+    * assignment. A trained-at-scale path would fuse this into a
+    * codegen'd kernel like CosineSimilarity.)
+    *
+    * `codebook` rows are FULL d-dim vectors (e.g. a trained or sampled
+    * subset of the corpus); subspace j's codes are their j-th slices —
+    * the fixed-codebook formulation that keeps encode deterministic
+    * and oracle-expressible.
+    *
+    * Output: (id, pq_codes "c0-c1-…-c(m-1)" joined on '-', recon_mae =
+    * round(mean |v_i - code_i|, 6)) — the reconstruction error column
+    * is the quality gauge a user tunes m / codebook size against.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
+    val cents = collectCentroids(codebook, idCol, vecCol)
+    val d = cents.head._2.length
+    require(m > 0 && d % m == 0, s"m=$m must divide dim=$d")
+    require(cents.forall(_._2.length == d), "codebook dims must agree")
+    val sd = d / m
+    // per-subspace literal array<struct<cid, cv>> (cid-ascending:
+    // collectCentroids orders by id, so first-min wins ties)
+    def codesLit(j: Int): Column = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).cast("long").as("cid"),
+        array(cv.slice(j * sd, (j + 1) * sd).map(lit).toIndexedSeq: _*).as("cv"))
+    }.toIndexedSeq: _*)
+    // argmin-L2 over the literal, carrying the winning code vector so
+    // the reconstruction-error term reuses it without a second argmin
+    def best(j: Int): Column = {
+      val sub = slice(col("v"), j * sd + 1, sd)
+      aggregate(codesLit(j),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid"),
+          array((0 until sd).map(_ => lit(0.0)): _*).as("cv")),
+        (acc, c) => {
+          val d2 = aggregate(zip_with(sub, c.getField("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (s, x) => s + x)
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cid").as("cid"),
+              c.getField("cv").as("cv"))).otherwise(acc)
+        })
+    }
+    val withBest = asDouble(corpus, idCol, vecCol)
+      .select(col("__id"), col("v"),
+        array((0 until m).map(j => best(j)): _*).as("__b"))
+    val codeStr = concat_ws("-",
+      transform(col("__b"), b => b.getField("cid").cast("string")))
+    val absErrSum = aggregate(col("__b"),
+      struct(lit(0.0).as("s"), lit(0).as("j")),
+      (acc, b) => struct(
+        (acc.getField("s") + aggregate(
+          zip_with(slice(col("v"), acc.getField("j") * sd + 1, lit(sd)),
+            b.getField("cv"), (a, c) => abs(a - c)),
+          lit(0.0), (s, x) => s + x)).as("s"),
+        (acc.getField("j") + 1).as("j"))).getField("s")
+    withBest.select(col("__id").as(idCol), codeStr.as("pq_codes"),
+      round(absErrSum / d, 6).as("recon_mae"))
+  }
 }

@@ -660,6 +660,56 @@ object TextAnalysis {
     out.toDF("bucket", "weight")
   }
 
+  /** The Misra–Gries frequent-items summary: at most `capacity` live
+    * counters; a token absent from a full summary triggers one
+    * decrement-all round (the incoming token and one unit of every
+    * stored counter cancel — `deficit` counts those rounds, so any
+    * token's stored count undercounts its true count by at most
+    * `deficit <= tokens/(capacity+1)`). Counter snapshots are
+    * restorable, which makes the summary resumable across micro-batches
+    * (the streaming twin) as well as mergeable across partitions (the
+    * batch operator): restoring counters and continuing is identical to
+    * one summary over the concatenated stream.
+    */
+  final class MisraGries(capacity: Int) extends Serializable {
+    private val m = new java.util.HashMap[String, Long](capacity * 2)
+    private var np = 0L
+    private var dp = 0L
+    def tokens: Long = np
+    def deficit: Long = dp
+    def size: Int = m.size
+    def add(t: String): Unit = {
+      np += 1L
+      val cur = m.get(t)
+      if (cur != 0L || m.containsKey(t)) m.put(t, cur + 1L)
+      else if (m.size < capacity) m.put(t, 1L)
+      else {
+        dp += 1L
+        val eit = m.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (e.getValue == 1L) eit.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    def restore(counts: Iterable[(String, Long)], tokens: Long,
+        deficit: Long): Unit = {
+      counts.foreach { case (t, w) => m.put(t, w) }
+      np = tokens
+      dp = deficit
+    }
+    def foreachCounter(f: (String, Long) => Unit): Unit = {
+      val eit = m.entrySet().iterator()
+      while (eit.hasNext) { val e = eit.next(); f(e.getKey, e.getValue) }
+    }
+    def snapshot: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      foreachCounter((t, w) => b += (t -> w))
+      b.result()
+    }
+  }
+
   /** EXACT corpus-wide heavy hitters — every whitespace token whose
     * count is at least `thetaNum/thetaDen` of the N total tokens —
     * without ever shuffling the full token stream's distinct keys.
@@ -706,42 +756,18 @@ object TextAnalysis {
     import spark.implicits._
     val summaries = docs.select(col(textCol).cast("string")).as[String]
       .mapPartitions { it =>
-        val m = new java.util.HashMap[String, Long](capacity * 2)
-        var np = 0L
-        var dp = 0L
+        val mg = new MisraGries(capacity)
         while (it.hasNext) {
           val text = it.next()
           if (text != null) {
             val toks = text.split(" ", -1)
             var i = 0
-            while (i < toks.length) {
-              val t = toks(i)
-              np += 1L
-              val cur = m.get(t)
-              if (cur != 0L || m.containsKey(t)) m.put(t, cur + 1L)
-              else if (m.size < capacity) m.put(t, 1L)
-              else {
-                // decrement-all round: the incoming token and one unit
-                // of each stored counter cancel; zeros evicted
-                dp += 1L
-                val eit = m.entrySet().iterator()
-                while (eit.hasNext) {
-                  val e = eit.next()
-                  if (e.getValue == 1L) eit.remove()
-                  else e.setValue(e.getValue - 1L)
-                }
-              }
-              i += 1
-            }
+            while (i < toks.length) { mg.add(toks(i)); i += 1 }
           }
         }
-        val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)](m.size + 1)
-        val eit = m.entrySet().iterator()
-        while (eit.hasNext) {
-          val e = eit.next()
-          rows += ((e.getKey, e.getValue, 0L, 0L))
-        }
-        rows += ((null, 0L, np, dp))
+        val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]
+        mg.foreachCounter((t, w) => rows += ((t, w, 0L, 0L)))
+        rows += ((null, 0L, mg.tokens, mg.deficit))
         rows.iterator
       }.toDF("tok", "w", "np", "dp")
       // tiny after the merge (<= P*capacity + P rows pre-agg); persisted

@@ -254,6 +254,45 @@ object SimilarityQueries {
              |             (a, b) -> a + b) / len(v), 6) AS mae
              |FROM q
              |ORDER BY vec_id""".stripMargin),
-      doc = "int8 symmetric vector quantization: per-vector scale, L1 mass, reconstruction MAE")
+      doc = "int8 symmetric vector quantization: per-vector scale, L1 mass, reconstruction MAE"),
+
+    // Product quantization: 4 subspaces x 16-code codebooks over the
+    // 64-dim vectors (codebook = vec_id < 16, the same fixed-subset
+    // trick as sim_ivf_topk). Both engines fold subvector L2 in
+    // ascending-dimension order, so argmin inputs are bit-identical;
+    // codes emit as a '-'-joined string (no cross-engine array-hash
+    // ambiguity) and recon_mae rounds the identical double arithmetic.
+    Q("emb_pq_encode",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqEncode(emb, emb.filter(col("vec_id") < 16),
+            "vec_id", "embedding", m = 4)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+              |dist AS (
+              |  SELECT e.vec_id, s.j, cb.cid,
+              |         list_sum(list_transform(range(1, 17),
+              |           i -> (e.v[CAST(s.j*16+i AS INT)] - cb.cv[CAST(s.j*16+i AS INT)])
+              |              * (e.v[CAST(s.j*16+i AS INT)] - cb.cv[CAST(s.j*16+i AS INT)])))
+              |           AS d2,
+              |         list_sum(list_transform(range(1, 17),
+              |           i -> abs(e.v[CAST(s.j*16+i AS INT)] - cb.cv[CAST(s.j*16+i AS INT)])))
+              |           AS ae
+              |  FROM e CROSS JOIN range(4) s(j) CROSS JOIN cb),
+              |best AS (
+              |  SELECT vec_id, j, cid, ae,
+              |         row_number() OVER (PARTITION BY vec_id, j
+              |                            ORDER BY d2, cid) AS rn
+              |  FROM dist)
+              |SELECT vec_id,
+              |       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY j) AS pq_codes,
+              |       round(sum(ae) / 64, 6) AS recon_mae
+              |FROM best WHERE rn = 1
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      doc = "product quantization: per-subspace argmin-L2 codes + reconstruction MAE, one narrow map")
   )
 }

@@ -281,4 +281,49 @@ object EventStream {
     joined.select(events.columns.map(events(_)).toSeq ++
       payload.map(iv(_)) :+ iv("__from").as("snap_time"): _*)
   }
+
+  /** One shard's live Misra–Gries summary: the bounded counter map plus
+    * the shard's exact token count and decrement-round count.
+    */
+  case class MgSummary(shard: Int, counts: Map[String, Long], np: Long,
+      dp: Long)
+
+  /** Streaming heavy-hitter candidate maintenance — the streaming twin
+    * of [[graft.operators.TextAnalysis.heavyHitters]]'s candidate pass.
+    * Tokens hash-route to `shards` keyed state groups; each group keeps
+    * ONE resumable [[graft.operators.TextAnalysis.MisraGries]] summary
+    * (restored from state, advanced by the micro-batch, emitted in
+    * Update mode each trigger). Because a token lives in exactly one
+    * shard, its undercount is bounded by that shard's OWN deficit, so
+    * the monitor-side candidate rule
+    * `(w + dp_shard) * thetaDen >= N_global * thetaNum`
+    * (N_global = sum of the latest np over shards) yields a guaranteed
+    * superset of the true heavy hitters at every trigger — the same
+    * prune-never-decide contract as the batch operator, with state
+    * bounded at `shards * capacity` counters FOREVER (no watermark
+    * needed: boundedness is the sketch's own property, not an eviction
+    * policy). Exact counts come from the batch verify over the sink —
+    * the standard sketch-live / verify-batch split.
+    */
+  def heavyHitterCandidatesStream(docs: DataFrame, textCol: String,
+      shards: Int = 32, capacity: Int = 1024): Dataset[MgSummary] = {
+    import docs.sparkSession.implicits._
+    def update(shard: Int, rows: Iterator[(Int, String)],
+        state: GroupState[MgSummary]): Iterator[MgSummary] = {
+      val mg = new graft.operators.TextAnalysis.MisraGries(capacity)
+      state.getOption.foreach(s => mg.restore(s.counts, s.np, s.dp))
+      rows.foreach(r => mg.add(r._2))
+      val out = MgSummary(shard, mg.snapshot, mg.tokens, mg.deficit)
+      state.update(out)
+      Iterator.single(out)
+    }
+    docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(shards.toLong)).cast("int")
+        .as("shard"), col("tok"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -39,6 +39,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               each carry df ≈ N/2, so the positions⋈dup-hash join
   *               probes a Zipf head (the stats side stays one row per
   *               hash, the AQE-splittable shape linededup proved)
+  *   heavyhitters naive full-vocabulary groupBy vs the Misra-Gries
+  *               two-pass on a corpus widened to ~3N distinct tokens
+  *               (3 unique rare tokens appended per doc)
   *   window      per-user window analytics on the whale-user events
   *               (user 0 owns ~50%): plain sessionize + rolling-1h vs
   *               their time-bucketed two-phase forms
@@ -407,6 +410,36 @@ object SkewProbe {
               round(col("s"), 2).as("sum_1h")), rollCols))
           report("roll_bucket", rep, tRB, nRB, hRB,
             if (nRB == nR && hRB == hR) " MATCH" else " **MISMATCH**")
+        case "heavyhitters" =>
+          // vocabulary-explosion probe: append 3 globally-unique rare
+          // tokens per doc so distinct-token count ≈ 3N + base vocab —
+          // the regime where a naive full-vocabulary groupBy shuffles
+          // billions of near-singleton keys at 100 TB. Head-to-head vs
+          // the Misra-Gries two-pass (bounded summaries, candidates
+          // broadcast), value-checked by sig on (tok, cnt).
+          val wide = docs.select(col("doc_id"), concat(col("text"),
+            lit(" q"), (col("doc_id") * 3).cast("string"),
+            lit(" q"), (col("doc_id") * 3 + 1).cast("string"),
+            lit(" q"), (col("doc_id") * 3 + 2).cast("string")).as("text"))
+          // theta = 1/4000: on the ScaleGen corpus the organic vocab
+          // sits near-uniform at ~9k occurrences each, so this selects
+          // the ~3k organic tokens and rejects the 1.5M rare ones
+          def naive = {
+            val toks = wide.select(explode(split(col("text"), " ")).as("tok"))
+            toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+              .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+              .filter(col("cnt") * 4000L >= col("n_total"))
+              .select(col("tok"), col("cnt"))
+          }
+          val hhCols = Seq("tok", "cnt")
+          val ((nN, hN), tN) = time(sig(naive, hhCols))
+          report("naive_group", rep, tN, nN, hN)
+          val ((nM, hM), tM) = time(sig(
+            graft.operators.TextAnalysis.heavyHitters(wide, "text",
+              thetaNum = 1L, thetaDen = 4000L, capacity = 4096)
+              .select(col("tok"), col("cnt")), hhCols))
+          report("mg_two_pass", rep, tM, nM, hM,
+            if (nM == nN && hM == hN) " MATCH" else " **MISMATCH**")
         case other =>
           sys.error(s"unknown family: $other")
       }

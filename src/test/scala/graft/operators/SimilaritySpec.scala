@@ -152,4 +152,40 @@ class SimilaritySpec extends SparkSpec {
       assert(assigned(r.getLong(2)) == assigned(r.getLong(0)))
     }
   }
+
+  test("pqEncode: hand-computed codes, argmin tie to the lowest code id") {
+    val cb = Seq((0L, Seq(0.0, 0.0, 10.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 9.0, 1.0))).toDF("vec_id", "embedding")
+    // sub0 (0.9,1.1): d2 -> c0 2.02, c1 0.02 => 1
+    // sub1 (9.5,0.5): d2 -> c0 0.5,  c1 0.5  => tie, lowest cid 0
+    val v = Seq((7L, Seq(0.9, 1.1, 9.5, 0.5))).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(v, cb, "vec_id", "embedding", m = 2).head()
+    assert(got.getString(1) == "1-0")
+    assert(got.getDouble(2) == 0.3) // (0.1+0.1 + 0.5+0.5)/4
+  }
+
+  test("pqEncode: a codebook member reconstructs exactly; deterministic under repartition") {
+    val cb = Seq((0L, Seq(0.0, 0.0, 10.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 9.0, 1.0))).toDF("vec_id", "embedding")
+    val exact = Similarity.pqEncode(cb, cb, "vec_id", "embedding", m = 2)
+      .orderBy("vec_id").collect()
+    assert(exact.map(_.getString(1)).toSeq == Seq("0-0", "1-1"))
+    assert(exact.forall(_.getDouble(2) == 0.0))
+    val emb = Tables.embeddings(spark, sf())
+    val a = Similarity.pqEncode(emb, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", m = 4).orderBy("vec_id").collect().toSeq
+    val b = Similarity.pqEncode(emb.repartition(7),
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => r.getString(1).split("-").forall(c =>
+      c.toLong >= 0L && c.toLong < 16L)))
+  }
+
+  test("pqEncode: m must divide the dimension") {
+    val cb = Seq((0L, Seq(0.0, 0.0, 10.0, 0.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(cb, cb, "vec_id", "embedding", m = 3)
+    }
+  }
 }

@@ -127,4 +127,14 @@ class PlanAuditSpec extends SparkSpec {
     // explode + hash chain + bucket lookup fuse into whole-stage codegen
     assert(p.contains("*(1)"), p)
   }
+
+  test("text_heavy_hitters: candidate set broadcasts into a semi-join probe") {
+    // the verify pass must probe the token stream with a BROADCAST
+    // left-semi join on the (guaranteed-tiny) candidate set — a
+    // SortMergeJoin here would re-shuffle the full token stream and
+    // defeat the Misra-Gries candidate pass entirely
+    val p = finalPlan("text_heavy_hitters").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -291,4 +291,50 @@ class EventStreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported ts type"), e.getMessage)
   }
+
+  test("heavyHitterCandidatesStream: live candidates are a superset; batch verify is exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 602-token vocabulary vs 4 shards x capacity 13 = 52 counters:
+    // every shard runs constant decrement rounds
+    val docs = (0L until 200L).map { i =>
+      (i, s"hot cold r${3 * i} r${3 * i + 1} r${3 * i + 2}")
+    }
+    val (shards, capacity) = (4, 13)
+    val in = MemoryStream[(Long, String)]
+    val stream = EventStream.heavyHitterCandidatesStream(
+      in.toDF().toDF("doc_id", "text"), "text", shards, capacity)
+    val q = stream.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    docs.grouped(70).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+    // latest summary per shard = the row with that shard's max np
+    // (np strictly grows on every invocation)
+    val rows = spark.table("hh_out")
+      .as[(Int, Map[String, Long], Long, Long)].collect()
+    val latest = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._3) }
+    assert(latest.forall(_._2.size <= capacity)) // state stays bounded
+    val nGlobal = latest.map(_._3).sum
+    assert(nGlobal == 1000L)
+    // monitor-side candidate rule at theta = 1/10
+    val candidates = latest.flatMap { case (_, counts, _, dp) =>
+      counts.collect { case (t, w) if (w + dp) * 10L >= nGlobal => t }
+    }.toSet
+    val batchDf = docs.toDF("doc_id", "text")
+    val exact = graft.operators.TextAnalysis
+      .heavyHitters(batchDf, "text", 1L, 10L, capacity = 13)
+      .as[(String, Long, Long)].collect().toSet
+    assert(exact.map(_._1) == Set("hot", "cold"))
+    assert(exact.map(_._1).subsetOf(candidates), s"candidates=$candidates")
+    assert(candidates.size <= shards * capacity)
+    // batch verify over the accumulated corpus: exact counts of the
+    // live candidates reproduce the batch operator's result
+    val verified = batchDf
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(candidates.toSeq: _*))
+      .groupBy(col("tok")).count()
+      .filter(col("count") * 10L >= nGlobal)
+      .as[(String, Long)].collect().map(t => (t._1, t._2, nGlobal)).toSet
+    assert(verified == exact)
+  }
 }
