@@ -360,4 +360,33 @@ object Similarity {
     withBest.select(col("__id").as(idCol), codeStr.as("pq_codes"),
       round(absErrSum / d, 6).as("recon_mae"))
   }
+
+  /** Reconstruct [[pqEncode]]'d vectors: each of the m codes looks its
+    * subvector up in a per-subspace map LITERAL (code id → code
+    * vector) and the slices concatenate — one narrow map, no join, no
+    * exchange (the codebook ships inside the plan exactly as in
+    * [[pqEncode]]). The decode is what an ADC-style search scores
+    * against: `bruteForceTopK(pqDecode(...), queries, ...)` is
+    * PQ-compressed retrieval, and its recall vs exact is the metric a
+    * user tunes m / codebook size against (`sim_pq_recall`).
+    *
+    * Output: (idCol, vecCol array<double>).
+    */
+  def pqDecode(encoded: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
+    val cents = collectCentroids(codebook, idCol, vecCol)
+    val d = cents.head._2.length
+    require(m > 0 && d % m == 0, s"m=$m must divide dim=$d")
+    val sd = d / m
+    val maps = array((0 until m).map { j =>
+      map_from_arrays(
+        array(cents.map(c => lit(c._1).cast("long")).toIndexedSeq: _*),
+        array(cents.map(c => array(c._2.slice(j * sd, (j + 1) * sd)
+          .map(lit).toIndexedSeq: _*)).toIndexedSeq: _*))
+    }: _*)
+    encoded.select(col(idCol),
+      flatten(zip_with(
+        transform(split(col("pq_codes"), "-"), x => x.cast("long")),
+        maps, (c, mp) => element_at(mp, c))).as(vecCol))
+  }
 }

@@ -293,6 +293,83 @@ object SimilarityQueries {
               |       round(sum(ae) / 64, 6) AS recon_mae
               |FROM best WHERE rn = 1
               |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
-      doc = "product quantization: per-subspace argmin-L2 codes + reconstruction MAE, one narrow map")
+      doc = "product quantization: per-subspace argmin-L2 codes + reconstruction MAE, one narrow map"),
+
+    // PQ retrieval recall: full-precision queries score the PQ-
+    // RECONSTRUCTED corpus (the ADC direction) vs exact brute force —
+    // the eval that decides whether 64x-compressed vectors are
+    // servable, the PQ companion of sim_ivf_recall. Encode, decode,
+    // and both rankings are deterministic, so the fraction is stable.
+    Q("sim_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cb = emb.filter(col("vec_id") < 16)
+        val recon = Similarity.pqDecode(
+          Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4),
+          cb, "vec_id", "embedding", m = 4)
+        val exact = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.bruteForceTopK(recon,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(round(sum(coalesce(col("__hit"), lit(0L))) / lit(3.0), 6)
+            .as("recall_at_3"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+              |dist AS (
+              |  SELECT e.vec_id, s.j, cb.cid,
+              |         list_sum(list_transform(range(1, 17),
+              |           i -> (e.v[CAST(s.j*16+i AS INT)] - cb.cv[CAST(s.j*16+i AS INT)])
+              |              * (e.v[CAST(s.j*16+i AS INT)] - cb.cv[CAST(s.j*16+i AS INT)])))
+              |           AS d2
+              |  FROM e CROSS JOIN range(4) s(j) CROSS JOIN cb),
+              |best AS (
+              |  SELECT vec_id, j, cid,
+              |         row_number() OVER (PARTITION BY vec_id, j
+              |                            ORDER BY d2, cid) AS rn
+              |  FROM dist),
+              |recon AS (
+              |  SELECT b.vec_id,
+              |         flatten(list(list_slice(cb.cv, CAST(b.j*16+1 AS INT),
+              |                                 CAST((b.j+1)*16 AS INT))
+              |                      ORDER BY b.j)) AS rv
+              |  FROM best b JOIN cb ON cb.cid = b.cid
+              |  WHERE b.rn = 1 GROUP BY b.vec_id),
+              |bs AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${cos("q.v", "c.v")} AS cs
+              |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+              |  WHERE q.vec_id < 10),
+              |br AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM bs),
+              |bt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3),
+              |ps AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${cos("q.v", "c.rv")} AS cs
+              |  FROM e q JOIN recon c ON c.vec_id != q.vec_id
+              |  WHERE q.vec_id < 10),
+              |pr AS (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cs DESC, neighbor_id) AS rank
+              |  FROM ps),
+              |pt AS (SELECT query_id, neighbor_id FROM pr WHERE rank <= 3)
+              |SELECT bt.query_id,
+              |       round(CAST(count(pt.query_id) AS DOUBLE) / 3.0, 6)
+              |         AS recall_at_3
+              |FROM bt LEFT JOIN pt ON pt.query_id = bt.query_id
+              |                    AND pt.neighbor_id = bt.neighbor_id
+              |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin),
+      doc = "PQ retrieval recall@3: full-precision queries vs the reconstructed corpus, against exact")
   )
 }

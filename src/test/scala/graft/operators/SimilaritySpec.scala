@@ -182,6 +182,24 @@ class SimilaritySpec extends SparkSpec {
       c.toLong >= 0L && c.toLong < 16L)))
   }
 
+  test("pqDecode: inverts pqEncode on codebook members; toy reconstruction") {
+    val cb = Seq((0L, Seq(0.0, 0.0, 10.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 9.0, 1.0))).toDF("vec_id", "embedding")
+    val roundTrip = Similarity.pqDecode(
+        Similarity.pqEncode(cb, cb, "vec_id", "embedding", m = 2),
+        cb, "vec_id", "embedding", m = 2)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(roundTrip == Seq((0L, Seq(0.0, 0.0, 10.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 9.0, 1.0))))
+    // codes "1-0" reconstruct as c1's first half ++ c0's second half
+    val v = Seq((7L, Seq(0.9, 1.1, 9.5, 0.5))).toDF("vec_id", "embedding")
+    val got = Similarity.pqDecode(
+        Similarity.pqEncode(v, cb, "vec_id", "embedding", m = 2),
+        cb, "vec_id", "embedding", m = 2)
+      .as[(Long, Seq[Double])].head()
+    assert(got == ((7L, Seq(1.0, 1.0, 10.0, 0.0))))
+  }
+
   test("pqEncode: m must divide the dimension") {
     val cb = Seq((0L, Seq(0.0, 0.0, 10.0, 0.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
