@@ -722,6 +722,93 @@ object TextQueries {
              |GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "distinct-aggregate: per-language vocabulary size (expand+dedup shuffle)"),
 
+    // Per-doc unigram Shannon entropy (nats) — the "templated text"
+    // quality signal: low entropy = repetitive/boilerplate. Computed
+    // as ln(n) - sum(c*ln c)/n so the aggregate needs no second pass
+    // for n; round(,6) absorbs the unordered-sum last-bit noise (the
+    // text_perplexity precedent — both engines use the same libm ln
+    // over identical integer counts).
+    Q("text_unigram_entropy",
+      (s, dir) => {
+        val tc = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"),
+            count(lit(1)).as("vocab"),
+            round(log(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log(col("c").cast("double"))) /
+                sum(col("c")).cast("double"), 6).as("entropy_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, tok, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id,
+             |       CAST(sum(c) AS BIGINT) AS n_words,
+             |       count(*) AS vocab,
+             |       round(ln(CAST(sum(c) AS DOUBLE))
+             |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "per-doc unigram Shannon entropy (boilerplate signal): ln(n) - sum(c ln c)/n"),
+
+    // Per-source dataset card — the manifest a curated corpus ships
+    // with: volume, length, language spread, top language, and exact-
+    // duplicate mass per source. Everything is exact integer counts or
+    // a single int/int division; top_lang breaks count ties on the
+    // lexicographically smallest language.
+    Q("doc_dataset_card",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("source"), col("lang"),
+          size(TextFunctions.words(col("text"))).cast("long").as("nw"),
+          md5(col("text")).as("h"))
+        val stats = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          round(sum(col("nw")).cast("double") / count(lit(1)), 6)
+            .as("mean_doc_words"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("lang"))
+        val topLang = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        stats.join(topLang, "source").orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+             |  SELECT source, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             |         md5(text) AS h
+             |  FROM documents),
+             |stats AS (
+             |  SELECT source, count(*) AS n_docs,
+             |         CAST(sum(nw) AS BIGINT) AS n_words,
+             |         round(CAST(sum(nw) AS DOUBLE) / count(*), 6)
+             |           AS mean_doc_words,
+             |         count(DISTINCT lang) AS n_langs,
+             |         count(*) - count(DISTINCT h) AS exact_dup_docs
+             |  FROM base GROUP BY source),
+             |tl AS (
+             |  SELECT source, lang AS top_lang,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY count(*) DESC, lang) AS rk
+             |  FROM base GROUP BY source, lang)
+             |SELECT s.source, s.n_docs, s.n_words, s.mean_doc_words,
+             |       s.n_langs, s.exact_dup_docs, tl.top_lang
+             |FROM stats s JOIN tl ON tl.source = s.source AND tl.rk = 1
+             |ORDER BY s.source""".stripMargin),
+      doc = "per-source dataset card: volume, mean length, language spread, top lang, exact-dup mass"),
+
     // EXACT heavy hitters (tokens with frequency >= 1/500 of the
     // corpus) via per-partition Misra-Gries candidate generation + an
     // exact broadcast-probe verify — the scale-first alternative to
