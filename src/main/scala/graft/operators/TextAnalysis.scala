@@ -72,28 +72,50 @@ object TextAnalysis {
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("__t"),
       TextFunctions.markerCounts(col(textCol), Seq(stopwords)).as("__mc"))
-    val nWords = col("__mc.n_words").cast("long")
-    val nStop = element_at(col("__mc.hits"), 1).cast("long")
-    val nLines = regexp_count(col("__t"), lit("\n")) + lit(1L)
-    val meanWlen = round(col("__mc.sum_len").cast("double") / nWords, 6)
+    val g = gopherExprs(col("__t"), col("__mc"), minWords, maxWords)
+    base.select(col(idCol), g.nWords.as("n_words"), g.meanWlen.as("mean_wlen"),
+      g.symbolRatio.as("symbol_ratio"), g.bulletRatio.as("bullet_ratio"),
+      g.ellipsisRatio.as("ellipsis_ratio"), g.alphaRatio.as("alpha_ratio"),
+      g.nStop.as("n_stop"), g.pass.as("pass"))
+  }
+
+  /** The [[gopherRules]] pass/fail rule as ONE filterable boolean
+    * Column over the raw text — the ingest-time (incl. streaming) row
+    * filter, when materializing the signal columns isn't needed. Same
+    * expressions as [[gopherRules]] (whole-stage codegen's
+    * subexpression elimination dedups the shared kernels within the
+    * projection).
+    */
+  def gopherPass(text: Column, stopwords: Seq[String] = DefaultStopwords,
+      minWords: Long = 50L, maxWords: Long = 100000L): Column =
+    gopherExprs(text, TextFunctions.markerCounts(text, Seq(stopwords)),
+      minWords, maxWords).pass === 1
+
+  private final case class GopherCols(nWords: Column, meanWlen: Column,
+      symbolRatio: Column, bulletRatio: Column, ellipsisRatio: Column,
+      alphaRatio: Column, nStop: Column, pass: Column)
+
+  private def gopherExprs(text: Column, mc: Column, minWords: Long,
+      maxWords: Long): GopherCols = {
+    val nWords = mc.getField("n_words").cast("long")
+    val nStop = element_at(mc.getField("hits"), 1).cast("long")
+    val nLines = regexp_count(text, lit("\n")) + lit(1L)
+    val meanWlen = round(mc.getField("sum_len").cast("double") / nWords, 6)
     val symbolRatio = round(
-      regexp_count(col("__t"), lit("#|\\.\\.\\.")).cast("double") / nWords, 6)
+      regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / nWords, 6)
     val bulletRatio = round(
-      regexp_count(col("__t"), lit("(?m)^[-*] ")).cast("double") / nLines, 6)
+      regexp_count(text, lit("(?m)^[-*] ")).cast("double") / nLines, 6)
     val ellipsisRatio = round(
-      regexp_count(col("__t"), lit("(?m)\\.\\.\\.$")).cast("double") / nLines, 6)
+      regexp_count(text, lit("(?m)\\.\\.\\.$")).cast("double") / nLines, 6)
     val alphaRatio = round(
-      regexp_count(col("__t"), lit("[^ ]*[a-zA-Z][^ ]*")).cast("double") / nWords, 6)
-    base.select(col(idCol), nWords.as("n_words"), meanWlen.as("mean_wlen"),
-        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
-        nStop.as("n_stop"))
-      .withColumn("pass",
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-          col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
-          col("ellipsis_ratio") < 0.3 && col("alpha_ratio") > 0.8 &&
-          col("n_stop") >= 2L).cast("int"))
+      regexp_count(text, lit("[^ ]*[a-zA-Z][^ ]*")).cast("double") / nWords, 6)
+    val pass = (nWords >= minWords && nWords <= maxWords &&
+      meanWlen >= 3.0 && meanWlen <= 10.0 &&
+      symbolRatio < 0.1 && bulletRatio < 0.9 &&
+      ellipsisRatio < 0.3 && alphaRatio > 0.8 &&
+      nStop >= 2L).cast("int")
+    GopherCols(nWords, meanWlen, symbolRatio, bulletRatio, ellipsisRatio,
+      alphaRatio, nStop, pass)
   }
 
   /** Language-marker word sets for [[langId]], in tie-preference order. */

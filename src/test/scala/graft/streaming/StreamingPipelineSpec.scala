@@ -122,4 +122,61 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(kept == batchKept)
     assert(docRows.filter(_._1 % 7 == 0).map(_._1).toSet.intersect(kept).isEmpty)
   }
+
+  test("CorpusStream.run: full ingest chain across micro-batches == the batch chain") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val longBase = ("the cats and dogs run to a tree in town " * 6).trim
+    val evalPhrase = "zebras graze beside the quiet river bend"
+    // per-id fates: src b -> mixture-dropped; short text -> gopher-
+    // dropped; eval phrase inside -> decontaminated; 10 duplicates 2's
+    // text and arrives in batch 2 -> deduped
+    val rows: Seq[(Long, java.sql.Timestamp, String, String)] =
+      (0L until 12L).map { i =>
+        val src = if (i == 5L || i == 11L) "b" else "a"
+        val text =
+          if (i == 10L) longBase + " copy two"
+          else if (i == 4L) "tiny text"
+          else if (i == 7L) longBase + " " + evalPhrase
+          else longBase + (if (i == 2L) " copy two" else s" item i$i")
+        (i, t(i.toInt), src, text)
+      }
+    val evalDf = Seq((99L, evalPhrase)).toDF("doc_id", "text")
+    val settings = CorpusStream.StreamSettings(
+      mixtureRates = Map("a" -> 1.0), defaultRate = 0.0)
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val stream = CorpusStream.run(
+      in.toDF().toDF("doc_id", "ts", "source", "text")
+        .withWatermark("ts", "10 minutes"),
+      Some(evalDf), settings)
+    val q = stream.writeStream.format("memory").queryName("corpus_stream_out")
+      .outputMode("append").start()
+    in.addData(rows.take(8): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(8): _*) // doc 10 dedups against batch-1 state
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corpus_stream_out")
+      .select(col("doc_id")).as[Long].collect().toSet
+
+    // the batch chain, each stage the library's own primitive
+    val docsDf = rows.toDF("doc_id", "ts", "source", "text")
+    val b1 = Sampling.mixtureByHash(docsDf, "doc_id", "source",
+      settings.mixtureRates, settings.defaultRate)
+    val b2 = b1.filter(TextAnalysis.gopherPass(col("text")))
+    val b3 = Decontaminate.decontaminate(b2, evalDf, "doc_id", "text", k = 3)
+    val want = graft.operators.Dedup.exactCanonical(b3, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+
+    assert(got == want, s"stream=${got.toSeq.sorted} batch=${want.toSeq.sorted}")
+    // every stage dropped its intended victim
+    assert(!got.contains(5L) && !got.contains(11L)) // src b
+    assert(!got.contains(4L))  // gopher: 2 words
+    assert(!got.contains(7L))  // contaminated
+    assert(got.contains(2L) && !got.contains(10L)) // exact dup, first kept
+    assert(got.contains(0L) && got.contains(1L))
+  }
 }
