@@ -488,4 +488,71 @@ object Sampling {
     docs.join(cc, docs(idCol) === col("__gid"), "left")
       .select(docs.columns.map(col) :+ gid.as("group_id") :+ split.as("split"): _*)
   }
+
+  /** The Efraimidis–Spirakis A-ES key for weighted sampling WITHOUT
+    * replacement: `-ln(u) / w` with `u = (idHash(id)+1) / 2^32` ∈
+    * (0, 1] — the k rows with the SMALLEST keys are a weighted sample
+    * without replacement where heavier rows win proportionally more
+    * often (Efraimidis & Spirakis 2006: u^(1/w) order statistics; the
+    * -ln form is the same order, numerically tamer). Deterministic:
+    * u comes from the portable [[idHash]], not an RNG, so the sample
+    * is a pure function of (id, weight) — repartition-stable and
+    * reproducible in the DuckDB oracle, which evaluates the identical
+    * `-ln((hash+1)/2^32)/w` expression. (ln is the one non-integer
+    * step in the sampling family; IEEE-double ln agrees across
+    * engines to ≥15 significant digits, and selection/rank only flips
+    * if two DISTINCT keys collide within 1 ulp — with continuous keys
+    * that is a measure-zero boundary, and exact key TIES break by id.)
+    */
+  def aesKey(id: Column, weight: Column): Column =
+    -log((idHash(id) + lit(1L)).cast("double") / lit(4294967296.0)) /
+      weight.cast("double")
+
+  /** Weighted sample without replacement: the `k` rows with the
+    * smallest A-ES keys ([[aesKey]]), ranked 1..k. Rows with
+    * non-positive or null weight are excluded (A-ES is defined for
+    * w > 0; a null weight would otherwise sort first under NULLS
+    * FIRST and poison the sample).
+    *
+    * Scale shape: `orderBy(key).limit(k)` compiles to
+    * TakeOrderedAndProject — every partition keeps its own top k in a
+    * bounded heap (no sort of the full corpus, no shuffle of anything
+    * but P·k candidate rows), the driver merges O(P·k). At 100 TB the
+    * cost is one scan plus a k-row heap per task; the rank column is
+    * assigned on the k-row survivor set.
+    */
+  def weightedByHash(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, rankOut: String = "rk"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val key = aesKey(col(idCol), col(weightCol))
+    val survivors = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__aes", key)
+      .orderBy(col("__aes"), col(idCol))
+      .limit(k)
+    val w = Window.orderBy(col("__aes"), col(idCol))
+    survivors.withColumn(rankOut, row_number().over(w).cast("int"))
+      .drop("__aes")
+  }
+
+  /** Per-stratum weighted sample without replacement: `n` rows per
+    * stratum by smallest A-ES key — [[stratifiedByHash]] generalized
+    * from uniform to weight-proportional inclusion. Same rank-limit
+    * window shape, so Catalyst's WindowGroupLimit pushdown pre-prunes
+    * each map partition to its own per-stratum top n BEFORE the
+    * stratum shuffle (the giant-stratum-immune property measured on
+    * [[stratifiedByHash]] carries over: the pushdown matches the
+    * `row_number() <= n` filter regardless of the ordering
+    * expression).
+    */
+  def weightedStratifiedByHash(df: DataFrame, stratumCol: String,
+      idCol: String, weightCol: String, n: Int,
+      rankOut: String = "rk"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(aesKey(col(idCol), col(weightCol)), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(rankOut, row_number().over(w).cast("int"))
+      .filter(col(rankOut) <= n)
+  }
 }

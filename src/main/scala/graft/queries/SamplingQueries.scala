@@ -197,6 +197,46 @@ object SamplingQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "deterministic ~10% Bernoulli sample by id hash (narrow filter, no RNG)"),
 
+    // A-ES weighted sampling: the oracle evaluates the identical
+    // -ln((hash+1)/2^32)/weight expression (ln is IEEE double on both
+    // engines; selection only flips on sub-ulp key collisions between
+    // distinct docs — see Sampling.aesKey scaladoc).
+    Q("doc_weighted_sample",
+      (s, dir) => Sampling.weightedByHash(Tables.documents(s, dir),
+          "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source, n_chars, rk FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         CAST(row_number() OVER (
+             |           ORDER BY -ln(($h + 1) / 4294967296.0) / n_chars,
+             |                    doc_id)
+             |           AS INTEGER) AS rk
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |WHERE rk <= 100
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Efraimidis-Spirakis weighted sample without replacement: " +
+        "top-100 by -ln(u)/n_chars, u from the portable id hash " +
+        "(TakeOrderedAndProject: per-partition bounded heap, no full sort)"),
+
+    Q("doc_weighted_stratified",
+      (s, dir) => Sampling.weightedStratifiedByHash(Tables.documents(s, dir),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_chars", n = 15)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+      Some(s"""SELECT doc_id, lang, n_chars, rk FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY lang
+             |           ORDER BY -ln(($h + 1) / 4294967296.0) / n_chars,
+             |                    doc_id)
+             |           AS INTEGER) AS rk
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |WHERE rk <= 15
+             |ORDER BY lang, rk""".stripMargin),
+      doc = "per-language weighted sample (15 docs/lang, inclusion ∝ n_chars); " +
+        "WindowGroupLimit pre-prunes each map partition to its per-stratum top n"),
+
     Q("doc_sample_stratified",
       (s, dir) => Sampling.stratifiedByHash(Tables.documents(s, dir),
           stratumCol = "lang", idCol = "doc_id", n = 20)
