@@ -123,6 +123,81 @@ object AnalyticsQueries {
     // windowed/sessionized queries don't cover. Three keyed min-
     // aggregates chained by equi-joins on user_id (each stage's table
     // is |users|-sized, partial-aggregated; no window over raw events).
+    // Attribution: the batch twin of EventStream.attributionPairs (the
+    // watermarked stream-stream interval join; stream ≡ batch is
+    // pinned by AttributionStreamSpec).
+    Q("events_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        graft.streaming.EventStream.attributionPairs(clicks, conv,
+            "user_id", "click_ts", "purchase_ts", windowMinutes = 240)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            col("click_ts"), col("purchase_ts"),
+            round(col("purchase_value"), 2).as("purchase_value"))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+             |       p.event_id AS purchase_id,
+             |       c.ts AS click_ts, p.ts AS purchase_ts,
+             |       round(p.value, 2) AS purchase_value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 240 MINUTE
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin),
+      doc = "click→purchase attribution pairs within a 4 h window " +
+        "(equi-join on user + time range; the stream-stream join's batch twin)"),
+
+    // Last-click reduction: the latest click at-or-before each
+    // purchase, windowed — AsofJoin (single-shuffle carry-forward, no
+    // pair explosion) + a post-filter on the window, NOT the pairs
+    // query above grouped (which would materialize every pair first).
+    Q("events_attribution_last",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // one click per (user, ts): asof tie determinism (see AsofJoin doc)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("click_ts"), col("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        graft.operators.AsofJoin.asof(purchases, clicks,
+            key = "user_id", probeTime = "purchase_ts",
+            buildTime = "click_ts", payload = Seq("click_id"),
+            buildTimeAs = Some("click_ts"))
+          .filter(col("purchase_ts") <
+            col("click_ts") + expr("INTERVAL '240' MINUTE"))
+          .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+            col("click_id"), col("click_ts"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT p.user_id, p.event_id AS purchase_id,
+             |         p.ts AS purchase_ts, c.click_id, c.click_ts,
+             |         row_number() OVER (
+             |           PARTITION BY p.event_id
+             |           ORDER BY c.click_ts DESC) AS rn
+             |  FROM events p JOIN c
+             |    ON p.user_id = c.user_id AND c.click_ts <= p.ts
+             |   AND p.ts < c.click_ts + INTERVAL 240 MINUTE
+             |  WHERE p.event_type = 'purchase')
+             |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+             |FROM pairs WHERE rn = 1
+             |ORDER BY purchase_id""".stripMargin),
+      doc = "last-click attribution: latest click ≤ purchase within 4 h " +
+        "via the single-shuffle as-of join (no pair explosion)"),
+
     Q("events_funnel",
       (s, dir) => {
         val ev = Tables.events(s, dir)

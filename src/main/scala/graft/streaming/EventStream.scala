@@ -326,4 +326,53 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Click→conversion attribution pairs: every (click, conversion) by
+    * the same `key` with the conversion inside
+    * `[click, click + windowMinutes)` — the canonical watermarked
+    * STREAM-STREAM interval join (the one streaming join shape the
+    * surface lacked: [[enrichAsof]] is stream-static). The same plan
+    * runs batch-on-batch (it is just an equi-join on `key` plus a time
+    * range), which is what the stream ≡ batch spec exploits.
+    *
+    * Streaming semantics: BOTH inputs must carry `withWatermark` on
+    * their time columns. Because the join condition bounds each side's
+    * event time by the other's (conversion ∈ [click, click+W)), Spark
+    * derives state-eviction watermarks for both buffers: a click
+    * evicts once the conversion watermark passes click+W, a conversion
+    * once the click watermark passes it — state is O(rate × (W +
+    * watermark delay)) per side forever, never input-proportional.
+    * Append mode, no aggregation; last-click reduction is a downstream
+    * concern ([[graft.operators.AsofJoin]] batch-side).
+    *
+    * Scale shape (batch): equi-join keyed by `key`; the range predicate
+    * prunes pairs per key group. A whale key pays |clicks_k|×|conv_k|
+    * candidate pairs pre-filter — same blow-up DuckDB's range join
+    * pays — and the fix at 100 TB is time-bucketing the equi-key
+    * ([[graft.operators.RangeJoin]]'s binned form) rather than salting,
+    * since the range predicate is what carries the selectivity.
+    *
+    * @param clicks      side whose time opens the window; all columns kept
+    * @param conversions side whose time must fall inside the window;
+    *                    non-`key` columns must not collide with clicks'
+    */
+  def attributionPairs(clicks: DataFrame, conversions: DataFrame,
+      key: String, clickTime: String, convTime: String,
+      windowMinutes: Int): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
+    val shared = (clicks.columns.toSet & conversions.columns.toSet) - key
+    require(shared.isEmpty, s"non-key column collision: ${shared.mkString(", ")}")
+    // Rename the conversion side's key so the two plans share NO column
+    // name: when both sides derive from the same source DataFrame,
+    // `clicks(key) === conversions(key)` resolves both references to
+    // the SAME attribute — a trivially-true predicate that silently
+    // degrades the equi-join to a time-filtered cross join.
+    val convs = conversions.withColumnRenamed(key, "__convkey")
+    val cond = col(key) === col("__convkey") &&
+      col(convTime) >= col(clickTime) &&
+      col(convTime) < col(clickTime) + expr(s"INTERVAL '$windowMinutes' MINUTE")
+    clicks.join(convs, cond)
+      .select((clicks.columns ++ conversions.columns.filter(_ != key))
+        .map(col).toSeq: _*)
+  }
 }
