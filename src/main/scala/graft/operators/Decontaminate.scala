@@ -77,4 +77,32 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[contaminated]] graded instead of binary: each flagged doc's
+    * overlap FRACTION `n_shared / n_shingles(doc)` plus the threshold
+    * verdict — the published decontamination recipes differ exactly
+    * here (GPT-3 removed on any 13-gram hit; PaLM/Llama drop a doc only
+    * when ≥ `minFrac` of its grams are eval-contaminated, so a long doc
+    * quoting one benchmark line survives while a verbatim copy dies).
+    *
+    * Scale shape: the per-doc denominator is a codegen'd `size()` on
+    * the same per-doc distinct shingle set the probe explodes — no
+    * second scan, no shuffle added; the flagged relation (bounded by
+    * docs sharing ≥ 1 gram with the eval set) broadcasts back onto the
+    * denominator relation, so the corpus side still never shuffles.
+    *
+    * @return (`idCol`, n_shared, n_shingles, frac, drop) — one row per
+    *         contaminated doc; `drop` = frac ≥ minFrac.
+    */
+  def contaminationFraction(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac >= 0 && minFrac <= 1, s"minFrac must be in [0,1]: $minFrac")
+    val denom = train.select(col(idCol),
+      size(TextFunctions.shingleSet(col(textCol), k)).cast("long").as("n_shingles"))
+    denom.join(
+        broadcast(contaminated(train, evalCorpus, idCol, textCol, k)), Seq(idCol))
+      .withColumn("frac", col("n_shared").cast("double") / col("n_shingles"))
+      .withColumn("drop", col("frac") >= lit(minFrac))
+  }
 }

@@ -1160,6 +1160,43 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "eval-set decontamination: n-gram overlap flags (broadcast probe, corpus never shuffles)"),
 
+    // Graded decontamination: overlap FRACTION + threshold verdict
+    // (PaLM/Llama-style ≥-fraction drop vs GPT-3's any-hit drop). The
+    // fraction is rounded to 6 decimals in both engines per the float
+    // policy; n_shared/n_shingles are exact integers.
+    Q("text_decontaminate_frac",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Decontaminate.contaminationFraction(
+            docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+            "doc_id", "text", k = 3, minFrac = 0.5)
+          .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+            round(col("frac"), 6).as("frac"), col("drop"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') l
+             |            FROM documents WHERE doc_id >= 25),
+             |ev AS (SELECT string_split(text, ' ') l
+             |       FROM documents WHERE doc_id < 25),
+             |ts AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(range(1, len(l) - 1),
+             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |       FROM tr),
+             |es AS (SELECT DISTINCT
+             |              unnest(list_transform(range(1, len(l) - 1),
+             |                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+             |       FROM ev),
+             |den AS (SELECT doc_id, count(*) AS n_shingles FROM ts GROUP BY doc_id),
+             |hit AS (SELECT doc_id, count(*) AS n_shared
+             |        FROM ts JOIN es USING (sh) GROUP BY doc_id)
+             |SELECT h.doc_id, h.n_shared, d.n_shingles,
+             |       round(CAST(h.n_shared AS DOUBLE) / d.n_shingles, 6) AS frac,
+             |       (CAST(h.n_shared AS DOUBLE) / d.n_shingles) >= 0.5 AS "drop"
+             |FROM hit h JOIN den d USING (doc_id)
+             |ORDER BY h.doc_id""".stripMargin),
+      doc = "graded decontamination: per-doc eval-overlap fraction + ≥0.5 drop verdict " +
+        "(same broadcast probe; denominator fused into the corpus scan)"),
+
     // BPE merge training (the tokenizer-learning step): iterative
     // corpus-wide pair counting over the collapsed word-frequency
     // vocabulary. The oracle UNROLLS the 8 merge rounds as CTE layers

@@ -78,6 +78,21 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("contaminationFraction: exact fractions and threshold verdicts") {
+    val got = Decontaminate.contaminationFraction(
+        train, evalSet, "doc_id", "text", k = 3, minFrac = 0.5)
+      .select("doc_id", "n_shared", "n_shingles", "frac", "drop")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 100: 9 words → 7 shingles, 3 shared → 3/7 < 0.5 (kept)
+    // doc 102: 6 words → 4 shingles, 2 shared → 0.5 ≥ 0.5 (dropped)
+    // doc 103: 6 words → 4 shingles, 1 shared → 0.25 (kept)
+    assert(got.keySet == Set(100L, 102L, 103L))
+    assert(got(100L) == ((3L, 7L, 3.0 / 7.0, false)))
+    assert(got(102L) == ((2L, 4L, 0.5, true)))
+    assert(got(103L) == ((1L, 4L, 0.25, false)))
+  }
+
   test("k larger than a doc's length yields no shingles, never a crash") {
     val tiny = Seq((7L, "two words")).toDF("doc_id", "text")
     assert(Decontaminate.contaminated(tiny, evalSet, "doc_id", "text", k = 3)
