@@ -165,7 +165,8 @@ object Bench {
       """"doc_pipeline_{full,manifest,shards}: one CorpusPipeline.run",""" +
       """"mm_frame_{dedup_real,sample_real}: one decoded-frames relation",""" +
       """"text_{classifier_train,quality_classifier}: train-once weights",""" +
-      """"dedup_{minhash_lsh,cc_clusters,cc_star,keep_canonical,keep_best}: one LSH pair relation"]"""
+      """"dedup_{minhash_lsh,cc_clusters,cc_star,keep_canonical,keep_best}: one LSH pair relation",""" +
+      """"dedup_{keep_canonical,keep_best}: one star-CC labeling"]"""
     val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,$load,"sf":"$sfDir",$memoNote,$summary}"""
     println(line)

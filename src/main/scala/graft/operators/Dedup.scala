@@ -868,9 +868,25 @@ object Dedup {
     *         best member, original columns intact
     */
   def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
-      scoreCol: String, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponentsStar(pairs, aCol, bCol, idOut = "__kid")
-      .withColumnRenamed("component", "__kcomp")
+      scoreCol: String, aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    keepBestLabeled(docs,
+      connectedComponentsStar(pairs, aCol, bCol, idOut = "__kid"),
+      idCol, scoreCol, labelIdCol = "__kid", compCol = "component")
+
+  /** [[keepBest]] over an ALREADY-COMPUTED component labeling — the
+    * fan-out form when one clustering feeds several selection passes
+    * (canonical-by-min-id AND best-by-score over the same components,
+    * or a labeling reused across score columns): the O(log n) CC loop
+    * runs once upstream, each selection pays only the joins.
+    *
+    * @param components (labelIdCol, compCol) — one row per labeled
+    *                   doc; docs absent from it pass through untouched
+    */
+  def keepBestLabeled(docs: DataFrame, components: DataFrame, idCol: String,
+      scoreCol: String, labelIdCol: String = "id",
+      compCol: String = "component"): DataFrame = {
+    val cc = components
+      .select(col(labelIdCol).as("__kid"), col(compCol).as("__kcomp"))
     val scored = docs.select(col(idCol).as("__kid"), col(scoreCol).as("__ks"))
     // maximize (score, then LOWEST id) as min_by over (-score, id):
     // negating the DOUBLE-cast score instead of the id keeps any

@@ -55,6 +55,19 @@ object DedupQueries {
         k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
     }
 
+  /** The star-contraction labeling of [[lshPairs]], shared by
+    * dedup_keep_canonical and dedup_keep_best (one O(log n) CC loop,
+    * two selection passes — the [[graft.operators.Dedup.keepBestLabeled]]
+    * fan-out shape). Memoized like the pair relation it closes over.
+    */
+  private def lshComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    QueryMemo.materialized(s, s"dedup_lshcc|$dir") {
+      Dedup.connectedComponentsStar(
+        lshPairs(s, dir).select(col("id_a"), col("id_b")),
+        "id_a", "id_b", idOut = "cid")
+    }
+
   /** Shared by dedup_cc_clusters / dedup_cc_star: LSH near-dup pairs
     * unioned with exact-dup edges, closed into components by `ccAlgo`,
     * sized via a window.
@@ -437,12 +450,12 @@ object DedupQueries {
         // pair source is the SCALE path (MinHash+LSH + exact verify) —
         // it converges to the exact-Jaccard pair set the oracle computes
         // (miss probability <= 4e-8 at s >= 0.8 with 16x2 bands)
-        val jp = lshPairs(s, dir).select(col("id_a"), col("id_b"))
         // star contraction is the repo default for composite operators
         // (BASELINE rounds 9-10: min-label 13x worse on chain graphs and
         // the most load-sensitive driver-synchronized shape); min-label
-        // coverage lives on in dedup_cc_clusters' head-to-head
-        val cc = Dedup.connectedComponentsStar(jp, "id_a", "id_b", idOut = "cid")
+        // coverage lives on in dedup_cc_clusters' head-to-head. The
+        // labeling is the memoized one keep_best also reads.
+        val cc = lshComponents(s, dir)
         Tables.documents(s, dir)
           .join(cc, col("doc_id") === col("cid"), "left")
           .filter(col("cid").isNull || col("component") === col("doc_id"))
@@ -487,8 +500,8 @@ object DedupQueries {
     Q("dedup_keep_best",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val jp = lshPairs(s, dir).select(col("id_a"), col("id_b"))
-        Dedup.keepBest(docs, jp, "doc_id", "n_chars")
+        Dedup.keepBestLabeled(docs, lshComponents(s, dir), "doc_id",
+            "n_chars", labelIdCol = "cid")
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
       },
