@@ -812,4 +812,55 @@ object TextAnalysis {
       .filter(col("cnt") * lit(thetaDen) >= col("n_total") * lit(thetaNum))
       .select(col("tok"), col("cnt"), col("n_total"))
   }
+
+  /** Collocation mining by pointwise mutual information: the adjacent
+    * word pairs that co-occur far more than their unigram frequencies
+    * predict (Church & Hanks 1990) — multi-word expressions ("new
+    * york", "machine learning") for tokenizer vocab seeding, stop-pair
+    * diagnostics, and boilerplate phrase detection.
+    *
+    * `pmi = ln(c_xy/N_bi) − ln(c_x/N_uni) − ln(c_y/N_uni)`, computed
+    * from exact integer counts; `minCount` drops the unstable
+    * singleton tail (PMI is maximal for pairs seen once — the
+    * textbook failure mode).
+    *
+    * Scale shape: one scan explodes unigrams + adjacent bigrams; both
+    * counts partial-aggregate map-side to vocabulary-sized relations;
+    * the two unigram attach joins key on a word each (vocab-sized, not
+    * corpus-sized); totals ride one broadcast scalar; top-k compiles
+    * to TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def collocationsPmi(docs: DataFrame, textCol: String,
+      minCount: Int = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = docs.select(split(col(textCol), " ").as("l"))
+    // the two unigram-attach branches share one aggregate subplan —
+    // Spark's ReusedExchange dedups it at execution, no persist needed
+    val uni = toks.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    // adjacent pairs without a join: zip the list with its own tail
+    val pairs = toks.select(explode(
+        zip_with(
+          slice(col("l"), lit(1), greatest(size(col("l")) - 1, lit(0))),
+          slice(col("l"), lit(2), greatest(size(col("l")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bcnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+    val out = bcnt
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .withColumn("pmi", round(
+        log(col("n_xy").cast("double") / col("n_bi")) -
+        log(col("c_x").cast("double") / col("n_uni")) -
+        log(col("c_y").cast("double") / col("n_uni")), 6))
+      .select(col("w1"), col("w2"), col("n_xy"), col("pmi"))
+    out.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topK)
+  }
 }

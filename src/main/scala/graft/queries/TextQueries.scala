@@ -1197,6 +1197,35 @@ object TextQueries {
       doc = "graded decontamination: per-doc eval-overlap fraction + ≥0.5 drop verdict " +
         "(same broadcast probe; denominator fused into the corpus scan)"),
 
+    // PMI collocations: exact integer counts; the pmi double is the
+    // same ln-of-integer-ratio composition in both engines, rounded to
+    // 6 decimals BEFORE the ordering so the top-k cutoff ties break on
+    // (w1, w2) identically.
+    Q("text_collocations_pmi",
+      (s, dir) => TextAnalysis.collocationsPmi(Tables.documents(s, dir), "text",
+          minCount = 5, topK = 50)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")),
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+             |uni AS (SELECT unnest(l) AS w FROM d),
+             |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             |nu AS (SELECT count(*) AS n_uni FROM uni),
+             |pairs AS (SELECT unnest(list_transform(range(1, len(l)),
+             |                 i -> [l[i], l[i+1]])) AS pr FROM d),
+             |bcnt AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_xy
+             |         FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+             |nb AS (SELECT count(*) AS n_bi FROM pairs)
+             |SELECT w1, w2, n_xy,
+             |       round(ln(CAST(n_xy AS DOUBLE) / n_bi)
+             |             - ln(CAST(ca.c AS DOUBLE) / n_uni)
+             |             - ln(CAST(cb.c AS DOUBLE) / n_uni), 6) AS pmi
+             |FROM bcnt JOIN ucnt ca ON w1 = ca.w
+             |          JOIN ucnt cb ON w2 = cb.w, nb, nu
+             |ORDER BY pmi DESC, w1, w2
+             |LIMIT 50""".stripMargin),
+      doc = "PMI collocation mining (Church & Hanks): top-50 adjacent pairs by " +
+        "pointwise mutual information, min count 5 — vocab-sized aggregates, " +
+        "TakeOrdered top-k"),
+
     // BPE merge training (the tokenizer-learning step): iterative
     // corpus-wide pair counting over the collapsed word-frequency
     // vocabulary. The oracle UNROLLS the 8 merge rounds as CTE layers

@@ -412,4 +412,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.heavyHitters(docs, "text", 1L, 500L, capacity = 400)
     }
   }
+
+  test("collocationsPmi: hand-computed PMI, minCount prunes, ties break on words") {
+    // corpus: "x y" twice, "a b" twice, plus filler making a frequent
+    // unigram c that never pairs with itself adjacently twice
+    val docs = Seq(
+      (1L, "x y c"), (2L, "x y c"), (3L, "a b c"), (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsPmi(docs, "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    // unigrams: x2 y2 a2 b2 c4 → N_uni=12; bigrams: xy2 yc2 ab2 bc2 → N_bi=8
+    // pmi(x,y) = ln(2/8) - ln(2/12) - ln(2/12) = ln(0.25*36) = ln 9
+    // pmi(y,c) = ln(2/8) - ln(2/12) - ln(4/12) = ln(0.25*6*3) = ln 4.5
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.length == 4)
+    assert(got.take(2).map(t => (t._1, t._2)).toSeq == Seq(("a", "b"), ("x", "y")),
+      "equal-pmi head must tie-break on (w1, w2)")
+    assert(got.take(2).forall(t => t._4 == r6(math.log(9.0))))
+    assert(got.drop(2).map(t => (t._1, t._2)).toSeq == Seq(("b", "c"), ("y", "c")))
+    assert(got.drop(2).forall(t => t._4 == r6(math.log(4.5))))
+    assert(got.forall(_._3 == 2L))
+  }
+
+  test("collocationsPmi: singleton pairs drop below minCount") {
+    val docs = Seq((1L, "p q"), (2L, "p r")).toDF("doc_id", "text")
+    assert(TextAnalysis.collocationsPmi(docs, "text", minCount = 2, topK = 10)
+      .count() == 0)
+  }
 }
