@@ -389,4 +389,38 @@ object Similarity {
         transform(split(col("pq_codes"), "-"), x => x.cast("long")),
         maps, (c, mp) => element_at(mp, c))).as(vecCol))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): merge
+    * several ranked candidate lists — lexical BM25, embedding cosine,
+    * recency, anything that emits (id, rank) — into one consensus
+    * ranking by `rrf(d) = Σ_lists 1/(c + rank_list(d))`. The standard
+    * hybrid-retrieval combiner: no score calibration across
+    * heterogeneous scorers, only ranks, and `c` (=60 in the paper)
+    * damps the head so one list's #1 can't dominate alone.
+    *
+    * Determinism: each list contributes at most one term per id (ranks
+    * are per-list unique), IEEE addition is commutative so the ≤
+    * |lists|-term sum is order-exact for 2 lists and round(,6)-stable
+    * beyond; the output order ties break on id. Scale shape: inputs
+    * are already top-k-bounded lists, so the union/groupBy is k·|lists|
+    * rows — driver-free, broadcast-free, and the final top-k is
+    * TakeOrderedAndProject.
+    *
+    * @param rankings each with (`idCol`, `rankCol`), rank 1-based
+    * @return (`idCol`, rrf, n_lists) — top `k` by fused score
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive: $k")
+    require(c >= 0, s"c must be non-negative: $c")
+    val unioned = rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    unioned.groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("__r"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

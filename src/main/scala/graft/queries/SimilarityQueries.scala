@@ -18,6 +18,68 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Hybrid retrieval: BM25 lexical top-15 (ranks on the rounded
+    // score, ties to doc_id) fused with cosine top-15 for query vector
+    // 0 (vec_id ≡ doc_id in the testdata) by reciprocal-rank fusion.
+    Q("sim_hybrid_rrf",
+      (s, dir) => {
+        val lexW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val lex = graft.operators.TextAnalysis.bm25TopK(
+            Tables.documents(s, dir), "doc_id", "text",
+            Seq("vector", "stream", "spark"), k = 15)
+          .withColumn("rank", row_number().over(lexW))
+          .select(col("doc_id"), col("rank"))
+        val emb = Tables.embeddings(s, dir)
+        val sem = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 15)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 10)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+              |corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+              |tf AS (SELECT doc_id, t, count(*) AS tf
+              |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+              |       WHERE t IN ('vector', 'stream', 'spark')
+              |       GROUP BY doc_id, t),
+              |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+              |sc AS (
+              |  SELECT tf.doc_id,
+              |         ln(1.0 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              |           * tf.tf * (1.2 + 1.0)
+              |           / (tf.tf + 1.2 * ((1.0 - 0.75)
+              |              + 0.75 * dl.dl / (CAST(corpus.tot AS DOUBLE) / corpus.n)))
+              |           AS contrib
+              |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus),
+              |bm AS (SELECT doc_id, round(sum(contrib), 6) AS score
+              |       FROM sc GROUP BY doc_id
+              |       ORDER BY score DESC, doc_id LIMIT 15),
+              |lex AS (SELECT doc_id,
+              |               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              |        FROM bm),
+              |e AS (SELECT vec_id,
+              |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |      FROM embeddings),
+              |scored AS (
+              |  SELECT c.vec_id AS doc_id, ${cos("q.v", "c.v")} AS cs
+              |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+              |  WHERE q.vec_id = 0),
+              |sem AS (SELECT doc_id, r FROM (
+              |          SELECT doc_id,
+              |                 row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+              |          FROM scored) WHERE r <= 15),
+              |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM sem)
+              |SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf,
+              |       count(*) AS n_lists
+              |FROM u GROUP BY doc_id
+              |ORDER BY rrf DESC, doc_id
+              |LIMIT 10""".stripMargin),
+      doc = "hybrid retrieval: BM25 ∪ cosine lists fused by reciprocal-rank " +
+        "fusion (rank-only combiner, k-bounded union, TakeOrdered top-k)"),
+
     Q("sim_topk_bruteforce",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -206,4 +206,23 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqEncode(cb, cb, "vec_id", "embedding", m = 3)
     }
   }
+
+  test("rrfFuse: hand-computed fusion, n_lists, id tie-break, top-k cut") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", "rank", k = 3, c = 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 2: 1/62 + 1/61 = .032513; 1: 1/61 = .016393; 4: 1/62 = .016129
+    assert(got == Seq(
+      (2L, r6(1.0 / 62 + 1.0 / 61), 2L),
+      (1L, r6(1.0 / 61), 1L),
+      (4L, r6(1.0 / 62), 1L)))
+    // equal rrf ties break on id: two singletons at the same rank
+    val c1 = Seq((9L, 5)).toDF("id", "rank")
+    val c2 = Seq((3L, 5)).toDF("id", "rank")
+    val tied = Similarity.rrfFuse(Seq(c1, c2), "id", "rank", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(tied == Seq(3L, 9L))
+  }
 }
