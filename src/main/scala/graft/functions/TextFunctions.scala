@@ -72,6 +72,37 @@ object TextFunctions {
   def registrableDomain(host: Column): Column =
     regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$|^([a-z0-9-]+)$", 0)
 
+  /** URL canonicalization — the normalization URL-level crawl dedup
+    * keys on (every crawl pipeline's first dedup pass is "same URL,
+    * keep newest"; raw crawl URLs differ in case, default ports,
+    * tracking params, param order, and fragments without differing in
+    * content). Rules, all engine-portable:
+    *   1. drop the fragment (`#...` never reaches the server);
+    *   2. lowercase scheme + authority (case-insensitive per RFC 3986);
+    *   3. strip default ports (`:80` http, `:443` https);
+    *   4. empty path → `/` (WHATWG: path is never empty);
+    *   5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *      sort the survivors byte-lexicographically, rejoin.
+    * Pure per-row built-in chain (regexes + one array sort over a
+    * handful of params) — scan-fused, no shuffle, no UDF.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val auth = lower(regexp_extract(base, "(?i)^(https?://[^/]*)", 1))
+    val path = regexp_replace(base, "(?i)^https?://[^/]*", "")
+    val authNoPort = regexp_replace(
+      regexp_replace(auth, "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val params = filter(split(query, "&"),
+      p => !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val sortedQuery = array_join(array_sort(params), "&")
+    concat(authNoPort,
+      when(path === "", "/").otherwise(path),
+      when(sortedQuery === "", "").otherwise(concat(lit("?"), sortedQuery)))
+  }
+
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))

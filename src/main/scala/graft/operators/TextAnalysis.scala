@@ -379,6 +379,68 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the smoothing family
+    * KenLM implements and CCNet actually filters with (Heafield 2011;
+    * Chen & Goodman 1999 eq. 4.27), vs [[perplexityScore]]'s add-alpha
+    * baseline. Absolute-discount the observed bigram and back off to
+    * the CONTINUATION unigram (how many distinct left-contexts a word
+    * follows — "Francisco" is frequent but predictable, so it backs
+    * off low):
+    *
+    *   p(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·T(w1)/c(w1·) · N(·w2)/T
+    *
+    * with c(w1·) = Σ_x c(w1,x), T(w1) = |{x : c(w1,x)>0}|,
+    * N(·w2) = |{x : c(x,w2)>0}|, T = total distinct bigram types.
+    * Scored bigrams always have c ≥ 1 > D, so the max(·,0) clamp of
+    * the general form never binds on the training corpus itself.
+    *
+    * Scale shape: ALL four model statistics derive from the one
+    * partial-aggregated bigram-type count relation `bc` — c(w1·) and
+    * T(w1) are a second map-side-combinable groupBy of `bc` on w1,
+    * N(·w2) one on w2, T its count — so the corpus pays exactly one
+    * full-width shuffle (bigram→count) regardless of model size, and
+    * per-doc scoring joins on (w1,w2)/(w1)/(w2) keys that AQE
+    * broadcasts when the vocabulary is small. No driver-side model
+    * state; the LM "lives" as a distributed relation, which is what
+    * lets the same code train on a 100 TB corpus where KenLM's
+    * single-node trie cannot.
+    *
+    * Output: (id, n_bigrams, perplexity) with perplexity =
+    * exp(mean −ln p) rounded to 6 dp (absorbs summation order).
+    */
+  def knPerplexityScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    val bi = toks.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), size(col("__w")) - 1).as("w1"),
+          slice(col("__w"), lit(2), size(col("__w")) - 1).as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // the one full-width shuffle: bigram type counts
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // left-context totals and continuation-type counts, derived from bc
+    val left = bc.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw1"), count(lit(1)).as("tw1"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("nw2"))
+    val types = bc.agg(count(lit(1)).as("t"))
+    val docBigrams = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    docBigrams
+      .join(bc, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__nll", -log(
+        (col("cb") - lit(discount)) / col("cw1") +
+        lit(discount) * col("tw1") / col("cw1") *
+          (col("nw2") / col("t").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(exp(sum(col("k") * col("__nll")) / sum(col("k"))), 6)
+          .as("perplexity"))
+  }
+
   /** BM25 (Okapi, Lucene idf form) top-k retrieval of documents for a
     * literal query-term set — the seed-set selection primitive of a
     * curation pipeline ("find the k corpus docs most like these

@@ -471,6 +471,93 @@ object TextQueries {
           |GROUP BY source ORDER BY source""".stripMargin),
       doc = "domain-blocklist document filtering: broadcast semi-join flag, doc-level anti-join"),
 
+    // URL canonicalization + URL-level dedup: three raw forms per doc
+    // (mixed case + default port + tracking params + unsorted params +
+    // fragment; a clean https twin; an http variant on even ids) must
+    // collapse to their canonical URLs — the "same URL, different
+    // bytes" dedup key every crawl pipeline applies before any content
+    // dedup. The oracle re-implements all five canonicalization rules
+    // in DuckDB, so the rule set itself is what's being pinned.
+    Q("text_url_canonical",
+      (s, dir) => {
+        val host = concat(lit("cdn"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".host"), pmod(col("doc_id"), lit(3)).cast("string"))
+        val id = col("doc_id").cast("string")
+        val messy = concat(lit("HTTPS://"), upper(host),
+          lit(".COM:443/p/"), id, lit("?utm_source=feed&b=2&a=1#sec"))
+        val clean = concat(lit("https://"), host, lit(".com/p/"), id,
+          lit("?a=1&b=2"))
+        val httpAlt = concat(lit("http://"), host, lit(".com:80/p/"), id)
+        val raws = when(pmod(col("doc_id"), lit(2)) === 0,
+            array(messy, clean, httpAlt))
+          .otherwise(array(messy, clean))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(raws).as("raw"))
+          .select(col("doc_id"), col("raw"),
+            TextFunctions.canonicalUrl(col("raw")).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(countDistinct(col("raw")).as("n_raw_forms"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         unnest(CASE WHEN doc_id % 2 = 0 THEN [
+             |             'HTTPS://' || upper('cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.host' || CAST(doc_id % 3 AS VARCHAR))
+             |               || '.COM:443/p/' || CAST(doc_id AS VARCHAR)
+             |               || '?utm_source=feed&b=2&a=1#sec',
+             |             'https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.host' || CAST(doc_id % 3 AS VARCHAR)
+             |               || '.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+             |             'http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.host' || CAST(doc_id % 3 AS VARCHAR)
+             |               || '.com:80/p/' || CAST(doc_id AS VARCHAR)
+             |           ] ELSE [
+             |             'HTTPS://' || upper('cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.host' || CAST(doc_id % 3 AS VARCHAR))
+             |               || '.COM:443/p/' || CAST(doc_id AS VARCHAR)
+             |               || '?utm_source=feed&b=2&a=1#sec',
+             |             'https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.host' || CAST(doc_id % 3 AS VARCHAR)
+             |               || '.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             |           ] END) AS raw
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, raw,
+             |         regexp_replace(raw, '#.*$', '') AS nofrag,
+             |         regexp_extract(regexp_replace(raw, '#.*$', ''),
+             |           '^([^?]*)', 1) AS base,
+             |         regexp_extract(regexp_replace(raw, '#.*$', ''),
+             |           '^[^?]*\?(.*)$', 1) AS q
+             |  FROM u),
+             |parts AS (
+             |  SELECT doc_id, raw,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             lower(regexp_extract(base, '(?i)^(https?://[^/]*)', 1)),
+             |             '^(http://.*):80$', '\1'),
+             |           '^(https://.*):443$', '\1') AS auth,
+             |         regexp_replace(base, '(?i)^https?://[^/]*', '') AS path,
+             |         coalesce(array_to_string(
+             |           list_sort(list_filter(string_split(q, '&'),
+             |             p -> p != '' AND NOT regexp_matches(p,
+             |                    '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '')
+             |           AS q2
+             |  FROM c),
+             |canon AS (
+             |  SELECT doc_id, raw,
+             |         auth || (CASE WHEN path = '' THEN '/' ELSE path END)
+             |              || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+             |           AS canonical_url
+             |  FROM parts)
+             |SELECT canonical_url,
+             |       count(DISTINCT raw) AS n_raw_forms,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM canon GROUP BY canonical_url
+             |ORDER BY canonical_url""".stripMargin),
+      doc = "URL canonicalization (case/port/fragment/tracking-param/param-order) + URL-level dedup grouping"),
+
     // Per-source quality calibration: raw quality scores aren't
     // comparable across sources (different length/stopword profiles),
     // so pipelines threshold on the per-source PERCENTILE of the score
@@ -1014,6 +1101,46 @@ object TextQueries {
              |               ELSE 'tail' END AS bucket
              |FROM t ORDER BY doc_id""".stripMargin),
       doc = "CCNet head/middle/tail per-language perplexity terciles (exact labeler; sketch twin spec'd)"),
+
+    // Interpolated Kneser-Ney bigram perplexity — the KenLM smoothing
+    // family (absolute discount + continuation-unigram backoff), the
+    // upgrade over text_perplexity's add-alpha model. Same bit-exactness
+    // discipline: all four model statistics are exact integer counts
+    // fed into identical double expressions on both engines (same
+    // operand order: (cb-D)/cw1 + ((D*tw1)/cw1)*(nw2/t)), round(,6)
+    // absorbs per-doc summation order.
+    Q("text_kn_perplexity",
+      (s, dir) => TextAnalysis.knPerplexityScore(Tables.documents(s, dir),
+          "doc_id", "text", discount = 0.75)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bi AS (
+             |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             |               i -> [w[i], w[i + 1]])) AS pr
+             |        FROM toks)),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+             |lft AS (SELECT w1, sum(cb) AS cw1, count(*) AS tw1
+             |        FROM bc GROUP BY w1),
+             |cont AS (SELECT w2, count(*) AS nw2 FROM bc GROUP BY w2),
+             |ty AS (SELECT count(*) AS t FROM bc),
+             |db AS (SELECT doc_id, w1, w2, count(*) AS k
+             |       FROM bi GROUP BY doc_id, w1, w2),
+             |nll AS (
+             |  SELECT db.doc_id, db.k,
+             |         -ln((bc.cb - 0.75) / lft.cw1
+             |             + 0.75 * lft.tw1 / lft.cw1
+             |               * (cont.nw2 / CAST(ty.t AS DOUBLE))) AS nll
+             |  FROM db JOIN bc USING (w1, w2) JOIN lft USING (w1)
+             |       JOIN cont USING (w2) CROSS JOIN ty)
+             |SELECT doc_id,
+             |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |       round(exp(sum(k * nll) / sum(k)), 6) AS perplexity
+             |FROM nll
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "interpolated Kneser-Ney bigram perplexity (KenLM/CCNet smoothing: absolute discount + continuation backoff)"),
 
     // Context-window chunking: overlapping 16-token windows at stride 12
     // (the packing primitive for pretraining / RAG ingestion). One

@@ -144,6 +144,88 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ppl(0)._3 < ppl(1)._3, ppl.mkString(", "))
   }
 
+  test("knPerplexityScore: hand-computed Kneser-Ney bigram model") {
+    // corpus: "a b a b" + "a b c" → bigram types (a,b):3 (b,a):1 (b,c):1
+    //   T=3; left a: cw1=3 tw1=1; b: cw1=2 tw1=2
+    //   continuation: nw2(a)=1 nw2(b)=1 nw2(c)=1; D=0.75
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knPerplexityScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    val pAB = (3 - 0.75) / 3 + 0.75 * 1 / 3.0 * (1 / 3.0) // 5/6
+    val pBA = (1 - 0.75) / 2 + 0.75 * 2 / 2.0 * (1 / 3.0) // 0.375
+    val pBC = pBA // same counts shape
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6(math.exp((2 * -math.log(pAB) + -math.log(pBA)) / 3))
+    val exp2 = r6(math.exp((-math.log(pAB) + -math.log(pBC)) / 2))
+    assert(got.toSeq == Seq((1L, 3L, exp1), (2L, 2L, exp2)))
+  }
+
+  test("knPerplexityScore: p(.|w1) is a proper distribution over the vocab") {
+    // the KN invariant the add-alpha model also has but for a different
+    // reason: discount mass given back via continuation probabilities
+    // sums each context's distribution to exactly 1 over the vocabulary
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val d = 0.75
+    // context a: seen (a,b) cb=3, cw1=3, tw1=1; unseen a,c back off only
+    val cont = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0) // nw2/T with T=3
+    val pSeen = (3 - d) / 3 + d * 1 / 3.0 * (cont("b") / 3.0)
+    val pUnseen = d * 1 / 3.0 * (cont("a") / 3.0)
+    assert(math.abs(pSeen + 2 * pUnseen - 1.0) < 1e-12)
+    // and the operator agrees with the closed form for the seen bigram
+    val ppl = TextAnalysis.knPerplexityScore(
+        docs.filter($"doc_id" === 1L).limit(1).select($"doc_id",
+          org.apache.spark.sql.functions.lit("a b").as("text")),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    // single-bigram corpus: (1-D)/1 + D*1*(1/1) = 1 exactly → ppl 1.0
+    assert(ppl == ((1L, 1L, 1.0)))
+  }
+
+  test("knPerplexityScore: predictable-but-frequent words back off low " +
+      "(the Kneser-Ney signature add-alpha lacks)") {
+    // 'f' is FREQUENT (many tokens) but always follows the single
+    // context 'san' — its continuation count is 1. 'r' is rarer but
+    // follows many distinct contexts. After a novel context 'x' (seen
+    // in training with other continuations), KN must prefer r over f;
+    // an add-alpha bigram model scores them identically (both unseen
+    // after x, same smoothing mass).
+    val docs = Seq(
+      (1L, "san f san f san f san f san f san f"),
+      (2L, "a r b r c r d r e r"),
+      (3L, "x q x q x p")).toDF("doc_id", "text")
+    val testF = Seq((10L, "x f")).toDF("doc_id", "text")
+    val testR = Seq((11L, "x r")).toDF("doc_id", "text")
+    // score test docs under the corpus model: union scoring doc into the
+    // corpus changes the model, so instead compare the model terms
+    // directly via the two corpora being identical except the last token
+    val pplF = TextAnalysis.knPerplexityScore(docs.union(testF), "doc_id", "text")
+      .filter($"doc_id" === 10L).as[(Long, Long, Double)].head()._3
+    val pplR = TextAnalysis.knPerplexityScore(docs.union(testR), "doc_id", "text")
+      .filter($"doc_id" === 11L).as[(Long, Long, Double)].head()._3
+    assert(pplR < pplF,
+      s"KN should rank the many-context word likelier: r=$pplR f=$pplF")
+  }
+
+  test("canonicalUrl: every rule, one assertion each") {
+    import graft.functions.TextFunctions
+    def canon(raw: String): String =
+      Seq(Tuple1(raw)).toDF("u")
+        .select(TextFunctions.canonicalUrl($"u")).as[String].head()
+    // case + default port + fragment + tracking + param order, together
+    assert(canon("HTTPS://Ex.COM:443/p/1?utm_source=x&b=2&a=1#frag")
+      == "https://ex.com/p/1?a=1&b=2")
+    assert(canon("http://a.com:80/x") == "http://a.com/x")   // http default port
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x") // real port kept
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")   // not https' default
+    assert(canon("http://a.com") == "http://a.com/")          // empty path → /
+    assert(canon("http://a.com/P/Q") == "http://a.com/P/Q")   // path case kept
+    assert(canon("http://a.com/x?fbclid=1&gclid=2&ref=h") == "http://a.com/x")
+    assert(canon("http://a.com/x?z=1&y=2&z=0") == "http://a.com/x?y=2&z=0&z=1")
+    // two raw forms of one logical URL collapse; distinct URLs don't
+    assert(canon("HTTP://A.com/x?b=1&a=1#s") == canon("http://a.com/x?a=1&b=1"))
+    assert(canon("http://a.com/x") != canon("https://a.com/x"))
+  }
+
   test("bpeTrainMerges restores the loop's shuffle-partitions override") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     TextAnalysis.bpeTrainMerges(
