@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.{Sketches, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,45 @@ object Decontaminate {
     * @return (`idCol`, n_shared, n_shingles, frac, drop) — one row per
     *         contaminated doc; `drop` = frac ≥ minFrac.
     */
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram procedures above (the published gap they leave: a
+    * paraphrased benchmark item shares no 13-gram with its source but
+    * sits next to it in embedding space; cf. the contamination audits
+    * accompanying GSM8K/MMLU releases). A training item is flagged
+    * when its embedding's cosine against ANY eval-set embedding
+    * reaches `tau`.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands) — it
+    * broadcasts, the corpus side NEVER shuffles at full width
+    * (BroadcastNestedLoopJoin, one narrow pass of |corpus|·|eval|
+    * fused cosines), and only the flagged (id, cos) survivors pay the
+    * per-id max/count aggregate, which partial-aggregates map-side.
+    * When the eval set outgrows broadcast-nested-loop economics, the
+    * sign-LSH band prefilter ([[Dedup.embeddingNearDupPairsSignLsh]]'s
+    * candidate stage) bounds the exact-cosine verify the same way the
+    * Bloom filter bounds [[contaminatedBloom]]'s exact join.
+    *
+    * @return (`idCol`, n_eval_hits, max_cos) — one row per
+    *         contaminated training item: how many eval embeddings it
+    *         matched and the strongest match (rounded 6 dp). Clean
+    *         items don't appear; anti-join to get the keep-set.
+    */
+  def semanticContaminated(corpusEmb: DataFrame, evalEmb: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val c = corpusEmb.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val e = evalEmb.select(
+      transform(col(vecCol), x => x.cast("double")).as("__ev"))
+    c.crossJoin(broadcast(e))
+      .select(col(idCol),
+        Sketches.cosineSim(col("__v"), col("__ev")).as("__cos"))
+      .filter(col("__cos") >= lit(tau))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("__cos")), 6).as("max_cos"))
+  }
+
   def contaminationFraction(train: DataFrame, evalCorpus: DataFrame,
       idCol: String, textCol: String, k: Int = 3,
       minFrac: Double = 0.5): DataFrame = {

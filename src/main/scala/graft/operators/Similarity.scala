@@ -126,6 +126,55 @@ object Similarity {
         argmaxCell(col("v"), cents, idType).as("cell"))
   }
 
+  /** [[assignCells]] keeping the winning cosine too — (__id, v, cell,
+    * cs). The argmax struct materializes in its own projection so the
+    * O(k·d) fold runs once per row (HOF lambdas are interpreted and
+    * never CSE'd).
+    */
+  def assignCellsScored(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val idType = centroids.schema(idCol).dataType
+    val cents = centroidLit(collectCentroids(centroids, idCol, vecCol), idType)
+    asDouble(corpus, idCol, vecCol)
+      .select(col("__id"), col("v"),
+        aggregate(cents,
+          struct(lit(-2.0).as("cs"), lit(null).cast(idType).as("cid")),
+          (acc, c) => {
+            val s = Sketches.cosineSim(col("v"), c.getField("cv"))
+            when(s > acc.getField("cs"),
+              struct(s.as("cs"), c.getField("cid").as("cid"))).otherwise(acc)
+          }).as("__best"))
+      .select(col("__id"), col("v"),
+        col("__best.cid").as("cell"), col("__best.cs").as("cs"))
+  }
+
+  /** Cluster-capped selection — the cluster-balanced curation step of
+    * the SemDeDup/DCLM family: embed-cluster the corpus, then keep at
+    * most `cap` items per cluster (the most central first), so no
+    * single dense mode dominates the training mix. Assignment is the
+    * shuffle-free constant-folded argmax ([[assignCellsScored]]); the
+    * per-cluster rank is a window over (cos desc, id). At catalog
+    * scale that window is exact and cheap (k partitions); at corpus
+    * scale the same assignment feeds a per-cluster `percentile_approx`
+    * threshold cut instead (the [[graft.operators.TextAnalysis
+    * .pplBucketsByThreshold]] pattern) — rank-free, no whale-cluster
+    * sort task.
+    *
+    * Output: (`idCol`, cluster, rk, cos) for the kept items, cos
+    * rounded 6 dp.
+    */
+  def clusterCappedSelect(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cs").desc, col("__id"))
+    assignCellsScored(corpus, centroids, idCol, vecCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("__id").as(idCol), col("cell").as("cluster"),
+        col("rk"), round(col("cs"), 6).as("cos"))
+  }
+
   /** Deterministic farthest-first traversal (Gonzalez k-center — the
     * deterministic cousin of k-means++ seeding): start from the lowest
     * id, then repeatedly add the point minimizing max-cosine to the

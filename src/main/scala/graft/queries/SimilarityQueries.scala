@@ -432,6 +432,67 @@ object SimilarityQueries {
               |FROM bt LEFT JOIN pt ON pt.query_id = bt.query_id
               |                    AND pt.neighbor_id = bt.neighbor_id
               |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin),
-      doc = "PQ retrieval recall@3: full-precision queries vs the reconstructed corpus, against exact")
+      doc = "PQ retrieval recall@3: full-precision queries vs the reconstructed corpus, against exact"),
+
+    // Semantic decontamination: corpus items (vec_id >= 25) whose
+    // embedding sits within cosine 0.3 of ANY eval-set embedding
+    // (vec_id < 25) — the paraphrase-contamination audit n-gram overlap
+    // can't see. Eval side broadcasts (BroadcastNestedLoopJoin); the
+    // corpus never shuffles at full width; only flagged (id, cos)
+    // rows reach the partial-aggregated max/count.
+    Q("emb_decontaminate_semantic",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.operators.Decontaminate.semanticContaminated(
+            e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+            "vec_id", "embedding", tau = 0.3)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |ev AS (SELECT v AS evv FROM e WHERE vec_id < 25),
+              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 25),
+              |p AS (SELECT c.vec_id, ${cos("c.v", "ev.evv")} AS cs
+              |      FROM c CROSS JOIN ev)
+              |SELECT vec_id, count(*) AS n_eval_hits,
+              |       round(max(cs), 6) AS max_cos
+              |FROM p WHERE cs >= 0.3
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      doc = "semantic (embedding-cosine) decontamination vs a broadcast eval set — the paraphrase gap of n-gram decontamination"),
+
+    // Cluster-capped selection (SemDeDup/DCLM cluster-balancing): at
+    // most 5 per cluster, most-central first. Assignment is the
+    // constant-folded argmax (ties to lowest cid — the oracle's
+    // (cs DESC, cid) rank mirrors the scan keeping the first strict
+    // max); the kept set and ranks are deterministic because random
+    // float32 vectors make cosine ties measure-zero.
+    Q("emb_cluster_capped",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.clusterCappedSelect(emb, emb.filter(col("vec_id") < 16),
+            "vec_id", "embedding", cap = 5)
+          .orderBy(col("cluster"), col("rk"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |           FROM embeddings),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+              |asg AS (
+              |  SELECT vec_id, cid, cs,
+              |         row_number() OVER (PARTITION BY vec_id
+              |                            ORDER BY cs DESC, cid) AS rn
+              |  FROM (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+              |        FROM e CROSS JOIN c)),
+              |a AS (SELECT vec_id, cid AS cluster, cs FROM asg WHERE rn = 1),
+              |rk AS (SELECT vec_id, cluster, cs,
+              |              row_number() OVER (PARTITION BY cluster
+              |                                 ORDER BY cs DESC, vec_id) AS rk
+              |       FROM a)
+              |SELECT vec_id, cluster, CAST(rk AS INTEGER) AS rk,
+              |       round(cs, 6) AS cos
+              |FROM rk WHERE rk <= 5
+              |ORDER BY cluster, rk""".stripMargin),
+      doc = "cluster-capped selection: constant-folded centroid argmax + per-cluster top-5 most-central (SemDeDup/DCLM balancing)")
   )
 }

@@ -93,6 +93,54 @@ class DecontaminateSpec extends SparkSpec {
     assert(got(103L) == ((1L, 4L, 0.25, false)))
   }
 
+  test("semanticContaminated: hand-computed cosines, clean rows absent") {
+    val corpus = Seq(
+      (100L, Seq(1f, 0f)),   // cos vs e1 = 1.0, vs e2 = 0.6
+      (101L, Seq(0f, 1f)),   // cos vs e1 = 0.0, vs e2 = 0.8
+      (102L, Seq(1f, 1f)),   // cos vs e1 = 1/sqrt2, vs e2 = 1.4/sqrt2·1
+      (103L, Seq(-1f, 0f))   // negative both — never flagged
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticContaminated(
+        corpus, evalSet, "vec_id", "embedding", tau = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 100: hits e1 only (0.6 < 0.7) → max 1.0; 101: hits e2 (0.8);
+    // 102: vs e1 = 0.7071 ≥ τ, vs e2 = (0.6+0.8)/sqrt2 = 0.98995 → 2 hits
+    assert(got.keySet == Set(100L, 101L, 102L))
+    assert(got(100L) == ((1L, 1.0)))
+    assert(got(101L)._1 == 1L)
+    assert(math.abs(got(101L)._2 - 0.8) < 1e-6)
+    assert(got(102L) == ((2L, r6(1.4 / math.sqrt(2) / 1.0))))
+  }
+
+  test("semanticContaminated: anti-join keep-set is the unflagged corpus") {
+    val corpus = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticContaminated(
+      corpus, evalSet, "vec_id", "embedding", tau = 0.9).select($"vec_id")
+    val kept = corpus.join(flagged, Seq("vec_id"), "left_anti")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(101L))
+  }
+
+  test("semanticContaminated: corpus side never shuffles before the probe") {
+    val corpus = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val df = Decontaminate.semanticContaminated(
+      corpus, evalSet, "vec_id", "embedding", tau = 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the eval set rides a BroadcastExchange into a nested-loop join;
+    // the only ShuffleExchange in the plan is the per-id final aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop probe:\n$plan")
+  }
+
   test("k larger than a doc's length yields no shingles, never a crash") {
     val tiny = Seq((7L, "two words")).toDF("doc_id", "text")
     assert(Decontaminate.contaminated(tiny, evalSet, "doc_id", "text", k = 3)

@@ -120,6 +120,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!ivfPlan.contains("Exchange rangepartitioning"), ivfPlan)
   }
 
+  test("clusterCappedSelect: hand-built clusters, cap honored, central-first") {
+    // two orthogonal centroids; points at known angles to each
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)),      // c0, cos 1.0
+      (11L, Seq(4f, 1f)),      // c0, cos ~0.970
+      (12L, Seq(2f, 1f)),      // c0, cos ~0.894
+      (13L, Seq(0f, 2f)),      // c1, cos 1.0
+      (14L, Seq(1f, 3f))       // c1, cos ~0.949
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.clusterCappedSelect(corpus, cents,
+        "vec_id", "embedding", cap = 2)
+      .orderBy($"cluster", $"rk")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // cluster 0 keeps 10 (rank 1) and 11; 12 falls to the cap;
+    // cluster 1 keeps both its members
+    assert(got.map(r => (r._2, r._3, r._1)) ==
+      Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 13L), (1L, 2, 14L)))
+    assert(got.head._4 == 1.0)
+  }
+
+  test("clusterCappedSelect: assignment ties go to the lowest centroid id") {
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((10L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.clusterCappedSelect(corpus, cents,
+      "vec_id", "embedding", cap = 5).as[(Long, Long, Int, Double)].head()
+    assert(got._2 == 0L)
+  }
+
   test("ivfTopKProbed with nprobe = |centroids| equals brute force") {
     val emb = Tables.embeddings(spark, sf())
     val cents = emb.filter(col("vec_id") < 8)
