@@ -799,6 +799,42 @@ object SamplingQueries {
              |            WHEN ${hashSql("group_id")} < 3865470566 THEN 'val'
              |            ELSE 'test' END AS split
              |FROM g ORDER BY doc_id""".stripMargin),
-      doc = "leakage-safe 80/10/10 split: near-dup groups (LSH pairs -> components) share a split, so no eval doc has a training-set twin")
+      doc = "leakage-safe 80/10/10 split: near-dup groups (LSH pairs -> components) share a split, so no eval doc has a training-set twin"),
+
+    // WARC round-trip: the corpus leaves as Common-Crawl-layout
+    // .warc.gz segments (graft.sources.warc sink, one gzip member per
+    // record) and comes back through the DSv2 reader — the crawl-native
+    // ingest surface, oracled as an identity against the documents
+    // table (doc_id re-parsed from WARC-Target-URI, Content-Length
+    // recomputed from payload bytes by the sink, text decoded from the
+    // payload). This query deliberately pays the full sink+source cost
+    // each run; it IS the measurement.
+    Q("doc_warc_roundtrip",
+      (s, dir) => {
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-warc-rt-").toString
+        Tables.documents(s, dir).select(
+            concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
+            lit("resource").as("record_type"),
+            concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("text/plain; charset=utf-8").as("content_type"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .write.format("warc").option("compression", "gzip")
+          .mode("append").save(warcDir)
+        s.read.format("warc").load(warcDir)
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("record_type"), col("content_length"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       'resource' AS record_type,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |       text
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "WARC (ISO 28500) round-trip: corpus -> per-record-gzip .warc.gz segments -> DSv2 read-back, identity-oracled")
   )
 }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WARC source/sink: round-trips (plain + per-record-gzip), real-world
+  * framing tolerance (bare-LF headers), fail-fast on truncation, and
+  * the pruned-scan projection.
+  */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-warc-spec-").toString
+
+  private def sampleDf = Seq(
+    ("<urn:x:1>", "response", "http://a.example/p1", "2026-01-01T00:00:00Z",
+      "text/html", Map("X-Crawl" -> "seg-0"), "hello warc"),
+    ("<urn:x:2>", "response", "http://b.example/p2", "2026-01-01T00:00:01Z",
+      "text/plain", Map.empty[String, String], "payload two\nwith a newline"),
+    ("<urn:x:3>", "warcinfo", null, "2026-01-01T00:00:02Z",
+      "application/warc-fields", Map.empty[String, String], "software: graft")
+  ).toDF("record_id", "record_type", "target_uri", "warc_date",
+      "content_type", "headers", "body")
+    .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+
+  private def roundTrip(compression: Option[String]): Unit = {
+    val dir = tmpDir()
+    val w = sampleDf.coalesce(1).write.format("warc").mode("append")
+    compression.fold(w)(c => w.option("compression", c)).save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length == 1)
+    val expectExt = if (compression.isDefined) ".warc.gz" else ".warc"
+    assert(files.head.getName.endsWith(expectExt), files.head.getName)
+    val back = spark.read.format("warc").load(dir)
+      .select($"record_id", $"record_type", $"target_uri", $"warc_date",
+        $"content_type", $"content_length", $"headers",
+        decode($"payload", "UTF-8").as("body"))
+      .orderBy($"record_id")
+      .as[(String, String, String, String, String, Long, Map[String, String], String)]
+      .collect()
+    assert(back.length == 3)
+    assert(back(0)._1 == "<urn:x:1>")
+    assert(back(0)._3 == "http://a.example/p1")
+    assert(back(0)._6 == "hello warc".getBytes("UTF-8").length.toLong)
+    assert(back(0)._7("X-Crawl") == "seg-0") // extra header survives
+    assert(back(0)._8 == "hello warc")
+    assert(back(1)._8 == "payload two\nwith a newline") // payload bytes exact
+    assert(back(2)._2 == "warcinfo")
+    assert(back(2)._3 == null) // warcinfo has no target URI
+  }
+
+  test("round-trip: plain .warc") { roundTrip(None) }
+
+  test("round-trip: .warc.gz with one gzip member per record") {
+    roundTrip(Some("gzip"))
+    // and the member layout really is per-record: concatenated members
+    // must each decode — a single-member file would decode too, so pin
+    // the member COUNT by walking gzip headers at decoder boundaries
+    val dir = tmpDir()
+    sampleDf.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // walk members with a raw Inflater (GZIPInputStream would swallow
+    // the concatenation): 10-byte fixed header (default flags), deflate
+    // body, 8-byte trailer
+    var members = 0
+    var offset = 0
+    while (offset < bytes.length) {
+      assert((bytes(offset) & 0xff) == 0x1f && (bytes(offset + 1) & 0xff) == 0x8b,
+        s"no gzip magic at member $members offset $offset")
+      assert(bytes(offset + 3) == 0, "unexpected gzip header flags")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, offset + 10, bytes.length - offset - 10)
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) inf.inflate(buf)
+      offset += 10 + inf.getBytesRead.toInt + 8
+      inf.end()
+      members += 1
+    }
+    assert(members == 3, s"expected 3 gzip members, got $members")
+  }
+
+  test("bare-LF headers (non-CRLF crawls) parse identically") {
+    val dir = tmpDir()
+    val body = "lf payload"
+    val rec = s"WARC/1.0\nWARC-Type: resource\nWARC-Record-ID: <urn:lf:1>\n" +
+      s"Content-Length: ${body.length}\n\n$body\n\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "lf.warc"), rec.getBytes("UTF-8"))
+    val back = spark.read.format("warc").load(dir)
+      .select($"record_id", decode($"payload", "UTF-8")).as[(String, String)]
+      .collect()
+    assert(back.toSeq == Seq(("<urn:lf:1>", body)))
+  }
+
+  test("truncated payload fails fast with the file named") {
+    val dir = tmpDir()
+    val rec = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 100\r\n\r\nshort"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.warc"), rec.getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated WARC payload")), e.getMessage)
+  }
+
+  test("pruned scan: narrow projection returns only requested columns") {
+    val dir = tmpDir()
+    sampleDf.coalesce(1).write.format("warc").mode("append").save(dir)
+    val got = spark.read.format("warc").load(dir)
+      .select($"target_uri", $"content_length")
+      .orderBy($"target_uri".asc_nulls_first)
+      .as[(String, Long)].collect()
+    assert(got.length == 3 && got(1)._1 == "http://a.example/p1")
+  }
+}
