@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Sketches, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
@@ -32,6 +32,28 @@ object Dedup {
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
     docs.select(col(idCol), min(col(idCol)).over(w).as("canonical_id"))
+  }
+
+  /** Exact dedup with a keep-priority: within each byte-identical
+    * group the canonical row is the one with the LOWEST
+    * (`priority`, id) — the cross-source preference rule of published
+    * mixes ("when the same page appears in the curated dump and the
+    * crawl, keep the curated copy"), which [[exactCanonical]]'s min-id
+    * rule cannot express when the preferred copy carries the higher
+    * id. Output: (`idCol`, canonical_id) for every input row.
+    *
+    * Scale shape: the window shuffle carries only (id, 16-byte content
+    * hash, priority) — the text itself is hashed in the map stage and
+    * never shuffles (an improvement over partitioning the raw-text
+    * rows; duplicate groups are small, so the ordered window is a
+    * per-group sort of a handful of rows).
+    */
+  def exactCanonicalBy(docs: DataFrame, idCol: String, textCol: String,
+      priority: Column): DataFrame = {
+    val base = docs.select(col(idCol), md5(col(textCol)).as("__h"),
+      priority.as("__p"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("__p"), col(idCol))
+    base.select(col(idCol), first(col(idCol)).over(w).as("canonical_id"))
   }
 
   /** Distinct (id, shingle-hash) relation — the inverted-index base.

@@ -139,6 +139,35 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "exact dedup: group on 128-bit content hash, canonical = min id"),
 
+    // Priority-keep exact dedup: the injected duplicates carry a
+    // HIGHER-priority source ('curated'), so every duplicated group's
+    // canonical moves to the +100000 copy — the opposite of min-id,
+    // proving the preference rule (not the id order) decides.
+    Q("dedup_exact_priority",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val withDups = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+              lit("curated").as("source")))
+        Dedup.exactCanonicalBy(withDups, "doc_id", "text",
+            when(col("source") === "curated", 0).otherwise(1))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text, 'curated' AS source
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id,
+             |       first_value(doc_id) OVER (PARTITION BY text
+             |         ORDER BY (CASE WHEN source = 'curated' THEN 0 ELSE 1 END),
+             |                  doc_id) AS canonical_id
+             |FROM all_docs
+             |ORDER BY doc_id""".stripMargin),
+      doc = "cross-source priority-keep exact dedup: canonical = lowest (source-priority, id) in each byte-identical group"),
+
     // The skew cap is ON by default (500 ≫ this corpus's max df of 25,
     // so the result is still exact and hash-matches the oracle); on a
     // natural corpus it bounds the per-shingle pair fan-out to cap², and

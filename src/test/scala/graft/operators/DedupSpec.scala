@@ -128,6 +128,22 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("exactCanonicalBy: priority beats id; id breaks priority ties") {
+    val df = Seq(
+      (1L, "x", 1), (2L, "y", 1), (3L, "x", 0), // 3 outranks 1 on priority
+      (4L, "y", 1)                              // ties with 2 → id wins
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.exactCanonicalBy(df, "doc_id", "text", $"prio")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 3L), (2L, 2L), (3L, 3L), (4L, 2L)))
+    // constant priority degenerates to exactCanonical's min-id rule
+    val const = Dedup.exactCanonicalBy(df, "doc_id", "text", lit(0))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val minId = Dedup.exactCanonical(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(const.toSeq == minId.toSeq)
+  }
+
   test("winnowPairs: near-identical docs pair strongly, unrelated never") {
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
       "green bottles stand quietly on the old stone wall near the river bend"
