@@ -351,6 +351,69 @@ object Multimodal {
       })
   }
 
+  case class AHashRow(id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over DECODED pixels — the
+    * image-level near-dup fingerprint (the classic 8×8 mean-threshold
+    * hash): partition the raster into an 8×8 grid, bit(block) =
+    * "block mean luma > image mean luma", 64 bits → one long.
+    *
+    * All comparisons are EXACT cross-multiplied integers
+    * (blockSum·nPixels > totalSum·nBlock — no double mean, no
+    * rounding), so every bit is reproducible from the synthetic
+    * raster formula by the SQL oracle, and the hash is provably
+    * invariant under uniform brightness shift (S_b+n_b·d)·N >
+    * (S+N·d)·n_b ⟺ S_b·N > S·n_b — the "perceptual" property,
+    * pinned by spec rather than hand-waved. Grid cells an image
+    * narrower than 8 px never touches contribute 0 > 0 = false,
+    * deterministically. Block luma sums fit comfortably: max
+    * 765·64·48 ≈ 2.3M, cross-products ≤ ~7e9 ≪ 2⁶³.
+    *
+    * Scale shape: one batched decode kernel (same boundary as
+    * [[pixelStats]]), one long per image out — grouping/joining on
+    * the hash afterwards shuffles 16 bytes per image, never pixels.
+    * Undecodable payloads yield no row (filter semantics).
+    */
+  def aHash64(media: DataFrame): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val bs = new Array[Long](64)
+            val bn = new Array[Long](64)
+            var tot = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              val by = y * 8 / h
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                val g = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+                val i = by * 8 + x * 8 / w
+                bs(i) += g; bn(i) += 1; tot += g
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (bs(i) * n > tot * bn(i)) hash |= 1L << i
+              i += 1
+            }
+            Some(AHashRow(id, hash))
+          }
+        }
+      })
+  }
+
   /** Media table derived from `documents`: the text bytes stand in for
     * an encoded image/video payload (`media_type` tagged by caller).
     */

@@ -369,6 +369,71 @@ object MultimodalQueries {
              |       min(id) OVER (PARTITION BY frame) AS canonical_id
              |FROM fr
              |ORDER BY id, frame_idx""".stripMargin),
-      doc = "frame-level exact dedup: canonical = min id per distinct frame bytes")
+      doc = "frame-level exact dedup: canonical = min id per distinct frame bytes"),
+
+    // Perceptual average-hash image dedup over REAL decoded PNGs: the
+    // Spark side encodes, decodes (ImageIO), and hashes actual
+    // rasters; the oracle reproduces every bit from the closed-form
+    // pixel formula with exact integer arithmetic (cross-multiplied
+    // block-vs-global luma sums — no doubles anywhere). Injected
+    // id+100000 copies render the SAME image (seed = id % 100000) and
+    // must collapse to one canonical.
+    Q("mm_image_ahash",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val ids = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id")))
+        val gen = udf((id: Long) => Multimodal.encodePng(
+          (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
+        val media = ids
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("id"),
+            gen(pmod(col("doc_id"), lit(100000))).as("content"))
+        Multimodal.aHash64(media).toDF()
+          .select(col("id"), col("ahash"),
+            min(col("id")).over(Window.partitionBy(col("ahash")))
+              .as("canonical_id"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH all_ids AS (
+             |  SELECT doc_id FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id < 50),
+             |d AS (SELECT doc_id, doc_id % 100000 AS gid FROM all_ids),
+             |dim AS (SELECT doc_id, gid,
+             |               CAST(1 + gid % 64 AS BIGINT) AS w,
+             |               CAST(1 + gid % 48 AS BIGINT) AS h
+             |        FROM d),
+             |xs AS (SELECT doc_id, gid, w, h, unnest(range(0, w)) AS x FROM dim),
+             |px AS (SELECT doc_id, gid, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |lum AS (SELECT doc_id, w, h,
+             |               (y * 8) // h AS by, (x * 8) // w AS bx,
+             |               ((gid + 262147 * x + 40961 * y) % 16777216) // 65536
+             |               + (((gid + 262147 * x + 40961 * y) % 16777216) // 256) % 256
+             |               + ((gid + 262147 * x + 40961 * y) % 16777216) % 256 AS g
+             |        FROM px),
+             |blocks AS (SELECT doc_id, by, bx,
+             |                  sum(g) AS sb, count(*) AS nb
+             |           FROM lum GROUP BY doc_id, by, bx),
+             |tot AS (SELECT doc_id, sum(sb) AS s, sum(nb) AS n
+             |        FROM blocks GROUP BY doc_id),
+             |bits AS (SELECT b.doc_id, b.by * 8 + b.bx AS idx
+             |         FROM blocks b JOIN tot t USING (doc_id)
+             |         WHERE b.sb * t.n > t.s * b.nb),
+             |hashes AS (
+             |  SELECT a.doc_id AS id,
+             |         CAST(coalesce(sum(CASE WHEN b.idx = 63
+             |                 THEN -9223372036854775808
+             |                 ELSE (CAST(1 AS BIGINT) << b.idx) END), 0)
+             |              AS BIGINT) AS ahash
+             |  FROM all_ids a LEFT JOIN bits b ON b.doc_id = a.doc_id
+             |  GROUP BY a.doc_id)
+             |SELECT id, ahash,
+             |       min(id) OVER (PARTITION BY ahash) AS canonical_id
+             |FROM hashes
+             |ORDER BY id""".stripMargin),
+      doc = "perceptual average-hash (8x8 mean-threshold, exact integer bits) over real decoded PNGs + hash-level dedup")
   )
 }

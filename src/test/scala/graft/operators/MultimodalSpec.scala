@@ -26,6 +26,65 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames.flatten, "UTF-8") == "hello world, twelve bytes plus")
   }
 
+  test("aHash64: hand-computed bits on a 2-block image") {
+    // 2x1 image: left pixel dark, right bright → exactly one grid
+    // column boundary at x=1 ((x*8)/2 = 0..3 vs 4..7); block (0,0)
+    // holds the dark pixel (below mean), block (0,4) the bright one
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0x000000)   // luma 0
+    img.setRGB(1, 0, 0xFFFFFF)   // luma 765
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("id", "content")
+    val got = Multimodal.aHash64(media).head()
+    // bright block: 765*2 > 765*1 → bit at idx 0*8+4 = 4 only
+    assert(got.ahash == (1L << 4), s"got ${got.ahash.toBinaryString}")
+  }
+
+  test("aHash64: invariant under uniform brightness shift, changed by structure") {
+    def png(shift: Int, swap: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val base = if ((x < 8) ^ swap) 40 else 160 // two luma halves
+        val v = base + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(0, swap = false)),
+      (2L, png(30, swap = false)),  // +30 brightness everywhere
+      (3L, png(0, swap = true))     // halves swapped: different structure
+    ).toDF("id", "content")
+    val got = Multimodal.aHash64(media).collect().map(r => r.id -> r.ahash).toMap
+    assert(got(1L) == got(2L), "uniform brightness shift must not change aHash")
+    assert(got(1L) != got(3L), "structural change must change aHash")
+    assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) == 64) // full inversion
+  }
+
+  test("aHash64: kernel matches the closed-form raster formula per block") {
+    // the oracle's construction, in-JVM: exact integer block sums over
+    // the synthetic pixel function must reproduce the decoded hash
+    val (w, h, seed) = (13, 9, 42L)
+    val media = Seq((seed, Multimodal.encodePng(w, h, seed)))
+      .toDF("id", "content")
+    val got = Multimodal.aHash64(media).head().ahash
+    val bs = new Array[Long](64); val bn = new Array[Long](64); var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 262147L * x + 40961L * y) & 0xFFFFFF
+      val g = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      val i = (y * 8 / h) * 8 + (x * 8 / w)
+      bs(i) += g; bn(i) += 1; tot += g
+    }
+    var want = 0L
+    for (i <- 0 until 64) if (bs(i) * (w.toLong * h) > tot * bn(i)) want |= 1L << i
+    assert(got == want)
+  }
+
   test("decodeImage: REAL ImageIO round-trip on encoded PNGs, None on non-images") {
     for ((w, h, seed) <- Seq((1, 1, 0L), (64, 48, 7L), (13, 29, 123L))) {
       val bytes = Multimodal.encodePng(w, h, seed)
