@@ -398,15 +398,29 @@ object Dedup {
     val f = docs.select(col(idCol).as("__id"),
         Sketches.simhash(TextFunctions.words(col(textCol)), portableHash).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val chunks = f.select(col("__id"), col("f"),
+    fingerprintHammingPairs(f, "__id", "f", maxHamming)
+  }
+
+  /** Banded hamming near-dup pairs over ANY 64-bit fingerprint
+    * relation — the candidate/verify core of [[simhashPairs]], shared
+    * with the perceptual image hash ([[Multimodal.aHash64]]) and any
+    * future 64-bit sketch: candidates share at least one of 4 16-bit
+    * chunks (pigeonhole: guaranteed recall for hamming ≤ 3), verified
+    * with bit_count(xor) ≤ `maxHamming`. The fingerprint relation is
+    * 16 bytes/row — at 100 TB of media the pair join runs over hashes,
+    * never payloads. Output: (id_a, id_b, hamming).
+    */
+  def fingerprintHammingPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = fp.select(col(idCol).as("__id"), col(fpCol).as("__f"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("f"), c * 16).bitwiseAND(lit(0xFFFFL))))
+        c => call_function("shiftright", col(fpCol), c * 16).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("chunk", "cv")))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        bit_count(col("a.f").bitwiseXOR(col("b.f"))).as("hamming"))
+        bit_count(col("a.__f").bitwiseXOR(col("b.__f"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -91,6 +91,31 @@ object Multimodal {
   }
 
 
+  /** [[encodePng]] with a white `stamp`×`stamp` top-left corner — the
+    * "same image plus a logo overlay" near-duplicate shape perceptual
+    * hashing exists to catch (byte-level and exact-raster dedup both
+    * miss it; aHash flips only the bits of the touched blocks).
+    */
+  def encodePngStamped(width: Int, height: Int, seed: Long,
+      stamp: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = if (x < stamp && y < stamp) 0xFFFFFF
+          else ((seed + 262147L * x + 40961L * y) & 0xFFFFFF).toInt
+        img.setRGB(x, y, v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   case class AudioMeta(id: Long, sample_rate: Int, channels: Int,
       bits: Int, n_frames: Long)
 
@@ -99,9 +124,18 @@ object Multimodal {
     * oracle-checked audio queries.
     */
   def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int,
-      seed: Long): Array[Byte] = {
-    require(sampleRate > 0 && channels > 0 && nFrames >= 0)
-    val dataLen = nFrames * channels * 2
+      seed: Long): Array[Byte] =
+    encodeWavPcm16Samples(sampleRate, channels,
+      Array.tabulate(nFrames * channels)(i => ((seed + 31L * i) & 0x7FFF).toShort))
+
+  /** [[encodeWavPcm16]] for caller-supplied samples (spec fixtures:
+    * crafted waveforms, gain variants). `samples.length` must be a
+    * channel multiple.
+    */
+  def encodeWavPcm16Samples(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -115,8 +149,8 @@ object Multimodal {
       .putShort(16)                      // bits per sample
       .put("data".getBytes(ascii)).putInt(dataLen)
     var i = 0
-    while (i < nFrames * channels) {
-      bb.putShort(((seed + 31L * i) & 0x7FFF).toShort)
+    while (i < samples.length) {
+      bb.putShort(samples(i))
       i += 1
     }
     bb.array()
@@ -366,8 +400,8 @@ object Multimodal {
     * (S+N·d)·n_b ⟺ S_b·N > S·n_b — the "perceptual" property,
     * pinned by spec rather than hand-waved. Grid cells an image
     * narrower than 8 px never touches contribute 0 > 0 = false,
-    * deterministically. Block luma sums fit comfortably: max
-    * 765·64·48 ≈ 2.3M, cross-products ≤ ~7e9 ≪ 2⁶³.
+    * deterministically. The 64 per-image threshold comparisons run in
+    * BigInt so the exactness claim holds at any raster size.
     *
     * Scale shape: one batched decode kernel (same boundary as
     * [[pixelStats]]), one long per image out — grouping/joining on
@@ -404,11 +438,63 @@ object Multimodal {
             val n = w.toLong * h
             var hash = 0L
             var i = 0
+            // 64 BigInt comparisons per IMAGE: exact at any raster size
+            // (long cross-products would overflow near gigapixel dims)
             while (i < 64) {
-              if (bs(i) * n > tot * bn(i)) hash |= 1L << i
+              if (BigInt(bs(i)) * n > BigInt(tot) * bn(i)) hash |= 1L << i
               i += 1
             }
             Some(AHashRow(id, hash))
+          }
+        }
+      })
+  }
+
+  case class AudioFingerprint(id: Long, afp: Long)
+
+  /** Energy-profile audio fingerprint over REAL decoded PCM — the
+    * audio analogue of [[aHash64]]: 64 contiguous sample windows
+    * (window(i) = i·64/n), bit = "window energy above the clip's mean
+    * energy", compared as exact cross-multiplied integer sums of
+    * sample² (no doubles, no rounding — every bit reproducible by the
+    * sample-law oracle). Because energy scales quadratically and
+    * UNIFORMLY under gain, the fingerprint is exactly invariant under
+    * integer volume scaling (c²·S_w·N > c²·S·n_w ⟺ S_w·N > S·n_w)
+    * until clipping — the perceptual property, spec-pinned. Empty
+    * clips fingerprint to 0. One long per clip out of the batched
+    * decode kernel; downstream dedup joins hashes, never waveforms
+    * (pair machinery: [[Dedup.fingerprintHammingPairs]]).
+    */
+  def audioFingerprint64(media: DataFrame): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodePcm16(bytes).map { samples =>
+            val n = samples.length.toLong
+            var hash = 0L
+            if (n > 0) {
+              val ws = new Array[Long](64)
+              val wn = new Array[Long](64)
+              var tot = 0L
+              var i = 0
+              while (i < samples.length) {
+                val a = samples(i).toLong
+                val e = a * a
+                val w = (i * 64L / n).toInt
+                ws(w) += e; wn(w) += 1; tot += e
+                i += 1
+              }
+              // 64 BigInt comparisons per CLIP (not per sample): exact
+              // at any clip length — long cross-products would overflow
+              // past ~2^21 full-scale samples (a ~50 s clip at 44.1 kHz)
+              var b = 0
+              while (b < 64) {
+                if (BigInt(ws(b)) * n > BigInt(tot) * wn(b)) hash |= 1L << b
+                b += 1
+              }
+            }
+            AudioFingerprint(id, hash)
           }
         }
       })

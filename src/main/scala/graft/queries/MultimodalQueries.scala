@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -434,6 +434,124 @@ object MultimodalQueries {
              |       min(id) OVER (PARTITION BY ahash) AS canonical_id
              |FROM hashes
              |ORDER BY id""".stripMargin),
-      doc = "perceptual average-hash (8x8 mean-threshold, exact integer bits) over real decoded PNGs + hash-level dedup")
+      doc = "perceptual average-hash (8x8 mean-threshold, exact integer bits) over real decoded PNGs + hash-level dedup"),
+
+    // Perceptual NEAR-dup image pairs: ids < 50 get a +200000 variant
+    // that is the SAME image with a white 4x4 "logo" stamp — different
+    // bytes, different raster, near-identical perception. aHash flips
+    // only the touched blocks' bits, so the banded hamming join
+    // (shared 16-bit chunk -> bit_count verify, the dedup_simhash
+    // machinery over image fingerprints) recovers the planted pairs.
+    // The output ALSO contains pairs among unrelated synthetic rasters
+    // — the generator's smooth gradient structure genuinely hashes
+    // alike across seeds, which is aHash reporting structural
+    // similarity as designed (both engines agree bit-for-bit). The
+    // oracle reproduces fingerprints AND banding from the raster
+    // formula, so candidate semantics are pinned, not just pairs.
+    Q("mm_image_ahash_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val gen = udf((id: Long) => Multimodal.encodePng(
+          (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
+        val genStamped = udf((id: Long) => Multimodal.encodePngStamped(
+          (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
+        val media = docs
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("id"), gen(col("doc_id")).as("content"))
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 200000).as("id"),
+              genStamped(col("doc_id")).as("content")))
+        Dedup.fingerprintHammingPairs(
+            Multimodal.aHash64(media).toDF(), "id", "ahash", maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH all_imgs AS (
+             |  SELECT doc_id AS id, doc_id AS gid, 0 AS st FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS id, doc_id AS gid, 1 AS st
+             |  FROM documents WHERE doc_id < 50),
+             |dim AS (SELECT id, gid, st,
+             |               CAST(1 + gid % 64 AS BIGINT) AS w,
+             |               CAST(1 + gid % 48 AS BIGINT) AS h
+             |        FROM all_imgs),
+             |xs AS (SELECT id, gid, st, w, h, unnest(range(0, w)) AS x FROM dim),
+             |px AS (SELECT id, gid, st, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |lum AS (SELECT id, w, h,
+             |               (y * 8) // h AS by, (x * 8) // w AS bx,
+             |               CASE WHEN st = 1 AND x < 4 AND y < 4 THEN 765
+             |                    ELSE ((gid + 262147 * x + 40961 * y) % 16777216) // 65536
+             |                       + (((gid + 262147 * x + 40961 * y) % 16777216) // 256) % 256
+             |                       + ((gid + 262147 * x + 40961 * y) % 16777216) % 256
+             |               END AS g
+             |        FROM px),
+             |blocks AS (SELECT id, by, bx, sum(g) AS sb, count(*) AS nb
+             |           FROM lum GROUP BY id, by, bx),
+             |tot AS (SELECT id, sum(sb) AS s, sum(nb) AS n
+             |        FROM blocks GROUP BY id),
+             |bits AS (SELECT b.id, b.by * 8 + b.bx AS idx
+             |         FROM blocks b JOIN tot t USING (id)
+             |         WHERE b.sb * t.n > t.s * b.nb),
+             |hashes AS (
+             |  SELECT a.id,
+             |         coalesce(sum(CAST(1 AS HUGEINT) << b.idx),
+             |                  CAST(0 AS HUGEINT)) AS uh
+             |  FROM all_imgs a LEFT JOIN bits b ON b.id = a.id
+             |  GROUP BY a.id),
+             |fps AS (
+             |  SELECT id, uh,
+             |         CAST(CASE WHEN uh >= 9223372036854775808
+             |                   THEN uh - 18446744073709551616
+             |                   ELSE uh END AS BIGINT) AS f
+             |  FROM hashes),
+             |ch AS (
+             |  SELECT id, f, r.c,
+             |         CAST((uh // (CAST(1 AS HUGEINT) << (16 * r.c))) % 65536
+             |              AS BIGINT) AS cv
+             |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS c) r)
+             |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+             |FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id
+             |WHERE bit_count(xor(a.f, b.f)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "perceptual image near-dup pairs: aHash fingerprints + 16-bit chunk banding + hamming verify over stamped variants"),
+
+    // Energy-profile audio fingerprint over REAL decoded PCM: 64
+    // sample windows, bit = window energy above the clip mean, exact
+    // cross-multiplied integer sums of sample^2 — the audio analogue
+    // of mm_image_ahash, volume-scale invariant by construction
+    // (spec-pinned). The oracle rebuilds every bit from the WAV
+    // generator's sample law.
+    Q("mm_audio_fingerprint",
+      (s, dir) => Multimodal.audioFingerprint64(
+          Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |             CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT)
+             |               AS ns
+             |           FROM documents),
+             |s AS (SELECT doc_id, ns, i, ((doc_id + 31 * i) & 32767) AS v
+             |      FROM (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM p)),
+             |w AS (SELECT doc_id, ns, (i * 64) // ns AS wi, v * v AS e FROM s),
+             |wins AS (SELECT doc_id, wi, sum(e) AS se, count(*) AS nw
+             |         FROM w GROUP BY doc_id, wi),
+             |tot AS (SELECT doc_id, sum(se) AS te, sum(nw) AS n
+             |        FROM wins GROUP BY doc_id),
+             |bits AS (SELECT w.doc_id, w.wi
+             |         FROM wins w JOIN tot t USING (doc_id)
+             |         WHERE w.se * t.n > t.te * w.nw),
+             |hashes AS (
+             |  SELECT p.doc_id,
+             |         coalesce(sum(CAST(1 AS HUGEINT) << b.wi),
+             |                  CAST(0 AS HUGEINT)) AS uh
+             |  FROM p LEFT JOIN bits b USING (doc_id)
+             |  GROUP BY p.doc_id)
+             |SELECT doc_id AS id,
+             |       CAST(CASE WHEN uh >= 9223372036854775808
+             |                 THEN uh - 18446744073709551616
+             |                 ELSE uh END AS BIGINT) AS afp
+             |FROM hashes
+             |ORDER BY id""".stripMargin),
+      doc = "energy-profile audio fingerprint (64 windows, exact integer bits) over real decoded PCM, sample-law oracled")
   )
 }

@@ -85,6 +85,62 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("audioFingerprint64: volume-invariant, structure-sensitive, empty-safe") {
+    // 128 samples: quiet first half (amp 100), loud second half (1000)
+    def wav(samples: Array[Short]) =
+      Multimodal.encodeWavPcm16Samples(8000, 1, samples)
+    val base = Array.tabulate(128)(i =>
+      (if (i < 64) 100 else 1000).toShort)
+    val louder = base.map(s => (s * 8).toShort)        // gain x8, no clip
+    val swapped = base.reverse                          // structure flipped
+    val media = Seq(
+      (1L, wav(base)), (2L, wav(louder)), (3L, wav(swapped)),
+      (4L, wav(Array.empty[Short]))
+    ).toDF("id", "content")
+    val got = Multimodal.audioFingerprint64(media).collect()
+      .map(r => r.id -> r.afp).toMap
+    // loud half = windows 32..63 set (energy strictly above clip mean)
+    assert(got(1L) == (0xFFFFFFFFL << 32), got(1L).toBinaryString)
+    assert(got(2L) == got(1L), "integer gain must not change the fingerprint")
+    assert(got(3L) == 0xFFFFFFFFL, "reversed clip flips the profile")
+    assert(got(4L) == 0L)
+  }
+
+  test("aHash/audio fingerprints feed the shared banded hamming pair join") {
+    // two stamped variants of one image: near-dup pair surfaces with
+    // small hamming; an unrelated image pairs with neither
+    // unrelated image with genuinely different STRUCTURE (vertical
+    // half-split) — two smooth ramps with different seeds share their
+    // gradient structure and hash near-identically, which is aHash
+    // working as designed, not a usable negative case
+    val halves = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = if (y < 16) 30 else 200
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, Multimodal.encodePng(32, 32, seed = 7L)),
+      (2L, Multimodal.encodePngStamped(32, 32, seed = 7L)),
+      (3L, halves)
+    ).toDF("id", "content")
+    val fp = Multimodal.aHash64(media).toDF()
+    val pairs = graft.operators.Dedup.fingerprintHammingPairs(
+        fp, "id", "ahash", maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+    val planted = pairs.find(p => (p._1, p._2) == ((1L, 2L)))
+    assert(planted.isDefined, s"stamped near-dup missing: ${pairs.mkString(",")}")
+    // the stamp touches one grid block (4x4 at 32px/8): few bits flip
+    assert(planted.get._3 <= 4, s"stamp flipped too many bits: $planted")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"structurally different image paired: ${pairs.mkString(",")}")
+  }
+
   test("decodeImage: REAL ImageIO round-trip on encoded PNGs, None on non-images") {
     for ((w, h, seed) <- Seq((1, 1, 0L), (64, 48, 7L), (13, 29, 123L))) {
       val bytes = Multimodal.encodePng(w, h, seed)
