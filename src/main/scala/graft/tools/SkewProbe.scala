@@ -39,6 +39,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               each carry df ≈ N/2, so the positions⋈dup-hash join
   *               probes a Zipf head (the stats side stays one row per
   *               hash, the AQE-splittable shape linededup proved)
+  *   knppl       add-alpha vs Kneser-Ney bigram LM perplexity on the
+  *               scale corpus — prices KN's two extra stats relations
+  *               and pins that the Zipf word head never makes a whale
+  *               task (stats sides are one row per key)
   *   heavyhitters naive full-vocabulary groupBy vs the Misra-Gries
   *               two-pass on a corpus widened to ~3N distinct tokens
   *               (3 unique rare tokens appended per doc)
@@ -267,6 +271,33 @@ object SkewProbe {
               sep = "\n"),
             Seq("doc_id", "text")))
           report("span_rm", rep, t, n, h)
+        case "knppl" =>
+          // LM training under a Zipf vocabulary at scale: both models
+          // shuffle the full bigram stream once (partial-aggregated, so
+          // the "the the"-head combines map-side); every scoring join's
+          // stats side carries ONE row per key (bc/left/cont), the
+          // AQE-splittable shape linededup/exactsubstr proved. KN adds
+          // two more stats relations (continuation + left-context
+          // types) derived from bc without rescanning the corpus — the
+          // probe prices exactly that delta and pins that neither model
+          // has a whale task (maxtask = partition volume, not key df)
+          if (rep == 1) {
+            val r = docs.select(explode(split(col("text"), " ")).as("w"))
+              .groupBy(col("w")).agg(count(lit(1)).as("c"))
+              .agg(max(col("c")), count(lit(1))).head
+            println(s"[skew] knppl hot_word_df=${r.getLong(0)} " +
+              s"vocab=${r.getLong(1)}")
+          }
+          val ((nA, hA), tA) = time(sig(
+            graft.operators.TextAnalysis.perplexityScore(
+              docs, "doc_id", "text"),
+            Seq("doc_id", "n_bigrams", "perplexity")))
+          report("addalpha", rep, tA, nA, hA)
+          val ((nK, hK), tK) = time(sig(
+            graft.operators.TextAnalysis.knPerplexityScore(
+              docs, "doc_id", "text"),
+            Seq("doc_id", "n_bigrams", "perplexity")))
+          report("kneserney", rep, tK, nK, hK)
         case "exactsubstr_pre" =>
           // run on the UNSKEWED scale corpus: organic dup density only
           // (the planted near-dup pairs) — the regime the winnow
