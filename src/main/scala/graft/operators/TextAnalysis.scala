@@ -441,6 +441,91 @@ object TextAnalysis {
           .as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM perplexity — the order-3 model
+    * production quality filters actually ship (CCNet's KenLM models
+    * are order ≥ 3). Full three-level interpolation (Chen & Goodman
+    * 1999): absolute-discount the trigram, back off to the
+    * CONTINUATION bigram (counts of distinct left contexts, not raw
+    * counts), then to the continuation unigram:
+    *
+    *   p3(w3|w1w2) = (c(w1w2w3)−D)/c(w1w2·) + D·T(w1w2)/c(w1w2·)·p2c
+    *   p2c(w3|w2)  = (N(·w2w3)−D)/N(·w2·) + D·T2(w2)/N(·w2·)·p1c
+    *   p1c(w3)     = N(·w3)/|bigram types|
+    *
+    * with N(·w2w3) = distinct w1 preceding (w2,w3) in trigram types,
+    * N(·w2·) = trigram types with middle w2, T2(w2) = distinct w3
+    * after w2 in trigram types, N(·w3) = distinct predecessors in
+    * bigram types. Each level hands its discount mass down, so every
+    * context's distribution sums to exactly 1 (spec-pinned at both
+    * levels). Scored trigrams have c ≥ 1 > D — the clamp never binds
+    * on training data.
+    *
+    * Scale shape: the corpus pays TWO full-width shuffles (trigram and
+    * bigram type counts — the bigram relation exists only for the
+    * unigram continuation level); all five model statistics are
+    * map-side-combinable second aggregates of those two relations, and
+    * every scoring join's stats side carries one row per key. Same
+    * whale-free shape the `knppl` probe measured for the bigram model.
+    *
+    * Output: (id, n_trigrams, perplexity) — docs with < 3 words have
+    * no trigram and no row; perplexity = exp(mean −ln p3), 6 dp.
+    */
+  def knTrigramPerplexityScore(docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    // greatest(.., 0): a 1-2 word doc must yield an empty slice, not a
+    // negative-length slice error
+    val triLen = greatest(size(col("__w")) - 2, lit(0))
+    val tri = toks.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), triLen).as("w1"),
+          slice(col("__w"), lit(2), triLen).as("w2"),
+          slice(col("__w"), lit(3), triLen).as("w3"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+    val bi = toks.select(
+        explode(arrays_zip(
+          slice(col("__w"), lit(1), size(col("__w")) - 1).as("w1"),
+          slice(col("__w"), lit(2), size(col("__w")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // the two full-width shuffles: trigram + bigram type counts
+    val tc = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val bcB = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // trigram-level stats
+    val l2 = tc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("cw12"), count(lit(1)).as("tw12"))
+    // continuation-bigram stats (distinct left contexts of (w2,w3))
+    val mid = tc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n12"))
+    val midl = mid.groupBy(col("w2"))
+      .agg(sum(col("n12")).as("nmid"), count(lit(1)).as("t2"))
+    // continuation-unigram stats from bigram types
+    val cont = bcB.groupBy(col("w2")).agg(count(lit(1)).as("nw3"))
+      .withColumnRenamed("w2", "w3")
+    val types = bcB.agg(count(lit(1)).as("t"))
+    val docTri = tri.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+    docTri
+      .join(tc, Seq("w1", "w2", "w3"))
+      .join(l2, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midl, Seq("w2"))
+      .join(cont, Seq("w3"))
+      .crossJoin(broadcast(types))
+      .withColumn("__p2c",
+        (col("n12") - lit(discount)) / col("nmid") +
+        lit(discount) * col("t2") / col("nmid") *
+          (col("nw3") / col("t").cast("double")))
+      .withColumn("__nll", -log(
+        (col("c3") - lit(discount)) / col("cw12") +
+        lit(discount) * col("tw12") / col("cw12") * col("__p2c")))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_trigrams"),
+        round(exp(sum(col("k") * col("__nll")) / sum(col("k"))), 6)
+          .as("perplexity"))
+  }
+
   /** BM25 (Okapi, Lucene idf form) top-k retrieval of documents for a
     * literal query-term set — the seed-set selection primitive of a
     * curation pipeline ("find the k corpus docs most like these

@@ -1113,27 +1113,36 @@ object TextQueries {
       (s, dir) => TextAnalysis.knPerplexityScore(Tables.documents(s, dir),
           "doc_id", "text", discount = 0.75)
         .orderBy(col("doc_id")),
-      Some("""WITH toks AS (
+      // MATERIALIZED CTEs + explicit ON: DuckDB 1.0's default CTE
+      // inlining re-expands the shared count relations and its join
+      // optimizer then falls back to CROSS_PRODUCTs (measured 98 s ->
+      // seconds on sf0.01)
+      Some("""WITH toks AS MATERIALIZED (
              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |bi AS (
+             |bi AS MATERIALIZED (
              |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
              |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
              |               i -> [w[i], w[i + 1]])) AS pr
              |        FROM toks)),
-             |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+             |bc AS MATERIALIZED (
+             |  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
              |lft AS (SELECT w1, sum(cb) AS cw1, count(*) AS tw1
              |        FROM bc GROUP BY w1),
-             |cont AS (SELECT w2, count(*) AS nw2 FROM bc GROUP BY w2),
+             |cont AS (SELECT w2 AS cw, count(*) AS nw2 FROM bc GROUP BY w2),
              |ty AS (SELECT count(*) AS t FROM bc),
-             |db AS (SELECT doc_id, w1, w2, count(*) AS k
-             |       FROM bi GROUP BY doc_id, w1, w2),
+             |db AS MATERIALIZED (
+             |  SELECT doc_id, w1, w2, count(*) AS k
+             |  FROM bi GROUP BY doc_id, w1, w2),
              |nll AS (
              |  SELECT db.doc_id, db.k,
              |         -ln((bc.cb - 0.75) / lft.cw1
              |             + 0.75 * lft.tw1 / lft.cw1
              |               * (cont.nw2 / CAST(ty.t AS DOUBLE))) AS nll
-             |  FROM db JOIN bc USING (w1, w2) JOIN lft USING (w1)
-             |       JOIN cont USING (w2) CROSS JOIN ty)
+             |  FROM db
+             |  JOIN bc ON bc.w1 = db.w1 AND bc.w2 = db.w2
+             |  JOIN lft ON lft.w1 = db.w1
+             |  JOIN cont ON cont.cw = db.w2
+             |  CROSS JOIN ty)
              |SELECT doc_id,
              |       CAST(sum(k) AS BIGINT) AS n_bigrams,
              |       round(exp(sum(k * nll) / sum(k)), 6) AS perplexity
@@ -1141,6 +1150,68 @@ object TextQueries {
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin),
       doc = "interpolated Kneser-Ney bigram perplexity (KenLM/CCNet smoothing: absolute discount + continuation backoff)"),
+
+    // Order-3 interpolated Kneser-Ney — the full three-level backoff
+    // (trigram -> continuation bigram -> continuation unigram)
+    // production KenLM filters run. Five exact integer count relations
+    // into one mirrored double expression; parens pin evaluation order
+    // on both engines; round(,6) absorbs per-doc summation order.
+    Q("text_kn3_perplexity",
+      (s, dir) => TextAnalysis.knTrigramPerplexityScore(
+          Tables.documents(s, dir), "doc_id", "text", discount = 0.75)
+        .orderBy(col("doc_id")),
+      // same MATERIALIZED + explicit-ON medicine as text_kn_perplexity
+      // (inlined CTEs -> CROSS_PRODUCT fallback, minutes instead of
+      // seconds)
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tri AS MATERIALIZED (
+             |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, pr[3] AS w3
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+             |               i -> [w[i], w[i + 1], w[i + 2]])) AS pr
+             |        FROM toks)),
+             |bi AS MATERIALIZED (
+             |  SELECT pr[1] AS w1, pr[2] AS w2
+             |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+             |               i -> [w[i], w[i + 1]])) AS pr
+             |        FROM toks)),
+             |tc AS MATERIALIZED (
+             |  SELECT w1, w2, w3, count(*) AS c3
+             |  FROM tri GROUP BY w1, w2, w3),
+             |l2 AS (SELECT w1, w2, sum(c3) AS cw12, count(*) AS tw12
+             |       FROM tc GROUP BY w1, w2),
+             |mid AS MATERIALIZED (
+             |  SELECT w2, w3, count(*) AS n12 FROM tc GROUP BY w2, w3),
+             |midl AS (SELECT w2, sum(n12) AS nmid, count(*) AS t2
+             |         FROM mid GROUP BY w2),
+             |bc AS MATERIALIZED (
+             |  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+             |cont AS (SELECT w2 AS cw, count(*) AS nw3 FROM bc GROUP BY w2),
+             |ty AS (SELECT count(*) AS t FROM bc),
+             |db AS MATERIALIZED (
+             |  SELECT doc_id, w1, w2, w3, count(*) AS k
+             |  FROM tri GROUP BY doc_id, w1, w2, w3),
+             |nll AS (
+             |  SELECT db.doc_id, db.k,
+             |         -ln((tc.c3 - 0.75) / l2.cw12
+             |             + 0.75 * l2.tw12 / l2.cw12
+             |               * ((mid.n12 - 0.75) / midl.nmid
+             |                  + 0.75 * midl.t2 / midl.nmid
+             |                    * (cont.nw3 / CAST(ty.t AS DOUBLE)))) AS nll
+             |  FROM db
+             |  JOIN tc ON tc.w1 = db.w1 AND tc.w2 = db.w2 AND tc.w3 = db.w3
+             |  JOIN l2 ON l2.w1 = db.w1 AND l2.w2 = db.w2
+             |  JOIN mid ON mid.w2 = db.w2 AND mid.w3 = db.w3
+             |  JOIN midl ON midl.w2 = db.w2
+             |  JOIN cont ON cont.cw = db.w3
+             |  CROSS JOIN ty)
+             |SELECT doc_id,
+             |       CAST(sum(k) AS BIGINT) AS n_trigrams,
+             |       round(exp(sum(k * nll) / sum(k)), 6) AS perplexity
+             |FROM nll
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "interpolated trigram Kneser-Ney perplexity: full three-level continuation backoff (the order-3 KenLM shape)"),
 
     // Context-window chunking: overlapping 16-token windows at stride 12
     // (the packing primitive for pretraining / RAG ingestion). One

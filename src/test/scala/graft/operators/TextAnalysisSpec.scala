@@ -206,6 +206,46 @@ class TextAnalysisSpec extends SparkSpec {
       s"KN should rank the many-context word likelier: r=$pplR f=$pplF")
   }
 
+  test("knTrigramPerplexityScore: hand-computed three-level model") {
+    // d1 "a b c a b c": trigram types abc:2 bca:1 cab:1; d2 "a b d": abd:1
+    //   l2(a,b): cw12=3 tw12=2; l2(b,c)=l2(c,a): 1,1
+    //   mid (b,c)(c,a)(a,b)(b,d) all 1; midl b: nmid=2 t2=2; a,c: 1,1
+    //   bigram types (a,b):3 (b,c):2 (c,a):1 (b,d):1 -> T=4, all nw3=1
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.knTrigramPerplexityScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    val D = 0.75
+    def p2c(n12: Long, nmid: Long, t2: Long, nw3: Long) =
+      (n12 - D) / nmid + D * t2 / nmid * (nw3 / 4.0)
+    val pABC = (2 - D) / 3 + D * 2 / 3.0 * p2c(1, 2, 2, 1)
+    val pBCA = (1 - D) / 1 + D * 1 / 1.0 * p2c(1, 1, 1, 1)
+    val pCAB = (1 - D) / 1 + D * 1 / 1.0 * p2c(1, 1, 1, 1)
+    val pABD = (1 - D) / 3 + D * 2 / 3.0 * p2c(1, 2, 2, 1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6(math.exp(
+      (2 * -math.log(pABC) + -math.log(pBCA) + -math.log(pCAB)) / 4))
+    val exp2 = r6(math.exp(-math.log(pABD)))
+    assert(got.toSeq == Seq((1L, 4L, exp1), (2L, 1L, exp2)))
+    // a 2-word doc has no trigram and must be absent, not crash
+    val tiny = Seq((9L, "x y")).toDF("doc_id", "text")
+    assert(TextAnalysis.knTrigramPerplexityScore(
+      docs.union(tiny), "doc_id", "text")
+      .filter($"doc_id" === 9L).count() == 0)
+  }
+
+  test("knTrigramPerplexityScore: both backoff levels are proper distributions") {
+    // context (a,b) over vocab {a,b,c,d} with the corpus above:
+    // p2c(.|b) sums to 1 (continuation level), and p3(.|a,b) sums to 1
+    // (trigram level hands its discount mass down intact)
+    val D = 0.75
+    def p2cSeen(n12: Long) = (n12 - D) / 2 + D * 2 / 2.0 * (1 / 4.0)
+    val p2cUnseen = D * 2 / 2.0 * (1 / 4.0) // backoff-only (a, b)
+    val sumP2c = p2cSeen(1) + p2cSeen(1) + 2 * p2cUnseen // c, d, a, b
+    assert(math.abs(sumP2c - 1.0) < 1e-12)
+    val sumP3 = ((2 - D) + (1 - D)) / 3 + D * 2 / 3.0 * sumP2c
+    assert(math.abs(sumP3 - 1.0) < 1e-12)
+  }
+
   test("canonicalUrl: every rule, one assertion each") {
     import graft.functions.TextFunctions
     def canon(raw: String): String =
