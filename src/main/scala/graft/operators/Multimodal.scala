@@ -450,6 +450,120 @@ object Multimodal {
       })
   }
 
+  case class PHashRow(id: Long, phash: Long)
+
+  /** Integer DCT-II basis, the one table BOTH engines use: T(p)(u) =
+    * round(cos(π·(2u+1)·p/64) · 2^14) for kept frequency p ∈ 0..7 and
+    * cell index u ∈ 0..31. Computed once here and INLINED as literals
+    * into the SQL oracle, so cross-engine cosine/rounding ULP can
+    * never flip a bit — the fixed-point trick every integer-DCT codec
+    * (JPEG's AAN/LLM kernels) uses to make transforms bit-exact.
+    */
+  val DctTable: Array[Array[Long]] = Array.tabulate(8, 32) { (p, u) =>
+    Math.round(Math.cos(Math.PI * (2 * u + 1) * p / 64.0) * 16384.0)
+  }
+
+  /** Perceptual DCT hash (pHash) over DECODED pixels — the
+    * low-frequency companion to [[aHash64]]: bin the raster into a
+    * 32×32 cell grid of luma SUMS, take the 2-D DCT-II restricted to
+    * the 8×8 lowest frequencies with the fixed-point [[DctTable]], and
+    * set bit p·8+q iff coefficient C(p,q) is STRICTLY above the lower
+    * median (the 32nd-smallest of the 64). Everything after decode is
+    * exact integer arithmetic — integer cell binning (cu = x·32/w),
+    * integer basis, integer products, a rank-statistic threshold — so
+    * the SQL oracle reproduces every bit from the raster formula, the
+    * same guarantee aHash carries.
+    *
+    * Two deliberate deviations from textbook pHash, both in service of
+    * exactness: cells carry luma SUMS, not means (means of unevenly
+    * sized cells are rationals with per-cell denominators — a common
+    * positive rescale per image preserves the >-median bits only when
+    * the scale is uniform, which sums are and means are not), and the
+    * threshold is the deterministic lower median (no "average of two
+    * middles" double). The hash keys on low-frequency structure where
+    * aHash keys on local block brightness — a second, decorrelated
+    * fingerprint family over the same 16-byte/image pair machinery
+    * ([[Dedup.fingerprintHammingPairs]]).
+    *
+    * Scale shape: identical to aHash — one batched decode kernel, 65k
+    * integer multiply-adds per image (1024 cells × 64 coefficients),
+    * one long out; downstream joins hashes, never pixels. Coefficient
+    * accumulation runs in Long up to 32 Mpixel rasters (|T·T·Σluma| ≤
+    * 2^28·765·N < 2^63) and BigInt beyond, so the exactness claim has
+    * no size cliff. Undecodable payloads yield no row.
+    */
+  def pHash64(media: DataFrame): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val cells = new Array[Long](1024) // cu*32 + cv luma sums
+            var y = 0
+            while (y < h) {
+              val cv = y * 32 / h
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                val g = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+                cells((x * 32 / w) * 32 + cv) += g
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            if (w.toLong * h <= (1L << 25)) {
+              val c = new Array[Long](64)
+              var cu = 0
+              while (cu < 32) {
+                var cv = 0
+                while (cv < 32) {
+                  val s = cells(cu * 32 + cv)
+                  if (s != 0L) {
+                    var p = 0
+                    while (p < 8) {
+                      val tp = DctTable(p)(cu) * s
+                      var q = 0
+                      while (q < 8) {
+                        c(p * 8 + q) += tp * DctTable(q)(cv)
+                        q += 1
+                      }
+                      p += 1
+                    }
+                  }
+                  cv += 1
+                }
+                cu += 1
+              }
+              val med = c.sorted.apply(31)
+              var i = 0
+              while (i < 64) {
+                if (c(i) > med) hash |= 1L << i
+                i += 1
+              }
+            } else {
+              // gigapixel path: same arithmetic, arbitrary precision
+              val c = Array.fill(64)(BigInt(0))
+              for (cu <- 0 until 32; cv <- 0 until 32) {
+                val s = cells(cu * 32 + cv)
+                if (s != 0L)
+                  for (p <- 0 until 8; q <- 0 until 8)
+                    c(p * 8 + q) += BigInt(DctTable(p)(cu)) * s * DctTable(q)(cv)
+              }
+              val med = c.sorted.apply(31)
+              for (i <- 0 until 64) if (c(i) > med) hash |= 1L << i
+            }
+            Some(PHashRow(id, hash))
+          }
+        }
+      })
+  }
+
   case class AudioFingerprint(id: Long, afp: Long)
 
   /** Energy-profile audio fingerprint over REAL decoded PCM — the

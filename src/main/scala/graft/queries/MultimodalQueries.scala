@@ -445,12 +445,17 @@ object MultimodalQueries {
     // The output ALSO contains pairs among unrelated synthetic rasters
     // — the generator's smooth gradient structure genuinely hashes
     // alike across seeds, which is aHash reporting structural
-    // similarity as designed (both engines agree bit-for-bit). The
-    // oracle reproduces fingerprints AND banding from the raster
-    // formula, so candidate semantics are pinned, not just pairs.
+    // similarity as designed (both engines agree bit-for-bit). BECAUSE
+    // every synthetic raster shares that gradient structure, the pair
+    // set grows quadratically with corpus size (514k pairs at sf0.1)
+    // — a property of this fixture, not of aHash on real photos — so
+    // the catalog entry runs on a bounded id < 100 slice; the
+    // operator's scale shape is fingerprintHammingPairs' (16-byte
+    // rows, banded candidates), already probed via dedup_simhash.
     Q("mm_image_ahash_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 100)
         val gen = udf((id: Long) => Multimodal.encodePng(
           (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
         val genStamped = udf((id: Long) => Multimodal.encodePngStamped(
@@ -467,6 +472,7 @@ object MultimodalQueries {
       },
       Some("""WITH all_imgs AS (
              |  SELECT doc_id AS id, doc_id AS gid, 0 AS st FROM documents
+             |  WHERE doc_id < 100
              |  UNION ALL
              |  SELECT doc_id + 200000 AS id, doc_id AS gid, 1 AS st
              |  FROM documents WHERE doc_id < 50),
@@ -552,6 +558,100 @@ object MultimodalQueries {
              |                 ELSE uh END AS BIGINT) AS afp
              |FROM hashes
              |ORDER BY id""".stripMargin),
-      doc = "energy-profile audio fingerprint (64 windows, exact integer bits) over real decoded PCM, sample-law oracled")
+      doc = "energy-profile audio fingerprint (64 windows, exact integer bits) over real decoded PCM, sample-law oracled"),
+
+    // Perceptual DCT hash (pHash) over REAL decoded PNGs: 32x32 luma
+    // cell sums -> fixed-point integer DCT-II (the 8x32 basis table is
+    // computed ONCE in Scala and inlined below as literals, so no
+    // cross-engine cosine ULP exists) -> bit = coefficient strictly
+    // above the lower median. A second fingerprint FAMILY, keyed on
+    // low-frequency structure where aHash keys on block brightness;
+    // the pair machinery (banded hamming join) is shared and already
+    // exercised by mm_image_ahash_pairs/dedup_simhash, so this entry
+    // pins the hash bits + hash-level dedup on a bounded slice (the
+    // synthetic gradient fixture makes EVERY raster low-frequency-
+    // similar, the same quadratic-pairs property the ahash_pairs
+    // comment documents).
+    Q("mm_image_phash",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 120)
+        val gen = udf((id: Long) => Multimodal.encodePng(
+          (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
+        val genStamped = udf((id: Long) => Multimodal.encodePngStamped(
+          (1 + id % 64).toInt, (1 + id % 48).toInt, seed = id))
+        val media = docs
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("id"), gen(col("doc_id")).as("content"))
+          .unionByName(docs.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 200000).as("id"),
+              genStamped(col("doc_id")).as("content")))
+        Multimodal.pHash64(media).toDF()
+          .select(col("id"), col("phash"),
+            min(col("id")).over(Window.partitionBy(col("phash")))
+              .as("canonical_id"))
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH all_imgs AS (
+             |  SELECT doc_id AS id, doc_id AS gid, 0 AS st FROM documents
+             |  WHERE doc_id < 120
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS id, doc_id AS gid, 1 AS st
+             |  FROM documents WHERE doc_id < 40),
+             |dim AS (SELECT id, gid, st,
+             |               CAST(1 + gid % 64 AS BIGINT) AS w,
+             |               CAST(1 + gid % 48 AS BIGINT) AS h
+             |        FROM all_imgs),
+             |xs AS (SELECT id, gid, st, w, h, unnest(range(0, w)) AS x FROM dim),
+             |px AS (SELECT id, gid, st, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |lum AS (SELECT id,
+             |               (x * 32) // w AS cu, (y * 32) // h AS cv,
+             |               CASE WHEN st = 1 AND x < 4 AND y < 4 THEN 765
+             |                    ELSE ((gid + 262147 * x + 40961 * y) % 16777216) // 65536
+             |                       + (((gid + 262147 * x + 40961 * y) % 16777216) // 256) % 256
+             |                       + ((gid + 262147 * x + 40961 * y) % 16777216) % 256
+             |               END AS g
+             |        FROM px),
+             |cells AS (SELECT id, cu, cv, sum(g) AS sc
+             |          FROM lum GROUP BY id, cu, cv),
+             |t AS (SELECT * FROM (VALUES $dctTableValues) AS v(p, u, tv)),
+             |coef AS (SELECT c.id, tp.p AS p, tq.p AS q,
+             |                sum(CAST(tp.tv AS HUGEINT) * tq.tv * c.sc) AS cf
+             |         FROM cells c
+             |         JOIN t tp ON tp.u = c.cu
+             |         JOIN t tq ON tq.u = c.cv
+             |         GROUP BY c.id, tp.p, tq.p),
+             |med AS (SELECT id, cf AS m FROM (
+             |          SELECT id, cf,
+             |                 row_number() OVER (PARTITION BY id
+             |                                    ORDER BY cf, p, q) AS rn
+             |          FROM coef) WHERE rn = 32),
+             |bits AS (SELECT c.id, c.p * 8 + c.q AS idx
+             |         FROM coef c JOIN med USING (id) WHERE c.cf > med.m),
+             |hashes AS (
+             |  SELECT a.id,
+             |         coalesce(sum(CAST(1 AS HUGEINT) << b.idx),
+             |                  CAST(0 AS HUGEINT)) AS uh
+             |  FROM all_imgs a LEFT JOIN bits b ON b.id = a.id
+             |  GROUP BY a.id),
+             |fps AS (
+             |  SELECT id,
+             |         CAST(CASE WHEN uh >= 9223372036854775808
+             |                   THEN uh - 18446744073709551616
+             |                   ELSE uh END AS BIGINT) AS phash
+             |  FROM hashes)
+             |SELECT id, phash,
+             |       min(id) OVER (PARTITION BY phash) AS canonical_id
+             |FROM fps
+             |ORDER BY id""".stripMargin),
+      doc = "perceptual DCT hash (fixed-point integer DCT-II, rank-statistic threshold) over real decoded PNGs + hash-level dedup")
   )
+
+  /** [[Multimodal.DctTable]] as a SQL VALUES literal — the inlining
+    * that makes the pHash oracle share the Spark side's exact basis.
+    */
+  private def dctTableValues: String =
+    (for (p <- 0 until 8; u <- 0 until 32)
+      yield s"($p,$u,${Multimodal.DctTable(p)(u)})").mkString(",")
 }

@@ -141,6 +141,83 @@ class MultimodalSpec extends SparkSpec {
       s"structurally different image paired: ${pairs.mkString(",")}")
   }
 
+  test("pHash64: kernel matches the closed-form raster formula through the integer DCT") {
+    // the oracle's construction, in-JVM: 32x32 cell luma sums from the
+    // synthetic pixel law, fixed-point DCT with the SAME inlined table,
+    // lower-median threshold — must reproduce the decoded-pixel hash
+    val (w, h, seed) = (37, 23, 99L)
+    val media = Seq((seed, Multimodal.encodePng(w, h, seed)))
+      .toDF("id", "content")
+    val got = Multimodal.pHash64(media).head().phash
+    val cells = Array.ofDim[Long](32, 32)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 262147L * x + 40961L * y) & 0xFFFFFF
+      val g = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      cells(x * 32 / w)(y * 32 / h) += g
+    }
+    val c = new Array[Long](64)
+    for (cu <- 0 until 32; cv <- 0 until 32; p <- 0 until 8; q <- 0 until 8)
+      c(p * 8 + q) +=
+        Multimodal.DctTable(p)(cu) * cells(cu)(cv) * Multimodal.DctTable(q)(cv)
+    val med = c.sorted.apply(31)
+    var want = 0L
+    for (i <- 0 until 64) if (c(i) > med) want |= 1L << i
+    assert(got == want, s"got ${got.toBinaryString} want ${want.toBinaryString}")
+  }
+
+  test("pHash64: perceptual margins on a textured raster; transpose permutes bits exactly") {
+    // 8x8-tile textured fixture (a smooth gradient is adversarial for
+    // ANY DCT hash: every gradient has the same low-frequency shape
+    // and the AC coefficients cluster at the median, so rank bits
+    // jitter — measured, not assumed): stamp flips few bits, a
+    // different texture flips many, uniform brightness flips ~none
+    // (the shift lands almost entirely in the DC bin)
+    def tilePng(seed: Int, stamp: Boolean = false, shift: Int = 0,
+        transpose: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val (tx, ty) = if (transpose) (y, x) else (x, y)
+        val v =
+          if (stamp && tx < 4 && ty < 4) 255
+          else {
+            val tv = seed + 131 * (tx / 8) + 277 * (ty / 8)
+            // base range [0,200) so shift=20 never clips (clipping
+            // would be a structure change, not a brightness shift)
+            (((tv * 2654435761L) % 200).toInt + shift) min 255
+          }
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, tilePng(5)),
+      (2L, tilePng(5, stamp = true)),
+      (3L, tilePng(6)),
+      (4L, tilePng(5, shift = 20)),
+      (5L, tilePng(5, transpose = true)),
+      (6L, Array[Byte](1, 2, 3)) // undecodable → no row
+    ).toDF("id", "content")
+    val got = Multimodal.pHash64(media).collect().map(r => r.id -> r.phash).toMap
+    assert(got.size == 5 && !got.contains(6L))
+    val stampDist = java.lang.Long.bitCount(got(1L) ^ got(2L))
+    val textureDist = java.lang.Long.bitCount(got(1L) ^ got(3L))
+    val brightDist = java.lang.Long.bitCount(got(1L) ^ got(4L))
+    assert(stampDist <= 8, s"stamp flipped $stampDist bits")
+    assert(brightDist <= 4, s"brightness shift flipped $brightDist bits")
+    assert(textureDist > 16, s"texture change only flipped $textureDist bits")
+    // transposing the raster transposes the cell grid, which swaps
+    // C(p,q) ↔ C(q,p) — same multiset, same median, so the bit MATRIX
+    // transposes exactly (the symmetric-basis invariant, exact because
+    // the fixed-point table is shared by both axes)
+    var want = 0L
+    for (p <- 0 until 8; q <- 0 until 8)
+      if ((got(1L) >>> (p * 8 + q) & 1L) == 1L) want |= 1L << (q * 8 + p)
+    assert(got(5L) == want, "transpose must permute bits, not rehash them")
+  }
+
   test("decodeImage: REAL ImageIO round-trip on encoded PNGs, None on non-images") {
     for ((w, h, seed) <- Seq((1, 1, 0L), (64, 48, 7L), (13, 29, 123L))) {
       val bytes = Multimodal.encodePng(w, h, seed)
