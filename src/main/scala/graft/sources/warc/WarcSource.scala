@@ -70,7 +70,8 @@ private[warc] class WarcTable(schema: StructType, paths: Seq[String])
   override def name(): String = "warc"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -78,11 +79,12 @@ private[warc] class WarcTable(schema: StructType, paths: Seq[String])
     require(paths.size == 1, "warc write needs exactly one target path")
     val in = info.schema()
     val gz = "gzip".equalsIgnoreCase(info.options.getOrDefault("compression", ""))
+    val idx = "true".equalsIgnoreCase(info.options.getOrDefault("index", ""))
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new WarcBatchWrite(paths.head, in, gz,
+            new WarcBatchWrite(paths.head, in, gz, idx,
               new graft.sources.SerializableHadoopConf(
                 org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
         }
@@ -110,7 +112,8 @@ private[warc] class WarcTable(schema: StructType, paths: Seq[String])
               if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile) else Array(s)
             }
           }
-          stats.filter(s => !s.getPath.getName.startsWith("."))
+          stats.filter(s => !s.getPath.getName.startsWith(".") &&
+              !s.getPath.getName.endsWith(".cdx")) // index sidecars
             .map(s => WarcPartition(s.getPath.toString): InputPartition)
         }.toArray
       }
@@ -118,7 +121,117 @@ private[warc] class WarcTable(schema: StructType, paths: Seq[String])
         new WarcReaderFactory(WarcSource.schema, required,
           new graft.sources.SerializableHadoopConf(
             org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new WarcMicroBatchStream(paths, checkpointLocation, required,
+          new graft.sources.SerializableHadoopConf(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
     }
+}
+
+/** Streaming WARC ingest — `spark.readStream.format("warc").load(dir)`
+  * over a landing directory crawl segments keep arriving in (the
+  * Common Crawl consumption shape: new `.warc.gz` segments appear, are
+  * processed exactly once, feed [[graft.streaming.CorpusStream.run]]).
+  *
+  * Offset model: the DISCOVERY LOG. Each `latestOffset()` lists the
+  * input paths, appends any not-yet-seen files to an ordered log
+  * (new files sorted by path for a deterministic order), and returns
+  * the log length; a micro-batch [start, end) is files
+  * `log[start until end]`, one input partition per file — identical
+  * read parallelism and reader code to the batch scan. The log is
+  * PERSISTED under the query's checkpoint location (rewrite + rename,
+  * so a crash mid-write leaves the old log intact), which makes
+  * restarts exact: a committed offset k means "the first k files of
+  * the persisted log", regardless of what discovery order a fresh
+  * listing would produce — the same file-index-log contract Spark's
+  * built-in FileStreamSource keeps in its metadata log. Files are
+  * assumed immutable once landed (the crawl-segment contract);
+  * deletions of already-logged files fail the batch that reads them
+  * rather than silently dropping records.
+  */
+private[warc] class WarcMicroBatchStream(paths: Seq[String],
+    checkpointLocation: String, required: StructType,
+    conf: graft.sources.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class WarcOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private val logPath = new Path(checkpointLocation, "graft-warc-file-log")
+  private val fs = logPath.getFileSystem(conf.value)
+  private val seen: scala.collection.mutable.ArrayBuffer[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(logPath)) {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(logPath), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var l = in.readLine()
+        while (l != null) { if (l.nonEmpty) buf += l; l = in.readLine() }
+      } finally in.close()
+    }
+    buf
+  }
+  private val seenSet = scala.collection.mutable.HashSet.from(seen)
+
+  private def discover(): Seq[String] = paths.flatMap { p =>
+    val hp = new Path(p)
+    val pfs = hp.getFileSystem(conf.value)
+    val stats = pfs.globStatus(hp) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case gs => gs.flatMap { s =>
+        if (s.isDirectory) pfs.listStatus(s.getPath).filter(_.isFile)
+        else Array(s)
+      }
+    }
+    stats.filter(s => !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.endsWith(".cdx"))
+      .map(_.getPath.toString)
+  }
+
+  private def persistLog(): Unit = {
+    val tmp = new Path(checkpointLocation, ".graft-warc-file-log.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(seen.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    require(fs.rename(tmp, logPath),
+      s"could not persist WARC stream file log at $logPath")
+  }
+
+  override def latestOffset(): Offset = {
+    val fresh = discover().filterNot(seenSet.contains).sorted
+    if (fresh.nonEmpty) {
+      seen ++= fresh
+      seenSet ++= fresh
+      persistLog()
+    }
+    WarcOffset(seen.size.toLong)
+  }
+
+  override def initialOffset(): Offset = WarcOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    WarcOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[WarcOffset].n.toInt,
+      end.asInstanceOf[WarcOffset].n.toInt)
+    require(e <= seen.size,
+      s"WARC stream offset $e beyond persisted file log (${seen.size}) — " +
+        "checkpoint and file-log location disagree")
+    (s until e).map(i => WarcPartition(seen(i)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(WarcSource.schema, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[warc] case class WarcPartition(path: String) extends InputPartition

@@ -22,22 +22,25 @@ import org.apache.spark.sql.types.StructType
   * codec is one).
   */
 private[warc] class WarcBatchWrite(dir: String, in: StructType, gzip: Boolean,
+    index: Boolean,
     conf: graft.sources.SerializableHadoopConf) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(dir, in, gzip, conf)
+    new WarcWriterFactory(dir, in, gzip, index, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[warc] class WarcWriterFactory(dir: String, in: StructType, gzip: Boolean,
+    index: Boolean,
     conf: graft.sources.SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, in, gzip, partitionId, taskId, conf.value)
+    new WarcDataWriter(dir, in, gzip, index, partitionId, taskId, conf.value)
 }
 
 private[warc] case class WarcCommitMessage(path: String) extends WriterCommitMessage
 
 private[warc] class WarcDataWriter(dir: String, in: StructType, gzip: Boolean,
+    index: Boolean,
     partitionId: Int, taskId: Long, conf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
 
@@ -60,6 +63,12 @@ private[warc] class WarcDataWriter(dir: String, in: StructType, gzip: Boolean,
     "warc-date", "content-type", "content-length")
 
   private val crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // member index (CDX-style sidecar): byte offset + length per record,
+  // accumulated as we write so offsets are exact for BOTH layouts
+  private var bytesOut = 0L
+  private val indexLines =
+    if (index) new scala.collection.mutable.ArrayBuffer[String] else null
 
   override def write(r: InternalRow): Unit = {
     val payload =
@@ -86,22 +95,46 @@ private[warc] class WarcDataWriter(dir: String, in: StructType, gzip: Boolean,
     }
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (gzip) {
+    val recLen: Long = if (gzip) {
       // one gzip member per record, appended to the shared file stream
       val member = new java.io.ByteArrayOutputStream(head.length + payload.length + 64)
       val gz = new java.util.zip.GZIPOutputStream(member)
       gz.write(head); gz.write(payload); gz.write(crlf); gz.write(crlf)
       gz.finish(); gz.close()
       out.write(member.toByteArray)
+      member.size().toLong
     } else {
       out.write(head); out.write(payload); out.write(crlf); out.write(crlf)
+      head.length.toLong + payload.length + 4
     }
+    if (index) {
+      def cell(i: Int): String =
+        if (i >= 0 && !r.isNullAt(i)) r.getUTF8String(i).toString else "-"
+      // CDXJ-shaped line: searchable key fields then the locator JSON
+      // ({"offset","length","filename"} — the Common Crawl reader
+      // contract: seek(offset), read `length` bytes, gunzip one member)
+      indexLines += s"${cell(iUri)}\t${cell(iId)}\t" +
+        s"""{"offset": $bytesOut, "length": $recLen, """ +
+        s""""filename": "${finalPath.getName}"}"""
+    }
+    bytesOut += recLen
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
     fs.delete(finalPath, false)
     fs.rename(tmpPath, finalPath)
+    if (index) {
+      // sidecar next to the segment, task-committed the same way
+      val idxFinal = new Path(dir, f"part-$partitionId%05d.cdx")
+      val idxTmp = new Path(dir, f".part-$partitionId%05d-$taskId.cdx.tmp")
+      val io = fs.create(idxTmp, true)
+      try io.write(indexLines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally io.close()
+      fs.delete(idxFinal, false)
+      fs.rename(idxTmp, idxFinal)
+    }
     WarcCommitMessage(finalPath.toString)
   }
 

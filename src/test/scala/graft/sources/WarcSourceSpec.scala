@@ -83,6 +83,89 @@ class WarcSourceSpec extends SparkSpec {
     assert(members == 3, s"expected 3 gzip members, got $members")
   }
 
+  test("member index sidecar: seek(offset) + read(length) + gunzip recovers exactly one record") {
+    val dir = tmpDir()
+    sampleDf.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").option("index", "true").save(dir)
+    val files = new java.io.File(dir).listFiles()
+    val seg = files.filter(_.getName.endsWith(".warc.gz")).head
+    val cdx = files.filter(_.getName.endsWith(".cdx")).head
+    val lines = java.nio.file.Files.readAllLines(cdx.toPath)
+    assert(lines.size == 3, s"one index line per record: $lines")
+    // the sidecar never leaks into a read of the directory
+    assert(spark.read.format("warc").load(dir).count() == 3)
+    val segBytes = java.nio.file.Files.readAllBytes(seg.toPath)
+    var covered = 0L
+    for (line <- lines.toArray(Array.empty[String])) {
+      val Array(uri, rid, json) = line.split("\t", 3)
+      val offset = """"offset": (\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val length = """"length": (\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      assert(json.contains(s""""filename": "${seg.getName}""""))
+      // the random-access contract: this slice alone is a gzip member
+      val slice = segBytes.slice(offset.toInt, (offset + length).toInt)
+      val rec = new String(
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(slice)).readAllBytes(),
+        "UTF-8")
+      assert(rec.startsWith("WARC/1.0\r\n"))
+      if (rid != "-") assert(rec.contains(s"WARC-Record-ID: $rid"))
+      if (uri != "-") assert(rec.contains(s"WARC-Target-URI: $uri"))
+      covered += length
+    }
+    // offsets+lengths tile the whole segment: nothing unindexed
+    assert(covered == segBytes.length.toLong)
+  }
+
+  test("streaming read: arriving segments become micro-batches; restart from checkpoint is exact") {
+    def landSegment(landing: String, name: String, ids: Range): Unit = {
+      val stage = tmpDir()
+      ids.map(i => (s"<urn:x:$i>", "response", s"http://ex/$i",
+          "2026-01-01T00:00:00Z", "text/plain",
+          Map.empty[String, String], s"doc $i"))
+        .toDF("record_id", "record_type", "target_uri", "warc_date",
+          "content_type", "headers", "body")
+        .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+        .coalesce(1).write.format("warc").mode("append").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    val landing = tmpDir()
+    val ckpt = tmpDir()
+    val out = tmpDir() + "/out"
+    landSegment(landing, "seg-001.warc", 0 until 3)
+
+    def startQuery() = spark.readStream.format("warc").load(landing)
+      .select($"record_id", decode($"payload", "UTF-8").as("body"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // a new segment lands while the query runs → exactly its records append
+    landSegment(landing, "seg-002.warc", 3 until 8)
+    q1.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 8)
+    q1.stop()
+
+    // a segment lands while the query is DOWN; restart from the same
+    // checkpoint picks it up with no duplicates of earlier batches
+    landSegment(landing, "seg-003.warc", 8 until 10)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"record_id", $"body").as[(String, String)].collect().sorted
+    assert(got.length == 10, s"expected 10 exactly-once records, got ${got.length}")
+    assert(got.map(_._1).distinct.length == 10)
+    assert(got.head == (("<urn:x:0>", "doc 0")))
+  }
+
   test("bare-LF headers (non-CRLF crawls) parse identically") {
     val dir = tmpDir()
     val body = "lf payload"
