@@ -133,6 +133,17 @@ object TextFunctions {
     */
   def normalizeText(text: Column): Column =
     Bridge.column(NormalizeText(Bridge.expression(text)))
+
+  /** Body text of an HTML document — markup stripped, entities
+    * decoded, block tags → newlines, in one codegen'd pass
+    * ([[HtmlText]]; contract in [[HtmlExtract]]).
+    */
+  def htmlText(html: Column): Column =
+    Bridge.column(HtmlText(Bridge.expression(html)))
+
+  /** `<title>` content of an HTML document ([[HtmlTitle]]). */
+  def htmlTitle(html: Column): Column =
+    Bridge.column(HtmlTitle(Bridge.expression(html)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,

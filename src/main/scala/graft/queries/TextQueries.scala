@@ -1502,6 +1502,47 @@ object TextQueries {
              |  EXCEPT
              |  SELECT source FROM documents WHERE lang = 'zh')
              |ORDER BY op, source""".stripMargin),
-      doc = "INTERSECT / EXCEPT set ops over per-language source sets")
+      doc = "INTERSECT / EXCEPT set ops over per-language source sets"),
+
+    // HTML -> text extraction (the crawl pipeline's WET step) on REAL
+    // markup: each document is wrapped in a full page — doctype, head
+    // with title/style/script boilerplate, comment, nav div, the
+    // ESCAPED text in a <p>, a trailing div with a numeric entity —
+    // and the codegen'd kernel must strip/decode it back. The oracle
+    // cannot parse HTML, so it verifies the ROUND TRIP: title and body
+    // rebuilt from the raw text by the documented whitespace-collapse
+    // contract (the escape chain &/</> is exactly inverted by entity
+    // decode; boilerplate content must vanish or the hash breaks).
+    Q("text_html_extract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+          lit(" &amp; friends</title><style>p { margin: 1>0 }</style>" +
+            "<script>var h = \"<p>boiler</p>\";</script></head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><!-- nav --><p>"), esc,
+          lit("</p><div>tail &#33;</div></body></html>"))
+        docs.select(col("doc_id"),
+            TextFunctions.htmlTitle(html).as("title"),
+            TextFunctions.htmlText(html).as("body"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |             trim(regexp_replace(text,
+             |                  '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS t
+             |           FROM documents)
+             |SELECT doc_id,
+             |       'Doc ' || doc_id || ' & friends' AS title,
+             |       CASE WHEN t = ''
+             |            THEN 'Doc ' || doc_id || chr(10) || 'tail !'
+             |            ELSE 'Doc ' || doc_id || chr(10) || t
+             |                 || chr(10) || 'tail !'
+             |       END AS body
+             |FROM c
+             |ORDER BY doc_id""".stripMargin),
+      doc = "HTML->text extraction (markup strip, entity decode, block breaks) round-trip-oracled over real full-page markup")
   )
 }
