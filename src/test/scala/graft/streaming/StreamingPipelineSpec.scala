@@ -179,4 +179,82 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.contains(2L) && !got.contains(10L)) // exact dup, first kept
     assert(got.contains(0L) && got.contains(1L))
   }
+
+  test("crawl chain end-to-end: WARC segments -> htmlText -> CorpusStream, exactly-once") {
+    // the real Common Crawl shape, every stage this library's own
+    // primitive: .warc.gz segments land in a directory -> streaming
+    // WARC source -> HTML extraction -> quality gate ->
+    // decontamination -> exact dedup, across segment boundaries
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    def tmpDir(): String =
+      java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+    val longBase = ("the cats and dogs run to a tree in town " * 6).trim
+    val evalPhrase = "zebras graze beside the quiet river bend"
+    def pageHtml(i: Long, text: String): String =
+      s"""<html><head><title>Page $i</title><style>.nav{}</style>
+         |<script>nav("<div>");</script></head><body>
+         |<div class="nav"><a href="/">Home</a></div>
+         |<p>$text</p></body></html>""".stripMargin
+    // fates: 4 too short (gopher), 7 contaminated, 10 duplicates 2's
+    // page text and arrives in the SECOND segment (cross-batch state)
+    val rows: Seq[(Long, String)] = (0L until 12L).map { i =>
+      val text =
+        if (i == 10L) longBase + " copy two"
+        else if (i == 4L) "tiny text"
+        else if (i == 7L) longBase + " " + evalPhrase
+        else longBase + (if (i == 2L) " copy two" else s" item i$i")
+      (i, text)
+    }
+    def landSegment(landing: String, name: String,
+        rs: Seq[(Long, String)]): Unit = {
+      val stage = tmpDir()
+      val info = Seq(("<urn:info>", "warcinfo", null: String,
+        "2026-01-01T00:00:00Z", "application/warc-fields", "graft"))
+      val resp = rs.map { case (i, text) =>
+        (s"<urn:p:$i>", "response", s"http://crawl.example/page/$i",
+          f"2026-01-01T00:${i}%02d:00Z", "text/html", pageHtml(i, text))
+      }
+      (info ++ resp)
+        .toDF("record_id", "record_type", "target_uri", "warc_date",
+          "content_type", "body")
+        .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+        .coalesce(1).write.format("warc").mode("append")
+        .option("compression", "gzip").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    val landing = tmpDir()
+    landSegment(landing, "seg-001.warc.gz", rows.take(8))
+    val evalDf = Seq((99L, evalPhrase)).toDF("doc_id", "text")
+
+    val docs = spark.readStream.format("warc").load(landing)
+      .filter(col("record_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        to_timestamp(col("warc_date")).as("ts"),
+        lit("crawl").as("source"),
+        TextFunctions.htmlText(decode(col("payload"), "UTF-8")).as("text"))
+      .withWatermark("ts", "10 minutes")
+    val q = CorpusStream.run(docs, Some(evalDf), CorpusStream.StreamSettings())
+      .writeStream.format("memory").queryName("crawl_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    landSegment(landing, "seg-002.warc.gz", rows.drop(8))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("crawl_out")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 5L, 6L, 8L, 9L, 11L),
+      s"got ${got.map(_._1).sorted.mkString(",")}")
+    // extraction really ran: nav anchor text present as its own block,
+    // markup/script/style/title content all gone
+    got.foreach { case (i, t) =>
+      assert(t.startsWith("Home\n"), t.take(40))
+      assert(!t.contains("<") && !t.contains("nav(") && !t.contains("Page "))
+    }
+  }
 }
