@@ -835,6 +835,81 @@ object SamplingQueries {
              |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
              |       text
              |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "WARC (ISO 28500) round-trip: corpus -> per-record-gzip .warc.gz segments -> DSv2 read-back, identity-oracled")
+      doc = "WARC (ISO 28500) round-trip: corpus -> per-record-gzip .warc.gz segments -> DSv2 read-back, identity-oracled"),
+
+    // Per-host document caps (RefinedWeb/C4-style domain balancing):
+    // crawls are host-skewed — a handful of content farms can own
+    // double-digit corpus percentages — so pipelines cap documents per
+    // registrable host, keeping each host's top-n by a quality signal.
+    // The synthetic host map plants exactly that skew (one host owns
+    // 40% of docs, a 97-host long tail). rank<=n over a window is the
+    // shape Catalyst rewrites to WindowGroupLimit: every map partition
+    // pre-prunes to its own per-host top-n BEFORE the shuffle, so the
+    // whale host ships n·P rows, not 40% of the corpus.
+    Q("doc_host_cap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val host = when(pmod(col("doc_id"), lit(5)) < 2, lit("megafarm.example"))
+          .otherwise(concat(lit("site"),
+            pmod(col("doc_id"), lit(97)).cast("string"), lit(".example")))
+        val w = Window.partitionBy(col("host"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), host.as("host"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .orderBy(col("host"), col("rk"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+             |             CASE WHEN doc_id % 5 < 2 THEN 'megafarm.example'
+             |                  ELSE 'site' || CAST(doc_id % 97 AS VARCHAR)
+             |                       || '.example' END AS host
+             |           FROM documents)
+             |SELECT doc_id, n_chars, host, CAST(rk AS INTEGER) AS rk
+             |FROM (SELECT doc_id, n_chars, host,
+             |             row_number() OVER (PARTITION BY host
+             |                  ORDER BY n_chars DESC, doc_id) AS rk
+             |      FROM h)
+             |WHERE rk <= 20
+             |ORDER BY host, rk""".stripMargin),
+      doc = "per-host document cap (RefinedWeb-style domain balancing): top-20 per host by length; WindowGroupLimit pre-prunes the whale host map-side"),
+
+    // CDX-indexed random access: the index side of doc_warc_roundtrip.
+    // Write per-record-gzip segments WITH the member index, then fetch
+    // ONLY the wanted records by (segment, offset, length) range reads
+    // — bytes touched scale with hits, not corpus. The oracle is the
+    // same identity contract as the roundtrip, restricted to the hit
+    // predicate.
+    Q("doc_warc_fetch",
+      (s, dir) => {
+        import graft.sources.warc.WarcRandomAccess
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-warc-cdx-").toString
+        Tables.documents(s, dir).select(
+            concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
+            lit("resource").as("record_type"),
+            concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("text/plain; charset=utf-8").as("content_type"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .write.format("warc").option("compression", "gzip")
+          .option("index", "true").mode("append").save(warcDir)
+        val hits = WarcRandomAccess.readIndex(s, warcDir)
+          .filter(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long") % 17 === 0)
+        WarcRandomAccess.fetch(hits).toDF()
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("content_length"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |       text
+             |FROM documents WHERE doc_id % 17 = 0
+             |ORDER BY doc_id""".stripMargin),
+      doc = "CDX-indexed WARC random access: index filter -> per-record range reads + single-member gunzip, identity-oracled on the hit set")
   )
 }

@@ -1,0 +1,134 @@
+package graft.sources.warc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-access retrieval over CDX-indexed WARC segments — the
+  * "fetch THESE pages out of a 100 TB crawl" path (the Common Crawl
+  * index-server pattern: look up (segment, offset, length) in the CDX
+  * index, range-read exactly one gzip member, never scan a segment).
+  * The scan side ([[WarcSource]]) is for full passes; this is the
+  * point-lookup side the same sidecar ([[WarcWriter]]'s
+  * `option("index","true")`) enables.
+  *
+  * Scale shape: the index is a tiny relation (rows of ~100 bytes, one
+  * per record) that joins/filters like any other; only the HITS touch
+  * segment bytes. `fetch` repartitions hits BY SEGMENT and sorts by
+  * offset within the partition, so each task opens each segment once
+  * and seeks strictly forward — sequential-ish I/O against object
+  * stores instead of random open/close per record. Bytes read =
+  * Σ hit lengths, independent of corpus size.
+  */
+object WarcRandomAccess {
+
+  final case class FetchedRecord(
+      target_uri: String, record_id: String, segment: String, offset: Long,
+      length: Long, record_type: String, warc_date: String,
+      content_type: String, content_length: Long, payload: Array[Byte])
+
+  /** All CDX sidecar lines under `dir` as a relation:
+    * (target_uri, record_id, segment, offset, length). `-` cells (a
+    * record with no URI) become null. Plain `spark.read.text` — the
+    * locator JSON contains quotes, which a CSV parser would eat.
+    */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = dir.stripSuffix("/")
+    spark.read.text(base + "/*.cdx")
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(
+        nullif(col("f").getItem(0), lit("-")).as("target_uri"),
+        nullif(col("f").getItem(1), lit("-")).as("record_id"),
+        concat(lit(base + "/"),
+          get_json_object(col("f").getItem(2), "$.filename")).as("segment"),
+        get_json_object(col("f").getItem(2), "$.offset")
+          .cast("long").as("offset"),
+        get_json_object(col("f").getItem(2), "$.length")
+          .cast("long").as("length"))
+  }
+
+  /** Fetch exactly the records the (filtered) index rows point at.
+    * `index` needs columns `segment`, `offset`, `length` (the
+    * [[readIndex]] shape, after whatever URI/id filtering or joining
+    * selected the hits).
+    */
+  def fetch(index: DataFrame): Dataset[FetchedRecord] = {
+    import index.sparkSession.implicits._
+    val conf = new graft.sources.SerializableHadoopConf(
+      index.sparkSession.sessionState.newHadoopConf())
+    index.select(col("segment"), col("offset"), col("length"))
+      .repartition(col("segment"))
+      .sortWithinPartitions(col("segment"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val c = conf.value
+        var curPath: String = null
+        var stream: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit =
+          if (stream != null) { stream.close(); stream = null; curPath = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        it.map { case (seg, off, len) =>
+          if (seg != curPath) {
+            close()
+            val p = new Path(seg)
+            stream = p.getFileSystem(c).open(p)
+            curPath = seg
+          }
+          stream.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          stream.readFully(buf)
+          val member =
+            if (seg.endsWith(".gz"))
+              new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(buf)).readAllBytes()
+            else buf
+          parseMember(member, seg, off, len)
+        }
+      }
+  }
+
+  /** One decompressed member → record. The member-scoped twin of the
+    * scan reader's framing parse: version line, header lines (CRLF or
+    * bare LF), blank line, `Content-Length` payload bytes.
+    */
+  private[warc] def parseMember(bytes: Array[Byte], segment: String,
+      offset: Long, length: Long): FetchedRecord = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var c = in.read()
+      if (c == -1) return null
+      while (c != -1 && c != '\n') {
+        if (c != '\r') sb.append(c.toChar)
+        c = in.read()
+      }
+      sb.toString
+    }
+    var line = readLine()
+    while (line != null && line.isEmpty) line = readLine()
+    require(line != null && line.startsWith("WARC/"),
+      s"not a WARC member at $segment:$offset")
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var h = readLine()
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      require(i > 0, s"malformed WARC header at $segment:$offset: ${h.take(60)}")
+      headers += h.substring(0, i).trim -> h.substring(i + 1).trim
+      h = readLine()
+    }
+    def get(name: String): String =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }.orNull
+    val len = Option(get("Content-Length")).map(_.toLong).getOrElse(0L)
+    val payload = new Array[Byte](len.toInt)
+    var got = 0
+    while (got < len.toInt) {
+      val r = in.read(payload, got, len.toInt - got)
+      require(r >= 0, s"truncated member payload at $segment:$offset")
+      got += r
+    }
+    FetchedRecord(get("WARC-Target-URI"), get("WARC-Record-ID"), segment,
+      offset, length, get("WARC-Type"), get("WARC-Date"),
+      get("Content-Type"), len, payload)
+  }
+}

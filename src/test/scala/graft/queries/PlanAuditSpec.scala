@@ -128,6 +128,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("doc_host_cap: rank<=n rewrites to WindowGroupLimit (whale host pre-pruned map-side)") {
+    val p = plan("doc_host_cap")
+    // two instances — Final above the host exchange, Partial below it
+    // (the map-side pre-prune that keeps the whale host from shipping
+    // its whole 40%-of-corpus mass)
+    val hits = "WindowGroupLimit".r.findAllMatchIn(p).size
+    assert(hits == 2, s"expected Partial+Final WindowGroupLimit, got $hits:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
+      s"partial WindowGroupLimit below the exchange missing:\n$p")
+  }
+
   test("text_heavy_hitters: candidate set broadcasts into a semi-join probe") {
     // the verify pass must probe the token stream with a BROADCAST
     // left-semi join on the (guaranteed-tiny) candidate set — a

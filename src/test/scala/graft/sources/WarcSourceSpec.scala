@@ -116,6 +116,73 @@ class WarcSourceSpec extends SparkSpec {
     assert(covered == segBytes.length.toLong)
   }
 
+  test("WET conversion: responses become linked text/plain conversion records, one narrow pass") {
+    import graft.sources.warc.Wet
+    val dir = tmpDir()
+    val wetDir = tmpDir() + "/wet"
+    Seq(
+      ("<urn:x:1>", "response", "http://a.example/p1", "2026-01-01T00:00:00Z",
+        "text/html",
+        "<html><head><title>T</title><script>x()</script></head>" +
+          "<body><p>alpha &amp; beta</p><p>two</p></body></html>"),
+      ("<urn:x:9>", "warcinfo", null, "2026-01-01T00:00:01Z",
+        "application/warc-fields", "software: graft") // non-response: dropped
+    ).toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .coalesce(1).write.format("warc").mode("append").save(dir)
+
+    Wet.convert(spark.read.format("warc").load(dir))
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(wetDir)
+
+    val wet = spark.read.format("warc").load(wetDir)
+      .select($"record_id", $"record_type", $"target_uri", $"content_type",
+        $"headers", decode($"payload", "UTF-8").as("text"))
+      .as[(String, String, String, String, Map[String, String], String)]
+      .collect()
+    assert(wet.length == 1)
+    val r = wet.head
+    assert(r._1.startsWith("<urn:wet:") && r._1.endsWith(">"))
+    assert(r._2 == "conversion" && r._4 == "text/plain")
+    assert(r._3 == "http://a.example/p1")
+    assert(r._5("WARC-Refers-To") == "<urn:x:1>")
+    assert(r._6 == "alpha & beta\ntwo") // extracted, not the markup
+    // deterministic mint: a re-run produces the same record id
+    val again = Wet.convert(spark.read.format("warc").load(dir))
+      .select($"record_id").as[String].head()
+    assert(again == r._1)
+  }
+
+  test("CDX random access: index lookup + range read reproduce the scan, gz and plain") {
+    import graft.sources.warc.WarcRandomAccess
+    for (gz <- Seq(true, false)) {
+      val dir = tmpDir()
+      val w = sampleDf.coalesce(1).write.format("warc").mode("append")
+        .option("index", "true")
+      (if (gz) w.option("compression", "gzip") else w).save(dir)
+      val idx = WarcRandomAccess.readIndex(spark, dir)
+      assert(idx.count() == 3)
+      // a record with no URI lands as a null cell, not the literal '-'
+      assert(idx.filter($"target_uri".isNull).count() == 1)
+      // point lookup: one record's bytes, nothing scanned
+      val hit = WarcRandomAccess.fetch(
+        idx.filter($"target_uri" === "http://b.example/p2")).collect()
+      assert(hit.length == 1 && hit.head.record_id == "<urn:x:2>")
+      assert(new String(hit.head.payload, "UTF-8") ==
+        "payload two\nwith a newline")
+      // fetching the whole index == the scan-side read
+      val viaIndex = WarcRandomAccess.fetch(idx).collect()
+        .map(r => (r.record_id, r.record_type,
+          new String(r.payload, "UTF-8"))).sorted
+      val viaScan = spark.read.format("warc").load(dir)
+        .select($"record_id", $"record_type",
+          decode($"payload", "UTF-8").as("body"))
+        .as[(String, String, String)].collect().sorted
+      assert(viaIndex.toSeq == viaScan.toSeq)
+    }
+  }
+
   test("streaming read: arriving segments become micro-batches; restart from checkpoint is exact") {
     def landSegment(landing: String, name: String, ids: Range): Unit = {
       val stage = tmpDir()
