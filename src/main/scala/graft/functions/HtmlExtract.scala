@@ -1,14 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → text extraction — the stage between WARC ingest and every
   * text operator in a crawl pipeline (the Common Crawl WET step:
   * response payload → markup stripped, entities decoded, whitespace
   * normalized). One single-pass state machine per document, no DOM, no
-  * allocation beyond the output builder — markup-heavy pages are the
+  * allocation beyond the output builders — markup-heavy pages are the
   * 100 TB common case and a parse tree per row would dominate the
   * scan. Reference behavior modeled: trafilatura/jusText-class
   * boilerplate handling reduced to its deterministic core (script/
@@ -27,10 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - Entities: the five XML named ones + `&nbsp;` + decimal/hex
   *     numeric refs decode; an unrecognized `&...` stays verbatim.
   *   - Whitespace runs collapse to one space; edges trim. A `<` not
-  *     opening a tag (next char not letter, `/`, `!`) is literal text,
-  *     the browser tokenizer rule for malformed markup.
+  *     opening a tag (next char not a letter, `/`, `!`, `?`) is
+  *     literal text, the browser tokenizer rule for malformed markup.
   *   - Unterminated constructs (tag, comment, script) swallow to end
   *     of input — fail-soft, never throw, truncated crawls are data.
+  *
+  * The parse additionally yields per-BLOCK structure — visible text,
+  * non-whitespace char count, and how many of those chars sit inside
+  * `<a>` anchors — which is exactly the signal set jusText-style
+  * main-content classification needs (link-dense nav/footer blocks vs
+  * text-dense content blocks); see [[HtmlBlocks]] and
+  * `TextAnalysis.htmlMainContent`.
   */
 object HtmlExtract {
 
@@ -39,24 +47,45 @@ object HtmlExtract {
     "ol", "table", "tr", "td", "th", "section", "article", "header",
     "footer", "blockquote", "pre", "hr", "form", "dl", "dt", "dd")
 
-  /** `wantTitle = false` → body text; `true` → title content. */
-  def extract(s: String, wantTitle: Boolean): String = {
+  /** One visible text block: collapsed text, non-ws char count, and
+    * the subset of those chars inside `<a>` anchors.
+    */
+  final case class Block(text: String, chars: Int, linkChars: Int)
+
+  /** Single pass → (title, blocks in document order). */
+  def parse(s: String): (String, Array[Block]) = {
     val n = s.length
-    val out = new java.lang.StringBuilder(if (wantTitle) 32 else n / 4)
+    val title = new java.lang.StringBuilder(32)
+    var titleSpace = false
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    val cur = new java.lang.StringBuilder(64)
+    var curNonWs = 0
+    var curLink = 0
     var pendingSpace = false
-    var pendingBreak = false
     var inTitle = false
+    var anchorDepth = 0
+    def endBlock(): Unit =
+      if (inTitle) { if (title.length > 0) titleSpace = true }
+      else if (cur.length > 0) {
+        blocks += Block(cur.toString, curNonWs, curLink)
+        cur.setLength(0); curNonWs = 0; curLink = 0; pendingSpace = false
+      }
     def emit(c: Char): Unit = {
-      if (inTitle != wantTitle) return
-      val isWs = c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00a0' /* NBSP (decoded &nbsp;) */
-      if (isWs) { if (out.length > 0) pendingSpace = true }
-      else {
-        if (out.length > 0) {
-          if (pendingBreak) out.append('\n')
-          else if (pendingSpace) out.append(' ')
+      val isWs = c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00a0' // NBSP
+      if (inTitle) {
+        if (isWs) { if (title.length > 0) titleSpace = true }
+        else {
+          if (titleSpace) title.append(' ')
+          titleSpace = false
+          title.append(c)
         }
-        pendingBreak = false; pendingSpace = false
-        out.append(c)
+      } else if (isWs) { if (cur.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) cur.append(' ')
+        pendingSpace = false
+        cur.append(c)
+        curNonWs += 1
+        if (anchorDepth > 0) curLink += 1
       }
     }
     // end index (exclusive of '>') of a tag starting at `from` (first
@@ -103,10 +132,15 @@ object HtmlExtract {
                 k += 1
               i = if (k >= n) n else tagEnd(k + closeTag.length) + 1
             } else if (name == "title") {
-              inTitle = !close
+              if (!close) inTitle = true
+              else { inTitle = false; titleSpace = false }
               i = end + 1
             } else {
-              if (BlockTags.contains(name)) pendingBreak = true
+              if (name == "a") {
+                if (close) anchorDepth = math.max(0, anchorDepth - 1)
+                else anchorDepth += 1
+              }
+              if (BlockTags.contains(name)) endBlock()
               i = end + 1
             }
           }
@@ -121,7 +155,7 @@ object HtmlExtract {
             case "gt" => '>'
             case "quot" => '"'
             case "apos" => '\''
-            case "nbsp" => ' '
+            case "nbsp" => ' '
             case e if e.length > 1 && e.charAt(0) == '#' =>
               try {
                 val cp =
@@ -138,7 +172,27 @@ object HtmlExtract {
         } else { emit('&'); i += 1 }
       } else { emit(c); i += 1 }
     }
-    out.toString
+    inTitle = false
+    endBlock()
+    (title.toString, blocks.toArray)
+  }
+
+  /** `wantTitle = false` → body text (blocks joined by `\n`);
+    * `true` → title content.
+    */
+  def extract(s: String, wantTitle: Boolean): String = {
+    val (t, blocks) = parse(s)
+    if (wantTitle) t
+    else {
+      val sb = new java.lang.StringBuilder(blocks.iterator.map(_.text.length + 1).sum max 0)
+      var first = true
+      blocks.foreach { b =>
+        if (!first) sb.append('\n')
+        first = false
+        sb.append(b.text)
+      }
+      sb.toString
+    }
   }
 }
 
@@ -165,5 +219,28 @@ case class HtmlTitle(child: Expression)
       HtmlExtract.extract(input.asInstanceOf[UTF8String].toString,
         wantTitle = true))
   override protected def withNewChildInternal(newChild: Expression): HtmlTitle =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-block structure ([[HtmlExtract.parse]]):
+  * `array<struct<text, n_chars, link_chars>>` in document order — the
+  * input relation for jusText-style main-content classification.
+  */
+case class HtmlBlocks(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "html_blocks"
+  override def nullSafeEval(input: Any): Any = {
+    val (_, blocks) =
+      HtmlExtract.parse(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(blocks.map(b =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(b.text), b.chars, b.linkChars): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
     copy(child = newChild)
 }

@@ -144,6 +144,14 @@ object TextFunctions {
   /** `<title>` content of an HTML document ([[HtmlTitle]]). */
   def htmlTitle(html: Column): Column =
     Bridge.column(HtmlTitle(Bridge.expression(html)))
+
+  /** Per-block structure of an HTML document —
+    * `array<struct<text, n_chars, link_chars>>` in document order
+    * ([[HtmlBlocks]]) — the input relation for jusText-style
+    * main-content classification.
+    */
+  def htmlBlocks(html: Column): Column =
+    Bridge.column(HtmlBlocks(Bridge.expression(html)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,

@@ -145,6 +145,60 @@ object TextAnalysis {
     base.select(col(idCol), pred.as("lang_pred"))
   }
 
+  /** jusText-style main-content selection over HTML — the boilerplate
+    * REMOVAL step between raw extraction ([[TextFunctions.htmlText]],
+    * which keeps nav/footer text) and the quality filters: classify
+    * each visible block of the page ([[TextFunctions.htmlBlocks]]:
+    * text, non-ws chars, chars inside `<a>`) and keep only content-
+    * like blocks. The published jusText core, reduced to its
+    * deterministic integer form (no float densities — every rule is a
+    * cross-multiplied comparison, so any engine reproduces the keep
+    * set bit-for-bit):
+    *
+    *   keep ⟺ n_chars ≥ minChars                        (short rule)
+    *        ∧ link_chars·linkDen ≤ n_chars·linkNum      (link density)
+    *        ∧ stop_hits·stopDen ≥ n_words·stopNum       (stopword density)
+    *
+    * Output: (id, main_text = kept blocks joined by `\n` in document
+    * order, blocks_kept, blocks_total).
+    *
+    * Scale shape: ONE codegen'd parse per document (blocks never
+    * re-scan the HTML), a narrow posexplode, per-block MarkerCounts
+    * (fused kernel), and one per-doc aggregate whose state is the
+    * kept-block list — the same per-doc boundedness as the chunking
+    * operators. No joins, one exchange (the groupBy).
+    */
+  def htmlMainContent(docs: DataFrame, idCol: String, htmlCol: String,
+      stopwords: Seq[String] = DefaultStopwords,
+      minChars: Int = 25,
+      linkNum: Int = 1, linkDen: Int = 5,
+      stopNum: Int = 1, stopDen: Int = 10): DataFrame = {
+    val blocks = docs.select(col(idCol),
+        posexplode_outer(TextFunctions.htmlBlocks(col(htmlCol)))
+          .as(Seq("__pos", "__b")))
+      .select(col(idCol), col("__pos"),
+        col("__b.text").as("__btext"),
+        col("__b.n_chars").as("__nc"),
+        col("__b.link_chars").as("__lc"))
+    val mc = TextFunctions.markerCounts(col("__btext"), Seq(stopwords))
+    val annotated = blocks
+      .withColumn("__mc", mc)
+      .withColumn("__keep",
+        col("__nc") >= minChars &&
+        col("__lc") * linkDen <= col("__nc") * linkNum &&
+        element_at(col("__mc.hits"), 1) * stopDen >=
+          col("__mc.n_words") * stopNum)
+    annotated.groupBy(col(idCol)).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("__pos"), col("__btext"))))),
+          x => x.getField("__btext")),
+        "\n").as("main_text"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("blocks_kept"),
+      count(col("__btext")).as("blocks_total"))
+  }
+
   /** Gopher/FineWeb-style repetition signals — the boilerplate/spam
     * filters a pretraining pipeline runs alongside [[qualityScore]]:
     * the word-mass fraction of the single most frequent word, the

@@ -1543,6 +1543,57 @@ object TextQueries {
              |       END AS body
              |FROM c
              |ORDER BY doc_id""".stripMargin),
-      doc = "HTML->text extraction (markup strip, entity decode, block breaks) round-trip-oracled over real full-page markup")
+      doc = "HTML->text extraction (markup strip, entity decode, block breaks) round-trip-oracled over real full-page markup"),
+
+    // jusText-style MAIN-CONTENT selection: each document rendered as
+    // a page with a link-dense nav block, the real text in a <p>, a
+    // short copyright line, and a link-dense footer. The integer rule
+    // set (short / link-density / stopword-density, all cross-
+    // multiplied) must keep exactly the content block — and only when
+    // ITS OWN stopword density clears the bar, which the oracle
+    // recomputes per document from the raw text. Boilerplate blocks
+    // are constant, so the oracle proves they were dropped by
+    // reproducing main_text WITHOUT them.
+    Q("text_html_main_content",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body>" +
+            "<div class='nav'><a href='/'>Home</a> <a href='/a'>About</a>" +
+            " <a href='/c'>Contact pages</a></div><p>"),
+          esc,
+          lit("</p><div>Copyright 2026 GraftCorp</div>" +
+            "<div><a href='/t'>Terms</a> <a href='/p'>Privacy policy</a>" +
+            "</div></body></html>"))
+        TextAnalysis.htmlMainContent(
+            docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(text,
+             |              '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS t
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, t,
+             |         length(replace(t, ' ', '')) AS nc,
+             |         len(string_split(t, ' ')) AS nw,
+             |         len(list_filter(string_split(t, ' '),
+             |             w -> list_contains(['the','a','of','and','to','in'],
+             |                                w))) AS hits
+             |  FROM c)
+             |SELECT doc_id,
+             |       CASE WHEN nc >= 25 AND hits * 10 >= nw
+             |            THEN t ELSE '' END AS main_text,
+             |       CAST(CASE WHEN nc >= 25 AND hits * 10 >= nw
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS blocks_kept,
+             |       CAST(CASE WHEN t = '' THEN 3 ELSE 4 END AS BIGINT)
+             |         AS blocks_total
+             |FROM m
+             |ORDER BY doc_id""".stripMargin),
+      doc = "jusText-style main-content selection: per-block link/stopword/length integer rules keep content, drop nav+footer+copyright boilerplate")
   )
 }

@@ -60,6 +60,49 @@ class HtmlExtractSpec extends SparkSpec {
     assert(body("<!DOCTYPE html><?xml version='1.0'?><p>t</p>") == "t")
   }
 
+  test("blocks: per-block link-char accounting, anchors span block boundaries") {
+    val (_, b1) = HtmlExtract.parse(
+      "<div><a href='x'>Home page</a> now</div><p>real content here</p>")
+    assert(b1.toSeq == Seq(
+      HtmlExtract.Block("Home page now", 11, 8), // 'Home page' linked, 'now' not
+      HtmlExtract.Block("real content here", 15, 0)))
+    // an anchor left open across block tags keeps counting
+    val (_, b2) = HtmlExtract.parse("<a>x<div>y</div>z</a>")
+    assert(b2.toSeq == Seq(
+      HtmlExtract.Block("x", 1, 1),
+      HtmlExtract.Block("y", 1, 1),
+      HtmlExtract.Block("z", 1, 1)))
+    // stray close tags never drive the depth negative
+    val (_, b3) = HtmlExtract.parse("</a></a>plain<p><a>link</a></p>")
+    assert(b3.toSeq == Seq(
+      HtmlExtract.Block("plain", 5, 0),
+      HtmlExtract.Block("link", 4, 4)))
+    // title text is not a block
+    val (t4, b4) = HtmlExtract.parse("<title>T</title><p>b</p>")
+    assert(t4 == "T" && b4.toSeq == Seq(HtmlExtract.Block("b", 1, 0)))
+  }
+
+  test("htmlMainContent: content block kept by its own stopword density, boilerplate dropped") {
+    import graft.operators.TextAnalysis
+    def page(content: String) =
+      "<html><body><div><a href='/'>Home</a> <a href='/a'>About</a></div>" +
+        s"<p>$content</p><div>Copyright 2026</div>" +
+        "<div><a href='/t'>Terms</a> <a href='/p'>Privacy policy</a></div>" +
+        "</body></html>"
+    val good = "the quick brown fox and the lazy dog jumped over the fence again"
+    val noStops = "zzz www qqq rrr sss ttt uuu vvv kkk xxx yyy zzz mmm nnn"
+    val df = Seq(
+      (1L, page(good)),
+      (2L, page(noStops)), // long enough, zero stopwords → dropped
+      (3L, "")             // no blocks at all
+    ).toDF("doc_id", "html")
+    val got = TextAnalysis.htmlMainContent(df, "doc_id", "html")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, good, 1L, 4L)), got(0))
+    assert(got(1) == ((2L, "", 0L, 4L)), got(1))
+    assert(got(2) == ((3L, "", 0L, 0L)), got(2))
+  }
+
   test("column path (codegen'd kernel) matches the raw kernel on a full page") {
     val pages = (0 until 64).map { i =>
       (i.toLong,
