@@ -52,8 +52,11 @@ object HtmlExtract {
     */
   final case class Block(text: String, chars: Int, linkChars: Int)
 
-  /** Single pass → (title, blocks in document order). */
-  def parse(s: String): (String, Array[Block]) = {
+  /** Single pass → (title, blocks, anchor hrefs — all in document
+    * order). Hrefs are the raw attribute values (quoted or bare),
+    * entity-decoded like text; the link-graph layer resolves hosts.
+    */
+  def parseAll(s: String): (String, Array[Block], Array[String]) = {
     val n = s.length
     val title = new java.lang.StringBuilder(32)
     var titleSpace = false
@@ -64,6 +67,40 @@ object HtmlExtract {
     var pendingSpace = false
     var inTitle = false
     var anchorDepth = 0
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // href="..." / href='...' / href=bare inside an <a ...> tag body,
+    // entities decoded (href values legally contain &amp;)
+    def captureHref(from: Int, until: Int): Unit = {
+      var k = from
+      while (k < until) {
+        if (s.regionMatches(true, k, "href", 0, 4) &&
+            (k == from || { val p = s.charAt(k - 1)
+              !p.isLetterOrDigit && p != '-' })) { // not data-href etc.
+          var v = k + 4
+          while (v < until && s.charAt(v).isWhitespace) v += 1
+          if (v < until && s.charAt(v) == '=') {
+            v += 1
+            while (v < until && s.charAt(v).isWhitespace) v += 1
+            if (v < until) {
+              val q = s.charAt(v)
+              val (vs, ve) =
+                if (q == '"' || q == '\'') {
+                  val e = s.indexOf(q, v + 1)
+                  (v + 1, if (e < 0 || e > until) until else e)
+                } else {
+                  var e = v
+                  while (e < until && !s.charAt(e).isWhitespace) e += 1
+                  (v, e)
+                }
+              hrefs += s.substring(vs, ve)
+                .replace("&amp;", "&").replace("&#38;", "&")
+              return
+            }
+          }
+        }
+        k += 1
+      }
+    }
     def endBlock(): Unit =
       if (inTitle) { if (title.length > 0) titleSpace = true }
       else if (cur.length > 0) {
@@ -138,7 +175,7 @@ object HtmlExtract {
             } else {
               if (name == "a") {
                 if (close) anchorDepth = math.max(0, anchorDepth - 1)
-                else anchorDepth += 1
+                else { anchorDepth += 1; captureHref(j, end) }
               }
               if (BlockTags.contains(name)) endBlock()
               i = end + 1
@@ -174,7 +211,13 @@ object HtmlExtract {
     }
     inTitle = false
     endBlock()
-    (title.toString, blocks.toArray)
+    (title.toString, blocks.toArray, hrefs.toArray)
+  }
+
+  /** Single pass → (title, blocks in document order). */
+  def parse(s: String): (String, Array[Block]) = {
+    val (t, b, _) = parseAll(s)
+    (t, b)
   }
 
   /** `wantTitle = false` → body text (blocks joined by `\n`);
@@ -242,5 +285,23 @@ case class HtmlBlocks(child: Expression)
         UTF8String.fromString(b.text), b.chars, b.linkChars): Any))
   }
   override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
+    copy(child = newChild)
+}
+
+/** Codegen'd anchor-href extraction ([[HtmlExtract.parseAll]]):
+  * `array<string>` of `<a href=...>` values in document order — the
+  * raw material of the crawl link graph
+  * ([[graft.operators.LinkGraph]]).
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+  override def nullSafeEval(input: Any): Any = {
+    val (_, _, hrefs) =
+      HtmlExtract.parseAll(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(hrefs.map(UTF8String.fromString(_): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
     copy(child = newChild)
 }

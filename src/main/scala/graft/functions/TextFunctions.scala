@@ -152,6 +152,12 @@ object TextFunctions {
     */
   def htmlBlocks(html: Column): Column =
     Bridge.column(HtmlBlocks(Bridge.expression(html)))
+
+  /** `<a href=...>` values of an HTML document in document order
+    * ([[HtmlLinks]]) — feeds the crawl link graph.
+    */
+  def htmlLinks(html: Column): Column =
+    Bridge.column(HtmlLinks(Bridge.expression(html)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,

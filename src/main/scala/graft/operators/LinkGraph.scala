@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crawl link-graph analytics. The host-level PageRank every large
+  * crawl publishes (Common Crawl's host ranks) is the standard
+  * quality/spam prior for corpus curation — pages on well-linked hosts
+  * survive, link farms sink. This implementation is INTEGER-EXACT:
+  * ranks are scaled longs, per-edge contributions are floor divisions,
+  * and the damping step is a cross-multiplied integer division, so
+  * every iteration is independent of summation order and partitioning
+  * — the property that lets a relational oracle replay the iterations
+  * bit-for-bit (the same fixed-point trick as the in-engine classifier
+  * and the DCT hash).
+  */
+object LinkGraph {
+
+  /** `iterations` rounds of damped PageRank over DISTINCT directed
+    * edges. rank₀(v) = `scale`;
+    *
+    *   rank'(v) = (scale·(dampDen−dampNum)) div dampDen
+    *            + (dampNum · Σ_{(u,v)∈E} (rank(u) div out(u))) div dampDen
+    *
+    * Deliberate exactness-serving deviations from the textbook form,
+    * both documented standard variants: dangling mass is dropped (no
+    * node here is rank-source-only — every crawl host with an outlink
+    * row has out ≥ 1 — and redistribution would need a global scalar
+    * per round), and floor division loses < 1 unit per edge per round
+    * (relative error ≤ E/(N·scale) — pick `scale` ≫ edges/node).
+    *
+    * Overflow: one node's incoming mass is < N·scale, and the damping
+    * multiply puts it at dampNum·N·scale — keep that under 2⁶³ (e.g.
+    * scale 10¹² serves 10⁵ hosts, 10⁹ serves 10⁸). ANSI mode makes a
+    * violation a hard error, never a silent wrap.
+    *
+    * Scale shape: out-degrees join the edge relation ONCE before the
+    * loop (persisted); each round is one equi-join rank-lookup + one
+    * partial-aggregated groupBy — the textbook distributed PR round.
+    * Ranks persist per round and the previous round unpersists, so
+    * lineage stays one round deep. The iteration count is a small
+    * constant (3–20 in practice), not a fixpoint hunt — no
+    * convergence-witness machinery needed.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must satisfy 0 <= dampNum <= dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__out")),
+      "src").persist()
+    eo.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.select(col("node"), lit(scale).as("rank")).persist()
+    ranks.count()
+    var it = 0
+    while (it < iterations) {
+      val sums = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), expr("rank div __out").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(__s, 0)) div $dampDen")).as("rank"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    eo.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

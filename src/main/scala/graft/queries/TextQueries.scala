@@ -1594,6 +1594,73 @@ object TextQueries {
              |         AS blocks_total
              |FROM m
              |ORDER BY doc_id""".stripMargin),
-      doc = "jusText-style main-content selection: per-block link/stopword/length integer rules keep content, drop nav+footer+copyright boilerplate")
+      doc = "jusText-style main-content selection: per-block link/stopword/length integer rules keep content, drop nav+footer+copyright boilerplate"),
+
+    // Host-level PageRank from REAL anchor extraction — the crawl
+    // quality prior (Common Crawl publishes exactly this artifact):
+    // each page's <a href> values come out of the single-pass HTML
+    // kernel, hosts resolve by regex, and the INTEGER PageRank
+    // (floor-division contributions, cross-multiplied damping) runs 3
+    // rounds. The planted link structure is a closed form of doc_id,
+    // so the oracle rebuilds the same distinct edge set and replays
+    // the iterations as unrolled CTE layers — bit-for-bit, because no
+    // float ever enters.
+    Q("doc_link_pagerank",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val html = concat(
+          lit("<html><body><p>See <a href=\"http://"),
+          host(col("doc_id") * 7 + 1),
+          lit("/page\">one</a> and <a href='http://"),
+          host(col("doc_id") * 13 + 5),
+          lit("/x'>two</a> <a href=\"/about\">about</a></p></body></html>"))
+        val edges = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.htmlLinks(html)).as("href"))
+          .select(host(col("doc_id")).as("src"),
+            regexp_extract(col("href"), "^https?://([a-z0-9.-]+)", 1).as("dst"))
+          .filter(col("dst") =!= "") // relative links have no host
+        LinkGraph.pageRankInt(edges, "src", "dst", iterations = 3)
+          .withColumnRenamed("rank", "pr")
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s3 USING (node))
+             |SELECT node, CAST(pr AS BIGINT) AS pr
+             |FROM r3
+             |ORDER BY node""".stripMargin),
+      doc = "host-level PageRank quality prior: real anchor extraction -> distinct host edges -> 3 integer-exact damped rounds, iteration-replay oracle")
   )
 }

@@ -82,6 +82,16 @@ class HtmlExtractSpec extends SparkSpec {
     assert(t4 == "T" && b4.toSeq == Seq(HtmlExtract.Block("b", 1, 0)))
   }
 
+  test("links: href capture — quoted, single-quoted, bare, entity-decoded; non-anchors ignored") {
+    val (_, _, l) = HtmlExtract.parseAll(
+      """<a href="http://a.example/p?x=1&amp;y=2">x</a><a href='/rel'>y</a>""" +
+        """<a id="z" href=bare>z</a><a>none</a>""" +
+        """<a data-href="decoy" href="/real">w</a>""" +
+        """<link href="style.css"><img src="i.png">""")
+    assert(l.toSeq ==
+      Seq("http://a.example/p?x=1&y=2", "/rel", "bare", "/real"))
+  }
+
   test("htmlMainContent: content block kept by its own stopword density, boilerplate dropped") {
     import graft.operators.TextAnalysis
     def page(content: String) =

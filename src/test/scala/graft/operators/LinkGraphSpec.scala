@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Integer-exact PageRank: hand-computed rounds, order/partitioning
+  * invariance (the point of the integer formulation), and the
+  * documented dangling-mass behavior.
+  */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq(
+    ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C"))
+
+  test("two hand-computed rounds at scale 1000, damping 85/100") {
+    // out: A=2 B=1 C=1 D=1; base = 150
+    // r1: A=1000, B=575, C=2275, D=150
+    // r2: A=150+(85*2275)div 100=2083, B=575,
+    //     C=150+(85*(500+575+150))div 100=1191, D=150
+    val got = LinkGraph.pageRankInt(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 2, scale = 1000L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 2083L, "B" -> 575L, "C" -> 1191L, "D" -> 150L),
+      got.toString)
+  }
+
+  test("zero iterations returns the uniform seed over src ∪ dst") {
+    val got = LinkGraph.pageRankInt(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 0, scale = 7L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 7L, "B" -> 7L, "C" -> 7L, "D" -> 7L))
+  }
+
+  test("partitioning-invariant: identical ranks at 1, 7, and 32 partitions") {
+    // floor-division contributions make every per-node sum an exact
+    // integer — no summation-order float drift for ANY partitioning
+    val big = (0L until 500L).flatMap { i =>
+      Seq((s"h${i % 23}", s"h${(7 * i + 1) % 23}"),
+        (s"h${i % 23}", s"h${(13 * i + 5) % 23}"))
+    }
+    val ref = LinkGraph.pageRankInt(big.toDF("src", "dst"), "src", "dst",
+        iterations = 3)
+      .as[(String, Long)].collect().sorted.toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val got = LinkGraph.pageRankInt(
+          big.toDF("src", "dst").repartition(p), "src", "dst",
+          iterations = 3)
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(got == ref, s"partitioning $p changed ranks")
+    }
+    // duplicate edges collapse: the graph is the DISTINCT edge set
+    val dup = LinkGraph.pageRankInt(
+        (big ++ big).toDF("src", "dst"), "src", "dst", iterations = 3)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(dup == ref)
+  }
+
+  test("documented variant: dangling mass drains instead of redistributing") {
+    // B has no outlinks: its rank contributes nothing, so total mass
+    // strictly decreases — the documented drop-dangling behavior
+    val df = Seq(("A", "B")).toDF("src", "dst")
+    val r = LinkGraph.pageRankInt(df, "src", "dst", iterations = 1,
+        scale = 1000L).as[(String, Long)].collect().toMap
+    // A gets only base (nothing links to A); B gets base + 850
+    assert(r == Map("A" -> 150L, "B" -> 1000L))
+  }
+}
