@@ -27,14 +27,17 @@ object WarcRandomAccess {
       length: Long, record_type: String, warc_date: String,
       content_type: String, content_length: Long, payload: Array[Byte])
 
-  /** All CDX sidecar lines under `dir` as a relation:
+  /** CDX lines (a `value` string column) → the index relation:
     * (target_uri, record_id, segment, offset, length). `-` cells (a
-    * record with no URI) become null. Plain `spark.read.text` — the
-    * locator JSON contains quotes, which a CSV parser would eat.
+    * record with no URI) become null. Works on a BATCH text read and
+    * unchanged on `spark.readStream.text` — the streaming-selective-
+    * ingest path: cdx sidecars arriving with their segments stream
+    * through this parse, a predicate picks the wanted records, and
+    * [[fetch]] range-reads only those (see WarcSourceSpec).
     */
-  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+  def indexFromLines(lines: DataFrame, dir: String): DataFrame = {
     val base = dir.stripSuffix("/")
-    spark.read.text(base + "/*.cdx")
+    lines
       .select(split(col("value"), "\t", 3).as("f"))
       .select(
         nullif(col("f").getItem(0), lit("-")).as("target_uri"),
@@ -45,6 +48,35 @@ object WarcRandomAccess {
           .cast("long").as("offset"),
         get_json_object(col("f").getItem(2), "$.length")
           .cast("long").as("length"))
+  }
+
+  /** [[indexFromLines]] with the segment resolved NEXT TO each cdx
+    * file (`input_file_name()`-derived directory) instead of a single
+    * caller-supplied base — the form for multi-directory crawl
+    * layouts and for file-backed streams, where each arriving sidecar
+    * names its sibling segment.
+    */
+  def indexFromFileLines(lines: DataFrame): DataFrame =
+    lines
+      .select(split(col("value"), "\t", 3).as("f"),
+        regexp_replace(input_file_name(), "/[^/]*$", "").as("__d"))
+      .select(
+        nullif(col("f").getItem(0), lit("-")).as("target_uri"),
+        nullif(col("f").getItem(1), lit("-")).as("record_id"),
+        concat(col("__d"), lit("/"),
+          get_json_object(col("f").getItem(2), "$.filename")).as("segment"),
+        get_json_object(col("f").getItem(2), "$.offset")
+          .cast("long").as("offset"),
+        get_json_object(col("f").getItem(2), "$.length")
+          .cast("long").as("length"))
+
+  /** All CDX sidecars under `dir` as a relation. Plain
+    * `spark.read.text` — the locator JSON contains quotes, which a
+    * CSV parser would eat.
+    */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = dir.stripSuffix("/")
+    indexFromLines(spark.read.text(base + "/*.cdx"), base)
   }
 
   /** Fetch exactly the records the (filtered) index rows point at.

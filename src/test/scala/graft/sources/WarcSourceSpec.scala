@@ -183,6 +183,49 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming selective ingest: arriving CDX indexes stream, predicate picks records, fetch range-reads them") {
+    import graft.sources.warc.WarcRandomAccess
+    val landing = tmpDir()
+    val out = tmpDir() + "/picked"
+    def landIndexed(name: String, ids: Range): Unit = {
+      val stage = tmpDir()
+      ids.map(i => (s"<urn:x:$i>", "response", s"http://ex/$i",
+          "2026-01-01T00:00:00Z", "text/plain",
+          s"body $i"))
+        .toDF("record_id", "record_type", "target_uri", "warc_date",
+          "content_type", "body")
+        .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+        .coalesce(1).write.format("warc").mode("append")
+        .option("compression", "gzip").option("index", "true").save(stage)
+      // each segment directory lands whole, sidecar beside its segment
+      java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+        java.nio.file.Paths.get(landing, name))
+    }
+    landIndexed("seg-001", 0 until 6)
+    // the built-in file stream source tails the cdx sidecars; each
+    // micro-batch filters ODD ids and fetches only those records
+    val q = spark.readStream.text(landing + "/*/*.cdx")
+      .writeStream.option("checkpointLocation", tmpDir() + "/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = WarcRandomAccess.indexFromFileLines(batch)
+          .filter(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long") % 2 === 1)
+        WarcRandomAccess.fetch(idx).toDF()
+          .select(col("record_id"), decode(col("payload"), "UTF-8").as("body"))
+          .write.mode("append").parquet(out)
+      }.start()
+    q.processAllAvailable()
+    landIndexed("seg-002", 6 until 10)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq ==
+      Seq(1, 3, 5, 7, 9).map(i => s"<urn:x:$i>"), got.mkString(","))
+    assert(got.forall { case (id, body) =>
+      body == "body " + id.stripPrefix("<urn:x:").stripSuffix(">") })
+  }
+
   test("streaming read: arriving segments become micro-batches; restart from checkpoint is exact") {
     def landSegment(landing: String, name: String, ids: Range): Unit = {
       val stage = tmpDir()
