@@ -48,13 +48,27 @@ object LinkGraph {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= dampNum <= dampDen")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val parent = edges.sparkSession
+    val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-    val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__out")),
+    val eoParent = eParent.join(
+      eParent.groupBy(col("src")).agg(count(lit(1)).as("__out")),
       "src").persist()
-    eo.count()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val edgeCount = eoParent.count()
+    // same loop discipline as the CC fixpoints (Dedup.scala): size the
+    // per-round shuffles from the measured edge count on a CLONED
+    // session — a 10³-host graph runs single-task rounds instead of
+    // paying session-width scheduling per iteration, a 10⁹-edge graph
+    // keeps full parallelism; the caller's session is never mutated
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions",
+      Dedup.loopShufflePartitions(
+        parent.conf.get("spark.sql.shuffle.partitions", "200"),
+        edgeCount).toString)
+    val eo = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
+    val nodes = eo.select(col("src").as("node"))
+      .unionByName(eo.select(col("dst").as("node"))).distinct().persist()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.select(col("node"), lit(scale).as("rank")).persist()
     ranks.count()
@@ -73,8 +87,10 @@ object LinkGraph {
       ranks = next
       it += 1
     }
-    eo.unpersist()
+    eoParent.unpersist()
     nodes.unpersist()
-    ranks
+    // re-root the result in the caller's session (cache hit via the
+    // shared CacheManager)
+    org.apache.spark.sql.graft.Bridge.inSession(parent, ranks)
   }
 }

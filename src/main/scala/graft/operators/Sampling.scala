@@ -555,4 +555,39 @@ object Sampling {
       .withColumn(rankOut, row_number().over(w).cast("int"))
       .filter(col(rankOut) <= n)
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022) — the code-
+    * corpus preprocessing that teaches a causal LM to infill: for a
+    * deterministic `rate` fraction of documents, pick two hash-derived
+    * cut points, and re-emit the document in PSM order
+    * (prefix-token + prefix + suffix-token + SUFFIX + middle-token +
+    * MIDDLE). Everything is the portable id-hash — document selection
+    * AND both cut points — so the transform is reproducible across
+    * runs/partitionings and relationally replayable by the oracle
+    * (same hashSql mirror as every sampler). Untouched docs pass
+    * through with `fim_applied = false`.
+    *
+    * Scale shape: a pure per-row projection (three substrings + two
+    * hash evaluations), narrow, scan-fused, no shuffle.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double = 0.5,
+      prefixTok: String = "<|fim_prefix|>",
+      suffixTok: String = "<|fim_suffix|>",
+      middleTok: String = "<|fim_middle|>"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    val id = col(idCol)
+    val n = length(col(textCol))
+    val a = pmod(idHash(id * 2 + 1), n + 1)
+    val b = pmod(idHash(id * 3 + 2), n + 1)
+    val p1 = least(a, b)
+    val p2 = greatest(a, b)
+    val sel = idHash(id) < lit((rate * 4294967296.0).toLong)
+    val fim = concat(
+      lit(prefixTok), col(textCol).substr(lit(1), p1),
+      lit(suffixTok), col(textCol).substr(p2 + 1, n - p2),
+      lit(middleTok), col(textCol).substr(p1 + 1, p2 - p1))
+    docs.withColumn("fim_applied", sel)
+      .withColumn(textCol, when(sel, fim).otherwise(col(textCol)))
+  }
 }

@@ -910,6 +910,35 @@ object SamplingQueries {
              |       text
              |FROM documents WHERE doc_id % 17 = 0
              |ORDER BY doc_id""".stripMargin),
-      doc = "CDX-indexed WARC random access: index filter -> per-record range reads + single-member gunzip, identity-oracled on the hit set")
+      doc = "CDX-indexed WARC random access: index filter -> per-record range reads + single-member gunzip, identity-oracled on the hit set"),
+
+    // Fill-in-the-middle (Bavarian et al. 2022): the code-corpus
+    // transform that re-emits half the documents in PSM order so a
+    // causal LM learns infilling. Selection AND both cut points are
+    // the portable id hash, so the oracle rebuilds every transformed
+    // document byte-for-byte via the hashSql mirror — including the
+    // empty-prefix/middle/suffix edge cases the modulus produces.
+    Q("doc_fim_transform",
+      (s, dir) => Sampling.fimTransform(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", rate = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |         ${hashSql("doc_id")} < 2147483648 AS sel,
+             |         least(${hashSql("doc_id*2+1")} % (length(text)+1),
+             |               ${hashSql("doc_id*3+2")} % (length(text)+1)) AS p1,
+             |         greatest(${hashSql("doc_id*2+1")} % (length(text)+1),
+             |                  ${hashSql("doc_id*3+2")} % (length(text)+1)) AS p2
+             |  FROM documents)
+             |SELECT doc_id, sel AS fim_applied,
+             |       CASE WHEN sel
+             |            THEN '<|fim_prefix|>' || substring(text, 1, p1)
+             |              || '<|fim_suffix|>' || substring(text, p2 + 1, n - p2)
+             |              || '<|fim_middle|>' || substring(text, p1 + 1, p2 - p1)
+             |            ELSE text END AS text
+             |FROM f
+             |ORDER BY doc_id""".stripMargin),
+      doc = "fill-in-the-middle (PSM) transform: hash-selected docs, hash-derived cut points, byte-exact relational replay")
   )
 }

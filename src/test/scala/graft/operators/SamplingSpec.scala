@@ -370,4 +370,31 @@ class SamplingSpec extends SparkSpec {
     assert(windowSpecs.length >= 2, s"expected two window operators:\n$plan")
     assert(out.count() === 25)
   }
+
+  test("fimTransform: PSM pieces reassemble to the original; rate edges; repartition-stable") {
+    val docs = graft.sources.Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val fim = Sampling.fimTransform(docs, "doc_id", "text", rate = 0.5)
+      .as[(Long, String, Boolean)].collect()
+    val original = docs.as[(Long, String)].collect().toMap
+    assert(fim.exists(_._3) && fim.exists(!_._3), "both fates must occur")
+    val Psm = "(?s)^<\\|fim_prefix\\|>(.*)<\\|fim_suffix\\|>(.*)<\\|fim_middle\\|>(.*)$".r
+    fim.foreach { case (id, text, applied) =>
+      if (!applied) assert(text == original(id))
+      else text match {
+        case Psm(p, suf, mid) =>
+          // the transform is a permutation: nothing lost, nothing added
+          assert(p + mid + suf == original(id), s"doc $id does not reassemble")
+        case _ => fail(s"doc $id not in PSM format: ${text.take(60)}")
+      }
+    }
+    // rate edges
+    assert(Sampling.fimTransform(docs, "doc_id", "text", rate = 0.0)
+      .filter(col("fim_applied")).count() == 0)
+    assert(Sampling.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .filter(!col("fim_applied")).count() == 0)
+    // partitioning never changes any emitted byte
+    val again = Sampling.fimTransform(docs.repartition(13), "doc_id", "text",
+        rate = 0.5).as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == fim.sortBy(_._1).toSeq)
+  }
 }
