@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance filtering — the politeness/consent gate a
+  * crawl corpus is supposed to pass before anything else uses it
+  * (increasingly a dataset-governance requirement, not just crawler
+  * etiquette). Two relational stages:
+  *
+  *   1. [[parseRules]]: robots.txt payloads → per-host (prefix, allow)
+  *      rules for one user agent. The group structure (consecutive
+  *      `User-agent:` lines, then rules until the next group) is a
+  *      gaps-and-islands problem, solved RELATIONALLY — line explode,
+  *      running group id, group-to-agent semi-join — not with a
+  *      per-document parser kernel: robots files are tiny and the
+  *      window keys on (host, group), so everything partial-aggregates.
+  *   2. [[filterAllowed]]: URL corpus ⋈ broadcast rules on host;
+  *      applicable = path starts-with prefix; the verdict is the
+  *      LONGEST applicable prefix, ties to Allow — the published
+  *      precedence rule (REP, RFC 9309 §2.2.2). No applicable rule, or
+  *      no robots.txt for the host at all, means allowed.
+  *
+  * Deliberate simplification, documented: prefix-only matching (the
+  * original 1994 REP); RFC 9309 `*`/`$` wildcards are not expanded.
+  * Agent resolution is exact-token-else-`*` (the two groups real
+  * crawlers publish for).
+  *
+  * Scale shape: rules are O(hosts) and broadcast; the URL corpus never
+  * shuffles — one broadcast join + one partial-aggregated max per URL.
+  */
+object Robots {
+
+  /** robots.txt bodies → one rule row per (host, prefix, allow) for
+    * `agent`. `robots` needs (`hostCol`, `textCol`).
+    */
+  def parseRules(robots: DataFrame, hostCol: String, textCol: String,
+      agent: String = "*"): DataFrame = {
+    val byPos = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      // comments out, edges trimmed, directive key case-folded
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("host"), col("pos"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+    // a group STARTS at a user-agent line whose predecessor isn't one
+    val grouped = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("grp", sum(
+        when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false)), 1L)
+          .otherwise(0L)).over(byPos))
+    val groups = grouped.filter(col("is_ua"))
+      .groupBy(col("host"), col("grp"))
+      .agg(collect_set(lower(col("value"))).as("agents"))
+    // exact agent group if the host has one, else the '*' group
+    val hasExact = groups
+      .filter(array_contains(col("agents"), agent.toLowerCase))
+      .select(col("host")).distinct().withColumn("exact", lit(true))
+    val chosen = groups
+      .join(hasExact, Seq("host"), "left")
+      .filter(
+        when(coalesce(col("exact"), lit(false)),
+          array_contains(col("agents"), agent.toLowerCase))
+        .otherwise(array_contains(col("agents"), "*")))
+      .select(col("host"), col("grp"))
+    grouped
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .join(chosen, Seq("host", "grp"))
+      .select(col("host"), col("value").as("prefix"),
+        (col("key") === "allow").as("allow"))
+      .distinct()
+  }
+
+  /** Keep the allowed URLs. `urls` keeps all its columns plus an
+    * `allowed` verdict; pass the [[parseRules]] output as `rules`.
+    */
+  def verdicts(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol), "(?i)^https?://([^/]+)", 1))
+    val path0 = regexp_replace(col(urlCol), "(?i)^https?://[^/]+", "")
+    val withParts = urls
+      .withColumn("__host", regexp_replace(host, ":\\d+$", "")) // port off
+      .withColumn("__path", when(path0 === "", "/").otherwise(path0))
+    val verdict = withParts
+      .select(col(urlCol).as("__u"), col("__host"), col("__path")).distinct()
+      .join(broadcast(rules), col("__host") === rules("host"))
+      .filter(col("__path").startsWith(col("prefix")))
+      // longest applicable prefix wins; equal lengths resolve to Allow
+      // (struct max orders by (length, allow))
+      .groupBy(col("__u"))
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("allow").cast("int").as("a"))).getField("a").as("__a"))
+    withParts
+      .join(verdict, withParts(urlCol) === verdict("__u"), "left")
+      .withColumn("allowed", coalesce(col("__a") === 1, lit(true)))
+      .drop("__u", "__a", "__host", "__path")
+  }
+
+  def filterAllowed(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    verdicts(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
+}

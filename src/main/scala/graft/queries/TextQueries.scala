@@ -1661,6 +1661,62 @@ object TextQueries {
              |SELECT node, CAST(pr AS BIGINT) AS pr
              |FROM r3
              |ORDER BY node""".stripMargin),
-      doc = "host-level PageRank quality prior: real anchor extraction -> distinct host edges -> 3 integer-exact damped rounds, iteration-replay oracle")
+      doc = "host-level PageRank quality prior: real anchor extraction -> distinct host edges -> 3 integer-exact damped rounds, iteration-replay oracle"),
+
+    // robots.txt compliance filtering: four hosts publish REAL robots
+    // bodies (agent-specific group with Allow-override, '*' group with
+    // an empty Disallow + comment, blanket Disallow, and a group for a
+    // DIFFERENT agent only), a fifth publishes none. The relational
+    // parse (gaps-and-islands group ids -> agent resolution -> rule
+    // rows) runs on the Spark side; the oracle pins the END-TO-END
+    // verdicts from the intended rule table — longest-prefix
+    // precedence, Allow ties, fallthrough-to-allowed — per URL.
+    // (Parse-level goldens live in RobotsSpec.)
+    Q("doc_robots_filter",
+      (s, dir) => {
+        import graft.operators.Robots
+        import s.implicits._
+        val robots = Seq(
+          ("h0.ex", "User-agent: graftbot\nDisallow: /private\n" +
+            "Allow: /private/ok\n\nUser-agent: *\nDisallow: /"),
+          ("h1.ex", "User-agent: *\nDisallow: /tmp\nDisallow:\n# note"),
+          ("h2.ex", "User-agent: *\nDisallow: /"),
+          ("h3.ex", "User-agent: other\nDisallow: /")
+        ).toDF("host", "text")
+        val rules = Robots.parseRules(robots, "host", "text", "graftbot")
+        val urls = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(5)), lit(".ex"),
+            element_at(array(lit("/private/ok/"), lit("/private/"),
+              lit("/tmp/"), lit("/page/")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+            col("doc_id")).as("url"))
+        Robots.verdicts(urls, "url", rules)
+          .select(col("doc_id"), col("url"), col("allowed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.ex' AS host,
+             |         CASE doc_id % 4 WHEN 0 THEN '/private/ok/'
+             |              WHEN 1 THEN '/private/' WHEN 2 THEN '/tmp/'
+             |              ELSE '/page/' END || CAST(doc_id AS VARCHAR) AS path
+             |  FROM documents),
+             |r AS (SELECT * FROM (VALUES
+             |        ('h0.ex', '/private', false),
+             |        ('h0.ex', '/private/ok', true),
+             |        ('h1.ex', '/tmp', false),
+             |        ('h2.ex', '/', false)) AS t(host, prefix, allow)),
+             |v AS (SELECT u.doc_id, r.allow,
+             |             row_number() OVER (PARTITION BY u.doc_id
+             |               ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+             |      FROM u JOIN r ON r.host = u.host
+             |      WHERE starts_with(u.path, r.prefix))
+             |SELECT u.doc_id,
+             |       'http://' || u.host || u.path AS url,
+             |       coalesce(v.allow, true) AS allowed
+             |FROM u LEFT JOIN (SELECT doc_id, allow FROM v WHERE rn = 1) v
+             |       USING (doc_id)
+             |ORDER BY u.doc_id""".stripMargin),
+      doc = "robots.txt compliance filter: relational group parse + broadcast longest-prefix verdicts (Allow ties, fallthrough-allowed), end-to-end verdict oracle")
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** robots.txt parse + verdict contract: group structure, agent
+  * resolution, precedence, and the documented edge cases.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gnarly =
+    """# crawler policy
+      |User-Agent: GraftBot
+      |Disallow: /private   # trailing comment
+      |Allow: /private/ok
+      |
+      |User-agent: other
+      |User-agent: *
+      |Disallow: /tmp
+      |Disallow:
+      |Crawl-delay: 10
+      |""".stripMargin
+
+  private def robots = Seq(("h.ex", gnarly)).toDF("host", "text")
+
+  test("parseRules: exact-agent group wins; '*' is the fallback; junk lines drop") {
+    val mine = Robots.parseRules(robots, "host", "text", agent = "graftbot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(mine == Set(("h.ex", "/private", false), ("h.ex", "/private/ok", true)))
+    // an agent the file doesn't name falls back to the '*' group; the
+    // empty Disallow and the Crawl-delay line contribute no rules
+    val other = Robots.parseRules(robots, "host", "text", agent = "nobody")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(other == Set(("h.ex", "/tmp", false)))
+    // BOTH user-agent tokens of a shared group get its rules
+    val shared = Robots.parseRules(robots, "host", "text", agent = "other")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(shared == Set(("h.ex", "/tmp", false)))
+  }
+
+  test("verdicts: longest prefix wins, ties go to Allow, unknown hosts pass") {
+    val rules = Robots.parseRules(robots, "host", "text", agent = "graftbot")
+      // add an exact tie pair on another host: equal lengths → Allow
+      .unionByName(Seq(("t.ex", "/p", true), ("t.ex", "/p", false))
+        .toDF("host", "prefix", "allow"))
+    val urls = Seq(
+      "http://h.ex/private/ok/a", // Allow /private/ok (11) > Disallow /private (8)
+      "http://h.ex/private/b",    // Disallow
+      "http://h.ex:8080/private/c", // port stripped → same Disallow
+      "http://h.ex/else",         // no applicable rule
+      "http://h.ex",              // empty path → "/": no rule matches
+      "http://t.ex/p/x",          // tie → Allow
+      "http://nowhere.ex/a"       // host without robots
+    ).toDF("url")
+    val got = Robots.verdicts(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    assert(got("http://h.ex/private/ok/a"))
+    assert(!got("http://h.ex/private/b"))
+    assert(!got("http://h.ex:8080/private/c"))
+    assert(got("http://h.ex/else"))
+    assert(got("http://h.ex"))
+    assert(got("http://t.ex/p/x"))
+    assert(got("http://nowhere.ex/a"))
+    assert(Robots.filterAllowed(urls, "url", rules).count() == 5)
+  }
+
+  test("rules before any User-agent group are orphans and bind nothing") {
+    val r = Seq(("x.ex", "Disallow: /early\nUser-agent: *\nDisallow: /late"))
+      .toDF("host", "text")
+    val rules = Robots.parseRules(r, "host", "text", "anything")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(rules == Set(("x.ex", "/late", false)))
+  }
+}
