@@ -61,11 +61,15 @@ object LinkGraph {
     // paying session-width scheduling per iteration, a 10⁹-edge graph
     // keeps full parallelism; the caller's session is never mutated
     val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
-    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
-    loopSession.conf.set("spark.sql.shuffle.partitions",
-      Dedup.loopShufflePartitions(
-        parent.conf.get("spark.sql.shuffle.partitions", "200"),
-        edgeCount).toString)
+    val loopParts = Dedup.loopShufflePartitions(
+      parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
+    // latency mode ONLY for graphs whose rounds are single-task anyway:
+    // there AQE's per-stage barriers are pure overhead. A big graph
+    // keeps AQE — a whale OUT-degree host skews the per-round
+    // rank-lookup join on `src`, and AQE's skew split is the mitigation
+    // (the ranks side is one row per node, the splittable shape).
+    if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val eo = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
     val nodes = eo.select(col("src").as("node"))
       .unionByName(eo.select(col("dst").as("node"))).distinct().persist()

@@ -49,6 +49,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   window      per-user window analytics on the whale-user events
   *               (user 0 owns ~50%): plain sessionize + rolling-1h vs
   *               their time-bucketed two-phase forms
+  *   pagerank    integer PageRank on uniform vs IN-whale vs OUT-whale
+  *               host graphs (one hub owning half of all edge ends)
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -471,6 +473,51 @@ object SkewProbe {
               .select(col("tok"), col("cnt")), hhCols))
           report("mg_two_pass", rep, tM, nM, hM,
             if (nM == nN && hM == hN) " MATCH" else " **MISMATCH**")
+        case "pagerank" =>
+          // link-graph skew probe: same ~2-edges-per-doc graph in three
+          // shapes — uniform (100k hosts), IN-whale (half of all edges
+          // point at ONE hub: the groupBy(dst) sum must partial-
+          // aggregate it map-side), OUT-whale (half of all edges leave
+          // one hub to distinct targets: the per-round rank-lookup
+          // join on src sees a dominant key — the broadcast/AQE-skew
+          // territory pageRankInt deliberately leaves AQE on for).
+          // Shapes differ, so sigs are per-shape reproducibility pins,
+          // not cross-checks; the scale claim is wall/maxtask parity.
+          val ids = docs.select(col("doc_id").as("id"))
+          def h(c: org.apache.spark.sql.Column) =
+            concat(lit("h"), c.cast("string"))
+          val second = ids.select(h(pmod(col("id"), lit(100000L))).as("src"),
+            h(pmod(col("id") * 13 + 5, lit(100000L))).as("dst"))
+          val shapes: Seq[(String, DataFrame)] = Seq(
+            "uniform" -> ids.select(
+                h(pmod(col("id"), lit(100000L))).as("src"),
+                h(pmod(col("id") * 7 + 1, lit(100000L))).as("dst"))
+              .unionByName(second),
+            "in_whale" -> ids.select(
+                h(pmod(col("id"), lit(100000L))).as("src"),
+                when(col("id") % 2 === 0, lit("hub"))
+                  .otherwise(h(pmod(col("id") * 7 + 1, lit(100000L)))).as("dst"))
+              .unionByName(second),
+            // a true OUT-whale needs many DISTINCT targets (distinct()
+            // caps out-degree at |hosts| otherwise), which widens the
+            // node set — so its control is uniform_wide: the SAME
+            // ~500k-node graph without the hub
+            "uniform_wide" -> ids.select(
+                h(pmod(col("id"), lit(100000L))).as("src"),
+                h(col("id")).as("dst"))
+              .unionByName(second),
+            "out_whale" -> ids.select(
+                when(col("id") % 2 === 0, lit("hub"))
+                  .otherwise(h(pmod(col("id"), lit(100000L)))).as("src"),
+                h(col("id")).as("dst")) // distinct targets: edges survive distinct()
+              .unionByName(second))
+          shapes.foreach { case (name, e) =>
+            val ((n, s), t) = time(sig(
+              graft.operators.LinkGraph.pageRankInt(e, "src", "dst",
+                iterations = 3),
+              Seq("node", "rank")))
+            report(name, rep, t, n, s)
+          }
         case other =>
           sys.error(s"unknown family: $other")
       }
