@@ -1717,6 +1717,84 @@ object TextQueries {
              |FROM u LEFT JOIN (SELECT doc_id, allow FROM v WHERE rn = 1) v
              |       USING (doc_id)
              |ORDER BY u.doc_id""".stripMargin),
-      doc = "robots.txt compliance filter: relational group parse + broadcast longest-prefix verdicts (Allow ties, fallthrough-allowed), end-to-end verdict oracle")
+      doc = "robots.txt compliance filter: relational group parse + broadcast longest-prefix verdicts (Allow ties, fallthrough-allowed), end-to-end verdict oracle"),
+
+    // The WHOLE crawl-side pipeline as one oracled call: documents
+    // render as full pages (title, link-dense nav, escaped content,
+    // boilerplate), land in a real per-record-gzip WARC TOGETHER WITH
+    // robots.txt response records (h0 disallows everything, h1 allows
+    // these paths, h2 publishes none), and CrawlPipeline.fromWarc
+    // rebuilds the corpus: in-crawl robots gate -> HTML-only -> title
+    // + jusText main content + host source. The oracle reproduces
+    // every surviving row from the raw text and the planted policy.
+    Q("doc_crawl_pipeline",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        import s.implicits._
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-crawl-q-").toString
+        val docs = Tables.documents(s, dir)
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val host = concat(lit("h"), pmod(col("doc_id"), lit(3)), lit(".ex"))
+        val pageHtml = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body>" +
+            "<div class='nav'><a href='/'>Home</a> <a href='/a'>About</a>" +
+            " <a href='/c'>Contact pages</a></div><p>"),
+          esc,
+          lit("</p><div>Copyright 2026 GraftCorp</div>" +
+            "<div><a href='/t'>Terms</a> <a href='/p'>Privacy policy</a>" +
+            "</div></body></html>"))
+        val pages = docs.select(
+          concat(lit("<urn:page:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://"), host, lit("/p/"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/html").as("content_type"),
+          encode(pageHtml, "UTF-8").as("payload"))
+        val robots = Seq(
+          ("<urn:rob:0>", "response", "http://h0.ex/robots.txt",
+            "2026-01-01T00:00:00Z", "text/plain",
+            "User-agent: *\nDisallow: /"),
+          ("<urn:rob:1>", "response", "http://h1.ex/robots.txt",
+            "2026-01-01T00:00:00Z", "text/plain",
+            "User-agent: *\nDisallow: /tmp"))
+          .toDF("record_id", "record_type", "target_uri", "warc_date",
+            "content_type", "body")
+          .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+        pages.unionByName(robots)
+          .write.format("warc").option("compression", "gzip")
+          .mode("append").save(warcDir)
+        CrawlPipeline.fromWarc(s.read.format("warc").load(warcDir))
+          .select(
+            regexp_extract(col("url"), "/p/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("url"), col("source"), col("title"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(text,
+             |              '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS t
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |m AS (
+             |  SELECT doc_id, t,
+             |         length(replace(t, ' ', '')) AS nc,
+             |         len(string_split(t, ' ')) AS nw,
+             |         len(list_filter(string_split(t, ' '),
+             |             w -> list_contains(['the','a','of','and','to','in'],
+             |                                w))) AS hits
+             |  FROM c)
+             |SELECT doc_id,
+             |       'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.ex/p/'
+             |         || CAST(doc_id AS VARCHAR) AS url,
+             |       'h' || CAST(doc_id % 3 AS VARCHAR) || '.ex' AS source,
+             |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |       CASE WHEN nc >= 25 AND hits * 10 >= nw
+             |            THEN t ELSE '' END AS text
+             |FROM m
+             |ORDER BY doc_id""".stripMargin),
+      doc = "one-call crawl pipeline: WARC (pages + in-crawl robots) -> robots gate -> HTML-only -> title + main content + host source, end-to-end oracled")
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CrawlPipeline.fromWarc: the crawl's own robots records gate pages,
+  * only HTML responses extract, boilerplate drops, ids mint
+  * deterministically.
+  */
+class CrawlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val content =
+    "the quick brown fox and the lazy dog jumped over the fence again"
+
+  private def page(n: Int): String =
+    s"""<html><head><title>Page $n</title></head><body>
+       |<div><a href="/">Home</a> <a href="/a">About</a></div>
+       |<p>$content number $n</p></body></html>""".stripMargin
+
+  private def crawlDir(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crawlpipe-").toString
+    Seq(
+      ("<urn:c:r1>", "response", "http://h.ex/robots.txt",
+        "2026-01-01T00:00:00Z", "text/plain",
+        "User-agent: *\nDisallow: /private"),
+      ("<urn:c:p1>", "response", "http://h.ex/public/1",
+        "2026-01-01T00:01:00Z", "text/html; charset=utf-8", page(1)),
+      ("<urn:c:p2>", "response", "http://h.ex/private/2",
+        "2026-01-01T00:02:00Z", "text/html", page(2)),
+      ("<urn:c:p3>", "response", "http://OTHER.ex/3",
+        "2026-01-01T00:03:00Z", "text/html", page(3)),
+      ("<urn:c:p4>", "response", "http://h.ex/img/4",
+        "2026-01-01T00:04:00Z", "image/png", "notanimage"),
+      ("<urn:c:i>", "warcinfo", null,
+        "2026-01-01T00:00:00Z", "application/warc-fields", "software: graft")
+    ).toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    dir
+  }
+
+  test("fromWarc: in-crawl robots gate, HTML-only, main content, stable ids") {
+    val records = spark.read.format("warc").load(crawlDir())
+    val docs = CrawlPipeline.fromWarc(records)
+      .select($"url", $"source", $"title", $"text", $"doc_id")
+      .as[(String, String, String, String, Long)].collect().sortBy(_._1)
+    assert(docs.map(_._1).toSeq ==
+      Seq("http://OTHER.ex/3", "http://h.ex/public/1"),
+      docs.map(_._1).mkString(","))
+    val byUrl = docs.map(d => d._1 -> d).toMap
+    val p1 = byUrl("http://h.ex/public/1")
+    assert(p1._2 == "h.ex" && p1._3 == "Page 1")
+    assert(p1._4 == content + " number 1") // nav boilerplate dropped
+    assert(byUrl("http://OTHER.ex/3")._2 == "other.ex") // host case-folded
+    // deterministic mint: same crawl → same ids
+    val again = CrawlPipeline.fromWarc(records)
+      .select($"url", $"doc_id").as[(String, Long)].collect().toMap
+    docs.foreach { d => assert(again(d._1) == d._5) }
+  }
+
+  test("fromWarc knobs: robots off keeps the private page; full-text keeps the nav") {
+    val records = spark.read.format("warc").load(crawlDir())
+    val noRobots = CrawlPipeline.fromWarc(records,
+      CrawlPipeline.CrawlSettings(respectRobots = false))
+    assert(noRobots.count() == 3)
+    assert(noRobots.filter($"url" === "http://h.ex/private/2").count() == 1)
+    val full = CrawlPipeline.fromWarc(records,
+      CrawlPipeline.CrawlSettings(mainContentOnly = false))
+    val t = full.filter($"url" === "http://h.ex/public/1")
+      .select($"text").as[String].head()
+    assert(t.startsWith("Home About\n"), t.take(30)) // nav text retained
+  }
+}
