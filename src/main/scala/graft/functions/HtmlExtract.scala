@@ -52,11 +52,17 @@ object HtmlExtract {
     */
   final case class Block(text: String, chars: Int, linkChars: Int)
 
-  /** Single pass → (title, blocks, anchor hrefs — all in document
-    * order). Hrefs are the raw attribute values (quoted or bare),
-    * entity-decoded like text; the link-graph layer resolves hosts.
+  /** Everything one pass yields, in document order. `hrefs` are raw
+    * attribute values (quoted or bare), entity-decoded like text;
+    * `anchors` pairs each href-bearing anchor with its visible text
+    * (ws-collapsed, may span block tags) — the web-graph anchor-text
+    * relation. Anchor nesting follows the browser rule: a new `<a>`
+    * implicitly closes an open one.
     */
-  def parseAll(s: String): (String, Array[Block], Array[String]) = {
+  final case class Parsed(title: String, blocks: Array[Block],
+      hrefs: Array[String], anchors: Array[(String, String)])
+
+  def parseAll(s: String): Parsed = {
     val n = s.length
     val title = new java.lang.StringBuilder(32)
     var titleSpace = false
@@ -66,7 +72,17 @@ object HtmlExtract {
     var curLink = 0
     var pendingSpace = false
     var inTitle = false
-    var anchorDepth = 0
+    var anchorActive = false
+    var anchorHref: String = null
+    val anchorBuf = new java.lang.StringBuilder(32)
+    var anchorSpace = false
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def endAnchor(): Unit = {
+      if (anchorActive && anchorHref != null && anchorBuf.length > 0)
+        anchors += ((anchorHref, anchorBuf.toString))
+      anchorActive = false; anchorHref = null
+      anchorBuf.setLength(0); anchorSpace = false
+    }
     val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
     // href="..." / href='...' / href=bare inside an <a ...> tag body,
     // entities decoded (href values legally contain &amp;)
@@ -92,8 +108,10 @@ object HtmlExtract {
                   while (e < until && !s.charAt(e).isWhitespace) e += 1
                   (v, e)
                 }
-              hrefs += s.substring(vs, ve)
+              val href = s.substring(vs, ve)
                 .replace("&amp;", "&").replace("&#38;", "&")
+              hrefs += href
+              anchorHref = href
               return
             }
           }
@@ -103,7 +121,12 @@ object HtmlExtract {
     }
     def endBlock(): Unit =
       if (inTitle) { if (title.length > 0) titleSpace = true }
-      else if (cur.length > 0) {
+      else {
+        if (anchorActive && anchorBuf.length > 0) anchorSpace = true
+        if (cur.length > 0) doEndBlock()
+      }
+    def doEndBlock(): Unit =
+      if (cur.length > 0) {
         blocks += Block(cur.toString, curNonWs, curLink)
         cur.setLength(0); curNonWs = 0; curLink = 0; pendingSpace = false
       }
@@ -116,13 +139,20 @@ object HtmlExtract {
           titleSpace = false
           title.append(c)
         }
-      } else if (isWs) { if (cur.length > 0) pendingSpace = true }
-      else {
+      } else if (isWs) {
+        if (cur.length > 0) pendingSpace = true
+        if (anchorActive && anchorBuf.length > 0) anchorSpace = true
+      } else {
         if (pendingSpace) cur.append(' ')
         pendingSpace = false
         cur.append(c)
         curNonWs += 1
-        if (anchorDepth > 0) curLink += 1
+        if (anchorActive) {
+          curLink += 1
+          if (anchorSpace) anchorBuf.append(' ')
+          anchorSpace = false
+          anchorBuf.append(c)
+        }
       }
     }
     // end index (exclusive of '>') of a tag starting at `from` (first
@@ -174,8 +204,8 @@ object HtmlExtract {
               i = end + 1
             } else {
               if (name == "a") {
-                if (close) anchorDepth = math.max(0, anchorDepth - 1)
-                else { anchorDepth += 1; captureHref(j, end) }
+                endAnchor() // new <a> implicitly closes an open one
+                if (!close) { anchorActive = true; captureHref(j, end) }
               }
               if (BlockTags.contains(name)) endBlock()
               i = end + 1
@@ -210,14 +240,15 @@ object HtmlExtract {
       } else { emit(c); i += 1 }
     }
     inTitle = false
+    endAnchor()
     endBlock()
-    (title.toString, blocks.toArray, hrefs.toArray)
+    Parsed(title.toString, blocks.toArray, hrefs.toArray, anchors.toArray)
   }
 
   /** Single pass → (title, blocks in document order). */
   def parse(s: String): (String, Array[Block]) = {
-    val (t, b, _) = parseAll(s)
-    (t, b)
+    val p = parseAll(s)
+    (p.title, p.blocks)
   }
 
   /** `wantTitle = false` → body text (blocks joined by `\n`);
@@ -297,11 +328,34 @@ case class HtmlLinks(child: Expression)
     extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "html_links"
-  override def nullSafeEval(input: Any): Any = {
-    val (_, _, hrefs) =
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
       HtmlExtract.parseAll(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(hrefs.map(UTF8String.fromString(_): Any))
-  }
+        .hrefs.map(UTF8String.fromString(_): Any))
   override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
+/** Codegen'd anchor-text pairs ([[HtmlExtract.parseAll]]):
+  * `array<struct<href, anchor>>` — each href-bearing anchor with its
+  * visible text. The web-graph anchor-text relation: what the web
+  * SAYS about a target is a classic relevance/quality signal, and at
+  * crawl scale this is its extraction point.
+  */
+case class HtmlAnchors(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "html_anchors"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HtmlExtract.parseAll(input.asInstanceOf[UTF8String].toString)
+        .anchors.map { case (h, a) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(h), UTF8String.fromString(a)): Any
+        })
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
     copy(child = newChild)
 }

@@ -158,6 +158,12 @@ object TextFunctions {
     */
   def htmlLinks(html: Column): Column =
     Bridge.column(HtmlLinks(Bridge.expression(html)))
+
+  /** (href, visible anchor text) pairs of an HTML document in document
+    * order ([[HtmlAnchors]]) — the web-graph anchor-text relation.
+    */
+  def htmlAnchors(html: Column): Column =
+    Bridge.column(HtmlAnchors(Bridge.expression(html)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,

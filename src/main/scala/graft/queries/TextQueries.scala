@@ -1663,6 +1663,49 @@ object TextQueries {
              |ORDER BY node""".stripMargin),
       doc = "host-level PageRank quality prior: real anchor extraction -> distinct host edges -> 3 integer-exact damped rounds, iteration-replay oracle"),
 
+    // Anchor-text profile per target host — what the web SAYS about a
+    // host (the classic relevance/quality signal; search engines have
+    // indexed anchor text since PageRank's own paper). The (href,
+    // visible text) pairs come out of the single-pass parse; the
+    // aggregation is host-keyed and partial-aggregated. One anchor
+    // text is shared per target (a site-wide nav label), one is
+    // per-document unique — n_texts separates them.
+    Q("doc_anchor_text",
+      (s, dir) => {
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val html = concat(
+          lit("<p>See <a href=\"http://"), host(col("doc_id") * 7 + 1),
+          lit("/x\">site "), pmod(col("doc_id") * 7 + 1, lit(23)),
+          lit("</a> and <a href='http://"), host(col("doc_id") * 13 + 5),
+          lit("/y'>link "), col("doc_id"), lit("</a></p>"))
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.htmlAnchors(html)).as("a"))
+          .select(
+            regexp_extract(col("a.href"), "^https?://([a-z0-9.-]+)", 1)
+              .as("dst_host"),
+            col("a.anchor").as("anchor"))
+          .groupBy(col("dst_host"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("anchor")).as("n_texts"))
+          .orderBy(col("dst_host"))
+      },
+      Some("""WITH l AS (
+             |  SELECT 'h' || CAST((7*doc_id+1) % 23 AS VARCHAR)
+             |           || '.example' AS dst_host,
+             |         'site ' || CAST((7*doc_id+1) % 23 AS VARCHAR) AS anchor
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'h' || CAST((13*doc_id+5) % 23 AS VARCHAR)
+             |           || '.example',
+             |         'link ' || CAST(doc_id AS VARCHAR)
+             |  FROM documents)
+             |SELECT dst_host, count(*) AS n_links,
+             |       count(DISTINCT anchor) AS n_texts
+             |FROM l GROUP BY dst_host
+             |ORDER BY dst_host""".stripMargin),
+      doc = "anchor-text profile per target host: real (href, visible text) pairs from the parse, host-keyed partial aggregation"),
+
     // robots.txt compliance filtering: four hosts publish REAL robots
     // bodies (agent-specific group with Allow-override, '*' group with
     // an empty Disallow + comment, blanket Disallow, and a group for a

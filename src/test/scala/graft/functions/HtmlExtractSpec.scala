@@ -83,13 +83,28 @@ class HtmlExtractSpec extends SparkSpec {
   }
 
   test("links: href capture — quoted, single-quoted, bare, entity-decoded; non-anchors ignored") {
-    val (_, _, l) = HtmlExtract.parseAll(
+    val p = HtmlExtract.parseAll(
       """<a href="http://a.example/p?x=1&amp;y=2">x</a><a href='/rel'>y</a>""" +
         """<a id="z" href=bare>z</a><a>none</a>""" +
         """<a data-href="decoy" href="/real">w</a>""" +
         """<link href="style.css"><img src="i.png">""")
-    assert(l.toSeq ==
+    assert(p.hrefs.toSeq ==
       Seq("http://a.example/p?x=1&y=2", "/rel", "bare", "/real"))
+    // anchor-text pairing: visible text per href-bearing anchor
+    assert(p.anchors.toSeq == Seq(
+      ("http://a.example/p?x=1&y=2", "x"), ("/rel", "y"),
+      ("bare", "z"), ("/real", "w")))
+  }
+
+  test("anchors: text spans block tags; implicit close on a new <a>; entities decode") {
+    val p = HtmlExtract.parseAll(
+      """<a href="/one">first <b>bold</b><div>part</div></a>""" +
+        """<a href="/two">A &amp; B""" + // never closed: new <a> / EOF ends it
+        """<a href="/three">  spaced   text </a><a href="/empty"></a>""")
+    assert(p.anchors.toSeq == Seq(
+      ("/one", "first bold part"), // block boundary → one space
+      ("/two", "A & B"),
+      ("/three", "spaced text")))  // empty-text anchor yields no pair
   }
 
   test("htmlMainContent: content block kept by its own stopword density, boilerplate dropped") {
