@@ -71,10 +71,51 @@ object Bench {
     t.start()
   }
 
+  @volatile private var calibSink = 0L
+
+  /** Fixed deterministic CPU work (64-bit mix loop), immune to data and
+    * caches — the yardstick that turns "the box was slow" into a
+    * number. Run single-threaded and at `threads`-way occupancy, before
+    * AND after the query loop: `single` ratios between two bench runs
+    * measure per-core speed (incl. hypervisor steal); `mt/single` ≈ 1
+    * on an idle box and grows with contention for the cores Spark is
+    * about to assume it owns. Round 12's 206-vs-125 s driver-vs-builder
+    * gap was adjudicated from load traces alone; this makes the
+    * environment factor part of every artifact.
+    */
+  private def calibrate(threads: Int): (Double, Double) = {
+    def mixWork(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) {
+        h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= h >>> 29
+        i += 1
+      }
+      h
+    }
+    val iters = 200000000L
+    calibSink ^= mixWork(iters / 10) // JIT warm-up for the loop itself
+    val t0 = System.nanoTime()
+    calibSink ^= mixWork(iters)
+    val single = (System.nanoTime() - t0) / 1e9
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val t1 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => {
+      acc.getAndAdd(mixWork(iters))
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    calibSink ^= acc.get()
+    (single, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg()
+    val calibThreads = math.min(
+      scala.util.Try(cpus.toInt).getOrElse(4), 32)
+    val (calSinglePre, calMtPre) = calibrate(calibThreads)
     val benchT0 = System.nanoTime()
     val traceBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     startLoadTrace(benchT0, traceBuf)
@@ -144,7 +185,10 @@ object Bench {
       while (it.hasNext) { if (!first) b.append(','); b.append(it.next()); first = false }
       b.append(']').toString
     }
-    val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus","trace":$trace}"""
+    val (calSinglePost, calMtPost) = calibrate(calibThreads)
+    val load = s""""load":{"start":"$loadStart","end":"${loadAvg()}","cpus":"$cpus","trace":$trace},""" +
+      s""""calib":{"threads":$calibThreads,"single_pre_s":$calSinglePre,"mt_pre_s":$calMtPre,""" +
+      s""""single_post_s":$calSinglePost,"mt_post_s":$calMtPost}"""
     // the compact summary is the LAST key: log capture keeps the tail of
     // long lines, and the per-query map in front has twice outgrown the
     // capture window — totals must survive truncation machine-readably
