@@ -42,44 +42,71 @@ object CrawlPipeline {
   private def hostOf(url: org.apache.spark.sql.Column) =
     lower(regexp_extract(url, "(?i)^https?://([^/:]+)", 1))
 
+  private def isRobotsUrl(url: org.apache.spark.sql.Column) =
+    url.rlike("(?i)^https?://[^/]+/robots\\.txt$")
+
+  private def htmlPages(records: DataFrame): DataFrame =
+    records.filter(col("record_type") === "response")
+      .filter(!isRobotsUrl(col("target_uri")))
+      .filter(coalesce(col("content_type"), lit("")).contains("html"))
+
+  /** The per-record projection — entirely narrow (the main-content
+    * classification is a per-row HOF over the parse's block array), so
+    * it runs identically on a batch relation and on a readStream in
+    * append mode.
+    */
+  private def project(allowed: DataFrame, s: CrawlSettings): DataFrame = {
+    val html = decode(col("payload"), "UTF-8")
+    val text =
+      if (s.mainContentOnly)
+        TextAnalysis.mainContentCols(html, minChars = s.minChars,
+          linkNum = s.linkNum, linkDen = s.linkDen,
+          stopNum = s.stopNum, stopDen = s.stopDen)._1
+      else TextFunctions.htmlText(html)
+    allowed.select(
+      xxhash64(col("record_id")).as("doc_id"),
+      col("target_uri").as("url"),
+      hostOf(col("target_uri")).as("source"),
+      to_timestamp(col("warc_date")).as("ts"),
+      TextFunctions.htmlTitle(html).as("title"),
+      text.as("text"))
+  }
+
   /** `records`: the WARC relation
     * (`spark.read.format("warc").load(dir)`). Returns
     * (doc_id, url, source, ts, title, text).
     */
   def fromWarc(records: DataFrame,
       s: CrawlSettings = CrawlSettings()): DataFrame = {
-    val responses = records.filter(col("record_type") === "response")
-    val pages = responses
-      .filter(!col("target_uri").rlike("(?i)^https?://[^/]+/robots\\.txt$"))
-      .filter(coalesce(col("content_type"), lit("")).contains("html"))
+    val pages = htmlPages(records)
     val allowed =
       if (!s.respectRobots) pages
       else {
-        val robots = responses
-          .filter(col("target_uri").rlike("(?i)^https?://[^/]+/robots\\.txt$"))
+        val robots = records.filter(col("record_type") === "response")
+          .filter(isRobotsUrl(col("target_uri")))
           .select(hostOf(col("target_uri")).as("host"),
             decode(col("payload"), "UTF-8").as("robots_text"))
         Robots.filterAllowed(pages, "target_uri",
           Robots.parseRules(robots, "host", "robots_text", s.agent))
       }
-    val base = allowed.select(
-      xxhash64(col("record_id")).as("doc_id"),
-      col("target_uri").as("url"),
-      hostOf(col("target_uri")).as("source"),
-      to_timestamp(col("warc_date")).as("ts"),
-      TextFunctions.htmlTitle(decode(col("payload"), "UTF-8")).as("title"),
-      decode(col("payload"), "UTF-8").as("html"))
-    if (s.mainContentOnly)
-      base.join(
-        TextAnalysis.htmlMainContent(
-          base.select(col("doc_id"), col("html")), "doc_id", "html",
-          minChars = s.minChars, linkNum = s.linkNum, linkDen = s.linkDen,
-          stopNum = s.stopNum, stopDen = s.stopDen)
-          .select(col("doc_id"), col("main_text").as("text")),
-        "doc_id")
-        .drop("html")
-    else base
-      .withColumn("text", TextFunctions.htmlText(col("html")))
-      .drop("html")
+    project(allowed, s)
+  }
+
+  /** Streaming twin: the SAME projection chain over
+    * `spark.readStream.format("warc")` records, with a STATIC
+    * pre-parsed rule set (a stream cannot parse its own robots
+    * records into the broadcast side of the same query — refresh
+    * rules batch-side, the static-dimension pattern every
+    * stream-static enrichment uses). Fully stateless append-mode:
+    * no aggregation, no watermark needed until downstream dedup.
+    */
+  def fromWarcStream(records: DataFrame, staticRules: DataFrame,
+      s: CrawlSettings = CrawlSettings()): DataFrame = {
+    val pages = htmlPages(records)
+    val allowed =
+      if (s.respectRobots)
+        Robots.filterAllowedLit(pages, "target_uri", staticRules)
+      else pages
+    project(allowed, s)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,4 +103,50 @@ object Robots {
 
   def filterAllowed(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
     verdicts(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
+
+  /** Zero-shuffle, streaming-safe verdicts: the rule set (bounded —
+    * O(hosts), the same contract that lets [[verdicts]] broadcast)
+    * collects ONCE at plan build into a host → pre-sorted-rules map
+    * LITERAL, and each URL resolves per-row: look up its host's rules,
+    * `filter` to the applicable prefixes, take the first — the arrays
+    * are pre-sorted (prefix length desc, Allow first) so element 1 IS
+    * the RFC 9309 winner. A pure projection: no distinct, no groupBy,
+    * no join — runs unchanged on a readStream in append mode
+    * ([[CrawlPipeline.fromWarcStream]]) and beats the relational form
+    * batch-side too (the relational form stays for rule sets too big
+    * to ship as a plan literal).
+    */
+  def verdictsLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val byHost: Map[String, Seq[(String, Boolean)]] = rules
+      .select(col("host"), col("prefix"), col("allow"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .groupBy(_._1)
+      .map { case (h, rs) =>
+        h -> rs.map(t => (t._2, t._3)).distinct
+          .sortBy { case (p, a) => (-p.length, !a) }.toSeq
+      }
+    val ruleMap: Column =
+      if (byHost.isEmpty) // typed null: bare map() is map<string,void>
+        lit(null).cast("map<string,array<struct<prefix:string,allow:boolean>>>")
+      else map(byHost.toSeq.sortBy(_._1).flatMap { case (h, rs) =>
+        Seq(lit(h), array(rs.map { case (p, a) =>
+          struct(lit(p).as("prefix"), lit(a).as("allow"))
+        }: _*))
+      }: _*)
+    val host = regexp_replace(
+      lower(regexp_extract(col(urlCol), "(?i)^https?://([^/]+)", 1)),
+      ":\\d+$", "")
+    val path0 = regexp_replace(col(urlCol), "(?i)^https?://[^/]+", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val hostRules = element_at(ruleMap, host)
+    val applicable = filter(hostRules,
+      r => path.startsWith(r.getField("prefix")))
+    urls.withColumn("allowed",
+      when(hostRules.isNull || size(applicable) === 0, lit(true))
+        .otherwise(element_at(applicable, 1).getField("allow")))
+  }
+
+  def filterAllowedLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    verdictsLit(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
 }

@@ -163,40 +163,47 @@ object TextAnalysis {
     * order, blocks_kept, blocks_total).
     *
     * Scale shape: ONE codegen'd parse per document (blocks never
-    * re-scan the HTML), a narrow posexplode, per-block MarkerCounts
-    * (fused kernel), and one per-doc aggregate whose state is the
-    * kept-block list — the same per-doc boundedness as the chunking
-    * operators. No joins, one exchange (the groupBy).
+    * re-scan the HTML), then the whole classification is PER-ROW —
+    * higher-order `filter` over the block array with the MarkerCounts
+    * kernel inside the lambda — so the operator is a narrow map with
+    * ZERO exchanges (an earlier form exploded + re-aggregated; a
+    * per-doc-bounded array never needed a shuffle), and it runs
+    * unchanged on a stream in append mode (no aggregation state) —
+    * what [[CrawlPipeline]]'s streaming path relies on.
     */
   def htmlMainContent(docs: DataFrame, idCol: String, htmlCol: String,
       stopwords: Seq[String] = DefaultStopwords,
       minChars: Int = 25,
       linkNum: Int = 1, linkDen: Int = 5,
       stopNum: Int = 1, stopDen: Int = 10): DataFrame = {
-    val blocks = docs.select(col(idCol),
-        posexplode_outer(TextFunctions.htmlBlocks(col(htmlCol)))
-          .as(Seq("__pos", "__b")))
-      .select(col(idCol), col("__pos"),
-        col("__b.text").as("__btext"),
-        col("__b.n_chars").as("__nc"),
-        col("__b.link_chars").as("__lc"))
-    val mc = TextFunctions.markerCounts(col("__btext"), Seq(stopwords))
-    val annotated = blocks
-      .withColumn("__mc", mc)
-      .withColumn("__keep",
-        col("__nc") >= minChars &&
-        col("__lc") * linkDen <= col("__nc") * linkNum &&
-        element_at(col("__mc.hits"), 1) * stopDen >=
-          col("__mc.n_words") * stopNum)
-    annotated.groupBy(col(idCol)).agg(
-      array_join(
-        transform(
-          array_sort(collect_list(
-            when(col("__keep"), struct(col("__pos"), col("__btext"))))),
-          x => x.getField("__btext")),
-        "\n").as("main_text"),
-      sum(when(col("__keep"), 1L).otherwise(0L)).as("blocks_kept"),
-      count(col("__btext")).as("blocks_total"))
+    val (text, kept, total) = mainContentCols(col(htmlCol), stopwords,
+      minChars, linkNum, linkDen, stopNum, stopDen)
+    docs.select(col(idCol), text.as("main_text"),
+      kept.as("blocks_kept"), total.as("blocks_total"))
+  }
+
+  /** The column form of [[htmlMainContent]]:
+    * (main_text, blocks_kept, blocks_total) from an html column, all
+    * per-row expressions.
+    */
+  def mainContentCols(html: Column,
+      stopwords: Seq[String] = DefaultStopwords,
+      minChars: Int = 25,
+      linkNum: Int = 1, linkDen: Int = 5,
+      stopNum: Int = 1, stopDen: Int = 10): (Column, Column, Column) = {
+    val blocks = TextFunctions.htmlBlocks(html)
+    def keep(b: Column): Column = {
+      val mc = TextFunctions.markerCounts(b.getField("text"), Seq(stopwords))
+      b.getField("n_chars") >= minChars &&
+        b.getField("link_chars") * linkDen <=
+          b.getField("n_chars") * linkNum &&
+        element_at(mc.getField("hits"), 1) * stopDen >=
+          mc.getField("n_words") * stopNum
+    }
+    val kept = filter(blocks, keep _)
+    (array_join(transform(kept, b => b.getField("text")), "\n"),
+      size(kept).cast("long"),
+      size(blocks).cast("long"))
   }
 
   /** Gopher/FineWeb-style repetition signals — the boilerplate/spam

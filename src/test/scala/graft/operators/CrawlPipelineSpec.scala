@@ -62,6 +62,31 @@ class CrawlPipelineSpec extends SparkSpec {
     docs.foreach { d => assert(again(d._1) == d._5) }
   }
 
+  test("fromWarcStream: streaming twin == batch chain (static rules), append-mode, no state") {
+    val dir = crawlDir()
+    val records = spark.read.format("warc").load(dir)
+    // rules parsed BATCH-side from the same crawl (the refresh pattern)
+    val rules = Robots.parseRules(
+      records.filter($"target_uri".endsWith("/robots.txt"))
+        .select(lower(regexp_extract($"target_uri",
+          "(?i)^https?://([^/:]+)", 1)).as("host"),
+          decode($"payload", "UTF-8").as("robots_text")),
+      "host", "robots_text", "*")
+    val q = CrawlPipeline.fromWarcStream(
+        spark.readStream.format("warc").load(dir), rules)
+      .writeStream.format("memory").queryName("crawl_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("crawl_stream_out")
+      .select($"doc_id", $"url", $"source", $"title", $"text")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._2)
+    val want = CrawlPipeline.fromWarc(records)
+      .select($"doc_id", $"url", $"source", $"title", $"text")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._2)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("fromWarc knobs: robots off keeps the private page; full-text keeps the nav") {
     val records = spark.read.format("warc").load(crawlDir())
     val noRobots = CrawlPipeline.fromWarc(records,

@@ -65,6 +65,29 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.filterAllowed(urls, "url", rules).count() == 5)
   }
 
+  test("verdictsLit (plan-literal, zero-shuffle) agrees with the relational form") {
+    val rules = Robots.parseRules(robots, "host", "text", agent = "graftbot")
+      .unionByName(Seq(("t.ex", "/p", true), ("t.ex", "/p", false))
+        .toDF("host", "prefix", "allow"))
+    val urls = Seq(
+      "http://h.ex/private/ok/a", "http://h.ex/private/b",
+      "http://h.ex:8080/private/c", "http://h.ex/else", "http://h.ex",
+      "http://t.ex/p/x", "http://nowhere.ex/a").toDF("url")
+    val rel = Robots.verdicts(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    val lit = Robots.verdictsLit(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    assert(lit == rel, s"lit=$lit rel=$rel")
+    // and it is genuinely a pure projection: no exchange in the plan
+    val plan = Robots.verdictsLit(urls, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // empty rule set: everything allowed
+    val none = Robots.verdictsLit(urls, "url",
+      Seq.empty[(String, String, Boolean)].toDF("host", "prefix", "allow"))
+    assert(none.filter(!$"allowed").count() == 0)
+  }
+
   test("rules before any User-agent group are orphans and bind nothing") {
     val r = Seq(("x.ex", "Disallow: /early\nUser-agent: *\nDisallow: /late"))
       .toDF("host", "text")
