@@ -359,3 +359,31 @@ case class HtmlAnchors(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
     copy(child = newChild)
 }
+
+/** One parse → `struct<title, blocks>` — for consumers that need BOTH
+  * (the crawl pipeline extracts title and classifies blocks per page;
+  * separate [[HtmlTitle]] + [[HtmlBlocks]] columns would run the
+  * state machine twice per document, and at crawl scale the parse IS
+  * the extraction cost).
+  */
+case class HtmlDoc(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("blocks", ArrayType(StructType(Seq(
+      StructField("text", StringType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("link_chars", IntegerType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def prettyName: String = "html_doc"
+  override def nullSafeEval(input: Any): Any = {
+    val p = HtmlExtract.parseAll(input.asInstanceOf[UTF8String].toString)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(p.title),
+      new GenericArrayData(p.blocks.map(b =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(b.text), b.chars, b.linkChars): Any)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlDoc =
+    copy(child = newChild)
+}

@@ -164,6 +164,12 @@ object TextFunctions {
     */
   def htmlAnchors(html: Column): Column =
     Bridge.column(HtmlAnchors(Bridge.expression(html)))
+
+  /** `struct<title, blocks>` from ONE parse ([[HtmlDoc]]) — for
+    * consumers needing both (two separate columns parse twice).
+    */
+  def htmlDoc(html: Column): Column =
+    Bridge.column(HtmlDoc(Bridge.expression(html)))
 }
 
 /** Fused shingle kernel: split on single spaces (empty tokens kept,

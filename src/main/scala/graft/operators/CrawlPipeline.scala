@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *      id), `source` = the page's host — the per-source column
   *      mixture/quality calibration key on.
   *
-  * Scale shape: robots bodies are O(hosts) and broadcast; every other
-  * step is a narrow scan-fused projection except main-content's one
-  * per-doc aggregate and the id-keyed join that re-attaches
-  * url/title/ts to it.
+  * Scale shape: robots bodies are O(hosts) and broadcast (or a plan
+  * literal on the streaming path); EVERYTHING else is one narrow
+  * scan-fused projection — title and blocks come out of a single
+  * parse, main-content classification is a per-row HOF over the block
+  * array. Zero shuffles between segment bytes and documents.
   */
 object CrawlPipeline {
 
@@ -56,19 +57,26 @@ object CrawlPipeline {
     * append mode.
     */
   private def project(allowed: DataFrame, s: CrawlSettings): DataFrame = {
-    val html = decode(col("payload"), "UTF-8")
+    // ONE parse per page: title and blocks come from the same htmlDoc
+    // struct (Catalyst's subexpression elimination evaluates the
+    // kernel once per row); separate htmlTitle + htmlBlocks columns
+    // would run the state machine twice, and at crawl scale the parse
+    // IS the extraction cost
+    val doc = TextFunctions.htmlDoc(decode(col("payload"), "UTF-8"))
+    val blocks = doc.getField("blocks")
     val text =
       if (s.mainContentOnly)
-        TextAnalysis.mainContentCols(html, minChars = s.minChars,
-          linkNum = s.linkNum, linkDen = s.linkDen,
+        TextAnalysis.mainContentColsFromBlocks(blocks,
+          minChars = s.minChars, linkNum = s.linkNum, linkDen = s.linkDen,
           stopNum = s.stopNum, stopDen = s.stopDen)._1
-      else TextFunctions.htmlText(html)
+      else // full visible text == blocks joined by newline
+        array_join(transform(blocks, b => b.getField("text")), "\n")
     allowed.select(
       xxhash64(col("record_id")).as("doc_id"),
       col("target_uri").as("url"),
       hostOf(col("target_uri")).as("source"),
       to_timestamp(col("warc_date")).as("ts"),
-      TextFunctions.htmlTitle(html).as("title"),
+      doc.getField("title").as("title"),
       text.as("text"))
   }
 

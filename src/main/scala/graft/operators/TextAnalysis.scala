@@ -190,8 +190,19 @@ object TextAnalysis {
       stopwords: Seq[String] = DefaultStopwords,
       minChars: Int = 25,
       linkNum: Int = 1, linkDen: Int = 5,
+      stopNum: Int = 1, stopDen: Int = 10): (Column, Column, Column) =
+    mainContentColsFromBlocks(TextFunctions.htmlBlocks(html), stopwords,
+      minChars, linkNum, linkDen, stopNum, stopDen)
+
+  /** [[mainContentCols]] over an already-extracted block array (e.g.
+    * `htmlDoc(html).getField("blocks")` when the title comes from the
+    * same single parse).
+    */
+  def mainContentColsFromBlocks(blocks: Column,
+      stopwords: Seq[String] = DefaultStopwords,
+      minChars: Int = 25,
+      linkNum: Int = 1, linkDen: Int = 5,
       stopNum: Int = 1, stopDen: Int = 10): (Column, Column, Column) = {
-    val blocks = TextFunctions.htmlBlocks(html)
     def keep(b: Column): Column = {
       val mc = TextFunctions.markerCounts(b.getField("text"), Seq(stopwords))
       b.getField("n_chars") >= minChars &&

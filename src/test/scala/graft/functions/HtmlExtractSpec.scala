@@ -128,6 +128,22 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got(2) == ((3L, "", 0L, 0L)), got(2))
   }
 
+  test("htmlDoc: one-parse struct equals the separate title/blocks kernels") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select($"doc_id", concat(lit("<html><head><title>T"), $"doc_id",
+        lit("</title></head><body><div><a href='/'>Nav</a></div><p>"),
+        $"text", lit("</p></body></html>")).as("html"))
+      .limit(50)
+    val combined = docs.select($"doc_id",
+      TextFunctions.htmlDoc($"html").getField("title").as("t"),
+      TextFunctions.htmlDoc($"html").getField("blocks").as("b"))
+    val separate = docs.select($"doc_id",
+      TextFunctions.htmlTitle($"html").as("t"),
+      TextFunctions.htmlBlocks($"html").as("b"))
+    assert(combined.exceptAll(separate).count() == 0)
+    assert(separate.exceptAll(combined).count() == 0)
+  }
+
   test("column path (codegen'd kernel) matches the raw kernel on a full page") {
     val pages = (0 until 64).map { i =>
       (i.toLong,
