@@ -939,6 +939,54 @@ object SamplingQueries {
              |            ELSE text END AS text
              |FROM f
              |ORDER BY doc_id""".stripMargin),
-      doc = "fill-in-the-middle (PSM) transform: hash-selected docs, hash-derived cut points, byte-exact relational replay")
+      doc = "fill-in-the-middle (PSM) transform: hash-selected docs, hash-derived cut points, byte-exact relational replay"),
+
+    // The full WARC→WET job, oracled: documents render as HTML pages
+    // into real per-record-gzip segments; Wet.convert turns the
+    // responses into linked text/plain conversion records written as a
+    // WET segment; reading THAT back must yield the extracted body
+    // text (entity round trip + whitespace law) under conversion-
+    // record framing, with the back-link to the page record intact.
+    Q("doc_wet_roundtrip",
+      (s, dir) => {
+        import graft.sources.warc.Wet
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-wet-in-").toString
+        val wetDir = java.nio.file.Files
+          .createTempDirectory("graft-wet-out-").toString
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        Tables.documents(s, dir).select(
+            concat(lit("<urn:page:"), col("doc_id"), lit(">")).as("record_id"),
+            lit("response").as("record_type"),
+            concat(lit("http://w.ex/p/"), col("doc_id")).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("text/html").as("content_type"),
+            encode(concat(lit("<html><body><p>"), esc,
+              lit("</p></body></html>")), "UTF-8").as("payload"))
+          .write.format("warc").option("compression", "gzip")
+          .mode("append").save(warcDir)
+        Wet.convert(s.read.format("warc").load(warcDir))
+          .write.format("warc").option("compression", "gzip")
+          .mode("append").save(wetDir)
+        s.read.format("warc").load(wetDir)
+          .select(
+            regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("record_type"), col("content_type"),
+            regexp_extract(element_at(col("headers"), "WARC-Refers-To"),
+              "<urn:page:(\\d+)>", 1).cast("long").as("refers_to"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       'conversion' AS record_type,
+             |       'text/plain' AS content_type,
+             |       doc_id AS refers_to,
+             |       trim(regexp_replace(text,
+             |            '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS text
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "WARC->WET conversion job end-to-end: pages -> conversion records -> WET segment read-back, extraction + back-link oracled")
   )
 }
