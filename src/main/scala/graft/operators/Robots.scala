@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *      precedence rule (REP, RFC 9309 §2.2.2). No applicable rule, or
   *      no robots.txt for the host at all, means allowed.
   *
-  * Deliberate simplification, documented: prefix-only matching (the
-  * original 1994 REP); RFC 9309 `*`/`$` wildcards are not expanded.
-  * Agent resolution is exact-token-else-`*` (the two groups real
-  * crawlers publish for).
+  * Matching comes in two grades: the prefix-only 1994 REP forms
+  * ([[verdicts]]/[[verdictsLit]]) and the full RFC 9309 wildcard
+  * forms ([[verdictsWildcard]]/[[verdictsWildcardLit]]; `*` matches
+  * any character run, a trailing `$` anchors the end of the path).
+  * Precedence in both grades is the RFC's "most octets" rule on the
+  * ORIGINAL pattern text, ties to Allow. Agent resolution is
+  * exact-token-else-`*` (the two groups real crawlers publish for).
   *
   * Scale shape: rules are O(hosts) and broadcast; the URL corpus never
   * shuffles — one broadcast join + one partial-aggregated max per URL.
@@ -77,21 +80,31 @@ object Robots {
       .distinct()
   }
 
-  /** Keep the allowed URLs. `urls` keeps all its columns plus an
-    * `allowed` verdict; pass the [[parseRules]] output as `rules`.
+  /** URL → (host minus port, path-or-"/") columns — shared by every
+    * verdict form so the two matching grades can't drift on URL
+    * normalization.
     */
-  def verdicts(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+  private def withUrlParts(urls: DataFrame, urlCol: String): DataFrame = {
     val host = lower(regexp_extract(col(urlCol), "(?i)^https?://([^/]+)", 1))
     val path0 = regexp_replace(col(urlCol), "(?i)^https?://[^/]+", "")
-    val withParts = urls
+    urls
       .withColumn("__host", regexp_replace(host, ":\\d+$", "")) // port off
       .withColumn("__path", when(path0 === "", "/").otherwise(path0))
+  }
+
+  /** The relational verdict core: distinct (url, host, path) ⋈
+    * broadcast rules on host, `applicable` decides rule match, the
+    * winner is max(struct(pattern octets, allow)) — the RFC 9309
+    * precedence (most octets, ties to Allow); URLs with no applicable
+    * rule (or no robots host) coalesce to allowed.
+    */
+  private def relationalVerdicts(urls: DataFrame, urlCol: String,
+      rules: DataFrame, applicable: Column): DataFrame = {
+    val withParts = withUrlParts(urls, urlCol)
     val verdict = withParts
       .select(col(urlCol).as("__u"), col("__host"), col("__path")).distinct()
       .join(broadcast(rules), col("__host") === rules("host"))
-      .filter(col("__path").startsWith(col("prefix")))
-      // longest applicable prefix wins; equal lengths resolve to Allow
-      // (struct max orders by (length, allow))
+      .filter(applicable)
       .groupBy(col("__u"))
       .agg(max(struct(length(col("prefix")).as("l"),
         col("allow").cast("int").as("a"))).getField("a").as("__a"))
@@ -101,8 +114,64 @@ object Robots {
       .drop("__u", "__a", "__host", "__path")
   }
 
+  /** Keep the allowed URLs. `urls` keeps all its columns plus an
+    * `allowed` verdict; pass the [[parseRules]] output as `rules`.
+    */
+  def verdicts(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    relationalVerdicts(urls, urlCol, rules,
+      col("__path").startsWith(col("prefix")))
+
   def filterAllowed(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
     verdicts(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
+
+  /** One RFC 9309 pattern → an anchored regex that the Java and RE2
+    * dialects read identically (escaped literals, `.*`, `^`, `$`
+    * only): `*` matches any character run, a TRAILING `$` is the
+    * end-of-path anchor, everything else — an inner `$` included — is
+    * literal.
+    */
+  private[operators] def wildcardRegex(pat: String): String = {
+    val anchored = pat.endsWith("$")
+    val body = if (anchored) pat.dropRight(1) else pat
+    val esc = body.flatMap {
+      case '*' => ".*"
+      case c if "\\.[]{}()+?^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    "^" + esc + (if (anchored) "$" else "")
+  }
+
+  /** [[wildcardRegex]] as a scan expression over the [[parseRules]]
+    * output, so the relational wildcard form never collects: rules
+    * flow parse → compile → broadcast join entirely in-plan. Adds
+    * `re` (the anchored regex) and `plen` (the ORIGINAL pattern's
+    * octet count — the RFC precedence key; `*`/`$` count, their
+    * expansion doesn't).
+    */
+  def compileWildcardRules(rules: DataFrame): DataFrame = {
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val escaped = regexp_replace(body, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    rules
+      .withColumn("plen", length(col("prefix")))
+      .withColumn("re", concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit(""))))
+  }
+
+  /** Full RFC 9309 matching (`*`/`$` wildcards): same broadcast-join
+    * shape as [[verdicts]] — compiled-regex rule rows are still
+    * O(hosts) — with per-row `regexp_like` as the applicability test.
+    * A pattern with no wildcard compiles to `^<escaped literal>`,
+    * whose regex-prefix match IS startsWith, so this form strictly
+    * subsumes the prefix form (spec-pinned).
+    */
+  def verdictsWildcard(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    relationalVerdicts(urls, urlCol, compileWildcardRules(rules),
+      regexp_like(col("__path"), col("re")))
+
+  def filterAllowedWildcard(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    verdictsWildcard(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
 
   /** Zero-shuffle, streaming-safe verdicts: the rule set (bounded —
     * O(hosts), the same contract that lets [[verdicts]] broadcast)
@@ -116,16 +185,47 @@ object Robots {
     * batch-side too (the relational form stays for rule sets too big
     * to ship as a plan literal).
     */
-  def verdictsLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
-    val byHost: Map[String, Seq[(String, Boolean)]] = rules
+  def verdictsLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    litVerdicts(urls, urlCol, collectByHost(rules, identity),
+      (path, r) => path.startsWith(r.getField("prefix")))
+
+  def filterAllowedLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    verdictsLit(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
+
+  /** Streaming-safe wildcard twin: rules compile to regexes ONCE at
+    * plan build ([[wildcardRegex]]) and ride the plan literal; the
+    * per-row test is `regexp_like` against the pre-sorted array —
+    * element 1 of the applicable filter is still the RFC winner
+    * because the sort key stays the ORIGINAL pattern's octet count.
+    */
+  def verdictsWildcardLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    litVerdicts(urls, urlCol, collectByHost(rules, wildcardRegex),
+      (path, r) => regexp_like(path, r.getField("prefix")))
+
+  def filterAllowedWildcardLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    verdictsWildcardLit(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
+
+  /** Collect the bounded rule set host→rules, RFC-sorted (original
+    * pattern octets desc, Allow first) BEFORE `xform` maps the
+    * pattern (identity for prefix matching, [[wildcardRegex]] for
+    * wildcard matching), so precedence never keys on the expansion.
+    */
+  private def collectByHost(rules: DataFrame,
+      xform: String => String): Map[String, Seq[(String, Boolean)]] =
+    rules
       .select(col("host"), col("prefix"), col("allow"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
       .groupBy(_._1)
       .map { case (h, rs) =>
         h -> rs.map(t => (t._2, t._3)).distinct
-          .sortBy { case (p, a) => (-p.length, !a) }.toSeq
+          .sortBy { case (p, a) => (-p.length, !a) }
+          .map { case (p, a) => (xform(p), a) }.toSeq
       }
+
+  private def litVerdicts(urls: DataFrame, urlCol: String,
+      byHost: Map[String, Seq[(String, Boolean)]],
+      matches: (Column, Column) => Column): DataFrame = {
     val ruleMap: Column =
       if (byHost.isEmpty) // typed null: bare map() is map<string,void>
         lit(null).cast("map<string,array<struct<prefix:string,allow:boolean>>>")
@@ -140,13 +240,9 @@ object Robots {
     val path0 = regexp_replace(col(urlCol), "(?i)^https?://[^/]+", "")
     val path = when(path0 === "", "/").otherwise(path0)
     val hostRules = element_at(ruleMap, host)
-    val applicable = filter(hostRules,
-      r => path.startsWith(r.getField("prefix")))
+    val applicable = filter(hostRules, r => matches(path, r))
     urls.withColumn("allowed",
       when(hostRules.isNull || size(applicable) === 0, lit(true))
         .otherwise(element_at(applicable, 1).getField("allow")))
   }
-
-  def filterAllowedLit(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
-    verdictsLit(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
 }

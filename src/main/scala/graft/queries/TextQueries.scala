@@ -1762,6 +1762,69 @@ object TextQueries {
              |ORDER BY u.doc_id""".stripMargin),
       doc = "robots.txt compliance filter: relational group parse + broadcast longest-prefix verdicts (Allow ties, fallthrough-allowed), end-to-end verdict oracle"),
 
+    // RFC 9309 WILDCARD matching ('*' spans any chars, trailing '$'
+    // anchors the path end) — the rule grammar real robots files use
+    // ("Disallow: /*.pdf$"). The Spark side parses the planted bodies,
+    // compiles patterns to anchored regexes IN-PLAN
+    // (Robots.compileWildcardRules), and resolves precedence on the
+    // ORIGINAL pattern's octet count; the oracle pins the compiled
+    // rule table (the translation itself is golden-pinned in
+    // RobotsSpec) and replays the end-to-end verdicts with RE2. The
+    // URL corpus plants every interesting shape: both-rules-match
+    // (longer Allow wins), anchor hit vs near-miss ('.pdf' vs
+    // '.pdfz'), mid-pattern '*' spanning slashes, a blanket
+    // wildcard-free Disallow, and a host with no robots at all.
+    Q("doc_robots_wildcard",
+      (s, dir) => {
+        import graft.operators.Robots
+        import s.implicits._
+        val robots = Seq(
+          ("h0.wx", "User-agent: *\nDisallow: /*.pdf$\nAllow: /files/ok*"),
+          ("h1.wx", "User-agent: *\nDisallow: /files/*/tmp"),
+          ("h2.wx", "User-agent: *\nDisallow: /")
+        ).toDF("host", "text")
+        val rules = Robots.parseRules(robots, "host", "text", "graftbot")
+        val urls = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(4)), lit(".wx"),
+            element_at(array(
+              concat(lit("/files/ok"), col("doc_id"), lit(".pdf")),
+              concat(lit("/files/no"), col("doc_id"), lit(".pdf")),
+              concat(lit("/files/a/tmp/"), col("doc_id")),
+              concat(lit("/d/"), col("doc_id"), lit(".pdfz")),
+              concat(lit("/page/"), col("doc_id"))),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("url"))
+        Robots.verdictsWildcard(urls, "url", rules)
+          .select(col("doc_id"), col("url"), col("allowed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         'h' || CAST(doc_id % 4 AS VARCHAR) || '.wx' AS host,
+             |         CASE doc_id % 5
+             |              WHEN 0 THEN '/files/ok' || CAST(doc_id AS VARCHAR) || '.pdf'
+             |              WHEN 1 THEN '/files/no' || CAST(doc_id AS VARCHAR) || '.pdf'
+             |              WHEN 2 THEN '/files/a/tmp/' || CAST(doc_id AS VARCHAR)
+             |              WHEN 3 THEN '/d/' || CAST(doc_id AS VARCHAR) || '.pdfz'
+             |              ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS path
+             |  FROM documents),
+             |r AS (SELECT * FROM (VALUES
+             |        ('h0.wx', '^/.*\.pdf$', 7, false),
+             |        ('h0.wx', '^/files/ok.*', 10, true),
+             |        ('h1.wx', '^/files/.*/tmp', 12, false),
+             |        ('h2.wx', '^/', 1, false)) AS t(host, re, plen, allow)),
+             |v AS (SELECT u.doc_id, r.allow,
+             |             row_number() OVER (PARTITION BY u.doc_id
+             |               ORDER BY r.plen DESC, r.allow DESC) AS rn
+             |      FROM u JOIN r ON r.host = u.host
+             |      WHERE regexp_matches(u.path, r.re))
+             |SELECT u.doc_id,
+             |       'http://' || u.host || u.path AS url,
+             |       coalesce(v.allow, true) AS allowed
+             |FROM u LEFT JOIN (SELECT doc_id, allow FROM v WHERE rn = 1) v
+             |       USING (doc_id)
+             |ORDER BY u.doc_id""".stripMargin),
+      doc = "RFC 9309 wildcard robots matching: in-plan pattern->regex compile, octet-count precedence, end-to-end verdict oracle over planted wildcard policies"),
+
     // The WHOLE crawl-side pipeline as one oracled call: documents
     // render as full pages (title, link-dense nav, escaped content,
     // boilerplate), land in a real per-record-gzip WARC TOGETHER WITH

@@ -95,4 +95,80 @@ class RobotsSpec extends SparkSpec {
       .as[(String, String, Boolean)].collect().toSet
     assert(rules == Set(("x.ex", "/late", false)))
   }
+
+  test("wildcardRegex: compile goldens — '*' expands, trailing '$' anchors, " +
+      "metachars and inner '$' stay literal") {
+    assert(Robots.wildcardRegex("/a*b.c$") == "^/a.*b\\.c$")
+    assert(Robots.wildcardRegex("/*.pdf$") == "^/.*\\.pdf$")
+    assert(Robots.wildcardRegex("/plain") == "^/plain")
+    assert(Robots.wildcardRegex("/q?x=(1)|[2]{3}+^") ==
+      "^/q\\?x=\\(1\\)\\|\\[2\\]\\{3\\}\\+\\^")
+    // a '$' that is NOT the last char is a literal dollar, not an anchor
+    assert(Robots.wildcardRegex("/pa$th*") == "^/pa\\$th.*")
+    // and the relational compiler produces the SAME strings
+    val pats = Seq("/a*b.c$", "/*.pdf$", "/plain", "/q?x=(1)|[2]{3}+^",
+      "/pa$th*")
+    val rel = Robots.compileWildcardRules(
+        pats.map(p => ("h.ex", p, false)).toDF("host", "prefix", "allow"))
+      .select($"prefix", $"re").as[(String, String)].collect().toMap
+    pats.foreach(p => assert(rel(p) == Robots.wildcardRegex(p),
+      s"relational compile of '$p': ${rel(p)}"))
+  }
+
+  test("verdictsWildcard: '$' anchors, '*' spans, precedence counts the " +
+      "original pattern's octets, ties to Allow") {
+    val rules = Seq(
+      ("w.ex", "/*.pdf$", false),     // 7 octets
+      ("w.ex", "/files/ok*", true),   // 10 octets — beats the disallow
+      ("w.ex", "/dl/*/tmp", false),
+      // octet-count precedence between two wildcard rules
+      ("w.ex", "/t/*x$", true),
+      ("w.ex", "/t/*$", false)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      "http://w.ex/files/ok1.pdf",  // both match → Allow is longer
+      "http://w.ex/files/no1.pdf",  // only the pdf disallow
+      "http://w.ex/files/no1.pdfz", // '$' anchor: no match → allowed
+      "http://w.ex/dl/a/b/tmp/x",   // '*' spans slashes (RFC: any chars)
+      "http://w.ex/t/zzx",          // "/t/*x$" (6) beats "/t/*$" (5) → Allow
+      "http://w.ex/t/zzq"           // only "/t/*$" → Disallow
+    ).toDF("url")
+    val got = Robots.verdictsWildcard(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    assert(got("http://w.ex/files/ok1.pdf"))
+    assert(!got("http://w.ex/files/no1.pdf"))
+    assert(got("http://w.ex/files/no1.pdfz"))
+    assert(!got("http://w.ex/dl/a/b/tmp/x"))
+    assert(got("http://w.ex/t/zzx"))
+    assert(!got("http://w.ex/t/zzq"))
+  }
+
+  test("wildcard forms subsume the prefix forms on wildcard-free rules, " +
+      "and the plan-literal twin agrees and stays exchange-free") {
+    val rules = Robots.parseRules(robots, "host", "text", agent = "graftbot")
+      .unionByName(Seq(("t.ex", "/p", true), ("t.ex", "/p", false),
+        ("w.ex", "/*.pdf$", false), ("w.ex", "/files/ok*", true))
+        .toDF("host", "prefix", "allow"))
+    val urls = Seq(
+      "http://h.ex/private/ok/a", "http://h.ex/private/b",
+      "http://h.ex:8080/private/c", "http://h.ex/else", "http://h.ex",
+      "http://t.ex/p/x", "http://nowhere.ex/a",
+      "http://w.ex/files/ok1.pdf", "http://w.ex/x.pdf", "http://w.ex/x.pdfz"
+    ).toDF("url")
+    val wild = Robots.verdictsWildcard(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    // prefix-rule subset: identical verdicts to the prefix matcher
+    val prefixOnly = Robots.verdicts(urls, "url",
+        rules.filter($"host" =!= "w.ex"))
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    prefixOnly.keys.filterNot(_.startsWith("http://w.ex")).foreach { u =>
+      assert(wild(u) == prefixOnly(u), s"subsumption broke on $u")
+    }
+    val litw = Robots.verdictsWildcardLit(urls, "url", rules)
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    assert(litw == wild, s"lit=$litw rel=$wild")
+    val plan = Robots.verdictsWildcardLit(urls, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
