@@ -100,6 +100,56 @@ object CrawlPipeline {
     project(allowed, s)
   }
 
+  /** Per-host crawl-rate ("politeness") accounting from the fetch
+    * timestamps the WARC records already carry — the audit artifact a
+    * crawl operator publishes (did we hammer anyone?) and the input to
+    * per-host rate caps on the next crawl. Output per host:
+    * `n_fetches`, `first_s`/`last_s` (epoch seconds), `min_gap_s`
+    * (smallest inter-fetch gap), `mean_gap_s` (fetch-span / (n−1) —
+    * the telescoped mean, no window needed), `max_per_minute` (the
+    * busiest minute's fetch count).
+    *
+    * Scale shape: the naive form — one window over each host's full
+    * fetch history — serializes a whale host (10⁸ fetches) into one
+    * sort task. Instead the adjacent-gap scan runs HIERARCHICALLY:
+    * sort within (host, minute) buckets (bounded by the per-minute
+    * fetch ceiling, exactly what politeness bounds), then one tiny
+    * per-host pass over bucket summaries (O(minutes) rows) for the
+    * boundary gaps; min over both levels is exact because every
+    * adjacent pair is either intra-bucket or a bucket boundary. The
+    * bucket width is the skew knob — a host violating politeness so
+    * hard that one MINUTE overflows a task is the finding, not a
+    * performance bug.
+    */
+  def hostFetchStats(records: DataFrame, urlCol: String = "target_uri",
+      dateCol: String = "warc_date"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fetches = records.select(hostOf(col(urlCol)).as("host"),
+        unix_timestamp(to_timestamp(col(dateCol))).as("t"))
+      .filter(col("host") =!= "" && col("t").isNotNull)
+      .withColumn("b", expr("t div 60"))
+    val inBucket = Window.partitionBy(col("host"), col("b")).orderBy(col("t"))
+    val buckets = fetches
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(inBucket))
+      .groupBy(col("host"), col("b"))
+      .agg(count(lit(1)).as("nb"), min(col("t")).as("tmin"),
+        max(col("t")).as("tmax"), min(col("gap")).as("gmin"))
+    val byBucket = Window.partitionBy(col("host")).orderBy(col("b"))
+    buckets
+      .withColumn("bgap", col("tmin") - lag(col("tmax"), 1).over(byBucket))
+      .groupBy(col("host"))
+      .agg(sum(col("nb")).as("n_fetches"), min(col("tmin")).as("first_s"),
+        max(col("tmax")).as("last_s"),
+        least(min(col("gmin")), min(col("bgap"))).as("min_gap_s"),
+        max(col("nb")).as("max_per_minute"))
+      .withColumn("mean_gap_s",
+        when(col("n_fetches") > 1, round(
+          (col("last_s") - col("first_s")) /
+            (col("n_fetches") - 1).cast("double"), 6)))
+      .select(col("host"), col("n_fetches"), col("first_s"), col("last_s"),
+        col("min_gap_s"), col("mean_gap_s"), col("max_per_minute"))
+  }
+
   /** Streaming twin: the SAME projection chain over
     * `spark.readStream.format("warc")` records, with a STATIC
     * pre-parsed rule set (a stream cannot parse its own robots

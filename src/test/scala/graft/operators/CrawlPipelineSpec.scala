@@ -99,4 +99,52 @@ class CrawlPipelineSpec extends SparkSpec {
       .select($"text").as[String].head()
     assert(t.startsWith("Home About\n"), t.take(30)) // nav text retained
   }
+
+  test("hostFetchStats: hand-computed gaps incl. a CROSS-BUCKET min, " +
+      "same-second ties, and a single-fetch host") {
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond
+    def rec(host: String, sec: Long) = (
+      s"http://$host/p/$sec",
+      java.time.Instant.ofEpochSecond(base + sec).toString)
+    // host a: minute buckets [0,5,59] | [61] | [180]; the smallest
+    // adjacent gap (61-59=2) STRADDLES a bucket boundary
+    val recs = (Seq(0L, 5L, 59L, 61L, 180L).map(rec("a.ex", _)) ++
+        Seq(rec("b.ex", 7L)) ++
+        Seq(rec("c.ex", 10L), rec("c.ex", 10L), rec("c.ex", 40L)))
+      .toDF("target_uri", "warc_date")
+    val got = CrawlPipeline.hostFetchStats(recs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a.ex")
+    assert(a.getLong(1) == 5 && a.getLong(2) == base &&
+      a.getLong(3) == base + 180)
+    assert(a.getLong(4) == 2, s"cross-bucket min gap: ${a.getLong(4)}")
+    assert(a.getDouble(5) == 45.0 && a.getLong(6) == 3)
+    val b = got("b.ex")
+    assert(b.getLong(1) == 1 && b.isNullAt(4) && b.isNullAt(5) &&
+      b.getLong(6) == 1)
+    val c = got("c.ex") // two fetches in the SAME second → gap 0
+    assert(c.getLong(4) == 0 && c.getLong(6) == 3)
+  }
+
+  test("hostFetchStats: hierarchical min-gap == naive full-history window " +
+      "on a dense deterministic log") {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond
+    val recs = (0 until 400).map { i =>
+      val sec = (i * 173) % 3600 + (i % 3) // collisions + near-ties
+      (s"http://h${i % 5}.ex/p/$i",
+        java.time.Instant.ofEpochSecond(base + sec).toString)
+    }.toDF("target_uri", "warc_date")
+    val naive = recs.select(
+        lower(regexp_extract($"target_uri", "(?i)^https?://([^/:]+)", 1))
+          .as("host"),
+        unix_timestamp(to_timestamp($"warc_date")).as("t"))
+      .withColumn("gap",
+        $"t" - lag($"t", 1).over(Window.partitionBy($"host").orderBy($"t")))
+      .groupBy($"host").agg(min($"gap").as("min_gap_s"))
+      .as[(String, Long)].collect().toMap
+    val got = CrawlPipeline.hostFetchStats(recs)
+      .select($"host", $"min_gap_s").as[(String, Long)].collect().toMap
+    assert(got == naive, s"got=$got naive=$naive")
+  }
 }
