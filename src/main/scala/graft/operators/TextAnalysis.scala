@@ -642,6 +642,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Fielded ("BM25F", Robertson et al. 2004, simple form) top-k
+    * retrieval — the classic two-field web ranking: what a page SAYS
+    * (body) weighted against what the web says ABOUT it (anchor
+    * text). Each field's term frequency is length-normalized by that
+    * FIELD's own average length, scaled by the field weight, and the
+    * weighted pseudo-tf saturates ONCE:
+    *
+    *   x(t,d) = Σ_f w_f · tf_f / ((1−b) + b·len_f(d)/avglen_f)
+    *   score(d) = Σ_t idf(t) · x·(k1+1)/(k1 + x)
+    *
+    * so a term hit in a short high-weight anchor profile outranks the
+    * same hit diluted in a long body — the behavior per-field-BM25-
+    * then-add gets wrong (it saturates each field separately). idf
+    * counts docs containing the term in ANY field. With one field of
+    * weight 1 this reduces algebraically to [[bm25TopK]]'s formula
+    * (spec-pinned to 1e-9).
+    *
+    * Scale shape: same as [[bm25TopK]] per field — postings explode
+    * filtered to the query terms, per-field length scalars from one
+    * exact integer aggregate each, df/corpus-size broadcast; the
+    * per-(doc, term) field pivot is a max-of-when over the tagged
+    * union (each (doc, field, term) row lands in exactly one slot, so
+    * the pseudo-tf sums in DECLARED field order — deterministic
+    * doubles at any field count); global top-k is TakeOrdered on the
+    * rounded score.
+    */
+  def bm25FieldedTopK(docs: DataFrame, idCol: String,
+      fields: Seq[(String, Double)], queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tokenized = fields.zipWithIndex.map { case ((c, _), i) =>
+      docs.select(col(idCol), lit(i).as("__f"),
+        TextFunctions.words(col(c)).as("__w"))
+    }.reduce(_ unionByName _)
+    val dl = tokenized.select(col(idCol), col("__f"), size(col("__w")).as("__dl"))
+    // one exact-integer aggregate PER FIELD: corpus size + token total
+    val stats = dl.groupBy(col("__f"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val tf = tokenized
+      .select(col(idCol), col("__f"), explode(col("__w")).as("__t"))
+      .filter(col("__t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__f"), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.select(col(idCol), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val weight = coalesce(fields.zipWithIndex.map { case ((_, w), i) =>
+      when(col("__f") === i, lit(w)) }: _*)
+    val wtf = tf.join(dl, Seq(idCol, "__f"))
+      .join(broadcast(stats), Seq("__f"))
+      .withColumn("__wtf",
+        weight * col("__tf") / (lit(1.0 - b) +
+          lit(b) * col("__dl") / (col("__tot").cast("double") / col("__n"))))
+    val slots = fields.indices.map(i =>
+      max(when(col("__f") === i, col("__wtf"))).as(s"__x$i"))
+    val byTerm = wtf.groupBy(col(idCol), col("__t"))
+      .agg(slots.head, slots.tail: _*)
+    val x = fields.indices.map(i => coalesce(col(s"__x$i"), lit(0.0)))
+      .reduce(_ + _)
+    byTerm
+      .join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats.filter(col("__f") === 0)
+        .select(col("__n").as("__nd"))))
+      .withColumn("__x", x)
+      .withColumn("__contrib",
+        log(lit(1.0) + (col("__nd") - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          col("__x") * lit(k1 + 1.0) / (lit(k1) + col("__x")))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Apply a learned BPE merge list ([[bpeTrainMerges]] output order):
     * each word starts as characters and replays the merges in rank
     * order — the standard greedy left-to-right application. One narrow

@@ -337,6 +337,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 == Seq(expected.head._1))
   }
 
+  test("bm25FieldedTopK: hand-computed two-field scores — a short " +
+      "high-weight anchor hit outranks a body hit, any-field df") {
+    // query {x}; fields body (w=1) + anchor (w=2). doc 1 has x in a
+    // long body, doc 2 ONLY in its short anchor profile, doc 3 never.
+    // N=3; df(x)=2 counts doc 2's anchor-only hit; avg body len 12/3,
+    // avg anchor len 4/3 (the empty profile tokenizes to one "" token,
+    // same as the catalog query's coalesce('')).
+    val docs = Seq(
+      (1L, "x a b c d e f g", ""),
+      (2L, "a b", "x y"),
+      (3L, "p q", "")).toDF("doc_id", "text", "anchor")
+    val got = TextAnalysis.bm25FieldedTopK(docs, "doc_id",
+        Seq(("text", 1.0), ("anchor", 2.0)), Seq("x"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def score(x: Double): Double = {
+      val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+      val raw = idf * x * (1.2 + 1.0) / (1.2 + x)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val x1 = 1.0 * 1L / ((1.0 - 0.75) + 0.75 * 8L / (12L.toDouble / 3L)) + 0.0
+    val x2 = 0.0 + 2.0 * 1L / ((1.0 - 0.75) + 0.75 * 2L / (4L.toDouble / 3L))
+    assert(got.toSeq == Seq(2L -> score(x2), 1L -> score(x1)),
+      got.toSeq.toString) // anchor-boosted doc 2 wins; doc 3 absent
+  }
+
+  test("bm25FieldedTopK with one weight-1 field reduces to bm25TopK") {
+    val docs = Seq(
+      (1L, "x y x z"),
+      (2L, "x y"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val plain = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val fielded = TextAnalysis.bm25FieldedTopK(docs, "doc_id",
+        Seq(("text", 1.0)), Seq("x"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    // algebraically identical; round(,6) absorbs the operand regrouping
+    assert(fielded == plain, s"fielded=$fielded plain=$plain")
+  }
+
   test("classifierScore: independent reimplementation, bigram toggle, empty text") {
     // independent scorer: BigInt Rabin–Karp (base 131, mod 2^61−1) over
     // UTF-8 bytes + the IdHash reference function — same spec the
