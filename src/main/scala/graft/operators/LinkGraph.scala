@@ -41,10 +41,22 @@ object LinkGraph {
     * lineage stays one round deep. The iteration count is a small
     * constant (3–20 in practice), not a fixpoint hunt — no
     * convergence-witness machinery needed.
+    *
+    * INCREMENTAL refresh: pass `init` = a previous run's (node, rank)
+    * output to warm-start after an edge diff ([[Upsert.mergeLatest]]
+    * over keyed edge rows is the diff applier) — a few delta rounds
+    * from the old fixpoint replace a full cold recompute. Nodes new
+    * to the graph seed at `scale`; nodes gone from the graph drop
+    * (the node set always comes from the CURRENT edges). Integer
+    * exactness makes the warm path auditable: N cold rounds ≡ M cold
+    * rounds + (N−M) warm rounds, bit-for-bit (spec-pinned), so a
+    * relational oracle replays incremental refreshes the same way it
+    * replays cold ones.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= dampNum <= dampDen")
@@ -74,7 +86,14 @@ object LinkGraph {
     val nodes = eo.select(col("src").as("node"))
       .unionByName(eo.select(col("dst").as("node"))).distinct().persist()
     val base = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.select(col("node"), lit(scale).as("rank")).persist()
+    var ranks = (init match {
+      case Some(prior) =>
+        val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
+          prior.select(col("node"), col("rank").as("__r0")))
+        nodes.join(p, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__r0"), lit(scale)).as("rank"))
+      case None => nodes.select(col("node"), lit(scale).as("rank"))
+    }).persist()
     ranks.count()
     var it = 0
     while (it < iterations) {

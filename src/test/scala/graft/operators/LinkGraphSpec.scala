@@ -55,6 +55,39 @@ class LinkGraphSpec extends SparkSpec {
     assert(dup == ref)
   }
 
+  test("warm start composes exactly: N cold rounds == M cold + (N-M) warm") {
+    val e = edges.toDF("src", "dst")
+    val cold3 = LinkGraph.pageRankInt(e, "src", "dst", iterations = 3,
+      scale = 1000L).as[(String, Long)].collect().toMap
+    val cold2 = LinkGraph.pageRankInt(e, "src", "dst", iterations = 2,
+      scale = 1000L)
+    val warm1 = LinkGraph.pageRankInt(e, "src", "dst", iterations = 1,
+        scale = 1000L, init = Some(cold2))
+      .as[(String, Long)].collect().toMap
+    assert(warm1 == cold3, s"warm=$warm1 cold=$cold3")
+  }
+
+  test("warm start after an edge diff: new nodes seed at scale, " +
+      "removed-src nodes keep only inbound rank, dropped nodes vanish") {
+    val prior = LinkGraph.pageRankInt(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 2, scale = 1000L)
+    // diff: D's outlink is gone AND D has no inbound → D drops from
+    // the graph; a brand-new node E links into C
+    val e2 = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("E", "C"))
+      .toDF("src", "dst")
+    val got = LinkGraph.pageRankInt(e2, "src", "dst", iterations = 1,
+        scale = 1000L, init = Some(prior))
+      .as[(String, Long)].collect().toMap
+    // prior (2 cold rounds): A=2083 B=575 C=1191 D=150; E seeds at 1000
+    // round: out A=2 B=1 C=1 E=1
+    // A' = 150 + 85*1191 div 100 = 1162
+    // B' = 150 + 85*(2083 div 2) div 100 = 1034  (floor at 1041, then 884)
+    // C' = 150 + 85*(1041+575+1000) div 100 = 2373
+    // E' = 150 (no inbound)
+    assert(got == Map("A" -> 1162L, "B" -> 1034L, "C" -> 2373L, "E" -> 150L),
+      got.toString)
+  }
+
   test("documented variant: dangling mass drains instead of redistributing") {
     // B has no outlinks: its rank contributes nothing, so total mass
     // strictly decreases — the documented drop-dangling behavior
