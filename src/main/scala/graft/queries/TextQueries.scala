@@ -1663,6 +1663,105 @@ object TextQueries {
              |ORDER BY node""".stripMargin),
       doc = "host-level PageRank quality prior: real anchor extraction -> distinct host edges -> 3 integer-exact damped rounds, iteration-replay oracle"),
 
+    // INCREMENTAL PageRank refresh — the nightly-crawl shape: 3 cold
+    // rounds establish ranks, then an edge DIFF applies through the
+    // keyed MERGE (Upsert.mergeLatest: one host's outlinks retract as
+    // dead rows, five hosts gain links to a brand-new hub) and TWO
+    // warm rounds run from the old ranks instead of a full recompute
+    // (new node seeds at scale, integer exactness end to end). The
+    // oracle replays everything: 3 cold CTE layers, the closed-form
+    // merged edge set, the warm seed join, 2 more layers.
+    Q("doc_link_pagerank_delta",
+      (s, dir) => {
+        import graft.operators.{LinkGraph, Upsert}
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val e1 = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+          .distinct()
+        val prior = LinkGraph.pageRankInt(e1, "src", "dst", iterations = 3)
+        val key = concat_ws(">", col("src"), col("dst"))
+        val base = e1.select(col("src"), col("dst"), key.as("ek"),
+          lit(1L).as("v"), lit(true).as("alive"))
+        val retract = e1.filter(col("src") === "h3.example")
+          .select(col("src"), col("dst"), key.as("ek"),
+            lit(2L).as("v"), lit(false).as("alive"))
+        val adds = docs
+          .select(host(pmod(col("doc_id"), lit(5))).as("src"),
+            lit("hub.example").as("dst")).distinct()
+          .select(col("src"), col("dst"), key.as("ek"),
+            lit(2L).as("v"), lit(true).as("alive"))
+        val e2 = Upsert
+          .mergeLatest(base, retract.unionByName(adds), "ek", "v", col("alive"))
+          .select(col("src"), col("dst"))
+        LinkGraph.pageRankInt(e2, "src", "dst", iterations = 2,
+            init = Some(prior))
+          .withColumnRenamed("rank", "pr")
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s3.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s3 USING (node)),
+             |e2 AS (SELECT src, dst FROM e WHERE src <> 'h3.example'
+             |       UNION
+             |       SELECT DISTINCT
+             |              'h' || CAST(doc_id % 5 AS VARCHAR) || '.example',
+             |              'hub.example'
+             |       FROM documents),
+             |o2 AS (SELECT src, count(*) AS outd FROM e2 GROUP BY src),
+             |n2 AS (SELECT DISTINCT src AS node FROM e2
+             |       UNION SELECT DISTINCT dst FROM e2),
+             |w0 AS (SELECT n2.node, coalesce(r3.pr, 1000000000000) AS pr
+             |       FROM n2 LEFT JOIN r3 USING (node)),
+             |s4 AS (SELECT e2.dst AS node, sum(w0.pr // o2.outd) AS s
+             |       FROM e2 JOIN o2 USING (src) JOIN w0 ON w0.node = e2.src
+             |       GROUP BY e2.dst),
+             |r4 AS (SELECT n2.node,
+             |              150000000000 + (85 * coalesce(s4.s, 0)) // 100 AS pr
+             |       FROM n2 LEFT JOIN s4 USING (node)),
+             |s5 AS (SELECT e2.dst AS node, sum(r4.pr // o2.outd) AS s
+             |       FROM e2 JOIN o2 USING (src) JOIN r4 ON r4.node = e2.src
+             |       GROUP BY e2.dst),
+             |r5 AS (SELECT n2.node,
+             |              150000000000 + (85 * coalesce(s5.s, 0)) // 100 AS pr
+             |       FROM n2 LEFT JOIN s5 USING (node))
+             |SELECT node, CAST(pr AS BIGINT) AS pr
+             |FROM r5
+             |ORDER BY node""".stripMargin),
+      doc = "incremental PageRank: keyed-MERGE edge diff (retractions + additions), warm-start delta rounds from prior ranks, full cold+diff+warm iteration-replay oracle"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
@@ -1705,6 +1804,78 @@ object TextQueries {
              |FROM l GROUP BY dst_host
              |ORDER BY dst_host""".stripMargin),
       doc = "anchor-text profile per target host: real (href, visible text) pairs from the parse, host-keyed partial aggregation"),
+
+    // Anchor text as a RETRIEVAL field — the classic two-field web
+    // ranking (body + what inlinks say about the page) as one BM25F
+    // scorer. Each doc's anchor profile assembles from the planted
+    // link structure (source docs describe their target with their own
+    // leading words), the profile joins the page text as a second
+    // field at weight 2, and the fielded scorer length-normalizes per
+    // field BEFORE one shared saturation — so an anchor hit in a short
+    // profile outranks the same term diluted in a long body. The
+    // oracle replays the whole chain (profile assembly, per-field
+    // stats, any-field df, the exact double expression tree) in SQL.
+    Q("doc_anchor_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val anchors = docs.select(
+          pmod(col("doc_id") * 7 + 1, lit(97)).as("tgt"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("atext"))
+        val profile = anchors.groupBy(col("tgt"))
+          .agg(concat_ws(" ", array_sort(collect_list(col("atext"))))
+            .as("anchor_text"))
+        val fielded = docs.join(profile, docs("doc_id") === profile("tgt"),
+            "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("anchor_text"), lit("")).as("anchor_text"))
+        TextAnalysis.bm25FieldedTopK(fielded, "doc_id",
+          Seq(("text", 1.0), ("anchor_text", 2.0)),
+          Seq("vector", "stream", "spark"), k = 15)
+      },
+      Some("""WITH anch AS (
+             |  SELECT (7 * doc_id + 1) % 97 AS tgt,
+             |         array_to_string(list_slice(string_split(text, ' '), 1, 3),
+             |                         ' ') AS atext
+             |  FROM documents),
+             |prof AS (
+             |  SELECT tgt, array_to_string(list_sort(list(atext)), ' ')
+             |           AS anchor_text
+             |  FROM anch GROUP BY tgt),
+             |d AS (
+             |  SELECT doc_id, text, coalesce(prof.anchor_text, '') AS anchor
+             |  FROM documents LEFT JOIN prof ON documents.doc_id = prof.tgt),
+             |toks AS (
+             |  SELECT doc_id, 0 AS f, string_split(text, ' ') AS w FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 1, string_split(anchor, ' ') FROM d),
+             |dl AS (SELECT doc_id, f, len(w) AS dl FROM toks),
+             |st AS (SELECT f, count(*) AS n, sum(dl) AS tot FROM dl GROUP BY f),
+             |tf AS (SELECT doc_id, f, t, count(*) AS tf
+             |       FROM (SELECT doc_id, f, unnest(w) AS t FROM toks)
+             |       WHERE t IN ('vector', 'stream', 'spark')
+             |       GROUP BY doc_id, f, t),
+             |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+             |wtf AS (
+             |  SELECT tf.doc_id, tf.f, tf.t,
+             |         (CASE tf.f WHEN 0 THEN 1.0 ELSE 2.0 END) * tf.tf
+             |           / ((1.0 - 0.75)
+             |              + 0.75 * dl.dl / (CAST(st.tot AS DOUBLE) / st.n))
+             |           AS wtf
+             |  FROM tf JOIN dl USING (doc_id, f) JOIN st USING (f)),
+             |x AS (SELECT doc_id, t,
+             |             coalesce(max(CASE WHEN f = 0 THEN wtf END), 0.0)
+             |             + coalesce(max(CASE WHEN f = 1 THEN wtf END), 0.0) AS x
+             |      FROM wtf GROUP BY doc_id, t),
+             |nd AS (SELECT n AS nd FROM st WHERE f = 0),
+             |sc AS (SELECT x.doc_id,
+             |              ln(1.0 + (nd.nd - dfq.df + 0.5) / (dfq.df + 0.5))
+             |                * x.x * (1.2 + 1.0) / (1.2 + x.x) AS contrib
+             |       FROM x JOIN dfq USING (t) CROSS JOIN nd)
+             |SELECT doc_id, round(sum(contrib), 6) AS score
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin),
+      doc = "anchor text as a retrieval field: BM25F two-field ranking (body weight 1, inlink anchor profile weight 2), per-field normalization, one shared saturation, any-field df"),
 
     // robots.txt compliance filtering: four hosts publish REAL robots
     // bodies (agent-specific group with Allow-override, '*' group with
@@ -1824,6 +1995,52 @@ object TextQueries {
              |       USING (doc_id)
              |ORDER BY u.doc_id""".stripMargin),
       doc = "RFC 9309 wildcard robots matching: in-plan pattern->regex compile, octet-count precedence, end-to-end verdict oracle over planted wildcard policies"),
+
+    // Per-host crawl-rate accounting (the politeness audit): fetch
+    // timestamps plant as a closed form of doc_id, so both engines
+    // reproduce per-host fetch counts, span, smallest inter-fetch gap,
+    // telescoped mean gap, and the busiest-minute ceiling. The Spark
+    // side computes the adjacent-gap min HIERARCHICALLY (sort within
+    // (host, minute), then a per-host pass over bucket summaries) —
+    // the whale-host-safe shape — while the oracle uses the naive
+    // full-history window, so the decomposition's exactness is what
+    // the hash compare checks.
+    Q("doc_host_politeness",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val recs = Tables.documents(s, dir).select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 37) % 9999)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        CrawlPipeline.hostFetchStats(recs).orderBy(col("host"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |         CAST(epoch(TIMESTAMP '2026-02-01 00:00:00'
+             |              + to_seconds(CAST(doc_id * 37 % 9999 AS BIGINT)))
+             |              AS BIGINT) AS t
+             |  FROM documents),
+             |g AS (SELECT host, t,
+             |             t - lag(t) OVER (PARTITION BY host ORDER BY t) AS gap
+             |      FROM f),
+             |m AS (SELECT host, t // 60 AS b, count(*) AS nb
+             |      FROM f GROUP BY host, t // 60),
+             |mb AS (SELECT host, max(nb) AS max_per_minute FROM m GROUP BY host),
+             |a AS (SELECT host, count(*) AS n_fetches, min(t) AS first_s,
+             |             max(t) AS last_s, min(gap) AS min_gap_s
+             |      FROM g GROUP BY host)
+             |SELECT a.host, a.n_fetches, a.first_s, a.last_s, a.min_gap_s,
+             |       CASE WHEN a.n_fetches > 1 THEN
+             |         round(CAST(a.last_s - a.first_s AS DOUBLE)
+             |               / (a.n_fetches - 1), 6)
+             |       END AS mean_gap_s,
+             |       mb.max_per_minute
+             |FROM a JOIN mb USING (host)
+             |ORDER BY host""".stripMargin),
+      doc = "per-host crawl-rate/politeness audit: fetch count, span, min/mean inter-fetch gap (hierarchical whale-safe min), busiest-minute ceiling"),
 
     // The WHOLE crawl-side pipeline as one oracled call: documents
     // render as full pages (title, link-dense nav, escaped content,
