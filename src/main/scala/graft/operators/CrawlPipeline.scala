@@ -150,6 +150,43 @@ object CrawlPipeline {
         col("min_gap_s"), col("mean_gap_s"), col("max_per_minute"))
   }
 
+  /** Streaming politeness monitor — the live form of
+    * [[hostFetchStats]]'s busiest-minute ceiling: per-(host, minute)
+    * fetch counts over a WARC `readStream`, watermarked so state for
+    * closed minutes is dropped (bounded by active-hosts ×
+    * watermark-minutes, not crawl length). Alert-side consumers join
+    * this against per-host rate caps while the crawl is still
+    * running, instead of discovering a hammered host in the
+    * post-crawl audit. Pure keyed windowed count — partial-aggregated
+    * map-side, and the same expression runs unchanged on a batch
+    * relation (the watermark is a no-op there; spec-pinned twin).
+    */
+  def fetchRateByMinute(records: DataFrame, urlCol: String = "target_uri",
+      dateCol: String = "warc_date",
+      watermark: String = "10 minutes"): DataFrame =
+    records.select(hostOf(col(urlCol)).as("host"),
+        to_timestamp(col(dateCol)).as("__ts"))
+      .filter(col("host") =!= "" && col("__ts").isNotNull)
+      .withWatermark("__ts", watermark)
+      .groupBy(col("host"), window(col("__ts"), "1 minute").as("__w"))
+      .agg(count(lit(1)).as("n_fetches"))
+      .select(col("host"), col("__w.start").as("minute_start"),
+        col("n_fetches"))
+
+  /** The full Common Crawl WARC→WET job as one call: every `response`
+    * record in `inDir`'s segments becomes a linked `conversion`
+    * record ([[graft.sources.warc.Wet.convert]] — scan-fused
+    * extraction, deterministic ids) written as WET segments to
+    * `outDir`. No shuffle anywhere: segment bytes → extracted text →
+    * segment bytes in one narrow pass per partition.
+    */
+  def toWet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, compression: String = "gzip"): Unit =
+    graft.sources.warc.Wet
+      .convert(spark.read.format("warc").load(inDir))
+      .write.format("warc").option("compression", compression)
+      .mode("append").save(outDir)
+
   /** Streaming twin: the SAME projection chain over
     * `spark.readStream.format("warc")` records, with a STATIC
     * pre-parsed rule set (a stream cannot parse its own robots

@@ -100,6 +100,61 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(t.startsWith("Home About\n"), t.take(30)) // nav text retained
   }
 
+  test("toWet: the one-call WARC->WET job writes linked conversion segments") {
+    val in = crawlDir()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-wet-one-").toString
+    CrawlPipeline.toWet(spark, in, out)
+    val wet = spark.read.format("warc").load(out)
+    // every response converts (robots + 4 pages); warcinfo is skipped
+    assert(wet.count() == 5)
+    assert(wet.filter($"record_type" =!= "conversion").count() == 0)
+    val p1 = wet.filter($"target_uri" === "http://h.ex/public/1")
+    val t = p1.select(decode($"payload", "UTF-8")).as[String].head()
+    assert(t.contains(content + " number 1"), t.take(80))
+    assert(p1.select(element_at($"headers", "WARC-Refers-To"))
+      .as[String].head() == "<urn:c:p1>") // back-link to the page record
+  }
+
+  test("fetchRateByMinute: streaming (complete mode) == batch; " +
+      "per-minute counts are exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rate-").toString
+    def rec(n: Int, host: String, date: String) =
+      (s"<urn:r:$n>", "response", s"http://$host/p/$n", date,
+        "text/html", s"<p>page $n</p>")
+    Seq(
+      rec(1, "a.ex", "2026-01-01T00:00:05Z"),
+      rec(2, "a.ex", "2026-01-01T00:00:30Z"),
+      rec(3, "a.ex", "2026-01-01T00:00:59Z"),
+      rec(4, "a.ex", "2026-01-01T00:02:10Z"),
+      rec(5, "b.ex", "2026-01-01T00:00:40Z"),
+      rec(6, "b.ex", "2026-01-01T00:00:41Z"))
+      .toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val batch = CrawlPipeline
+      .fetchRateByMinute(spark.read.format("warc").load(dir))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val m0 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val m2 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-01T00:02:00Z"))
+    assert(batch == Set(("a.ex", m0, 3L), ("a.ex", m2, 1L), ("b.ex", m0, 2L)),
+      batch.toString)
+    val q = CrawlPipeline
+      .fetchRateByMinute(spark.readStream.format("warc").load(dir))
+      .writeStream.format("memory").queryName("fetch_rate_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fetch_rate_out")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("hostFetchStats: hand-computed gaps incl. a CROSS-BUCKET min, " +
       "same-second ties, and a single-fetch host") {
     val base = java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond
