@@ -116,4 +116,81 @@ object LinkGraph {
     // shared CacheManager)
     org.apache.spark.sql.graft.Bridge.inSession(parent, ranks)
   }
+
+  /** Kleinberg HITS (hubs & authorities) over DISTINCT directed
+    * edges, INTEGER-exact like [[pageRankInt]] — the complementary
+    * link prior: PageRank finds endorsed hosts, HITS separates the
+    * DIRECTORY hosts (hubs: link to many good authorities) from the
+    * CONTENT hosts (authorities: linked by many good hubs) — at crawl
+    * scale that split is the link-farm signature (farms are hubs with
+    * no authority).
+    *
+    * Per round: auth'(v) = Σ_{u→v} hub(u), hub'(u) = Σ_{u→v} auth'(v),
+    * each rescaled to ≤ `scale` by FLOOR division with
+    * g = (max + scale − 1) div scale — the classic normalization made
+    * exact: no float norm, so every round is summation-order and
+    * partitioning invariant (spec-pinned) and a relational oracle
+    * replays iterations as CTE layers with a max subquery per
+    * rescale. The max rides a 1-row broadcast crossJoin, never a
+    * driver collect.
+    *
+    * Overflow bound: raw sums ≤ N·scale — scale 10¹² serves ~9·10⁶
+    * nodes under ANSI (vs pageRankInt's additional dampNum factor);
+    * the rescale caps each round's input at `scale` so rounds never
+    * compound. Scale shape: identical to [[pageRankInt]] — out-edges
+    * persisted once, per-round one equi-join + one partial-aggregated
+    * groupBy per side, measured-width loop shuffles, lineage one
+    * round deep.
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val parent = edges.sparkSession
+    val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val edgeCount = eParent.count()
+    require(edgeCount > 0, "hitsInt needs a non-empty edge set")
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    val loopParts = Dedup.loopShufflePartitions(
+      parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
+    if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eParent)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // one rescaled side: nodes ⟕ raw sums, g from the 1-row max
+    def rescale(raw: DataFrame, keyCol: String, outCol: String): DataFrame = {
+      val m = raw.agg(max(col("__raw")).as("__m"))
+      nodes.join(raw, nodes("node") === raw(keyCol), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"coalesce(__raw, 0) div ((__m + $scale - 1) div $scale)")
+            .as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub")).persist()
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val nextAuth = rescale(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__raw")),
+        "dst", "auth").persist()
+      nextAuth.count()
+      if (auth != null) auth.unpersist()
+      auth = nextAuth
+      val nextHub = rescale(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("__raw")),
+        "src", "hub").persist()
+      nextHub.count()
+      hub.unpersist()
+      hub = nextHub
+      it += 1
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+    eParent.unpersist()
+    nodes.unpersist()
+    org.apache.spark.sql.graft.Bridge.inSession(parent, out)
+  }
 }

@@ -88,6 +88,37 @@ class LinkGraphSpec extends SparkSpec {
       got.toString)
   }
 
+  test("hitsInt: hand-computed hub/authority rounds with integer rescale") {
+    // edges A→B, A→C, C→B; scale 1000; h0 = 1000 everywhere
+    // a1 raw: B=2000 C=1000, max 2000 → g=2 → a1: B=1000 C=500 A=0
+    // h1 raw: A=1500 C=1000, max 1500 → g=2 → h1: A=750 C=500 B=0
+    // a2 raw: B=1250 C=750,  max 1250 → g=2 → a2: B=625 C=375 A=0
+    // h2 raw: A=1000 C=625,  max 1000 → g=1 → h2: A=1000 C=625 B=0
+    val e = Seq(("A", "B"), ("A", "C"), ("C", "B")).toDF("src", "dst")
+    val got = LinkGraph.hitsInt(e, "src", "dst", iterations = 2,
+        scale = 1000L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("A" -> (1000L, 0L), "B" -> (0L, 625L),
+      "C" -> (625L, 375L)), got.toString)
+  }
+
+  test("hitsInt: partitioning-invariant (the integer-rescale point)") {
+    val big = (0L until 500L).flatMap { i =>
+      Seq((s"h${i % 23}", s"h${(7 * i + 1) % 23}"),
+        (s"h${i % 23}", s"h${(13 * i + 5) % 23}"))
+    }
+    val ref = LinkGraph.hitsInt(big.toDF("src", "dst"), "src", "dst",
+        iterations = 2)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val got = LinkGraph.hitsInt(
+          big.toDF("src", "dst").repartition(p), "src", "dst",
+          iterations = 2)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == ref, s"partitioning $p changed hub/auth")
+    }
+  }
+
   test("documented variant: dangling mass drains instead of redistributing") {
     // B has no outlinks: its rank contributes nothing, so total mass
     // strictly decreases — the documented drop-dangling behavior
