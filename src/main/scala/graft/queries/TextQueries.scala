@@ -1762,6 +1762,73 @@ object TextQueries {
              |ORDER BY node""".stripMargin),
       doc = "incremental PageRank: keyed-MERGE edge diff (retractions + additions), warm-start delta rounds from prior ranks, full cold+diff+warm iteration-replay oracle"),
 
+    // HITS hubs & authorities over the same planted host graph — the
+    // complementary link prior (PageRank endorses, HITS separates
+    // directory hosts from content hosts; link farms are hubs with no
+    // authority). The integer rescale (floor-div by
+    // g = (max + scale − 1) div scale) replaces the float norm, so
+    // the oracle replays both sides of both rounds as CTE layers with
+    // a max subquery per rescale.
+    Q("doc_link_hits",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        LinkGraph.hitsInt(edges, "src", "dst", iterations = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+             |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+             |a1m AS (SELECT max(raw) AS m FROM a1r),
+             |a1 AS (SELECT n.node, coalesce(a1r.raw, 0)
+             |              // ((a1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |h1m AS (SELECT max(raw) AS m FROM h1r),
+             |h1 AS (SELECT n.node, coalesce(h1r.raw, 0)
+             |              // ((h1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |a2m AS (SELECT max(raw) AS m FROM a2r),
+             |a2 AS (SELECT n.node, coalesce(a2r.raw, 0)
+             |              // ((a2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |h2m AS (SELECT max(raw) AS m FROM h2r),
+             |h2 AS (SELECT n.node, coalesce(h2r.raw, 0)
+             |              // ((h2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m)
+             |SELECT n.node, CAST(h2.hub AS BIGINT) AS hub,
+             |       CAST(a2.auth AS BIGINT) AS auth
+             |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+             |ORDER BY n.node""".stripMargin),
+      doc = "HITS hubs/authorities link prior: integer-exact rescale rounds (floor-div normalization), partitioning-invariant, full iteration-replay oracle"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
@@ -2041,6 +2108,41 @@ object TextQueries {
              |FROM a JOIN mb USING (host)
              |ORDER BY host""".stripMargin),
       doc = "per-host crawl-rate/politeness audit: fetch count, span, min/mean inter-fetch gap (hierarchical whale-safe min), busiest-minute ceiling"),
+
+    // The live politeness monitor's relation — per-(host, minute)
+    // fetch counts (CrawlPipeline.fetchRateByMinute; identical
+    // expression streams with a watermark, spec-pinned twin) — over
+    // the same planted fetch log as doc_host_politeness. Epoch-aligned
+    // tumbling windows == date_trunc, which is what the oracle pins.
+    Q("doc_fetch_rate",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val recs = Tables.documents(s, dir).select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 37) % 9999)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        CrawlPipeline.fetchRateByMinute(recs)
+          .select(col("host"),
+            date_format(col("minute_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("minute"),
+            col("n_fetches"))
+          .orderBy(col("host"), col("minute"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |         TIMESTAMP '2026-02-01 00:00:00'
+             |           + to_seconds(CAST(doc_id * 37 % 9999 AS BIGINT)) AS ts
+             |  FROM documents)
+             |SELECT host,
+             |       strftime(date_trunc('minute', ts),
+             |                '%Y-%m-%d %H:%M:%S') AS minute,
+             |       count(*) AS n_fetches
+             |FROM f GROUP BY host, date_trunc('minute', ts)
+             |ORDER BY host, minute""".stripMargin),
+      doc = "per-(host, minute) fetch-rate relation (the streaming politeness monitor's batch twin): epoch-aligned tumbling windows, partial-aggregated keyed count"),
 
     // The WHOLE crawl-side pipeline as one oracled call: documents
     // render as full pages (title, link-dense nav, escaped content,
