@@ -35,11 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** robots.txt bodies → one rule row per (host, prefix, allow) for
-    * `agent`. `robots` needs (`hostCol`, `textCol`).
+  /** The shared group machinery: robots bodies → the directive rows
+    * (host, key, value) of the group `agent` resolves to
+    * (exact-token-else-`*`). Every directive extractor ([[parseRules]]
+    * for Allow/Disallow, [[parseCrawlDelay]] for Crawl-delay) filters
+    * this one relation, so agent resolution can never diverge between
+    * directives.
     */
-  def parseRules(robots: DataFrame, hostCol: String, textCol: String,
-      agent: String = "*"): DataFrame = {
+  private def agentDirectives(robots: DataFrame, hostCol: String,
+      textCol: String, agent: String): DataFrame = {
     val byPos = Window.partitionBy(col("host")).orderBy(col("pos"))
     val lines = robots
       .select(col(hostCol).as("host"),
@@ -72,13 +76,35 @@ object Robots {
           array_contains(col("agents"), agent.toLowerCase))
         .otherwise(array_contains(col("agents"), "*")))
       .select(col("host"), col("grp"))
-    grouped
+    grouped.join(chosen, Seq("host", "grp"))
+  }
+
+  /** robots.txt bodies → one rule row per (host, prefix, allow) for
+    * `agent`. `robots` needs (`hostCol`, `textCol`).
+    */
+  def parseRules(robots: DataFrame, hostCol: String, textCol: String,
+      agent: String = "*"): DataFrame =
+    agentDirectives(robots, hostCol, textCol, agent)
       .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
-      .join(chosen, Seq("host", "grp"))
       .select(col("host"), col("value").as("prefix"),
         (col("key") === "allow").as("allow"))
       .distinct()
-  }
+
+  /** The `Crawl-delay` directive (the de-facto extension most
+    * non-Google crawlers honor) for `agent`: one row per host that
+    * declares one, `delay_s` = the MAX declared integer seconds in
+    * the resolved group (conservative when a group repeats the
+    * directive); non-numeric values drop, same agent resolution as
+    * [[parseRules]] by construction. Join against
+    * [[CrawlPipeline.hostFetchStats]] to audit declared-vs-measured
+    * politeness (the doc_crawl_delay_compliance shape).
+    */
+  def parseCrawlDelay(robots: DataFrame, hostCol: String, textCol: String,
+      agent: String = "*"): DataFrame =
+    agentDirectives(robots, hostCol, textCol, agent)
+      .filter(col("key") === "crawl-delay" && col("value").rlike("^\\d+$"))
+      .groupBy(col("host"))
+      .agg(max(col("value").cast("long")).as("delay_s"))
 
   /** URL → (host minus port, path-or-"/") columns — shared by every
     * verdict form so the two matching grades can't drift on URL

@@ -96,6 +96,23 @@ class RobotsSpec extends SparkSpec {
     assert(rules == Set(("x.ex", "/late", false)))
   }
 
+  test("parseCrawlDelay: exact-agent group wins, non-numeric drops, " +
+      "repeats take the max, silent hosts absent") {
+    val r = Seq(
+      ("a.ex", "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+        "User-agent: *\nCrawl-delay: 60"),
+      ("b.ex", "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5\n" +
+        "Crawl-delay: 7\nDisallow: /x"),
+      ("c.ex", "User-agent: *\nDisallow: /")).toDF("host", "text")
+    val mine = Robots.parseCrawlDelay(r, "host", "text", "graftbot")
+      .as[(String, Long)].collect().toMap
+    assert(mine == Map("a.ex" -> 2L, "b.ex" -> 7L), mine.toString)
+    // an unnamed agent falls back to the '*' group
+    val other = Robots.parseCrawlDelay(r, "host", "text", "nobody")
+      .as[(String, Long)].collect().toMap
+    assert(other == Map("a.ex" -> 60L, "b.ex" -> 7L), other.toString)
+  }
+
   test("wildcardRegex: compile goldens — '*' expands, trailing '$' anchors, " +
       "metachars and inner '$' stay literal") {
     assert(Robots.wildcardRegex("/a*b.c$") == "^/a.*b\\.c$")
