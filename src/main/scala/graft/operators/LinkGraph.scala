@@ -117,6 +117,75 @@ object LinkGraph {
     org.apache.spark.sql.graft.Bridge.inSession(parent, ranks)
   }
 
+  /** SALSA (Lempel & Moran) over DISTINCT directed edges — the
+    * stochastic hubs/authorities variant: each side's update divides
+    * by the crossing degree (auth'(v) = Σ_{u→v} hub(u) div out(u),
+    * hub'(u) = Σ_{u→v} auth'(v) div in(v)), i.e. the random walk that
+    * steps backward over an in-link then forward over an out-link.
+    * Because every update is degree-normalized, total mass is
+    * conserved up to floor loss — no rescale step at all (vs
+    * [[hitsInt]]'s max-based one), so a round is TWO joins + TWO
+    * partial-aggregated sums and the oracle replay has no max
+    * subqueries. SALSA resists the tightly-knit-community effect that
+    * inflates HITS scores (the TKC spam pattern); running both and
+    * comparing IS the spam signal. Floor divisions keep it
+    * summation-order/partitioning invariant (spec-pinned); dangling
+    * behavior matches [[pageRankInt]] (mass on a no-outlink hub /
+    * no-inlink authority drains, documented). Overflow: per-node
+    * accumulation < N·scale with no damping multiplier — the roomiest
+    * bound in the family.
+    */
+  def salsaInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val parent = edges.sparkSession
+    val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    // both crossing degrees join the edge relation ONCE before the loop
+    val eoParent = eParent
+      .join(eParent.groupBy(col("src")).agg(count(lit(1)).as("__out")), "src")
+      .join(eParent.groupBy(col("dst")).agg(count(lit(1)).as("__in")), "dst")
+      .persist()
+    val edgeCount = eoParent.count()
+    require(edgeCount > 0, "salsaInt needs a non-empty edge set")
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    val loopParts = Dedup.loopShufflePartitions(
+      parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
+    if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    def side(inRel: DataFrame, inCol: String, valCol: String, degCol: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = e.join(inRel, e(inCol) === inRel("node"))
+        .select(col(outKey).as("__k"),
+          expr(s"$valCol div $degCol").as("__c"))
+        .groupBy(col("__k")).agg(sum(col("__c")).as("__s"))
+      nodes.join(raw, nodes("node") === raw("__k"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub")).persist()
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val nextAuth = side(hub, "src", "hub", "__out", "dst", "auth").persist()
+      nextAuth.count()
+      if (auth != null) auth.unpersist()
+      auth = nextAuth
+      val nextHub = side(auth, "dst", "auth", "__in", "src", "hub").persist()
+      nextHub.count()
+      hub.unpersist()
+      hub = nextHub
+      it += 1
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+    eoParent.unpersist()
+    nodes.unpersist()
+    org.apache.spark.sql.graft.Bridge.inSession(parent, out)
+  }
+
   /** Kleinberg HITS (hubs & authorities) over DISTINCT directed
     * edges, INTEGER-exact like [[pageRankInt]] — the complementary
     * link prior: PageRank finds endorsed hosts, HITS separates the

@@ -119,6 +119,37 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("salsaInt: hand-computed degree-normalized rounds, no rescale") {
+    // edges A→B, A→C, C→B; scale 1200; out A=2 C=1; in B=2 C=1
+    // a1: B = 1200div2 + 1200 = 1800, C = 1200div2 = 600, A = 0
+    // h1: A = 1800div2 + 600 = 1500, C = 1800div2 = 900, B = 0
+    // a2: B = 1500div2 + 900 = 1650, C = 1500div2 = 750
+    // h2: A = 1650div2 + 750 = 1575, C = 1650div2 = 825
+    val e = Seq(("A", "B"), ("A", "C"), ("C", "B")).toDF("src", "dst")
+    val got = LinkGraph.salsaInt(e, "src", "dst", iterations = 2,
+        scale = 1200L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("A" -> (1575L, 0L), "B" -> (0L, 1650L),
+      "C" -> (825L, 750L)), got.toString)
+  }
+
+  test("salsaInt: partitioning-invariant") {
+    val big = (0L until 500L).flatMap { i =>
+      Seq((s"h${i % 23}", s"h${(7 * i + 1) % 23}"),
+        (s"h${i % 23}", s"h${(13 * i + 5) % 23}"))
+    }
+    val ref = LinkGraph.salsaInt(big.toDF("src", "dst"), "src", "dst",
+        iterations = 2)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    for (p <- Seq(1, 32)) {
+      val got = LinkGraph.salsaInt(
+          big.toDF("src", "dst").repartition(p), "src", "dst",
+          iterations = 2)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == ref, s"partitioning $p changed salsa scores")
+    }
+  }
+
   test("documented variant: dangling mass drains instead of redistributing") {
     // B has no outlinks: its rank contributes nothing, so total mass
     // strictly decreases — the documented drop-dangling behavior
