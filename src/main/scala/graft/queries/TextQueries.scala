@@ -1829,6 +1829,66 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "HITS hubs/authorities link prior: integer-exact rescale rounds (floor-div normalization), partitioning-invariant, full iteration-replay oracle"),
 
+    // SALSA over the same planted host graph — the degree-normalized
+    // (random-walk) hubs/authorities variant. No rescale step exists,
+    // so the oracle replay is pure join+sum layers; comparing SALSA
+    // against HITS on the same graph is the classic
+    // tightly-knit-community spam signal (HITS inflates TKC scores,
+    // SALSA doesn't).
+    Q("doc_link_salsa",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        LinkGraph.salsaInt(edges, "src", "dst", iterations = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |i AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN h0 ON h0.node = e.src
+             |        GROUP BY e.dst),
+             |a1 AS (SELECT n.node, coalesce(a1r.s, 0) AS auth
+             |       FROM n LEFT JOIN a1r USING (node)),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth // i.ind) AS s
+             |        FROM e JOIN i USING (dst) JOIN a1 ON a1.node = e.dst
+             |        GROUP BY e.src),
+             |h1 AS (SELECT n.node, coalesce(h1r.s, 0) AS hub
+             |       FROM n LEFT JOIN h1r USING (node)),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN h1 ON h1.node = e.src
+             |        GROUP BY e.dst),
+             |a2 AS (SELECT n.node, coalesce(a2r.s, 0) AS auth
+             |       FROM n LEFT JOIN a2r USING (node)),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth // i.ind) AS s
+             |        FROM e JOIN i USING (dst) JOIN a2 ON a2.node = e.dst
+             |        GROUP BY e.src),
+             |h2 AS (SELECT n.node, coalesce(h2r.s, 0) AS hub
+             |       FROM n LEFT JOIN h2r USING (node))
+             |SELECT n.node, CAST(h2.hub AS BIGINT) AS hub,
+             |       CAST(a2.auth AS BIGINT) AS auth
+             |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+             |ORDER BY n.node""".stripMargin),
+      doc = "SALSA (degree-normalized hubs/authorities): mass-conserving floor-div rounds, no rescale, pure join+sum iteration-replay oracle; the HITS contrast is the TKC spam signal"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
@@ -2143,6 +2203,122 @@ object TextQueries {
              |FROM f GROUP BY host, date_trunc('minute', ts)
              |ORDER BY host, minute""".stripMargin),
       doc = "per-(host, minute) fetch-rate relation (the streaming politeness monitor's batch twin): epoch-aligned tumbling windows, partial-aggregated keyed count"),
+
+    // Declared-vs-measured politeness: hosts publish Crawl-delay (the
+    // de-facto directive most non-Google crawlers honor; exact-agent
+    // resolution, non-numeric values drop, repeats take the max —
+    // parse goldens in RobotsSpec), the fetch log yields the measured
+    // min inter-fetch gap, and the join grades compliance per host.
+    // Hosts declaring nothing — or fetched once — are compliant by
+    // definition (nulls coalesce true). The oracle pins the parsed
+    // delay table and recomputes the gaps with the naive window.
+    Q("doc_crawl_delay_compliance",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Robots}
+        import s.implicits._
+        val robots = Seq(
+          ("h0.cr", "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+          ("h1.cr", "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+            "User-agent: *\nCrawl-delay: 60"),
+          ("h2.cr", "User-agent: *\nDisallow: /tmp"),
+          ("h3.cr", "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5\n" +
+            "Crawl-delay: 7")
+        ).toDF("host", "text")
+        val delays = Robots.parseCrawlDelay(robots, "host", "text", "graftbot")
+        val recs = Tables.documents(s, dir).select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 37) % 9999)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        CrawlPipeline.hostFetchStats(recs)
+          .join(delays, Seq("host"), "left")
+          .select(col("host"), col("delay_s"), col("min_gap_s"),
+            coalesce(col("min_gap_s") >= col("delay_s"), lit(true))
+              .as("compliant"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |         CAST(epoch(TIMESTAMP '2026-02-01 00:00:00'
+             |              + to_seconds(CAST(doc_id * 37 % 9999 AS BIGINT)))
+             |              AS BIGINT) AS t
+             |  FROM documents),
+             |g AS (SELECT host,
+             |             t - lag(t) OVER (PARTITION BY host ORDER BY t) AS gap
+             |      FROM f),
+             |a AS (SELECT host, min(gap) AS min_gap_s FROM g GROUP BY host),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.cr', CAST(10 AS BIGINT)),
+             |        ('h1.cr', CAST(2 AS BIGINT)),
+             |        ('h3.cr', CAST(7 AS BIGINT))) AS t(host, delay_s))
+             |SELECT a.host, d.delay_s, a.min_gap_s,
+             |       coalesce(a.min_gap_s >= d.delay_s, true) AS compliant
+             |FROM a LEFT JOIN d USING (host)
+             |ORDER BY a.host""".stripMargin),
+      doc = "Crawl-delay compliance audit: parsed declared delays (exact-agent, max-of-repeats) vs measured min inter-fetch gap, nulls compliant by definition"),
+
+    // Crawl-frontier prioritization — the composition the crawl
+    // actually schedules from: host QUALITY (integer PageRank over
+    // the host link graph) divided by host COST (how much we already
+    // fetched there, +1), all integer-exact so the ranking is
+    // reproducible. High-rank barely-crawled hosts surface first;
+    // heavily-crawled hosts sink regardless of rank. The oracle
+    // replays both inputs (2 PR rounds + fetch counts) and the
+    // priority division.
+    Q("doc_crawl_frontier",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, LinkGraph}
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(7)).cast("string"), lit(".cr"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+          host(col("doc_id") * 3 + 1).as("dst"))
+        val ranks = LinkGraph.pageRankInt(edges, "src", "dst", iterations = 2)
+        val recs = docs.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 37) % 9999)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        val stats = CrawlPipeline.hostFetchStats(recs)
+          .select(col("host"), col("n_fetches"))
+        ranks.join(stats, ranks("node") === stats("host"))
+          .select(col("host"), col("rank").as("pr"), col("n_fetches"),
+            expr("rank div (n_fetches + 1)").as("priority"))
+          .orderBy(col("priority").desc, col("host"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS src,
+             |         'h' || CAST((3*doc_id+1) % 7 AS VARCHAR) || '.cr' AS dst
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node)),
+             |f AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |             count(*) AS n_fetches
+             |      FROM documents GROUP BY host)
+             |SELECT f.host, CAST(r2.pr AS BIGINT) AS pr, f.n_fetches,
+             |       CAST(r2.pr // (f.n_fetches + 1) AS BIGINT) AS priority
+             |FROM r2 JOIN f ON f.host = r2.node
+             |ORDER BY priority DESC, f.host""".stripMargin),
+      doc = "crawl-frontier prioritization: host PageRank over fetch cost (rank div (n_fetches+1)) - the integer-exact quality/cost schedule a crawler allocates from"),
 
     // The WHOLE crawl-side pipeline as one oracled call: documents
     // render as full pages (title, link-dense nav, escaped content,
