@@ -173,6 +173,29 @@ object CrawlPipeline {
       .select(col("host"), col("__w.start").as("minute_start"),
         col("n_fetches"))
 
+  /** Politeness violations, LIVE: [[fetchRateByMinute]] enriched
+    * stream-static against the declared [[Robots.parseCrawlDelay]]
+    * caps (broadcast — O(hosts), the robots contract). A minute
+    * violates when it holds more fetches than ANY delay-compliant
+    * schedule could place in an aligned 60 s window — exactly
+    * ceil(60/delay) = (60 + delay − 1) div delay fetches — so the
+    * flag never false-positives on a compliant-but-bursty-looking
+    * boundary. Hosts declaring no delay never violate. The join is
+    * stateless, so the whole thing streams in the watermarked
+    * append/complete modes of the underlying windowed count; the
+    * identical expression is the batch audit (spec-pinned twin).
+    */
+  def rateViolations(records: DataFrame, delays: DataFrame,
+      urlCol: String = "target_uri", dateCol: String = "warc_date",
+      watermark: String = "10 minutes"): DataFrame =
+    fetchRateByMinute(records, urlCol, dateCol, watermark)
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("cap", expr("(60 + delay_s - 1) div delay_s"))
+      .withColumn("violation",
+        coalesce(col("n_fetches") > col("cap"), lit(false)))
+      .select(col("host"), col("minute_start"), col("n_fetches"),
+        col("cap"), col("violation"))
+
   /** The full Common Crawl WARC→WET job as one call: every `response`
     * record in `inDir`'s segments becomes a linked `conversion`
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused

@@ -155,6 +155,49 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
+  test("rateViolations: cap is exactly ceil(60/delay); undeclared hosts " +
+      "never violate; stream == batch") {
+    import graft.operators.Robots
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-viol-").toString
+    def rec(n: Int, host: String, sec: Int) =
+      (s"<urn:v:$n>", "response", s"http://$host/p/$n",
+        java.time.Instant.ofEpochSecond(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+            + sec).toString, "text/html", s"<p>$n</p>")
+    // a.ex declares delay 10 → cap 6: SEVEN fetches land in minute 0
+    // (violation) and six in minute 1 (exactly at cap, no violation);
+    // b.ex declares nothing and hammers anyway
+    val recs = ((0 until 7).map(i => rec(i, "a.ex", i * 8)) ++
+        (0 until 6).map(i => rec(100 + i, "a.ex", 60 + i * 9)) ++
+        (0 until 20).map(i => rec(200 + i, "b.ex", i * 3)))
+      .toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+    recs.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val delays = Robots.parseCrawlDelay(
+      Seq(("a.ex", "User-agent: *\nCrawl-delay: 10")).toDF("host", "text"),
+      "host", "text", "*")
+    val batch = CrawlPipeline
+      .rateViolations(spark.read.format("warc").load(dir), delays)
+      .select($"host", $"n_fetches", $"cap", $"violation")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSet
+    assert(batch == Set(("a.ex", 7L, Some(6L), true),
+      ("a.ex", 6L, Some(6L), false), ("b.ex", 20L, None, false)),
+      batch.toString)
+    val q = CrawlPipeline
+      .rateViolations(spark.readStream.format("warc").load(dir), delays)
+      .writeStream.format("memory").queryName("viol_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("viol_out")
+      .select($"host", $"n_fetches", $"cap", $"violation")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("hostFetchStats: hand-computed gaps incl. a CROSS-BUCKET min, " +
       "same-second ties, and a single-fetch host") {
     val base = java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond
