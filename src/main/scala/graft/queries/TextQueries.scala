@@ -1889,6 +1889,120 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "SALSA (degree-normalized hubs/authorities): mass-conserving floor-div rounds, no rescale, pure join+sum iteration-replay oracle; the HITS contrast is the TKC spam signal"),
 
+    // The TKC detector itself: HITS hub rank vs SALSA hub rank on the
+    // SAME graph. A tightly-knit community inflates HITS (mutual
+    // reinforcement) but not the degree-normalized SALSA, so a large
+    // positive (salsa_rank − hits_rank) gap — "HITS thinks this host
+    // matters, the random walk doesn't" — is the classic link-farm
+    // flag. Everything integer; ranks are row_numbers under a total
+    // (score desc, node) order, so both engines agree exactly. The
+    // oracle concatenates the two already-pinned iteration replays
+    // and ranks the join.
+    Q("doc_link_tkc",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import org.apache.spark.sql.expressions.Window
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val hits = LinkGraph.hitsInt(edges, "src", "dst", iterations = 2)
+          .select(col("node"), col("hub").as("hits_hub"))
+        val salsa = LinkGraph.salsaInt(edges, "src", "dst", iterations = 2)
+          .select(col("node"), col("hub").as("salsa_hub"))
+        // 23 rows — the global rank windows are driver-trivial here;
+        // at web scale this ranking is a top-k/quantile pass instead
+        hits.join(salsa, Seq("node"))
+          .withColumn("hits_rank", row_number().over(
+            Window.orderBy(col("hits_hub").desc, col("node"))).cast("long"))
+          .withColumn("salsa_rank", row_number().over(
+            Window.orderBy(col("salsa_hub").desc, col("node"))).cast("long"))
+          .withColumn("divergence", col("salsa_rank") - col("hits_rank"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |i AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+             |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+             |a1m AS (SELECT max(raw) AS m FROM a1r),
+             |a1 AS (SELECT n.node, coalesce(a1r.raw, 0)
+             |              // ((a1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |h1m AS (SELECT max(raw) AS m FROM h1r),
+             |h1 AS (SELECT n.node, coalesce(h1r.raw, 0)
+             |              // ((h1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |a2m AS (SELECT max(raw) AS m FROM a2r),
+             |a2 AS (SELECT n.node, coalesce(a2r.raw, 0)
+             |              // ((a2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |h2m AS (SELECT max(raw) AS m FROM h2r),
+             |h2 AS (SELECT n.node, coalesce(h2r.raw, 0)
+             |              // ((h2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m),
+             |sa1r AS (SELECT e.dst AS node, sum(h0.hub // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN h0 ON h0.node = e.src
+             |         GROUP BY e.dst),
+             |sa1 AS (SELECT n.node, coalesce(sa1r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa1r USING (node)),
+             |sh1r AS (SELECT e.src AS node, sum(sa1.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa1 ON sa1.node = e.dst
+             |         GROUP BY e.src),
+             |sh1 AS (SELECT n.node, coalesce(sh1r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh1r USING (node)),
+             |sa2r AS (SELECT e.dst AS node, sum(sh1.hub // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN sh1 ON sh1.node = e.src
+             |         GROUP BY e.dst),
+             |sa2 AS (SELECT n.node, coalesce(sa2r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa2r USING (node)),
+             |sh2r AS (SELECT e.src AS node, sum(sa2.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa2 ON sa2.node = e.dst
+             |         GROUP BY e.src),
+             |sh2 AS (SELECT n.node, coalesce(sh2r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh2r USING (node)),
+             |j AS (SELECT n.node, CAST(h2.hub AS BIGINT) AS hits_hub,
+             |             CAST(sh2.hub AS BIGINT) AS salsa_hub
+             |      FROM n JOIN h2 USING (node) JOIN sh2 USING (node)),
+             |r AS (SELECT node, hits_hub, salsa_hub,
+             |             CAST(row_number() OVER
+             |               (ORDER BY hits_hub DESC, node) AS BIGINT)
+             |               AS hits_rank,
+             |             CAST(row_number() OVER
+             |               (ORDER BY salsa_hub DESC, node) AS BIGINT)
+             |               AS salsa_rank
+             |      FROM j)
+             |SELECT node, hits_hub, salsa_hub, hits_rank, salsa_rank,
+             |       salsa_rank - hits_rank AS divergence
+             |FROM r
+             |ORDER BY node""".stripMargin),
+      doc = "TKC link-farm detector: HITS hub rank vs SALSA hub rank on the same graph (row_number under a total order), divergence flags mutual-reinforcement inflation"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
@@ -2258,6 +2372,62 @@ object TextQueries {
              |FROM a LEFT JOIN d USING (host)
              |ORDER BY a.host""".stripMargin),
       doc = "Crawl-delay compliance audit: parsed declared delays (exact-agent, max-of-repeats) vs measured min inter-fetch gap, nulls compliant by definition"),
+
+    // The live rate limiter's relation: per-(host, minute) fetch
+    // counts vs the declared Crawl-delay cap — a minute violates when
+    // it holds more fetches than ANY delay-compliant schedule could
+    // place in an aligned 60 s window (exactly ceil(60/delay)).
+    // Streams stateless after the windowed count (stream ≡ batch
+    // spec-pinned); here the batch audit runs over a deliberately
+    // dense fetch log (~7/min/host) so the h0 cap of 6 actually
+    // trips. The oracle pins the parsed delay table (parse goldens in
+    // RobotsSpec) and replays counts, caps, and verdicts.
+    Q("doc_rate_violations",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Robots}
+        import s.implicits._
+        val robots = Seq(
+          ("h0.cr", "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+          ("h1.cr", "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+            "User-agent: *\nCrawl-delay: 60"),
+          ("h3.cr", "User-agent: *\nCrawl-delay: 7")
+        ).toDF("host", "text")
+        val delays = Robots.parseCrawlDelay(robots, "host", "text", "graftbot")
+        val recs = Tables.documents(s, dir).select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 7) % 600)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        CrawlPipeline.rateViolations(recs, delays)
+          .select(col("host"),
+            date_format(col("minute_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("minute"),
+            col("n_fetches"), col("cap"), col("violation"))
+          .orderBy(col("host"), col("minute"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |         TIMESTAMP '2026-02-01 00:00:00'
+             |           + to_seconds(CAST(doc_id * 7 % 600 AS BIGINT)) AS ts
+             |  FROM documents),
+             |m AS (SELECT host, date_trunc('minute', ts) AS mn,
+             |             count(*) AS n_fetches
+             |      FROM f GROUP BY host, date_trunc('minute', ts)),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.cr', CAST(10 AS BIGINT)),
+             |        ('h1.cr', CAST(2 AS BIGINT)),
+             |        ('h3.cr', CAST(7 AS BIGINT))) AS t(host, delay_s))
+             |SELECT m.host,
+             |       strftime(m.mn, '%Y-%m-%d %H:%M:%S') AS minute,
+             |       m.n_fetches,
+             |       (60 + d.delay_s - 1) // d.delay_s AS cap,
+             |       coalesce(m.n_fetches > (60 + d.delay_s - 1) // d.delay_s,
+             |                false) AS violation
+             |FROM m LEFT JOIN d USING (host)
+             |ORDER BY m.host, minute""".stripMargin),
+      doc = "live politeness rate limiter (batch twin): per-minute counts vs ceil(60/delay) caps from parsed Crawl-delay, stateless stream-static join, violations flagged exactly"),
 
     // Crawl-frontier prioritization — the composition the crawl
     // actually schedules from: host QUALITY (integer PageRank over
