@@ -52,11 +52,24 @@ object LinkGraph {
     * rounds + (N−M) warm rounds, bit-for-bit (spec-pinned), so a
     * relational oracle replays incremental refreshes the same way it
     * replays cold ones.
+    *
+    * PERSONALIZED (topic-sensitive, Haveliwala) PageRank: pass
+    * `seeds` = a (node) relation and the teleport term concentrates
+    * there — non-seeds get base 0, so rank flows FROM the seed set
+    * through links and a host's score reads "how reachable from the
+    * trusted/topical seeds" (TrustRank-style spam demotion, topical
+    * quality priors). One per-node base column replaces the constant;
+    * nothing else in the loop changes, so seeded runs keep the exact
+    * replay property (seed membership is a CASE in the oracle).
+    * Seeds absent from the graph contribute nothing; an empty
+    * seed set drains all rank to 0 by round `iterations` (documented,
+    * spec-pinned).
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      init: Option[DataFrame] = None): DataFrame = {
+      init: Option[DataFrame] = None,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= dampNum <= dampDen")
@@ -83,9 +96,23 @@ object LinkGraph {
     if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val eo = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
-    val nodes = eo.select(col("src").as("node"))
-      .unionByName(eo.select(col("dst").as("node"))).distinct().persist()
     val base = (scale * (dampDen - dampNum)) / dampDen
+    // per-node teleport base: the constant everywhere, or (seeded)
+    // the constant on the seed set and 0 elsewhere — carried as a
+    // column of the persisted node relation so each round's final
+    // projection stays one expression
+    val bareNodes = eo.select(col("src").as("node"))
+      .unionByName(eo.select(col("dst").as("node"))).distinct()
+    val nodes = (seeds match {
+      case Some(sd) =>
+        val s = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
+          sd.select(col("node")).distinct().withColumn("__seed", lit(true)))
+        bareNodes.join(s, Seq("node"), "left")
+          .select(col("node"),
+            when(coalesce(col("__seed"), lit(false)), lit(base))
+              .otherwise(lit(0L)).as("__base"))
+      case None => bareNodes.select(col("node"), lit(base).as("__base"))
+    }).persist()
     var ranks = (init match {
       case Some(prior) =>
         val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
@@ -102,7 +129,7 @@ object LinkGraph {
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
-          (lit(base) +
+          (col("__base") +
             expr(s"($dampNum * coalesce(__s, 0)) div $dampDen")).as("rank"))
         .persist()
       next.count()

@@ -119,6 +119,27 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("seeded (personalized) PageRank: teleport mass only at seeds, " +
+      "hand-computed; seeding every node == unseeded") {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    // seeds = {A}; out A=2 B=1 C=1 D=1; base 150 at A, 0 elsewhere
+    // r1: A=150+850=1000, B=0+425=425, C=0+85*(500+1000+1000)div100=2125, D=0
+    // r2: A=150+85*2125 div 100=1956, B=425, C=85*(500+425+0)div100=786, D=0
+    val got = LinkGraph.pageRankInt(e, "src", "dst", iterations = 2,
+        scale = 1000L, seeds = Some(Seq("A").toDF("node")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1956L, "B" -> 425L, "C" -> 786L, "D" -> 0L),
+      got.toString)
+    // seeding the whole node set is exactly the unseeded computation
+    val all = LinkGraph.pageRankInt(e, "src", "dst", iterations = 2,
+        scale = 1000L, seeds = Some(Seq("A", "B", "C", "D").toDF("node")))
+      .as[(String, Long)].collect().toMap
+    val plain = LinkGraph.pageRankInt(e, "src", "dst", iterations = 2,
+        scale = 1000L).as[(String, Long)].collect().toMap
+    assert(all == plain, s"all-seeded=$all plain=$plain")
+  }
+
   test("salsaInt: hand-computed degree-normalized rounds, no rescale") {
     // edges A→B, A→C, C→B; scale 1200; out A=2 C=1; in B=2 C=1
     // a1: B = 1200div2 + 1200 = 1800, C = 1200div2 = 600, A = 0
