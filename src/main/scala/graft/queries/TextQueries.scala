@@ -1762,6 +1762,71 @@ object TextQueries {
              |ORDER BY node""".stripMargin),
       doc = "incremental PageRank: keyed-MERGE edge diff (retractions + additions), warm-start delta rounds from prior ranks, full cold+diff+warm iteration-replay oracle"),
 
+    // Personalized (topic-sensitive / TrustRank-shaped) PageRank:
+    // teleport mass concentrates on a 3-host trusted seed set, so a
+    // host's score reads "how reachable from the seeds" — the spam-
+    // demotion / topical-quality prior. Same integer loop, one
+    // per-node base column; the oracle replays rounds with a CASE on
+    // seed membership.
+    Q("doc_link_pagerank_seeded",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import s.implicits._
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val seeds = Seq("h0.example", "h5.example", "h10.example").toDF("node")
+        LinkGraph.pageRankInt(edges, "src", "dst", iterations = 3,
+            seeds = Some(seeds))
+          .withColumnRenamed("rank", "pr")
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |b AS (SELECT node,
+             |             CASE WHEN node IN ('h0.example', 'h5.example',
+             |                                'h10.example')
+             |                  THEN 150000000000 ELSE 0 END AS base
+             |      FROM n),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT b.node,
+             |              b.base + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM b LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT b.node,
+             |              b.base + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM b LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT b.node,
+             |              b.base + (85 * coalesce(s3.s, 0)) // 100 AS pr
+             |       FROM b LEFT JOIN s3 USING (node))
+             |SELECT node, CAST(pr AS BIGINT) AS pr
+             |FROM r3
+             |ORDER BY node""".stripMargin),
+      doc = "personalized/topic-sensitive PageRank: teleport concentrated on a trusted seed set (TrustRank shape), per-node integer base, seed-CASE iteration-replay oracle"),
+
     // HITS hubs & authorities over the same planted host graph — the
     // complementary link prior (PageRank endorses, HITS separates
     // directory hosts from content hosts; link farms are hubs with no
