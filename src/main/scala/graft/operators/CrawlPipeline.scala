@@ -190,7 +190,15 @@ object CrawlPipeline {
       watermark: String = "10 minutes"): DataFrame =
     fetchRateByMinute(records, urlCol, dateCol, watermark)
       .join(broadcast(delays), Seq("host"), "left")
-      .withColumn("cap", expr("(60 + delay_s - 1) div delay_s"))
+      // delay_s > 0 guard: [[Robots.parseCrawlDelay]] drops zero
+      // delays, but a caller-supplied delays relation may carry
+      // `Crawl-delay: 0` rows (real robots files publish them; zero
+      // means "no delay"), and an unguarded div would be a
+      // DIVIDE_BY_ZERO under ANSI mode — killing the whole streaming
+      // query on one line of untrusted crawl input. Null cap =
+      // never violates, the correct semantics for "no delay".
+      .withColumn("cap", when(col("delay_s") > 0,
+        expr("(60 + delay_s - 1) div delay_s")))
       .withColumn("violation",
         coalesce(col("n_fetches") > col("cap"), lit(false)))
       .select(col("host"), col("minute_start"), col("n_fetches"),

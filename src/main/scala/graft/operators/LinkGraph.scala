@@ -64,12 +64,28 @@ object LinkGraph {
     * Seeds absent from the graph contribute nothing; an empty
     * seed set drains all rank to 0 by round `iterations` (documented,
     * spec-pinned).
+    *
+    * DANGLING-MASS redistribution: the default drops mass on nodes
+    * with no outlinks (true no-op for crawl host graphs, where every
+    * src row has out ≥ 1, but a general caller with rank sinks leaks
+    * mass every round). `danglingRedistribute = true` adds the
+    * textbook correction, kept integer-exact: each round the dangling
+    * nodes' total rank D (one partial-aggregated sum over the
+    * persisted dangling-node set) rides a 1-row broadcast crossJoin —
+    * the [[hitsInt]] rescale shape, never a driver collect — and
+    * every node's contribution sum gains share = D div N before the
+    * damping division. Floor division drops < N units of D per round
+    * (same loss class as the per-edge floors), so total mass is
+    * conserved to within (E + N) units per round (spec-pinned), and
+    * the replay oracle extends with one sum + one cross-joined scalar
+    * per round. Default behavior is unchanged.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       init: Option[DataFrame] = None,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None,
+      danglingRedistribute: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= dampNum <= dampDen")
@@ -122,21 +138,41 @@ object LinkGraph {
       case None => nodes.select(col("node"), lit(scale).as("rank"))
     }).persist()
     ranks.count()
+    // dangling nodes (no outlink row) and N, fixed for the whole run —
+    // only materialized when redistribution is on
+    val dangling =
+      if (!danglingRedistribute) None
+      else Some(nodes.select(col("node"))
+        .join(eo.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").persist())
+    val nodeCount = if (danglingRedistribute) nodes.count() else 0L
     var it = 0
     while (it < iterations) {
       val sums = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst"), expr("rank div __out").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
-        .select(col("node"),
-          (col("__base") +
-            expr(s"($dampNum * coalesce(__s, 0)) div $dampDen")).as("rank"))
-        .persist()
+      val next = (dangling match {
+        case Some(d) =>
+          // D as a 1-row relation; share = D div N floors once per round
+          val dMass = ranks.join(d, Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
+          nodes.join(sums, nodes("node") === sums("dst"), "left")
+            .crossJoin(broadcast(dMass))
+            .select(col("node"),
+              (col("__base") + expr(s"($dampNum * (coalesce(__s, 0) " +
+                s"+ __d div $nodeCount)) div $dampDen")).as("rank"))
+        case None =>
+          nodes.join(sums, nodes("node") === sums("dst"), "left")
+            .select(col("node"),
+              (col("__base") +
+                expr(s"($dampNum * coalesce(__s, 0)) div $dampDen")).as("rank"))
+      }).persist()
       next.count()
       ranks.unpersist()
       ranks = next
       it += 1
     }
+    dangling.foreach(_.unpersist())
     eoParent.unpersist()
     nodes.unpersist()
     // re-root the result in the caller's session (cache hit via the
@@ -288,5 +324,65 @@ object LinkGraph {
     eParent.unpersist()
     nodes.unpersist()
     org.apache.spark.sql.graft.Bridge.inSession(parent, out)
+  }
+
+  /** The TKC (tightly-knit-community) link-farm detector at WEB scale:
+    * HITS hub rank vs SALSA hub rank on the same graph, WITHOUT the
+    * global `row_number` windows the naive form uses (an unpartitioned
+    * window is a single-task sort of every node — dead at 10⁸ hosts).
+    *
+    * Shape: the k suspects come off the HITS side as a distributed
+    * top-k (`orderBy().limit(k)` plans as TakeOrderedAndProject —
+    * per-partition heaps, no global sort), and each suspect's EXACT
+    * global rank in both score relations is a count-of-greater: the k
+    * suspect rows broadcast against the full relation
+    * (BroadcastNestedLoopJoin — k comparisons per scanned row,
+    * map-side), and rank = 1 + count of rows strictly ahead under the
+    * total (score desc, node) order. No Window anywhere in the plan
+    * (PlanAudit-pinned); cost is O(N·k) comparisons + two
+    * partial-aggregated counts — the honest exact form. For k beyond
+    * a few hundred, bucket ranks by score quantiles instead.
+    *
+    * Output (one row per top-k HITS hub): node, hits_hub, salsa_hub,
+    * hits_rank, salsa_rank, divergence = salsa_rank − hits_rank. A
+    * large positive divergence — "HITS thinks this host matters, the
+    * random walk doesn't" — is the classic link-farm flag (Lempel &
+    * Moran's TKC effect).
+    */
+  def tkcTopK(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, k: Int = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // the iteration outputs' last rounds are already cached inside
+    // hitsInt/salsaInt, so the rescans below (top-k + two rank counts)
+    // read cache — no extra persist layer needed
+    val hits = hitsInt(edges, srcCol, dstCol, iterations, scale)
+      .select(col("node"), col("hub").as("hits_hub"))
+    val salsa = salsaInt(edges, srcCol, dstCol, iterations, scale)
+      .select(col("node"), col("hub").as("salsa_hub"))
+    // distributed top-k: TakeOrderedAndProject, never a global sort
+    val top = hits.orderBy(col("hits_hub").desc, col("node")).limit(k)
+      .join(salsa, Seq("node"))
+    // exact global rank of each suspect in `scores`: 1 + |rows strictly
+    // ahead| under (score desc, node asc) — k-row broadcast, map-side
+    // comparisons, partial-aggregated count
+    def rankAgainst(scores: DataFrame, scoreCol: String,
+        rankCol: String): DataFrame = {
+      val t = top.select(col("node").as("__tn"), col(scoreCol).as("__ts"))
+      val ahead = scores.join(broadcast(t),
+          col(scoreCol) > col("__ts") ||
+            (col(scoreCol) === col("__ts") && col("node") < col("__tn")))
+        .groupBy(col("__tn")).agg(count(lit(1)).as("__c"))
+      t.select(col("__tn")).join(ahead, Seq("__tn"), "left")
+        .select(col("__tn").as("node"),
+          (coalesce(col("__c"), lit(0L)) + 1L).as(rankCol))
+    }
+    val out = top
+      .join(rankAgainst(hits, "hits_hub", "hits_rank"), Seq("node"))
+      .join(rankAgainst(salsa, "salsa_hub", "salsa_rank"), Seq("node"))
+      .withColumn("divergence", col("salsa_rank") - col("hits_rank"))
+      .select(col("node"), col("hits_hub"), col("salsa_hub"),
+        col("hits_rank"), col("salsa_rank"), col("divergence"))
+    out
   }
 }

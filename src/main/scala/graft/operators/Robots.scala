@@ -102,7 +102,13 @@ object Robots {
   def parseCrawlDelay(robots: DataFrame, hostCol: String, textCol: String,
       agent: String = "*"): DataFrame =
     agentDirectives(robots, hostCol, textCol, agent)
-      .filter(col("key") === "crawl-delay" && col("value").rlike("^\\d+$"))
+      // 1..9 digits: a wider run of digits still matches ^\d+$ but
+      // overflows cast("long") (ANSI CAST_OVERFLOW would crash the
+      // whole parse on one garbage directive in a public robots.txt),
+      // and 0 semantically means "no delay" — both drop like any
+      // other non-numeric value
+      .filter(col("key") === "crawl-delay" &&
+        col("value").rlike("^\\d{1,9}$") && col("value").cast("long") > 0)
       .groupBy(col("host"))
       .agg(max(col("value").cast("long")).as("delay_s"))
 
@@ -121,8 +127,9 @@ object Robots {
   /** The relational verdict core: distinct (url, host, path) ⋈
     * broadcast rules on host, `applicable` decides rule match, the
     * winner is max(struct(pattern octets, allow)) — the RFC 9309
-    * precedence (most octets, ties to Allow); URLs with no applicable
-    * rule (or no robots host) coalesce to allowed.
+    * precedence (most OCTETS — `octet_length`, UTF-8 bytes, not
+    * characters — ties to Allow); URLs with no applicable rule (or no
+    * robots host) coalesce to allowed.
     */
   private def relationalVerdicts(urls: DataFrame, urlCol: String,
       rules: DataFrame, applicable: Column): DataFrame = {
@@ -132,7 +139,7 @@ object Robots {
       .join(broadcast(rules), col("__host") === rules("host"))
       .filter(applicable)
       .groupBy(col("__u"))
-      .agg(max(struct(length(col("prefix")).as("l"),
+      .agg(max(struct(octet_length(col("prefix")).as("l"),
         col("allow").cast("int").as("a"))).getField("a").as("__a"))
     withParts
       .join(verdict, withParts(urlCol) === verdict("__u"), "left")
@@ -180,7 +187,7 @@ object Robots {
       expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
     val escaped = regexp_replace(body, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
     rules
-      .withColumn("plen", length(col("prefix")))
+      .withColumn("plen", octet_length(col("prefix")))
       .withColumn("re", concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
         when(anchored, lit("$")).otherwise(lit(""))))
   }
@@ -191,6 +198,14 @@ object Robots {
     * A pattern with no wildcard compiles to `^<escaped literal>`,
     * whose regex-prefix match IS startsWith, so this form strictly
     * subsumes the prefix form (spec-pinned).
+    *
+    * COST NOTE: the pattern operand of `regexp_like` here is a column,
+    * not a literal, and Spark's RLike caches only the LAST compiled
+    * pattern — the broadcast join emits a different rule regex on
+    * nearly every consecutive row, so the regex recompiles up to
+    * (urls × rules-per-host) times. Fine for rule-audit relations;
+    * for a large URL corpus use [[verdictsWildcardLit]], which
+    * compiles every pattern exactly once at plan build.
     */
   def verdictsWildcard(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
     relationalVerdicts(urls, urlCol, compileWildcardRules(rules),
@@ -232,7 +247,8 @@ object Robots {
     verdictsWildcardLit(urls, urlCol, rules).filter(col("allowed")).drop("allowed")
 
   /** Collect the bounded rule set host→rules, RFC-sorted (original
-    * pattern octets desc, Allow first) BEFORE `xform` maps the
+    * pattern OCTETS — UTF-8 bytes, matching the relational forms'
+    * `octet_length` key — desc, Allow first) BEFORE `xform` maps the
     * pattern (identity for prefix matching, [[wildcardRegex]] for
     * wildcard matching), so precedence never keys on the expansion.
     */
@@ -245,7 +261,8 @@ object Robots {
       .groupBy(_._1)
       .map { case (h, rs) =>
         h -> rs.map(t => (t._2, t._3)).distinct
-          .sortBy { case (p, a) => (-p.length, !a) }
+          .sortBy { case (p, a) =>
+            (-p.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, !a) }
           .map { case (p, a) => (xform(p), a) }.toSeq
       }
 

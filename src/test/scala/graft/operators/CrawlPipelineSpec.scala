@@ -196,6 +196,19 @@ class CrawlPipelineSpec extends SparkSpec {
       .select($"host", $"n_fetches", $"cap", $"violation")
       .as[(String, Long, Option[Long], Boolean)].collect().toSet
     assert(got == batch, s"stream=$got batch=$batch")
+
+    // a caller-supplied delays relation carrying delay_s = 0 (real
+    // robots files publish 'Crawl-delay: 0'; parseCrawlDelay drops it,
+    // but the contract is a (host, delay_s) frame from anywhere) must
+    // NOT throw DIVIDE_BY_ZERO under ANSI mode — zero means "no
+    // delay", so the cap is null and the host never violates
+    val zeroed = Seq(("b.ex", 0L)).toDF("host", "delay_s")
+    val z = CrawlPipeline
+      .rateViolations(spark.read.format("warc").load(dir), zeroed)
+      .filter($"host" === "b.ex")
+      .select($"cap", $"violation")
+      .as[(Option[Long], Boolean)].collect().toSet
+    assert(z == Set((None, false)), z.toString)
   }
 
   test("hostFetchStats: hand-computed gaps incl. a CROSS-BUCKET min, " +

@@ -180,4 +180,87 @@ class LinkGraphSpec extends SparkSpec {
     // A gets only base (nothing links to A); B gets base + 850
     assert(r == Map("A" -> 150L, "B" -> 1000L))
   }
+
+  test("danglingRedistribute: hand-computed round, and total mass is " +
+      "conserved to within the documented floor-loss bound") {
+    // A→B, B dangling. N=2, base 150, r0 = 1000 each.
+    // D = 1000, share = 1000 div 2 = 500
+    // A' = 150 + 85*(0 + 500)    div 100 = 575
+    // B' = 150 + 85*(1000 + 500) div 100 = 1425   (sum still 2000)
+    val df = Seq(("A", "B")).toDF("src", "dst")
+    val r = LinkGraph.pageRankInt(df, "src", "dst", iterations = 1,
+        scale = 1000L, danglingRedistribute = true)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("A" -> 575L, "B" -> 1425L), r.toString)
+
+    // a bigger graph with real sinks: 10 linkers, 7 pure-sink hosts
+    val big = (0L until 200L).flatMap { i =>
+      Seq((s"h${i % 10}", s"sink${i % 7}"), (s"h${i % 10}", s"h${(i + 3) % 10}"))
+    }
+    val e = big.toDF("src", "dst")
+    val n = 17L // 10 linkers + 7 sinks
+    val edgeCount = big.distinct.size.toLong
+    val iters = 3
+    val got = LinkGraph.pageRankInt(e, "src", "dst", iterations = iters,
+        scale = 1000000L, danglingRedistribute = true)
+      .as[(String, Long)].collect()
+    val total = got.map(_._2).sum
+    // per round the floors drop < 1 unit per edge (contributions),
+    // < N units of the dangling share, < 1 per node at the damping
+    // div, < 1 per node in the base — conservative bound (E + 3N)/round
+    val bound = (edgeCount + 3 * n) * iters
+    assert(math.abs(n * 1000000L - total) <= bound,
+      s"total=$total expected≈${n * 1000000L} bound=$bound")
+    // and redistribution strictly dominates the draining default
+    val drained = LinkGraph.pageRankInt(e, "src", "dst", iterations = iters,
+        scale = 1000000L).as[(String, Long)].collect().map(_._2).sum
+    assert(total > drained, s"redistributed=$total drained=$drained")
+  }
+
+  test("danglingRedistribute on a graph with NO dangling nodes is a no-op") {
+    val e = edges.toDF("src", "dst") // every node has an outlink
+    val on = LinkGraph.pageRankInt(e, "src", "dst", iterations = 2,
+        scale = 1000L, danglingRedistribute = true)
+      .as[(String, Long)].collect().toMap
+    assert(on == Map("A" -> 2083L, "B" -> 575L, "C" -> 1191L, "D" -> 150L),
+      on.toString)
+  }
+
+  test("tkcTopK == the naive global-window ranking, and its plan has " +
+      "no Window and takes top-k without a global sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val big = (0L until 500L).flatMap { i =>
+      Seq((s"h${i % 23}", s"h${(7 * i + 1) % 23}"),
+        (s"h${i % 23}", s"h${(13 * i + 5) % 23}"))
+    }
+    val e = big.toDF("src", "dst")
+    val k = 7
+    val got = LinkGraph.tkcTopK(e, "src", "dst", iterations = 2, k = k)
+    // plan shape: distributed TakeOrdered + broadcast count-of-greater,
+    // NO Window operator (the web-scale point of this form)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // values: identical to the naive full-ranking form restricted to
+    // the same top-k suspect set
+    val hits = LinkGraph.hitsInt(e, "src", "dst", iterations = 2)
+      .select(col("node"), col("hub").as("hits_hub"))
+    val salsa = LinkGraph.salsaInt(e, "src", "dst", iterations = 2)
+      .select(col("node"), col("hub").as("salsa_hub"))
+    val naive = hits.join(salsa, Seq("node"))
+      .withColumn("hits_rank", row_number().over(
+        Window.orderBy(col("hits_hub").desc, col("node"))).cast("long"))
+      .withColumn("salsa_rank", row_number().over(
+        Window.orderBy(col("salsa_hub").desc, col("node"))).cast("long"))
+      .withColumn("divergence", col("salsa_rank") - col("hits_rank"))
+      .filter(col("hits_rank") <= k)
+      .select(col("node"), col("hits_hub"), col("salsa_hub"),
+        col("hits_rank"), col("salsa_rank"), col("divergence"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val topk = got.as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(topk == naive, s"topk=$topk naive=$naive")
+  }
 }

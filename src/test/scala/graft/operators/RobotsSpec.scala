@@ -103,7 +103,13 @@ class RobotsSpec extends SparkSpec {
         "User-agent: *\nCrawl-delay: 60"),
       ("b.ex", "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5\n" +
         "Crawl-delay: 7\nDisallow: /x"),
-      ("c.ex", "User-agent: *\nDisallow: /")).toDF("host", "text")
+      ("c.ex", "User-agent: *\nDisallow: /"),
+      // zero means "no delay" and drops; a Long-overflowing digit run
+      // (matches ^\d+$ but not the 9-digit bound) drops instead of
+      // throwing CAST_OVERFLOW under ANSI mode
+      ("d.ex", "User-agent: *\nCrawl-delay: 0\nCrawl-delay: 000"),
+      ("e.ex", "User-agent: *\nCrawl-delay: 99999999999999999999"))
+      .toDF("host", "text")
     val mine = Robots.parseCrawlDelay(r, "host", "text", "graftbot")
       .as[(String, Long)].collect().toMap
     assert(mine == Map("a.ex" -> 2L, "b.ex" -> 7L), mine.toString)
@@ -158,6 +164,23 @@ class RobotsSpec extends SparkSpec {
     assert(!got("http://w.ex/dl/a/b/tmp/x"))
     assert(got("http://w.ex/t/zzx"))
     assert(!got("http://w.ex/t/zzq"))
+  }
+
+  test("precedence counts UTF-8 OCTETS, not characters (RFC 9309 'most " +
+      "octets'): a shorter-in-chars but longer-in-bytes rule wins") {
+    // "/éé*" = 4 chars / 6 octets (allow); "/*abc" = 5 chars / 5 octets
+    // (disallow). Both match "/ééabc". Character-count precedence would
+    // pick the disallow; the RFC's octet count picks the allow.
+    val rules = Seq(
+      ("o.ex", "/éé*", true),
+      ("o.ex", "/*abc", false)).toDF("host", "prefix", "allow")
+    val urls = Seq("http://o.ex/ééabc").toDF("url")
+    val rel = Robots.verdictsWildcard(urls, "url", rules)
+      .select($"allowed").as[Boolean].head()
+    val lit = Robots.verdictsWildcardLit(urls, "url", rules)
+      .select($"allowed").as[Boolean].head()
+    assert(rel, "relational wildcard form must rank by octets")
+    assert(lit, "plan-literal wildcard form must rank by octets")
   }
 
   test("wildcard forms subsume the prefix forms on wildcard-free rules, " +
