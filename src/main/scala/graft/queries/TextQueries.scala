@@ -2068,6 +2068,270 @@ object TextQueries {
              |ORDER BY node""".stripMargin),
       doc = "TKC link-farm detector: HITS hub rank vs SALSA hub rank on the same graph (row_number under a total order), divergence flags mutual-reinforcement inflation"),
 
+    // The WEB-SCALE form of the TKC detector: no global row_number
+    // window anywhere (an unpartitioned window is one task sorting
+    // every host — dead at 10^8 hosts). The k suspects come off the
+    // HITS side as a distributed TakeOrdered top-k, and each one's
+    // EXACT global rank in both score relations is a broadcast
+    // count-of-greater (k comparisons per scanned row, map-side,
+    // partial-aggregated). Values are identical to doc_link_tkc
+    // restricted to hits_rank <= k — which is exactly what the oracle
+    // replays (the full naive ranking, filtered), so the hash compare
+    // proves the sort-free form EQUALS the window form.
+    Q("doc_link_tkc_topk",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        LinkGraph.tkcTopK(edges, "src", "dst", iterations = 2, k = 10)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |i AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+             |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+             |a1m AS (SELECT max(raw) AS m FROM a1r),
+             |a1 AS (SELECT n.node, coalesce(a1r.raw, 0)
+             |              // ((a1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |h1m AS (SELECT max(raw) AS m FROM h1r),
+             |h1 AS (SELECT n.node, coalesce(h1r.raw, 0)
+             |              // ((h1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |a2m AS (SELECT max(raw) AS m FROM a2r),
+             |a2 AS (SELECT n.node, coalesce(a2r.raw, 0)
+             |              // ((a2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |h2m AS (SELECT max(raw) AS m FROM h2r),
+             |h2 AS (SELECT n.node, coalesce(h2r.raw, 0)
+             |              // ((h2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m),
+             |sa1r AS (SELECT e.dst AS node, sum(h0.hub // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN h0 ON h0.node = e.src
+             |         GROUP BY e.dst),
+             |sa1 AS (SELECT n.node, coalesce(sa1r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa1r USING (node)),
+             |sh1r AS (SELECT e.src AS node, sum(sa1.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa1 ON sa1.node = e.dst
+             |         GROUP BY e.src),
+             |sh1 AS (SELECT n.node, coalesce(sh1r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh1r USING (node)),
+             |sa2r AS (SELECT e.dst AS node, sum(sh1.hub // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN sh1 ON sh1.node = e.src
+             |         GROUP BY e.dst),
+             |sa2 AS (SELECT n.node, coalesce(sa2r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa2r USING (node)),
+             |sh2r AS (SELECT e.src AS node, sum(sa2.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa2 ON sa2.node = e.dst
+             |         GROUP BY e.src),
+             |sh2 AS (SELECT n.node, coalesce(sh2r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh2r USING (node)),
+             |j AS (SELECT n.node, CAST(h2.hub AS BIGINT) AS hits_hub,
+             |             CAST(sh2.hub AS BIGINT) AS salsa_hub
+             |      FROM n JOIN h2 USING (node) JOIN sh2 USING (node)),
+             |r AS (SELECT node, hits_hub, salsa_hub,
+             |             CAST(row_number() OVER
+             |               (ORDER BY hits_hub DESC, node) AS BIGINT)
+             |               AS hits_rank,
+             |             CAST(row_number() OVER
+             |               (ORDER BY salsa_hub DESC, node) AS BIGINT)
+             |               AS salsa_rank
+             |      FROM j)
+             |SELECT node, hits_hub, salsa_hub, hits_rank, salsa_rank,
+             |       salsa_rank - hits_rank AS divergence
+             |FROM r
+             |WHERE hits_rank <= 10
+             |ORDER BY node""".stripMargin),
+      doc = "web-scale TKC detector: distributed top-k suspects + broadcast count-of-greater exact ranks (no global window/sort in the plan); hash-equals the naive window form filtered to the same top-k"),
+
+    // Dangling-mass redistribution — the textbook PageRank correction
+    // for rank sinks, integer-exact: three SINK hosts receive links
+    // but link nowhere, so each round their total rank D redistributes
+    // as share = D div N inside the damping term (a 1-row broadcast
+    // scalar on the Spark side). The oracle replays all three rounds
+    // with one dangling-sum CTE + one cross-joined scalar per round.
+    Q("doc_link_pagerank_dangling",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            concat(lit("sink"), pmod(col("doc_id"), lit(3)).cast("string"),
+              lit(".example")).as("dst")))
+        LinkGraph.pageRankInt(edges, "src", "dst", iterations = 3,
+            danglingRedistribute = true)
+          .withColumnRenamed("rank", "pr")
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'sink' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |nc AS (SELECT CAST(count(*) AS HUGEINT) AS cnt FROM n),
+             |dg AS (SELECT node FROM n
+             |       WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS d
+             |       FROM r0 JOIN dg USING (node)),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node, 150000000000
+             |              + (85 * (coalesce(s1.s, 0) + d1.d // nc.cnt)) // 100
+             |              AS pr
+             |       FROM n LEFT JOIN s1 USING (node)
+             |       CROSS JOIN d1 CROSS JOIN nc),
+             |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS d
+             |       FROM r1 JOIN dg USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node, 150000000000
+             |              + (85 * (coalesce(s2.s, 0) + d2.d // nc.cnt)) // 100
+             |              AS pr
+             |       FROM n LEFT JOIN s2 USING (node)
+             |       CROSS JOIN d2 CROSS JOIN nc),
+             |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS d
+             |       FROM r2 JOIN dg USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT n.node, 150000000000
+             |              + (85 * (coalesce(s3.s, 0) + d3.d // nc.cnt)) // 100
+             |              AS pr
+             |       FROM n LEFT JOIN s3 USING (node)
+             |       CROSS JOIN d3 CROSS JOIN nc)
+             |SELECT node, CAST(pr AS BIGINT) AS pr
+             |FROM r3
+             |ORDER BY node""".stripMargin),
+      doc = "PageRank with dangling-mass redistribution: per-round sink mass D shares as D div N inside the damping term (1-row broadcast scalar), integer-exact 3-round replay oracle over a graph with real rank sinks"),
+
+    // TrustRank proper (Gyongyi et al.): PageRank seeded at a labeled
+    // GOOD set minus PageRank seeded at a labeled SPAM set — the
+    // standard spam-demotion score a crawl curation pipeline
+    // publishes. Both runs are the existing seeded loop (teleport
+    // concentrated on the seed set); the difference is computed
+    // host-wise. A strongly negative score means "reachable from spam,
+    // not from trust" — the demotion flag. The oracle replays BOTH
+    // seeded runs as CASE-base CTE layers and joins them.
+    Q("doc_link_trustrank",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import s.implicits._
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val good = Seq("h0.example", "h5.example", "h10.example").toDF("node")
+        val spam = Seq("h3.example", "h7.example").toDF("node")
+        val trust = LinkGraph.pageRankInt(edges, "src", "dst",
+            iterations = 2, seeds = Some(good))
+          .withColumnRenamed("rank", "trust")
+        val spamMass = LinkGraph.pageRankInt(edges, "src", "dst",
+            iterations = 2, seeds = Some(spam))
+          .withColumnRenamed("rank", "spam_mass")
+        trust.join(spamMass, Seq("node"))
+          .withColumn("trustrank", col("trust") - col("spam_mass"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |gb AS (SELECT node,
+             |              CASE WHEN node IN ('h0.example', 'h5.example',
+             |                                 'h10.example')
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |sb AS (SELECT node,
+             |              CASE WHEN node IN ('h3.example', 'h7.example')
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |gs1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |gr1 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs1.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs1 USING (node)),
+             |gs2 AS (SELECT e.dst AS node, sum(gr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN gr1 ON gr1.node = e.src
+             |        GROUP BY e.dst),
+             |gr2 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs2.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs2 USING (node)),
+             |ss1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |sr1 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss1.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss1 USING (node)),
+             |ss2 AS (SELECT e.dst AS node, sum(sr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN sr1 ON sr1.node = e.src
+             |        GROUP BY e.dst),
+             |sr2 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss2.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss2 USING (node))
+             |SELECT n.node, CAST(gr2.pr AS BIGINT) AS trust,
+             |       CAST(sr2.pr AS BIGINT) AS spam_mass,
+             |       CAST(gr2.pr AS BIGINT) - CAST(sr2.pr AS BIGINT)
+             |         AS trustrank
+             |FROM n JOIN gr2 USING (node) JOIN sr2 USING (node)
+             |ORDER BY n.node""".stripMargin),
+      doc = "TrustRank spam demotion: good-seeded PageRank minus spam-seeded PageRank on the same graph, both integer-exact seeded runs, two-replay CASE-base oracle"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,

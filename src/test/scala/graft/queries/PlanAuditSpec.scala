@@ -149,4 +149,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("doc_link_tkc_topk: no global window/sort — TakeOrdered top-k + " +
+      "broadcast count-of-greater ranks") {
+    // the web-scale TKC form's whole point: the naive detector's two
+    // unpartitioned row_number windows (one task sorting every host)
+    // are replaced by a distributed TakeOrderedAndProject and k-row
+    // broadcast rank counts. The ORDER BY node at the end is the
+    // catalog's presentation sort over k rows, not a ranking pass.
+    val p = finalPlan("doc_link_tkc_topk")
+    assert(!p.contains("Window"), s"global window leaked back in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
