@@ -204,6 +204,92 @@ object CrawlPipeline {
       .select(col("host"), col("minute_start"), col("n_fetches"),
         col("cap"), col("violation"))
 
+  /** Frontier scheduling v2 — rank per AVAILABLE FETCH SLOT: the
+    * politeness budget, not the fetch history, is the cost. A host's
+    * declared Crawl-delay bounds how many fetches any compliant
+    * schedule can place per minute — slots = ceil(60/delay), exactly
+    * [[rateViolations]]' cap — so the value of one slot at a host is
+    * rank div slots: a high-rank host that only admits 6 fetches a
+    * minute outranks an equal-rank host with 60 cheap slots, and the
+    * scheduler fills the most valuable slots first. Hosts declaring
+    * no delay (or a junk value ≤ 0) get `defaultDelayS`.
+    *
+    * `ranks`: (node, rank) from [[LinkGraph.pageRankInt]]; `delays`:
+    * (host, delay_s) from [[Robots.parseCrawlDelay]] — O(hosts),
+    * broadcast. Integer-exact end to end, so the schedule is
+    * reproducible and oracle-replayable.
+    */
+  def frontierSlots(ranks: DataFrame, delays: DataFrame,
+      defaultDelayS: Long = 1L): DataFrame = {
+    require(defaultDelayS > 0, "defaultDelayS must be > 0")
+    ranks.join(broadcast(delays), ranks("node") === delays("host"), "left")
+      .select(col("node").as("host"), col("rank").as("pr"),
+        when(col("delay_s") > 0, col("delay_s"))
+          .otherwise(lit(defaultDelayS)).as("delay_s"))
+      .withColumn("slots_per_min", expr("(60 + delay_s - 1) div delay_s"))
+      .withColumn("priority", expr("pr div slots_per_min"))
+  }
+
+  /** The governance loop CLOSED LIVE: [[fromWarcStream]]'s document
+    * chain with the [[rateViolations]] cap composed in as a gate —
+    * fetches landing in a minute that exceeds the host's
+    * declared-Crawl-delay cap divert instead of entering the corpus.
+    *
+    * An exact gate can't decide until the minute CLOSES (fetch #7
+    * retroactively convicts fetches #1–6), so the minute's pages
+    * buffer in ONE windowed aggregation: declared caps join
+    * broadcast stream-static (stateless) BEFORE the aggregate, then
+    * groupBy (host, 1-minute window, cap) collects the minute's page
+    * records and counts them; the explode afterwards is stateless, so
+    * the whole query is a single stateful operator — squarely inside
+    * Structured Streaming's supported append-mode shapes (an
+    * aggregate feeding a stream-stream join is not). Per-key state is
+    * bounded by one minute of one host's fetches — a host whose
+    * single minute overflows an executor IS the violation finding,
+    * the same boundedness argument as [[hostFetchStats]].
+    *
+    * The identical expression runs batch-side (spec-pinned twin).
+    * Returns (docs, diverted): allowed documents ready for
+    * [[graft.streaming.CorpusStream.run]], and the dead-letter
+    * relation (url, host, minute_start, n_fetches, cap) a crawl
+    * operator audits.
+    */
+  def fromWarcStreamPolite(records: DataFrame, staticRules: DataFrame,
+      delays: DataFrame, s: CrawlSettings = CrawlSettings(),
+      watermark: String = "10 minutes"): (DataFrame, DataFrame) = {
+    val pages = htmlPages(records)
+    val allowed =
+      if (s.respectRobots)
+        Robots.filterAllowedLit(pages, "target_uri", staticRules)
+      else pages
+    val gated = allowed
+      .withColumn("__h", hostOf(col("target_uri")))
+      .withColumn("__ts", to_timestamp(col("warc_date")))
+      .join(broadcast(delays), col("__h") === delays("host"), "left")
+      .withColumn("cap", when(col("delay_s") > 0,
+        expr("(60 + delay_s - 1) div delay_s")))
+      .withWatermark("__ts", watermark)
+      .groupBy(col("__h"), window(col("__ts"), "1 minute").as("__w"),
+        col("cap"))
+      .agg(count(lit(1)).as("n_fetches"),
+        collect_list(struct(col("record_id"), col("target_uri"),
+          col("warc_date"), col("payload"))).as("__pages"))
+      .withColumn("violation",
+        coalesce(col("n_fetches") > col("cap"), lit(false)))
+      .select(col("__h"), col("__w.start").as("minute_start"), col("cap"),
+        col("n_fetches"), col("violation"), explode(col("__pages")).as("__p"))
+      .select(col("__h"), col("minute_start"), col("cap"), col("n_fetches"),
+        col("violation"), col("__p.record_id").as("record_id"),
+        col("__p.target_uri").as("target_uri"),
+        col("__p.warc_date").as("warc_date"),
+        col("__p.payload").as("payload"))
+    val docs = project(gated.filter(!col("violation")), s)
+    val diverted = gated.filter(col("violation"))
+      .select(col("target_uri").as("url"), col("__h").as("host"),
+        col("minute_start"), col("n_fetches"), col("cap"))
+    (docs, diverted)
+  }
+
   /** The full Common Crawl WARC→WET job as one call: every `response`
     * record in `inDir`'s segments becomes a linked `conversion`
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused

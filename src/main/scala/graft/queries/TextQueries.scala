@@ -2819,6 +2819,69 @@ object TextQueries {
              |ORDER BY priority DESC, f.host""".stripMargin),
       doc = "crawl-frontier prioritization: host PageRank over fetch cost (rank div (n_fetches+1)) - the integer-exact quality/cost schedule a crawler allocates from"),
 
+    // Frontier scheduling v2 — the POLITENESS BUDGET is the cost, not
+    // the fetch history: a host's declared Crawl-delay bounds its
+    // fetch slots per minute (ceil(60/delay), exactly the rate-limiter
+    // cap), so each slot's value is rank div slots and the scheduler
+    // fills the most valuable slots first. Crawl-delays parse from
+    // planted robots bodies through the SAME group machinery as the
+    // rule parse; hosts declaring nothing fall to the 1 s default
+    // (60 slots). Integer-exact; the oracle replays 2 PR rounds + the
+    // declared-delay table + the slot arithmetic.
+    Q("doc_crawl_frontier_slots",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, LinkGraph, Robots}
+        import s.implicits._
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(7)).cast("string"), lit(".cr"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+          host(col("doc_id") * 3 + 1).as("dst"))
+        val ranks = LinkGraph.pageRankInt(edges, "src", "dst", iterations = 2)
+        val delays = Robots.parseCrawlDelay(Seq(
+          ("h0.cr", "User-agent: *\nCrawl-delay: 10"),
+          ("h1.cr", "User-agent: *\nCrawl-delay: 2"),
+          ("h3.cr", "User-agent: *\nCrawl-delay: 7")).toDF("host", "text"),
+          "host", "text", "*")
+        CrawlPipeline.frontierSlots(ranks, delays)
+          .orderBy(col("priority").desc, col("host"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS src,
+             |         'h' || CAST((3*doc_id+1) % 7 AS VARCHAR) || '.cr' AS dst
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node)),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.cr', CAST(10 AS BIGINT)),
+             |        ('h1.cr', CAST(2 AS BIGINT)),
+             |        ('h3.cr', CAST(7 AS BIGINT))) AS t(host, delay_s)),
+             |x AS (SELECT r2.node AS host, CAST(r2.pr AS BIGINT) AS pr,
+             |             coalesce(d.delay_s, 1) AS delay_s
+             |      FROM r2 LEFT JOIN d ON d.host = r2.node)
+             |SELECT host, pr, delay_s,
+             |       (60 + delay_s - 1) // delay_s AS slots_per_min,
+             |       CAST(pr // ((60 + delay_s - 1) // delay_s) AS BIGINT)
+             |         AS priority
+             |FROM x
+             |ORDER BY priority DESC, host""".stripMargin),
+      doc = "frontier scheduling v2: rank per available fetch slot (ceil(60/Crawl-delay) politeness budget as the cost), declared delays parsed from robots bodies, integer-exact replay oracle"),
+
     // The WHOLE crawl-side pipeline as one oracled call: documents
     // render as full pages (title, link-dense nav, escaped content,
     // boilerplate), land in a real per-record-gzip WARC TOGETHER WITH

@@ -258,4 +258,94 @@ class CrawlPipelineSpec extends SparkSpec {
       .select($"host", $"min_gap_s").as[(String, Long)].collect().toMap
     assert(got == naive, s"got=$got naive=$naive")
   }
+
+  test("frontierSlots: rank per ceil(60/delay) slot; undeclared and junk " +
+      "delays fall to the default") {
+    val ranks = Seq(("a.ex", 6000L), ("b.ex", 6000L), ("c.ex", 600L),
+      ("d.ex", 600L)).toDF("node", "rank")
+    val delays = Seq(("a.ex", 10L), ("c.ex", 7L), ("d.ex", 0L))
+      .toDF("host", "delay_s")
+    val got = CrawlPipeline.frontierSlots(ranks, delays, defaultDelayS = 1L)
+      .select($"host", $"pr", $"slots_per_min", $"priority")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // a: delay 10 → 6 slots → 1000/slot; b: default 1 → 60 → 100/slot
+    // (equal rank, scarcer budget → a's slots are 10× more valuable)
+    // c: delay 7 → ceil(60/7)=9 → 66; d: junk 0 → default → 10
+    assert(got == Map(
+      "a.ex" -> (6000L, 6L, 1000L), "b.ex" -> (6000L, 60L, 100L),
+      "c.ex" -> (600L, 9L, 66L), "d.ex" -> (600L, 60L, 10L)), got.toString)
+  }
+
+  test("fromWarcStreamPolite: violating minutes divert, stream == batch") {
+    import graft.operators.Robots
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-polite-").toString
+    def rec(n: Int, host: String, sec: Int) =
+      (s"<urn:pg:$n>", "response", s"http://$host/p/$n",
+        java.time.Instant.ofEpochSecond(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+            + sec).toString, "text/html", page(n))
+    // fast.ex declares delay 10 → cap 6: SEVEN pages in minute 0
+    // (diverted) and three in minute 2 (kept); ok.ex declares nothing.
+    // The far-future sentinel on a third host pushes the watermark
+    // past every real minute so append-mode state flushes in the test.
+    val recs = ((0 until 7).map(i => rec(i, "fast.ex", i * 8)) ++
+        (0 until 3).map(i => rec(100 + i, "fast.ex", 120 + i * 15)) ++
+        (0 until 4).map(i => rec(200 + i, "ok.ex", i * 7)) ++
+        Seq(rec(999, "late.ex", 86400)))
+      .toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+    recs.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val rules = Seq.empty[(String, String, Boolean)]
+      .toDF("host", "prefix", "allow")
+    val delays = Robots.parseCrawlDelay(
+      Seq(("fast.ex", "User-agent: *\nCrawl-delay: 10")).toDF("host", "text"),
+      "host", "text", "*")
+
+    val (bDocs, bDiv) = CrawlPipeline.fromWarcStreamPolite(
+      spark.read.format("warc").load(dir), rules, delays,
+      watermark = "0 seconds")
+    val wantDocs = bDocs.select($"url").as[String].collect().toSet
+    val wantDiv = bDiv.select($"url", $"n_fetches", $"cap")
+      .as[(String, Long, Long)].collect().toSet
+    assert(wantDocs == ((0 until 3).map(i => s"http://fast.ex/p/${100 + i}") ++
+      (0 until 4).map(i => s"http://ok.ex/p/${200 + i}") ++
+      Seq("http://late.ex/p/999")).toSet, wantDocs.toString)
+    assert(wantDiv == (0 until 7)
+      .map(i => (s"http://fast.ex/p/$i", 7L, 6L)).toSet, wantDiv.toString)
+
+    val (sDocs, sDiv) = CrawlPipeline.fromWarcStreamPolite(
+      spark.readStream.format("warc").load(dir), rules, delays,
+      watermark = "0 seconds")
+    val q1 = sDocs.writeStream.format("memory").queryName("polite_docs")
+      .outputMode("append").start()
+    val q2 = sDiv.writeStream.format("memory").queryName("polite_div")
+      .outputMode("append").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // the sentinel's own minute is the LAST event time, so its window
+    // never closes inside the test — append mode holds it back until
+    // a later watermark (exactly-once across restarts would emit it
+    // then); every CLOSED minute must match the batch twin exactly
+    val wantStream = wantDocs - "http://late.ex/p/999"
+    // append-mode results flush in the NO-DATA micro-batches that run
+    // after the watermark advances past the closed minutes —
+    // processAllAvailable doesn't wait for those, so poll
+    val deadline = System.currentTimeMillis + 90000
+    def counts() = (spark.table("polite_docs").count(),
+      spark.table("polite_div").count())
+    while (counts() != (wantStream.size.toLong, wantDiv.size.toLong) &&
+        System.currentTimeMillis < deadline)
+      Thread.sleep(500)
+    q1.stop(); q2.stop()
+    val gotDocs = spark.table("polite_docs")
+      .select($"url").as[String].collect().toSet
+    val gotDiv = spark.table("polite_div")
+      .select($"url", $"n_fetches", $"cap")
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotDocs == wantStream, s"stream=$gotDocs batch=$wantStream")
+    assert(gotDiv == wantDiv, s"stream=$gotDiv batch=$wantDiv")
+  }
 }
