@@ -2447,6 +2447,184 @@ object TextQueries {
              |LIMIT 15""".stripMargin),
       doc = "anchor text as a retrieval field: BM25F two-field ranking (body weight 1, inlink anchor profile weight 2), per-field normalization, one shared saturation, any-field df"),
 
+    // RRF vs BM25F HEAD-TO-HEAD — the fused hybrid-retrieval eval:
+    // the same two fields (body text, inlink anchor profile) enter
+    // both fusion strategies — (a) two independent per-field BM25
+    // top-15 lists fused by reciprocal-rank fusion, (b) one fielded
+    // BM25F score — and each strategy's top-10 is scored by overlap
+    // against brute-force cosine ground truth for the same corpus
+    // (vec_id ≡ doc_id), the recall-eval discipline of
+    // sim_ivf_recall. Honest numbers: lexical retrieval on 3 planted
+    // terms against dense-vector truth overlaps weakly by design —
+    // the eval measures the STRATEGY GAP, not absolute quality.
+    Q("doc_hybrid_fusion_eval",
+      (s, dir) => {
+        import graft.operators.Similarity
+        val docs = Tables.documents(s, dir)
+        val anchors = docs.select(
+          pmod(col("doc_id") * 7 + 1, lit(97)).as("tgt"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("atext"))
+        val profile = anchors.groupBy(col("tgt"))
+          .agg(concat_ws(" ", array_sort(collect_list(col("atext"))))
+            .as("anchor_text"))
+        val fielded = docs.join(profile, docs("doc_id") === profile("tgt"),
+            "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("anchor_text"), lit("")).as("anchor_text"))
+        val terms = Seq("vector", "stream", "spark")
+        val lexW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val bodyList = TextAnalysis.bm25TopK(fielded, "doc_id", "text",
+            terms, k = 15)
+          .withColumn("rank", row_number().over(lexW))
+          .select(col("doc_id"), col("rank"))
+        val anchorList = TextAnalysis.bm25TopK(fielded, "doc_id",
+            "anchor_text", terms, k = 15)
+          .withColumn("rank", row_number().over(lexW))
+          .select(col("doc_id"), col("rank"))
+        val rrfSet = Similarity.rrfFuse(Seq(bodyList, anchorList),
+            "doc_id", "rank", k = 10)
+          .select(col("doc_id"))
+        val bmfSet = TextAnalysis.bm25FieldedTopK(fielded, "doc_id",
+            Seq(("text", 1.0), ("anchor_text", 2.0)), terms, k = 10)
+          .select(col("doc_id"))
+        val emb = Tables.embeddings(s, dir)
+        val truth = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+          .select(col("neighbor_id").as("doc_id"))
+        def scoreRow(set: org.apache.spark.sql.DataFrame,
+            against: org.apache.spark.sql.DataFrame, name: String) =
+          set.join(against, Seq("doc_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(name).as("strategy"), col("n_hits"),
+              round(col("n_hits") / lit(10.0), 6).as("overlap_at_10"))
+        scoreRow(bmfSet, truth, "bm25f")
+          .unionByName(scoreRow(rrfSet, truth, "rrf"))
+          // the strategies' agreement with EACH OTHER — the non-vacuous
+          // row when lexical-vs-dense truth overlap bottoms out at 0
+          .unionByName(scoreRow(rrfSet, bmfSet, "rrf_vs_bm25f"))
+          .orderBy(col("strategy"))
+      },
+      Some("""WITH anch AS (
+             |  SELECT (7 * doc_id + 1) % 97 AS tgt,
+             |         array_to_string(list_slice(string_split(text, ' '), 1, 3),
+             |                         ' ') AS atext
+             |  FROM documents),
+             |prof AS (
+             |  SELECT tgt, array_to_string(list_sort(list(atext)), ' ')
+             |           AS anchor_text
+             |  FROM anch GROUP BY tgt),
+             |d AS (
+             |  SELECT doc_id, text, coalesce(prof.anchor_text, '') AS anchor
+             |  FROM documents LEFT JOIN prof ON documents.doc_id = prof.tgt),
+             |tb AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+             |dlb AS (SELECT doc_id, len(w) AS dl FROM tb),
+             |cb AS (SELECT count(*) AS n, sum(dl) AS tot FROM dlb),
+             |tfb AS (SELECT doc_id, t, count(*) AS tf
+             |        FROM (SELECT doc_id, unnest(w) AS t FROM tb)
+             |        WHERE t IN ('vector', 'stream', 'spark')
+             |        GROUP BY doc_id, t),
+             |dfb AS (SELECT t, count(*) AS df FROM tfb GROUP BY t),
+             |scb AS (
+             |  SELECT tfb.doc_id,
+             |         ln(1.0 + (cb.n - dfb.df + 0.5) / (dfb.df + 0.5))
+             |           * tfb.tf * (1.2 + 1.0)
+             |           / (tfb.tf + 1.2 * ((1.0 - 0.75)
+             |              + 0.75 * dlb.dl / (CAST(cb.tot AS DOUBLE) / cb.n)))
+             |           AS contrib
+             |  FROM tfb JOIN dfb USING (t) JOIN dlb USING (doc_id) CROSS JOIN cb),
+             |bmb AS (SELECT doc_id, round(sum(contrib), 6) AS score
+             |        FROM scb GROUP BY doc_id
+             |        ORDER BY score DESC, doc_id LIMIT 15),
+             |lexb AS (SELECT doc_id,
+             |                row_number() OVER (ORDER BY score DESC, doc_id) AS r
+             |         FROM bmb),
+             |ta AS (SELECT doc_id, string_split(anchor, ' ') AS w FROM d),
+             |dla AS (SELECT doc_id, len(w) AS dl FROM ta),
+             |ca AS (SELECT count(*) AS n, sum(dl) AS tot FROM dla),
+             |tfa AS (SELECT doc_id, t, count(*) AS tf
+             |        FROM (SELECT doc_id, unnest(w) AS t FROM ta)
+             |        WHERE t IN ('vector', 'stream', 'spark')
+             |        GROUP BY doc_id, t),
+             |dfa AS (SELECT t, count(*) AS df FROM tfa GROUP BY t),
+             |sca AS (
+             |  SELECT tfa.doc_id,
+             |         ln(1.0 + (ca.n - dfa.df + 0.5) / (dfa.df + 0.5))
+             |           * tfa.tf * (1.2 + 1.0)
+             |           / (tfa.tf + 1.2 * ((1.0 - 0.75)
+             |              + 0.75 * dla.dl / (CAST(ca.tot AS DOUBLE) / ca.n)))
+             |           AS contrib
+             |  FROM tfa JOIN dfa USING (t) JOIN dla USING (doc_id) CROSS JOIN ca),
+             |bma AS (SELECT doc_id, round(sum(contrib), 6) AS score
+             |        FROM sca GROUP BY doc_id
+             |        ORDER BY score DESC, doc_id LIMIT 15),
+             |lexa AS (SELECT doc_id,
+             |                row_number() OVER (ORDER BY score DESC, doc_id) AS r
+             |         FROM bma),
+             |u AS (SELECT doc_id, r FROM lexb UNION ALL
+             |      SELECT doc_id, r FROM lexa),
+             |rrfs AS (SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf
+             |         FROM u GROUP BY doc_id
+             |         ORDER BY rrf DESC, doc_id LIMIT 10),
+             |toks AS (
+             |  SELECT doc_id, 0 AS f, string_split(text, ' ') AS w FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 1, string_split(anchor, ' ') FROM d),
+             |dl2 AS (SELECT doc_id, f, len(w) AS dl FROM toks),
+             |st AS (SELECT f, count(*) AS n, sum(dl) AS tot FROM dl2 GROUP BY f),
+             |tf2 AS (SELECT doc_id, f, t, count(*) AS tf
+             |        FROM (SELECT doc_id, f, unnest(w) AS t FROM toks)
+             |        WHERE t IN ('vector', 'stream', 'spark')
+             |        GROUP BY doc_id, f, t),
+             |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY t),
+             |wtf AS (
+             |  SELECT tf2.doc_id, tf2.f, tf2.t,
+             |         (CASE tf2.f WHEN 0 THEN 1.0 ELSE 2.0 END) * tf2.tf
+             |           / ((1.0 - 0.75)
+             |              + 0.75 * dl2.dl / (CAST(st.tot AS DOUBLE) / st.n))
+             |           AS wtf
+             |  FROM tf2 JOIN dl2 USING (doc_id, f) JOIN st USING (f)),
+             |x AS (SELECT doc_id, t,
+             |             coalesce(max(CASE WHEN f = 0 THEN wtf END), 0.0)
+             |             + coalesce(max(CASE WHEN f = 1 THEN wtf END), 0.0) AS x
+             |      FROM wtf GROUP BY doc_id, t),
+             |nd AS (SELECT n AS nd FROM st WHERE f = 0),
+             |sc AS (SELECT x.doc_id,
+             |              ln(1.0 + (nd.nd - dfq.df + 0.5) / (dfq.df + 0.5))
+             |                * x.x * (1.2 + 1.0) / (1.2 + x.x) AS contrib
+             |       FROM x JOIN dfq USING (t) CROSS JOIN nd),
+             |bmf AS (SELECT doc_id, round(sum(contrib), 6) AS score
+             |        FROM sc GROUP BY doc_id
+             |        ORDER BY score DESC, doc_id LIMIT 10),
+             |e AS (SELECT vec_id,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |      FROM embeddings),
+             |scored AS (
+             |  SELECT c.vec_id AS doc_id,
+             |         (list_inner_product(q.v, c.v)
+             |           / (sqrt(list_inner_product(q.v, q.v))
+             |              * sqrt(list_inner_product(c.v, c.v)))) AS cs
+             |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+             |  WHERE q.vec_id = 0),
+             |truth AS (SELECT doc_id FROM (
+             |            SELECT doc_id,
+             |                   row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+             |            FROM scored) WHERE r <= 10)
+             |SELECT * FROM (
+             |  SELECT 'bm25f' AS strategy, count(*) AS n_hits,
+             |         round(count(*) / 10.0, 6) AS overlap_at_10
+             |  FROM bmf JOIN truth USING (doc_id)
+             |  UNION ALL
+             |  SELECT 'rrf', count(*),
+             |         round(count(*) / 10.0, 6)
+             |  FROM rrfs JOIN truth USING (doc_id)
+             |  UNION ALL
+             |  SELECT 'rrf_vs_bm25f', count(*),
+             |         round(count(*) / 10.0, 6)
+             |  FROM rrfs JOIN bmf USING (doc_id))
+             |ORDER BY strategy""".stripMargin),
+      doc = "RRF vs BM25F head-to-head: both fusion strategies over the same two fields scored by top-10 overlap against brute-force cosine truth plus strategy-vs-strategy agreement, fully replayed oracle"),
+
     // robots.txt compliance filtering: four hosts publish REAL robots
     // bodies (agent-specific group with Allow-override, '*' group with
     // an empty Disallow + comment, blanket Disallow, and a group for a
