@@ -409,6 +409,16 @@ object Dedup {
     * with bit_count(xor) ≤ `maxHamming`. The fingerprint relation is
     * 16 bytes/row — at 100 TB of media the pair join runs over hashes,
     * never payloads. Output: (id_a, id_b, hamming).
+    *
+    * IDENTICAL-FINGERPRINT MASS (failed decodes, black frames, blank
+    * pages — every production media corpus has a head value): ids
+    * sharing one fp collide in EVERY band, so the pair relation
+    * carries a C(m,2) clique — 25% identical at 10⁹ images is 3×10¹⁶
+    * pairs. Collapse identical fps FIRST (groupBy fp → min-id
+    * canonical, membership edges id→canonical) and band only the
+    * representatives: same components downstream, linear instead of
+    * quadratic in the identical share (measured 2500× at 25%/20k —
+    * BASELINE.md r14 `hamming` probe).
     */
   def fingerprintHammingPairs(fp: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3): DataFrame = {

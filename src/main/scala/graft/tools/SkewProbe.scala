@@ -51,6 +51,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               their time-bucketed two-phase forms
   *   pagerank    integer PageRank on uniform vs IN-whale vs OUT-whale
   *               host graphs (one hub owning half of all edge ends)
+  *   fetchstats  hostFetchStats (hierarchical adjacent-gap min) vs the
+  *               naive full-history window on uniform vs whale fetch
+  *               logs (one host = 50% of fetches)
+  *   robots      relational broadcast verdicts vs the plan-literal
+  *               projection on a whale URL corpus (one host = 50% of
+  *               URLs, 4 rules/host over 1000 hosts)
+  *   hamming     fingerprintHammingPairs on uniform vs 25%-identical
+  *               fingerprints (the failed-decode/black-frame mass a
+  *               real image corpus carries) — as-is vs
+  *               collapse-identical-first
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -517,6 +527,128 @@ object SkewProbe {
                 iterations = 3),
               Seq("node", "rank")))
             report(name, rep, t, n, s)
+          }
+        case "fetchstats" =>
+          // politeness accounting under a whale host: uniform spreads
+          // fetches over 1000 hosts; whale routes HALF of them to one.
+          // hostFetchStats is the hierarchical (host, minute)-bucketed
+          // form; the control is the naive full-host-history window —
+          // the shape whose maxtask is one sort of the whale's entire
+          // fetch log. Values cross-checked by sig on the full stats row.
+          import org.apache.spark.sql.expressions.Window
+          val logs: Seq[(String, DataFrame)] = Seq(
+            "uniform" -> docs.select(
+              concat(lit("http://h"), pmod(col("doc_id"), lit(1000L)),
+                lit(".cr/p/"), col("doc_id")).as("target_uri"),
+              (col("doc_id") * 37 % 1000000L).as("__sec")),
+            "whale" -> docs.select(
+              concat(lit("http://"),
+                when(col("doc_id") % 2 === 0, lit("whale"))
+                  .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(1000L)))),
+                lit(".cr/p/"), col("doc_id")).as("target_uri"),
+              (col("doc_id") * 37 % 1000000L).as("__sec")))
+          logs.foreach { case (name, log0) =>
+            val log = log0.select(col("target_uri"),
+              date_format(expr("timestamp'2026-02-01 00:00:00' + " +
+                "make_dt_interval(0, 0, 0, __sec)"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+            val cols = Seq("host", "n_fetches", "min_gap_s", "max_per_minute")
+            def naive = {
+              val f = log.select(
+                  lower(regexp_extract(col("target_uri"),
+                    "(?i)^https?://([^/:]+)", 1)).as("host"),
+                  unix_timestamp(to_timestamp(col("warc_date"))).as("t"))
+                .filter(col("host") =!= "" && col("t").isNotNull)
+              val byHost = Window.partitionBy(col("host")).orderBy(col("t"))
+              f.withColumn("gap", col("t") - lag(col("t"), 1).over(byHost))
+                .withColumn("b", expr("t div 60"))
+                .withColumn("__mc", count(lit(1)).over(
+                  Window.partitionBy(col("host"), col("b"))))
+                .groupBy(col("host"))
+                .agg(count(lit(1)).as("n_fetches"),
+                  min(col("gap")).as("min_gap_s"),
+                  max(col("__mc")).as("max_per_minute"))
+            }
+            val ((nN, hN), tN) = time(sig(naive, cols))
+            report(s"${name}_naive", rep, tN, nN, hN)
+            val ((nH, hH), tH) = time(sig(graft.operators.CrawlPipeline
+              .hostFetchStats(log), cols))
+            report(s"${name}_hier", rep, tH, nH, hH,
+              if (nH == nN && hH == hN) " MATCH" else " **MISMATCH**")
+          }
+        case "robots" =>
+          // verdict forms under a whale URL corpus: one host owns 50%
+          // of URLs; 1000 hosts × 4 rules. The relational broadcast
+          // form groups per URL (no whale KEY — the probe pins that)
+          // vs the plan-literal pure projection.
+          val hostCol = when(col("doc_id") % 2 === 0, lit("whale"))
+            .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(1000L))))
+          val urls = docs.select(col("doc_id"),
+            concat(lit("http://"), hostCol, lit(".rx"),
+              element_at(array(lit("/private/ok/"), lit("/private/"),
+                lit("/tmp/"), lit("/page/")),
+                (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+              col("doc_id")).as("url"))
+          val rules = spark.range(1000)
+            .select(concat(lit("h"), col("id")).as("hn"))
+            .unionByName(spark.range(1).select(lit("whale").as("hn")))
+            .select(concat(col("hn"), lit(".rx")).as("host"),
+              explode(array(
+                struct(lit("/private").as("prefix"), lit(false).as("allow")),
+                struct(lit("/private/ok").as("prefix"), lit(true).as("allow")),
+                struct(lit("/tmp").as("prefix"), lit(false).as("allow")),
+                struct(lit("/x").as("prefix"), lit(false).as("allow"))))
+                .as("r"))
+            .select(col("host"), col("r.prefix").as("prefix"),
+              col("r.allow").as("allow"))
+          val vCols = Seq("doc_id", "allowed")
+          val ((nR, hR), tR) = time(sig(graft.operators.Robots
+            .verdicts(urls, "url", rules), vCols))
+          report("relational", rep, tR, nR, hR)
+          val ((nL, hL), tL) = time(sig(graft.operators.Robots
+            .verdictsLit(urls, "url", rules), vCols))
+          report("plan_lit", rep, tL, nL, hL,
+            if (nL == nR && hL == hR) " MATCH" else " **MISMATCH**")
+        case "hamming" =>
+          // perceptual-hash banding under identical-fingerprint mass:
+          // 25% of fingerprints become ONE value (failed decodes,
+          // black frames) — every band of the clique collides, so the
+          // banded join carries a C²/2 clique unless identical fps
+          // collapse FIRST (exact-dup mass is not near-dup work).
+          // Bounded to 20k ids: the clique is quadratic BY DESIGN.
+          val n = 20000L
+          val ids = spark.range(n)
+          val shapes2: Seq[(String, DataFrame)] = Seq(
+            "uniform" -> ids.select(col("id"), xxhash64(col("id")).as("fp")),
+            "ident25" -> ids.select(col("id"),
+              when(pmod(hash(col("id")), lit(4)) === 0, lit(0x5A5A5A5A5AL))
+                .otherwise(xxhash64(col("id"))).as("fp")))
+          shapes2.foreach { case (name, f0) =>
+            val f = f0.persist()
+            f.count()
+            val ((nP, hP), tP) = time(sig(graft.operators.Dedup
+              .fingerprintHammingPairs(f, "id", "fp", maxHamming = 3),
+              Seq("id_a", "id_b")))
+            report(s"${name}_asis", rep, tP, nP, hP)
+            // collapse-first: one representative per distinct fp, band
+            // only the representatives, then add the id→canonical
+            // membership rows (clique edges to the canonical, not all
+            // pairs — the CC downstream gets the same components)
+            val ((nC, hC), tC) = time {
+              val reps = f.groupBy(col("fp")).agg(min(col("id")).as("id"),
+                count(lit(1)).as("__m"))
+              val repPairs = graft.operators.Dedup.fingerprintHammingPairs(
+                reps.select(col("id"), col("fp")), "id", "fp",
+                maxHamming = 3)
+                .select(col("id_a"), col("id_b"))
+              val member = f.join(
+                  reps.select(col("fp"), col("id").as("__canon")), Seq("fp"))
+                .filter(col("id") =!= col("__canon"))
+                .select(col("__canon").as("id_a"), col("id").as("id_b"))
+              sig(repPairs.unionByName(member), Seq("id_a", "id_b"))
+            }
+            report(s"${name}_collapse", rep, tC, nC, hC)
+            f.unpersist()
           }
         case other =>
           sys.error(s"unknown family: $other")
