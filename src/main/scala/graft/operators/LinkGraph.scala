@@ -353,16 +353,23 @@ object LinkGraph {
       iterations: Int = 2, k: Int = 100,
       scale: Long = 1000000000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // the iteration outputs' last rounds are already cached inside
-    // hitsInt/salsaInt, so the rescans below (top-k + two rank counts)
-    // read cache — no extra persist layer needed
+    // LINEAGE TRUNCATION: the iteration outputs' logical plans carry
+    // the whole unrolled loop (every round's join/agg over the edge
+    // scans) — execution hits the loops' caches, but every ACTION here
+    // would re-analyze that tree, and the ranking phase runs several.
+    // localCheckpoint collapses each score relation to an RDD scan
+    // (the per-round discipline the loops themselves use), so the
+    // rank plans stay O(1) regardless of iteration count.
     val hits = hitsInt(edges, srcCol, dstCol, iterations, scale)
-      .select(col("node"), col("hub").as("hits_hub"))
+      .select(col("node"), col("hub").as("hits_hub")).localCheckpoint()
     val salsa = salsaInt(edges, srcCol, dstCol, iterations, scale)
-      .select(col("node"), col("hub").as("salsa_hub"))
-    // distributed top-k: TakeOrderedAndProject, never a global sort
+      .select(col("node"), col("hub").as("salsa_hub")).localCheckpoint()
+    // distributed top-k: TakeOrderedAndProject, never a global sort.
+    // The k-row suspect relation feeds three consumers (two broadcast
+    // rank probes + the final join); the eager localCheckpoint
+    // materializes it once, k rows, O(1) plan
     val top = hits.orderBy(col("hits_hub").desc, col("node")).limit(k)
-      .join(salsa, Seq("node"))
+      .join(salsa, Seq("node")).localCheckpoint()
     // exact global rank of each suspect in `scores`: 1 + |rows strictly
     // ahead| under (score desc, node asc) — k-row broadcast, map-side
     // comparisons, partial-aggregated count
@@ -377,12 +384,11 @@ object LinkGraph {
         .select(col("__tn").as("node"),
           (coalesce(col("__c"), lit(0L)) + 1L).as(rankCol))
     }
-    val out = top
+    top
       .join(rankAgainst(hits, "hits_hub", "hits_rank"), Seq("node"))
       .join(rankAgainst(salsa, "salsa_hub", "salsa_rank"), Seq("node"))
       .withColumn("divergence", col("salsa_rank") - col("hits_rank"))
       .select(col("node"), col("hits_hub"), col("salsa_hub"),
         col("hits_rank"), col("salsa_rank"), col("divergence"))
-    out
   }
 }

