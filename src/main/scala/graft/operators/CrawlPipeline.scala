@@ -295,13 +295,19 @@ object CrawlPipeline {
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused
     * extraction, deterministic ids) written as WET segments to
     * `outDir`. No shuffle anywhere: segment bytes → extracted text →
-    * segment bytes in one narrow pass per partition.
+    * segment bytes in one narrow pass per partition. `index = true`
+    * additionally emits the per-record gzip-member CDX index the WARC
+    * sink supports, making the WET output externally seekable
+    * ([[graft.sources.warc.WarcRandomAccess]]) — the layout Common
+    * Crawl publishes for its own WET segments.
     */
   def toWet(spark: org.apache.spark.sql.SparkSession, inDir: String,
-      outDir: String, compression: String = "gzip"): Unit =
+      outDir: String, compression: String = "gzip",
+      index: Boolean = false): Unit =
     graft.sources.warc.Wet
       .convert(spark.read.format("warc").load(inDir))
       .write.format("warc").option("compression", compression)
+      .option("index", index.toString)
       .mode("append").save(outDir)
 
   /** Streaming twin: the SAME projection chain over

@@ -199,7 +199,8 @@ object LinkGraph {
     * bound in the family.
     */
   def salsaInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 2, scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val parent = edges.sparkSession
     val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -219,6 +220,19 @@ object LinkGraph {
     val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // warm start: the loop's only carried state is hub (auth derives
+    // from it each round), so a prior run's (node, hub) output resumes
+    // the iteration exactly — N cold ≡ M cold + (N−M) warm (the
+    // pageRankInt init pattern; new nodes seed at scale, dropped
+    // nodes vanish with the node set)
+    def seedHub: DataFrame = init match {
+      case Some(prior) =>
+        val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
+          prior.select(col("node"), col("hub").as("__h0")))
+        nodes.join(p, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__h0"), lit(scale)).as("hub"))
+      case None => nodes.select(col("node"), lit(scale).as("hub"))
+    }
     def side(inRel: DataFrame, inCol: String, valCol: String, degCol: String,
         outKey: String, outCol: String): DataFrame = {
       val raw = e.join(inRel, e(inCol) === inRel("node"))
@@ -228,7 +242,8 @@ object LinkGraph {
       nodes.join(raw, nodes("node") === raw("__k"), "left")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as(outCol))
     }
-    var hub = nodes.select(col("node"), lit(scale).as("hub")).persist()
+    var hub = seedHub.persist()
+    hub.count()
     var auth: DataFrame = null
     var it = 0
     while (it < iterations) {
@@ -275,7 +290,8 @@ object LinkGraph {
     * round deep.
     */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 2, scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val parent = edges.sparkSession
     val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -299,7 +315,19 @@ object LinkGraph {
           expr(s"coalesce(__raw, 0) div ((__m + $scale - 1) div $scale)")
             .as(outCol))
     }
-    var hub = nodes.select(col("node"), lit(scale).as("hub")).persist()
+    // warm start: hub is the only carried state (each round derives
+    // auth from hub, then hub from auth), so a prior (node, hub)
+    // output resumes exactly — N cold ≡ M cold + (N−M) warm
+    // (spec-pinned); new nodes seed at scale, dropped nodes vanish
+    var hub = (init match {
+      case Some(prior) =>
+        val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
+          prior.select(col("node"), col("hub").as("__h0")))
+        nodes.join(p, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__h0"), lit(scale)).as("hub"))
+      case None => nodes.select(col("node"), lit(scale).as("hub"))
+    }).persist()
+    hub.count()
     var auth: DataFrame = null
     var it = 0
     while (it < iterations) {

@@ -1894,6 +1894,105 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "HITS hubs/authorities link prior: integer-exact rescale rounds (floor-div normalization), partitioning-invariant, full iteration-replay oracle"),
 
+    // INCREMENTAL HITS — the nightly-crawl refresh for the
+    // hub/authority prior, mirroring doc_link_pagerank_delta: 2 cold
+    // rounds establish hubs, an edge diff applies (one host's
+    // outlinks retract, five hosts gain links to a new hub host), and
+    // ONE warm round resumes from the prior hubs instead of a full
+    // recompute (hub is the loop's only carried state — auth derives
+    // from it — so the resume is exact, spec-pinned). The oracle
+    // replays everything: 2 cold rescale rounds, the closed-form
+    // merged edge set, the warm seed join, 1 more rescale round.
+    Q("doc_link_hits_delta",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val e1 = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val prior = LinkGraph.hitsInt(e1, "src", "dst", iterations = 2)
+        val e2 = e1.filter(col("src") =!= "h3.example").distinct()
+          .unionByName(docs
+            .select(host(pmod(col("doc_id"), lit(5))).as("src"),
+              lit("hub.example").as("dst")).distinct())
+        LinkGraph.hitsInt(e2, "src", "dst", iterations = 1,
+            init = Some(prior.select(col("node"), col("hub"))))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+             |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+             |a1m AS (SELECT max(raw) AS m FROM a1r),
+             |a1 AS (SELECT n.node, coalesce(a1r.raw, 0)
+             |              // ((a1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |h1m AS (SELECT max(raw) AS m FROM h1r),
+             |h1 AS (SELECT n.node, coalesce(h1r.raw, 0)
+             |              // ((h1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |a2m AS (SELECT max(raw) AS m FROM a2r),
+             |a2 AS (SELECT n.node, coalesce(a2r.raw, 0)
+             |              // ((a2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |h2m AS (SELECT max(raw) AS m FROM h2r),
+             |h2 AS (SELECT n.node, coalesce(h2r.raw, 0)
+             |              // ((h2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m),
+             |e2 AS (SELECT src, dst FROM e WHERE src <> 'h3.example'
+             |       UNION
+             |       SELECT DISTINCT
+             |              'h' || CAST(doc_id % 5 AS VARCHAR) || '.example',
+             |              'hub.example'
+             |       FROM documents),
+             |n2 AS (SELECT DISTINCT src AS node FROM e2
+             |       UNION SELECT DISTINCT dst FROM e2),
+             |w0 AS (SELECT n2.node, coalesce(h2.hub, 1000000000000) AS hub
+             |       FROM n2 LEFT JOIN h2 USING (node)),
+             |wa1r AS (SELECT e2.dst AS node, sum(w0.hub) AS raw
+             |         FROM e2 JOIN w0 ON w0.node = e2.src GROUP BY e2.dst),
+             |wa1m AS (SELECT max(raw) AS m FROM wa1r),
+             |wa1 AS (SELECT n2.node, coalesce(wa1r.raw, 0)
+             |               // ((wa1m.m + 1000000000000 - 1) // 1000000000000)
+             |               AS auth
+             |        FROM n2 LEFT JOIN wa1r USING (node) CROSS JOIN wa1m),
+             |wh1r AS (SELECT e2.src AS node, sum(wa1.auth) AS raw
+             |         FROM e2 JOIN wa1 ON wa1.node = e2.dst GROUP BY e2.src),
+             |wh1m AS (SELECT max(raw) AS m FROM wh1r),
+             |wh1 AS (SELECT n2.node, coalesce(wh1r.raw, 0)
+             |               // ((wh1m.m + 1000000000000 - 1) // 1000000000000)
+             |               AS hub
+             |        FROM n2 LEFT JOIN wh1r USING (node) CROSS JOIN wh1m)
+             |SELECT n2.node, CAST(wh1.hub AS BIGINT) AS hub,
+             |       CAST(wa1.auth AS BIGINT) AS auth
+             |FROM n2 JOIN wh1 USING (node) JOIN wa1 USING (node)
+             |ORDER BY n2.node""".stripMargin),
+      doc = "incremental HITS: edge diff (retraction + new hub host) + one warm rescale round from prior hubs, full cold+diff+warm iteration-replay oracle"),
+
     // SALSA over the same planted host graph — the degree-normalized
     // (random-walk) hubs/authorities variant. No rescale step exists,
     // so the oracle replay is pure join+sum layers; comparing SALSA

@@ -116,6 +116,26 @@ class CrawlPipelineSpec extends SparkSpec {
       .as[String].head() == "<urn:c:p1>") // back-link to the page record
   }
 
+  test("toWet with index=true: WET segments are externally seekable — " +
+      "CDX sidecar emitted, random access recovers the conversion record") {
+    import graft.sources.warc.WarcRandomAccess
+    val in = crawlDir()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-wet-idx-").toString
+    CrawlPipeline.toWet(spark, in, out, index = true)
+    val idx = WarcRandomAccess.readIndex(spark, out)
+    // one index row per conversion record (5 responses convert)
+    assert(idx.count() == 5, idx.collect().mkString(","))
+    // point-lookup ONE page's conversion record by URI, without
+    // scanning the segment
+    val hit = idx.filter($"target_uri" === "http://h.ex/public/1")
+    val rec = WarcRandomAccess.fetch(hit).collect()
+    assert(rec.length == 1)
+    assert(rec.head.record_type == "conversion")
+    assert(new String(rec.head.payload, "UTF-8")
+      .contains(content + " number 1"))
+  }
+
   test("fetchRateByMinute: streaming (complete mode) == batch; " +
       "per-minute counts are exact") {
     val dir = java.nio.file.Files

@@ -226,6 +226,36 @@ class LinkGraphSpec extends SparkSpec {
       on.toString)
   }
 
+  test("hitsInt/salsaInt warm start composes exactly: N cold rounds == " +
+      "M cold + (N-M) warm (hub is the only carried state)") {
+    val big = (0L until 200L).flatMap { i =>
+      Seq((s"h${i % 11}", s"h${(7 * i + 1) % 11}"),
+        (s"h${i % 11}", s"h${(13 * i + 5) % 11}"))
+    }
+    val e = big.toDF("src", "dst")
+    val hCold3 = LinkGraph.hitsInt(e, "src", "dst", iterations = 3)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val hCold2 = LinkGraph.hitsInt(e, "src", "dst", iterations = 2)
+    val hWarm = LinkGraph.hitsInt(e, "src", "dst", iterations = 1,
+        init = Some(hCold2))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(hWarm == hCold3, s"hits warm=$hWarm cold=$hCold3")
+    val sCold3 = LinkGraph.salsaInt(e, "src", "dst", iterations = 3)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val sCold2 = LinkGraph.salsaInt(e, "src", "dst", iterations = 2)
+    val sWarm = LinkGraph.salsaInt(e, "src", "dst", iterations = 1,
+        init = Some(sCold2))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(sWarm == sCold3, s"salsa warm=$sWarm cold=$sCold3")
+    // warm start after an edge diff: a brand-new node seeds at scale
+    // and enters the next round like any other
+    val e2 = (big ++ Seq(("hNew", "h1"))).toDF("src", "dst")
+    val hDiff = LinkGraph.hitsInt(e2, "src", "dst", iterations = 1,
+        init = Some(hCold2))
+      .as[(String, Long, Long)].collect().map(r => r._1).toSet
+    assert(hDiff.contains("hNew"))
+  }
+
   test("tkcTopK == the naive global-window ranking, and its plan has " +
       "no Window and takes top-k without a global sort") {
     import org.apache.spark.sql.expressions.Window
