@@ -2431,6 +2431,137 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "TrustRank spam demotion: good-seeded PageRank minus spam-seeded PageRank on the same graph, both integer-exact seeded runs, two-replay CASE-base oracle"),
 
+    // AUTOMATIC TrustRank seed proposal from anchor-text spam
+    // features — closing the loop from "the web says X about this
+    // host" to the demotion score without hand-labeled seeds. The
+    // classic template-stamp signal: a link farm stamps ONE anchor
+    // string site-wide (n_texts = 1 across hundreds of inlinks),
+    // organic hosts accumulate DIVERSE anchors. Seeds derive
+    // relationally from the anchor profile (spam: n_texts = 1 with
+    // many links; good: many distinct texts), the farm interlinks as
+    // a ring (the TKC shape), and the two seeded integer PR runs
+    // produce trust/spam_mass/trustrank per host. The oracle replays
+    // the whole chain: closed-form anchors, profile, seed rules as IN
+    // subqueries, both 2-round seeded replays.
+    Q("doc_trustrank_auto_seeds",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        // every page (on host h<id%23>) carries one template-stamped
+        // anchor to a farm host s<id%3> and one organic anchor to a
+        // content host g<id%7>
+        val html = concat(
+          lit("<p><a href=\"http://s"), pmod(col("doc_id"), lit(3)),
+          lit(".example/x\">cheap pills now</a> and <a href='http://g"),
+          pmod(col("doc_id"), lit(7)),
+          lit(".example/y'>page "), col("doc_id"), lit("</a></p>"))
+        val anchors = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.htmlAnchors(html)).as("a"))
+          .select(
+            concat(lit("h"), pmod(col("doc_id"), lit(23)), lit(".example"))
+              .as("src"),
+            regexp_extract(col("a.href"), "^https?://([a-z0-9.-]+)", 1)
+              .as("dst"),
+            col("a.anchor").as("anchor"))
+        val prof = anchors.groupBy(col("dst"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("anchor")).as("n_texts"))
+        val spamSeeds = prof
+          .filter(col("n_texts") === 1 && col("n_links") > 10)
+          .select(col("dst").as("node"))
+        val goodSeeds = prof.filter(col("n_texts") > 10)
+          .select(col("dst").as("node"))
+        // graph: page-host → anchor-target edges, plus the farm's own
+        // interlink ring and each content host's outlink to a page host
+        val ring = Seq(("s0.example", "s1.example"),
+          ("s1.example", "s2.example"), ("s2.example", "s0.example"))
+          .toDF("src", "dst")
+        val goodOut = (0 until 7)
+          .map(k => (s"g$k.example", s"h$k.example")).toDF("src", "dst")
+        val edges = anchors.select(col("src"), col("dst"))
+          .unionByName(ring).unionByName(goodOut)
+        val trust = LinkGraph.pageRankInt(edges, "src", "dst",
+            iterations = 2, seeds = Some(goodSeeds))
+          .withColumnRenamed("rank", "trust")
+        val spamMass = LinkGraph.pageRankInt(edges, "src", "dst",
+            iterations = 2, seeds = Some(spamSeeds))
+          .withColumnRenamed("rank", "spam_mass")
+        trust.join(spamMass, Seq("node"))
+          .withColumn("trustrank", col("trust") - col("spam_mass"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH a AS (
+             |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         's' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS dst,
+             |         'cheap pills now' AS anchor
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'g' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+             |         'page ' || CAST(doc_id AS VARCHAR)
+             |  FROM documents),
+             |prof AS (SELECT dst, count(*) AS n_links,
+             |                count(DISTINCT anchor) AS n_texts
+             |         FROM a GROUP BY dst),
+             |spam_seeds AS (SELECT dst FROM prof
+             |               WHERE n_texts = 1 AND n_links > 10),
+             |good_seeds AS (SELECT dst FROM prof WHERE n_texts > 10),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |        SELECT src, dst FROM a
+             |        UNION ALL
+             |        SELECT * FROM (VALUES ('s0.example', 's1.example'),
+             |          ('s1.example', 's2.example'),
+             |          ('s2.example', 's0.example')) AS r(src, dst)
+             |        UNION ALL
+             |        SELECT 'g' || CAST(k AS VARCHAR) || '.example',
+             |               'h' || CAST(k AS VARCHAR) || '.example'
+             |        FROM range(7) t(k))),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |gb AS (SELECT node,
+             |              CASE WHEN node IN (SELECT dst FROM good_seeds)
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |sb AS (SELECT node,
+             |              CASE WHEN node IN (SELECT dst FROM spam_seeds)
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |gs1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |gr1 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs1.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs1 USING (node)),
+             |gs2 AS (SELECT e.dst AS node, sum(gr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN gr1 ON gr1.node = e.src
+             |        GROUP BY e.dst),
+             |gr2 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs2.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs2 USING (node)),
+             |ss1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |sr1 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss1.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss1 USING (node)),
+             |ss2 AS (SELECT e.dst AS node, sum(sr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN sr1 ON sr1.node = e.src
+             |        GROUP BY e.dst),
+             |sr2 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss2.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss2 USING (node))
+             |SELECT n.node, CAST(gr2.pr AS BIGINT) AS trust,
+             |       CAST(sr2.pr AS BIGINT) AS spam_mass,
+             |       CAST(gr2.pr AS BIGINT) - CAST(sr2.pr AS BIGINT)
+             |         AS trustrank
+             |FROM n JOIN gr2 USING (node) JOIN sr2 USING (node)
+             |ORDER BY n.node""".stripMargin),
+      doc = "automatic TrustRank seeding: template-stamped anchor profiles (n_texts = 1) propose spam seeds, diverse profiles propose good seeds, farm-ring graph, both seeded PR runs + the whole seed-derivation chain replayed in the oracle"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
