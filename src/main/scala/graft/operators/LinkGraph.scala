@@ -132,7 +132,11 @@ object LinkGraph {
     var ranks = (init match {
       case Some(prior) =>
         val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
-          prior.select(col("node"), col("rank").as("__r0")))
+          // lineage truncation: a prior produced by a previous loop run
+          // carries that whole run's unrolled plan — every warm round's
+          // action would re-analyze it (the tkcTopK finding). One k-row
+          // materialization cuts it to an RDD scan.
+          prior.select(col("node"), col("rank").as("__r0")).localCheckpoint())
         nodes.join(p, Seq("node"), "left")
           .select(col("node"), coalesce(col("__r0"), lit(scale)).as("rank"))
       case None => nodes.select(col("node"), lit(scale).as("rank"))
@@ -228,7 +232,8 @@ object LinkGraph {
     def seedHub: DataFrame = init match {
       case Some(prior) =>
         val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
-          prior.select(col("node"), col("hub").as("__h0")))
+          // lineage truncation — see pageRankInt's init note
+          prior.select(col("node"), col("hub").as("__h0")).localCheckpoint())
         nodes.join(p, Seq("node"), "left")
           .select(col("node"), coalesce(col("__h0"), lit(scale)).as("hub"))
       case None => nodes.select(col("node"), lit(scale).as("hub"))
@@ -322,7 +327,8 @@ object LinkGraph {
     var hub = (init match {
       case Some(prior) =>
         val p = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
-          prior.select(col("node"), col("hub").as("__h0")))
+          // lineage truncation — see pageRankInt's init note
+          prior.select(col("node"), col("hub").as("__h0")).localCheckpoint())
         nodes.join(p, Seq("node"), "left")
           .select(col("node"), coalesce(col("__h0"), lit(scale)).as("hub"))
       case None => nodes.select(col("node"), lit(scale).as("hub"))
