@@ -3166,6 +3166,69 @@ object TextQueries {
              |ORDER BY m.host, minute""".stripMargin),
       doc = "live politeness rate limiter (batch twin): per-minute counts vs ceil(60/delay) caps from parsed Crawl-delay, stateless stream-static join, violations flagged exactly"),
 
+    // The politeness GATE end-to-end (batch twin of
+    // CrawlPipeline.fromWarcStreamPolite, whose stream ≡ batch pin
+    // lives in CrawlPipelineSpec): synthetic WARC-shaped fetch records
+    // flow through the one-stateful-operator gate — declared caps
+    // broadcast-joined BEFORE a per-(host, minute) collect — and this
+    // query returns the DEAD-LETTER relation: every fetch landing in a
+    // minute that exceeds its host's ceil(60/Crawl-delay) cap. The
+    // oracle recomputes per-minute counts, joins the declared-delay
+    // table, and explodes violating minutes back to their URLs.
+    Q("doc_crawl_polite_gate",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Robots}
+        import s.implicits._
+        val robots = Seq(
+          ("h0.gx", "User-agent: *\nCrawl-delay: 10"),
+          ("h1.gx", "User-agent: *\nCrawl-delay: 2")).toDF("host", "text")
+        val delays = Robots.parseCrawlDelay(robots, "host", "text", "*")
+        val recs = Tables.documents(s, dir).select(
+          concat(lit("<urn:g:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(5)),
+            lit(".gx/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 7) % 600)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          lit("text/html").as("content_type"),
+          encode(concat(lit("<p>doc "), col("doc_id"), lit("</p>")), "UTF-8")
+            .as("payload"))
+        val rules = Seq.empty[(String, String, Boolean)]
+          .toDF("host", "prefix", "allow")
+        CrawlPipeline.fromWarcStreamPolite(recs, rules, delays)._2
+          .select(col("url"), col("host"),
+            date_format(col("minute_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("minute"),
+            col("n_fetches"), col("cap"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.gx/p/'
+             |           || CAST(doc_id AS VARCHAR) AS url,
+             |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.gx' AS host,
+             |         TIMESTAMP '2026-02-01 00:00:00'
+             |           + to_seconds(CAST(doc_id * 7 % 600 AS BIGINT)) AS ts
+             |  FROM documents),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.gx', CAST(10 AS BIGINT)),
+             |        ('h1.gx', CAST(2 AS BIGINT))) AS t(host, delay_s)),
+             |m AS (SELECT host, date_trunc('minute', ts) AS mn,
+             |             count(*) AS n_fetches
+             |      FROM f GROUP BY host, date_trunc('minute', ts)),
+             |v AS (SELECT m.host, m.mn, m.n_fetches,
+             |             (60 + d.delay_s - 1) // d.delay_s AS cap
+             |      FROM m JOIN d USING (host)
+             |      WHERE m.n_fetches > (60 + d.delay_s - 1) // d.delay_s)
+             |SELECT f.url, f.host,
+             |       strftime(v.mn, '%Y-%m-%d %H:%M:%S') AS minute,
+             |       v.n_fetches, v.cap
+             |FROM f JOIN v ON v.host = f.host
+             |              AND date_trunc('minute', f.ts) = v.mn
+             |ORDER BY f.url""".stripMargin),
+      doc = "politeness gate end-to-end (batch twin of the streaming one-stateful-operator gate): fetches in minutes exceeding the declared ceil(60/Crawl-delay) cap divert to the dead-letter relation; per-minute recount + explode-back oracle"),
+
     // Crawl-frontier prioritization — the composition the crawl
     // actually schedules from: host QUALITY (integer PageRank over
     // the host link graph) divided by host COST (how much we already

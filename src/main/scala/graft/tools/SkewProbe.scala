@@ -61,6 +61,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               fingerprints (the failed-decode/black-frame mass a
   *               real image corpus carries) — as-is vs
   *               collapse-identical-first
+  *   robotswild  verdictsWildcard (column-pattern regexp_like — RLike
+  *               recompiles per row) vs verdictsWildcardLit (patterns
+  *               compiled once at plan build) on the whale URL corpus
+  *               with wildcard rule sets — prices the ADVICE-noted
+  *               recompile cost
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -609,6 +614,38 @@ object SkewProbe {
             .verdictsLit(urls, "url", rules), vCols))
           report("plan_lit", rep, tL, nL, hL,
             if (nL == nR && hL == hR) " MATCH" else " **MISMATCH**")
+        case "robotswild" =>
+          // same whale URL corpus as `robots`, wildcard-grade rules
+          // (one '$'-anchored, one mid-'*', one plain prefix per host)
+          val hostCol2 = when(col("doc_id") % 2 === 0, lit("whale"))
+            .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(1000L))))
+          val urls = docs.select(col("doc_id"),
+            concat(lit("http://"), hostCol2, lit(".wx"),
+              element_at(array(lit("/files/ok"), lit("/files/no"),
+                lit("/d/x"), lit("/page/")),
+                (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+              col("doc_id"),
+              when(col("doc_id") % 3 === 0, lit(".pdf")).otherwise(lit("")))
+              .as("url"))
+          val rules = spark.range(1000)
+            .select(concat(lit("h"), col("id")).as("hn"))
+            .unionByName(spark.range(1).select(lit("whale").as("hn")))
+            .select(concat(col("hn"), lit(".wx")).as("host"),
+              explode(array(
+                struct(lit("/*.pdf$").as("prefix"), lit(false).as("allow")),
+                struct(lit("/files/ok*").as("prefix"), lit(true).as("allow")),
+                struct(lit("/d").as("prefix"), lit(false).as("allow"))))
+                .as("r"))
+            .select(col("host"), col("r.prefix").as("prefix"),
+              col("r.allow").as("allow"))
+          val wCols = Seq("doc_id", "allowed")
+          val ((nW, hW), tW) = time(sig(graft.operators.Robots
+            .verdictsWildcard(urls, "url", rules), wCols))
+          report("rel_wild", rep, tW, nW, hW)
+          val ((nWL, hWL), tWL) = time(sig(graft.operators.Robots
+            .verdictsWildcardLit(urls, "url", rules), wCols))
+          report("lit_wild", rep, tWL, nWL, hWL,
+            if (nWL == nW && hWL == hW) " MATCH" else " **MISMATCH**")
         case "hamming" =>
           // perceptual-hash banding under identical-fingerprint mass:
           // 25% of fingerprints become ONE value (failed decodes,
