@@ -257,4 +257,103 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(!t.contains("<") && !t.contains("nav(") && !t.contains("Page "))
     }
   }
+
+  test("governance chain: WARC -> polite gate -> parquet hop -> " +
+      "CorpusStream, violating fetches never reach the corpus") {
+    // the full live-governance composition, two-hop by design: the
+    // gate's windowed aggregation is one stateful operator, the
+    // corpus chain's dedup is another — they chain through a parquet
+    // landing (the stream-ingest / batch-curate split CorpusStream's
+    // own scaladoc prescribes), each hop exactly-once on its own
+    // checkpoint. Batch twin: the identical composition on batch
+    // frames must produce the identical corpus.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CrawlPipeline, Robots}
+    def tmpDir(): String =
+      java.nio.file.Files.createTempDirectory("graft-gov-").toString
+    val longBase = ("the cats and dogs run to a tree in town " * 6).trim
+    def rec(n: Int, host: String, sec: Int, text: String) =
+      (s"<urn:gv:$n>", "response", s"http://$host/p/$n",
+        java.time.Instant.ofEpochSecond(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+            + sec).toString, "text/html",
+        s"<html><head><title>P$n</title></head><body><p>$text</p></body></html>")
+    // fast.ex declares delay 10 (cap 6): SEVEN fetches in minute 0 →
+    // all divert at the gate. ok.ex: four pages, two sharing one text
+    // (the later one dedups in the corpus chain). Sentinel closes the
+    // windows.
+    // "wonderful" keeps mean word length >= 3.0 (the Gopher bound the
+    // bare 3-chars/word base text sits exactly on)
+    val recs = ((0 until 7).map(i =>
+        rec(i, "fast.ex", i * 8, longBase + s" wonderful item f$i")) ++
+      Seq(rec(100, "ok.ex", 10, longBase + " wonderful item alpha"),
+        rec(101, "ok.ex", 80, longBase + " wonderful item bravo"),
+        rec(102, "ok.ex", 150, longBase + " wonderful item alpha"), // dup
+        rec(103, "ok.ex", 220, longBase + " wonderful item charlie"),
+        rec(999, "late.ex", 86400, longBase + " wonderful sentinel")))
+    val warcDir = tmpDir()
+    recs.toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(warcDir)
+    val rules = Seq.empty[(String, String, Boolean)]
+      .toDF("host", "prefix", "allow")
+    val delays = Robots.parseCrawlDelay(
+      Seq(("fast.ex", "User-agent: *\nCrawl-delay: 10")).toDF("host", "text"),
+      "host", "text", "*")
+
+    // hop 1: the gate, WARC stream -> allowed docs -> parquet landing
+    val landed = tmpDir()
+    val ckpt1 = tmpDir()
+    val (gateDocs, _) = CrawlPipeline.fromWarcStreamPolite(
+      spark.readStream.format("warc").load(warcDir), rules, delays,
+      watermark = "0 seconds")
+    val q1 = gateDocs.writeStream.format("parquet")
+      .option("path", landed).option("checkpointLocation", ckpt1)
+      .outputMode("append").start()
+    q1.processAllAvailable()
+    val deadline1 = System.currentTimeMillis + 90000
+    // all CLOSED minutes flush: 4 ok.ex docs (the sentinel's own
+    // minute stays open)
+    def landedCount(): Long =
+      try spark.read.parquet(landed).count() catch { case _: Throwable => 0L }
+    while (landedCount() < 4 && System.currentTimeMillis < deadline1)
+      Thread.sleep(500)
+    q1.stop()
+    assert(landedCount() >= 4,
+      s"gate landing holds ${landedCount()} rows after flush")
+
+    // hop 2: the corpus chain over the landing (exact dedup on)
+    val schema = spark.read.parquet(landed).schema
+    val docs = spark.readStream.schema(schema).parquet(landed)
+      .withWatermark("ts", "2 days")
+    val q2 = CorpusStream.run(docs, None,
+        CorpusStream.StreamSettings(defaultRate = 1.0))
+      .writeStream.format("memory").queryName("gov_out")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("gov_out")
+      .select(col("url")).as[String].collect().toSet
+
+    // batch twin of the GATE (the corpus chain's stream ≡ batch pins
+    // live in the tests above; dropDuplicatesWithinWatermark itself
+    // has no batch form) + the dedup fate applied explicitly: the
+    // corpus is the gate's allowed set minus the later duplicate,
+    // minus the sentinel (its minute never closed in the stream)
+    val (bDocs, _) = CrawlPipeline.fromWarcStreamPolite(
+      spark.read.format("warc").load(warcDir), rules, delays,
+      watermark = "0 seconds")
+    val want = bDocs.select(col("url")).as[String].collect().toSet -
+      "http://late.ex/p/999" - "http://ok.ex/p/102"
+    assert(got == want, s"stream=$got want=$want")
+    // governance holds end-to-end: no violating fetch in the corpus,
+    // and the duplicate collapsed to its first fetch
+    assert(!got.exists(_.contains("fast.ex")), got.toString)
+    assert(got.contains("http://ok.ex/p/100") &&
+      !got.contains("http://ok.ex/p/102"), got.toString)
+    assert(got.contains("http://ok.ex/p/101") &&
+      got.contains("http://ok.ex/p/103"), got.toString)
+  }
 }
