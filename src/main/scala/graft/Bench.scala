@@ -210,7 +210,8 @@ object Bench {
       """"mm_frame_{dedup_real,sample_real}: one decoded-frames relation",""" +
       """"text_{classifier_train,quality_classifier}: train-once weights",""" +
       """"dedup_{minhash_lsh,cc_clusters,cc_star,keep_canonical,keep_best}: one LSH pair relation",""" +
-      """"dedup_{keep_canonical,keep_best}: one star-CC labeling"]"""
+      """"dedup_{keep_canonical,keep_best}: one star-CC labeling",""" +
+      """"doc_link_{hits,salsa,tkc,tkc_topk,hits_delta}: one HITS + one SALSA run over the shared 23-host graph"]"""
     val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,$load,"sf":"$sfDir",$memoNote,$summary}"""
     println(line)

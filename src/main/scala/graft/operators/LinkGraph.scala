@@ -398,6 +398,18 @@ object LinkGraph {
       .select(col("node"), col("hub").as("hits_hub")).localCheckpoint()
     val salsa = salsaInt(edges, srcCol, dstCol, iterations, scale)
       .select(col("node"), col("hub").as("salsa_hub")).localCheckpoint()
+    tkcTopKFromScores(hits, salsa, k)
+  }
+
+  /** [[tkcTopK]]'s ranking phase over ALREADY-COMPUTED score
+    * relations — `hits` as (node, hits_hub), `salsa` as
+    * (node, salsa_hub) — for callers that reuse one HITS/SALSA run
+    * across several detectors (or read them from a materialized
+    * store). Same plan shape and guarantees as [[tkcTopK]].
+    */
+  def tkcTopKFromScores(hits: DataFrame, salsa: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     // distributed top-k: TakeOrderedAndProject, never a global sort.
     // The k-row suspect relation feeds three consumers (two broadcast
     // rank probes + the final join); the eager localCheckpoint

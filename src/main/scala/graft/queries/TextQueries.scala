@@ -139,6 +139,32 @@ object TextQueries {
 
   /** Label column the classifier entries train on: is-English, the
     * language-ID task a fastText-shape model classically learns. */
+  /** The 23-host planted graph's HITS and SALSA runs (iterations = 2),
+    * shared by doc_link_hits / doc_link_salsa / doc_link_tkc /
+    * doc_link_tkc_topk — four queries over the SAME two iteration
+    * outputs. Materialized once per JVM per sf dir via [[QueryMemo]]
+    * (a parquet spill — the production analogue is a published
+    * host-scores table several detectors read).
+    */
+  private def hitsSalsa23(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+    def edges = {
+      val docs = Tables.documents(s, dir)
+      docs.select(host(col("doc_id")).as("src"),
+          host(col("doc_id") * 7 + 1).as("dst"))
+        .unionByName(docs.select(host(col("doc_id")).as("src"),
+          host(col("doc_id") * 13 + 5).as("dst")))
+    }
+    (QueryMemo.materialized(s, s"link23_hits|$dir") {
+      graft.operators.LinkGraph.hitsInt(edges, "src", "dst", iterations = 2)
+    }, QueryMemo.materialized(s, s"link23_salsa|$dir") {
+      graft.operators.LinkGraph.salsaInt(edges, "src", "dst", iterations = 2)
+    })
+  }
+
   private def clfLabel = when(col("lang") === "en", 1L).otherwise(0L)
 
   private val clfRounds = 3
@@ -1835,18 +1861,7 @@ object TextQueries {
     // the oracle replays both sides of both rounds as CTE layers with
     // a max subquery per rescale.
     Q("doc_link_hits",
-      (s, dir) => {
-        import graft.operators.LinkGraph
-        def host(e: org.apache.spark.sql.Column) =
-          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
-        val docs = Tables.documents(s, dir)
-        val edges = docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 7 + 1).as("dst"))
-          .unionByName(docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 13 + 5).as("dst")))
-        LinkGraph.hitsInt(edges, "src", "dst", iterations = 2)
-          .orderBy(col("node"))
-      },
+      (s, dir) => hitsSalsa23(s, dir)._1.orderBy(col("node")),
       Some("""WITH e AS (
              |  SELECT DISTINCT
              |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
@@ -1913,7 +1928,7 @@ object TextQueries {
             host(col("doc_id") * 7 + 1).as("dst"))
           .unionByName(docs.select(host(col("doc_id")).as("src"),
             host(col("doc_id") * 13 + 5).as("dst")))
-        val prior = LinkGraph.hitsInt(e1, "src", "dst", iterations = 2)
+        val prior = hitsSalsa23(s, dir)._1 // the same cold run, memoized
         val e2 = e1.filter(col("src") =!= "h3.example").distinct()
           .unionByName(docs
             .select(host(pmod(col("doc_id"), lit(5))).as("src"),
@@ -2000,18 +2015,7 @@ object TextQueries {
     // tightly-knit-community spam signal (HITS inflates TKC scores,
     // SALSA doesn't).
     Q("doc_link_salsa",
-      (s, dir) => {
-        import graft.operators.LinkGraph
-        def host(e: org.apache.spark.sql.Column) =
-          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
-        val docs = Tables.documents(s, dir)
-        val edges = docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 7 + 1).as("dst"))
-          .unionByName(docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 13 + 5).as("dst")))
-        LinkGraph.salsaInt(edges, "src", "dst", iterations = 2)
-          .orderBy(col("node"))
-      },
+      (s, dir) => hitsSalsa23(s, dir)._2.orderBy(col("node")),
       Some("""WITH e AS (
              |  SELECT DISTINCT
              |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
@@ -2064,19 +2068,10 @@ object TextQueries {
     // and ranks the join.
     Q("doc_link_tkc",
       (s, dir) => {
-        import graft.operators.LinkGraph
         import org.apache.spark.sql.expressions.Window
-        def host(e: org.apache.spark.sql.Column) =
-          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
-        val docs = Tables.documents(s, dir)
-        val edges = docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 7 + 1).as("dst"))
-          .unionByName(docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 13 + 5).as("dst")))
-        val hits = LinkGraph.hitsInt(edges, "src", "dst", iterations = 2)
-          .select(col("node"), col("hub").as("hits_hub"))
-        val salsa = LinkGraph.salsaInt(edges, "src", "dst", iterations = 2)
-          .select(col("node"), col("hub").as("salsa_hub"))
+        val (h23, s23) = hitsSalsa23(s, dir)
+        val hits = h23.select(col("node"), col("hub").as("hits_hub"))
+        val salsa = s23.select(col("node"), col("hub").as("salsa_hub"))
         // 23 rows — the global rank windows are driver-trivial here;
         // at web scale this ranking is a top-k/quantile pass instead
         hits.join(salsa, Seq("node"))
@@ -2180,14 +2175,10 @@ object TextQueries {
     Q("doc_link_tkc_topk",
       (s, dir) => {
         import graft.operators.LinkGraph
-        def host(e: org.apache.spark.sql.Column) =
-          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
-        val docs = Tables.documents(s, dir)
-        val edges = docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 7 + 1).as("dst"))
-          .unionByName(docs.select(host(col("doc_id")).as("src"),
-            host(col("doc_id") * 13 + 5).as("dst")))
-        LinkGraph.tkcTopK(edges, "src", "dst", iterations = 2, k = 10)
+        val (h23, s23) = hitsSalsa23(s, dir)
+        LinkGraph.tkcTopKFromScores(
+            h23.select(col("node"), col("hub").as("hits_hub")),
+            s23.select(col("node"), col("hub").as("salsa_hub")), k = 10)
           .orderBy(col("node"))
       },
       Some("""WITH e AS (
