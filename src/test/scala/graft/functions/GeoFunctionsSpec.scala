@@ -146,4 +146,57 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(geodesicAreaM2(under).get > 20000.0,
       "spherical should misclassify the just-under ring (+0.22% radius bias)")
   }
+
+  test("C9 spheroid: edge-treatment sensitivity measured — axis-aligned " +
+      "edges exact, diagonal edges ~ tan(lat)·Δφ/8 relative") {
+    // The documented residual vs PostGIS/GeographicLib is EDGE
+    // DEFINITION (geodesic arcs vs linear-in-(λ, sin φ) trapezoids).
+    // Its magnitude is bounded by how much the trapezoid value moves
+    // under midpoint subdivision. Measured scaling law: lat/lon-
+    // aligned edges are EXACT (constant-lat edges have no sin
+    // nonlinearity, constant-lon edges contribute 0), and a diagonal
+    // edge's relative shift is ≈ tan(φ̄)·Δφ_edge/8 (φ̄ the ring's mid-latitude) — independent of
+    // polygon SIZE (absolute error Δλ·Δφ²·sinφ/8 over area Δλ·Δφ·cosφ).
+    // For a building-sized diagonal (Δφ ≈ 0.001° = 1.75e-5 rad) at
+    // lat 45 that is ~2.2e-6 relative — ~0.04 m² on a 20,000 m²
+    // threshold polygon, two orders below the 0.05% closed-form
+    // tolerance above, supporting "negligible for OSM-building-sized
+    // rings". Degree-sized diagonals reach ~tan(φ)·0.0175/8 ≈ 2e-3 at
+    // lat 45 — the size class where only a geodesic integrator closes
+    // the gap (SURVEY §7.4's documented residual).
+    def subdivide(ring: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      ring.sliding(2).flatMap { case Seq((x1, y1), (x2, y2)) =>
+        Seq((x1, y1), ((x1 + x2) / 2, (y1 + y2) / 2))
+      }.toSeq :+ ring.last
+    def tri(lon0: Double, lat0: Double, d: Double) =
+      Seq((lon0, lat0), (lon0 + d, lat0), (lon0 + d / 2, lat0 + d),
+        (lon0, lat0))
+    for (lat <- Seq(0.0, 45.0, 60.0)) {
+      val building = 0.001 // ~100 m
+      val rectRel = {
+        val r = rect(12.3, lat, building, building)
+        val a = geodesicAreaSpheroidM2(r).get
+        math.abs(geodesicAreaSpheroidM2(subdivide(r)).get - a) / a
+      }
+      assert(rectRel < 1e-9, s"lat=$lat axis-aligned ring moved $rectRel")
+      val law = math.tan(math.toRadians(lat + building / 2)) *
+        math.toRadians(building) / 8 + 1e-9
+      val triRel = {
+        val t = tri(12.3, lat, building)
+        val a = geodesicAreaSpheroidM2(t).get
+        math.abs(geodesicAreaSpheroidM2(subdivide(t)).get - a) / a
+      }
+      assert(triRel < 2 * law,
+        s"lat=$lat diagonal ring moved $triRel vs law $law")
+      val bigLaw = math.tan(math.toRadians(lat + 0.5)) *
+        math.toRadians(1.0) / 8 + 1e-9
+      val bigRel = {
+        val t = tri(12.3, lat, 1.0)
+        val a = geodesicAreaSpheroidM2(t).get
+        math.abs(geodesicAreaSpheroidM2(subdivide(t)).get - a) / a
+      }
+      assert(bigRel < 2 * bigLaw,
+        s"lat=$lat degree-sized ring moved $bigRel vs law $bigLaw")
+    }
+  }
 }
