@@ -2057,6 +2057,96 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "SALSA (degree-normalized hubs/authorities): mass-conserving floor-div rounds, no rescale, pure join+sum iteration-replay oracle; the HITS contrast is the TKC spam signal"),
 
+    // INCREMENTAL SALSA — the doc_link_hits_delta shape for the
+    // degree-normalized variant: the memoized 2-round cold run seeds
+    // ONE warm round over the diffed edge set (hub is the only carried
+    // state here too). NOTE the semantic difference from HITS worth
+    // testing: SALSA's degrees are part of the update, so the diff
+    // changes BOTH the graph and the normalizers — the oracle replays
+    // cold rounds with the old degrees and the warm round with the
+    // new ones.
+    Q("doc_link_salsa_delta",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val e1 = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val prior = hitsSalsa23(s, dir)._2 // the memoized cold run
+        val e2 = e1.filter(col("src") =!= "h3.example").distinct()
+          .unionByName(docs
+            .select(host(pmod(col("doc_id"), lit(5))).as("src"),
+              lit("hub.example").as("dst")).distinct())
+        LinkGraph.salsaInt(e2, "src", "dst", iterations = 1,
+            init = Some(prior.select(col("node"), col("hub"))))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |i AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS hub FROM n),
+             |a1r AS (SELECT e.dst AS node, sum(h0.hub // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN h0 ON h0.node = e.src
+             |        GROUP BY e.dst),
+             |a1 AS (SELECT n.node, coalesce(a1r.s, 0) AS auth
+             |       FROM n LEFT JOIN a1r USING (node)),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth // i.ind) AS s
+             |        FROM e JOIN i USING (dst) JOIN a1 ON a1.node = e.dst
+             |        GROUP BY e.src),
+             |h1 AS (SELECT n.node, coalesce(h1r.s, 0) AS hub
+             |       FROM n LEFT JOIN h1r USING (node)),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN h1 ON h1.node = e.src
+             |        GROUP BY e.dst),
+             |a2 AS (SELECT n.node, coalesce(a2r.s, 0) AS auth
+             |       FROM n LEFT JOIN a2r USING (node)),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth // i.ind) AS s
+             |        FROM e JOIN i USING (dst) JOIN a2 ON a2.node = e.dst
+             |        GROUP BY e.src),
+             |h2 AS (SELECT n.node, coalesce(h2r.s, 0) AS hub
+             |       FROM n LEFT JOIN h2r USING (node)),
+             |e2 AS (SELECT src, dst FROM e WHERE src <> 'h3.example'
+             |       UNION
+             |       SELECT DISTINCT
+             |              'h' || CAST(doc_id % 5 AS VARCHAR) || '.example',
+             |              'hub.example'
+             |       FROM documents),
+             |o2 AS (SELECT src, count(*) AS outd FROM e2 GROUP BY src),
+             |i2 AS (SELECT dst, count(*) AS ind FROM e2 GROUP BY dst),
+             |n2 AS (SELECT DISTINCT src AS node FROM e2
+             |       UNION SELECT DISTINCT dst FROM e2),
+             |w0 AS (SELECT n2.node, coalesce(h2.hub, 1000000000000) AS hub
+             |       FROM n2 LEFT JOIN h2 USING (node)),
+             |wa1r AS (SELECT e2.dst AS node, sum(w0.hub // o2.outd) AS s
+             |         FROM e2 JOIN o2 USING (src) JOIN w0 ON w0.node = e2.src
+             |         GROUP BY e2.dst),
+             |wa1 AS (SELECT n2.node, coalesce(wa1r.s, 0) AS auth
+             |        FROM n2 LEFT JOIN wa1r USING (node)),
+             |wh1r AS (SELECT e2.src AS node, sum(wa1.auth // i2.ind) AS s
+             |         FROM e2 JOIN i2 USING (dst) JOIN wa1 ON wa1.node = e2.dst
+             |         GROUP BY e2.src),
+             |wh1 AS (SELECT n2.node, coalesce(wh1r.s, 0) AS hub
+             |        FROM n2 LEFT JOIN wh1r USING (node))
+             |SELECT n2.node, CAST(wh1.hub AS BIGINT) AS hub,
+             |       CAST(wa1.auth AS BIGINT) AS auth
+             |FROM n2 JOIN wh1 USING (node) JOIN wa1 USING (node)
+             |ORDER BY n2.node""".stripMargin),
+      doc = "incremental SALSA: edge diff + one warm degree-normalized round from prior hubs (new degrees, old state), full cold+diff+warm iteration-replay oracle"),
+
     // The TKC detector itself: HITS hub rank vs SALSA hub rank on the
     // SAME graph. A tightly-knit community inflates HITS (mutual
     // reinforcement) but not the degree-normalized SALSA, so a large
