@@ -44,10 +44,13 @@ object WarcRandomAccess {
         nullif(col("f").getItem(1), lit("-")).as("record_id"),
         concat(lit(base + "/"),
           get_json_object(col("f").getItem(2), "$.filename")).as("segment"),
-        get_json_object(col("f").getItem(2), "$.offset")
-          .cast("long").as("offset"),
-        get_json_object(col("f").getItem(2), "$.length")
-          .cast("long").as("length"))
+        // try_cast: EXTERNAL CDX sidecars are untrusted input — one
+        // garbage/overflowing offset must not ANSI-kill the whole
+        // index parse; corrupt rows carry null and [[fetch]] skips them
+        expr("try_cast(get_json_object(f[2], '$.offset') AS BIGINT)")
+          .as("offset"),
+        expr("try_cast(get_json_object(f[2], '$.length') AS BIGINT)")
+          .as("length"))
   }
 
   /** [[indexFromLines]] with the segment resolved NEXT TO each cdx
@@ -65,10 +68,11 @@ object WarcRandomAccess {
         nullif(col("f").getItem(1), lit("-")).as("record_id"),
         concat(col("__d"), lit("/"),
           get_json_object(col("f").getItem(2), "$.filename")).as("segment"),
-        get_json_object(col("f").getItem(2), "$.offset")
-          .cast("long").as("offset"),
-        get_json_object(col("f").getItem(2), "$.length")
-          .cast("long").as("length"))
+        // try_cast — see [[indexFromLines]]
+        expr("try_cast(get_json_object(f[2], '$.offset') AS BIGINT)")
+          .as("offset"),
+        expr("try_cast(get_json_object(f[2], '$.length') AS BIGINT)")
+          .as("length"))
 
   /** All CDX sidecars under `dir` as a relation. Plain
     * `spark.read.text` — the locator JSON contains quotes, which a
@@ -89,6 +93,10 @@ object WarcRandomAccess {
     val conf = new graft.sources.SerializableHadoopConf(
       index.sparkSession.sessionState.newHadoopConf())
     index.select(col("segment"), col("offset"), col("length"))
+      // corrupt index rows (null offset/length from try_cast) are
+      // unfetchable by definition — skip instead of NPE-ing the task
+      .filter(col("segment").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
       .repartition(col("segment"))
       .sortWithinPartitions(col("segment"), col("offset"))
       .as[(String, Long, Long)]

@@ -183,6 +183,36 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("CDX index parse survives untrusted garbage: overflowing offsets " +
+      "null out (no ANSI CAST_OVERFLOW) and fetch skips corrupt rows") {
+    import graft.sources.warc.WarcRandomAccess
+    val dir = tmpDir()
+    sampleDf.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").option("index", "true").save(dir)
+    // append a garbage line an external (Common Crawl-style) sidecar
+    // could carry: a 25-digit offset that overflows BIGINT
+    val cdx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cdx")).head
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.getName
+    java.nio.file.Files.writeString(cdx.toPath,
+      "http://junk2.example/x\t<urn:junk2>\t" +
+        s"""{"filename": "$seg", "offset": "9999999999999999999999999", "length": "10"}""" +
+        "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // the raw append invalidates Hadoop LocalFS's .crc sidecar — drop
+    // it (an external sidecar wouldn't have one in the first place)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val idx = WarcRandomAccess.readIndex(spark, dir)
+    // the garbage rows parse (null offset), the good rows are intact
+    assert(idx.filter($"offset".isNull).count() >= 1)
+    assert(idx.filter($"offset".isNotNull).count() == 3)
+    // fetch skips the unfetchable rows instead of dying
+    val got = WarcRandomAccess.fetch(idx).collect()
+    assert(got.length == 3, got.map(_.record_id).mkString(","))
+  }
+
   test("streaming selective ingest: arriving CDX indexes stream, predicate picks records, fetch range-reads them") {
     import graft.sources.warc.WarcRandomAccess
     val landing = tmpDir()
