@@ -159,7 +159,18 @@ object WarcRandomAccess {
     }
     def get(name: String): String =
       headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }.orNull
-    val len = Option(get("Content-Length")).map(_.toLong).getOrElse(0L)
+    // fail FAST AND NAMED on a garbage Content-Length (untrusted
+    // segment bytes): a non-numeric value would otherwise surface as a
+    // bare NumberFormatException, a huge one as
+    // NegativeArraySizeException — neither names the segment
+    val len = Option(get("Content-Length")).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => -1L
+      }
+      require(n >= 0 && n <= bytes.length,
+        s"invalid Content-Length '${v.take(30)}' at $segment:$offset")
+      n
+    }.getOrElse(0L)
     val payload = new Array[Byte](len.toInt)
     var got = 0
     while (got < len.toInt) {
