@@ -360,6 +360,49 @@ object LinkGraph {
     org.apache.spark.sql.graft.Bridge.inSession(parent, out)
   }
 
+  /** The PUBLISH-GRADE host-scores relation — the artifact a crawl
+    * operator actually ships (Common Crawl's host ranks, one row per
+    * host, every link prior as a column): damped PageRank, HITS
+    * hub/authority, SALSA hub/authority, and (when seed sets are
+    * given) TrustRank = good-seeded PR − spam-seeded PR. One call,
+    * every score integer-exact from the same distinct edge relation,
+    * so the whole relation is reproducible and each column's replay
+    * oracle composes. Downstream: join pages on host for quality
+    * priors, [[tkcTopKFromScores]] on (hits hub, salsa hub) for the
+    * farm detector, [[graft.operators.CrawlPipeline.frontierSlots]]
+    * on pr for scheduling.
+    *
+    * Scale shape: five independent iteration loops over one edge set —
+    * each is the measured-width, lineage-truncated loop documented on
+    * its own operator; the final assembly is node-keyed joins of
+    * O(hosts) relations. Output columns: node, pr, hub, auth,
+    * salsa_hub, salsa_auth [, trust, spam_mass, trustrank].
+    */
+  def hostScores(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, scale: Long = 1000000000000L,
+      goodSeeds: Option[DataFrame] = None,
+      spamSeeds: Option[DataFrame] = None): DataFrame = {
+    require(goodSeeds.isEmpty == spamSeeds.isEmpty,
+      "goodSeeds and spamSeeds come together (TrustRank needs both)")
+    val pr = pageRankInt(edges, srcCol, dstCol, iterations, scale)
+      .withColumnRenamed("rank", "pr")
+    val hits = hitsInt(edges, srcCol, dstCol, iterations, scale)
+    val salsa = salsaInt(edges, srcCol, dstCol, iterations, scale)
+      .select(col("node"), col("hub").as("salsa_hub"),
+        col("auth").as("salsa_auth"))
+    val base = pr.join(hits, Seq("node")).join(salsa, Seq("node"))
+    (goodSeeds, spamSeeds) match {
+      case (Some(g), Some(sp)) =>
+        val trust = pageRankInt(edges, srcCol, dstCol, iterations, scale,
+            seeds = Some(g)).withColumnRenamed("rank", "trust")
+        val spamMass = pageRankInt(edges, srcCol, dstCol, iterations, scale,
+            seeds = Some(sp)).withColumnRenamed("rank", "spam_mass")
+        base.join(trust, Seq("node")).join(spamMass, Seq("node"))
+          .withColumn("trustrank", col("trust") - col("spam_mass"))
+      case _ => base
+    }
+  }
+
   /** The TKC (tightly-knit-community) link-farm detector at WEB scale:
     * HITS hub rank vs SALSA hub rank on the same graph, WITHOUT the
     * global `row_number` windows the naive form uses (an unpartitioned

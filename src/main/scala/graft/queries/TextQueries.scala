@@ -2643,6 +2643,154 @@ object TextQueries {
              |ORDER BY n.node""".stripMargin),
       doc = "automatic TrustRank seeding: template-stamped anchor profiles (n_texts = 1) propose spam seeds, diverse profiles propose good seeds, farm-ring graph, both seeded PR runs + the whole seed-derivation chain replayed in the oracle"),
 
+    // The PUBLISH-GRADE host-scores relation — the artifact a crawl
+    // ships (Common Crawl's host ranks): one row per host carrying
+    // EVERY link prior as a column — PageRank, HITS hub/authority,
+    // SALSA hub/authority, TrustRank (good-seeded minus spam-seeded
+    // PR). One call (LinkGraph.hostScores), five integer-exact loops
+    // over one distinct edge relation; the oracle composes all five
+    // already-pinned iteration replays and joins them on node.
+    Q("doc_host_scores",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import s.implicits._
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(23)).cast("string"), lit(".example"))
+        val docs = Tables.documents(s, dir)
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 13 + 5).as("dst")))
+        val good = Seq("h0.example", "h5.example", "h10.example").toDF("node")
+        val spam = Seq("h3.example", "h7.example").toDF("node")
+        LinkGraph.hostScores(edges, "src", "dst", iterations = 2,
+            goodSeeds = Some(good), spamSeeds = Some(spam))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+             |         'h' || CAST((7*doc_id+1) % 23 AS VARCHAR) || '.example' AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+             |         'h' || CAST((13*doc_id+5) % 23 AS VARCHAR) || '.example'
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |i AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |ps1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |pr1 AS (SELECT n.node,
+             |               150000000000 + (85 * coalesce(ps1.s, 0)) // 100 AS pr
+             |        FROM n LEFT JOIN ps1 USING (node)),
+             |ps2 AS (SELECT e.dst AS node, sum(pr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN pr1 ON pr1.node = e.src
+             |        GROUP BY e.dst),
+             |pr2 AS (SELECT n.node,
+             |               150000000000 + (85 * coalesce(ps2.s, 0)) // 100 AS pr
+             |        FROM n LEFT JOIN ps2 USING (node)),
+             |a1r AS (SELECT e.dst AS node, sum(r0.pr) AS raw
+             |        FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+             |a1m AS (SELECT max(raw) AS m FROM a1r),
+             |a1 AS (SELECT n.node, coalesce(a1r.raw, 0)
+             |              // ((a1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |h1m AS (SELECT max(raw) AS m FROM h1r),
+             |h1 AS (SELECT n.node, coalesce(h1r.raw, 0)
+             |              // ((h1m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |a2m AS (SELECT max(raw) AS m FROM a2r),
+             |a2 AS (SELECT n.node, coalesce(a2r.raw, 0)
+             |              // ((a2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS auth
+             |       FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |h2m AS (SELECT max(raw) AS m FROM h2r),
+             |h2 AS (SELECT n.node, coalesce(h2r.raw, 0)
+             |              // ((h2m.m + 1000000000000 - 1) // 1000000000000)
+             |              AS hub
+             |       FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m),
+             |sa1r AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |         GROUP BY e.dst),
+             |sa1 AS (SELECT n.node, coalesce(sa1r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa1r USING (node)),
+             |sh1r AS (SELECT e.src AS node, sum(sa1.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa1 ON sa1.node = e.dst
+             |         GROUP BY e.src),
+             |sh1 AS (SELECT n.node, coalesce(sh1r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh1r USING (node)),
+             |sa2r AS (SELECT e.dst AS node, sum(sh1.hub // o.outd) AS s
+             |         FROM e JOIN o USING (src) JOIN sh1 ON sh1.node = e.src
+             |         GROUP BY e.dst),
+             |sa2 AS (SELECT n.node, coalesce(sa2r.s, 0) AS auth
+             |        FROM n LEFT JOIN sa2r USING (node)),
+             |sh2r AS (SELECT e.src AS node, sum(sa2.auth // i.ind) AS s
+             |         FROM e JOIN i USING (dst) JOIN sa2 ON sa2.node = e.dst
+             |         GROUP BY e.src),
+             |sh2 AS (SELECT n.node, coalesce(sh2r.s, 0) AS hub
+             |        FROM n LEFT JOIN sh2r USING (node)),
+             |gb AS (SELECT node,
+             |              CASE WHEN node IN ('h0.example', 'h5.example',
+             |                                 'h10.example')
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |sb AS (SELECT node,
+             |              CASE WHEN node IN ('h3.example', 'h7.example')
+             |                   THEN 150000000000 ELSE 0 END AS base
+             |       FROM n),
+             |gs1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |gr1 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs1.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs1 USING (node)),
+             |gs2 AS (SELECT e.dst AS node, sum(gr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN gr1 ON gr1.node = e.src
+             |        GROUP BY e.dst),
+             |gr2 AS (SELECT gb.node,
+             |               gb.base + (85 * coalesce(gs2.s, 0)) // 100 AS pr
+             |        FROM gb LEFT JOIN gs2 USING (node)),
+             |ss1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |        GROUP BY e.dst),
+             |sr1 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss1.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss1 USING (node)),
+             |ss2 AS (SELECT e.dst AS node, sum(sr1.pr // o.outd) AS s
+             |        FROM e JOIN o USING (src) JOIN sr1 ON sr1.node = e.src
+             |        GROUP BY e.dst),
+             |sr2 AS (SELECT sb.node,
+             |               sb.base + (85 * coalesce(ss2.s, 0)) // 100 AS pr
+             |        FROM sb LEFT JOIN ss2 USING (node))
+             |SELECT n.node, CAST(pr2.pr AS BIGINT) AS pr,
+             |       CAST(h2.hub AS BIGINT) AS hub,
+             |       CAST(a2.auth AS BIGINT) AS auth,
+             |       CAST(sh2.hub AS BIGINT) AS salsa_hub,
+             |       CAST(sa2.auth AS BIGINT) AS salsa_auth,
+             |       CAST(gr2.pr AS BIGINT) AS trust,
+             |       CAST(sr2.pr AS BIGINT) AS spam_mass,
+             |       CAST(gr2.pr AS BIGINT) - CAST(sr2.pr AS BIGINT)
+             |         AS trustrank
+             |FROM n JOIN pr2 USING (node) JOIN h2 USING (node)
+             |       JOIN a2 USING (node) JOIN sh2 USING (node)
+             |       JOIN sa2 USING (node) JOIN gr2 USING (node)
+             |       JOIN sr2 USING (node)
+             |ORDER BY n.node""".stripMargin),
+      doc = "publish-grade host scores: one row per host with PageRank, HITS hub/auth, SALSA hub/auth, and TrustRank columns — five integer-exact loops over one edge relation, all five iteration replays composed in the oracle"),
+
     // Anchor-text profile per target host — what the web SAYS about a
     // host (the classic relevance/quality signal; search engines have
     // indexed anchor text since PageRank's own paper). The (href,
