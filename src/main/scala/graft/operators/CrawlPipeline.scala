@@ -290,6 +290,42 @@ object CrawlPipeline {
     (docs, diverted)
   }
 
+  /** Cross-crawl DIFF — what changed between two crawls of the same
+    * web: per URL, `added` (fetched only in the new crawl), `gone`
+    * (only in the old), `changed` (fetched in both, payload differs),
+    * `same`. The input relations are WARC-shaped (`response` records
+    * with `urlCol`/`payloadCol`/`dateCol`); a URL fetched several
+    * times within one crawl resolves to its LATEST fetch's payload
+    * (max by date, hash as the deterministic tiebreak) before the
+    * comparison — the keyed-MERGE convention ([[Upsert.mergeLatest]]).
+    *
+    * Scale shape: each side reduces to (url, 8-byte payload hash)
+    * before anything joins — one partial-aggregated groupBy per crawl,
+    * then a full-outer equi-join of two narrow relations. Payload
+    * bytes never shuffle; at 100 TB the diff moves ~(urls × 16 bytes).
+    * Output: (url, status, old_hash, new_hash) — the hashes are the
+    * audit columns (null on the absent side).
+    */
+  def crawlDiff(oldRecords: DataFrame, newRecords: DataFrame,
+      urlCol: String = "target_uri", payloadCol: String = "payload",
+      dateCol: String = "warc_date"): DataFrame = {
+    def side(r: DataFrame, out: String) =
+      r.filter(col("record_type") === "response")
+        .select(col(urlCol).as("url"),
+          unix_timestamp(to_timestamp(col(dateCol))).as("__t"),
+          xxhash64(col(payloadCol)).as("__h"))
+        .groupBy(col("url"))
+        .agg(max(struct(col("__t"), col("__h"))).getField("__h").as(out))
+    side(oldRecords, "old_hash")
+      .join(side(newRecords, "new_hash"), Seq("url"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("gone"))
+          .when(col("old_hash") === col("new_hash"), lit("same"))
+          .otherwise(lit("changed")))
+      .select(col("url"), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   /** The full Common Crawl WARC→WET job as one call: every `response`
     * record in `inDir`'s segments becomes a linked `conversion`
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused

@@ -3458,6 +3458,71 @@ object TextQueries {
              |ORDER BY f.url""".stripMargin),
       doc = "politeness gate end-to-end (batch twin of the streaming one-stateful-operator gate): fetches in minutes exceeding the declared ceil(60/Crawl-delay) cap divert to the dead-letter relation; per-minute recount + explode-back oracle"),
 
+    // Cross-crawl DIFF — what changed between two crawls: per URL,
+    // added / gone / changed / same, with within-crawl re-fetches
+    // resolving latest-wins BEFORE the comparison. Planted fates:
+    // every id%7==0 URL disappears (gone), id%5==0 pages change
+    // content, id%11==0 pages were RE-FETCHED in the old crawl (their
+    // latest payload is the ' v2' body — so even id%5!=0 ones read
+    // changed when the new crawl serves the original text), and
+    // id%13==0 mint brand-new URLs (added). The oracle reproduces
+    // statuses from payload-STRING equality — the Spark side compares
+    // xxhash64 of the encoded bytes, so the hash compare pins that the
+    // hash-reduction loses nothing.
+    Q("doc_crawl_diff",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        def url = concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+          lit(".dx/p/"), col("doc_id"))
+        val oldBase = docs.select(
+          lit("response").as("record_type"), url.as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          encode(col("text"), "UTF-8").as("payload"))
+        val oldRefetch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(lit("response").as("record_type"), url.as("target_uri"),
+            lit("2026-01-02T00:00:00Z").as("warc_date"),
+            encode(concat(col("text"), lit(" v2")), "UTF-8").as("payload"))
+        val oldCrawl = oldBase.unionByName(oldRefetch)
+        val newKept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(lit("response").as("record_type"), url.as("target_uri"),
+            lit("2026-02-01T00:00:00Z").as("warc_date"),
+            encode(when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" updated"))).otherwise(col("text")),
+              "UTF-8").as("payload"))
+        val newAdded = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select(lit("response").as("record_type"),
+            concat(lit("http://new.dx/p/"), col("doc_id")).as("target_uri"),
+            lit("2026-02-01T00:00:00Z").as("warc_date"),
+            encode(col("text"), "UTF-8").as("payload"))
+        CrawlPipeline.crawlDiff(oldCrawl, newKept.unionByName(newAdded))
+          .select(col("url"), col("status"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH oldc AS (
+             |  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.dx/p/'
+             |           || CAST(doc_id AS VARCHAR) AS url,
+             |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+             |              ELSE text END AS payload
+             |  FROM documents),
+             |newc AS (
+             |  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.dx/p/'
+             |           || CAST(doc_id AS VARCHAR) AS url,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+             |              ELSE text END AS payload
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'http://new.dx/p/' || CAST(doc_id AS VARCHAR), text
+             |  FROM documents WHERE doc_id % 13 = 0)
+             |SELECT coalesce(oldc.url, newc.url) AS url,
+             |       CASE WHEN oldc.url IS NULL THEN 'added'
+             |            WHEN newc.url IS NULL THEN 'gone'
+             |            WHEN oldc.payload = newc.payload THEN 'same'
+             |            ELSE 'changed' END AS status
+             |FROM oldc FULL OUTER JOIN newc ON newc.url = oldc.url
+             |ORDER BY url""".stripMargin),
+      doc = "cross-crawl diff: per-URL added/gone/changed/same with latest-wins within-crawl re-fetch resolution; payload bytes never shuffle (url + 8-byte hash per side); string-equality oracle pins the hash reduction"),
+
     // Crawl-frontier prioritization — the composition the crawl
     // actually schedules from: host QUALITY (integer PageRank over
     // the host link graph) divided by host COST (how much we already
