@@ -297,6 +297,38 @@ class CrawlPipelineSpec extends SparkSpec {
       "c.ex" -> (600L, 9L, 66L), "d.ex" -> (600L, 60L, 10L)), got.toString)
   }
 
+  test("frontier schedule replay: fetching at EXACTLY the slot budget is " +
+      "compliant, one extra fetch per minute violates every minute") {
+    import graft.operators.Robots
+    // the end-to-end consistency of the politeness arithmetic: a
+    // schedule generated FROM parseCrawlDelay's caps must be judged
+    // compliant BY rateViolations built from the same delays — i.e.
+    // ceil(60/delay) means the same thing to the scheduler and the
+    // limiter, including at the boundary (exactly cap fetches = ok)
+    val delays = Robots.parseCrawlDelay(Seq(
+      ("a.sx", "User-agent: *\nCrawl-delay: 10"),  // cap 6
+      ("b.sx", "User-agent: *\nCrawl-delay: 7"),   // cap 9
+      ("c.sx", "User-agent: *\nCrawl-delay: 60")   // cap 1
+    ).toDF("host", "text"), "host", "text", "*")
+    val caps = delays.as[(String, Long)].collect().toMap
+      .map { case (h, d) => h -> ((60 + d - 1) / d) }
+    val minutes = 5
+    def schedule(extra: Int) = caps.toSeq.flatMap { case (h, cap) =>
+      for (m <- 0 until minutes; k <- 0 until (cap + extra).toInt)
+        yield (s"http://$h/p/$m-$k",
+          java.time.Instant.ofEpochSecond(
+            java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+              + m * 60L + (k * 60L / (cap + extra))).toString)
+    }.toDF("target_uri", "warc_date")
+    val atCap = CrawlPipeline.rateViolations(schedule(0), delays)
+      .filter($"violation").count()
+    assert(atCap == 0, s"compliant schedule flagged $atCap violations")
+    val overCap = CrawlPipeline.rateViolations(schedule(1), delays)
+    val flagged = overCap.filter($"violation").count()
+    assert(flagged == 3L * minutes,
+      s"over-cap schedule should violate every (host, minute): $flagged")
+  }
+
   test("fromWarcStreamPolite: violating minutes divert, stream == batch") {
     import graft.operators.Robots
     val dir = java.nio.file.Files
