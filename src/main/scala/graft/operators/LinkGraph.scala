@@ -384,18 +384,25 @@ object LinkGraph {
       spamSeeds: Option[DataFrame] = None): DataFrame = {
     require(goodSeeds.isEmpty == spamSeeds.isEmpty,
       "goodSeeds and spamSeeds come together (TrustRank needs both)")
-    val pr = pageRankInt(edges, srcCol, dstCol, iterations, scale)
+    // distinct the edge relation ONCE: each of the five loops would
+    // otherwise re-scan the caller's (possibly corpus-derived) edge
+    // expression — at 5M docs that is five full corpus scans for one
+    // tiny host graph. localCheckpoint also truncates the lineage the
+    // loops' per-round actions would re-analyze.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val pr = pageRankInt(e, "src", "dst", iterations, scale)
       .withColumnRenamed("rank", "pr")
-    val hits = hitsInt(edges, srcCol, dstCol, iterations, scale)
-    val salsa = salsaInt(edges, srcCol, dstCol, iterations, scale)
+    val hits = hitsInt(e, "src", "dst", iterations, scale)
+    val salsa = salsaInt(e, "src", "dst", iterations, scale)
       .select(col("node"), col("hub").as("salsa_hub"),
         col("auth").as("salsa_auth"))
     val base = pr.join(hits, Seq("node")).join(salsa, Seq("node"))
     (goodSeeds, spamSeeds) match {
       case (Some(g), Some(sp)) =>
-        val trust = pageRankInt(edges, srcCol, dstCol, iterations, scale,
+        val trust = pageRankInt(e, "src", "dst", iterations, scale,
             seeds = Some(g)).withColumnRenamed("rank", "trust")
-        val spamMass = pageRankInt(edges, srcCol, dstCol, iterations, scale,
+        val spamMass = pageRankInt(e, "src", "dst", iterations, scale,
             seeds = Some(sp)).withColumnRenamed("rank", "spam_mass")
         base.join(trust, Seq("node")).join(spamMass, Seq("node"))
           .withColumn("trustrank", col("trust") - col("spam_mass"))
