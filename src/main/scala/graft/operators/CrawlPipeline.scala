@@ -308,19 +308,57 @@ object CrawlPipeline {
     */
   def crawlDiff(oldRecords: DataFrame, newRecords: DataFrame,
       urlCol: String = "target_uri", payloadCol: String = "payload",
-      dateCol: String = "warc_date"): DataFrame = {
-    def side(r: DataFrame, out: String) =
-      r.filter(col("record_type") === "response")
-        .select(col(urlCol).as("url"),
-          unix_timestamp(to_timestamp(col(dateCol))).as("__t"),
-          xxhash64(col(payloadCol)).as("__h"))
-        .groupBy(col("url"))
-        .agg(max(struct(col("__t"), col("__h"))).getField("__h").as(out))
-    side(oldRecords, "old_hash")
-      .join(side(newRecords, "new_hash"), Seq("url"), "full_outer")
+      dateCol: String = "warc_date"): DataFrame =
+    crawlHashes(oldRecords, "old_hash", urlCol, payloadCol, dateCol)
+      .join(crawlHashes(newRecords, "new_hash", urlCol, payloadCol, dateCol),
+        Seq("url"), "full_outer")
       .withColumn("status",
         when(col("old_hash").isNull, lit("added"))
           .when(col("new_hash").isNull, lit("gone"))
+          .when(col("old_hash") === col("new_hash"), lit("same"))
+          .otherwise(lit("changed")))
+      .select(col("url"), col("status"), col("old_hash"), col("new_hash"))
+
+  /** One crawl reduced to its (url, latest-fetch payload hash)
+    * relation — the 16-bytes-per-URL summary [[crawlDiff]] joins and
+    * [[crawlDiffStream]] broadcasts. Persist THIS between crawls, not
+    * payloads.
+    */
+  def crawlHashes(records: DataFrame, hashOut: String = "hash",
+      urlCol: String = "target_uri", payloadCol: String = "payload",
+      dateCol: String = "warc_date"): DataFrame =
+    records.filter(col("record_type") === "response")
+      .select(col(urlCol).as("url"),
+        unix_timestamp(to_timestamp(col(dateCol))).as("__t"),
+        xxhash64(col(payloadCol)).as("__h"))
+      .groupBy(col("url"))
+      .agg(max(struct(col("__t"), col("__h"))).getField("__h").as(hashOut))
+
+  /** [[crawlDiff]] LIVE — the re-crawl trigger feed: a streaming new
+    * crawl judged per fetch against the previous crawl's
+    * [[crawlHashes]] relation (static, broadcast — the stream-static
+    * dimension pattern). Emits (url, status ∈ added/changed/same,
+    * old_hash, new_hash) in append mode with NO state: each fetch is
+    * judged as it lands (a re-fetched URL is judged per fetch — live
+    * semantics; the batch [[crawlDiff]] is the latest-wins audit).
+    * `gone` is inherently an end-of-crawl verdict and stays
+    * batch-side. Identical expression runs on a batch frame
+    * (spec-pinned twin).
+    */
+  def crawlDiffStream(newRecords: DataFrame, oldHashes: DataFrame,
+      urlCol: String = "target_uri",
+      payloadCol: String = "payload"): DataFrame = {
+    val hashCol = oldHashes.columns.filter(_ != "url") match {
+      case Array(h) => h
+      case other => sys.error("oldHashes must be (url, <hash>) — the " +
+        s"crawlHashes shape; got ${other.mkString(",")}")
+    }
+    newRecords.filter(col("record_type") === "response")
+      .select(col(urlCol).as("url"), xxhash64(col(payloadCol)).as("new_hash"))
+      .join(broadcast(oldHashes.select(col("url"),
+        col(hashCol).as("old_hash"))), Seq("url"), "left")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
           .when(col("old_hash") === col("new_hash"), lit("same"))
           .otherwise(lit("changed")))
       .select(col("url"), col("status"), col("old_hash"), col("new_hash"))

@@ -3523,6 +3523,65 @@ object TextQueries {
              |ORDER BY url""".stripMargin),
       doc = "cross-crawl diff: per-URL added/gone/changed/same with latest-wins within-crawl re-fetch resolution; payload bytes never shuffle (url + 8-byte hash per side); string-equality oracle pins the hash reduction"),
 
+    // The LIVE form (batch twin of CrawlPipeline.crawlDiffStream,
+    // whose stream ≡ batch pin lives in CrawlPipelineSpec): each new
+    // fetch judged as it lands against the PREVIOUS crawl's broadcast
+    // (url, hash) relation — added/changed/same per fetch, no state;
+    // `gone` is inherently an end-of-crawl verdict and stays with the
+    // batch diff. Same planted fates as doc_crawl_diff.
+    Q("doc_crawl_diff_live",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        def url = concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+          lit(".dx/p/"), col("doc_id"))
+        val oldBase = docs.select(
+          lit("response").as("record_type"), url.as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          encode(col("text"), "UTF-8").as("payload"))
+        val oldRefetch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(lit("response").as("record_type"), url.as("target_uri"),
+            lit("2026-01-02T00:00:00Z").as("warc_date"),
+            encode(concat(col("text"), lit(" v2")), "UTF-8").as("payload"))
+        val oldHashes = CrawlPipeline.crawlHashes(
+          oldBase.unionByName(oldRefetch))
+        val newKept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(lit("response").as("record_type"), url.as("target_uri"),
+            encode(when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" updated"))).otherwise(col("text")),
+              "UTF-8").as("payload"))
+        val newAdded = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select(lit("response").as("record_type"),
+            concat(lit("http://new.dx/p/"), col("doc_id")).as("target_uri"),
+            encode(col("text"), "UTF-8").as("payload"))
+        CrawlPipeline.crawlDiffStream(newKept.unionByName(newAdded),
+            oldHashes)
+          .select(col("url"), col("status"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH oldc AS (
+             |  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.dx/p/'
+             |           || CAST(doc_id AS VARCHAR) AS url,
+             |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+             |              ELSE text END AS payload
+             |  FROM documents),
+             |newc AS (
+             |  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.dx/p/'
+             |           || CAST(doc_id AS VARCHAR) AS url,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+             |              ELSE text END AS payload
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'http://new.dx/p/' || CAST(doc_id AS VARCHAR), text
+             |  FROM documents WHERE doc_id % 13 = 0)
+             |SELECT newc.url,
+             |       CASE WHEN oldc.url IS NULL THEN 'added'
+             |            WHEN oldc.payload = newc.payload THEN 'same'
+             |            ELSE 'changed' END AS status
+             |FROM newc LEFT JOIN oldc ON oldc.url = newc.url
+             |ORDER BY newc.url""".stripMargin),
+      doc = "live cross-crawl diff (batch twin of the stream-static form): per-fetch added/changed/same against the previous crawl's broadcast hash relation, stateless"),
+
     // Crawl-frontier prioritization — the composition the crawl
     // actually schedules from: host QUALITY (integer PageRank over
     // the host link graph) divided by host COST (how much we already

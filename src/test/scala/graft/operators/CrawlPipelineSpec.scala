@@ -329,6 +329,58 @@ class CrawlPipelineSpec extends SparkSpec {
       s"over-cap schedule should violate every (host, minute): $flagged")
   }
 
+  test("crawlDiff + crawlDiffStream: latest-wins batch audit; the live " +
+      "form == batch per-fetch verdicts; stream == batch") {
+    // old crawl: u0 (body A, re-fetched later as body B), u1 (body C);
+    // new crawl: u0 body A (changed vs latest B!), u1 body C (same),
+    // u2 (added); u3 existed only in the old crawl (gone, batch-only)
+    def rec(id: String, url: String, date: String, body: String) =
+      (s"<urn:d:$id>", "response", url, date, "text/html", body)
+    val oldCrawl = Seq(
+      rec("o1", "http://d.ex/u0", "2026-01-01T00:00:00Z", "body A"),
+      rec("o2", "http://d.ex/u0", "2026-01-03T00:00:00Z", "body B"),
+      rec("o3", "http://d.ex/u1", "2026-01-01T00:00:00Z", "body C"),
+      rec("o4", "http://d.ex/u3", "2026-01-01T00:00:00Z", "body D"))
+      .toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+    val newRows = Seq(
+      rec("n1", "http://d.ex/u0", "2026-02-01T00:00:00Z", "body A"),
+      rec("n2", "http://d.ex/u1", "2026-02-01T00:00:00Z", "body C"),
+      rec("n3", "http://d.ex/u2", "2026-02-01T00:00:00Z", "body E"))
+    val newCrawl = newRows
+      .toDF("record_id", "record_type", "target_uri", "warc_date",
+        "content_type", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+    val batch = CrawlPipeline.crawlDiff(oldCrawl, newCrawl)
+      .select($"url", $"status").as[(String, String)].collect().toMap
+    // u0's old LATEST fetch is body B, so serving body A again reads
+    // changed — the latest-wins point
+    assert(batch == Map("http://d.ex/u0" -> "changed",
+      "http://d.ex/u1" -> "same", "http://d.ex/u2" -> "added",
+      "http://d.ex/u3" -> "gone"), batch.toString)
+
+    val hashes = CrawlPipeline.crawlHashes(oldCrawl)
+    val live = CrawlPipeline.crawlDiffStream(newCrawl, hashes)
+      .select($"url", $"status").as[(String, String)].collect().toMap
+    assert(live == batch - "http://d.ex/u3", live.toString)
+
+    // stream twin over a real WARC landing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-diff-").toString
+    newCrawl.coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val q = CrawlPipeline.crawlDiffStream(
+        spark.readStream.format("warc").load(dir), hashes)
+      .writeStream.format("memory").queryName("diff_live_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("diff_live_out")
+      .select($"url", $"status").as[(String, String)].collect().toMap
+    assert(got == live, s"stream=$got batch=$live")
+  }
+
   test("fromWarcStreamPolite: violating minutes divert, stream == batch") {
     import graft.operators.Robots
     val dir = java.nio.file.Files
