@@ -3582,6 +3582,105 @@ object TextQueries {
              |ORDER BY newc.url""".stripMargin),
       doc = "live cross-crawl diff (batch twin of the stream-static form): per-fetch added/changed/same against the previous crawl's broadcast hash relation, stateless"),
 
+    // The ONE-CALL crawl OPERATIONS report — the per-host dashboard a
+    // crawl operator actually reads after (or during) a run: fetch
+    // volume + politeness stats (hierarchical whale-safe min gap,
+    // busiest minute), the host's declared Crawl-delay, how many
+    // minutes VIOLATED its cap, and the host's link-graph rank. Four
+    // already-oracled relations composed host-keyed; everything
+    // integer/exactly-replayable, so the whole dashboard is one oracle.
+    Q("doc_crawl_ops_report",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, LinkGraph, Robots}
+        import s.implicits._
+        def host7(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(7)).cast("string"), lit(".cr"))
+        val docs = Tables.documents(s, dir)
+        val recs = docs.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+            lit(".cr/p/"), col("doc_id")).as("target_uri"),
+          date_format(
+            expr("timestamp'2026-02-01 00:00:00' + " +
+              "make_dt_interval(0, 0, 0, (doc_id * 37) % 9999)"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+        val delays = Robots.parseCrawlDelay(Seq(
+          ("h0.cr", "User-agent: *\nCrawl-delay: 10"),
+          ("h1.cr", "User-agent: *\nCrawl-delay: 2"),
+          ("h3.cr", "User-agent: *\nCrawl-delay: 7")).toDF("host", "text"),
+          "host", "text", "*")
+        val stats = CrawlPipeline.hostFetchStats(recs)
+        val violMin = CrawlPipeline.rateViolations(recs, delays)
+          .filter(col("violation"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_violating_minutes"))
+        val edges = docs.select(host7(col("doc_id")).as("src"),
+          host7(col("doc_id") * 3 + 1).as("dst"))
+        val ranks = LinkGraph.pageRankInt(edges, "src", "dst", iterations = 2)
+          .select(col("node").as("host"), col("rank").as("pr"))
+        stats
+          .join(broadcast(delays), Seq("host"), "left")
+          .join(violMin, Seq("host"), "left")
+          .join(ranks, Seq("host"))
+          .select(col("host"), col("n_fetches"), col("min_gap_s"),
+            col("max_per_minute"), col("delay_s"),
+            coalesce(col("n_violating_minutes"), lit(0L))
+              .as("n_violating_minutes"),
+            col("pr"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS host,
+             |         CAST(epoch(TIMESTAMP '2026-02-01 00:00:00'
+             |              + to_seconds(CAST(doc_id * 37 % 9999 AS BIGINT)))
+             |              AS BIGINT) AS t
+             |  FROM documents),
+             |g AS (SELECT host, t,
+             |             t - lag(t) OVER (PARTITION BY host ORDER BY t) AS gap
+             |      FROM f),
+             |m AS (SELECT host, t // 60 AS b, count(*) AS nb
+             |      FROM f GROUP BY host, t // 60),
+             |mb AS (SELECT host, max(nb) AS max_per_minute FROM m GROUP BY host),
+             |a AS (SELECT host, count(*) AS n_fetches, min(gap) AS min_gap_s
+             |      FROM g GROUP BY host),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.cr', CAST(10 AS BIGINT)),
+             |        ('h1.cr', CAST(2 AS BIGINT)),
+             |        ('h3.cr', CAST(7 AS BIGINT))) AS t(host, delay_s)),
+             |v AS (SELECT m.host, count(*) AS n_violating_minutes
+             |      FROM m JOIN d USING (host)
+             |      WHERE m.nb > (60 + d.delay_s - 1) // d.delay_s
+             |      GROUP BY m.host),
+             |e AS (SELECT DISTINCT
+             |             'h' || CAST(doc_id % 7 AS VARCHAR) || '.cr' AS src,
+             |             'h' || CAST((3*doc_id+1) % 7 AS VARCHAR) || '.cr' AS dst
+             |      FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node))
+             |SELECT a.host, a.n_fetches, a.min_gap_s, mb.max_per_minute,
+             |       d.delay_s, coalesce(v.n_violating_minutes, 0)
+             |         AS n_violating_minutes,
+             |       CAST(r2.pr AS BIGINT) AS pr
+             |FROM a JOIN mb USING (host)
+             |       LEFT JOIN d USING (host)
+             |       LEFT JOIN v USING (host)
+             |       JOIN r2 ON r2.node = a.host
+             |ORDER BY a.host""".stripMargin),
+      doc = "one-call crawl operations report: per-host fetch volume + whale-safe politeness stats + declared delay + violating-minute count + link rank, four oracled relations composed into one dashboard oracle"),
+
     // Crawl-frontier prioritization — the composition the crawl
     // actually schedules from: host QUALITY (integer PageRank over
     // the host link graph) divided by host COST (how much we already
