@@ -364,6 +364,70 @@ object CrawlPipeline {
       .select(col("url"), col("status"), col("old_hash"), col("new_hash"))
   }
 
+  /** Sitemap (sitemaps.org XML) entries as a relation: one row per
+    * `<url>` element with its `<loc>` and optional `<lastmod>`. Pure
+    * built-in string ops — split on the `</url>` close tag, then one
+    * anchored extract per field within the chunk — so the parse fuses
+    * into the sitemap scan (sitemaps are O(hosts·50k) entries, tiny
+    * next to the crawl; the 50k-URL/50 MB caps are the spec's own).
+    * Entities in `<loc>` decode per the spec's escaping table (the
+    * four XML metacharacters + apostrophe). Keeps every caller column
+    * (host, fetch time, …) alongside (url, lastmod).
+    */
+  def sitemapEntries(sitemaps: DataFrame, xmlCol: String): DataFrame = {
+    val keep = sitemaps.columns.filter(_ != xmlCol).map(col)
+    val locRaw = regexp_extract(col("__chunk"),
+      "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
+    val loc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&") // &amp; LAST: "&amp;lt;" → "&lt;"
+      .foldLeft(locRaw) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    sitemaps
+      .select(keep :+ explode(split(col(xmlCol), "</url>")).as("__chunk"): _*)
+      .withColumn("url",
+        when(loc === "", lit(null).cast("string")).otherwise(loc))
+      .withColumn("lastmod", to_timestamp(
+        when(regexp_extract(col("__chunk"),
+          "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("__chunk"),
+            "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))))
+      .filter(col("url").isNotNull)
+      .drop("__chunk")
+  }
+
+  /** The RE-CRAWL SCHEDULE — sitemap declarations diffed against what
+    * the last crawl actually holds: per URL,
+    *   - `new`      listed in the sitemap, never fetched;
+    *   - `stale`    fetched, but the declared lastmod postdates the
+    *                fetch — the publisher says it changed;
+    *   - `fresh`    fetched at/after the declared lastmod (or no
+    *                lastmod declared — nothing says it changed);
+    *   - `unlisted` fetched but no longer in the sitemap (the
+    *                candidate-gone set [[crawlDiff]] later confirms).
+    *
+    * `sitemap`: (url, lastmod timestamp-or-null) —
+    * [[sitemapEntries]]' shape; `crawled`: (url, fetch time). Both
+    * sides reduce to narrow (url, ts) relations before the full-outer
+    * equi-join — at 100 TB this moves urls × ~16 bytes, the
+    * [[crawlDiff]] bound. Feed the `new` ∪ `stale` set to
+    * [[frontierSlots]] for the politeness-budgeted fetch order.
+    */
+  def recrawlSchedule(sitemap: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod",
+      crawledUrlCol: String = "url", fetchTsCol: String = "fetch_ts")
+      : DataFrame = {
+    val sm = sitemap.select(col(urlCol).as("url"),
+      col(lastmodCol).as("lastmod"), lit(true).as("__listed"))
+    val cr = crawled.select(col(crawledUrlCol).as("url"),
+      col(fetchTsCol).as("last_fetch"), lit(true).as("__fetched"))
+    sm.join(cr, Seq("url"), "full_outer")
+      .withColumn("verdict",
+        when(col("__fetched").isNull, lit("new"))
+          .when(col("__listed").isNull, lit("unlisted"))
+          .when(col("lastmod") > col("last_fetch"), lit("stale"))
+          .otherwise(lit("fresh")))
+      .select(col("url"), col("verdict"), col("lastmod"), col("last_fetch"))
+  }
+
   /** The full Common Crawl WARC→WET job as one call: every `response`
     * record in `inDir`'s segments becomes a linked `conversion`
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused

@@ -3881,6 +3881,249 @@ object TextQueries {
              |            THEN t ELSE '' END AS text
              |FROM m
              |ORDER BY doc_id""".stripMargin),
-      doc = "one-call crawl pipeline: WARC (pages + in-crawl robots) -> robots gate -> HTML-only -> title + main content + host source, end-to-end oracled")
+      doc = "one-call crawl pipeline: WARC (pages + in-crawl robots) -> robots gate -> HTML-only -> title + main content + host source, end-to-end oracled"),
+
+    // HTTP envelope parse — Common Crawl `response` records hold the
+    // FULL HTTP response (status line + headers + body), and the
+    // corpus builder needs the envelope split before anything else
+    // touches the bytes. Responses are planted from documents with a
+    // known law (status by doc_id%10, charset-bearing Content-Type on
+    // even ids, Location on 301s), Http.responseParts parses them FOR
+    // REAL (regexp/split built-ins over the latin-1 view), and the
+    // oracle recomputes every column from the plant arithmetic — the
+    // hash compare pins the parser.
+    Q("doc_http_parse",
+      (s, dir) => {
+        import graft.operators.Http
+        val docs = Tables.documents(s, dir)
+        val st = pmod(col("doc_id"), lit(10))
+        val statusLine = when(st === 1, lit("301 Moved Permanently"))
+          .when(st === 2, lit("404 Not Found"))
+          .when(st === 3, lit("503 Service Unavailable"))
+          .otherwise(lit("200 OK"))
+        val ctLine = when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("text/html; charset=UTF-8")).otherwise(lit("text/plain"))
+        val locLine = when(st === 1,
+          concat(lit("Location: http://h"),
+            pmod(col("doc_id") + 1, lit(5)), lit(".hx/p/"),
+            col("doc_id") + 1, lit("\r\n"))).otherwise(lit(""))
+        val recs = docs.select(col("doc_id"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(5)),
+            lit(".hx/p/"), col("doc_id")).as("url"),
+          encode(concat(lit("HTTP/1.1 "), statusLine,
+            lit("\r\nContent-Type: "), ctLine, lit("\r\n"), locLine,
+            lit("\r\n"), col("text")), "UTF-8").as("payload"))
+        Http.responseParts(recs)
+          .select(col("doc_id"), col("url"), col("status"),
+            col("media_type"), col("charset"), col("location"),
+            length(decode(col("body"), "UTF-8")).as("body_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.hx/p/'
+             |         || CAST(doc_id AS VARCHAR) AS url,
+             |       CAST(CASE doc_id % 10 WHEN 1 THEN 301 WHEN 2 THEN 404
+             |            WHEN 3 THEN 503 ELSE 200 END AS INT) AS status,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+             |            ELSE 'text/plain' END AS media_type,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END AS charset,
+             |       CASE WHEN doc_id % 10 = 1
+             |            THEN 'http://h' || CAST((doc_id+1) % 5 AS VARCHAR)
+             |              || '.hx/p/' || CAST(doc_id+1 AS VARCHAR)
+             |            END AS location,
+             |       length(text) AS body_chars
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "HTTP envelope parse: status line + case-insensitive headers + binary-safe body split via the bijective latin-1 view, all scan-fused built-ins; oracle recomputes from the plant law, pinning the parser"),
+
+    // Per-host status-class report — the crawl-health dashboard row:
+    // how much of each host's fetch volume was 2xx/3xx/4xx/5xx, and
+    // the integer ok-rate. One conditional-count groupBy over the
+    // parsed status column: partial-aggregated map-side, whale-safe
+    // (a host's report row costs 5 counters, never a collect).
+    Q("doc_http_status_report",
+      (s, dir) => {
+        import graft.operators.Http
+        val docs = Tables.documents(s, dir)
+        val st = pmod(col("doc_id"), lit(10))
+        val statusLine = when(st === 1, lit("301 Moved"))
+          .when(st === 2, lit("404 Not Found"))
+          .when(st === 3, lit("503 Unavailable"))
+          .otherwise(lit("200 OK"))
+        val recs = docs.select(
+          concat(lit("h"), pmod(col("doc_id"), lit(5)), lit(".hx"))
+            .as("host"),
+          encode(concat(lit("HTTP/1.1 "), statusLine,
+            lit("\r\nContent-Type: text/html\r\n\r\nok")), "UTF-8")
+            .as("payload"))
+        Http.responseParts(recs)
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("status").between(200, 299), 1)).as("n_ok"),
+            count(when(col("status").between(300, 399), 1)).as("n_redirect"),
+            count(when(col("status").between(400, 499), 1))
+              .as("n_client_err"),
+            count(when(col("status").between(500, 599), 1))
+              .as("n_server_err"))
+          .withColumn("ok_permille", expr("(1000 * n_ok) div n_total"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH r AS (
+             |  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.hx' AS host,
+             |         CASE doc_id % 10 WHEN 1 THEN 301 WHEN 2 THEN 404
+             |              WHEN 3 THEN 503 ELSE 200 END AS status
+             |  FROM documents),
+             |a AS (
+             |  SELECT host, count(*) AS n_total,
+             |         count(*) FILTER (status BETWEEN 200 AND 299) AS n_ok,
+             |         count(*) FILTER (status BETWEEN 300 AND 399)
+             |           AS n_redirect,
+             |         count(*) FILTER (status BETWEEN 400 AND 499)
+             |           AS n_client_err,
+             |         count(*) FILTER (status BETWEEN 500 AND 599)
+             |           AS n_server_err
+             |  FROM r GROUP BY host)
+             |SELECT host, n_total, n_ok, n_redirect, n_client_err,
+             |       n_server_err, (1000 * n_ok) // n_total AS ok_permille
+             |FROM a ORDER BY host""".stripMargin),
+      doc = "per-host HTTP status-class report: conditional-count groupBy over the parsed status column, partial-aggregated and whale-safe; the crawl-health dashboard row"),
+
+    // Redirect-chain resolution — every redirect source resolved to
+    // its final destination by POINTER DOUBLING (2 self-joins follow
+    // chains up to 4 hops; O(log chain) rounds, the star-contraction
+    // discipline — never one join per hop). Edges come out of the REAL
+    // HTTP parse (301 payloads with Location headers planted on
+    // doc_id%10 in {1,2,3}, so chains of length 3 end at %10==4
+    // terminals), plus a planted 2-cycle that must report unresolved.
+    // The oracle replays both doubling rounds as unrolled join layers.
+    Q("doc_redirect_chains",
+      (s, dir) => {
+        import graft.operators.Http
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val st = pmod(col("doc_id"), lit(10))
+        val isRedir = st >= 1 && st <= 3
+        val statusLine = when(isRedir, lit("301 Moved Permanently"))
+          .otherwise(lit("200 OK"))
+        val locLine = when(isRedir,
+          concat(lit("Location: http://c.hx/p/"), col("doc_id") + 1,
+            lit("\r\n"))).otherwise(lit(""))
+        val recs = docs.select(lit("response").as("record_type"),
+          concat(lit("http://c.hx/p/"), col("doc_id")).as("target_uri"),
+          encode(concat(lit("HTTP/1.1 "), statusLine, lit("\r\n"), locLine,
+            lit("\r\nbody")), "UTF-8").as("payload"))
+        val cycle = Seq(("http://cyc.hx/1", "http://cyc.hx/2"),
+          ("http://cyc.hx/2", "http://cyc.hx/1")).toDF("url", "next")
+        val edges = Http.redirectEdges(recs).unionByName(cycle)
+        Http.resolveRedirects(edges, maxDoublings = 2)
+          .orderBy(col("url"))
+      },
+      Some("""WITH e AS (
+             |  SELECT 'http://c.hx/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |         'http://c.hx/p/' || CAST(doc_id + 1 AS VARCHAR) AS next
+             |  FROM documents WHERE doc_id % 10 IN (1, 2, 3)
+             |  UNION ALL
+             |  SELECT * FROM (VALUES ('http://cyc.hx/1', 'http://cyc.hx/2'),
+             |    ('http://cyc.hx/2', 'http://cyc.hx/1')) AS t(url, next)),
+             |f0 AS (SELECT url, next, CAST(1 AS BIGINT) AS hops FROM e),
+             |f1 AS (SELECT a.url, coalesce(b.next, a.next) AS next,
+             |              a.hops + coalesce(b.hops, 0) AS hops
+             |       FROM f0 a LEFT JOIN f0 b ON b.url = a.next),
+             |f2 AS (SELECT a.url, coalesce(b.next, a.next) AS next,
+             |              a.hops + coalesce(b.hops, 0) AS hops
+             |       FROM f1 a LEFT JOIN f1 b ON b.url = a.next),
+             |o AS (SELECT DISTINCT url FROM e)
+             |SELECT f2.url, f2.next AS final_url, f2.hops,
+             |       o.url IS NULL AS resolved
+             |FROM f2 LEFT JOIN o ON o.url = f2.next
+             |ORDER BY f2.url""".stripMargin),
+      doc = "redirect-chain resolution by pointer doubling: 2 self-joins follow chains up to 4 hops, cycles report unresolved; edges from the real HTTP parse; oracle replays the doubling rounds"),
+
+    // Sitemap parse — sitemaps.org XML built per host from the
+    // documents (entity-escaped query strings, lastmod omitted on
+    // doc_id%9==0), parsed back by the split/regexp relational parser;
+    // the oracle emits the entries straight from the plant law, so the
+    // hash compare pins parse(build(x)) == x including entity decode
+    // and whitespace trim.
+    Q("doc_sitemap_urls",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        val entry = concat(lit("<url><loc> http://h"),
+          pmod(col("doc_id"), lit(5)), lit(".sx/p/"), col("doc_id"),
+          lit("?a=1&amp;b=2 </loc>"),
+          when(pmod(col("doc_id"), lit(9)) =!= 0,
+            concat(lit("<lastmod>"),
+              date_format(expr("timestamp'2026-01-01 00:00:00' + " +
+                "make_dt_interval(0, 0, (doc_id * 13) % 1000, 0)"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+              lit("</lastmod>"))).otherwise(lit("")),
+          lit("</url>"))
+        val sitemaps = docs
+          .groupBy(concat(lit("h"), pmod(col("doc_id"), lit(5)),
+            lit(".sx")).as("host"))
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            array_join(collect_list(entry), "\n"),
+            lit("</urlset>")).as("xml"))
+        CrawlPipeline.sitemapEntries(sitemaps, "xml")
+          .select(col("host"), col("url"),
+            date_format(col("lastmod"), "yyyy-MM-dd HH:mm:ss").as("lastmod"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.sx' AS host,
+             |       'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.sx/p/'
+             |         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+             |       CASE WHEN doc_id % 9 <> 0 THEN
+             |         strftime(TIMESTAMP '2026-01-01 00:00:00'
+             |           + to_minutes(CAST(doc_id * 13 % 1000 AS BIGINT)),
+             |           '%Y-%m-%d %H:%M:%S') END AS lastmod
+             |FROM documents
+             |ORDER BY url""".stripMargin),
+      doc = "sitemap XML parse: per-<url> loc + optional lastmod via split/regexp built-ins with entity decode; build->parse round trip oracled from the plant law"),
+
+    // The RE-CRAWL SCHEDULE — sitemap declarations diffed against the
+    // last crawl: new / stale / fresh / unlisted per URL. Both sides
+    // reduce to narrow (url, ts) relations before the full-outer join
+    // (the crawlDiff bound: urls x ~16 bytes moves, never payloads).
+    // Plant: doc_id%13==0 missing from the sitemap (unlisted),
+    // %7==0 never fetched (new), %9==0 declares no lastmod (fresh by
+    // "nothing says it changed"), else %3==0 postdates the fetch
+    // (stale) and the rest predate it (fresh).
+    Q("doc_recrawl_schedule",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        def url = concat(lit("http://r.hx/p/"), col("doc_id"))
+        val sm = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .select(url.as("url"),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit(null).cast("timestamp"))
+              .when(pmod(col("doc_id"), lit(3)) === 0,
+                lit("2026-03-01 00:00:00").cast("timestamp"))
+              .otherwise(lit("2026-01-01 00:00:00").cast("timestamp"))
+              .as("lastmod"))
+        val cr = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(url.as("url"),
+            lit("2026-02-01 00:00:00").cast("timestamp").as("fetch_ts"))
+        CrawlPipeline.recrawlSchedule(sm, cr)
+          .select(col("url"), col("verdict"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH sm AS (
+             |  SELECT 'http://r.hx/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |         doc_id
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |cr AS (
+             |  SELECT 'http://r.hx/p/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents WHERE doc_id % 7 <> 0)
+             |SELECT coalesce(sm.url, cr.url) AS url,
+             |       CASE WHEN cr.url IS NULL THEN 'new'
+             |            WHEN sm.url IS NULL THEN 'unlisted'
+             |            WHEN sm.doc_id % 9 = 0 THEN 'fresh'
+             |            WHEN sm.doc_id % 3 = 0 THEN 'stale'
+             |            ELSE 'fresh' END AS verdict
+             |FROM sm FULL OUTER JOIN cr ON cr.url = sm.url
+             |ORDER BY url""".stripMargin),
+      doc = "re-crawl schedule: sitemap lastmod vs last fetch -> new/stale/fresh/unlisted per URL; narrow (url, ts) relations full-outer joined, the crawlDiff byte bound; date-compare verdicts oracled from the plant law")
   )
 }
