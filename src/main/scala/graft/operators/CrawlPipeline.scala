@@ -32,13 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object CrawlPipeline {
 
+  /** `httpEnvelope = true` for crawls whose `response` payloads carry
+    * the FULL HTTP response (status line + headers + body — the Common
+    * Crawl WARC layout, ISO 28500 §6.3): pages gate on parsed status
+    * 2xx + a declared html media type, bodies slice out of the
+    * envelope ([[Http.body]], binary-safe), and the declared charset
+    * picks the decode (utf-8 default; iso-8859-1 honored — the two
+    * encodings that cover the overwhelming share of the web). False =
+    * payloads are bare bodies with the WARC `content_type` column as
+    * the type signal (the WET-like layout the batch fixtures use).
+    */
   final case class CrawlSettings(
       agent: String = "*",
       respectRobots: Boolean = true,
       mainContentOnly: Boolean = true,
       minChars: Int = 25,
       linkNum: Int = 1, linkDen: Int = 5,
-      stopNum: Int = 1, stopDen: Int = 10)
+      stopNum: Int = 1, stopDen: Int = 10,
+      httpEnvelope: Boolean = false)
 
   private def hostOf(url: org.apache.spark.sql.Column) =
     lower(regexp_extract(url, "(?i)^https?://([^/:]+)", 1))
@@ -46,10 +57,30 @@ object CrawlPipeline {
   private def isRobotsUrl(url: org.apache.spark.sql.Column) =
     url.rlike("(?i)^https?://[^/]+/robots\\.txt$")
 
-  private def htmlPages(records: DataFrame): DataFrame =
-    records.filter(col("record_type") === "response")
+  /** The page body as TEXT: envelope-aware slice + charset-aware
+    * decode (scan-fused; the envelope parse is built-in expressions,
+    * so this stays one narrow projection either way).
+    */
+  private def pageText(s: CrawlSettings): org.apache.spark.sql.Column =
+    if (!s.httpEnvelope) decode(col("payload"), "UTF-8")
+    else {
+      val b = Http.body(col("payload"))
+      val cs = Http.charset(col("payload"))
+      when(cs.isin("iso-8859-1", "latin1", "windows-1252"),
+        decode(b, "ISO-8859-1")).otherwise(decode(b, "UTF-8"))
+    }
+
+  private def htmlPages(records: DataFrame,
+      s: CrawlSettings = CrawlSettings()): DataFrame = {
+    val base = records.filter(col("record_type") === "response")
       .filter(!isRobotsUrl(col("target_uri")))
-      .filter(coalesce(col("content_type"), lit("")).contains("html"))
+    if (s.httpEnvelope)
+      base.filter(Http.statusCode(col("payload")).between(200, 299))
+        .filter(coalesce(Http.mediaType(col("payload")), lit(""))
+          .contains("html"))
+    else
+      base.filter(coalesce(col("content_type"), lit("")).contains("html"))
+  }
 
   /** The per-record projection — entirely narrow (the main-content
     * classification is a per-row HOF over the parse's block array), so
@@ -62,7 +93,7 @@ object CrawlPipeline {
     // kernel once per row); separate htmlTitle + htmlBlocks columns
     // would run the state machine twice, and at crawl scale the parse
     // IS the extraction cost
-    val doc = TextFunctions.htmlDoc(decode(col("payload"), "UTF-8"))
+    val doc = TextFunctions.htmlDoc(pageText(s))
     val blocks = doc.getField("blocks")
     val text =
       if (s.mainContentOnly)
@@ -86,14 +117,23 @@ object CrawlPipeline {
     */
   def fromWarc(records: DataFrame,
       s: CrawlSettings = CrawlSettings()): DataFrame = {
-    val pages = htmlPages(records)
+    val pages = htmlPages(records, s)
     val allowed =
       if (!s.respectRobots) pages
       else {
-        val robots = records.filter(col("record_type") === "response")
+        // envelope mode: only a 200 robots.txt carries rules (a 4xx
+        // means unrestricted per RFC 9309 §2.3.1.3, which is exactly
+        // what an absent rule row already yields here)
+        val robotsRecs = records.filter(col("record_type") === "response")
           .filter(isRobotsUrl(col("target_uri")))
+        val robotsGated =
+          if (!s.httpEnvelope) robotsRecs
+          else robotsRecs.filter(
+            Http.statusCode(col("payload")).between(200, 299))
+        val robots = robotsGated
           .select(hostOf(col("target_uri")).as("host"),
-            decode(col("payload"), "UTF-8").as("robots_text"))
+            (if (s.httpEnvelope) decode(Http.body(col("payload")), "UTF-8")
+             else decode(col("payload"), "UTF-8")).as("robots_text"))
         Robots.filterAllowed(pages, "target_uri",
           Robots.parseRules(robots, "host", "robots_text", s.agent))
       }
@@ -257,7 +297,7 @@ object CrawlPipeline {
   def fromWarcStreamPolite(records: DataFrame, staticRules: DataFrame,
       delays: DataFrame, s: CrawlSettings = CrawlSettings(),
       watermark: String = "10 minutes"): (DataFrame, DataFrame) = {
-    val pages = htmlPages(records)
+    val pages = htmlPages(records, s)
     val allowed =
       if (s.respectRobots)
         Robots.filterAllowedLit(pages, "target_uri", staticRules)
@@ -458,7 +498,7 @@ object CrawlPipeline {
     */
   def fromWarcStream(records: DataFrame, staticRules: DataFrame,
       s: CrawlSettings = CrawlSettings()): DataFrame = {
-    val pages = htmlPages(records)
+    val pages = htmlPages(records, s)
     val allowed =
       if (s.respectRobots)
         Robots.filterAllowedLit(pages, "target_uri", staticRules)

@@ -3883,6 +3883,95 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "one-call crawl pipeline: WARC (pages + in-crawl robots) -> robots gate -> HTML-only -> title + main content + host source, end-to-end oracled"),
 
+    // The ENVELOPED form — payloads carry the full HTTP response (the
+    // Common Crawl layout): the page gate runs on the PARSED status
+    // line (404s drop) and the PARSED Content-Type (the WARC
+    // content_type column is the useless-on-purpose envelope type
+    // 'application/http'), bodies slice out of the envelope, and a
+    // 404 robots.txt carries NO rules (RFC 9309 §2.3.1.3 unrestricted
+    // — its would-block-everything body must be ignored). Same
+    // main-content law as doc_crawl_pipeline; the oracle adds the
+    // status-law exclusions.
+    Q("doc_crawl_pipeline_http",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        import s.implicits._
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-crawlhttp-q-").toString
+        val docs = Tables.documents(s, dir)
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val host = concat(lit("h"), pmod(col("doc_id"), lit(3)), lit(".hx"))
+        val pageHtml = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body>" +
+            "<div class='nav'><a href='/'>Home</a> <a href='/a'>About</a>" +
+            " <a href='/c'>Contact pages</a></div><p>"),
+          esc,
+          lit("</p><div>Copyright 2026 GraftCorp</div>" +
+            "<div><a href='/t'>Terms</a> <a href='/p'>Privacy policy</a>" +
+            "</div></body></html>"))
+        val statusLine = when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("404 Not Found")).otherwise(lit("200 OK"))
+        val pages = docs.select(
+          concat(lit("<urn:hpage:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://"), host, lit("/p/"), col("doc_id"))
+            .as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("application/http; msgtype=response").as("content_type"),
+          encode(concat(lit("HTTP/1.1 "), statusLine,
+            lit("\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
+            pageHtml), "UTF-8").as("payload"))
+        // h0: enveloped 200 robots blocking everything; h1: a 404
+        // robots whose body WOULD block everything — the status gate
+        // must discard it (h1 pages survive)
+        val robots = Seq(
+          ("<urn:hrob:0>", "http://h0.hx/robots.txt", "200 OK"),
+          ("<urn:hrob:1>", "http://h1.hx/robots.txt", "404 Not Found"))
+          .toDF("record_id", "target_uri", "st")
+          .select(col("record_id"), lit("response").as("record_type"),
+            col("target_uri"), lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            encode(concat(lit("HTTP/1.1 "), col("st"),
+              lit("\r\nContent-Type: text/plain\r\n\r\n" +
+                "User-agent: *\nDisallow: /")), "UTF-8").as("payload"))
+        pages.unionByName(robots)
+          .write.format("warc").option("compression", "gzip")
+          .mode("append").save(warcDir)
+        CrawlPipeline.fromWarc(s.read.format("warc").load(warcDir),
+            CrawlPipeline.CrawlSettings(httpEnvelope = true))
+          .select(
+            regexp_extract(col("url"), "/p/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("url"), col("source"), col("title"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(text,
+             |              '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS t
+             |  FROM documents
+             |  WHERE doc_id % 3 <> 0 AND doc_id % 11 <> 0),
+             |m AS (
+             |  SELECT doc_id, t,
+             |         length(replace(t, ' ', '')) AS nc,
+             |         len(string_split(t, ' ')) AS nw,
+             |         len(list_filter(string_split(t, ' '),
+             |             w -> list_contains(['the','a','of','and','to','in'],
+             |                                w))) AS hits
+             |  FROM c)
+             |SELECT doc_id,
+             |       'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.hx/p/'
+             |         || CAST(doc_id AS VARCHAR) AS url,
+             |       'h' || CAST(doc_id % 3 AS VARCHAR) || '.hx' AS source,
+             |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |       CASE WHEN nc >= 25 AND hits * 10 >= nw
+             |            THEN t ELSE '' END AS text
+             |FROM m
+             |ORDER BY doc_id""".stripMargin),
+      doc = "enveloped crawl pipeline (Common Crawl layout): parsed-status 404 drop + parsed media type (WARC column is the envelope type) + enveloped robots with a 404-robots-is-unrestricted pin; same main-content law, end-to-end oracled"),
+
     // HTTP envelope parse — Common Crawl `response` records hold the
     // FULL HTTP response (status line + headers + body), and the
     // corpus builder needs the envelope split before anything else

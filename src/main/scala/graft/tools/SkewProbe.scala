@@ -61,6 +61,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               fingerprints (the failed-decode/black-frame mass a
   *               real image corpus carries) — as-is vs
   *               collapse-identical-first
+  *   crawldiff   crawlDiff's partial-aggregated latest-wins vs the
+  *               naive per-URL row_number window, on uniform vs
+  *               re-fetch-storm crawls (one URL = 50% of old records)
+  *   hostscores  the five-loop host-ranks composition: hostScores'
+  *               materialize-edges-once vs five independent loops
+  *               re-deriving the corpus edge expression, uniform vs
+  *               hub-whale graphs
   *   robotswild  verdictsWildcard (column-pattern regexp_like — RLike
   *               recompiles per row) vs verdictsWildcardLit (patterns
   *               compiled once at plan build) on the whale URL corpus
@@ -686,6 +693,113 @@ object SkewProbe {
             }
             report(s"${name}_collapse", rep, tC, nC, hC)
             f.unpersist()
+          }
+        case "crawldiff" =>
+          // cross-crawl diff under a re-fetch STORM: uniform gives
+          // every URL one fetch per crawl; storm routes HALF of the
+          // old crawl's records to ONE URL (a crawler stuck in a retry
+          // loop — real crawl logs carry these). crawlDiff's
+          // latest-wins is a partial-aggregated max(struct) — the
+          // storm collapses map-side, no whale key ever shuffles. The
+          // control is the naive window form (row_number over each
+          // URL's fetch history, latest kept): one task sorts the
+          // storm URL's entire history. Values cross-checked by sig
+          // on (url, status).
+          import org.apache.spark.sql.expressions.Window
+          def urlOf(idCol: org.apache.spark.sql.Column) =
+            concat(lit("http://h"), pmod(idCol, lit(1000L)), lit(".dx/p/"),
+              idCol)
+          val shapes3: Seq[(String, DataFrame)] = Seq(
+            "uniform" -> docs.select(urlOf(col("doc_id")).as("target_uri"),
+              col("doc_id")),
+            "storm" -> docs.select(
+              when(col("doc_id") % 2 === 0, lit("http://h0.dx/p/0"))
+                .otherwise(urlOf(col("doc_id"))).as("target_uri"),
+              col("doc_id")))
+          shapes3.foreach { case (name, oldBase) =>
+            val oldCrawl = oldBase.select(
+                lit("response").as("record_type"), col("target_uri"),
+                date_format(expr("timestamp'2026-01-01 00:00:00' + " +
+                  "make_dt_interval(0, 0, 0, doc_id % 86400)"),
+                  "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+                encode(concat(lit("body "), col("doc_id")), "UTF-8")
+                  .as("payload"))
+              .persist()
+            val newCrawl = docs.filter(col("doc_id") % 7 =!= 0)
+              .select(lit("response").as("record_type"),
+                urlOf(col("doc_id")).as("target_uri"),
+                lit("2026-02-01T00:00:00Z").as("warc_date"),
+                encode(concat(lit("body "),
+                  when(col("doc_id") % 5 === 0,
+                    concat(col("doc_id"), lit(" v2")))
+                    .otherwise(col("doc_id").cast("string"))), "UTF-8")
+                  .as("payload"))
+              .persist()
+            oldCrawl.count(); newCrawl.count()
+            val cols = Seq("url", "status")
+            def naiveSide(recs: DataFrame, out: String) = {
+              val w = Window.partitionBy(col("url"))
+                .orderBy(col("__t").desc, col("__h").desc)
+              recs.select(col("target_uri").as("url"),
+                  unix_timestamp(to_timestamp(col("warc_date"))).as("__t"),
+                  xxhash64(col("payload")).as("__h"))
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1)
+                .select(col("url"), col("__h").as(out))
+            }
+            val ((nN, hN), tN) = time {
+              val joined = naiveSide(oldCrawl, "old_hash")
+                .join(naiveSide(newCrawl, "new_hash"), Seq("url"),
+                  "full_outer")
+                .withColumn("status",
+                  when(col("old_hash").isNull, lit("added"))
+                    .when(col("new_hash").isNull, lit("gone"))
+                    .when(col("old_hash") === col("new_hash"), lit("same"))
+                    .otherwise(lit("changed")))
+              sig(joined.select(col("url"), col("status")), cols)
+            }
+            report(s"${name}_window", rep, tN, nN, hN)
+            val ((nA, hA), tA) = time(sig(graft.operators.CrawlPipeline
+              .crawlDiff(oldCrawl, newCrawl), cols))
+            report(s"${name}_agg", rep, tA, nA, hA,
+              if (nA == nN && hA == hN) " MATCH" else " **MISMATCH**")
+            oldCrawl.unpersist(); newCrawl.unpersist()
+          }
+        case "hostscores" =>
+          // the five-loop host-ranks composition: SHARED materialized
+          // edge relation (hostScores — distinct + localCheckpoint
+          // once) vs five independent loops each re-deriving the edge
+          // expression from the corpus — prices the materialize-once
+          // decision on uniform vs hub-whale graphs (one host on half
+          // of all edge ends, the pagerank family's whale).
+          def hostCol(e: org.apache.spark.sql.Column, whale: Boolean) =
+            if (!whale) concat(lit("h"), pmod(e, lit(1000L)))
+            else when(e % 2 === 0, lit("hub"))
+              .otherwise(concat(lit("h"), pmod(e, lit(1000L))))
+          Seq("uniform" -> false, "whale" -> true).foreach {
+            case (name, whale) =>
+              def edges = docs.select(
+                hostCol(col("doc_id"), whale).as("src"),
+                hostCol(col("doc_id") * 3 + 1, whale).as("dst"))
+              val cols = Seq("node", "pr", "hub", "salsa_hub")
+              def independent = {
+                import graft.operators.LinkGraph
+                val pr = LinkGraph.pageRankInt(edges.distinct(), "src",
+                  "dst", 2).withColumnRenamed("rank", "pr")
+                val hits = LinkGraph.hitsInt(edges.distinct(), "src",
+                  "dst", 2)
+                val salsa = LinkGraph.salsaInt(edges.distinct(), "src",
+                    "dst", 2)
+                  .select(col("node"), col("hub").as("salsa_hub"),
+                    col("auth").as("salsa_auth"))
+                pr.join(hits, Seq("node")).join(salsa, Seq("node"))
+              }
+              val ((nI, hI), tI) = time(sig(independent, cols))
+              report(s"${name}_indep", rep, tI, nI, hI)
+              val ((nS, hS), tS) = time(sig(graft.operators.LinkGraph
+                .hostScores(edges, "src", "dst", 2), cols))
+              report(s"${name}_shared", rep, tS, nS, hS,
+                if (nS == nI && hS == hI) " MATCH" else " **MISMATCH**")
           }
         case other =>
           sys.error(s"unknown family: $other")

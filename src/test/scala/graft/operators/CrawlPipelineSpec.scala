@@ -87,6 +87,56 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("fromWarc httpEnvelope: status gate, parsed media type, charset decode, " +
+      "enveloped robots") {
+    def env(status: String, ct: String, body: Array[Byte],
+        extra: String = ""): Array[Byte] =
+      (s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n$extra\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val html = (n: Int) => s"<html><head><title>E$n</title></head>" +
+      s"<body><p>$content page $n</p></body></html>"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crawlenv-").toString
+    Seq(
+      ("<urn:e:r>", "response", "http://e.ex/robots.txt",
+        env("200 OK", "text/plain",
+          "User-agent: *\nDisallow: /private".getBytes("UTF-8"))),
+      ("<urn:e:1>", "response", "http://e.ex/ok/1",
+        env("200 OK", "text/html; charset=utf-8",
+          html(1).getBytes("UTF-8"))),
+      // latin-1 page: 0xE9 is é in ISO-8859-1 and INVALID UTF-8 —
+      // only the declared-charset decode reads it
+      ("<urn:e:2>", "response", "http://e.ex/latin/2",
+        env("200 OK", "text/html; charset=ISO-8859-1",
+          ("<html><head><title>café</title></head><body><p>" +
+            content + " café</p></body></html>")
+            .getBytes("ISO-8859-1"))),
+      ("<urn:e:3>", "response", "http://e.ex/gone/3",
+        env("404 Not Found", "text/html", html(3).getBytes("UTF-8"))),
+      ("<urn:e:4>", "response", "http://e.ex/moved/4",
+        env("301 Moved Permanently", "text/html",
+          html(4).getBytes("UTF-8"), extra = "Location: /ok/1\r\n")),
+      ("<urn:e:5>", "response", "http://e.ex/private/5",
+        env("200 OK", "text/html", html(5).getBytes("UTF-8"))),
+      ("<urn:e:6>", "response", "http://e.ex/img/6",
+        env("200 OK", "image/png", Array[Byte](1, 2, 3))))
+      .toDF("record_id", "record_type", "target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("content_type", lit("application/http; msgtype=response"))
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(dir)
+    val docs = CrawlPipeline.fromWarc(
+        spark.read.format("warc").load(dir),
+        CrawlPipeline.CrawlSettings(httpEnvelope = true))
+      .select($"url", $"title", $"text")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    // 404, 301, robots-disallowed /private, and image/png all drop
+    assert(docs.map(_._1) == Seq("http://e.ex/latin/2", "http://e.ex/ok/1"))
+    assert(docs.head._2 == "café" &&
+      docs.head._3 == content + " café")
+    assert(docs(1)._2 == "E1")
+  }
+
   test("fromWarc knobs: robots off keeps the private page; full-text keeps the nav") {
     val records = spark.read.format("warc").load(crawlDir())
     val noRobots = CrawlPipeline.fromWarc(records,
