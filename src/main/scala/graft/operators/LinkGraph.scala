@@ -487,4 +487,87 @@ object LinkGraph {
       .select(col("node"), col("hits_hub"), col("salsa_hub"),
         col("hits_rank"), col("salsa_rank"), col("divergence"))
   }
+
+  /** Breadth-first CRAWL DEPTH from a seed set: the hop distance a
+    * frontier-driven crawl assigns every host (seeds = 0, their
+    * outlink targets = 1, …) — the depth column crawl schedulers cap
+    * on ("crawl to depth 6") and quality pipelines prior on (deep
+    * pages are worse on average). Exact shortest hop count: a node
+    * first reached at round d can never get a smaller depth later, so
+    * the frontier loop IS Dijkstra on unit weights.
+    *
+    * Scale shape: the same loop discipline as [[pageRankInt]] — edges
+    * distinct once, per-round work is one equi-join of the CURRENT
+    * frontier (not the whole visited set) against edges plus one
+    * anti-join against visited, both persisted and lineage-truncated;
+    * rounds stop early when the frontier drains. Deterministic and
+    * partitioning-invariant (min-depth is order-free), so an oracle
+    * replays rounds as unrolled layers. Unreached nodes are absent
+    * from the output (the caller's left join decides their fate).
+    *
+    * @param seeds (node) relation
+    * @return (node, depth) — depth ∈ [0, maxDepth]
+    */
+  def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val parent = edges.sparkSession
+    val eParent = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val edgeCount = eParent.count()
+    val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
+    val loopParts = Dedup.loopShufflePartitions(
+      parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
+    if (loopParts <= 1)
+      loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eParent)
+    var visited = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
+        seeds.select(col("node")).distinct())
+      .withColumn("depth", lit(0L)).persist()
+    var frontier = visited
+    var d = 1L
+    var drained = visited.count() == 0L
+    while (d <= maxDepth && !drained) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(d)).persist()
+      drained = next.count() == 0L
+      if (!drained) {
+        val grown = visited.unionByName(next).localCheckpoint()
+        visited.unpersist(); visited = grown; frontier = next
+      } else next.unpersist()
+      d += 1
+    }
+    eParent.unpersist()
+    visited
+  }
+
+  /** Frontier DISCOVERY — which discovered URLs have never been
+    * crawled. Exact anti-join semantics; `useBloom = true` keeps the
+    * result EXACT but shifts the cost model: a Bloom filter over the
+    * crawled set broadcasts (~10 bits/URL at 2% fpp — three orders
+    * under the string relation), definite-new URLs pass map-side
+    * WITHOUT any shuffle, and only the mightContain survivors (true
+    * hits + the fp fraction) pay the exact anti-join that removes
+    * false positives. A Bloom filter has no false negatives, so no
+    * new URL is ever lost — the [[Decontaminate.contaminatedBloom]]
+    * cost shape applied to the crawl frontier.
+    */
+  def frontierNewUrls(discovered: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", useBloom: Boolean = false,
+      expectedCrawled: Long = 1000000L, fpp: Double = 0.02): DataFrame = {
+    val disc = discovered.select(col(urlCol).as("url")).distinct()
+    val seen = crawled.select(col(urlCol).as("url")).distinct()
+    if (!useBloom) disc.join(seen, Seq("url"), "left_anti")
+    else {
+      val bf = seen.stat.bloomFilter("url", expectedCrawled, fpp)
+      val bc = disc.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((s: String) => bc.value.mightContainString(s))
+      disc.filter(!mightContain(col("url")))
+        .unionByName(disc.filter(mightContain(col("url")))
+          .join(seen, Seq("url"), "left_anti"))
+    }
+  }
 }

@@ -4213,6 +4213,87 @@ object TextQueries {
              |            ELSE 'fresh' END AS verdict
              |FROM sm FULL OUTER JOIN cr ON cr.url = sm.url
              |ORDER BY url""".stripMargin),
-      doc = "re-crawl schedule: sitemap lastmod vs last fetch -> new/stale/fresh/unlisted per URL; narrow (url, ts) relations full-outer joined, the crawlDiff byte bound; date-compare verdicts oracled from the plant law")
+      doc = "re-crawl schedule: sitemap lastmod vs last fetch -> new/stale/fresh/unlisted per URL; narrow (url, ts) relations full-outer joined, the crawlDiff byte bound; date-compare verdicts oracled from the plant law"),
+
+    // BFS crawl depth — hop distance from the seed host over the link
+    // graph (seeds = 0, their outlink targets = 1, …): the depth cap
+    // crawl schedulers enforce and the page-quality prior pipelines
+    // key on. Exact unit-weight shortest paths; the loop discipline is
+    // pageRankInt's (frontier joins edges per round, never the whole
+    // visited set). 101 hosts, two out-edge families (3id+1, 7id+2)
+    // so the BFS tree branches; the oracle replays the rounds as
+    // unrolled frontier/visited layers.
+    Q("doc_crawl_depth",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(101)))
+        val edges = docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 3 + 1).as("dst"))
+          .unionByName(docs.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 2).as("dst")))
+        LinkGraph.bfsDepth(edges, "src", "dst",
+            Seq("h0").toDF("node"), maxDepth = 3)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT 'h' || CAST(doc_id % 101 AS VARCHAR) AS src,
+             |         'h' || CAST((3*doc_id+1) % 101 AS VARCHAR) AS dst
+             |  FROM documents
+             |  UNION
+             |  SELECT 'h' || CAST(doc_id % 101 AS VARCHAR),
+             |         'h' || CAST((7*doc_id+2) % 101 AS VARCHAR)
+             |  FROM documents),
+             |v0 AS (SELECT 'h0' AS node, CAST(0 AS BIGINT) AS depth),
+             |n1 AS (SELECT DISTINCT e.dst AS node
+             |       FROM e JOIN v0 ON e.src = v0.node
+             |       WHERE e.dst NOT IN (SELECT node FROM v0)),
+             |v1 AS (SELECT * FROM v0
+             |       UNION ALL SELECT node, CAST(1 AS BIGINT) FROM n1),
+             |n2 AS (SELECT DISTINCT e.dst AS node
+             |       FROM e JOIN n1 ON e.src = n1.node
+             |       WHERE e.dst NOT IN (SELECT node FROM v1)),
+             |v2 AS (SELECT * FROM v1
+             |       UNION ALL SELECT node, CAST(2 AS BIGINT) FROM n2),
+             |n3 AS (SELECT DISTINCT e.dst AS node
+             |       FROM e JOIN n2 ON e.src = n2.node
+             |       WHERE e.dst NOT IN (SELECT node FROM v2)),
+             |v3 AS (SELECT * FROM v2
+             |       UNION ALL SELECT node, CAST(3 AS BIGINT) FROM n3)
+             |SELECT node, depth FROM v3 ORDER BY node""".stripMargin),
+      doc = "BFS crawl depth from seed hosts: exact unit-weight hop distance, frontier-joins-edges rounds with early drain; oracle replays the rounds as unrolled frontier/visited layers"),
+
+    // Frontier discovery — which discovered URLs were never crawled,
+    // via the BLOOM-PREFILTERED exact form: the crawled set broadcasts
+    // as ~10 bits/URL, definite-new URLs pass map-side with no
+    // shuffle, and only mightContain survivors (hits + the ~2% fp
+    // fraction) pay the exact anti-join. The result is EXACT (no
+    // false negatives, positives verified), so the plain anti-join
+    // oracle pins the whole path including the fp cleanup.
+    Q("doc_frontier_discovery",
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        val docs = Tables.documents(s, dir)
+        val discovered = docs.select(
+          concat(lit("http://f.hx/p/"),
+            pmod(col("doc_id") * 3 + 1, lit(701))).as("url"))
+        val crawled = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(concat(lit("http://f.hx/p/"),
+            pmod(col("doc_id"), lit(701))).as("url"))
+        LinkGraph.frontierNewUrls(discovered, crawled, useBloom = true,
+            expectedCrawled = 100000L)
+          .orderBy(col("url"))
+      },
+      Some("""SELECT DISTINCT 'http://f.hx/p/'
+             |         || CAST((3*doc_id+1) % 701 AS VARCHAR) AS url
+             |FROM documents
+             |EXCEPT
+             |SELECT DISTINCT 'http://f.hx/p/'
+             |         || CAST(doc_id % 701 AS VARCHAR) AS url
+             |FROM documents WHERE doc_id % 2 = 0
+             |ORDER BY url""".stripMargin),
+      doc = "frontier discovery: never-crawled URLs via Bloom prefilter (broadcast bits, map-side definite-new pass) + exact anti-join fp cleanup; exact result pinned by the plain anti-join oracle")
   )
 }

@@ -304,4 +304,38 @@ class LinkGraphSpec extends SparkSpec {
       .collect().toSet
     assert(topk == naive, s"topk=$topk naive=$naive")
   }
+
+  test("bfsDepth: hand-computed hop distances — branch, shortcut wins, " +
+      "cycle, unreachable, early drain") {
+    import spark.implicits._
+    // a→b→c→d, a→c (shortcut: c at depth 1, d at 2), d→a (back edge —
+    // cycle must not revisit), x→y detached (unreachable from a)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("d", "a"), ("x", "y")).toDF("src", "dst")
+    val got = LinkGraph.bfsDepth(edges, "src", "dst",
+        Seq("a").toDF("node"), maxDepth = 5)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 0L), ("b", 1L), ("c", 1L), ("d", 2L)))
+    // depth cap truncates; seeds not in the graph still report depth 0
+    val capped = LinkGraph.bfsDepth(edges, "src", "dst",
+        Seq("a", "z").toDF("node"), maxDepth = 1)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(capped == Seq(("a", 0L), ("b", 1L), ("c", 1L), ("z", 0L)))
+  }
+
+  test("frontierNewUrls: bloom-prefiltered form == exact anti-join") {
+    import spark.implicits._
+    val discovered = (1 to 500).map(i => s"http://f.ex/p/$i").toDF("url")
+    val crawled = (1 to 500).filter(_ % 3 == 0)
+      .map(i => s"http://f.ex/p/$i").toDF("url")
+    val exact = LinkGraph.frontierNewUrls(discovered, crawled)
+      .as[String].collect().sorted.toSeq
+    val bloom = LinkGraph.frontierNewUrls(discovered, crawled,
+        useBloom = true, expectedCrawled = 1000L)
+      .as[String].collect().sorted.toSeq
+    assert(exact == bloom)
+    assert(exact.size == 500 - 166) // every non-multiple-of-3 is new
+    assert(!exact.contains("http://f.ex/p/3") &&
+      exact.contains("http://f.ex/p/4"))
+  }
 }
