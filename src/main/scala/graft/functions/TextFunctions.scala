@@ -103,6 +103,40 @@ object TextFunctions {
       when(sortedQuery === "", "").otherwise(concat(lit("?"), sortedQuery)))
   }
 
+  /** Common multi-part public suffixes for [[registeredDomain]] —
+    * the high-mass entries of the public suffix list's ICANN section
+    * (the full PSL is a data file a deployment ships alongside;
+    * callers with one pass it in).
+    */
+  val DefaultMultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk", "ltd.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz", "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.kr", "com.my", "com.ph", "com.vn", "com.eg")
+
+  /** Registered domain (eTLD+1): the unit quality pipelines group on
+    * — `a.b.example.co.uk` and `www.example.co.uk` are ONE publisher
+    * (RefinedWeb/FineWeb cap documents per registered domain, not per
+    * host). Heuristic: the last two labels, or the last three when
+    * the last two form a multi-part public suffix from `suffixes`.
+    * Pure built-ins (one split + tail slices) — scan-fused, no UDF;
+    * hosts with ≤ 2 labels (or an IP) pass through unchanged.
+    */
+  def registeredDomain(host: Column,
+      suffixes: Seq[String] = DefaultMultiPartSuffixes): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".",
+      element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    when(n <= 2 || host.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$"), host)
+      .when(last2.isin(suffixes: _*), last3)
+      .otherwise(last2)
+  }
+
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))

@@ -112,6 +112,28 @@ object Robots {
       .groupBy(col("host"))
       .agg(max(col("value").cast("long")).as("delay_s"))
 
+  /** The `Sitemap:` directive (sitemaps.org discovery): GLOBAL per
+    * the protocol — valid anywhere in the file, INDEPENDENT of
+    * user-agent groups — so this extractor reads raw lines rather
+    * than the group-resolved relation the per-agent directives share.
+    * One distinct row per (host, sitemap_url); comments strip, key
+    * matches case-insensitively, absolute URLs pass through as
+    * declared. Feed the URLs to a fetcher and the bodies to
+    * [[CrawlPipeline.sitemapEntries]] — the discovery loop robots
+    * closes (robots → sitemaps → URL inventory → re-crawl schedule).
+    */
+  def parseSitemaps(robots: DataFrame, hostCol: String,
+      textCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(col("line")).startsWith("sitemap:"))
+      .select(col("host"), trim(expr("substring(line, 9)"))
+        .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
   /** URL → (host minus port, path-or-"/") columns — shared by every
     * verdict form so the two matching grades can't drift on URL
     * normalization.

@@ -4294,6 +4294,97 @@ object TextQueries {
              |         || CAST(doc_id % 701 AS VARCHAR) AS url
              |FROM documents WHERE doc_id % 2 = 0
              |ORDER BY url""".stripMargin),
-      doc = "frontier discovery: never-crawled URLs via Bloom prefilter (broadcast bits, map-side definite-new pass) + exact anti-join fp cleanup; exact result pinned by the plain anti-join oracle")
+      doc = "frontier discovery: never-crawled URLs via Bloom prefilter (broadcast bits, map-side definite-new pass) + exact anti-join fp cleanup; exact result pinned by the plain anti-join oracle"),
+
+    // Sitemap DISCOVERY end-to-end — the loop robots.txt closes:
+    // `Sitemap:` directives (GLOBAL, outside agent groups — one host
+    // declares two, odd hosts only one) name which sitemap files get
+    // fetched, only DECLARED sitemaps' bodies parse, and their
+    // entries become the URL inventory. Undeclared map-b files on odd
+    // hosts exist but are never fetched — their URLs must NOT appear.
+    Q("doc_sitemap_discovery",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Robots}
+        val docsH = Tables.documents(s, dir)
+          .withColumn("h", pmod(col("doc_id"), lit(5)))
+        val robots = docsH.select(col("h")).distinct().select(
+          concat(lit("h"), col("h"), lit(".rs")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /x\nSitemap: http://h"),
+            col("h"), lit(".rs/map-a.xml"),
+            when(pmod(col("h"), lit(2)) === 0,
+              concat(lit("\nsitemap: http://h"), col("h"),
+                lit(".rs/map-b.xml"))).otherwise(lit(""))).as("text"))
+        val declared = Robots.parseSitemaps(robots, "host", "text")
+        val entry = concat(lit("<url><loc>http://h"), col("h"),
+          lit(".rs/p/"), col("doc_id"), lit("</loc></url>"))
+        val bodies = docsH
+          .withColumn("sm", concat(lit("http://h"), col("h"),
+            lit(".rs/map-"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("b"))
+              .otherwise(lit("a")), lit(".xml")))
+          .groupBy(col("sm"))
+          .agg(concat(lit("<urlset>"), array_join(collect_list(entry), ""),
+            lit("</urlset>")).as("xml"))
+        val fetched = declared
+          .join(bodies, declared("sitemap_url") === bodies("sm"))
+          .select(col("host"), col("sitemap_url"), col("xml"))
+        CrawlPipeline.sitemapEntries(fetched, "xml")
+          .select(col("host"), col("sitemap_url"), col("url"))
+          .orderBy(col("url"), col("sitemap_url"))
+      },
+      Some("""WITH sel AS (
+             |  SELECT doc_id, doc_id % 5 AS h,
+             |         CASE WHEN doc_id % 2 = 0 THEN 'b' ELSE 'a' END AS m
+             |  FROM documents)
+             |SELECT 'h' || CAST(h AS VARCHAR) || '.rs' AS host,
+             |       'http://h' || CAST(h AS VARCHAR) || '.rs/map-' || m
+             |         || '.xml' AS sitemap_url,
+             |       'http://h' || CAST(h AS VARCHAR) || '.rs/p/'
+             |         || CAST(doc_id AS VARCHAR) AS url
+             |FROM sel
+             |WHERE m = 'a' OR h % 2 = 0
+             |ORDER BY url, sitemap_url""".stripMargin),
+      doc = "sitemap discovery end-to-end: global Sitemap: directives out of robots.txt -> only declared sitemaps fetch -> entries parse into the URL inventory; undeclared files never contribute"),
+
+    // Per-registered-domain rollup — the unit RefinedWeb/FineWeb-style
+    // pipelines cap and calibrate on (www.example.co.uk and
+    // a.b.example.co.uk are ONE publisher). registeredDomain is a
+    // scan-fused built-in chain (split + tail slices + a suffix-list
+    // membership), the rollup one partial-aggregated groupBy; the
+    // oracle recomputes the eTLD+1 from the plant law directly, so the
+    // hash compare pins the heuristic on all three host shapes.
+    Q("doc_domain_rollup",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val host = when(pmod(id, lit(3)) === 0,
+            concat(lit("www.s"), pmod(id, lit(7)), lit(".co.uk")))
+          .when(pmod(id, lit(3)) === 1,
+            concat(lit("sub"), pmod(id, lit(5)), lit(".s"), pmod(id, lit(7)),
+              lit(".com")))
+          .otherwise(concat(lit("s"), pmod(id, lit(7)), lit(".net")))
+        docs.select(host.as("host"))
+          .withColumn("domain",
+            TextFunctions.registeredDomain(col("host")))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE
+             |    WHEN doc_id % 3 = 0 THEN 'www.s' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+             |    WHEN doc_id % 3 = 1 THEN 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.s' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             |    ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.net' END AS host,
+             |  CASE
+             |    WHEN doc_id % 3 = 0 THEN 's' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+             |    WHEN doc_id % 3 = 1 THEN 's' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             |    ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.net' END AS domain
+             |  FROM documents)
+             |SELECT domain, count(*) AS n_docs,
+             |       count(DISTINCT host) AS n_hosts
+             |FROM r GROUP BY domain ORDER BY domain""".stripMargin),
+      doc = "per-registered-domain rollup: eTLD+1 heuristic (last-2 labels, last-3 over the multi-part suffix list) as scan-fused built-ins + one partial-aggregated groupBy; oracle recomputes the domain from the plant law")
   )
 }

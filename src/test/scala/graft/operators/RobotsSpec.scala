@@ -211,4 +211,21 @@ class RobotsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("parseSitemaps: global directive — any case, any position, " +
+      "comments strip, duplicates collapse, agent groups ignored") {
+    import spark.implicits._
+    val robots = Seq(
+      ("h1", "Sitemap: http://h1/s1.xml\n" +
+        "User-agent: googlebot\nDisallow: /\n" +
+        "sitemap:http://h1/s2.xml   # trailing comment\n" +
+        "User-agent: *\nAllow: /\n" +
+        "SITEMAP:  http://h1/s1.xml"), // dup of s1 → collapses
+      ("h2", "User-agent: *\nDisallow: /private\n# Sitemap: http://no"),
+      ("h3", "Sitemap:")) // empty value drops
+      .toDF("host", "text")
+    val got = Robots.parseSitemaps(robots, "host", "text")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(got == Seq(("h1", "http://h1/s1.xml"), ("h1", "http://h1/s2.xml")))
+  }
 }

@@ -266,6 +266,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(canon("http://a.com/x") != canon("https://a.com/x"))
   }
 
+  test("registeredDomain: eTLD+1 heuristic — plain TLD, multi-part " +
+      "suffix, bare domain, deep subdomain, IP passthrough") {
+    import graft.functions.TextFunctions
+    def rd(h: String): String =
+      Seq(Tuple1(h)).toDF("h")
+        .select(TextFunctions.registeredDomain($"h")).as[String].head()
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("a.b.c.example.com") == "example.com")
+    assert(rd("example.com") == "example.com")
+    assert(rd("www.example.co.uk") == "example.co.uk")
+    assert(rd("a.b.example.co.uk") == "example.co.uk")
+    assert(rd("example.co.jp") == "example.co.jp") // already eTLD+1
+    assert(rd("localhost") == "localhost")
+    assert(rd("192.168.0.1") == "192.168.0.1")
+  }
+
   test("bpeTrainMerges restores the loop's shuffle-partitions override") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     TextAnalysis.bpeTrainMerges(
