@@ -468,6 +468,31 @@ object CrawlPipeline {
       .select(col("url"), col("verdict"), col("lastmod"), col("last_fetch"))
   }
 
+  /** [[recrawlSchedule]] LIVE — the sitemap-driven re-crawl trigger
+    * feed: sitemap entries arrive as a stream (e.g.
+    * `readStream.text(..., wholetext)` through [[sitemapEntries]],
+    * which is stateless — explode + regexp — and streams as-is) and
+    * each declared URL is judged on arrival against the previous
+    * crawl's broadcast (url, fetch time) relation: `new` / `stale` /
+    * `fresh` per entry, stateless append mode, no watermark needed.
+    * `unlisted` is inherently an end-of-inventory verdict and stays
+    * with the batch [[recrawlSchedule]] — the same live/batch split
+    * as [[crawlDiffStream]]'s missing `gone`. Identical expression
+    * runs batch-side (spec-pinned twin).
+    */
+  def recrawlScheduleStream(sitemap: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod",
+      crawledUrlCol: String = "url", fetchTsCol: String = "fetch_ts")
+      : DataFrame =
+    sitemap.select(col(urlCol).as("url"), col(lastmodCol).as("lastmod"))
+      .join(broadcast(crawled.select(col(crawledUrlCol).as("url"),
+        col(fetchTsCol).as("last_fetch"))), Seq("url"), "left")
+      .withColumn("verdict",
+        when(col("last_fetch").isNull, lit("new"))
+          .when(col("lastmod") > col("last_fetch"), lit("stale"))
+          .otherwise(lit("fresh")))
+      .select(col("url"), col("verdict"), col("lastmod"), col("last_fetch"))
+
   /** The full Common Crawl WARC→WET job as one call: every `response`
     * record in `inDir`'s segments becomes a linked `conversion`
     * record ([[graft.sources.warc.Wet.convert]] — scan-fused
@@ -481,9 +506,9 @@ object CrawlPipeline {
     */
   def toWet(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, compression: String = "gzip",
-      index: Boolean = false): Unit =
+      index: Boolean = false, httpEnvelope: Boolean = false): Unit =
     graft.sources.warc.Wet
-      .convert(spark.read.format("warc").load(inDir))
+      .convert(spark.read.format("warc").load(inDir), httpEnvelope)
       .write.format("warc").option("compression", compression)
       .option("index", index.toString)
       .mode("append").save(outDir)

@@ -4215,6 +4215,50 @@ object TextQueries {
              |ORDER BY url""".stripMargin),
       doc = "re-crawl schedule: sitemap lastmod vs last fetch -> new/stale/fresh/unlisted per URL; narrow (url, ts) relations full-outer joined, the crawlDiff byte bound; date-compare verdicts oracled from the plant law"),
 
+    // The LIVE re-crawl trigger (batch twin of
+    // CrawlPipeline.recrawlScheduleStream, whose stream ≡ batch pin
+    // lives in CrawlPipelineSpec): each declared sitemap entry judged
+    // on arrival against the previous crawl's broadcast (url,
+    // fetch_ts) relation — new/stale/fresh, stateless; `unlisted` is
+    // inherently an end-of-inventory verdict and stays with the batch
+    // doc_recrawl_schedule (the crawlDiff `gone` split). Same plant
+    // law as doc_recrawl_schedule.
+    Q("doc_recrawl_schedule_live",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        def url = concat(lit("http://r.hx/p/"), col("doc_id"))
+        val sm = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .select(url.as("url"),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              lit(null).cast("timestamp"))
+              .when(pmod(col("doc_id"), lit(3)) === 0,
+                lit("2026-03-01 00:00:00").cast("timestamp"))
+              .otherwise(lit("2026-01-01 00:00:00").cast("timestamp"))
+              .as("lastmod"))
+        val cr = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(url.as("url"),
+            lit("2026-02-01 00:00:00").cast("timestamp").as("fetch_ts"))
+        CrawlPipeline.recrawlScheduleStream(sm, cr)
+          .select(col("url"), col("verdict"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH sm AS (
+             |  SELECT 'http://r.hx/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |         doc_id
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |cr AS (
+             |  SELECT 'http://r.hx/p/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents WHERE doc_id % 7 <> 0)
+             |SELECT sm.url,
+             |       CASE WHEN cr.url IS NULL THEN 'new'
+             |            WHEN sm.doc_id % 9 = 0 THEN 'fresh'
+             |            WHEN sm.doc_id % 3 = 0 THEN 'stale'
+             |            ELSE 'fresh' END AS verdict
+             |FROM sm LEFT JOIN cr ON cr.url = sm.url
+             |ORDER BY sm.url""".stripMargin),
+      doc = "live re-crawl trigger (batch twin of the stream-static form): per-entry new/stale/fresh against the previous crawl's broadcast fetch-time relation, stateless"),
+
     // BFS crawl depth — hop distance from the seed host over the link
     // graph (seeds = 0, their outlink targets = 1, …): the depth cap
     // crawl schedulers enforce and the page-quality prior pipelines

@@ -22,15 +22,40 @@ import org.apache.spark.sql.functions._
   * keeps (no RNG in any operator).
   */
 object Wet {
-  def convert(records: DataFrame): DataFrame =
-    records.filter(col("record_type") === "response")
-      .select(
-        concat(lit("<urn:wet:"), sha1(col("record_id")), lit(">")).as("record_id"),
-        lit("conversion").as("record_type"),
-        col("target_uri"),
-        col("warc_date"),
-        lit("text/plain").as("content_type"),
-        map(lit("WARC-Refers-To"), col("record_id")).as("headers"),
-        encode(graft.functions.TextFunctions.htmlText(
-          decode(col("payload"), "UTF-8")), "UTF-8").as("payload"))
+
+  /** `httpEnvelope = true` for Common-Crawl-layout inputs whose
+    * response payloads carry the full HTTP message: only parsed-status
+    * 2xx html responses convert, the body slices out of the envelope
+    * ([[graft.operators.Http.body]], binary-safe), and the declared
+    * charset picks the decode — the same contract as
+    * [[graft.operators.CrawlPipeline.CrawlSettings.httpEnvelope]].
+    * Still one narrow scan-fused projection either way.
+    */
+  def convert(records: DataFrame, httpEnvelope: Boolean = false): DataFrame = {
+    import graft.operators.Http
+    val base = records.filter(col("record_type") === "response")
+    val pages =
+      if (!httpEnvelope) base
+      else base
+        .filter(Http.statusCode(col("payload")).between(200, 299))
+        .filter(coalesce(Http.mediaType(col("payload")), lit(""))
+          .contains("html"))
+    val html =
+      if (!httpEnvelope) decode(col("payload"), "UTF-8")
+      else {
+        val b = Http.body(col("payload"))
+        when(Http.charset(col("payload"))
+            .isin("iso-8859-1", "latin1", "windows-1252"),
+          decode(b, "ISO-8859-1")).otherwise(decode(b, "UTF-8"))
+      }
+    pages.select(
+      concat(lit("<urn:wet:"), sha1(col("record_id")), lit(">")).as("record_id"),
+      lit("conversion").as("record_type"),
+      col("target_uri"),
+      col("warc_date"),
+      lit("text/plain").as("content_type"),
+      map(lit("WARC-Refers-To"), col("record_id")).as("headers"),
+      encode(graft.functions.TextFunctions.htmlText(html), "UTF-8")
+        .as("payload"))
+  }
 }

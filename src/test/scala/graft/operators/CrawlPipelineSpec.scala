@@ -166,6 +166,86 @@ class CrawlPipelineSpec extends SparkSpec {
       .as[String].head() == "<urn:c:p1>") // back-link to the page record
   }
 
+  test("toWet httpEnvelope: non-2xx and non-html drop, body slices out of " +
+      "the envelope, declared charset decodes") {
+    def env(status: String, ct: String, body: String,
+        cs: String = "UTF-8"): Array[Byte] =
+      s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ body.getBytes(cs)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-wetenv-in-").toString
+    Seq(
+      ("<urn:w:1>", "http://w.ex/1",
+        env("200 OK", "text/html", "<html><body><p>hello wet</p></body></html>")),
+      ("<urn:w:2>", "http://w.ex/2",
+        env("200 OK", "text/html; charset=iso-8859-1",
+          "<html><body><p>café latin</p></body></html>", cs = "ISO-8859-1")),
+      ("<urn:w:3>", "http://w.ex/3",
+        env("404 Not Found", "text/html", "<html>gone</html>")),
+      ("<urn:w:4>", "http://w.ex/4", env("200 OK", "image/png", "xx")))
+      .toDF("record_id", "target_uri", "payload")
+      .withColumn("record_type", lit("response"))
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("content_type", lit("application/http; msgtype=response"))
+      .coalesce(1).write.format("warc").mode("append")
+      .option("compression", "gzip").save(in)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-wetenv-out-").toString
+    CrawlPipeline.toWet(spark, in, out, httpEnvelope = true)
+    val wet = spark.read.format("warc").load(out)
+      .select($"target_uri", decode($"payload", "UTF-8").as("t"))
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(wet.map(_._1) == Seq("http://w.ex/1", "http://w.ex/2"))
+    assert(wet(0)._2 == "hello wet")
+    assert(wet(1)._2 == "café latin")
+  }
+
+  test("recrawlScheduleStream: live sitemap feed == batch verdicts " +
+      "(unlisted stays batch-side), stateless append mode") {
+    val smDir = java.nio.file.Files
+      .createTempDirectory("graft-smstream-").toString
+    // two sitemap files arriving as a stream
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(smDir, "sm1.xml"),
+      """<urlset>
+        |<url><loc>http://r.ex/new</loc>
+        |<lastmod>2026-03-01T00:00:00Z</lastmod></url>
+        |<url><loc>http://r.ex/stale</loc>
+        |<lastmod>2026-03-01T00:00:00Z</lastmod></url>
+        |</urlset>""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(smDir, "sm2.xml"),
+      """<urlset>
+        |<url><loc>http://r.ex/fresh</loc>
+        |<lastmod>2026-01-01T00:00:00Z</lastmod></url>
+        |<url><loc>http://r.ex/nolastmod</loc></url>
+        |</urlset>""".stripMargin)
+    val crawled = Seq(
+      ("http://r.ex/stale", "2026-02-01 00:00:00"),
+      ("http://r.ex/fresh", "2026-02-01 00:00:00"),
+      ("http://r.ex/nolastmod", "2026-02-01 00:00:00"),
+      ("http://r.ex/unlisted", "2026-02-01 00:00:00"))
+      .toDF("url", "ft")
+      .withColumn("fetch_ts", to_timestamp($"ft")).drop("ft")
+    def chain(sitemaps: org.apache.spark.sql.DataFrame) =
+      CrawlPipeline.recrawlScheduleStream(
+        CrawlPipeline.sitemapEntries(sitemaps, "value"), crawled)
+    val q = chain(spark.readStream.option("wholetext", "true").text(smDir))
+      .writeStream.format("memory").queryName("recrawl_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("recrawl_stream_out")
+      .select($"url", $"verdict").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = chain(spark.read.option("wholetext", "true").text(smDir))
+      .select($"url", $"verdict").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want && got == Seq(
+      ("http://r.ex/fresh", "fresh"), ("http://r.ex/new", "new"),
+      ("http://r.ex/nolastmod", "fresh"), ("http://r.ex/stale", "stale")))
+  }
+
   test("toWet with index=true: WET segments are externally seekable — " +
       "CDX sidecar emitted, random access recovers the conversion record") {
     import graft.sources.warc.WarcRandomAccess
