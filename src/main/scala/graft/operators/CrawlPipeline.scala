@@ -63,12 +63,7 @@ object CrawlPipeline {
     */
   private def pageText(s: CrawlSettings): org.apache.spark.sql.Column =
     if (!s.httpEnvelope) decode(col("payload"), "UTF-8")
-    else {
-      val b = Http.body(col("payload"))
-      val cs = Http.charset(col("payload"))
-      when(cs.isin("iso-8859-1", "latin1", "windows-1252"),
-        decode(b, "ISO-8859-1")).otherwise(decode(b, "UTF-8"))
-    }
+    else Http.decodedBody(col("payload"))
 
   private def htmlPages(records: DataFrame,
       s: CrawlSettings = CrawlSettings()): DataFrame = {

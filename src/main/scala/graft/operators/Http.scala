@@ -82,6 +82,38 @@ object Http {
     blank(lower(regexp_extract(coalesce(header(payload, "Content-Type"),
       lit("")), "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)))
 
+  /** Charset sniffed from the body's own markup — `<meta charset=…>`
+    * or the http-equiv form — for responses whose Content-Type
+    * declares none (or lies by omission; the HTML5 prescan rule is
+    * exactly this fallback). Read off the latin-1 view, so sniffing
+    * never depends on the answer it produces.
+    */
+  def metaCharset(payload: Column): Column =
+    blank(lower(regexp_extract(coalesce(bodySection(latin1(payload)),
+      lit("")),
+      "(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_\\-]+)", 1)))
+
+  /** The charset that governs the body: declared in Content-Type
+    * first (the HTTP layer wins per HTML5), else sniffed from the
+    * markup; null when neither speaks (callers default to utf-8).
+    */
+  def effectiveCharset(payload: Column): Column =
+    coalesce(charset(payload), metaCharset(payload))
+
+  /** Body decoded as TEXT via the effective charset — utf-8 unless
+    * the declared-or-sniffed charset is the latin-1 family (the two
+    * families that cover the overwhelming share of the web; an
+    * unrecognized declaration falls back to utf-8). One scan-fused
+    * expression; [[CrawlPipeline]] and [[graft.sources.warc.Wet]]
+    * share it so envelope decode can never drift between the two.
+    */
+  def decodedBody(payload: Column): Column = {
+    val b = body(payload)
+    when(effectiveCharset(payload)
+        .isin("iso-8859-1", "latin1", "windows-1252"),
+      decode(b, "ISO-8859-1")).otherwise(decode(b, "UTF-8"))
+  }
+
   /** The envelope split as one projection: status, media_type,
     * charset, location (redirect target), body. `records` is the WARC
     * relation; every added column fuses into its scan.

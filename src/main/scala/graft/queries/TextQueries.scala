@@ -4128,6 +4128,63 @@ object TextQueries {
              |ORDER BY f2.url""".stripMargin),
       doc = "redirect-chain resolution by pointer doubling: 2 self-joins follow chains up to 4 hops, cycles report unresolved; edges from the real HTTP parse; oracle replays the doubling rounds"),
 
+    // Redirect-canonical unification — the URL-level dedup upgrade
+    // redirect resolution buys: every URL that 301-chains to the same
+    // final target is ONE logical page (http://a → http://b → http://c
+    // and http://c itself collapse to c). Canonical = the resolved
+    // final_url when the URL redirects, itself otherwise; the rollup
+    // groups aliases under their canonical. Same planted chain law as
+    // doc_redirect_chains; the oracle reuses the unrolled doubling
+    // layers plus the alias-group count.
+    Q("doc_redirect_canonical",
+      (s, dir) => {
+        import graft.operators.Http
+        val docs = Tables.documents(s, dir)
+        val st = pmod(col("doc_id"), lit(10))
+        val isRedir = st >= 1 && st <= 3
+        val recs = docs.select(lit("response").as("record_type"),
+          concat(lit("http://c2.hx/p/"), col("doc_id")).as("target_uri"),
+          encode(concat(lit("HTTP/1.1 "),
+            when(isRedir, lit("301 Moved Permanently"))
+              .otherwise(lit("200 OK")), lit("\r\n"),
+            when(isRedir, concat(lit("Location: http://c2.hx/p/"),
+              col("doc_id") + 1, lit("\r\n"))).otherwise(lit("")),
+            lit("\r\nbody")), "UTF-8").as("payload"))
+        val resolved = Http
+          .resolveRedirects(Http.redirectEdges(recs), maxDoublings = 2)
+          .filter(col("resolved"))
+        docs.select(concat(lit("http://c2.hx/p/"), col("doc_id")).as("url"))
+          .join(resolved.select(col("url"), col("final_url")),
+            Seq("url"), "left")
+          .select(coalesce(col("final_url"), col("url")).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_urls"))
+          .filter(col("n_urls") > 1)
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH e AS (
+             |  SELECT 'http://c2.hx/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |         'http://c2.hx/p/' || CAST(doc_id + 1 AS VARCHAR) AS next
+             |  FROM documents WHERE doc_id % 10 IN (1, 2, 3)),
+             |f0 AS (SELECT url, next FROM e),
+             |f1 AS (SELECT a.url, coalesce(b.next, a.next) AS next
+             |       FROM f0 a LEFT JOIN f0 b ON b.url = a.next),
+             |f2 AS (SELECT a.url, coalesce(b.next, a.next) AS next
+             |       FROM f1 a LEFT JOIN f1 b ON b.url = a.next),
+             |o AS (SELECT DISTINCT url FROM e),
+             |r AS (SELECT f2.url, f2.next AS final
+             |      FROM f2 LEFT JOIN o ON o.url = f2.next
+             |      WHERE o.url IS NULL),
+             |u AS (SELECT 'http://c2.hx/p/' || CAST(doc_id AS VARCHAR)
+             |        AS url FROM documents)
+             |SELECT coalesce(r.final, u.url) AS canonical,
+             |       count(*) AS n_urls
+             |FROM u LEFT JOIN r ON r.url = u.url
+             |GROUP BY coalesce(r.final, u.url)
+             |HAVING count(*) > 1
+             |ORDER BY canonical""".stripMargin),
+      doc = "redirect-canonical unification: aliases collapse under their pointer-doubling-resolved final URL (the url-dedup upgrade 301 chains require); oracle reuses the doubling layers + alias-group count"),
+
     // Sitemap parse — sitemaps.org XML built per host from the
     // documents (entity-escaped query strings, lastmod omitted on
     // doc_id%9==0), parsed back by the split/regexp relational parser;

@@ -42,12 +42,7 @@ object Wet {
           .contains("html"))
     val html =
       if (!httpEnvelope) decode(col("payload"), "UTF-8")
-      else {
-        val b = Http.body(col("payload"))
-        when(Http.charset(col("payload"))
-            .isin("iso-8859-1", "latin1", "windows-1252"),
-          decode(b, "ISO-8859-1")).otherwise(decode(b, "UTF-8"))
-      }
+      else Http.decodedBody(col("payload"))
     pages.select(
       concat(lit("<urn:wet:"), sha1(col("record_id")), lit(">")).as("record_id"),
       lit("conversion").as("record_type"),

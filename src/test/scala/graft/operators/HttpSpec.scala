@@ -63,6 +63,33 @@ class HttpSpec extends SparkSpec {
     assert(odd(1) === ((None, None, None)))
   }
 
+  test("decodedBody: declared charset wins, meta charset sniffs when " +
+      "undeclared, utf-8 otherwise") {
+    // 0xE9 = é in ISO-8859-1 and invalid UTF-8 — the decode choice shows
+    val latinBody = "<html><meta charset='ISO-8859-1'><p>café</p></html>"
+      .getBytes("ISO-8859-1")
+    val rows = Seq(
+      // undeclared → meta sniff picks latin-1
+      Tuple1("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ latinBody),
+      // declared utf-8 beats a lying meta tag
+      Tuple1("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        .getBytes("ISO-8859-1") ++
+        "<meta charset='ISO-8859-1'><p>café utf8</p>".getBytes("UTF-8")),
+      // neither speaks → utf-8 default
+      Tuple1("HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1") ++
+        "plain café".getBytes("UTF-8")))
+      .toDF("payload")
+      .select(Http.effectiveCharset($"payload").as("cs"),
+        Http.decodedBody($"payload").as("t"))
+      .as[(Option[String], String)].collect()
+    assert(rows(0) === ((Some("iso-8859-1"),
+      "<html><meta charset='ISO-8859-1'><p>café</p></html>")))
+    assert(rows(1) === ((Some("utf-8"),
+      "<meta charset='ISO-8859-1'><p>café utf8</p>")))
+    assert(rows(2) === ((None, "plain café")))
+  }
+
   test("redirectEdges: 3xx responses with Location only") {
     val recs = Seq(
       ("response", "http://a.ex/1", resp("", status = "301 Moved",
