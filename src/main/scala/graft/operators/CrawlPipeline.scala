@@ -399,6 +399,132 @@ object CrawlPipeline {
       .select(col("url"), col("status"), col("old_hash"), col("new_hash"))
   }
 
+  /** MIRROR-HOST detection: hosts serving (near-)identical content
+    * sets — www/apex aliases, CDN mirrors, scraper clones — the hosts
+    * a crawler should collapse to one politeness budget and one
+    * frontier entry instead of crawling N times. Input: a
+    * (host, content-key) relation — [[crawlHashes]] plus [[hostOf]]
+    * in production, where the key is the 8-byte payload hash; any
+    * equality-comparable key column works. Per host the DISTINCT key
+    * set; host pairs sharing keys get an EXACT Jaccard: self-join the
+    * (key, host) relation on key (host_a < host_b), count per pair,
+    * join the two set sizes, `inter / (size_a + size_b - inter)`.
+    *
+    * Scale shape: payloads never move — the relation is host + 8-byte
+    * key. The pair fan-out is bounded by the key df (hosts per key):
+    * content keys are overwhelmingly df=1-2 (a page lives on one host;
+    * mirrored pages on the mirror count), so the self-join is linear
+    * in mirrored pages. The adversarial head — a boilerplate page
+    * (error/parking page) byte-identical across millions of hosts —
+    * explodes quadratically; `maxKeyDf` prunes keys above the cap
+    * BEFORE the join (observe metric `mirror_skew_cap` reports pruned
+    * keys). The cap is LOSSY the same way [[Dedup.jaccardPairsGrouped]]'s
+    * is — a pruned key leaves both hosts' sizes but not their
+    * intersection, underestimating Jaccard — and a parking page shared
+    * by 10^6 hosts is exactly the content that should NOT vote for
+    * "mirror", so the prune is semantics, not just safety. At 10^8
+    * hosts the candidate stage moves to [[mirrorHostsLsh]]'s banded
+    * signatures; this exact form is its verify stage.
+    */
+  def mirrorHosts(pages: DataFrame, hostCol: String, keyCol: String,
+      threshold: Double = 0.9, maxKeyDf: Long = 0L): DataFrame = {
+    val rel = pages.select(col(hostCol).as("__host"), col(keyCol).as("__k"))
+      .distinct()
+    val sizes = rel.groupBy(col("__host")).agg(count(lit(1)).as("sz"))
+    var keyed = rel
+    if (maxKeyDf > 0) {
+      val df = rel.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+        .observe("mirror_skew_cap",
+          sum(when(col("__df") > maxKeyDf, 1L).otherwise(0L))
+            .as("pruned_keys"))
+      keyed = rel.join(df.filter(col("__df") <= maxKeyDf), Seq("__k"))
+        .select(col("__host"), col("__k"))
+    }
+    val a = keyed.select(col("__host").as("host_a"), col("__k"))
+    val b = keyed.select(col("__host").as("host_b"), col("__k"))
+    val inter = a.join(b, Seq("__k"))
+      .filter(col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__host").as("host_a"), col("sz").as("size_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("__host").as("host_b"), col("sz").as("size_b")),
+        Seq("host_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("host_a"), col("host_b"), col("size_a"), col("size_b"),
+        col("inter"), col("jaccard"))
+  }
+
+  /** [[mirrorHosts]] at 10⁸-host scale: MinHash signatures per host +
+    * LSH banding for the candidate stage, exact Jaccard verify of
+    * candidates only (the [[Dedup.minhashLshPairs]] discipline on
+    * host-level key sets). The signature is NEVER a materialized set:
+    * coordinate i is `min(xxhash64(key, i))` — 32 partial-aggregable
+    * `min`s in ONE groupBy, so a whale host folds map-side and no
+    * collect_set ever holds its millions of keys. Bands self-join on
+    * (band, bucket-hash); candidate pairs verify against the keyed
+    * relation with two joins bounded by candidate count × set size.
+    *
+    * `maxKeyDf` here drops hot keys BEFORE the signature (unlike
+    * [[mirrorHosts]]' intersection-only cap): a parking page shared by
+    * 10⁶ hosts makes those hosts GENUINE mutual mirrors — a quadratic
+    * clique no candidate stage can bound — so the boilerplate key must
+    * leave the universe, sizes included, for the output to stay
+    * linear. Hosts left with empty key sets exit the relation. The
+    * miss bound is the usual banding one: P(miss) = (1−s^r)^b.
+    */
+  def mirrorHostsLsh(pages: DataFrame, hostCol: String, keyCol: String,
+      threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 2,
+      maxKeyDf: Long = 0L): DataFrame = {
+    val n = bands * rowsPerBand
+    var rel = pages.select(col(hostCol).as("__host"), col(keyCol).as("__k"))
+      .distinct()
+    if (maxKeyDf > 0) {
+      val df = rel.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+        .observe("mirror_lsh_skew_cap",
+          sum(when(col("__df") > maxKeyDf, 1L).otherwise(0L))
+            .as("pruned_keys"))
+      rel = rel.join(df.filter(col("__df") <= maxKeyDf), Seq("__k"))
+        .select(col("__host"), col("__k"))
+    }
+    rel = rel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigAggs = (0 until n)
+      .map(i => min(xxhash64(col("__k"), lit(i))).as(s"__m$i"))
+    val sig = rel.groupBy(col("__host"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("__host"),
+        array((0 until n).map(i => col(s"__m$i")): _*).as("sig"))
+    val b = sig.select(col("__host"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => hash(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bh")))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__host") < col("b.__host"))
+      .select(col("a.__host").as("host_a"), col("b.__host").as("host_b"))
+      .distinct()
+    val sizes = rel.groupBy(col("__host")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(rel.select(col("__host").as("host_a"), col("__k")), Seq("host_a"))
+      .join(rel.select(col("__host").as("host_b"), col("__k")),
+        Seq("host_b", "__k"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__host").as("host_a"), col("sz").as("size_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("__host").as("host_b"), col("sz").as("size_b")),
+        Seq("host_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("host_a"), col("host_b"), col("size_a"), col("size_b"),
+        col("inter"), col("jaccard"))
+  }
+
   /** Sitemap (sitemaps.org XML) entries as a relation: one row per
     * `<url>` element with its `<loc>` and optional `<lastmod>`. Pure
     * built-in string ops — split on the `</url>` close tag, then one

@@ -874,6 +874,67 @@ object SamplingQueries {
              |ORDER BY host, rk""".stripMargin),
       doc = "per-host document cap (RefinedWeb-style domain balancing): top-20 per host by length; WindowGroupLimit pre-prunes the whale host map-side"),
 
+    // Per-REGISTERED-DOMAIN document caps — the unit RefinedWeb/FineWeb
+    // actually cap on. A per-host cap under-caps multi-subdomain
+    // publishers: this plant spreads one publisher (megafarm.example)
+    // across 23 blog subdomains, so a per-host cap of 20 admits 23x20 =
+    // 460 of its documents where the domain cap admits exactly 20
+    // (measured: 460 vs 20 at sf0.1's 5000 docs; at sf0.01's 500 docs
+    // every subdomain is under the host cap, so the host cap admits
+    // ALL 200 planted publisher docs — the probe that justifies the
+    // variant, pinned in SamplingSpec). A second publisher sits under
+    // a multi-part public suffix (retailer.co.uk) so the eTLD+1
+    // heuristic's last-3-label path is on the hashed path, and the
+    // long tail are bare 2-label hosts (pass-through path). Same
+    // WindowGroupLimit shape as doc_host_cap — the whale DOMAIN ships
+    // n*P rows after map-side group-limit pruning, never its full 40%
+    // corpus share.
+    Q("doc_domain_cap",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import org.apache.spark.sql.expressions.Window
+        val id = col("doc_id")
+        val host = when(pmod(id, lit(5)) < 2,
+            concat(lit("blog"), pmod(id, lit(23)).cast("string"),
+              lit(".megafarm.example")))
+          .when(pmod(id, lit(5)) === 2,
+            concat(lit("shop"), pmod(id, lit(11)).cast("string"),
+              lit(".retailer.co.uk")))
+          .otherwise(concat(lit("site"),
+            pmod(id, lit(97)).cast("string"), lit(".example")))
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), host.as("host"))
+          .withColumn("domain",
+            TextFunctions.registeredDomain(col("host")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .orderBy(col("domain"), col("rk"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+             |             CASE WHEN doc_id % 5 < 2
+             |                  THEN 'blog' || CAST(doc_id % 23 AS VARCHAR)
+             |                       || '.megafarm.example'
+             |                  WHEN doc_id % 5 = 2
+             |                  THEN 'shop' || CAST(doc_id % 11 AS VARCHAR)
+             |                       || '.retailer.co.uk'
+             |                  ELSE 'site' || CAST(doc_id % 97 AS VARCHAR)
+             |                       || '.example' END AS host,
+             |             CASE WHEN doc_id % 5 < 2 THEN 'megafarm.example'
+             |                  WHEN doc_id % 5 = 2 THEN 'retailer.co.uk'
+             |                  ELSE 'site' || CAST(doc_id % 97 AS VARCHAR)
+             |                       || '.example' END AS domain
+             |           FROM documents)
+             |SELECT doc_id, n_chars, host, domain, CAST(rk AS INTEGER) AS rk
+             |FROM (SELECT doc_id, n_chars, host, domain,
+             |             row_number() OVER (PARTITION BY domain
+             |                  ORDER BY n_chars DESC, doc_id) AS rk
+             |      FROM h)
+             |WHERE rk <= 20
+             |ORDER BY domain, rk""".stripMargin),
+      doc = "per-registered-domain document cap (the RefinedWeb cap unit): top-20 per eTLD+1; a 23-subdomain publisher that a host cap would under-cap 23x collapses to one capped group; oracle recomputes the domain from the plant law"),
+
     // CDX-indexed random access: the index side of doc_warc_roundtrip.
     // Write per-record-gzip segments WITH the member index, then fetch
     // ONLY the wanted records by (segment, offset, length) range reads

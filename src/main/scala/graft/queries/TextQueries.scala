@@ -4486,6 +4486,93 @@ object TextQueries {
              |SELECT domain, count(*) AS n_docs,
              |       count(DISTINCT host) AS n_hosts
              |FROM r GROUP BY domain ORDER BY domain""".stripMargin),
-      doc = "per-registered-domain rollup: eTLD+1 heuristic (last-2 labels, last-3 over the multi-part suffix list) as scan-fused built-ins + one partial-aggregated groupBy; oracle recomputes the domain from the plant law")
+      doc = "per-registered-domain rollup: eTLD+1 heuristic (last-2 labels, last-3 over the multi-part suffix list) as scan-fused built-ins + one partial-aggregated groupBy; oracle recomputes the domain from the plant law"),
+
+    // MIRROR-HOST detection (exact form): host pairs whose content-key
+    // sets are near-identical — the hosts a crawler collapses to one
+    // frontier entry instead of fetching N times. The plant serves one
+    // doc slice from two hosts verbatim (m1/m2 — Jaccard 1.0), two
+    // hosts with a 2-of-4-slice overlap (p1/p2 — Jaccard exactly 0.5,
+    // the inclusive threshold boundary), and a solo long tail whose
+    // pages live on one host each (no pair reaches the join). The key
+    // is the doc id (production: crawlHashes' 8-byte payload hash);
+    // payloads never shuffle either way.
+    Q("doc_mirror_hosts",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val m = pmod(col("doc_id"), lit(10))
+        val hosts = when(m < 3, array(lit("m1.example"), lit("m2.example")))
+          .when(m === 3, array(lit("p1.example")))
+          .when(m.isin(4, 5), array(lit("p1.example"), lit("p2.example")))
+          .when(m === 6, array(lit("p2.example")))
+          .otherwise(array(concat(lit("s"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".example"))))
+        val pages = Tables.documents(s, dir)
+          .select(explode(hosts).as("host"), col("doc_id"))
+        CrawlPipeline.mirrorHosts(pages, "host", "doc_id", threshold = 0.5)
+          .orderBy(col("host_a"), col("host_b"))
+      },
+      Some(mirrorOracle),
+      doc = "mirror-host detection (exact): per-host distinct content-key sets -> key self-join -> exact Jaccard; planted full mirror (1.0) and boundary pair (0.5) both surface, solo tail never pairs"),
+
+    // The 10^8-host scale path for the same contract: MinHash
+    // signatures per host (32 partial-aggregable mins in ONE groupBy —
+    // no collect_set, whale-host safe) + LSH banding for candidates +
+    // exact verify of candidates only. Same oracle as the exact form,
+    // so LSH ≡ exact is itself the assertion, in-catalog at
+    // sf0.01/sf0.1 and spec-pinned on the fixture. Banded at r=1
+    // (b=32): the planted boundary pair sits AT the 0.5 threshold,
+    // where r=2 banding would miss with P ≈ (1−0.25)¹⁶ ≈ 1% — a
+    // hash-exact oracle needs P(miss) = (1−0.5)³² ≈ 2e-10; false
+    // candidates from single-coordinate collisions are absorbed by
+    // the exact verify. Production tunes (b, r) to its threshold.
+    Q("doc_mirror_hosts_lsh",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val m = pmod(col("doc_id"), lit(10))
+        val hosts = when(m < 3, array(lit("m1.example"), lit("m2.example")))
+          .when(m === 3, array(lit("p1.example")))
+          .when(m.isin(4, 5), array(lit("p1.example"), lit("p2.example")))
+          .when(m === 6, array(lit("p2.example")))
+          .otherwise(array(concat(lit("s"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".example"))))
+        val pages = Tables.documents(s, dir)
+          .select(explode(hosts).as("host"), col("doc_id"))
+        CrawlPipeline.mirrorHostsLsh(pages, "host", "doc_id",
+            threshold = 0.5, bands = 32, rowsPerBand = 1)
+          .orderBy(col("host_a"), col("host_b"))
+      },
+      Some(mirrorOracle),
+      doc = "mirror-host detection at scale: per-host MinHash via groupBy-min (no set materialization) + LSH banding + exact verify; hash-equals the exact form's oracle on the planted corpus")
   )
+
+  /** The shared mirror-pair oracle: the exact relational Jaccard over
+    * the planted (host, doc_id) relation — both the exact and the LSH
+    * query hash against it (the LSH query's claim IS that its verified
+    * output equals the exact form here). A `def`, not a `val`: it is
+    * referenced from the `all` initializer above, which runs first.
+    */
+  private def mirrorOracle: String =
+    """WITH pages AS (
+      |  SELECT DISTINCT host, doc_id
+      |  FROM (SELECT unnest(CASE
+      |          WHEN doc_id % 10 < 3 THEN ['m1.example', 'm2.example']
+      |          WHEN doc_id % 10 = 3 THEN ['p1.example']
+      |          WHEN doc_id % 10 IN (4, 5) THEN ['p1.example', 'p2.example']
+      |          WHEN doc_id % 10 = 6 THEN ['p2.example']
+      |          ELSE ['s' || CAST(doc_id % 7 AS VARCHAR) || '.example']
+      |        END) AS host, doc_id
+      |        FROM documents)),
+      |sz AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
+      |inter AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter
+      |          FROM pages a JOIN pages b
+      |            ON a.doc_id = b.doc_id AND a.host < b.host
+      |          GROUP BY 1, 2)
+      |SELECT host_a, host_b, sa.sz AS size_a, sb.sz AS size_b, inter,
+      |       inter / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON host_a = sa.host
+      |JOIN sz sb ON host_b = sb.host
+      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+      |ORDER BY host_a, host_b""".stripMargin
 }

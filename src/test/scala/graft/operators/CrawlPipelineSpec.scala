@@ -582,4 +582,85 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(gotDocs == wantStream, s"stream=$gotDocs batch=$wantStream")
     assert(gotDiv == wantDiv, s"stream=$gotDiv batch=$wantDiv")
   }
+
+  // 60 pages: m1/m2 serve pages 0-19 verbatim (J=1); p1 serves 20-39,
+  // p2 serves 30-49 (inter 10, sizes 20/20 -> J = 10/30 = 1/3); solo
+  // hosts s0..s9 serve one page each
+  private def mirrorFixture = {
+    val rows =
+      (0 until 20).flatMap(k => Seq(("m1.ex", k.toLong), ("m2.ex", k.toLong))) ++
+      (20 until 40).map(k => ("p1.ex", k.toLong)) ++
+      (30 until 50).map(k => ("p2.ex", k.toLong)) ++
+      (50 until 60).map(k => (s"s${k - 50}.ex", k.toLong))
+    rows.toDF("host", "k")
+  }
+
+  test("mirrorHosts: full mirror at J=1, partial pair at exact 1/3, " +
+      "solo hosts never pair; duplicate fetches don't inflate sizes") {
+    // re-fetches: the same (host, key) row twice must not change sizes
+    val pages = mirrorFixture.unionByName(
+      mirrorFixture.filter($"host" === "m1.ex").limit(5))
+    val out = CrawlPipeline.mirrorHosts(pages, "host", "k", threshold = 0.3)
+      .select($"host_a", $"host_b", $"size_a", $"size_b", $"inter", $"jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("m1.ex", "m2.ex", 20L, 20L, 20L, 1.0),
+      ("p1.ex", "p2.ex", 20L, 20L, 10L, 10.0 / 30.0)))
+    // at a 0.5 threshold only the true mirror survives
+    val strict = CrawlPipeline.mirrorHosts(pages, "host", "k", threshold = 0.5)
+      .select($"host_a", $"host_b").as[(String, String)].collect().toSet
+    assert(strict == Set(("m1.ex", "m2.ex")))
+  }
+
+  test("mirrorHosts maxKeyDf: a boilerplate key on every host is pruned " +
+      "from intersections but keeps voting in sizes (lossy downward)") {
+    // key 999 is served by all four content hosts (a parking page)
+    val boiler = Seq("m1.ex", "m2.ex", "p1.ex", "p2.ex")
+      .map(h => (h, 999L)).toDF("host", "k")
+    val pages = mirrorFixture.unionByName(boiler)
+    val capped = CrawlPipeline.mirrorHosts(pages, "host", "k",
+        threshold = 0.3, maxKeyDf = 2)
+      .select($"host_a", $"host_b", $"size_a", $"size_b", $"inter")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // sizes grow to 21 (the boilerplate key counts) but the pruned key
+    // never reaches the intersection: m-pair 20/22, p-pair 10/32
+    assert(capped == Set(
+      ("m1.ex", "m2.ex", 21L, 21L, 20L),
+      ("p1.ex", "p2.ex", 21L, 21L, 10L)))
+    // without the cap the parking page makes everyone more similar —
+    // including cross pairs like (m1, p1) at 1/41 — and would at scale
+    // explode quadratically; here just pin that cross pairs appear
+    val uncapped = CrawlPipeline.mirrorHosts(pages, "host", "k",
+        threshold = 0.0)
+      .select($"host_a", $"host_b").as[(String, String)].collect().toSet
+    assert(uncapped.contains(("m1.ex", "p1.ex")))
+  }
+
+  test("mirrorHostsLsh == mirrorHosts on the fixture (no cap); the " +
+      "pre-signature cap drops boilerplate from sizes too") {
+    val exact = CrawlPipeline.mirrorHosts(mirrorFixture, "host", "k",
+        threshold = 0.3)
+      .select($"host_a", $"host_b", $"size_a", $"size_b", $"inter", $"jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // r=1 banding: the 1/3-similarity pair would miss r=2 bands with
+    // P ≈ (1-1/9)^16 ≈ 15% — the equality assertion needs P(miss) =
+    // (2/3)^32 ≈ 2e-6; the exact verify absorbs the extra candidates
+    val lsh = CrawlPipeline.mirrorHostsLsh(mirrorFixture, "host", "k",
+        threshold = 0.3, bands = 32, rowsPerBand = 1)
+      .select($"host_a", $"host_b", $"size_a", $"size_b", $"inter", $"jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    // LSH cap semantics differ by design: the hot key leaves the
+    // universe entirely, so sizes stay 20/20
+    val boiler = Seq("m1.ex", "m2.ex", "p1.ex", "p2.ex")
+      .map(h => (h, 999L)).toDF("host", "k")
+    val capped = CrawlPipeline.mirrorHostsLsh(
+        mirrorFixture.unionByName(boiler), "host", "k",
+        threshold = 0.3, bands = 32, rowsPerBand = 1, maxKeyDf = 2)
+      .select($"host_a", $"host_b", $"size_a", $"size_b", $"inter")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(capped == Set(
+      ("m1.ex", "m2.ex", 20L, 20L, 20L),
+      ("p1.ex", "p2.ex", 20L, 20L, 10L)))
+  }
 }

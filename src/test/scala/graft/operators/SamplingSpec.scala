@@ -42,6 +42,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === 6)
   }
 
+  test("domain cap vs host cap: a multi-subdomain publisher is " +
+      "under-capped 23x by the host cap, exactly capped by the domain cap") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    // the doc_domain_cap plant law: one publisher spread over 23 blog
+    // subdomains owning 40% of the corpus
+    val planted = spark.range(5000).select(
+      $"id".as("doc_id"),
+      (pmod($"id", lit(1000L)) + 1L).as("n_chars"),
+      when(pmod($"id", lit(5L)) < 2,
+          concat(lit("blog"), pmod($"id", lit(23L)).cast("string"),
+            lit(".megafarm.example")))
+        .otherwise(concat(lit("site"),
+          pmod($"id", lit(97L)).cast("string"), lit(".example")))
+        .as("host"))
+      .withColumn("domain", TextFunctions.registeredDomain($"host"))
+    def capped(key: String) = planted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rk" <= 20)
+      .filter($"domain" === "megafarm.example")
+      .count()
+    val byHost = capped("host")
+    val byDomain = capped("domain")
+    assert(byDomain === 20L)
+    assert(byHost === 23L * 20L,
+      s"host cap admits $byHost megafarm docs — the 23-subdomain under-cap")
+  }
+
   test("idHash and the upsample salt are ANSI-safe at any Long id") {
     val ansiBefore = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "true")
