@@ -73,6 +73,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               compiled once at plan build) on the whale URL corpus
   *               with wildcard rule sets — prices the ADVICE-noted
   *               recompile cost
+  *   mirror      mirrorHosts uncapped vs maxKeyDf-capped vs capped
+  *               mirrorHostsLsh on uniform vs parking-clique corpora
+  *               (25% of hosts serve ONE shared key — a genuine C²/2
+  *               mirror clique)
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -801,6 +805,54 @@ object SkewProbe {
               report(s"${name}_shared", rep, tS, nS, hS,
                 if (nS == nI && hS == hI) " MATCH" else " **MISMATCH**")
           }
+        case "mirror" =>
+          // mirror-host detection under a parking-page clique: 25% of
+          // hosts serve ONLY one shared key — every pair of them is a
+          // GENUINE mutual mirror (J=1), a C²/2 clique no candidate
+          // stage can bound; the maxKeyDf cap removes the key so the
+          // output stays the true content mirrors. Bounded to 20k
+          // hosts: the clique is quadratic BY DESIGN. LSH runs capped
+          // only — uncapped, its band join materializes bands×C²/2
+          // candidate rows before the distinct.
+          import graft.operators.CrawlPipeline
+          val nh = 20000L
+          val hostIds = spark.range(nh)
+          def pages(parking: Boolean): DataFrame = {
+            val base = (if (parking)
+                hostIds.filter(pmod(col("id"), lit(4)) =!= 0) else hostIds)
+              .select(col("id"),
+                explode(sequence(lit(0), lit(19))).as("j"))
+              .select(concat(lit("h"), col("id")).as("host"),
+                // hosts 2i/2i+1 below 200 share their key set — the
+                // planted true mirrors the capped run must still find
+                when(col("id") < 200,
+                    xxhash64(expr("id DIV 2"), col("j")))
+                  .otherwise(xxhash64(col("id"), col("j"))).as("k"))
+            if (!parking) base
+            else base.unionByName(
+              hostIds.filter(pmod(col("id"), lit(4)) === 0)
+                .select(concat(lit("h"), col("id")).as("host"),
+                  lit(42L).as("k")))
+          }
+          Seq("uniform" -> pages(false), "parking25" -> pages(true))
+            .foreach { case (name, f0) =>
+              val f = f0.persist()
+              f.count()
+              val ((nU, hU), tU) = time(sig(
+                CrawlPipeline.mirrorHosts(f, "host", "k", 0.9),
+                Seq("host_a", "host_b")))
+              report(s"${name}_uncapped", rep, tU, nU, hU)
+              val ((nC, hC), tC) = time(sig(
+                CrawlPipeline.mirrorHosts(f, "host", "k", 0.9,
+                  maxKeyDf = 100), Seq("host_a", "host_b")))
+              report(s"${name}_capped", rep, tC, nC, hC)
+              val ((nL, hL), tL) = time(sig(
+                CrawlPipeline.mirrorHostsLsh(f, "host", "k", 0.9,
+                  maxKeyDf = 100), Seq("host_a", "host_b")))
+              report(s"${name}_lsh", rep, tL, nL, hL,
+                if (nL == nC && hL == hC) " MATCH" else " **MISMATCH**")
+              f.unpersist()
+            }
         case other =>
           sys.error(s"unknown family: $other")
       }
