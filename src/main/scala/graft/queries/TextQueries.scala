@@ -4543,7 +4543,67 @@ object TextQueries {
           .orderBy(col("host_a"), col("host_b"))
       },
       Some(mirrorOracle),
-      doc = "mirror-host detection at scale: per-host MinHash via groupBy-min (no set materialization) + LSH banding + exact verify; hash-equals the exact form's oracle on the planted corpus")
+      doc = "mirror-host detection at scale: per-host MinHash via groupBy-min (no set materialization) + LSH banding + exact verify; hash-equals the exact form's oracle on the planted corpus"),
+
+    // Mirror pairs composed into COLLAPSE GROUPS: star-contraction CC
+    // over the pair relation -> (host, canonical) — the relation a
+    // frontier consults to route every alias of a publisher to one
+    // politeness budget. The plant upgrades the full mirror to a
+    // 3-host clique (c1/c2/c3 — CC must merge overlapping pairs, not
+    // just echo them) and keeps the boundary pair (exactly J=0.5).
+    // The oracle closes the same pair relation with a recursive CTE
+    // (the dedup_cc_* discipline, on string nodes).
+    Q("doc_mirror_clusters",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Dedup}
+        val m = pmod(col("doc_id"), lit(10))
+        val hosts = when(m < 3,
+            array(lit("c1.example"), lit("c2.example"), lit("c3.example")))
+          .when(m === 3, array(lit("p1.example")))
+          .when(m.isin(4, 5), array(lit("p1.example"), lit("p2.example")))
+          .when(m === 6, array(lit("p2.example")))
+          .otherwise(array(concat(lit("s"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".example"))))
+        val pages = Tables.documents(s, dir)
+          .select(explode(hosts).as("host"), col("doc_id"))
+        val pairs = CrawlPipeline.mirrorHosts(pages, "host", "doc_id",
+          threshold = 0.5)
+        Dedup.connectedComponentsStar(pairs, "host_a", "host_b",
+            idOut = "host", compOut = "canonical")
+          .orderBy(col("host"))
+      },
+      Some("""WITH RECURSIVE pages AS (
+             |  SELECT DISTINCT host, doc_id
+             |  FROM (SELECT unnest(CASE
+             |          WHEN doc_id % 10 < 3
+             |            THEN ['c1.example', 'c2.example', 'c3.example']
+             |          WHEN doc_id % 10 = 3 THEN ['p1.example']
+             |          WHEN doc_id % 10 IN (4, 5)
+             |            THEN ['p1.example', 'p2.example']
+             |          WHEN doc_id % 10 = 6 THEN ['p2.example']
+             |          ELSE ['s' || CAST(doc_id % 7 AS VARCHAR) || '.example']
+             |        END) AS host, doc_id
+             |        FROM documents)),
+             |sz AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
+             |inter AS (SELECT a.host AS host_a, b.host AS host_b,
+             |                 count(*) AS inter
+             |          FROM pages a JOIN pages b
+             |            ON a.doc_id = b.doc_id AND a.host < b.host
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT host_a, host_b FROM inter
+             |       JOIN sz sa ON host_a = sa.host
+             |       JOIN sz sb ON host_b = sb.host
+             |       WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+             |edges AS (SELECT host_a AS u, host_b AS v FROM jp
+             |          UNION SELECT host_b, host_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.id = e.v),
+             |comp AS (SELECT id AS host, least(id, min(r)) AS canonical
+             |         FROM reach GROUP BY id)
+             |SELECT host, canonical FROM comp ORDER BY host""".stripMargin),
+      doc = "mirror collapse groups: exact mirror pairs -> star-contraction CC -> (host, canonical); a 3-host clique merges through overlapping pairs, recursive-CTE closure oracle")
   )
 
   /** The shared mirror-pair oracle: the exact relational Jaccard over
