@@ -615,6 +615,41 @@ object TextAnalysis {
     * by (score desc, id), limited to k rows. Ties order on the ROUNDED
     * score then id, so the selected set is reproducible bit-for-bit.
     */
+  /** Inverted-index postings emission — the INDEX-BUILD side of
+    * [[bm25TopK]]'s query side. Per (term, doc) one posting with
+    *   tf      term frequency in the doc,
+    *   gap     the d-gap (doc_id − previous posting's doc_id within
+    *           the term, ordered by doc_id; the first posting's gap is
+    *           the doc id itself — the standard delta layout every
+    *           posting-list codec compresses),
+    *   vbytes  the posting's varint cost ⌈bitlen(gap)/7⌉, with bitlen
+    *           = length(bin(gap)) — `bin` renders without leading
+    *           zeros in Spark and DuckDB alike, and bin(0)='0' makes
+    *           the doc_id-0 first posting cost 1 byte with no special
+    *           case,
+    * plus per-term df. This is what a shard planner sums to pack terms
+    * into index segments of equal byte budget. Shape: one shuffle to
+    * (term, doc) for tf, then windows partitioned BY TERM — the
+    * vocabulary distributes, no global sort anywhere; a stop-word's
+    * posting list is one partition's window (the df head is bounded by
+    * |docs|, the same bound the relation itself has).
+    */
+  def postingsLayout(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+      .withColumn("vbytes",
+        floor((length(bin(col("gap"))) + lit(6)) / lit(7)).cast("long"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

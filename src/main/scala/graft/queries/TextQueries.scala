@@ -1019,6 +1019,39 @@ object TextQueries {
              |ORDER BY doc_id, rk""".stripMargin),
       doc = "TF-IDF top-3 terms per doc: corpus-wide df + broadcast doc count + per-doc rank"),
 
+    // The INDEX-BUILD side of BM25's query side: per-term posting-list
+    // layout with d-gap delta encoding and varint byte accounting —
+    // what a shard planner sums to pack terms into equal-byte index
+    // segments. The per-term rollup (df, total tf, postings bytes)
+    // hash-pins every gap in every posting list (the byte sum is a
+    // function of the full gap sequence); df >= 5 keeps the output to
+    // the terms a planner actually budgets. Windows partition BY TERM
+    // — the vocabulary distributes, no global sort.
+    Q("text_postings_layout",
+      (s, dir) => TextAnalysis.postingsLayout(
+          Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          sum(col("vbytes")).as("postings_bytes"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term")),
+      Some("""WITH t AS (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id, tf,
+             |        doc_id - coalesce(lag(doc_id) OVER (
+             |          PARTITION BY term ORDER BY doc_id), 0) AS gap
+             |      FROM tf)
+             |SELECT term, count(*) AS df,
+             |       CAST(sum(tf) AS BIGINT) AS total_tf,
+             |       CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+             |         AS postings_bytes
+             |FROM g GROUP BY term HAVING count(*) >= 5
+             |ORDER BY term""".stripMargin),
+      doc = "inverted-index postings layout: d-gap delta encoding + varint byte accounting per term; the shard planner's byte budget, windows partitioned by term"),
+
     // BM25 seed-set retrieval: top-15 docs for a 3-term query. The
     // same bit-exactness discipline as text_perplexity (exact integer
     // counts into identical double expressions, round(,6) absorbs the

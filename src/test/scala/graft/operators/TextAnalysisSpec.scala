@@ -616,4 +616,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.collocationsPmi(docs, "text", minCount = 2, topK = 10)
       .count() == 0)
   }
+
+  test("postingsLayout: hand-computed d-gaps, varint bytes, df — " +
+      "incl. the doc_id-0 first posting and a 2-byte gap") {
+    val docs = Seq((0L, "a b a"), (5L, "a c"), (133L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.postingsLayout(docs, "doc_id", "text")
+      .select($"term", $"doc_id", $"tf", $"gap", $"vbytes", $"df")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // term a: postings 0,5,133 -> gaps 0 (bin '0' = 1 byte), 5
+      // (1 byte), 128 (bin length 8 -> 2 bytes); df 3
+      ("a", 0L, 2L, 0L, 1L, 3L),
+      ("a", 5L, 1L, 5L, 1L, 3L),
+      ("a", 133L, 1L, 128L, 2L, 3L),
+      ("b", 0L, 1L, 0L, 1L, 1L),
+      ("c", 5L, 1L, 5L, 1L, 1L)))
+  }
 }
