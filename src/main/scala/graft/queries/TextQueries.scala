@@ -1052,6 +1052,64 @@ object TextQueries {
              |ORDER BY term""".stripMargin),
       doc = "inverted-index postings layout: d-gap delta encoding + varint byte accounting per term; the shard planner's byte budget, windows partitioned by term"),
 
+    // Index SHARD placement + the skew monitor over it: terms are
+    // hash-partitioned into 16 shards (the production layout — no
+    // global byte-balancing sort; the hash is the portable t61→IdHash
+    // chain the DSIR/vocab queries already mirror in SQL), and the
+    // per-shard rollup reports exactly what an index operator watches:
+    // term count, posting count, byte total, and the largest single
+    // term (the stop-word whose posting list dominates a shard). Same
+    // ASCII-corpus caveat as text_fingerprint_rolling.
+    Q("text_index_shard_stats",
+      (s, dir) => {
+        import graft.operators.Sampling
+        import graft.functions.Sketches
+        TextAnalysis.postingsLayout(Tables.documents(s, dir),
+            "doc_id", "text")
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("term_bytes"))
+          .withColumn("shard",
+            pmod(Sampling.idHash(Sketches.rollingHash(col("term"))),
+              lit(16L)))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+            sum(col("term_bytes")).as("shard_bytes"),
+            max(col("term_bytes")).as("max_term_bytes"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id,
+             |        doc_id - coalesce(lag(doc_id) OVER (
+             |          PARTITION BY term ORDER BY doc_id), 0) AS gap
+             |      FROM tf),
+             |pt AS (SELECT term, count(*) AS df,
+             |         CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+             |           AS term_bytes
+             |       FROM g GROUP BY term),
+             |h AS (SELECT df, term_bytes, CAST(list_reduce(
+             |          list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
+             |            list_transform(range(1, length(term) + 1),
+             |              i -> [CAST(unicode(substring(term, i, 1)) AS HUGEINT),
+             |                    CAST(0 AS HUGEINT)])),
+             |          (acc, x) -> [(acc[1] + x[1] * acc[2])
+             |                         % 2305843009213693951,
+             |                       (acc[2] * 131) % 2305843009213693951])[1]
+             |        AS BIGINT) AS t61
+             |      FROM pt),
+             |sh AS (SELECT df, term_bytes,
+             |         (${SamplingQueries.hashSql("t61")} % 16) AS shard
+             |       FROM h)
+             |SELECT shard, count(*) AS n_terms,
+             |       CAST(sum(df) AS BIGINT) AS n_postings,
+             |       CAST(sum(term_bytes) AS BIGINT) AS shard_bytes,
+             |       CAST(max(term_bytes) AS BIGINT) AS max_term_bytes
+             |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+      doc = "hash-partitioned index shards + skew monitor: portable t61/IdHash shard assignment, per-shard term/posting/byte totals and the largest-term column a stop-word dominates"),
+
     // BM25 seed-set retrieval: top-15 docs for a 3-term query. The
     // same bit-exactness discipline as text_perplexity (exact integer
     // counts into identical double expressions, round(,6) absorbs the
