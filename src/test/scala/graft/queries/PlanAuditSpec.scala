@@ -164,4 +164,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("doc_domain_cap: same WindowGroupLimit map-side pre-prune as the " +
+      "host cap — the whale DOMAIN ships n*P rows, not its 40% share") {
+    val p = plan("doc_domain_cap")
+    val hits = "WindowGroupLimit".r.findAllMatchIn(p).size
+    assert(hits == 2, s"expected Partial+Final WindowGroupLimit, got $hits:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
+      s"partial WindowGroupLimit below the exchange missing:\n$p")
+  }
+
+  test("text_postings_layout: every window partitions by term — no " +
+      "unpartitioned window, no global sort before the presentation ORDER BY") {
+    val p = plan("text_postings_layout")
+    assert(!p.contains("WARN WindowExec"), p)
+    // both windows (lag + df count) key on term: each Window node's
+    // partition spec must be non-empty
+    val windowSpecs = "Window \\[".r.findAllMatchIn(p).size
+    assert(windowSpecs > 0, s"expected Window nodes:\n$p")
+    assert(!p.contains("Window ["
+      + "], "), s"unpartitioned window found:\n$p")
+    // exactly one hash exchange feeds both term-keyed windows and the
+    // final per-term agg reuses it (same key) — plus the rangepartition
+    // for ORDER BY term
+    val hashEx = "Exchange hashpartitioning\\(term".r.findAllMatchIn(p).size
+    assert(hashEx <= 2, s"term exchanges should be reused, got $hashEx:\n$p")
+  }
 }
