@@ -650,6 +650,32 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
   }
 
+  /** Positional postings — the phrase-query side of [[postingsLayout]]
+    * (the Lucene `.prx` analogue): per (term, doc) the term's token
+    * positions as their OWN delta chain with varint accounting.
+    * Output: (term, doc_id, tf, pos_bytes) where pos_bytes =
+    * Σ ⌈bitlen(posgap)/7⌉ over the term's positions in the doc (first
+    * gap = the position itself, 0-based — bin(0)='0' costs 1 byte with
+    * no special case). Together with [[postingsLayout]]'s doc-gap
+    * bytes this is the full index-size estimator a capacity plan
+    * needs. Shape: the window partitions by (term, doc) — strictly
+    * finer than the term partitioning, so not even a stop-word's
+    * postings serialize into one task here.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"), col("doc_id")).orderBy(col("pos"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("gap", col("pos").cast("long")
+        - coalesce(lag(col("pos"), 1).over(w).cast("long"), lit(0L)))
+      .withColumn("__vb",
+        floor((length(bin(col("gap"))) + lit(6)) / lit(7)).cast("long"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), sum(col("__vb")).as("pos_bytes"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -1052,6 +1052,40 @@ object TextQueries {
              |ORDER BY term""".stripMargin),
       doc = "inverted-index postings layout: d-gap delta encoding + varint byte accounting per term; the shard planner's byte budget, windows partitioned by term"),
 
+    // The PHRASE-QUERY side of the index: positional postings with
+    // their own per-(term, doc) delta chain — summed with the doc-gap
+    // bytes this is the full index-size estimator. The rollup's byte
+    // sum hash-pins every position gap of every posting (a repeated
+    // term inside one doc exercises the within-doc chain).
+    Q("text_postings_positional",
+      (s, dir) => TextAnalysis.positionalPostings(
+          Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          sum(col("pos_bytes")).as("positions_bytes"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+             |              FROM documents),
+             |tp AS (SELECT doc_id, s[i] AS term, i - 1 AS pos
+             |       FROM (SELECT doc_id, s,
+             |               unnest(range(1, len(s) + 1)) AS i
+             |             FROM toks)),
+             |pg AS (SELECT term, doc_id, pos,
+             |         pos - coalesce(lag(pos) OVER (
+             |           PARTITION BY term, doc_id ORDER BY pos), 0) AS gap
+             |       FROM tp),
+             |pd AS (SELECT term, doc_id, count(*) AS tf,
+             |         CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+             |           AS pos_bytes
+             |       FROM pg GROUP BY 1, 2)
+             |SELECT term, count(*) AS df,
+             |       CAST(sum(tf) AS BIGINT) AS total_tf,
+             |       CAST(sum(pos_bytes) AS BIGINT) AS positions_bytes
+             |FROM pd GROUP BY term HAVING count(*) >= 5
+             |ORDER BY term""".stripMargin),
+      doc = "positional postings (phrase-query index): per-(term, doc) position delta chains with varint accounting; windows partition by (term, doc) — finer than per-term, stop-word-proof"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

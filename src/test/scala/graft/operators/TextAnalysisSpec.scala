@@ -633,4 +633,19 @@ class TextAnalysisSpec extends SparkSpec {
       ("b", 0L, 1L, 0L, 1L, 1L),
       ("c", 5L, 1L, 5L, 1L, 1L)))
   }
+
+  test("positionalPostings: within-doc position delta chain — repeated " +
+      "term gaps, 0-based first position, cross-doc independence") {
+    val docs = Seq((1L, "x y x x"), (2L, "y")).toDF("doc_id", "text")
+    val got = TextAnalysis.positionalPostings(docs, "doc_id", "text")
+      .select($"term", $"doc_id", $"tf", $"pos_bytes")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // x in doc 1: positions 0,2,3 -> gaps 0,2,1 -> 3 x 1 byte
+      ("x", 1L, 3L, 3L),
+      // y in doc 1 at position 1 (gap 1); in doc 2 the chain restarts
+      // at position 0 (gap 0) — cross-doc independence
+      ("y", 1L, 1L, 1L),
+      ("y", 2L, 1L, 1L)))
+  }
 }
