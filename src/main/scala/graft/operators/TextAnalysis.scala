@@ -676,6 +676,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), sum(col("__vb")).as("pos_bytes"))
   }
 
+  /** Posting-level diff between two corpus snapshots — the UPDATE
+    * BUDGET an incremental indexer applies after a re-crawl: per
+    * (term, doc_id) `added` (the posting exists only in the new
+    * snapshot) or `removed` (only in the old); unchanged postings
+    * never leave the join (inner-matched rows drop immediately).
+    * Both sides reduce to DISTINCT (term, doc_id) before the
+    * full-outer equi-join — the [[CrawlPipeline.crawlDiff]] byte
+    * discipline at term granularity: document text never crosses the
+    * shuffle twice, and the join moves exactly one row per posting.
+    */
+  def postingsDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def termDocs(d: DataFrame, marker: String) = d
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .distinct()
+      .withColumn(marker, lit(1))
+    termDocs(oldDocs, "__old")
+      .join(termDocs(newDocs, "__new"), Seq("term", "doc_id"), "full_outer")
+      .filter(col("__old").isNull || col("__new").isNull)
+      .withColumn("status",
+        when(col("__old").isNull, lit("added")).otherwise(lit("removed")))
+      .select(col("term"), col("doc_id"), col("status"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

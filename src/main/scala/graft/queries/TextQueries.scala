@@ -1086,6 +1086,60 @@ object TextQueries {
              |ORDER BY term""".stripMargin),
       doc = "positional postings (phrase-query index): per-(term, doc) position delta chains with varint accounting; windows partition by (term, doc) — finer than per-term, stop-word-proof"),
 
+    // The INCREMENTAL-INDEX update budget: posting-level churn between
+    // two crawl snapshots (the doc_crawl_diff plant law — gone docs at
+    // id%7=0, changed docs append a token at id%5=0, new docs arrive
+    // at id%13=0 under offset ids), rolled up per term as the
+    // adds/deletes an indexer applies instead of rebuilding. Changed
+    // docs surface ONLY their changed term (one added posting for
+    // 'updated'), gone/new docs surface every term — exactly the
+    // shape's point: update cost scales with churn, not corpus.
+    Q("text_index_update_budget",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val newDocs = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        TextAnalysis.postingsDiff(docs, newDocs, "doc_id", "text")
+          .groupBy(col("term"))
+          .agg(sum(when(col("status") === "added", 1L).otherwise(0L))
+              .as("n_add"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L))
+              .as("n_del"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH newd AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+             |              ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id % 13 = 0),
+             |ot AS (SELECT DISTINCT doc_id,
+             |         unnest(string_split(text, ' ')) AS term
+             |       FROM documents),
+             |nt AS (SELECT DISTINCT doc_id,
+             |         unnest(string_split(text, ' ')) AS term
+             |       FROM newd),
+             |d AS (SELECT coalesce(ot.term, nt.term) AS term,
+             |             CASE WHEN nt.term IS NULL THEN 'removed'
+             |                  ELSE 'added' END AS status
+             |      FROM ot FULL OUTER JOIN nt
+             |        ON ot.term = nt.term AND ot.doc_id = nt.doc_id
+             |      WHERE ot.term IS NULL OR nt.term IS NULL)
+             |SELECT term,
+             |       CAST(count(*) FILTER (status = 'added') AS BIGINT)
+             |         AS n_add,
+             |       CAST(count(*) FILTER (status = 'removed') AS BIGINT)
+             |         AS n_del
+             |FROM d GROUP BY term ORDER BY term""".stripMargin),
+      doc = "incremental-index update budget: posting-level added/removed churn between crawl snapshots, per-term rollup; distinct (term, doc) relations full-outer join — cost scales with churn, not corpus"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

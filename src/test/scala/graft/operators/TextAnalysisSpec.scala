@@ -648,4 +648,17 @@ class TextAnalysisSpec extends SparkSpec {
       ("y", 1L, 1L, 1L),
       ("y", 2L, 1L, 1L)))
   }
+
+  test("postingsDiff: unchanged postings drop; gone/new docs surface " +
+      "every term; a changed doc surfaces only its changed terms") {
+    val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "a b d"), (3L, "c e")).toDF("doc_id", "text")
+    val got = TextAnalysis.postingsDiff(oldDocs, newDocs, "doc_id", "text")
+      .select($"term", $"doc_id", $"status")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(
+      ("b", 2L, "removed"), ("c", 2L, "removed"), // doc 2 gone
+      ("d", 1L, "added"),                         // doc 1 changed: only d
+      ("c", 3L, "added"), ("e", 3L, "added")))    // doc 3 new
+  }
 }
