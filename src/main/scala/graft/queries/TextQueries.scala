@@ -4782,7 +4782,108 @@ object TextQueries {
              |comp AS (SELECT id AS host, least(id, min(r)) AS canonical
              |         FROM reach GROUP BY id)
              |SELECT host, canonical FROM comp ORDER BY host""".stripMargin),
-      doc = "mirror collapse groups: exact mirror pairs -> star-contraction CC -> (host, canonical); a 3-host clique merges through overlapping pairs, recursive-CTE closure oracle")
+      doc = "mirror collapse groups: exact mirror pairs -> star-contraction CC -> (host, canonical); a 3-host clique merges through overlapping pairs, recursive-CTE closure oracle"),
+
+    // MIRROR-AWARE link analysis — the composition the collapse groups
+    // exist for: a mirrored publisher splits its inlink mass across
+    // aliases, deflating every member below its true rank, so edges
+    // canonicalize through the (host, canonical) relation BEFORE
+    // PageRank. Edges here are adjacency between consecutive docs'
+    // serving hosts (a pure relational law both engines rebuild); the
+    // 3-host clique's rank concentrates on c1 instead of splitting
+    // three ways. Oracle = the CC closure + endpoint mapping + the
+    // standard 2-round integer replay, all existing layers composed.
+    Q("doc_link_pagerank_mirrored",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Dedup, LinkGraph}
+        val m = pmod(col("doc_id"), lit(10))
+        val hosts = when(m < 3,
+            array(lit("c1.example"), lit("c2.example"), lit("c3.example")))
+          .when(m === 3, array(lit("p1.example")))
+          .when(m.isin(4, 5), array(lit("p1.example"), lit("p2.example")))
+          .when(m === 6, array(lit("p2.example")))
+          .otherwise(array(concat(lit("s"),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(".example"))))
+        val pages = Tables.documents(s, dir)
+          .select(explode(hosts).as("host"), col("doc_id"))
+        val canon = Dedup.connectedComponentsStar(
+          CrawlPipeline.mirrorHosts(pages, "host", "doc_id",
+            threshold = 0.5),
+          "host_a", "host_b", idOut = "host", compOut = "canonical")
+        val rawEdges = pages.as("a")
+          .join(pages.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.host").as("src"), col("b.host").as("dst"))
+        val edges = rawEdges
+          .join(canon.select(col("host").as("src"),
+            col("canonical").as("__cs")), Seq("src"), "left")
+          .join(canon.select(col("host").as("dst"),
+            col("canonical").as("__cd")), Seq("dst"), "left")
+          .select(coalesce(col("__cs"), col("src")).as("src"),
+            coalesce(col("__cd"), col("dst")).as("dst"))
+        LinkGraph.pageRankInt(edges, "src", "dst", iterations = 2)
+          .withColumnRenamed("rank", "pr")
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE pages AS (
+             |  SELECT DISTINCT host, doc_id
+             |  FROM (SELECT unnest(CASE
+             |          WHEN doc_id % 10 < 3
+             |            THEN ['c1.example', 'c2.example', 'c3.example']
+             |          WHEN doc_id % 10 = 3 THEN ['p1.example']
+             |          WHEN doc_id % 10 IN (4, 5)
+             |            THEN ['p1.example', 'p2.example']
+             |          WHEN doc_id % 10 = 6 THEN ['p2.example']
+             |          ELSE ['s' || CAST(doc_id % 7 AS VARCHAR) || '.example']
+             |        END) AS host, doc_id
+             |        FROM documents)),
+             |sz AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
+             |inter AS (SELECT a.host AS host_a, b.host AS host_b,
+             |                 count(*) AS inter
+             |          FROM pages a JOIN pages b
+             |            ON a.doc_id = b.doc_id AND a.host < b.host
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT host_a, host_b FROM inter
+             |       JOIN sz sa ON host_a = sa.host
+             |       JOIN sz sb ON host_b = sb.host
+             |       WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+             |mp AS (SELECT host_a AS u, host_b AS v FROM jp
+             |       UNION SELECT host_b, host_a FROM jp),
+             |reach(id, r) AS (
+             |  SELECT u, v FROM mp
+             |  UNION
+             |  SELECT m.u, r.r FROM mp m JOIN reach r ON r.id = m.v),
+             |comp AS (SELECT id AS host, least(id, min(r)) AS canonical
+             |         FROM reach GROUP BY id),
+             |re AS (SELECT DISTINCT a.host AS src, b.host AS dst
+             |       FROM pages a JOIN pages b ON b.doc_id = a.doc_id + 1),
+             |e AS (SELECT DISTINCT coalesce(ca.canonical, re.src) AS src,
+             |             coalesce(cb.canonical, re.dst) AS dst
+             |      FROM re LEFT JOIN comp ca ON re.src = ca.host
+             |              LEFT JOIN comp cb ON re.dst = cb.host),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |-- NOT the `a UNION b` node shape the other replays use:
+             |-- inside a WITH RECURSIVE block DuckDB gives every
+             |-- UNION-shaped CTE the recursive-union treatment and this
+             |-- relation came out with each node TWICE (measured), which
+             |-- then doubled every rank sum downstream
+             |n AS (SELECT DISTINCT node FROM (
+             |        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node))
+             |SELECT node, CAST(pr AS BIGINT) AS pr
+             |FROM r2 ORDER BY node""".stripMargin),
+      doc = "mirror-aware PageRank: edges canonicalize through the mirror collapse groups before ranking, so a mirrored publisher's inlink mass concentrates instead of splitting; CC closure + 2-round integer replay oracle")
   )
 
   /** The shared mirror-pair oracle: the exact relational Jaccard over
