@@ -703,7 +703,19 @@ object TextAnalysis {
 
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Contribs(docs, idCol, textCol, queryTerms, k1, b)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** The per-(doc, query-term) BM25 contribution relation both
+    * [[bm25TopK]] and [[bm25TopKPruned]] aggregate — factored so the
+    * pruned form provably scores with the identical expression.
+    */
+  private def bm25Contribs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
     val dl = toks.select(col(idCol), size(col("__w")).as("dl"))
@@ -722,7 +734,75 @@ object TextAnalysis {
         col("__idf") * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl") / (col("tot").cast("double") / col("n")))))
-      .groupBy(col(idCol))
+  }
+
+  /** [[bm25TopK]] with MaxScore-style pruning (Turtle & Flood 1995) —
+    * EXACT: returns precisely bm25TopK's rows (same rounding and tie
+    * rules; the catalog query shares the full-scan oracle, so equality
+    * is the checked claim). The MaxScore argument, relationally:
+    *
+    *   1. per-term upper bounds: ub(t) = max contribution over the
+    *      term's postings (|queryTerms| rows — a driver-tiny collect);
+    *   2. θ₀ = the k-th best FULL score among docs containing the
+    *      highest-ub term (a candidate set that provably holds ≥ k
+    *      docs scoring ≥ θ₀, or everything if fewer than k exist);
+    *   3. essential terms: sort terms by ub descending and keep the
+    *      minimal prefix whose complement's ub sum < θ₀ − 1e-6; a doc
+    *      containing ONLY non-essential terms scores below every
+    *      θ₀-class doc even after round(,6) (the 1e-6 margin covers
+    *      the half-ulp each side of the rounding), so it cannot enter
+    *      the top-k under the (rounded score desc, id) order;
+    *   4. score ONLY docs containing ≥ 1 essential term, over ALL
+    *      their query-term contributions.
+    *
+    * Shape honesty: the contrib pass still touches every query-term
+    * posting — that is where the tight bounds come from, and a batch
+    * scan pays it either way. What the essential semi-join prunes is
+    * everything DOWNSTREAM: on a stop-word + rare-term query the
+    * per-doc aggregation and the top-k see the rare term's postings,
+    * not the stop-word's millions. A document-at-a-time WAND that also
+    * skips posting-scan work needs ordered index traversal — the
+    * storage engine's job ([[postingsLayout]] is that layout), not the
+    * batch plan's.
+    */
+  def bm25TopKPruned(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Contribs(docs, idCol, textCol, queryTerms, k1, b)
+      .select(col(idCol), col("t"), col("__contrib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ubs = scored.groupBy(col("t")).agg(max(col("__contrib")).as("ub"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val essential: Seq[String] =
+      if (ubs.isEmpty) Seq.empty
+      else {
+        val tStar = ubs.maxBy(_._2)._1
+        val cand0 = scored.filter(col("t") === tStar).select(col(idCol))
+        val kth = scored.join(cand0, Seq(idCol), "left_semi")
+          .groupBy(col(idCol)).agg(sum(col("__contrib")).as("__s"))
+          .orderBy(col("__s").desc).limit(k)
+          .collect().map(_.getDouble(1))
+        if (kth.length < k) ubs.keys.toSeq // < k candidates: no pruning
+        else {
+          val theta = kth.last - 1e-6
+          // drop the maximal low-ub SUFFIX whose ub sum stays below θ:
+          // term i is non-essential iff Σ ub(i..end) < θ — the sum
+          // INCLUDING i (a doc made only of suffix terms can hold all
+          // of them), so the bound uses scanRight's inclusive sums
+          val byUbDesc = ubs.toSeq.sortBy(-_._2)
+          val suffixIncl = byUbDesc.scanRight(0.0)(_._2 + _).init
+          byUbDesc.zip(suffixIncl)
+            .filter { case (_, sumFromHere) => sumFromHere >= theta }
+            .map(_._1._1)
+        }
+      }
+    val keep =
+      if (essential.isEmpty || essential.size == ubs.size) scored
+      else scored.join(
+        scored.filter(col("t").isin(essential: _*))
+          .select(col(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+    keep.groupBy(col(idCol))
       .agg(round(sum(col("__contrib")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

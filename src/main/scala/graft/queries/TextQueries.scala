@@ -1206,28 +1206,21 @@ object TextQueries {
     Q("text_bm25_topk",
       (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
         "doc_id", "text", Seq("vector", "stream", "spark"), k = 15),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |dl AS (SELECT doc_id, len(w) AS dl FROM toks),
-             |corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
-             |tf AS (SELECT doc_id, t, count(*) AS tf
-             |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-             |       WHERE t IN ('vector', 'stream', 'spark')
-             |       GROUP BY doc_id, t),
-             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-             |sc AS (
-             |  SELECT tf.doc_id,
-             |         ln(1.0 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
-             |           * tf.tf * (1.2 + 1.0)
-             |           / (tf.tf + 1.2 * ((1.0 - 0.75)
-             |              + 0.75 * dl.dl / (CAST(corpus.tot AS DOUBLE) / corpus.n)))
-             |           AS contrib
-             |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus)
-             |SELECT doc_id, round(sum(contrib), 6) AS score
-             |FROM sc GROUP BY doc_id
-             |ORDER BY score DESC, doc_id
-             |LIMIT 15""".stripMargin),
+      Some(bm25Oracle),
       doc = "BM25 (Okapi/Lucene idf) top-k doc retrieval for a literal query-term set; TakeOrdered global top-k"),
+
+    // MaxScore-pruned BM25 (Turtle & Flood 1995), the query-side
+    // answer to "you cannot aggregate-and-rank every posting at
+    // 10^10 docs": term upper bounds -> θ from the best term's
+    // candidate set -> docs holding only non-essential terms never
+    // reach the aggregation. EXACT by a margin argument on the 6-dp
+    // rounding (scaladoc) — so it shares the full-scan oracle verbatim:
+    // equality IS the checked claim, like the LSH ≡ exact pins.
+    Q("text_bm25_topk_pruned",
+      (s, dir) => TextAnalysis.bm25TopKPruned(Tables.documents(s, dir),
+        "doc_id", "text", Seq("vector", "stream", "spark"), k = 15),
+      Some(bm25Oracle),
+      doc = "MaxScore-pruned BM25 top-k: term upper bounds + essential-term semi-join prune the rank input; provably equals the full scan (shared oracle)"),
 
     // Bigram-LM perplexity (CCNet-style quality signal): the corpus
     // trains its own add-0.5-smoothed bigram model; each doc scores
@@ -4885,6 +4878,34 @@ object TextQueries {
              |FROM r2 ORDER BY node""".stripMargin),
       doc = "mirror-aware PageRank: edges canonicalize through the mirror collapse groups before ranking, so a mirrored publisher's inlink mass concentrates instead of splitting; CC closure + 2-round integer replay oracle")
   )
+
+  /** The full-scan BM25 oracle — shared verbatim by text_bm25_topk and
+    * text_bm25_topk_pruned (the pruned form's claim is exact equality
+    * with the full scan). A `def`: referenced from the `all`
+    * initializer above.
+    */
+  private def bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+      |corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+      |tf AS (SELECT doc_id, t, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+      |       WHERE t IN ('vector', 'stream', 'spark')
+      |       GROUP BY doc_id, t),
+      |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         ln(1.0 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |           * tf.tf * (1.2 + 1.0)
+      |           / (tf.tf + 1.2 * ((1.0 - 0.75)
+      |              + 0.75 * dl.dl / (CAST(corpus.tot AS DOUBLE) / corpus.n)))
+      |           AS contrib
+      |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus)
+      |SELECT doc_id, round(sum(contrib), 6) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 15""".stripMargin
 
   /** The shared mirror-pair oracle: the exact relational Jaccard over
     * the planted (host, doc_id) relation — both the exact and the LSH

@@ -649,6 +649,29 @@ class TextAnalysisSpec extends SparkSpec {
       ("y", 2L, 1L, 1L)))
   }
 
+  test("bm25TopKPruned == bm25TopK: stop-word + rare-term query with " +
+      "active pruning; under-k candidate path; single-term query") {
+    // 200 docs containing ONLY the stop word, 5 docs with the rare
+    // term — MaxScore must prune the stop-word-only docs from the
+    // rank input and still return the exact full-scan top-k
+    val docs = ((0 until 200).map(i =>
+        (i.toLong, s"the filler w$i x${i % 7} more the filler")) ++
+      (200 until 205).map(i =>
+        (i.toLong, s"zebra the unique w$i")))
+      .toDF("doc_id", "text")
+    def runBoth(terms: Seq[String], k: Int) = {
+      val full = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k)
+        .as[(Long, Double)].collect().toSeq
+      val pruned = TextAnalysis.bm25TopKPruned(docs, "doc_id", "text", terms, k)
+        .as[(Long, Double)].collect().toSeq
+      assert(pruned == full, s"terms=$terms k=$k\npruned=$pruned\nfull=$full")
+    }
+    runBoth(Seq("zebra", "the"), 3)    // pruning active: θ from zebra docs
+    runBoth(Seq("zebra", "the"), 50)   // k > rare-term df: no-pruning path
+    runBoth(Seq("zebra"), 2)           // single term
+    runBoth(Seq("the"), 5)             // stop word only — everything ties
+  }
+
   test("postingsDiff: unchanged postings drop; gone/new docs surface " +
       "every term; a changed doc surfaces only its changed terms") {
     val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
