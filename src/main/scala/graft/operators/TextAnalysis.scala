@@ -701,6 +701,35 @@ object TextAnalysis {
       .select(col("term"), col("doc_id"), col("status"))
   }
 
+  /** [[postingsDiff]]'s ADDED side, LIVE — the per-fetch index-update
+    * feed: each arriving document's distinct terms anti-join the
+    * previous snapshot's broadcast (doc_id, term) relation; survivors
+    * are postings the indexer must add NOW. Stateless append mode —
+    * per-doc distinct is `array_distinct` BEFORE the explode (a
+    * per-row map, no dedup state), and a doc re-fetched twice in one
+    * stream is judged per fetch (live semantics, the
+    * [[CrawlPipeline.crawlDiffStream]] contract). `removed` is
+    * inherently an end-of-crawl verdict and stays with the batch
+    * [[postingsDiff]].
+    *
+    * Scale honesty: the static side broadcasts (term, doc) KEYS of the
+    * previous snapshot — fine for a bounded vocabulary × re-fetched
+    * slice (ship the hashes, not the strings, if it grows), but a
+    * full-web posting set does not broadcast; at that size the honest
+    * form keys a state store ([[graft.streaming.EventStream]]'s
+    * near-dup pattern) or falls back to the batch diff per crawl.
+    * Identical expression runs on a batch frame (stream ≡ batch
+    * spec-pinned).
+    */
+  def postingsDiffStream(newDocs: DataFrame, oldPostings: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    newDocs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.words(col(textCol))))
+          .as("term"))
+      .join(broadcast(oldPostings.select(col("doc_id"), col("term"))),
+        Seq("doc_id", "term"), "left_anti")
+      .select(col("term"), col("doc_id"), lit("added").as("status"))
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =

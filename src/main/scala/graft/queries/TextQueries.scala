@@ -1140,6 +1140,53 @@ object TextQueries {
              |FROM d GROUP BY term ORDER BY term""".stripMargin),
       doc = "incremental-index update budget: posting-level added/removed churn between crawl snapshots, per-term rollup; distinct (term, doc) relations full-outer join — cost scales with churn, not corpus"),
 
+    // The LIVE side of the update budget (batch twin of
+    // TextAnalysis.postingsDiffStream, whose stream ≡ batch pin lives
+    // in TextAnalysisSpec): each arriving doc's distinct terms
+    // anti-join the previous snapshot's broadcast posting keys —
+    // postings to add NOW, judged per fetch, no state. `removed`
+    // stays with the batch diff (end-of-crawl verdict).
+    Q("text_index_update_live",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(s, dir)
+        val newDocs = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val oldPostings = docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.words(col("text"))))
+            .as("term"))
+        TextAnalysis.postingsDiffStream(newDocs, oldPostings,
+            "doc_id", "text")
+          .groupBy(col("term")).agg(count(lit(1)).as("n_add"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH newd AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+             |              ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id % 13 = 0),
+             |ot AS (SELECT DISTINCT doc_id,
+             |         unnest(string_split(text, ' ')) AS term
+             |       FROM documents),
+             |nt AS (SELECT DISTINCT doc_id,
+             |         unnest(string_split(text, ' ')) AS term
+             |       FROM newd),
+             |a AS (SELECT nt.term FROM nt
+             |      LEFT JOIN ot ON ot.term = nt.term
+             |                  AND ot.doc_id = nt.doc_id
+             |      WHERE ot.term IS NULL)
+             |SELECT term, count(*) AS n_add
+             |FROM a GROUP BY term ORDER BY term""".stripMargin),
+      doc = "live index-update feed (batch twin): per-fetch added postings via anti-join against the broadcast previous-snapshot keys; stateless, stream == batch spec-pinned"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

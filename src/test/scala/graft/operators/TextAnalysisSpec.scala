@@ -672,6 +672,56 @@ class TextAnalysisSpec extends SparkSpec {
     runBoth(Seq("the"), 5)             // stop word only — everything ties
   }
 
+  test("postingsDiffStream: streaming added-postings feed == batch; " +
+      "re-fetch in a later file is judged per fetch") {
+    import org.apache.spark.sql.functions.{array_distinct, explode}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pdiff-stream-").toString
+    val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val oldPostings = oldDocs.select($"doc_id",
+      explode(array_distinct(graft.functions.TextFunctions.words($"text")))
+        .as("term"))
+    // file 1: doc 1 changed (+d), doc 3 new; file 2: doc 1 re-fetched
+    // with one more term (+e — judged against the OLD snapshot, so d
+    // reports again: live per-fetch semantics)
+    Seq((1L, "a b d"), (3L, "c e")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/f1")
+    Seq((1L, "a b d e")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/f2")
+    val staged = s"$dir/in"
+    new java.io.File(staged).mkdirs()
+    def stage(from: String): Unit =
+      new java.io.File(s"$dir/$from").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(staged, s"$from-${f.getName}"))
+        }
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema).json(staged)
+    val q = TextAnalysis.postingsDiffStream(stream, oldPostings,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("pdiff_live")
+      .outputMode("append").start()
+    stage("f1"); q.processAllAvailable()
+    stage("f2"); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pdiff_live")
+      .select($"term", $"doc_id", $"status")
+      .as[(String, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // batch twin over the union of both files, plus the re-fetch's
+    // duplicate 'd' (per-fetch judging)
+    val batch = TextAnalysis.postingsDiffStream(
+        Seq((1L, "a b d"), (3L, "c e"), (1L, "a b d e"))
+          .toDF("doc_id", "text"),
+        oldPostings, "doc_id", "text")
+      .as[(String, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got(("d", 1L, "added")) == 2) // judged per fetch
+    assert(got(("e", 1L, "added")) == 1 && got(("e", 3L, "added")) == 1)
+  }
+
   test("postingsDiff: unchanged postings drop; gone/new docs surface " +
       "every term; a changed doc surfaces only its changed terms") {
     val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
