@@ -77,6 +77,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *               mirrorHostsLsh on uniform vs parking-clique corpora
   *               (25% of hosts serve ONE shared key — a genuine C²/2
   *               mirror clique)
+  *   bm25prune   bm25TopK full scan vs bm25TopKPruned (MaxScore) on a
+  *               2M-doc corpus where every doc holds the stop word and
+  *               1/1000 hold the rare term — prices the essential-term
+  *               semi-join; value equality checked
   */
 object SkewProbe {
   private def time[A](f: => A): (A, Double) = {
@@ -805,6 +809,32 @@ object SkewProbe {
               report(s"${name}_shared", rep, tS, nS, hS,
                 if (nS == nI && hS == hI) " MATCH" else " **MISMATCH**")
           }
+        case "bm25prune" =>
+          // MaxScore pruning head-to-head: a query of one stop word
+          // (df = N) + one rare term (df ≈ N/1000) against the full
+          // scan. The pruned form's aggregation + top-k see only docs
+          // containing the rare term; the full form aggregates every
+          // stop-word posting. Value equality checked per shape.
+          import graft.operators.TextAnalysis
+          val nd = 2000000L
+          val corpus = spark.range(nd).select(col("id").as("doc_id"),
+            concat(lit("the filler w"), pmod(col("id"), lit(9973L)),
+              lit(" body text the end"),
+              when(pmod(col("id"), lit(1000L)) === 7, lit(" zebra"))
+                .otherwise(lit(""))).as("text"))
+            .persist()
+          corpus.count()
+          val terms = Seq("zebra", "the")
+          val ((nF, hF), tF) = time(sig(
+            TextAnalysis.bm25TopK(corpus, "doc_id", "text", terms, 10),
+            Seq("doc_id", "score")))
+          report("full", rep, tF, nF, hF)
+          val ((nP, hP), tP) = time(sig(
+            TextAnalysis.bm25TopKPruned(corpus, "doc_id", "text", terms, 10),
+            Seq("doc_id", "score")))
+          report("pruned", rep, tP, nP, hP,
+            if (nP == nF && hP == hF) " MATCH" else " **MISMATCH**")
+          corpus.unpersist()
         case "mirror" =>
           // mirror-host detection under a parking-page clique: 25% of
           // hosts serve ONLY one shared key — every pair of them is a
