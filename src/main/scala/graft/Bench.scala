@@ -211,7 +211,8 @@ object Bench {
       """"text_{classifier_train,quality_classifier}: train-once weights",""" +
       """"dedup_{minhash_lsh,cc_clusters,cc_star,keep_canonical,keep_best}: one LSH pair relation",""" +
       """"dedup_{keep_canonical,keep_best}: one star-CC labeling",""" +
-      """"doc_link_{hits,salsa,tkc,tkc_topk,hits_delta}: one HITS + one SALSA run over the shared 23-host graph"]"""
+      """"doc_link_{hits,salsa,tkc,tkc_topk,hits_delta}: one HITS + one SALSA run over the shared 23-host graph",""" +
+      """"doc_mirror_clusters + doc_link_pagerank_mirrored: one mirror pair + star-CC alias table"]"""
     val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,$load,"sf":"$sfDir",$memoNote,$summary}"""
     println(line)
