@@ -4808,6 +4808,67 @@ object TextQueries {
              |SELECT host, canonical FROM comp ORDER BY host""".stripMargin),
       doc = "mirror collapse groups: exact mirror pairs -> star-contraction CC -> (host, canonical); a 3-host clique merges through overlapping pairs, recursive-CTE closure oracle"),
 
+    // Robots-cache FRESHNESS audit (RFC 9309 §2.4: cached robots.txt
+    // may be used for up to 24 hours): every page fetch pairs with the
+    // LATEST robots fetch at-or-before it on the same host — the
+    // feature-store as-of join applied to crawl governance. Verdicts:
+    // `never` (no robots fetch preceded the page — h5/h6 never fetch,
+    // and every host's pages before its first robots fetch), `fresh`
+    // (snapshot ≤ 24 h old), `stale` (older — the crawler broke the
+    // cache rule). Two hosts re-fetch robots mid-crawl, so the as-of
+    // must pick the newer snapshot exactly at the refetch boundary.
+    // One shuffle of pages+robots keyed by host (AsofJoin's
+    // union+carry-forward form), no row explosion.
+    Q("doc_robots_cache_age",
+      (s, dir) => {
+        import graft.operators.AsofJoin
+        val docs = Tables.documents(s, dir)
+        val base = 1767225600L // 2026-01-01T00:00:00Z
+        val pages = docs.select(col("doc_id"),
+          concat(lit("h"), pmod(col("doc_id"), lit(7)).cast("string"))
+            .as("host"),
+          (lit(base) + pmod(col("doc_id"), lit(50)) * 3600L).as("t"))
+        val ks = docs.select(pmod(col("doc_id"), lit(7)).as("k"))
+          .distinct().filter(col("k") < 5)
+        def hostOf(k: org.apache.spark.sql.Column) =
+          concat(lit("h"), k.cast("string"))
+        val robots = ks.select(hostOf(col("k")).as("host"),
+            (lit(base) + col("k") * 36000L).as("rt"))
+          .unionByName(ks.filter(col("k") < 2)
+            .select(hostOf(col("k")).as("host"),
+              (lit(base) + col("k") * 36000L + 108000L).as("rt")))
+        AsofJoin.asof(pages, robots, key = "host", probeTime = "t",
+            buildTime = "rt", payload = Seq.empty,
+            buildTimeAs = Some("robots_t"), inner = false)
+          .withColumn("verdict",
+            when(col("robots_t").isNull, lit("never"))
+              .when(col("t") - col("robots_t") <= 86400L, lit("fresh"))
+              .otherwise(lit("stale")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |             'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             |             CAST(1767225600 + (doc_id % 50) * 3600
+             |               AS BIGINT) AS t
+             |           FROM documents),
+             |k AS (SELECT DISTINCT doc_id % 7 AS k FROM documents
+             |      WHERE doc_id % 7 < 5),
+             |b AS (SELECT 'h' || CAST(k AS VARCHAR) AS host,
+             |             CAST(1767225600 + k * 36000 AS BIGINT) AS rt
+             |      FROM k
+             |      UNION ALL
+             |      SELECT 'h' || CAST(k AS VARCHAR),
+             |             CAST(1767225600 + k * 36000 + 108000 AS BIGINT)
+             |      FROM k WHERE k < 2)
+             |SELECT p.doc_id, p.host, p.t, b.rt AS robots_t,
+             |       CASE WHEN b.rt IS NULL THEN 'never'
+             |            WHEN p.t - b.rt <= 86400 THEN 'fresh'
+             |            ELSE 'stale' END AS verdict
+             |FROM p ASOF LEFT JOIN b
+             |  ON p.host = b.host AND p.t >= b.rt
+             |ORDER BY p.doc_id""".stripMargin),
+      doc = "robots-cache freshness audit (RFC 9309 24 h rule): page fetches as-of-join the latest preceding robots fetch per host — never/fresh/stale verdicts incl. the refetch boundary; single-shuffle carry-forward, DuckDB ASOF LEFT JOIN oracle"),
+
     // MIRROR-AWARE link analysis — the composition the collapse groups
     // exist for: a mirrored publisher splits its inlink mass across
     // aliases, deflating every member below its true rank, so edges
