@@ -399,6 +399,39 @@ object CrawlPipeline {
       .select(col("url"), col("status"), col("old_hash"), col("new_hash"))
   }
 
+  /** WARC revisit-record planning (ISO 28500 §6.7.2, the
+    * identical-payload-digest profile Common Crawl stores): a response
+    * whose payload digest was already archived becomes a `revisit`
+    * record pointing at the first archived copy (WARC-Refers-To) and
+    * stores headers only — the storage-side dedup that keeps a
+    * recrawl-heavy archive linear in DISTINCT content, not fetches.
+    * The canonical copy per digest is the earliest (fetch time, id) —
+    * one partial-aggregable min(struct) per digest, the
+    * [[crawlHashes]] discipline: payload bytes never shuffle, an
+    * 8-byte digest + keys do. Output: every response row as
+    * (id, url, t, digest, kind ∈ response|revisit, refers_to —
+    * null on the canonical).
+    */
+  def revisitRecords(records: DataFrame, idCol: String = "record_id",
+      urlCol: String = "target_uri", payloadCol: String = "payload",
+      dateCol: String = "warc_date"): DataFrame = {
+    val resp = records.filter(col("record_type") === "response")
+      .select(col(idCol).as("id"), col(urlCol).as("url"),
+        unix_timestamp(to_timestamp(col(dateCol))).as("t"),
+        xxhash64(col(payloadCol)).as("digest"))
+    val canon = resp.groupBy(col("digest"))
+      .agg(min(struct(col("t"), col("id"))).as("__c"))
+      .select(col("digest"), col("__c.id").as("__cid"))
+    resp.join(canon, Seq("digest"))
+      .withColumn("kind",
+        when(col("id") === col("__cid"), lit("response"))
+          .otherwise(lit("revisit")))
+      .withColumn("refers_to",
+        when(col("kind") === "revisit", col("__cid")))
+      .select(col("id"), col("url"), col("t"), col("digest"),
+        col("kind"), col("refers_to"))
+  }
+
   /** MIRROR-HOST detection: hosts serving (near-)identical content
     * sets — www/apex aliases, CDN mirrors, scraper clones — the hosts
     * a crawler should collapse to one politeness budget and one

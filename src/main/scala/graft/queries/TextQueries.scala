@@ -4869,6 +4869,50 @@ object TextQueries {
              |ORDER BY p.doc_id""".stripMargin),
       doc = "robots-cache freshness audit (RFC 9309 24 h rule): page fetches as-of-join the latest preceding robots fetch per host — never/fresh/stale verdicts incl. the refetch boundary; single-shuffle carry-forward, DuckDB ASOF LEFT JOIN oracle"),
 
+    // WARC revisit planning (ISO 28500 §6.7.2 identical-payload-digest
+    // — how Common Crawl stores re-fetched duplicates: headers-only
+    // `revisit` records pointing at the first archived copy). The
+    // plant gives 500/5000 fetches only 97 distinct payloads, so the
+    // archive keeps 97 full responses + the rest as revisits. The
+    // digest column stays engine-side (xxhash64; the oracle groups on
+    // the payload text itself — same groups, no hash to mirror);
+    // payload bytes never shuffle, one partial-aggregable min(struct)
+    // per digest picks the canonical.
+    Q("doc_warc_revisit",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val base = 1767225600L
+        val records = Tables.documents(s, dir).select(
+          col("doc_id").as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".rv/p/"), col("doc_id").cast("string")).as("target_uri"),
+          date_format(timestamp_seconds(lit(base) + col("doc_id")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          encode(concat(lit("content-"),
+            pmod(col("doc_id"), lit(97)).cast("string")), "UTF-8")
+            .as("payload"))
+        CrawlPipeline.revisitRecords(records)
+          .select(col("id"), col("url"), col("t"), col("kind"),
+            col("refers_to"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH r AS (SELECT doc_id AS id,
+             |             'http://h' || CAST(doc_id % 7 AS VARCHAR)
+             |               || '.rv/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |             CAST(1767225600 + doc_id AS BIGINT) AS t,
+             |             'content-' || CAST(doc_id % 97 AS VARCHAR) AS body
+             |           FROM documents),
+             |c AS (SELECT body, min(id) AS cid FROM r GROUP BY body)
+             |SELECT r.id, r.url, r.t,
+             |       CASE WHEN r.id = c.cid THEN 'response'
+             |            ELSE 'revisit' END AS kind,
+             |       CASE WHEN r.id = c.cid THEN NULL
+             |            ELSE c.cid END AS refers_to
+             |FROM r JOIN c USING (body)
+             |ORDER BY r.id""".stripMargin),
+      doc = "WARC revisit planning (identical-payload-digest profile): first archived copy stays a response, later identical payloads become headers-only revisit records with WARC-Refers-To; digests shuffle, payloads never"),
+
     // MIRROR-AWARE link analysis — the composition the collapse groups
     // exist for: a mirrored publisher splits its inlink mass across
     // aliases, deflating every member below its true rank, so edges

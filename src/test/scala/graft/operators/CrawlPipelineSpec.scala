@@ -583,6 +583,27 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(gotDiv == wantDiv, s"stream=$gotDiv batch=$wantDiv")
   }
 
+  test("revisitRecords: earliest FETCH TIME wins the canonical (not the " +
+      "lowest id); distinct payloads stay responses") {
+    val records = Seq(
+      // same payload, fetched later-by-id but earlier-by-time: rB wins
+      ("rA", "response", "http://h.rv/1", "2026-01-02T00:00:00Z", "dup"),
+      ("rB", "response", "http://h.rv/2", "2026-01-01T00:00:00Z", "dup"),
+      ("rC", "response", "http://h.rv/3", "2026-01-03T00:00:00Z", "dup"),
+      ("rD", "response", "http://h.rv/4", "2026-01-01T00:00:00Z", "solo"),
+      ("rI", "warcinfo", null, "2026-01-01T00:00:00Z", "meta")
+    ).toDF("record_id", "record_type", "target_uri", "warc_date", "body")
+      .withColumn("payload", encode($"body", "UTF-8")).drop("body")
+    val got = CrawlPipeline.revisitRecords(records)
+      .select($"id", $"kind", $"refers_to")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("rB", "response", None),
+      ("rA", "revisit", Some("rB")),
+      ("rC", "revisit", Some("rB")),
+      ("rD", "response", None)))
+  }
+
   // 60 pages: m1/m2 serve pages 0-19 verbatim (J=1); p1 serves 20-39,
   // p2 serves 30-49 (inter 10, sizes 20/20 -> J = 10/30 = 1/3); solo
   // hosts s0..s9 serve one page each
