@@ -712,23 +712,32 @@ object TextAnalysis {
     * inherently an end-of-crawl verdict and stays with the batch
     * [[postingsDiff]].
     *
-    * Scale honesty: the static side broadcasts (term, doc) KEYS of the
-    * previous snapshot — fine for a bounded vocabulary × re-fetched
-    * slice (ship the hashes, not the strings, if it grows), but a
-    * full-web posting set does not broadcast; at that size the honest
-    * form keys a state store ([[graft.streaming.EventStream]]'s
-    * near-dup pattern) or falls back to the batch diff per crawl.
+    * Scale honesty: with `broadcastOld = true` (default — the live
+    * low-latency shape) the static side broadcasts (term, doc) KEYS of
+    * the previous snapshot, fine for a bounded vocabulary ×
+    * re-fetched slice. A full-web posting set does NOT broadcast —
+    * MEASURED, not hypothetical: at the sf100 scale corpus (~100M
+    * postings) the forced broadcast dies on
+    * spark.driver.maxResultSize (BASELINE r14 row). There
+    * `broadcastOld = false` leaves the anti-join to the planner (the
+    * static side shuffles per micro-batch — higher latency, no driver
+    * bound; same rows, spec-pinned), or the honest streaming form keys
+    * a state store ([[graft.streaming.EventStream]]'s near-dup
+    * pattern) / falls back to the batch [[postingsDiff]] per crawl.
     * Identical expression runs on a batch frame (stream ≡ batch
     * spec-pinned).
     */
   def postingsDiffStream(newDocs: DataFrame, oldPostings: DataFrame,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String,
+      broadcastOld: Boolean = true): DataFrame = {
+    val old = oldPostings.select(col("doc_id"), col("term"))
     newDocs.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.words(col(textCol))))
           .as("term"))
-      .join(broadcast(oldPostings.select(col("doc_id"), col("term"))),
+      .join(if (broadcastOld) broadcast(old) else old,
         Seq("doc_id", "term"), "left_anti")
       .select(col("term"), col("doc_id"), lit("added").as("status"))
+  }
 
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,

@@ -720,6 +720,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
     assert(got(("d", 1L, "added")) == 2) // judged per fetch
     assert(got(("e", 1L, "added")) == 1 && got(("e", 3L, "added")) == 1)
+    // the non-broadcast scale path (snapshots past driver maxResultSize)
+    // returns the same rows
+    val unbroadcast = TextAnalysis.postingsDiffStream(
+        Seq((1L, "a b d"), (3L, "c e"), (1L, "a b d e"))
+          .toDF("doc_id", "text"),
+        oldPostings, "doc_id", "text", broadcastOld = false)
+      .as[(String, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(unbroadcast == batch, s"unbroadcast=$unbroadcast batch=$batch")
   }
 
   test("postingsDiff: unchanged postings drop; gone/new docs surface " +
