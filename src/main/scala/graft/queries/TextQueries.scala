@@ -1689,6 +1689,27 @@ object TextQueries {
       Some(bpeOracle(numMerges = 8)),
       doc = "BPE merge training: per-round corpus-wide pair argmax over word frequencies (unrolled-CTE oracle)"),
 
+    // The tokenizer APPLIED — exact token accounting under the trained
+    // merges, the number every training-budget decision actually uses
+    // (whitespace words and BPE-ish regex counts are proxies; this is
+    // the real tokenizer's count). Train-once on the corpus (the 8
+    // merges collect driver-side — the tokenizer IS driver-side
+    // config, a ~50k-merge broadcast in production), encode is one
+    // narrow map. The oracle replays training AND application per
+    // word, then reduces to per-doc counts.
+    Q("text_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle(numMerges = 8)),
+      doc = "BPE tokenizer applied: train 8 merges on the corpus, encode every doc, per-doc token count — the exact budget number; oracle replays training + greedy application per word"),
+
     // MOSS winnowing fingerprints (Schleimer et al. 2003): the
     // sub-linear robust fingerprint set for long-document near-dup
     // detection. The oracle exploits that the DISTINCT selected VALUES
@@ -5040,6 +5061,53 @@ object TextQueries {
           "host", "doc_id", threshold = 0.5),
         "host_a", "host_b", idOut = "host", compOut = "canonical")
     }
+
+  /** DuckDB oracle for [[TextAnalysis.bpeEncode]] over merges trained
+    * on the same corpus: the [[bpeOracle]] CTE chain (per-round
+    * corpus-wide pair argmax + list_reduce application, word keyed)
+    * extended to APPLY the final merge too, then per-doc token counts
+    * from the word-level symbol lengths. The list_reduce application
+    * is equivalent to the engine's left-to-right scan (a merged token
+    * a||b can never equal a — the text_bpe_merges argument). A `def`:
+    * referenced from the `all` initializer.
+    */
+  private def bpeEncodeOracle(numMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """v0 AS (
+      |  SELECT w, list_transform(range(1, length(w) + 1),
+      |                        i -> substring(w, i, 1)) AS syms,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0
+      |  GROUP BY w)""".stripMargin
+    for (k <- 0 until numMerges) {
+      parts += s"""p$k AS (
+        |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |               i -> [syms[i], syms[i + 1]])) AS pr
+        |        FROM v$k)
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""m$k AS (
+        |  SELECT l, r FROM p$k ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      parts += s"""v${k + 1} AS (
+        |  SELECT v.w, list_reduce(list_transform(v.syms, s -> [s]),
+        |           (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
+        |                            THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+        |                            ELSE list_concat(acc, x) END) AS syms,
+        |         v.cnt
+        |  FROM v$k v CROSS JOIN m$k m)""".stripMargin
+    }
+    parts += s"""wl AS (SELECT w, len(syms) AS n FROM v$numMerges)"""
+    "WITH " + parts.result().mkString(",\n") + "\n" +
+      """SELECT d.doc_id, CAST(coalesce(sum(wl.n), 0) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents) t
+        |  ON d.doc_id = t.doc_id AND length(t.w) > 0
+        |LEFT JOIN wl ON t.w = wl.w
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** The full-scan BM25 oracle — shared verbatim by text_bm25_topk and
     * text_bm25_topk_pruned (the pruned form's claim is exact equality
