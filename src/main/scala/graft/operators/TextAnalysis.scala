@@ -676,6 +676,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), sum(col("__vb")).as("pos_bytes"))
   }
 
+  /** IMPACT-ORDERED postings (Anh & Moffat 2006) — the storage layout
+    * that lets a query engine early-terminate: within each term,
+    * postings sort by a QUANTIZED score upper bound (the BM25 tf
+    * saturation WITHOUT idf — idf is constant within a term, so the
+    * within-term order is unchanged by dropping it), highest impact
+    * first, truncated to `topPerTerm`. Serving the first block of an
+    * impact-ordered list IS the MaxScore/WAND skip structure
+    * materialized ([[bm25TopKPruned]] computes the same bound at query
+    * time; this bakes it into the index). Quantization: impact =
+    * ⌊scale · tf/(tf + k1·((1−b) + b·dl/avgdl))⌋ — exact integer
+    * counts into identical double expressions, so both engines land
+    * the same buckets (the text_bm25 bit-exactness discipline).
+    * Windows partition BY TERM; Catalyst rewrites rank ≤ n to
+    * WindowGroupLimit, so a stop-word's postings prune map-side
+    * before the term shuffle (the doc_host_cap shape).
+    */
+  def impactOrderedPostings(docs: DataFrame, idCol: String,
+      textCol: String, k1: Double = 1.2, b: Double = 0.75,
+      scale: Int = 32, topPerTerm: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    val dl = toks.select(col(idCol), size(col("__w")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = toks.select(col(idCol), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      .orderBy(col("impact").desc, col("tf").desc, col(idCol))
+    tf.join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("impact",
+        floor(lit(scale.toDouble) * col("tf") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("tot").cast("double") / col("n"))))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topPerTerm)
+      .select(col("term"), col("rk"), col(idCol), col("tf"), col("impact"))
+  }
+
   /** Posting-level diff between two corpus snapshots — the UPDATE
     * BUDGET an incremental indexer applies after a re-crawl: per
     * (term, doc_id) `added` (the posting exists only in the new

@@ -1188,6 +1188,40 @@ object TextQueries {
              |FROM a GROUP BY term ORDER BY term""".stripMargin),
       doc = "live index-update feed (batch twin): per-fetch added postings via anti-join against the broadcast previous-snapshot keys; stateless, stream == batch spec-pinned"),
 
+    // The EARLY-TERMINATION storage layout (Anh & Moffat impact
+    // ordering): within each term the top-8 postings by quantized
+    // score bound, highest first — serving this first block IS the
+    // MaxScore skip structure materialized. rank<=n over the per-term
+    // window rewrites to WindowGroupLimit (stop-word postings prune
+    // map-side, the doc_host_cap shape, PlanAuditSpec-pinned).
+    Q("text_postings_impact",
+      (s, dir) => TextAnalysis.impactOrderedPostings(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("term"), col("rk")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |              FROM documents),
+             |dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+             |corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+             |       GROUP BY 1, 2),
+             |q AS (SELECT term, tf.doc_id, tf,
+             |        CAST(floor(32.0 * tf
+             |          / (tf + 1.2 * ((1.0 - 0.75)
+             |             + 0.75 * dl.dl
+             |               / (CAST(corpus.tot AS DOUBLE) / corpus.n))))
+             |          AS BIGINT) AS impact
+             |      FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus),
+             |r AS (SELECT term, doc_id, tf, impact,
+             |        CAST(row_number() OVER (PARTITION BY term
+             |          ORDER BY impact DESC, tf DESC, doc_id) AS INTEGER)
+             |          AS rk
+             |      FROM q)
+             |SELECT term, rk, doc_id, tf, impact
+             |FROM r WHERE rk <= 8
+             |ORDER BY term, rk""".stripMargin),
+      doc = "impact-ordered postings (Anh & Moffat): per-term top-8 by quantized tf-saturation bound — the materialized MaxScore skip structure; WindowGroupLimit prunes stop-word postings map-side"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

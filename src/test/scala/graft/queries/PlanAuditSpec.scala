@@ -175,6 +175,13 @@ class PlanAuditSpec extends SparkSpec {
       s"partial WindowGroupLimit below the exchange missing:\n$p")
   }
 
+  test("text_postings_impact: rank<=8 rewrites to WindowGroupLimit — " +
+      "stop-word postings prune map-side before the term shuffle") {
+    val p = plan("text_postings_impact")
+    val hits = "WindowGroupLimit".r.findAllMatchIn(p).size
+    assert(hits == 2, s"expected Partial+Final WindowGroupLimit, got $hits:\n$p")
+  }
+
   test("text_postings_layout: every window partitions by term — no " +
       "unpartitioned window, no global sort before the presentation ORDER BY") {
     val p = plan("text_postings_layout")
