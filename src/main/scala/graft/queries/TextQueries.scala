@@ -4968,6 +4968,45 @@ object TextQueries {
              |ORDER BY r.id""".stripMargin),
       doc = "WARC revisit planning (identical-payload-digest profile): first archived copy stays a response, later identical payloads become headers-only revisit records with WARC-Refers-To; digests shuffle, payloads never"),
 
+    // Revisit-AWARE WET conversion — what the revisit plan is FOR:
+    // text extraction runs once per DISTINCT payload, not once per
+    // fetch (500/5000 fetches -> 97 conversions here). The canonical
+    // set from revisitRecords semi-joins the records before
+    // Wet.convert, so duplicate payloads never reach the HTML
+    // extraction (at 100 TB that is the conversion stage's whole
+    // budget: recrawl-heavy archives are mostly revisits).
+    Q("doc_wet_revisit_dedup",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        import graft.sources.warc.Wet
+        val base = 1767225600L
+        val records = Tables.documents(s, dir).select(
+          concat(lit("<urn:p:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".wd/p/"), col("doc_id").cast("string")).as("target_uri"),
+          date_format(timestamp_seconds(lit(base) + col("doc_id")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          lit("text/html").as("content_type"),
+          encode(concat(lit("<html><body><p>shared body "),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit("</p></body></html>")), "UTF-8").as("payload"))
+        val canon = CrawlPipeline.revisitRecords(records)
+          .filter(col("kind") === "response")
+          .select(col("id").as("record_id"))
+        Wet.convert(records.join(canon, Seq("record_id"), "left_semi"))
+          .select(regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+             |             doc_id % 97 AS k
+             |           FROM documents GROUP BY doc_id % 97)
+             |SELECT doc_id, 'shared body ' || CAST(k AS VARCHAR) AS text
+             |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "revisit-aware WET conversion: the canonical set semi-joins records before text extraction — one conversion per distinct payload, not per fetch (500 fetches -> 97 conversions)"),
+
     // MIRROR-AWARE link analysis — the composition the collapse groups
     // exist for: a mirrored publisher splits its inlink mass across
     // aliases, deflating every member below its true rank, so edges
