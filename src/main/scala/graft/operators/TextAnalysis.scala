@@ -713,6 +713,95 @@ object TextAnalysis {
       .select(col("term"), col("rk"), col(idCol), col("tf"), col("impact"))
   }
 
+  /** Per-doc posting churn over a FETCH SEQUENCE — the batch twin of
+    * [[postingsChurnStateful]]: each fetch of a document diffs against
+    * the SAME document's previous fetch (ordered by `tsCol`; fetches
+    * sharing a timestamp are one fetch), emitting `added` terms (in
+    * this fetch, not the previous — a doc's first fetch adds
+    * everything) and `removed` terms (in the previous, gone now —
+    * visible the moment the changed page arrives, which the
+    * end-of-crawl batch [[postingsDiff]] cannot do). All windows
+    * partition by doc; the anti-joins move (doc, seq, term) keys only.
+    * Output: (doc_id, seq, term, status).
+    */
+  def postingsChurn(fetches: DataFrame, idCol: String, textCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__ts"))
+    val t = fetches.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        explode(array_distinct(TextFunctions.words(col(textCol))))
+          .as("term"))
+      .withColumn("seq", dense_rank().over(w))
+      .select(col("doc_id"), col("seq"), col("term"))
+    val prevShifted = t.select(col("doc_id"),
+      (col("seq") + 1).as("seq"), col("term"))
+    val added = t.join(prevShifted, Seq("doc_id", "seq", "term"), "left_anti")
+      .withColumn("status", lit("added"))
+    val fetchSeqs = t.select(col("doc_id"), col("seq")).distinct()
+    val removed = prevShifted
+      .join(fetchSeqs, Seq("doc_id", "seq")) // a successor fetch exists
+      .join(t, Seq("doc_id", "seq", "term"), "left_anti")
+      .withColumn("status", lit("removed"))
+    added.unionByName(removed)
+  }
+
+  /** The KEYED-STATE streaming form of the index-update feed — the
+    * honest full-web shape the broadcast probe demanded (BASELINE r14:
+    * forcing ~100M previous-snapshot keys through a broadcast dies on
+    * driver maxResultSize): per-doc indexed term sets live in the
+    * STATE STORE, each arriving fetch diffs against its own doc's
+    * state — no broadcast, no static side, and `removed` postings are
+    * emitted the moment a changed page arrives. State per doc is its
+    * distinct term set (store the 8-byte hashes instead of strings at
+    * web scale — swap the select; the feed semantics are unchanged).
+    * Event-time timeout evicts docs not re-fetched within
+    * `stateTtlMinutes` (a doc re-fetched after eviction re-adds
+    * everything — the watermark-bounded contract every streaming
+    * stateful operator makes). `fetches` must carry the watermarked
+    * event-time column `tsCol`. Output ≡ [[postingsChurn]] on the
+    * same fetch log (spec-pinned).
+    */
+  def postingsChurnStateful(fetches: DataFrame, idCol: String,
+      textCol: String, tsCol: String,
+      stateTtlMinutes: Int = 1440): org.apache.spark.sql.Dataset[ChurnRow] = {
+    import fetches.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = stateTtlMinutes.toLong * 60 * 1000
+
+    def update(key: Long, rows: Iterator[ChurnFetch],
+        state: GroupState[ChurnState]): Iterator[ChurnRow] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = rows.toArray.sortBy(_.ts_us)
+        var cur: Set[String] =
+          state.getOption.map(_.terms.toSet).getOrElse(Set.empty)
+        val out = List.newBuilder[ChurnRow]
+        arrived.foreach { f =>
+          val next = f.terms.toSet
+          (next -- cur).toSeq.sorted
+            .foreach(t => out += ChurnRow(t, key, f.ts_us, "added"))
+          (cur -- next).toSeq.sorted
+            .foreach(t => out += ChurnRow(t, key, f.ts_us, "removed"))
+          cur = next
+        }
+        state.update(ChurnState(cur.toSeq))
+        val newest = arrived.map(_.ts_us).max
+        state.setTimeoutTimestamp(
+          math.max(newest / 1000 + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    fetches.select(col(idCol).as("doc_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        array_distinct(TextFunctions.words(col(textCol))).as("terms"),
+        col(tsCol).as("ts"))
+      .as[ChurnFetch]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Posting-level diff between two corpus snapshots — the UPDATE
     * BUDGET an incremental indexer applies after a re-crawl: per
     * (term, doc_id) `added` (the posting exists only in the new
@@ -1397,3 +1486,18 @@ object TextAnalysis {
     out.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topK)
   }
 }
+
+/** One arriving fetch for [[TextAnalysis.postingsChurnStateful]] — the
+  * watermarked event-time column `ts` must survive into the
+  * flatMapGroupsWithState child, so it rides the row.
+  */
+case class ChurnFetch(doc_id: Long, ts_us: Long, terms: Seq[String],
+    ts: java.sql.Timestamp)
+
+/** Per-doc state: the term set currently indexed for the doc. */
+case class ChurnState(terms: Seq[String])
+
+/** One posting-churn verdict: `term` was added to / removed from
+  * `doc_id`'s postings by the fetch at `ts_us`.
+  */
+case class ChurnRow(term: String, doc_id: Long, ts_us: Long, status: String)

@@ -1222,6 +1222,57 @@ object TextQueries {
              |ORDER BY term, rk""".stripMargin),
       doc = "impact-ordered postings (Anh & Moffat): per-term top-8 by quantized tf-saturation bound — the materialized MaxScore skip structure; WindowGroupLimit prunes stop-word postings map-side"),
 
+    // Per-doc posting churn over the fetch SEQUENCE (batch twin of the
+    // keyed-state streaming form, whose stream ≡ batch pin lives in
+    // TextAnalysisSpec): each re-fetch diffs against the same doc's
+    // previous fetch — `removed` postings surface the moment the
+    // changed page arrives, which the end-of-crawl diff cannot do.
+    // The plant re-fetches every 5th doc with its first word dropped
+    // and ' updated' appended, so both statuses carry real rows.
+    Q("text_index_churn",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = 1767225600L
+        val f1 = docs.select(col("doc_id"),
+          timestamp_seconds(lit(base)).as("ts"), col("text"))
+        val f2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"),
+            timestamp_seconds(lit(base) + 100).as("ts"),
+            concat(regexp_replace(col("text"), "^[^ ]+ ", ""),
+              lit(" updated")).as("text"))
+        TextAnalysis.postingsChurn(f1.unionByName(f2),
+            "doc_id", "text", "ts")
+          .orderBy(col("doc_id"), col("seq"), col("status"), col("term"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, 1 AS seq, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 2,
+             |         regexp_replace(text, '^[^ ]+ ', '') || ' updated'
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |t AS (SELECT DISTINCT doc_id, seq,
+             |        unnest(string_split(text, ' ')) AS term
+             |      FROM f),
+             |a AS (SELECT cur.doc_id, cur.seq, cur.term,
+             |             'added' AS status
+             |      FROM t cur LEFT JOIN t prev
+             |        ON prev.doc_id = cur.doc_id
+             |       AND prev.seq = cur.seq - 1 AND prev.term = cur.term
+             |      WHERE prev.term IS NULL),
+             |r AS (SELECT prev.doc_id, prev.seq + 1 AS seq, prev.term,
+             |             'removed' AS status
+             |      FROM t prev
+             |      JOIN (SELECT DISTINCT doc_id, seq FROM t) nxt
+             |        ON nxt.doc_id = prev.doc_id AND nxt.seq = prev.seq + 1
+             |      LEFT JOIN t cur
+             |        ON cur.doc_id = prev.doc_id
+             |       AND cur.seq = prev.seq + 1 AND cur.term = prev.term
+             |      WHERE cur.term IS NULL)
+             |SELECT doc_id, CAST(seq AS INTEGER) AS seq, term, status
+             |FROM (SELECT * FROM a UNION ALL SELECT * FROM r)
+             |ORDER BY doc_id, seq, status, term""".stripMargin),
+      doc = "per-doc posting churn over the fetch sequence: added/removed vs the SAME doc's previous fetch — removes visible per fetch; dense_rank per doc + two anti-joins on (doc, seq, term) keys"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

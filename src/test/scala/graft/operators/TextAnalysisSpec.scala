@@ -731,6 +731,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(unbroadcast == batch, s"unbroadcast=$unbroadcast batch=$batch")
   }
 
+  test("postingsChurnStateful: keyed-state stream == relational batch " +
+      "churn; removes surface per fetch; state carries across files") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-churn-stream-").toString
+    val base = 1767225600L
+    // doc 1: three fetches (file boundaries between them — state must
+    // carry): "a b" -> "b c" (adds c, removes a) -> "b c" (no-op);
+    // doc 2: one fetch
+    val f1 = Seq((1L, base, "a b"), (2L, base, "x y"))
+    val f2 = Seq((1L, base + 60, "b c"))
+    val f3 = Seq((1L, base + 120, "b c"))
+    def writeJson(rows: Seq[(Long, Long, String)], name: String): Unit =
+      rows.toDF("doc_id", "epoch", "text")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/$name")
+    writeJson(f1, "f1"); writeJson(f2, "f2"); writeJson(f3, "f3")
+    val staged = s"$dir/in"
+    new java.io.File(staged).mkdirs()
+    def stage(from: String): Unit =
+      new java.io.File(s"$dir/$from").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(staged, s"$from-${f.getName}"))
+        }
+    val stream = spark.readStream
+      .schema("doc_id LONG, epoch LONG, text STRING").json(staged)
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", "0 seconds")
+    val q = TextAnalysis.postingsChurnStateful(stream, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("churn_live")
+      .outputMode("append").start()
+    stage("f1"); q.processAllAvailable()
+    stage("f2"); q.processAllAvailable()
+    stage("f3"); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("churn_live")
+      .select($"doc_id", $"ts_us", $"term", $"status")
+      .as[(Long, Long, String, String)].collect().toSet
+    val want = Set(
+      (1L, base * 1000000, "a", "added"),
+      (1L, base * 1000000, "b", "added"),
+      (2L, base * 1000000, "x", "added"),
+      (2L, base * 1000000, "y", "added"),
+      (1L, (base + 60) * 1000000, "c", "added"),
+      (1L, (base + 60) * 1000000, "a", "removed"))
+    assert(got == want, s"stream=$got")
+    // the relational batch twin agrees (seq stands in for ts)
+    val allFetches = (f1 ++ f2 ++ f3).toDF("doc_id", "epoch", "text")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val batch = TextAnalysis.postingsChurn(allFetches, "doc_id", "text", "ts")
+      .select($"doc_id", $"seq", $"term", $"status")
+      .as[(Long, Int, String, String)].collect().toSet
+    val wantBatch = Set(
+      (1L, 1, "a", "added"), (1L, 1, "b", "added"),
+      (2L, 1, "x", "added"), (2L, 1, "y", "added"),
+      (1L, 2, "c", "added"), (1L, 2, "a", "removed"))
+    assert(batch == wantBatch, s"batch=$batch")
+  }
+
   test("postingsDiff: unchanged postings drop; gone/new docs surface " +
       "every term; a changed doc surfaces only its changed terms") {
     val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
