@@ -491,6 +491,56 @@ object CrawlPipeline {
         col("inter"), col("jaccard"))
   }
 
+  /** NEAR-mirror hosts — [[mirrorHosts]] for template-drifted mirrors:
+    * hosts whose pages are NEAR-duplicates of each other's (scraper
+    * clones that stamp their own header, mirrors a revision behind),
+    * which exact payload keys can never match. Page-level near-dup
+    * pairs come from the exact prefix-filtered Jaccard
+    * ([[Dedup.jaccardPairsPrefix]] — swap in the MinHash+LSH pair
+    * source at web scale, same contract); cross-host pairs roll up per
+    * (host, host) with the matched-page count on EACH side, and the
+    * host score is (matched_a + matched_b) / (size_a + size_b) — 1.0
+    * when every page on both hosts has a near-twin across, symmetric,
+    * and insensitive to which side is bigger. Output:
+    * (host_a, host_b, matched_a, matched_b, size_a, size_b, score)
+    * with score ≥ hostThreshold.
+    */
+  def nearMirrorHosts(pages: DataFrame, hostCol: String, idCol: String,
+      textCol: String, k: Int = 3, pageThreshold: Double = 0.8,
+      hostThreshold: Double = 0.5): DataFrame = {
+    val pg = pages.select(col(hostCol).as("__host"), col(idCol).as("__pid"),
+      col(textCol).as("__text"))
+    val pairs = Dedup.jaccardPairsPrefix(pg, "__pid", "__text",
+        k = k, threshold = pageThreshold)
+      .select(col("id_a"), col("id_b"))
+    val hosts = pg.select(col("__pid"), col("__host"))
+    val cross = pairs
+      .join(hosts.select(col("__pid").as("id_a"), col("__host").as("ha")),
+        Seq("id_a"))
+      .join(hosts.select(col("__pid").as("id_b"), col("__host").as("hb")),
+        Seq("id_b"))
+      .filter(col("ha") =!= col("hb"))
+      .select(least(col("ha"), col("hb")).as("host_a"),
+        greatest(col("ha"), col("hb")).as("host_b"),
+        when(col("ha") < col("hb"), col("id_a")).otherwise(col("id_b"))
+          .as("pa"),
+        when(col("ha") < col("hb"), col("id_b")).otherwise(col("id_a"))
+          .as("pb"))
+    val sizes = pg.groupBy(col("__host")).agg(count(lit(1)).as("sz"))
+    cross.groupBy(col("host_a"), col("host_b"))
+      .agg(countDistinct(col("pa")).as("matched_a"),
+        countDistinct(col("pb")).as("matched_b"))
+      .join(sizes.select(col("__host").as("host_a"), col("sz").as("size_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("__host").as("host_b"), col("sz").as("size_b")),
+        Seq("host_b"))
+      .withColumn("score", (col("matched_a") + col("matched_b")) /
+        (col("size_a") + col("size_b")))
+      .filter(col("score") >= hostThreshold)
+      .select(col("host_a"), col("host_b"), col("matched_a"),
+        col("matched_b"), col("size_a"), col("size_b"), col("score"))
+  }
+
   /** [[mirrorHosts]] at 10⁸-host scale: MinHash signatures per host +
     * LSH banding for the candidate stage, exact Jaccard verify of
     * candidates only (the [[Dedup.minhashLshPairs]] discipline on
