@@ -713,6 +713,34 @@ object TextAnalysis {
       .select(col("term"), col("rk"), col(idCol), col("tf"), col("impact"))
   }
 
+  /** Exact phrase matching over token positions — the query-side
+    * consumer [[positionalPostings]] exists to serve: a document
+    * matches where the phrase's terms occupy strictly consecutive
+    * positions. Relational document-at-a-time: one position relation
+    * per phrase term, each equi-joined on (doc, aligned start
+    * position) — join i moves ONLY term i's postings, never the
+    * corpus, which is the positional index's point (the rarest term
+    * bounds the work; a planner would reorder the folds by df).
+    * Matches count OVERLAPPING occurrences (standard positional-index
+    * semantics: "a a a" contains "a a" twice). Output:
+    * (doc_id, n_matches), matching docs only.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val tp = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "term")))
+    val first = tp.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(tp.filter(col("term") === w)
+            .select(col("doc_id"), (col("pos") - i).as("p0")),
+          Seq("doc_id", "p0"))
+    }
+    aligned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Per-doc posting churn over a FETCH SEQUENCE — the batch twin of
     * [[postingsChurnStateful]]: each fetch of a document diffs against
     * the SAME document's previous fetch (ordered by `tsCol`; fetches

@@ -1222,6 +1222,31 @@ object TextQueries {
              |ORDER BY term, rk""".stripMargin),
       doc = "impact-ordered postings (Anh & Moffat): per-term top-8 by quantized tf-saturation bound — the materialized MaxScore skip structure; WindowGroupLimit prunes stop-word postings map-side"),
 
+    // Phrase-query evaluation — the consumer the positional index
+    // serves: docs where the 3 phrase terms occupy consecutive
+    // positions, overlapping occurrences counted (positional-index
+    // semantics). Each join moves one term's postings only.
+    Q("text_phrase_match",
+      (s, dir) => TextAnalysis.phraseMatches(Tables.documents(s, dir),
+          "doc_id", "text", Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tp AS (SELECT doc_id, i - 1 AS pos, s[i] AS term
+             |            FROM (SELECT doc_id, s,
+             |                    unnest(range(1, len(s) + 1)) AS i
+             |                  FROM (SELECT doc_id,
+             |                          string_split(text, ' ') AS s
+             |                        FROM documents))),
+             |m AS (SELECT a.doc_id
+             |      FROM tp a
+             |      JOIN tp b ON b.doc_id = a.doc_id
+             |              AND b.pos = a.pos + 1 AND b.term = 'hash'
+             |      JOIN tp c ON c.doc_id = a.doc_id
+             |              AND c.pos = a.pos + 2 AND c.term = 'batch'
+             |      WHERE a.term = 'slow')
+             |SELECT doc_id, count(*) AS n_matches
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "exact phrase matching over token positions (the positional index's query side): per-term position relations aligned on start offset — each join moves one term's postings, overlapping matches counted"),
+
     // Per-doc posting churn over the fetch SEQUENCE (batch twin of the
     // keyed-state streaming form, whose stream ≡ batch pin lives in
     // TextAnalysisSpec): each re-fetch diffs against the same doc's

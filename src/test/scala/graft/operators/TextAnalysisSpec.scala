@@ -790,6 +790,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(batch == wantBatch, s"batch=$batch")
   }
 
+  test("phraseMatches: consecutive-position semantics — overlapping " +
+      "matches count, scattered terms don't, order matters") {
+    val docs = Seq(
+      (1L, "x a b y a b"),   // two clean matches of "a b"
+      (2L, "a a a"),         // "a a" overlaps: positions 0 and 1
+      (3L, "a x b"),         // scattered — no match
+      (4L, "b a")            // wrong order — no match
+    ).toDF("doc_id", "text")
+    val ab = TextAnalysis.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(ab == Map(1L -> 2L))
+    val aa = TextAnalysis.phraseMatches(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aa == Map(2L -> 2L))
+    val single = TextAnalysis.phraseMatches(docs, "doc_id", "text", Seq("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("postingsDiff: unchanged postings drop; gone/new docs surface " +
       "every term; a changed doc surfaces only its changed terms") {
     val oldDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
