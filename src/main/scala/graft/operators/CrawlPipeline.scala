@@ -491,6 +491,35 @@ object CrawlPipeline {
         col("inter"), col("jaccard"))
   }
 
+  /** READ-side revisit resolution — the consumer of
+    * [[revisitRecords]]' archives: headers-only `revisit` rows recover
+    * their payload from the canonical response they refer to, so a
+    * deduplicated archive reads back as if every fetch were stored in
+    * full. One equi-join of the revisit rows against the canonical
+    * (id, payload) relation — canonical payloads move once each;
+    * response rows never join (union of the two splits, the
+    * dead-letter discipline). Input needs (record_id, record_type,
+    * payload, refers_to — null on responses); every other column
+    * passes through. Output adds `resolved_from` (null on originals)
+    * and fills `payload` on revisits.
+    */
+  def resolveRevisits(records: DataFrame): DataFrame = {
+    val keep = records.columns
+      .filterNot(c => c == "payload" || c == "refers_to").map(col)
+    val canon = records.filter(col("record_type") === "response")
+      .select(col("record_id").as("__cid"), col("payload").as("__cpay"))
+    val rfType = records.schema("refers_to").dataType
+    val responses = records.filter(col("record_type") === "response")
+      .select(keep :+ col("payload") :+
+        lit(null).cast(rfType).as("__rf"): _*)
+    val revisits = records.filter(col("record_type") === "revisit")
+      .join(canon, col("refers_to") === col("__cid"))
+      .select(keep :+ col("__cpay").as("payload") :+
+        col("refers_to").as("__rf"): _*)
+    responses.unionByName(revisits)
+      .withColumnRenamed("__rf", "resolved_from")
+  }
+
   /** NEAR-mirror hosts — [[mirrorHosts]] for template-drifted mirrors:
     * hosts whose pages are NEAR-duplicates of each other's (scraper
     * clones that stamp their own header, mirrors a revision behind),

@@ -5120,6 +5120,51 @@ object TextQueries {
              |ORDER BY host_a, host_b""".stripMargin),
       doc = "near-mirror hosts (template-drifted clones): exact prefix-filtered page Jaccard -> cross-host pair rollup -> symmetric matched-fraction score; catches the mirrors exact payload keys never match"),
 
+    // The revisit loop CLOSED: plan (revisitRecords) -> the
+    // deduplicated archive (revisit rows hold NO payload) -> read-back
+    // resolution (resolveRevisits) -> every fetch's text recovered —
+    // the identity that makes storage dedup safe. The oracle rebuilds
+    // each row's text from the plant law and the canonical id from the
+    // per-class min, so the whole plan+resolve chain is what the hash
+    // compare checks.
+    Q("doc_warc_revisit_resolve",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val base = 1767225600L
+        val records = Tables.documents(s, dir).select(
+          col("doc_id").as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".rr/p/"), col("doc_id").cast("string")).as("target_uri"),
+          date_format(timestamp_seconds(lit(base) + col("doc_id")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          encode(concat(lit("content-"),
+            pmod(col("doc_id"), lit(97)).cast("string")), "UTF-8")
+            .as("payload"))
+        val plan = CrawlPipeline.revisitRecords(records)
+          .select(col("id").as("record_id"), col("kind"), col("refers_to"))
+        // the deduplicated archive: revisit rows carry no payload
+        val archive = records.drop("record_type").join(plan, Seq("record_id"))
+          .select(col("record_id"), col("kind").as("record_type"),
+            col("target_uri"),
+            when(col("kind") === "response", col("payload")).as("payload"),
+            col("refers_to"))
+        CrawlPipeline.resolveRevisits(archive)
+          .select(col("record_id").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"),
+            col("resolved_from"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id % 97 AS k, min(doc_id) AS cid
+             |           FROM documents GROUP BY doc_id % 97)
+             |SELECT doc_id,
+             |       'content-' || CAST(doc_id % 97 AS VARCHAR) AS text,
+             |       CASE WHEN doc_id = cid THEN NULL ELSE cid END
+             |         AS resolved_from
+             |FROM documents JOIN c ON doc_id % 97 = c.k
+             |ORDER BY doc_id""".stripMargin),
+      doc = "revisit loop closed: plan -> payload-free revisit archive -> read-back resolution through WARC-Refers-To — every fetch's text recovered, the identity that makes storage dedup safe"),
+
     // Revisit-AWARE WET conversion — what the revisit plan is FOR:
     // text extraction runs once per DISTINCT payload, not once per
     // fetch (500/5000 fetches -> 97 conversions here). The canonical
