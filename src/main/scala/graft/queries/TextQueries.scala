@@ -1298,6 +1298,66 @@ object TextQueries {
              |ORDER BY doc_id, seq, status, term""".stripMargin),
       doc = "per-doc posting churn over the fetch sequence: added/removed vs the SAME doc's previous fetch — removes visible per fetch; dense_rank per doc + two anti-joins on (doc, seq, term) keys"),
 
+    // Posting-list CODEC comparison: per-term varint bytes vs
+    // frame-of-reference blocks (128-gap blocks, one width byte + n
+    // gaps at the block's max bit width — the Lucene/PFoR family's
+    // unpatched baseline). The layout decision an index build makes,
+    // as a measured relation: FoR wins on uniform gap runs, loses to
+    // varint when one outlier gap widens a whole block — both
+    // accounted exactly, same bin() bitlen discipline, windows
+    // partitioned by term throughout.
+    Q("text_postings_codec",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        val blocks = TextAnalysis.postingsLayout(
+            Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("blk", ((row_number().over(w) - 1) / 128)
+            .cast("long"))
+          .withColumn("bits", length(bin(col("gap"))))
+        val forBytes = blocks.groupBy(col("term"), col("blk"))
+          .agg(count(lit(1)).as("n"), max(col("bits")).as("b"))
+          .withColumn("blk_bytes",
+            lit(1L) + floor((col("n") * col("b") + lit(7)) / lit(8))
+              .cast("long"))
+          .groupBy(col("term"))
+          .agg(sum(col("blk_bytes")).as("for_bytes"))
+        blocks.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+          .join(forBytes, Seq("term"))
+          .filter(col("df") >= 5)
+          .orderBy(col("term"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id,
+             |        doc_id - coalesce(lag(doc_id) OVER (
+             |          PARTITION BY term ORDER BY doc_id), 0) AS gap,
+             |        row_number() OVER (
+             |          PARTITION BY term ORDER BY doc_id) AS rn
+             |      FROM tf),
+             |b AS (SELECT term, gap, (rn - 1) // 128 AS blk,
+             |        length(bin(gap)) AS bits,
+             |        (length(bin(gap)) + 6) // 7 AS vb
+             |      FROM g),
+             |fb AS (SELECT term,
+             |         CAST(sum(1 + (n * mb + 7) // 8) AS BIGINT)
+             |           AS for_bytes
+             |       FROM (SELECT term, blk, count(*) AS n,
+             |               max(bits) AS mb
+             |             FROM b GROUP BY 1, 2)
+             |       GROUP BY term)
+             |SELECT b.term, count(*) AS df,
+             |       CAST(sum(vb) AS BIGINT) AS varint_bytes, fb.for_bytes
+             |FROM b JOIN fb ON b.term = fb.term
+             |GROUP BY b.term, fb.for_bytes
+             |HAVING count(*) >= 5
+             |ORDER BY b.term""".stripMargin),
+      doc = "posting-list codec comparison: varint vs 128-gap frame-of-reference blocks (width byte + max-bit-width gaps) — the index build's layout decision as an exactly-accounted relation"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash
