@@ -657,6 +657,27 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(uncapped.contains(("m1.ex", "p1.ex")))
   }
 
+  test("nearMirrorHosts: drifted twin detected at score 1.0; LSH pair " +
+      "source == exact prefix source on the fixture") {
+    val body = "the quick brown fox jumped over the lazy dog near the " +
+      "river bank while seven other foxes watched from the tall grass"
+    val pages = ((0 until 12).map(i =>
+        ("d1.ex", i.toLong, s"$body page $i")) ++
+      (0 until 12).map(i =>
+        ("d2.ex", 100L + i, s"$body page $i stamped")) ++ // drifted twin
+      (0 until 12).map(i =>
+        ("u.ex", 200L + i, s"unrelated content $i entirely different " +
+          s"words here nothing shared with anyone at all $i")))
+      .toDF("host", "page_id", "text")
+    def run(lsh: Boolean) = CrawlPipeline.nearMirrorHosts(pages,
+        "host", "page_id", "text", hostThreshold = 0.5, lshPairs = lsh)
+      .select($"host_a", $"host_b", $"matched_a", $"matched_b", $"score")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val exact = run(lsh = false)
+    assert(exact == Set(("d1.ex", "d2.ex", 12L, 12L, 1.0)), s"exact=$exact")
+    assert(run(lsh = true) == exact)
+  }
+
   test("mirrorHostsLsh == mirrorHosts on the fixture (no cap); the " +
       "pre-signature cap drops boilerplate from sizes too") {
     val exact = CrawlPipeline.mirrorHosts(mirrorFixture, "host", "k",
