@@ -116,19 +116,34 @@ object CrawlPipeline {
     val allowed =
       if (!s.respectRobots) pages
       else {
-        // envelope mode: only a 200 robots.txt carries rules (a 4xx
-        // means unrestricted per RFC 9309 §2.3.1.3, which is exactly
-        // what an absent rule row already yields here)
         val robotsRecs = records.filter(col("record_type") === "response")
           .filter(isRobotsUrl(col("target_uri")))
-        val robotsGated =
-          if (!s.httpEnvelope) robotsRecs
-          else robotsRecs.filter(
-            Http.statusCode(col("payload")).between(200, 299))
-        val robots = robotsGated
-          .select(hostOf(col("target_uri")).as("host"),
-            (if (s.httpEnvelope) decode(Http.body(col("payload")), "UTF-8")
-             else decode(col("payload"), "UTF-8")).as("robots_text"))
+        val robots =
+          if (!s.httpEnvelope)
+            robotsRecs.select(hostOf(col("target_uri")).as("host"),
+              decode(col("payload"), "UTF-8").as("robots_text"))
+          else {
+            // envelope mode splits by status per RFC 9309: 2xx carries
+            // rules; 4xx means unrestricted (§2.3.1.3 — the record just
+            // drops, and an absent rule row already yields that here);
+            // 5xx means the host's rules are UNREACHABLE and the
+            // crawler MUST assume complete disallow (§2.3.1.4) — so a
+            // host whose ONLY robots answers are 5xx gets a synthetic
+            // disallow-all rule row. A host with any 2xx copy in the
+            // same archive uses it (the cached-copy allowance). The
+            // error relation is host-distinct — tiny next to pages.
+            val status = Http.statusCode(col("payload"))
+            val ok = robotsRecs.filter(status.between(200, 299))
+              .select(hostOf(col("target_uri")).as("host"),
+                decode(Http.body(col("payload")), "UTF-8").as("robots_text"))
+            val erred = robotsRecs.filter(status >= 500)
+              .select(hostOf(col("target_uri")).as("host")).distinct()
+              .join(ok.select(col("host")).distinct(), Seq("host"),
+                "left_anti")
+              .select(col("host"),
+                lit("User-agent: *\nDisallow: /").as("robots_text"))
+            ok.unionByName(erred)
+          }
         Robots.filterAllowed(pages, "target_uri",
           Robots.parseRules(robots, "host", "robots_text", s.agent))
       }
@@ -407,8 +422,17 @@ object CrawlPipeline {
     * recrawl-heavy archive linear in DISTINCT content, not fetches.
     * The canonical copy per digest is the earliest (fetch time, id) —
     * one partial-aggregable min(struct) per digest, the
-    * [[crawlHashes]] discipline: payload bytes never shuffle, an
-    * 8-byte digest + keys do. Output: every response row as
+    * [[crawlHashes]] discipline: payload bytes never shuffle, a
+    * 20-byte digest + keys do. The digest is SHA-1, NOT xxhash64:
+    * this operator's verdict is "store headers only, the payload is
+    * over there", so a digest collision between DISTINCT payloads
+    * silently archives the wrong bytes — at multi-billion-record
+    * archive scale 64-bit birthday collisions are expected
+    * (~50% at 5·10⁹ records), which is exactly why the WARC
+    * identical-payload-digest profile (and Common Crawl's CDX) pins a
+    * cryptographic digest. [[crawlDiff]] keeps xxhash64 because its
+    * failure mode is one "changed" misreported as "same" — a missed
+    * recrawl, not a corrupted archive. Output: every response row as
     * (id, url, t, digest, kind ∈ response|revisit, refers_to —
     * null on the canonical).
     */
@@ -418,7 +442,7 @@ object CrawlPipeline {
     val resp = records.filter(col("record_type") === "response")
       .select(col(idCol).as("id"), col(urlCol).as("url"),
         unix_timestamp(to_timestamp(col(dateCol))).as("t"),
-        xxhash64(col(payloadCol)).as("digest"))
+        sha1(col(payloadCol)).as("digest"))
     val canon = resp.groupBy(col("digest"))
       .agg(min(struct(col("t"), col("id"))).as("__c"))
       .select(col("digest"), col("__c.id").as("__cid"))
@@ -524,9 +548,13 @@ object CrawlPipeline {
     * hosts whose pages are NEAR-duplicates of each other's (scraper
     * clones that stamp their own header, mirrors a revision behind),
     * which exact payload keys can never match. Page-level near-dup
-    * pairs come from the exact prefix-filtered Jaccard
-    * ([[Dedup.jaccardPairsPrefix]] — swap in the MinHash+LSH pair
-    * source at web scale, same contract); cross-host pairs roll up per
+    * pairs come from the banded MinHash+LSH candidate stage with exact
+    * verify ([[Dedup.minhashLshPairs]] — the web-scale DEFAULT since
+    * round 15, measured 4× over the exact pairwise verify at the sf10
+    * probe and widening with corpus size); `lshPairs = false` swaps in
+    * the exact prefix-filtered Jaccard
+    * ([[Dedup.jaccardPairsPrefix]], same contract — the oracle
+    * anchor); cross-host pairs roll up per
     * (host, host) with the matched-page count on EACH side, and the
     * host score is (matched_a + matched_b) / (size_a + size_b) — 1.0
     * when every page on both hosts has a near-twin across, symmetric,
@@ -536,15 +564,17 @@ object CrawlPipeline {
     */
   def nearMirrorHosts(pages: DataFrame, hostCol: String, idCol: String,
       textCol: String, k: Int = 3, pageThreshold: Double = 0.8,
-      hostThreshold: Double = 0.5, lshPairs: Boolean = false): DataFrame = {
+      hostThreshold: Double = 0.5, lshPairs: Boolean = true): DataFrame = {
     val pg = pages.select(col(hostCol).as("__host"), col(idCol).as("__pid"),
       col(textCol).as("__text"))
     // exact prefix filtering pays the full pairwise verify on a
     // mirror-heavy corpus (every page has a twin — measured at the sf10
-    // probe corpus: 42 s exact vs 11 s via banding); `lshPairs` swaps in the
-    // MinHash+LSH candidate stage with exact verify — same pair set
-    // up to the banding bound (miss ≤ (1−s^r)^b ≈ 4e-8 at s ≥ 0.8),
-    // the web-scale default
+    // probe corpus: 42 s exact vs 11 s via banding, the gap widening
+    // with corpus size), so since round 15 the MinHash+LSH candidate
+    // stage with exact verify IS the default — same pair set up to the
+    // banding bound (miss ≤ (1−s^r)^b ≈ 4e-8 at s ≥ 0.8), equality
+    // spec-pinned on the drifted-twin corpus. `lshPairs = false` keeps
+    // the exact prefix-filtered form as the oracle anchor.
     val pairs = (if (lshPairs)
         Dedup.minhashLshPairs(pg, "__pid", "__text",
           k = k, threshold = pageThreshold)
@@ -648,15 +678,44 @@ object CrawlPipeline {
 
   /** Sitemap (sitemaps.org XML) entries as a relation: one row per
     * `<url>` element with its `<loc>` and optional `<lastmod>`. Pure
-    * built-in string ops — split on the `</url>` close tag, then one
-    * anchored extract per field within the chunk — so the parse fuses
-    * into the sitemap scan (sitemaps are O(hosts·50k) entries, tiny
-    * next to the crawl; the 50k-URL/50 MB caps are the spec's own).
+    * built-in string ops — split on the `</url>` close tag, require
+    * the `<url>` OPEN tag in the chunk and anchor each field extract
+    * after its last occurrence — so the parse fuses into the sitemap
+    * scan (sitemaps are O(hosts·50k) entries, tiny next to the crawl;
+    * the 50k-URL/50 MB caps are the spec's own). The open-tag anchor
+    * is what keeps a sitemap INDEX file honest: an index
+    * (`<sitemapindex><sitemap><loc>…`) has no `<url>` elements at
+    * all, so it contributes ZERO rows here instead of leaking its
+    * first child-sitemap URL as a bogus page entry — route index
+    * files through [[sitemapIndexEntries]] to get the child sitemaps.
     * Entities in `<loc>` decode per the spec's escaping table (the
     * four XML metacharacters + apostrophe). Keeps every caller column
     * (host, fetch time, …) alongside (url, lastmod).
     */
-  def sitemapEntries(sitemaps: DataFrame, xmlCol: String): DataFrame = {
+  def sitemapEntries(sitemaps: DataFrame, xmlCol: String): DataFrame =
+    elementEntries(sitemaps, xmlCol, tag = "url", outCol = "url")
+
+  /** Sitemap INDEX (sitemaps.org `<sitemapindex>`) entries: one row
+    * per `<sitemap>` element — the child sitemap's `<loc>` (as
+    * `sitemap_url`) and optional `<lastmod>`. The fetch loop is:
+    * index files through here, fetch the children, children through
+    * [[sitemapEntries]]. Same scan-fused string-op parse; a plain
+    * urlset file contributes zero rows here (no `<sitemap>`
+    * elements), so the two parsers partition any mixed input cleanly.
+    */
+  def sitemapIndexEntries(sitemaps: DataFrame, xmlCol: String): DataFrame =
+    elementEntries(sitemaps, xmlCol, tag = "sitemap", outCol = "sitemap_url")
+
+  /** Shared `<tag><loc>…</loc><lastmod>…</lastmod></tag>` element
+    * parse for [[sitemapEntries]] / [[sitemapIndexEntries]]. Splits on
+    * the close tag, keeps only chunks holding the exact OPEN tag
+    * (`<url>` never matches `<urlset>`, `<sitemap>` never matches
+    * `<sitemapindex>` — the `>` is the discriminator), and extracts
+    * within the text AFTER the last open tag so preamble/declaration
+    * text can never donate a field.
+    */
+  private def elementEntries(sitemaps: DataFrame, xmlCol: String,
+      tag: String, outCol: String): DataFrame = {
     val keep = sitemaps.columns.filter(_ != xmlCol).map(col)
     val locRaw = regexp_extract(col("__chunk"),
       "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
@@ -664,16 +723,19 @@ object CrawlPipeline {
         "&apos;" -> "'", "&amp;" -> "&") // &amp; LAST: "&amp;lt;" → "&lt;"
       .foldLeft(locRaw) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
     sitemaps
-      .select(keep :+ explode(split(col(xmlCol), "</url>")).as("__chunk"): _*)
-      .withColumn("url",
+      .select(keep :+
+        explode(split(col(xmlCol), s"</$tag>")).as("__raw"): _*)
+      .filter(instr(col("__raw"), s"<$tag>") > 0)
+      .withColumn("__chunk", substring_index(col("__raw"), s"<$tag>", -1))
+      .withColumn(outCol,
         when(loc === "", lit(null).cast("string")).otherwise(loc))
       .withColumn("lastmod", to_timestamp(
         when(regexp_extract(col("__chunk"),
           "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1) === "", lit(null))
           .otherwise(regexp_extract(col("__chunk"),
             "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1))))
-      .filter(col("url").isNotNull)
-      .drop("__chunk")
+      .filter(col(outCol).isNotNull)
+      .drop("__raw", "__chunk")
   }
 
   /** The RE-CRAWL SCHEDULE — sitemap declarations diffed against what

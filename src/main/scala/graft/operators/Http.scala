@@ -130,18 +130,37 @@ object Http {
   }
 
   /** The redirect graph: (url, next) for every 3xx response carrying a
-    * Location header. O(redirects) rows — a small fraction of the
-    * crawl — and the body bytes never leave the scan.
+    * Location header, collapsed to DISTINCT edges — a recrawl archive
+    * fetches the same URL many times, and duplicate edge rows roughly
+    * SQUARE per pointer-doubling round in [[resolveRedirects]], so
+    * multiplicity must die here, at O(redirects) rows, not after a
+    * self-join blew it up. With `dateCol` set the collapse is
+    * latest-fetch-wins per URL (one partial-aggregable max(struct) —
+    * a URL whose Location changed across crawls keeps only its
+    * CURRENT target, making the hop map a function); without a date
+    * column it is a plain distinct, so a URL with two historical
+    * Locations keeps both edges. O(redirects) rows — a small fraction
+    * of the crawl — and the body bytes never leave the scan.
     */
   def redirectEdges(records: DataFrame, urlCol: String = "target_uri",
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      dateCol: Option[String] = None): DataFrame = {
     val p = col(payloadCol)
-    records.filter(col("record_type") === "response")
+    val base = records.filter(col("record_type") === "response")
       .withColumn("__st", statusCode(p))
       .filter(col("__st") >= 300 && col("__st") <= 399)
       .withColumn("next", header(p, "Location"))
       .filter(col("next").isNotNull)
-      .select(col(urlCol).as("url"), col("next"))
+    dateCol match {
+      case Some(d) => base
+        .select(col(urlCol).as("url"),
+          unix_timestamp(to_timestamp(col(d))).as("__t"), col("next"))
+        .groupBy(col("url"))
+        .agg(max(struct(col("__t"), col("next"))).as("__m"))
+        .select(col("url"), col("__m.next").as("next"))
+      case None =>
+        base.select(col(urlCol).as("url"), col("next")).distinct()
+    }
   }
 
   /** Resolve every redirect source to its final destination by POINTER
@@ -160,7 +179,14 @@ object Http {
     */
   def resolveRedirects(edges: DataFrame, maxDoublings: Int = 4): DataFrame = {
     require(maxDoublings >= 0, "maxDoublings must be >= 0")
-    var f = edges.select(col("url"), col("next"), lit(1L).as("hops"))
+    // defensive dedup: duplicate (url, next) rows — normal when the
+    // caller hands raw per-fetch edges — roughly SQUARE in each
+    // doubling self-join below (N copies of a hop join N copies of the
+    // next hop), a row-count blowup plus duplicate output rows. One
+    // distinct of the O(redirects) relation up front keeps every round
+    // honest regardless of the edge source.
+    var f = edges.select(col("url"), col("next")).distinct()
+      .select(col("url"), col("next"), lit(1L).as("hops"))
     for (_ <- 1 to maxDoublings) {
       val g = f.select(col("url").as("g_url"), col("next").as("g_next"),
         col("hops").as("g_hops"))

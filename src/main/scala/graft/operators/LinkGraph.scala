@@ -558,8 +558,14 @@ object LinkGraph {
   def frontierNewUrls(discovered: DataFrame, crawled: DataFrame,
       urlCol: String = "url", useBloom: Boolean = false,
       expectedCrawled: Long = 1000000L, fpp: Double = 0.02): DataFrame = {
-    val disc = discovered.select(col(urlCol).as("url")).distinct()
-    val seen = crawled.select(col(urlCol).as("url")).distinct()
+    // null urls drop on BOTH paths: the exact left_anti would keep a
+    // null row (null never equi-joins), while the bloom UDF would NPE
+    // on it — filtering up front makes the two modes agree on every
+    // input, and a null URL is not a crawlable frontier entry anyway
+    val disc = discovered.select(col(urlCol).as("url"))
+      .filter(col("url").isNotNull).distinct()
+    val seen = crawled.select(col(urlCol).as("url"))
+      .filter(col("url").isNotNull).distinct()
     if (!useBloom) disc.join(seen, Seq("url"), "left_anti")
     else {
       val bf = seen.stat.bloomFilter("url", expectedCrawled, fpp)

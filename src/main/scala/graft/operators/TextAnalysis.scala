@@ -866,29 +866,37 @@ object TextAnalysis {
     * inherently an end-of-crawl verdict and stays with the batch
     * [[postingsDiff]].
     *
-    * Scale honesty: with `broadcastOld = true` (default — the live
-    * low-latency shape) the static side broadcasts (term, doc) KEYS of
-    * the previous snapshot, fine for a bounded vocabulary ×
-    * re-fetched slice. A full-web posting set does NOT broadcast —
-    * MEASURED, not hypothetical: at the sf100 scale corpus (~100M
-    * postings) the forced broadcast dies on
-    * spark.driver.maxResultSize (BASELINE r14 row). There
-    * `broadcastOld = false` leaves the anti-join to the planner (the
-    * static side shuffles per micro-batch — higher latency, no driver
-    * bound; same rows, spec-pinned), or the honest streaming form keys
-    * a state store ([[graft.streaming.EventStream]]'s near-dup
-    * pattern) / falls back to the batch [[postingsDiff]] per crawl.
-    * Identical expression runs on a batch frame (stream ≡ batch
-    * spec-pinned).
+    * Scale honesty: broadcasting the static side gives the
+    * low-latency live shape — (term, doc) KEYS of the previous
+    * snapshot ship once to every executor — but a full-web posting
+    * set does NOT broadcast. MEASURED, not hypothetical: at the sf100
+    * scale corpus (~100M postings) the forced broadcast dies on
+    * spark.driver.maxResultSize (BASELINE r14 row). So since round 15
+    * the default is the sign-LSH auto-switch discipline
+    * ([[Dedup.embeddingNearDupPairsSignLsh]]): one narrow `count()`
+    * of the snapshot picks broadcast iff it holds ≤ `maxBroadcastRows`
+    * keys (4M rows ≈ 160 MB of (long, term) keys — an order under the
+    * default 1g maxResultSize). Past the bound the anti-join goes to
+    * the planner (the static side shuffles per micro-batch — higher
+    * latency, no driver bound; same rows, spec-pinned). Pin
+    * `broadcastOld = Some(true/false)` only to reproduce a specific
+    * plan. The honest full-web streaming form keys a state store
+    * ([[postingsChurnStateful]]) or falls back to the batch
+    * [[postingsDiff]] per crawl. Identical expression runs on a batch
+    * frame (stream ≡ batch spec-pinned).
     */
   def postingsDiffStream(newDocs: DataFrame, oldPostings: DataFrame,
       idCol: String, textCol: String,
-      broadcastOld: Boolean = true): DataFrame = {
+      broadcastOld: Option[Boolean] = None,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
     val old = oldPostings.select(col("doc_id"), col("term"))
+    // the auto count() is one narrow scan of the STATIC side, paid once
+    // at plan time — never per micro-batch
+    val doBroadcast = broadcastOld.getOrElse(old.count() <= maxBroadcastRows)
     newDocs.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.words(col(textCol))))
           .as("term"))
-      .join(if (broadcastOld) broadcast(old) else old,
+      .join(if (doBroadcast) broadcast(old) else old,
         Seq("doc_id", "term"), "left_anti")
       .select(col("term"), col("doc_id"), lit("added").as("status"))
   }

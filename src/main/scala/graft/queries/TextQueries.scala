@@ -5065,7 +5065,8 @@ object TextQueries {
     // `revisit` records pointing at the first archived copy). The
     // plant gives 500/5000 fetches only 97 distinct payloads, so the
     // archive keeps 97 full responses + the rest as revisits. The
-    // digest column stays engine-side (xxhash64; the oracle groups on
+    // digest column stays engine-side (SHA-1 per the WARC profile —
+    // collision-safe at archive scale; the oracle groups on
     // the payload text itself — same groups, no hash to mirror);
     // payload bytes never shuffle, one partial-aggregable min(struct)
     // per digest picks the canonical.
@@ -5107,8 +5108,12 @@ object TextQueries {
     // NEAR-mirror hosts: the template-drifted mirrors exact payload
     // keys can never match — n2 serves every n1 page with a stamp
     // appended (the scraper-clone shape), so page pairs match at
-    // Jaccard >= 0.8 while the payload hashes all differ. Page pairs
-    // from the EXACT prefix-filtered Jaccard; host score =
+    // Jaccard >= 0.8 while the payload hashes all differ. Since round
+    // 15 this runs the DEFAULT (banded MinHash+LSH candidate stage,
+    // exact verify — the web-scale shape, 42 s exact vs 11 s banded at
+    // the sf10 probe) against the exact-Jaccard oracle; the exact
+    // prefix-filtered form keeps its own catalog anchor below
+    // (doc_mirror_hosts_near_exact, same oracle). Host score =
     // (matched_a + matched_b) / (size_a + size_b). The solo tail
     // hosts share the corpus' own planted near-dup clusters, so some
     // cross-solo page pairs exist — their host scores stay under the
@@ -5178,7 +5183,80 @@ object TextQueries {
              |JOIN sz sb ON host_b = sb.host
              |WHERE (ma + mb) / (sa.sz + sb.sz) >= 0.3
              |ORDER BY host_a, host_b""".stripMargin),
-      doc = "near-mirror hosts (template-drifted clones): exact prefix-filtered page Jaccard -> cross-host pair rollup -> symmetric matched-fraction score; catches the mirrors exact payload keys never match"),
+      doc = "near-mirror hosts (template-drifted clones): banded MinHash+LSH page-pair candidates with exact Jaccard verify (the web-scale default) -> cross-host pair rollup -> symmetric matched-fraction score; catches the mirrors exact payload keys never match"),
+
+    // The exact-pair-source anchor for the query above: identical
+    // corpus, identical oracle, `lshPairs = false` — the prefix-
+    // filtered exact Jaccard pair stage. Both paths hash-green against
+    // ONE oracle is the banding-equality claim made observable in the
+    // correctness gate, not just in a spec.
+    Q("doc_mirror_hosts_near_exact",
+      (s, dir) => {
+        import graft.operators.CrawlPipeline
+        val docs = Tables.documents(s, dir)
+        val m = pmod(col("doc_id"), lit(10))
+        val n1 = docs.filter(m < 3).select(lit("n1.example").as("host"),
+          (col("doc_id") * 10).as("page_id"), col("text"))
+        val n2 = docs.filter(m < 3).select(lit("n2.example").as("host"),
+          (col("doc_id") * 10 + 1).as("page_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+        val solo = docs.filter(m >= 3).select(
+          concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".example")).as("host"),
+          (col("doc_id") * 10).as("page_id"), col("text"))
+        CrawlPipeline.nearMirrorHosts(
+            n1.unionByName(n2).unionByName(solo),
+            "host", "page_id", "text", hostThreshold = 0.3,
+            lshPairs = false)
+          .orderBy(col("host_a"), col("host_b"))
+      },
+      Some("""WITH pg AS (
+             |  SELECT 'n1.example' AS host, doc_id * 10 AS pid, text
+             |  FROM documents WHERE doc_id % 10 < 3
+             |  UNION ALL
+             |  SELECT 'n2.example', doc_id * 10 + 1, text || ' v2'
+             |  FROM documents WHERE doc_id % 10 < 3
+             |  UNION ALL
+             |  SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.example',
+             |         doc_id * 10, text
+             |  FROM documents WHERE doc_id % 10 >= 3),
+             |d AS (SELECT pid, string_split(text, ' ') l FROM pg),
+             |sh AS (SELECT DISTINCT pid,
+             |         unnest(list_transform(range(1, len(l) - 1),
+             |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))
+             |           AS sh
+             |       FROM d),
+             |cnt AS (SELECT pid, count(*) c FROM sh GROUP BY pid),
+             |inter AS (SELECT a.pid id_a, b.pid id_b, count(*) i
+             |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.pid < b.pid
+             |          GROUP BY 1, 2),
+             |jp AS (SELECT id_a, id_b FROM inter
+             |       JOIN cnt ca ON id_a = ca.pid
+             |       JOIN cnt cb ON id_b = cb.pid
+             |       WHERE i / (ca.c + cb.c - i) >= 0.8),
+             |cr AS (SELECT least(pa.host, pb.host) AS host_a,
+             |              greatest(pa.host, pb.host) AS host_b,
+             |              CASE WHEN pa.host < pb.host THEN jp.id_a
+             |                   ELSE jp.id_b END AS pma,
+             |              CASE WHEN pa.host < pb.host THEN jp.id_b
+             |                   ELSE jp.id_a END AS pmb
+             |       FROM jp
+             |       JOIN pg pa ON jp.id_a = pa.pid
+             |       JOIN pg pb ON jp.id_b = pb.pid
+             |       WHERE pa.host <> pb.host),
+             |sz AS (SELECT host, count(*) sz FROM pg GROUP BY host),
+             |agg AS (SELECT host_a, host_b,
+             |          count(DISTINCT pma) ma, count(DISTINCT pmb) mb
+             |        FROM cr GROUP BY 1, 2)
+             |SELECT host_a, host_b, ma AS matched_a, mb AS matched_b,
+             |       sa.sz AS size_a, sb.sz AS size_b,
+             |       (ma + mb) / (sa.sz + sb.sz) AS score
+             |FROM agg
+             |JOIN sz sa ON host_a = sa.host
+             |JOIN sz sb ON host_b = sb.host
+             |WHERE (ma + mb) / (sa.sz + sb.sz) >= 0.3
+             |ORDER BY host_a, host_b""".stripMargin),
+      doc = "near-mirror hosts, exact pair-source anchor: prefix-filtered exact Jaccard page pairs against the SAME oracle as the banded default — the banding-equality claim in the correctness gate"),
 
     // The revisit loop CLOSED: plan (revisitRecords) -> the
     // deduplicated archive (revisit rows hold NO payload) -> read-back

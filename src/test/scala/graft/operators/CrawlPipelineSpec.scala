@@ -119,7 +119,20 @@ class CrawlPipelineSpec extends SparkSpec {
       ("<urn:e:5>", "response", "http://e.ex/private/5",
         env("200 OK", "text/html", html(5).getBytes("UTF-8"))),
       ("<urn:e:6>", "response", "http://e.ex/img/6",
-        env("200 OK", "image/png", Array[Byte](1, 2, 3))))
+        env("200 OK", "image/png", Array[Byte](1, 2, 3))),
+      // RFC 9309 §2.3.1.4: robots.txt answering 5xx => assume complete
+      // disallow — f.ex's page must DROP despite its own 200
+      ("<urn:e:fr>", "response", "http://f.ex/robots.txt",
+        env("503 Service Unavailable", "text/plain",
+          Array.emptyByteArray)),
+      ("<urn:e:f1>", "response", "http://f.ex/ok/1",
+        env("200 OK", "text/html", html(7).getBytes("UTF-8"))),
+      // §2.3.1.3: robots.txt answering 4xx => unrestricted — g.ex's
+      // page passes
+      ("<urn:e:gr>", "response", "http://g.ex/robots.txt",
+        env("404 Not Found", "text/plain", Array.emptyByteArray)),
+      ("<urn:e:g1>", "response", "http://g.ex/ok/1",
+        env("200 OK", "text/html", html(8).getBytes("UTF-8"))))
       .toDF("record_id", "record_type", "target_uri", "payload")
       .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
       .withColumn("content_type", lit("application/http; msgtype=response"))
@@ -130,8 +143,11 @@ class CrawlPipelineSpec extends SparkSpec {
         CrawlPipeline.CrawlSettings(httpEnvelope = true))
       .select($"url", $"title", $"text")
       .as[(String, String, String)].collect().sortBy(_._1).toSeq
-    // 404, 301, robots-disallowed /private, and image/png all drop
-    assert(docs.map(_._1) == Seq("http://e.ex/latin/2", "http://e.ex/ok/1"))
+    // 404, 301, robots-disallowed /private, image/png, and the
+    // 5xx-robots host (f.ex — complete disallow per §2.3.1.4) all
+    // drop; the 4xx-robots host (g.ex — unrestricted) passes
+    assert(docs.map(_._1) == Seq("http://e.ex/latin/2", "http://e.ex/ok/1",
+      "http://g.ex/ok/1"))
     assert(docs.head._2 == "café" &&
       docs.head._3 == content + " café")
     assert(docs(1)._2 == "E1")

@@ -122,6 +122,39 @@ class HttpSpec extends SparkSpec {
     assert(capped === (("a", "c", 2L, false)))
   }
 
+  test("redirectEdges: recrawl duplicates collapse; latest-fetch-wins " +
+      "with a date column; resolveRedirects survives raw per-fetch edges") {
+    // the same URL fetched 3 times (recrawl archive) — twice with the
+    // old Location, once (latest) with a new one
+    val recs = Seq(
+      ("response", "http://r.ex/1", "2026-01-01T00:00:00Z",
+        resp("", status = "301 Moved",
+          headers = Seq("Location: http://r.ex/old"))),
+      ("response", "http://r.ex/1", "2026-01-02T00:00:00Z",
+        resp("", status = "301 Moved",
+          headers = Seq("Location: http://r.ex/old"))),
+      ("response", "http://r.ex/1", "2026-01-03T00:00:00Z",
+        resp("", status = "301 Moved",
+          headers = Seq("Location: http://r.ex/new"))))
+      .toDF("record_type", "target_uri", "warc_date", "payload")
+    // no date column: distinct edges — both historical targets, once each
+    val bare = Http.redirectEdges(recs).as[(String, String)]
+      .collect().sorted.toSeq
+    assert(bare === Seq(("http://r.ex/1", "http://r.ex/new"),
+      ("http://r.ex/1", "http://r.ex/old")))
+    // latest-fetch-wins: the hop map is a function
+    val latest = Http.redirectEdges(recs, dateCol = Some("warc_date"))
+      .as[(String, String)].collect().toSeq
+    assert(latest === Seq(("http://r.ex/1", "http://r.ex/new")))
+    // raw per-fetch edges with N-fold multiplicity resolve to the SAME
+    // rows as the distinct relation — no duplicate blowup
+    val dup = Seq(("a", "b"), ("a", "b"), ("a", "b"),
+      ("b", "c"), ("b", "c")).toDF("url", "next")
+    val out = Http.resolveRedirects(dup, maxDoublings = 3)
+      .as[(String, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("a", "c", 2L, true), ("b", "c", 1L, true)))
+  }
+
   test("sitemapEntries: loc + optional lastmod, entity decode, caller columns kept") {
     val xml = """<?xml version="1.0"?><urlset>
       |<url><loc> http://s.ex/a?x=1&amp;y=2 </loc>
@@ -137,6 +170,30 @@ class HttpSpec extends SparkSpec {
     assert(out === Seq(
       ("h1", "http://s.ex/a?x=1&y=2", Some("2026-03-01 00:00:00")),
       ("h1", "http://s.ex/b", None)))
+  }
+
+  test("sitemap INDEX files: zero page rows from sitemapEntries, child " +
+      "sitemaps from sitemapIndexEntries; a urlset yields zero index rows") {
+    val index = """<?xml version="1.0"?><sitemapindex>
+      |<sitemap><loc>http://s.ex/sitemap1.xml</loc>
+      |<lastmod>2026-03-01T00:00:00Z</lastmod></sitemap>
+      |<sitemap><loc>http://s.ex/sitemap2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val urlset = """<?xml version="1.0"?><urlset>
+      |<url><loc>http://s.ex/page</loc></url></urlset>""".stripMargin
+    val df = Seq(("h1", index), ("h2", urlset)).toDF("host", "xml")
+    // an index file used to leak its first child-sitemap URL as a bogus
+    // page entry (one </url>-less chunk); now it contributes nothing
+    val pages = CrawlPipeline.sitemapEntries(df, "xml")
+      .select($"host", $"url").as[(String, String)].collect().toSeq
+    assert(pages === Seq(("h2", "http://s.ex/page")))
+    val children = CrawlPipeline.sitemapIndexEntries(df, "xml")
+      .select($"host", $"sitemap_url", date_format($"lastmod",
+        "yyyy-MM-dd HH:mm:ss").as("lm"))
+      .as[(String, String, Option[String])].collect().sortBy(_._2).toSeq
+    assert(children === Seq(
+      ("h1", "http://s.ex/sitemap1.xml", Some("2026-03-01 00:00:00")),
+      ("h1", "http://s.ex/sitemap2.xml", None)))
   }
 
   test("recrawlSchedule: new / stale / fresh / unlisted hand-computed") {

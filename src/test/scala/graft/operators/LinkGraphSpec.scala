@@ -337,5 +337,15 @@ class LinkGraphSpec extends SparkSpec {
     assert(exact.size == 500 - 166) // every non-multiple-of-3 is new
     assert(!exact.contains("http://f.ex/p/3") &&
       exact.contains("http://f.ex/p/4"))
+    // null urls: both modes DROP them (the bloom UDF used to NPE while
+    // the exact anti-join kept the row — the two paths must agree)
+    val withNull = discovered
+      .unionByName(Seq(Option.empty[String]).toDF("url"))
+    val exactN = LinkGraph.frontierNewUrls(withNull, crawled)
+      .as[String].collect().sorted.toSeq
+    val bloomN = LinkGraph.frontierNewUrls(withNull, crawled,
+        useBloom = true, expectedCrawled = 1000L)
+      .as[String].collect().sorted.toSeq
+    assert(exactN == exact && bloomN == exact)
   }
 }

@@ -725,10 +725,19 @@ class TextAnalysisSpec extends SparkSpec {
     val unbroadcast = TextAnalysis.postingsDiffStream(
         Seq((1L, "a b d"), (3L, "c e"), (1L, "a b d e"))
           .toDF("doc_id", "text"),
-        oldPostings, "doc_id", "text", broadcastOld = false)
+        oldPostings, "doc_id", "text", broadcastOld = Some(false))
       .as[(String, Long, String)].collect()
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(unbroadcast == batch, s"unbroadcast=$unbroadcast batch=$batch")
+    // the AUTO default picks the same path semantics either side of the
+    // threshold: forcing the bound to 0 keys selects the shuffle form
+    val autoShuffle = TextAnalysis.postingsDiffStream(
+        Seq((1L, "a b d"), (3L, "c e"), (1L, "a b d e"))
+          .toDF("doc_id", "text"),
+        oldPostings, "doc_id", "text", maxBroadcastRows = 0L)
+      .as[(String, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(autoShuffle == batch, s"autoShuffle=$autoShuffle batch=$batch")
   }
 
   test("postingsChurnStateful: keyed-state stream == relational batch " +
