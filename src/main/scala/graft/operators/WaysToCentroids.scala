@@ -27,6 +27,19 @@ object WaysToCentroids {
     * the threshold to the authalic (PostGIS-geography-grade) area, so
     * polygons near the 20,000 m² boundary classify as the reference
     * does; the spherical default is ~0.1–0.5% off but cheaper.
+    *
+    * PostGIS-parity bound (round 15, pinned by EllipsoidSpec against
+    * [[graft.functions.Ellipsoid.polygonAreaM2]], the exact
+    * GeographicLib-semantics area): the authalic area sits within 1e-5
+    * RELATIVE of the true ellipsoidal value on OSM-scale rings
+    * (measured ~2e-7 on axis-aligned ways, ~2e-6 on diagonal
+    * threshold-band quads), so `spheroid = true` can classify a
+    * polygon differently from PostGIS only when its true area lies
+    * within ±0.2 m² of the 20,000 m² threshold — a quantified flip
+    * band, not an open residual. For an audit of exactly those rows,
+    * re-filter the boundary band with
+    * [[graft.functions.GeoFunctions.geodesic_area_ellipsoid]] (the
+    * `way_area_ellipsoid_exact` catalog query pins the law on data).
     */
   def centroidRows(ways: DataFrame,
       areaThresholdM2: Double = OsmModel.CentroidAreaThreshold,

@@ -75,6 +75,54 @@ object GeoQueries {
               |ORDER BY id""".stripMargin),
       doc = "C9 spheroid option: authalic-latitude area vs the same formula in SQL"),
 
+    // The EXACT-ellipsoid area law pinned ON DATA: per way, the
+    // authalic area (oracle-recomputable in SQL, rounded) plus the
+    // claim that the true geodesic-edge ellipsoidal area
+    // (Ellipsoid.polygonAreaM2 — inverse solve + quadrature, not
+    // SQL-expressible) sits within 1e-5 relative of it. The oracle
+    // states residual_ok = TRUE a priori; if the exact solver ever
+    // regresses, rows flip to FALSE and the hash breaks. The bound has
+    // ~40x margin on these axis-aligned ways (lens residual ~2.5e-7 at
+    // d = 0.1 deg; EllipsoidSpec pins the diagonal worst case).
+    Q("way_area_ellipsoid_exact",
+      (s, dir) => Tables.osmWays(s, dir)
+        .select(col("id"),
+          round(GeoFunctions.geodesic_area_spheroid(col("ring")), 1)
+            .as("area_authalic_m2"),
+          (abs(GeoFunctions.geodesic_area_ellipsoid(col("ring")) -
+              GeoFunctions.geodesic_area_spheroid(col("ring"))) /
+            GeoFunctions.geodesic_area_spheroid(col("ring")) < 1e-5)
+            .as("residual_ok"))
+        .orderBy(col("id")),
+      Some(s"""SELECT id,
+              |       round(abs(radians(d) * (2 + r0 + r0)
+              |               - radians(d) * (2 + r1 + r1))
+              |             * ra * ra / 2, 1) AS area_authalic_m2,
+              |       TRUE AS residual_ok
+              |FROM (
+              |  SELECT id, d,
+              |         greatest(-1.0, least(1.0, q0 / qp)) AS r0,
+              |         greatest(-1.0, least(1.0, q1 / qp)) AS r1,
+              |         6378137.0 * sqrt(qp / 2) AS ra
+              |  FROM (
+              |    SELECT id, d,
+              |           (1 - 0.00669437999014132)
+              |             * (s0 / (1 - 0.00669437999014132 * s0 * s0)
+              |               + ln((1 + e * s0) / (1 - e * s0)) / (2 * e)) AS q0,
+              |           (1 - 0.00669437999014132)
+              |             * (s1 / (1 - 0.00669437999014132 * s1 * s1)
+              |               + ln((1 + e * s1) / (1 - e * s1)) / (2 * e)) AS q1,
+              |           (1 - 0.00669437999014132)
+              |             * (1.0 / (1 - 0.00669437999014132 * 1.0 * 1.0)
+              |               + ln((1 + e * 1.0) / (1 - e * 1.0)) / (2 * e)) AS qp
+              |    FROM (SELECT id, d,
+              |                 sin(radians(lat0)) AS s0,
+              |                 sin(radians(lat0 + d)) AS s1,
+              |                 sqrt(0.00669437999014132) AS e
+              |          FROM $waySql)))
+              |ORDER BY id""".stripMargin),
+      doc = "C9 exact-ellipsoid pin: true geodesic-edge area (Karney-method inverse solve + quadrature) within 1e-5 relative of the authalic form on every way, asserted row-by-row against the oracle's a-priori TRUE"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation battery for the exact ellipsoidal polygon area
+  * ([[Ellipsoid.polygonAreaM2]]) against values the implementation
+  * cannot have baked in: the published WGS84 ellipsoid area, closed-
+  * form spherical excess at f = 0, exact additivity/symmetry laws,
+  * geodesic-subdivision invariance, and the authalic-sphere form it
+  * refines. Rings are (lon, lat) degrees, closed.
+  */
+class EllipsoidSpec extends AnyFunSuite {
+
+  private def rel(a: Double, b: Double): Double =
+    math.abs(a - b) / math.max(math.abs(a), math.abs(b))
+
+  private def area(ring: Seq[(Double, Double)],
+      spec: Ellipsoid.Spec = Ellipsoid.WGS84): Double =
+    Ellipsoid.polygonAreaM2(ring, spec).get
+
+  // GeographicLib's published WGS84 ellipsoid surface area
+  private val WGS84Area = 510065621724088.44
+
+  test("constants: 4*pi*Ra^2 equals the published WGS84 ellipsoid area") {
+    assert(rel(4 * math.Pi * Ellipsoid.WGS84.ra2, WGS84Area) < 1e-12)
+  }
+
+  test("octant polygon = exactly 1/8 of the ellipsoid area " +
+      "(equatorial edges + pole vertex)") {
+    val octant = Seq((0.0, 0.0), (90.0, 0.0), (0.0, 90.0), (0.0, 0.0))
+    assert(rel(area(octant), WGS84Area / 8) < 1e-12)
+    // orientation / mirror invariance on the same ring
+    assert(rel(area(octant.reverse), WGS84Area / 8) < 1e-12)
+    val south = octant.map { case (lo, la) => (lo, -la) }
+    assert(rel(area(south), WGS84Area / 8) < 1e-12)
+  }
+
+  test("f = 0 limit: geodesic triangle area equals closed-form " +
+      "spherical excess (L'Huilier via vector angles)") {
+    val r = 6371000.0
+    val sphere = Ellipsoid.Spec(r, 0.0)
+    val tri = Seq((0.0, 0.0), (60.0, 0.0), (30.0, 60.0), (0.0, 0.0))
+    // spherical excess from the angles between great-circle planes —
+    // entirely independent of the code under test
+    def unit(lon: Double, lat: Double): Array[Double] = {
+      val (lo, la) = (math.toRadians(lon), math.toRadians(lat))
+      Array(math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo),
+        math.sin(la))
+    }
+    def cross(a: Array[Double], b: Array[Double]) = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2),
+      a(0) * b(1) - a(1) * b(0))
+    def norm(a: Array[Double]) = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val v = tri.dropRight(1).map { case (lo, la) => unit(lo, la) }
+    val angles = v.indices.map { i =>
+      val a = v(i); val b = v((i + 1) % 3); val c = v((i + 2) % 3)
+      val n1 = norm(cross(a, b)); val n2 = norm(cross(a, c))
+      math.acos(math.max(-1, math.min(1, dot(n1, n2))))
+    }
+    val excess = angles.sum - math.Pi
+    assert(rel(area(tri, sphere), excess * r * r) < 1e-10)
+  }
+
+  test("additivity: a quad equals the sum of its two triangles along " +
+      "the geodesic diagonal (sign/orientation machinery)") {
+    val a = (5.0, -20.0); val b = (30.0, -10.0)
+    val c = (40.0, 25.0); val d = (8.0, 35.0)
+    val quad = Seq(a, b, c, d, a)
+    val t1 = Seq(a, b, c, a)
+    val t2 = Seq(a, c, d, a)
+    assert(rel(area(quad), area(t1) + area(t2)) < 1e-9)
+  }
+
+  test("invariances: longitude shift, equator mirror, reversal, " +
+      "dateline straddle") {
+    val ring = Seq((10.0, 40.0), (10.4, 40.1), (10.3, 40.5),
+      (9.9, 40.3), (10.0, 40.0))
+    val base = area(ring)
+    val shifted = ring.map { case (lo, la) => (lo + 123.0, la) }
+    val mirrored = ring.map { case (lo, la) => (lo, -la) }
+    val wrapped = ring.map { case (lo, la) => // across the antimeridian
+      val l = lo + 170.0; (if (l > 180) l - 360 else l, la) }
+    assert(rel(area(shifted), base) < 1e-12)
+    assert(rel(area(mirrored), base) < 1e-12)
+    assert(rel(area(ring.reverse), base) < 1e-12)
+    assert(rel(area(wrapped), base) < 1e-12)
+  }
+
+  test("geodesic subdivision invariance: densifying every edge with " +
+      "waypoints ON the geodesic leaves the area unchanged") {
+    val tri = Seq((0.0, -30.0), (40.0, 20.0), (80.0, 5.0), (0.0, -30.0))
+    val dense = tri.sliding(2).flatMap { case Seq(p1, p2) =>
+      Ellipsoid.geodesicWaypoints(p1._1, p1._2, p2._1, p2._2, 32)
+        .dropRight(1)
+    }.toSeq :+ tri.head
+    assert(dense.size == 3 * 32 + 1)
+    assert(rel(area(dense), area(tri)) < 1e-10)
+    // waypoint endpoints are the originals (exactness of the seam)
+    val wp = Ellipsoid.geodesicWaypoints(0.0, -30.0, 40.0, 20.0, 32)
+    assert(wp.head == ((0.0, -30.0)) && wp.last == ((40.0, 20.0)))
+  }
+
+  test("authalic cross-check: on a densely-sampled smooth curve the " +
+      "exact form and Chamberlain-Duquette on the authalic sphere agree") {
+    // 512-gon around (10E, 45N), ~5.5 km radius: edges are short
+    // enough that both edge treatments converge to the same region
+    val n = 512
+    val ring = (0 to n).map { i =>
+      val t = 2 * math.Pi * i / n
+      (10.0 + 0.05 * math.cos(t) / math.cos(math.toRadians(45)),
+        45.0 + 0.05 * math.sin(t))
+    }
+    val exact = area(ring)
+    val authalic = GeoFunctions.geodesicAreaSpheroidM2(ring).get
+    assert(rel(exact, authalic) < 1e-5, s"exact=$exact authalic=$authalic")
+    // sanity: it IS a ~5.5 km-radius disc
+    assert(exact > 9.0e7 && exact < 1.05e8)
+  }
+
+  test("threshold-band residual pin: the authalic form sits within " +
+      "1e-5 relative of exact on 20,000 m2 diagonal quads (the " +
+      "ways_to_centroids.sql:4 flip band is quantified)") {
+    // ~141 m diagonal square at three latitudes, area near the
+    // reference's 20,000 m2 keep-threshold, vertices NOT axis-aligned
+    for (lat <- Seq(0.1, 45.0, 70.0)) {
+      val km = 0.1 / 111.32 // ~100 m in degrees of latitude
+      val kx = km / math.cos(math.toRadians(lat))
+      val ring = Seq((10.0, lat), (10.0 + kx, lat + km),
+        (10.0, lat + 2 * km), (10.0 - kx, lat + km), (10.0, lat))
+      val exact = area(ring)
+      val authalic = GeoFunctions.geodesicAreaSpheroidM2(ring).get
+      assert(exact > 10000 && exact < 30000, s"lat=$lat area=$exact")
+      assert(rel(exact, authalic) < 1e-5,
+        s"lat=$lat exact=$exact authalic=$authalic rel=${rel(exact, authalic)}")
+    }
+  }
+
+  test("pole-enclosing ring: a polar cap ring measures the " +
+      "complement-consistent area (the Delta-lambda convention)") {
+    // square of latitude-80 vertices encircling the north pole
+    val ring = Seq((0.0, 80.0), (90.0, 80.0), (180.0, 80.0),
+      (-90.0, 80.0), (0.0, 80.0))
+    val a = area(ring)
+    // between the cap area (smaller) and the full ellipsoid: the
+    // convention measures the region south of an eastward ring —
+    // 2*pi*(1+sin xi)*Ra^2; check against the closed-form zone area
+    val sXi = Ellipsoid.WGS84.sinXi(math.sin(math.toRadians(80)))
+    val southern = 2 * math.Pi * (1 + sXi) * Ellipsoid.WGS84.ra2
+    val cap = 2 * math.Pi * (1 - sXi) * Ellipsoid.WGS84.ra2
+    // the four geodesic edges bulge poleward of the parallel (vertex
+    // latitude ~82.9 deg at 90-deg spacing), so the southern region
+    // exceeds the zone bound by the four lenses — but the enclosed
+    // quad still contains the pole, so it stays under zone + cap
+    assert(a > southern && a < southern + cap,
+      s"a=$a zone=$southern cap=$cap")
+    // and the lens total is the right order: the quad region
+    // (4 pi Ra^2 - a) must be well under the cap but over half of it
+    val quad = 4 * math.Pi * Ellipsoid.WGS84.ra2 - a
+    assert(quad > 0.5 * cap && quad < 0.75 * cap, s"quad=$quad cap=$cap")
+  }
+
+  test("invalid rings are None; degenerate zero-area ring is ~0") {
+    assert(Ellipsoid.polygonAreaM2(Seq((0.0, 0.0), (1.0, 1.0))).isEmpty)
+    assert(Ellipsoid.polygonAreaM2(
+      Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))).isEmpty) // open
+    val sliver = Seq((0.0, 10.0), (1.0, 10.0), (0.0, 10.0), (0.0, 10.0))
+    assert(Ellipsoid.polygonAreaM2(sliver).get < 1e-4)
+  }
+}
