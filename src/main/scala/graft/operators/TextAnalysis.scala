@@ -650,6 +650,45 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
   }
 
+  /** The per-term CODEC DECISION wired into the index build — the
+    * Lucene-style pick between the two layouts
+    * `text_postings_codec` only COMPARED until round 15: per term,
+    * exact byte accounting for (a) varint d-gaps and (b) 128-gap
+    * frame-of-reference blocks (one width byte + n gaps at the
+    * block's max bit width — the PFoR family's unpatched baseline),
+    * then `codec` = the smaller and `stored_bytes` = its cost. FoR
+    * wins on uniform gap runs (dense stop-word lists), varint wins
+    * when one outlier gap would widen a whole block. Shape: rides
+    * [[postingsLayout]] — term-partitioned windows, the vocabulary
+    * distributes, no global sort; the decision itself is one
+    * partial-aggregable rollup per term. Output: (term, df,
+    * varint_bytes, for_bytes, codec, stored_bytes).
+    */
+  def postingsCodecPick(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val blocks = postingsLayout(docs, idCol, textCol)
+      .withColumn("blk",
+        ((row_number().over(w) - 1) / blockSize).cast("long"))
+      .withColumn("bits", length(bin(col("gap"))))
+    val forBytes = blocks.groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).as("n"), max(col("bits")).as("b"))
+      .withColumn("blk_bytes",
+        lit(1L) + floor((col("n") * col("b") + lit(7)) / lit(8))
+          .cast("long"))
+      .groupBy(col("term"))
+      .agg(sum(col("blk_bytes")).as("for_bytes"))
+    blocks.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+      .join(forBytes, Seq("term"))
+      .withColumn("codec",
+        when(col("for_bytes") < col("varint_bytes"), lit("for"))
+          .otherwise(lit("varint")))
+      .withColumn("stored_bytes",
+        least(col("for_bytes"), col("varint_bytes")))
+  }
+
   /** Positional postings — the phrase-query side of [[postingsLayout]]
     * (the Lucene `.prx` analogue): per (term, doc) the term's token
     * positions as their OWN delta chain with varint accounting.

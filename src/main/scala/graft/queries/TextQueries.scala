@@ -1307,27 +1307,12 @@ object TextQueries {
     // accounted exactly, same bin() bitlen discipline, windows
     // partitioned by term throughout.
     Q("text_postings_codec",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-        val blocks = TextAnalysis.postingsLayout(
-            Tables.documents(s, dir), "doc_id", "text")
-          .withColumn("blk", ((row_number().over(w) - 1) / 128)
-            .cast("long"))
-          .withColumn("bits", length(bin(col("gap"))))
-        val forBytes = blocks.groupBy(col("term"), col("blk"))
-          .agg(count(lit(1)).as("n"), max(col("bits")).as("b"))
-          .withColumn("blk_bytes",
-            lit(1L) + floor((col("n") * col("b") + lit(7)) / lit(8))
-              .cast("long"))
-          .groupBy(col("term"))
-          .agg(sum(col("blk_bytes")).as("for_bytes"))
-        blocks.groupBy(col("term"))
-          .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
-          .join(forBytes, Seq("term"))
-          .filter(col("df") >= 5)
-          .orderBy(col("term"))
-      },
+      (s, dir) => TextAnalysis.postingsCodecPick(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("term"), col("df"), col("varint_bytes"),
+          col("for_bytes"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term")),
       Some("""WITH t AS (SELECT doc_id,
              |             unnest(string_split(text, ' ')) AS term
              |           FROM documents),
@@ -1357,6 +1342,81 @@ object TextQueries {
              |HAVING count(*) >= 5
              |ORDER BY b.term""".stripMargin),
       doc = "posting-list codec comparison: varint vs 128-gap frame-of-reference blocks (width byte + max-bit-width gaps) — the index build's layout decision as an exactly-accounted relation"),
+
+    // The codec DECISION consumed (r14 verdict stretch): per term the
+    // Lucene-style pick — the smaller of varint vs FoR — plus its
+    // stored byte cost, rolled up per codec so the output reads as the
+    // index build's capacity summary: how many terms each codec wins,
+    // the bytes they store, and the bytes the pick saves vs all-varint.
+    Q("text_postings_codec_pick",
+      (s, dir) => {
+        import s.implicits._
+        // the corpus' df >= 2 terms are all dense (FoR territory), so
+        // the varint branch gets a CONSTANT plant: one term in exactly
+        // two docs 2^48 ids apart — varint pays the wide gap once
+        // (5 + 7 bytes), FoR widens the whole 2-gap block to 49 bits
+        // (1 + 13 bytes); sf-independent, so both branches are pinned
+        // at every scale the driver verifies
+        val plant = Seq(
+          (900000000L, "zzcodecpick"),
+          (900000000L + (1L << 48), "zzcodecpick")).toDF("doc_id", "text")
+        TextAnalysis.postingsCodecPick(
+            Tables.documents(s, dir).select($"doc_id", $"text")
+              .unionByName(plant), "doc_id", "text")
+          .filter(col("df") >= 2)
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("df")).as("n_postings"),
+            sum(col("stored_bytes")).as("stored_bytes"),
+            sum(col("varint_bytes") - col("stored_bytes"))
+              .as("saved_vs_varint"))
+          .orderBy(col("codec"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS term
+             |           FROM (SELECT doc_id, text FROM documents
+             |                 UNION ALL
+             |                 SELECT * FROM (VALUES
+             |                   (900000000, 'zzcodecpick'),
+             |                   (282374976710656, 'zzcodecpick'))
+             |                   v(doc_id, text))),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id,
+             |        doc_id - coalesce(lag(doc_id) OVER (
+             |          PARTITION BY term ORDER BY doc_id), 0) AS gap,
+             |        row_number() OVER (
+             |          PARTITION BY term ORDER BY doc_id) AS rn
+             |      FROM tf),
+             |b AS (SELECT term, gap, (rn - 1) // 128 AS blk,
+             |        length(bin(gap)) AS bits,
+             |        (length(bin(gap)) + 6) // 7 AS vb
+             |      FROM g),
+             |fb AS (SELECT term,
+             |         CAST(sum(1 + (n * mb + 7) // 8) AS BIGINT)
+             |           AS for_bytes
+             |       FROM (SELECT term, blk, count(*) AS n,
+             |               max(bits) AS mb
+             |             FROM b GROUP BY 1, 2)
+             |       GROUP BY term),
+             |pt AS (SELECT b.term, count(*) AS df,
+             |         CAST(sum(vb) AS BIGINT) AS varint_bytes,
+             |         fb.for_bytes
+             |       FROM b JOIN fb ON b.term = fb.term
+             |       GROUP BY b.term, fb.for_bytes
+             |       HAVING count(*) >= 2),
+             |pk AS (SELECT CASE WHEN for_bytes < varint_bytes
+             |                   THEN 'for' ELSE 'varint' END AS codec,
+             |              df, varint_bytes,
+             |              least(for_bytes, varint_bytes) AS stored
+             |       FROM pt)
+             |SELECT codec, count(*) AS n_terms,
+             |       CAST(sum(df) AS BIGINT) AS n_postings,
+             |       CAST(sum(stored) AS BIGINT) AS stored_bytes,
+             |       CAST(sum(varint_bytes - stored) AS BIGINT)
+             |         AS saved_vs_varint
+             |FROM pk GROUP BY codec ORDER BY codec""".stripMargin),
+      doc = "per-term codec pick consumed: the smaller of varint vs FoR per term (the Lucene decision), rolled up per codec with the byte savings vs all-varint — the index build's capacity summary"),
 
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
