@@ -973,6 +973,48 @@ object SamplingQueries {
              |ORDER BY doc_id""".stripMargin),
       doc = "CDX-indexed WARC random access: index filter -> per-record range reads + single-member gunzip, identity-oracled on the hit set"),
 
+    // The PERSISTED-index form (r14 verdict task 6): the r14 sf100
+    // probe showed the fetch path is index-BUILD dominated when the
+    // CDX text re-parses per query, so the index materializes ONCE as
+    // a range-partitioned parquet table next to the segments
+    // (persistIndex) and lookups run off readPersistedIndex — the
+    // URI predicate pushes into the parquet scan instead of
+    // string-splitting every line. Same identity oracle, different
+    // hit predicate than doc_warc_fetch so the two queries can't
+    // mask each other.
+    Q("doc_warc_fetch_persisted",
+      (s, dir) => {
+        import graft.sources.warc.WarcRandomAccess
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft-warc-pidx-").toString
+        Tables.documents(s, dir).select(
+            concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
+            lit("resource").as("record_type"),
+            concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("text/plain; charset=utf-8").as("content_type"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .write.format("warc").option("compression", "gzip")
+          .option("index", "true").mode("append").save(warcDir)
+        WarcRandomAccess.persistIndex(s, warcDir, partitions = 4)
+        val hits = WarcRandomAccess.readPersistedIndex(s, warcDir)
+          .filter(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long") % 19 === 0)
+        WarcRandomAccess.fetch(hits).toDF()
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("content_length"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |       text
+             |FROM documents WHERE doc_id % 19 = 0
+             |ORDER BY doc_id""".stripMargin),
+      doc = "persisted-CDX-index WARC random access: write-once parquet index table next to the segments, point lookups off the pushed-down parquet scan, per-record range reads; identity-oracled"),
+
     // Fill-in-the-middle (Bavarian et al. 2022): the code-corpus
     // transform that re-emits half the documents in PSM order so a
     // causal LM learns infilling. Selection AND both cut points are

@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Throughput/state probe for the streaming surface (r14 verdict task
+  * 5): the four stateful streaming operators are spec-pinned for
+  * CORRECTNESS (stream ≡ batch), but no BASELINE row records what they
+  * COST — events/s, per-batch duration, and state-store size are what
+  * a streaming deployment is sized by. Each probe runs the operator
+  * over a generated file stream to completion and reports the
+  * StreamingQueryProgress facts. `runMain graft.tools.StreamProbe
+  * <sfDir> <copies>`; 2+ `copies` scales = the BASELINE table.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StreamProbe <sfDir> <copies>")
+    val (sfDir, copies) = (args(0), args(1).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{CrawlPipeline, Robots, TextAnalysis}
+    import graft.streaming.EventStream
+
+    val base = 1767225600L
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamprobe-").toString
+    val docs0 = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nBase = docs0.count()
+    // unique text per copy — identical copies would make every bucket
+    // a C-clique and measure the blow-up, not the operator
+    val corpus = docs0
+      .crossJoin(spark.range(copies).select(col("id").as("__c")))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" c"), col("__c")).as("text"),
+        (lit(base) + pmod(col("doc_id") + col("__c"), lit(3600L)))
+          .as("epoch"))
+    val n = nBase * copies
+    println(s"[streamprobe] corpus=$n docs (copies=$copies)")
+
+    def run(name: String, q: StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      val rows = prog.map(_.numInputRows).sum
+      val maxBatch =
+        if (prog.isEmpty) 0L
+        else prog.map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)).max
+      val state = prog.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      q.stop()
+      println(f"[streamprobe] $name%-12s inputRows=$rows%-9d wall=$wall%7.2f s " +
+        f"rate=${rows / math.max(wall, 1e-9)}%9.0f ev/s batches=${prog.length}%-3d " +
+        f"maxBatch=${maxBatch}%6d ms stateRows=$state%d")
+    }
+
+    // ---- near-dup pairs (LSH bucket state) -------------------------
+    locally {
+      val dir = s"$root/neardup"
+      // 10% of docs get an exact twin — the pairs the stream must find
+      corpus.unionByName(corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"),
+            (col("epoch") + 60).as("epoch")))
+        .repartition(8).write.mode("overwrite").json(dir)
+      val in = spark.readStream
+        .schema("doc_id LONG, text STRING, epoch LONG")
+        .option("maxFilesPerTrigger", 2).json(dir)
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+        .withWatermark("ts", "10 minutes")
+      run("neardup", EventStream.nearDupStream(in, "doc_id", "text", "ts")
+        .writeStream.format("noop").outputMode("append").start())
+    }
+
+    // ---- postings churn (per-doc term-set state) -------------------
+    locally {
+      val dir = s"$root/churn"
+      corpus.unionByName(corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"),
+            concat(regexp_replace(col("text"), "^[^ ]+ ", ""),
+              lit(" updated")).as("text"),
+            (col("epoch") + 3600).as("epoch")))
+        .repartition(8).write.mode("overwrite").json(dir)
+      val in = spark.readStream
+        .schema("doc_id LONG, text STRING, epoch LONG")
+        .option("maxFilesPerTrigger", 2).json(dir)
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+        .withWatermark("ts", "10 minutes")
+      run("churn", TextAnalysis.postingsChurnStateful(in, "doc_id", "text", "ts")
+        .writeStream.format("noop").outputMode("append").start())
+    }
+
+    // ---- polite gate (per-(host, minute) windowed state) -----------
+    locally {
+      import spark.implicits._
+      val dir = s"$root/warc"
+      corpus.select(
+          concat(lit("<urn:sp:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".ex/p/"), col("doc_id")).as("target_uri"),
+          date_format(timestamp_seconds(col("epoch")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          lit("text/html").as("content_type"),
+          encode(concat(lit("<html><head><title>t</title></head><body><p>"),
+            col("text"), lit("</p></body></html>")), "UTF-8").as("payload"))
+        .repartition(8).write.format("warc").mode("append")
+        .option("compression", "gzip").save(dir)
+      val rules = Seq.empty[(String, String, Boolean)]
+        .toDF("host", "prefix", "allow")
+      val delays = Robots.parseCrawlDelay(
+        (0 until 10).map(i => (s"h$i.ex", "User-agent: *\nCrawl-delay: 2"))
+          .toDF("host", "text"), "host", "text", "*")
+      val (sDocs, _) = CrawlPipeline.fromWarcStreamPolite(
+        spark.readStream.format("warc").load(dir), rules, delays)
+      run("politegate", sDocs.writeStream.format("noop")
+        .outputMode("append").start())
+    }
+
+    // ---- heavy hitters (bounded Misra-Gries shard state) -----------
+    locally {
+      val in = spark.readStream
+        .schema("doc_id LONG, text STRING, epoch LONG")
+        .option("maxFilesPerTrigger", 2).json(s"$root/neardup")
+      run("heavyhitter", EventStream.heavyHitterCandidatesStream(in, "text")
+        .writeStream.format("noop").outputMode("update").start())
+    }
+
+    spark.stop()
+  }
+}

@@ -183,6 +183,34 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("persisted CDX index: parquet sidecar-as-table fetches the same " +
+      "records as the text parse; URI filter pushes into the scan") {
+    import graft.sources.warc.WarcRandomAccess
+    val dir = tmpDir()
+    sampleDf.coalesce(1).write.format("warc").mode("append")
+      .option("index", "true").option("compression", "gzip").save(dir)
+    val path = WarcRandomAccess.persistIndex(spark, dir, partitions = 2)
+    assert(path.endsWith("/_cdxindex"))
+    assert(new java.io.File(path).isDirectory)
+    val persisted = WarcRandomAccess.readPersistedIndex(spark, dir)
+    // same relation as the text parse
+    val a = WarcRandomAccess.readIndex(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val b = persisted.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // drop-in front of fetch
+    val hit = WarcRandomAccess.fetch(
+      persisted.filter($"target_uri" === "http://b.example/p2")).collect()
+    assert(hit.length == 1 && hit.head.record_id == "<urn:x:2>")
+    // the point-lookup predicate reaches the parquet scan
+    val plan = persisted.filter($"target_uri" === "http://b.example/p2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("target_uri"),
+      plan.take(500))
+    // the underscore-prefixed index dir is invisible to the segment scan
+    assert(spark.read.format("warc").load(dir).count() == 3)
+  }
+
   test("CDX index parse survives untrusted garbage: overflowing offsets " +
       "null out (no ANSI CAST_OVERFLOW) and fetch skips corrupt rows") {
     import graft.sources.warc.WarcRandomAccess
