@@ -317,6 +317,44 @@ object Ellipsoid {
     (phi, lam)
   }
 
+  /** Exact geodesic DISTANCE in meters between two lon/lat-degree
+    * points — the same inverse solve as the area path, then
+    * s = b·∫√(1 + k² sin²σ) dσ (Karney eq. 7's I₁, evaluated by the
+    * same adaptive quadrature instead of the C₁ series). Meridional
+    * and equatorial edges take their closed integrals; antipodal-ish
+    * inputs carry the same documented ambiguity as the area path.
+    */
+  def geodesicDistanceM(lon1: Double, lat1: Double, lon2: Double,
+      lat2: Double, spec: Spec = WGS84): Double = {
+    val p1 = (math.toRadians(lon1), math.toRadians(lat1))
+    val p2 = (math.toRadians(lon2), math.toRadians(lat2))
+    val dLam = wrapPi(p2._1 - p1._1)
+    val omf = 1 - spec.f
+    val b1 = math.atan(omf * math.tan(p1._2))
+    val b2 = math.atan(omf * math.tan(p2._2))
+    def arc(k2: Double, s1: Double, s2: Double): Double =
+      spec.b * integrate(s => {
+        val ss = math.sin(s); math.sqrt(1 + k2 * ss * ss)
+      }, s1, s2, 1e-16)
+    if (dLam == 0.0 || 90 - math.abs(lat1) < 1e-9 ||
+        90 - math.abs(lat2) < 1e-9) {
+      // meridian: α₀ = 0, k² = e′², σ = β (pole endpoints included —
+      // β(±90°) = ±π/2 exactly)
+      return arc(spec.ep2, math.min(b1, b2), math.max(b1, b2))
+    }
+    if (lat1 == 0.0 && lat2 == 0.0)
+      return spec.a * math.abs(dLam) // equator (|Δλ| ≤ (1−f)π regime)
+    var (bb1, bb2) = (b1, b2); var lam12 = dLam
+    if (math.abs(bb1) < math.abs(bb2)) {
+      val t = bb1; bb1 = bb2; bb2 = t; lam12 = -lam12
+    }
+    if (lam12 < 0) lam12 = -lam12
+    if (bb1 > 0) { bb1 = -bb1; bb2 = -bb2 }
+    val (_, _, calp0, sig1, sig2) = solveCanonical(spec,
+      math.sin(bb1), math.cos(bb1), math.sin(bb2), math.cos(bb2), lam12)
+    arc(spec.ep2 * calp0 * calp0, sig1, sig2)
+  }
+
   /** `n+1` points (P1 … P2 inclusive, lon/lat DEGREES) uniformly
     * spaced in the arc parameter along the geodesic joining P1 and P2
     * — edge densification (the consistency seam the area spec leans

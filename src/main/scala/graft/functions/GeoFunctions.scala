@@ -341,4 +341,18 @@ object GeoFunctions {
     */
   def geodesic_area_ellipsoid(ring: Column): Column =
     geodesicAreaEllipsoidUdf(ring)
+
+  private val geodesicDistanceUdf = udf(
+    (lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
+      Ellipsoid.geodesicDistanceM(lon1, lat1, lon2, lat2))
+
+  /** Exact ellipsoidal geodesic distance in meters
+    * ([[Ellipsoid.geodesicDistanceM]] — pinned to the published WGS84
+    * quarter-meridian in EllipsoidSpec). ~0.3% tighter than
+    * [[graft.operators.GeoJoin.haversineM]] and ~1000× the cost —
+    * use for final measurements, the haversine for join pruning.
+    */
+  def geodesic_distance_ellipsoid(lon1: Column, lat1: Column,
+      lon2: Column, lat2: Column): Column =
+    geodesicDistanceUdf(lon1, lat1, lon2, lat2)
 }

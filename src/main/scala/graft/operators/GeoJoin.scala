@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distance-based spatial joins — "which points lie within R meters of
+  * each other", the geo operator the engine's join family (as-of,
+  * range, bucketed) lacked. Same design discipline as
+  * [[RangeJoin]]: candidates from a hash-equi-joinable GRID KEY, an
+  * exact per-pair verify after, never a BroadcastNestedLoopJoin.
+  *
+  * Grid scheme: latitude bands of `cellLat` degrees (≥ R everywhere,
+  * 1.2× safety margin on the spherical meridian degree), and within
+  * each band longitude cells sized from the band edge FARTHEST from
+  * the equator plus one band (the smallest cos a matching pair
+  * touching this band can have — longitude degrees NARROW poleward,
+  * so sizing from the wide edge would under-cover high-band pairs),
+  * tiled so a whole ring is an integer number of cells
+  * (`nCells = max(1, floor(360/cellLonDeg))`) — bands reaching
+  * poleward of 85° collapse to ONE cell, so the poles need no special
+  * casing and the dateline wraps by modulo. The probe side emits its
+  * own cell; the build side expands to the 3×3 neighborhood,
+  * computing each neighbor band's x-cell in THAT band's width
+  * (adjacent bands tile differently — an equi-join on (band, xcell)
+  * only works if both sides agree per band).
+  *
+  * Scale shape: one explode(≤9) on one side, one shuffle on the
+  * (band, xcell) key, exact haversine verify on candidates only.
+  * Candidate volume per point is bounded by the 3×3 cell population —
+  * grid density is the skew knob, and a city-block cell holding a
+  * whole corpus IS the finding (densify by shrinking R or pre-dedupe
+  * by location). Self-join emits each unordered pair once (id_a <
+  * id_b).
+  */
+object GeoJoin {
+
+  /** Haversine distance in METERS (mean-radius sphere, R = 6371000) —
+    * built-in functions only, so it stays inside whole-stage codegen
+    * and a SQL oracle can reproduce it operation-for-operation. For
+    * ellipsoid-exact point pairs use
+    * [[graft.functions.Ellipsoid.geodesicDistanceM]] (scalar; ~0.3%
+    * tighter, microseconds vs nanoseconds).
+    */
+  def haversineM(lon1: Column, lat1: Column, lon2: Column,
+      lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val h = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * 6371000.0) * asin(sqrt(h))
+  }
+
+  private val MPerLatDeg = 110574.0 // minimum meters per meridian degree
+  private val MPerLonDegEq = 111320.0 // meters per longitude degree at φ=0
+  private val PolarBandDeg = 85.0
+
+  /** Per-band longitude tiling: (nCells, cellLonDeg). Pure driver-side
+    * arithmetic — bands are O(180/cellLat), broadcast as literals via
+    * the expressions below.
+    */
+  private def bandCols(cellLat: Double, radiusM: Double, band: Column)
+      : (Column, Column) = {
+    val e1 = lit(-90.0) + band * cellLat
+    val e2 = e1 + cellLat
+    // the largest |φ| a pair member matched through this band's keys
+    // can sit at: the band's far edge plus one adjacent band
+    val farAbs = least(lit(90.0),
+      greatest(abs(e1), abs(e2)) + cellLat)
+    val nCells = when(farAbs >= PolarBandDeg, lit(1L)).otherwise(
+      greatest(lit(1L), floor(lit(360.0) /
+        lit(1.2 * radiusM / MPerLonDegEq) * cos(radians(farAbs)))
+        .cast("long")))
+    (nCells, lit(360.0) / nCells)
+  }
+
+  /** All (a, b) pairs with haversine(a, b) ≤ `radiusM`. Output:
+    * (id_a, id_b, dist_m). `selfPairs = true` treats a and b as the
+    * same relation and emits unordered pairs once (id_a < id_b,
+    * requires ids globally distinct); false keeps every cross match.
+    */
+  def withinDistance(a: DataFrame, b: DataFrame,
+      aId: String, aLon: String, aLat: String,
+      bId: String, bLon: String, bLat: String,
+      radiusM: Double, selfPairs: Boolean = false): DataFrame = {
+    require(radiusM > 0 && radiusM <= 1000000.0,
+      "radiusM in (0, 1000 km]: the grid margin is sized for " +
+        "city-to-region radii, not hemispheres")
+    val cellLat = 1.2 * radiusM / MPerLatDeg // degrees, ≥ R everywhere
+    val nBands = math.max(1, math.floor(180.0 / cellLat).toLong)
+    val latBand = (lat: Column) => least(lit(nBands - 1),
+      greatest(lit(0L), floor((lat + 90.0) / cellLat).cast("long")))
+    def xcell(band: Column, lon: Column): Column = {
+      val (nCells, w) = bandCols(cellLat, radiusM, band)
+      pmod(floor((lon + 180.0) / w).cast("long"), nCells)
+    }
+    // probe side: its own cell
+    val probe = b.select(col(bId).as("__ib"), col(bLon).as("__lob"),
+        col(bLat).as("__lab"))
+      .withColumn("__band", latBand(col("__lab")))
+      .withColumn("__x", xcell(col("__band"), col("__lob")))
+    // build side: 3 bands × 3 x-cells, each neighbor band's own tiling
+    val build = a.select(col(aId).as("__ia"), col(aLon).as("__loa"),
+        col(aLat).as("__laa"))
+      .withColumn("__b0", latBand(col("__laa")))
+      .withColumn("__band", explode(array_distinct(array(
+        greatest(lit(0L), col("__b0") - 1), col("__b0"),
+        least(lit(nBands - 1), col("__b0") + 1)))))
+      .withColumn("__xc", xcell(col("__band"), col("__loa")))
+      .withColumn("__x", explode(array_distinct(transform(
+        sequence(lit(-1), lit(1)), d => {
+          val n = bandCols(cellLat, radiusM, col("__band"))._1
+          pmod(col("__xc") + d, n)
+        }))))
+      .drop("__b0", "__xc")
+    val pairs = build.join(probe, Seq("__band", "__x"))
+      .withColumn("dist_m", haversineM(col("__loa"), col("__laa"),
+        col("__lob"), col("__lab")))
+      .filter(col("dist_m") <= radiusM)
+      .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("dist_m"))
+      .distinct() // a pair can match through several neighbor cells
+    pairs
+  }
+}

@@ -123,6 +123,41 @@ object GeoQueries {
               |ORDER BY id""".stripMargin),
       doc = "C9 exact-ellipsoid pin: true geodesic-edge area (Karney-method inverse solve + quadrature) within 1e-5 relative of the authalic form on every way, asserted row-by-row against the oracle's a-priori TRUE"),
 
+    // Distance-based spatial self-join (the "POIs within 30 km of each
+    // other" primitive): grid-cell candidates (latitude bands +
+    // per-band longitude tiling, 3x3 neighbor expansion, dateline
+    // modulo, polar collapse) with an exact haversine verify — never a
+    // nested-loop join (GeoJoinSpec plan-asserts). The oracle IS the
+    // naive cross join: same haversine expression order, same
+    // threshold; radius picked so the nearest pair sits 0.39 m off the
+    // 30 km boundary at sf0.1 (1287 m at sf0.01) and 3e-4 m off any
+    // 1 m rounding boundary — cross-engine libm ulps cannot flip a row.
+    Q("poi_neighbor_join",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val n = Tables.osmNodes(s, dir)
+          .filter(pmod(col("id"), lit(20)) === 0)
+          .select(col("id"), col("lon"), col("lat"))
+        GeoJoin.withinDistance(n, n, "id", "lon", "lat",
+            "id", "lon", "lat", 30000.0, selfPairs = true)
+          .select(col("id_a"), col("id_b"),
+            round(col("dist_m"), 0).as("dist_m"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH n AS (SELECT o_orderkey AS id,
+             |             (o_totalprice % 360) - 180 AS lon,
+             |             (o_totalprice % 170) - 85 AS lat
+             |           FROM orders WHERE o_orderkey % 20 = 0),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b,
+             |        2*6371000*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)
+             |          + cos(radians(a.lat))*cos(radians(b.lat))
+             |            * pow(sin(radians(b.lon-a.lon)/2),2))) AS d
+             |      FROM n a JOIN n b ON a.id < b.id)
+             |SELECT id_a, id_b, round(d, 0) AS dist_m
+             |FROM p WHERE d <= 30000
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "distance-based spatial self-join: banded-grid candidate keys + exact haversine verify vs the naive cross-join oracle; dateline wrap and polar collapse handled by the tiling"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

@@ -163,6 +163,39 @@ class EllipsoidSpec extends AnyFunSuite {
     assert(quad > 0.5 * cap && quad < 0.75 * cap, s"quad=$quad cap=$cap")
   }
 
+  test("geodesicDistanceM: quarter meridian and quarter equator hit " +
+      "the published WGS84 constants; f=0 equals great-circle; " +
+      "subdivision telescopes; symmetry") {
+    // quarter meridian (equator -> pole): 10,001,965.729 m
+    val qm = Ellipsoid.geodesicDistanceM(10.0, 0.0, 10.0, 90.0)
+    assert(math.abs(qm - 10001965.729) < 0.01, s"qm=$qm")
+    // quarter equator: pi * a / 2
+    val qe = Ellipsoid.geodesicDistanceM(0.0, 0.0, 90.0, 0.0)
+    assert(rel(qe, math.Pi * 6378137.0 / 2) < 1e-12, s"qe=$qe")
+    // f = 0: exact great-circle distance
+    val r = 6371000.0
+    val sphere = Ellipsoid.Spec(r, 0.0)
+    val d = Ellipsoid.geodesicDistanceM(3.0, 10.0, 50.0, -35.0, sphere)
+    val gc = {
+      val (l1, p1, l2, p2) = (math.toRadians(3.0), math.toRadians(10.0),
+        math.toRadians(50.0), math.toRadians(-35.0))
+      r * math.acos(math.sin(p1) * math.sin(p2) +
+        math.cos(p1) * math.cos(p2) * math.cos(l2 - l1))
+    }
+    assert(rel(d, gc) < 1e-12, s"d=$d gc=$gc")
+    // symmetry + subdivision: sum over waypoints == whole edge
+    val whole = Ellipsoid.geodesicDistanceM(0.0, -30.0, 40.0, 20.0)
+    assert(rel(whole,
+      Ellipsoid.geodesicDistanceM(40.0, 20.0, 0.0, -30.0)) < 1e-12)
+    val wp = Ellipsoid.geodesicWaypoints(0.0, -30.0, 40.0, 20.0, 16)
+    val parts = wp.sliding(2).map { case Seq(a, b) =>
+      Ellipsoid.geodesicDistanceM(a._1, a._2, b._1, b._2) }.sum
+    assert(rel(whole, parts) < 1e-9, s"whole=$whole parts=$parts")
+    // sanity scale: ~110 km per degree of latitude
+    val oneDeg = Ellipsoid.geodesicDistanceM(5.0, 45.0, 5.0, 46.0)
+    assert(oneDeg > 110000 && oneDeg < 112000)
+  }
+
   test("invalid rings are None; degenerate zero-area ring is ~0") {
     assert(Ellipsoid.polygonAreaM2(Seq((0.0, 0.0), (1.0, 1.0))).isEmpty)
     assert(Ellipsoid.polygonAreaM2(

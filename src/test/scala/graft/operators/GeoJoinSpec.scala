@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Grid-join correctness is set-equality against the brute-force
+  * haversine cross join on adversarial point clouds — dateline
+  * straddlers, high-latitude bands (where longitude cells narrow and
+  * the band tilings disagree), polar caps, and the equator.
+  */
+class GeoJoinSpec extends SparkSpec {
+
+  private def hav(lon1: Double, lat1: Double, lon2: Double,
+      lat2: Double): Double = {
+    // exact mirror of GeoJoin.haversineM's expression order
+    val dLat = math.toRadians(lat2 - lat1) / 2
+    val dLon = math.toRadians(lon2 - lon1) / 2
+    val h = math.pow(math.sin(dLat), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon), 2)
+    2 * 6371000.0 * math.asin(math.sqrt(h))
+  }
+
+  private def cloud(seed: Int, n: Int): Seq[(Long, Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val (lon, lat) = i % 5 match {
+        case 0 => // mid-lat cluster (most pairs here)
+          (10.0 + rnd.nextDouble() * 0.8, 45.0 + rnd.nextDouble() * 0.8)
+        case 1 => // dateline straddle
+          (179.5 + rnd.nextDouble() * 1.0 match {
+            case l if l > 180 => l - 360; case l => l
+          }, -20.0 + rnd.nextDouble() * 0.5)
+        case 2 => // high-latitude band: lon cells are narrow here
+          (rnd.nextDouble() * 360 - 180, 84.0 + rnd.nextDouble() * 2.5)
+        case 3 => // polar cap
+          (rnd.nextDouble() * 360 - 180, 89.0 + rnd.nextDouble() * 0.9)
+        case _ => // equator straddle
+          (-60.0 + rnd.nextDouble() * 0.6, -0.3 + rnd.nextDouble() * 0.6)
+      }
+      (i.toLong, lon, lat)
+    }
+  }
+
+  test("withinDistance self-join == brute-force haversine at three radii " +
+      "over dateline / high-lat / polar / equator clouds") {
+    import spark.implicits._
+    val pts = cloud(42, 250)
+    val df = pts.toDF("id", "lon", "lat")
+    for (radius <- Seq(5000.0, 50000.0, 400000.0)) {
+      val got = GeoJoin.withinDistance(df, df, "id", "lon", "lat",
+          "id", "lon", "lat", radius, selfPairs = true)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- pts; b <- pts if a._1 < b._1
+        if hav(a._2, a._3, b._2, b._3) <= radius
+      } yield (a._1, b._1)).toSet
+      assert(got == want,
+        s"radius=$radius missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)} sizes=${got.size}/${want.size}")
+      assert(want.nonEmpty) // the clouds must actually exercise pairs
+    }
+  }
+
+  test("cross (a != b) join keeps every directed match; distances match " +
+      "the scalar formula") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0, 45.0), (2L, -179.9, -20.0), (3L, 0.0, 89.8))
+      .toDF("id", "lon", "lat")
+    val b = Seq((10L, 10.05, 45.02), (20L, 179.95, -20.01),
+      (30L, 180.0 - 0.0, 89.85), (40L, 10.0, -45.0)).toDF("id", "lon", "lat")
+    val got = GeoJoin.withinDistance(a, b, "id", "lon", "lat",
+        "id", "lon", "lat", 60000.0)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    // dateline pair ~15.6 km apart; the polar pair crosses the
+    // pole: (0.2 + 0.15) deg of meridian ~ 39 km
+    assert(got.keySet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    got.foreach { case ((ia, ib), d) =>
+      val pa = Map(1L -> (10.0, 45.0), 2L -> (-179.9, -20.0),
+        3L -> (0.0, 89.8))(ia)
+      val pb = Map(10L -> (10.05, 45.02), 20L -> (179.95, -20.01),
+        30L -> (180.0, 89.85))(ib)
+      assert(math.abs(d - hav(pa._1, pa._2, pb._1, pb._2)) < 1e-9)
+    }
+  }
+
+  test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
+    import spark.implicits._
+    val df = cloud(7, 50).toDF("id", "lon", "lat")
+    val plan = GeoJoin.withinDistance(df, df, "id", "lon", "lat",
+        "id", "lon", "lat", 10000.0, selfPairs = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+}
