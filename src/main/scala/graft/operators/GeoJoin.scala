@@ -26,11 +26,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one explode(≤9) on one side, one shuffle on the
   * (band, xcell) key, exact haversine verify on candidates only.
-  * Candidate volume per point is bounded by the 3×3 cell population —
-  * grid density is the skew knob, and a city-block cell holding a
-  * whole corpus IS the finding (densify by shrinking R or pre-dedupe
-  * by location). Self-join emits each unordered pair once (id_a <
-  * id_b).
+  * Candidate volume per point is bounded by the 3×3 cell population.
+  * The adversarial head is NULL ISLAND — bad geocodes put a visible
+  * fraction of any real corpus at one exact coordinate, and those
+  * points are all GENUINELY within radius of each other: a C²/2
+  * output clique no candidate stage can bound (the geo twin of the
+  * mirror family's parking page). Decision rule, MEASURED (SkewProbe
+  * `geojoin`, BASELINE r15): collapse identical coordinates first —
+  * `groupBy(lon, lat).agg(min(id), count)` and join pairs over
+  * representatives; the 5000-point clique that materializes 12.5M
+  * raw pairs becomes ONE multiplicity row while the 25 true
+  * cross-location pairs survive exactly. Self-join emits each
+  * unordered pair once (id_a < id_b).
   */
 object GeoJoin {
 

@@ -883,6 +883,56 @@ object SkewProbe {
                 if (nL == nC && hL == hC) " MATCH" else " **MISMATCH**")
               f.unpersist()
             }
+        case "geojoin" =>
+          // distance self-join shapes: UNIFORM (1M points over ±60°
+          // lat — grid cells hold O(1) points, cost ∝ output) and
+          // NULL ISLAND (the geo parking-page: 25% of points carry the
+          // same bad-geocode coordinate, so they are all GENUINELY
+          // within any radius of each other — a C²/2 output clique no
+          // candidate stage can bound; bounded to 20k points because
+          // the clique is quadratic BY DESIGN). The control is
+          // collapse-identical-first: distinct coordinates with
+          // multiplicity, pairs over representatives — the clique
+          // becomes ONE self-group row, the hamming family's rule.
+          import graft.operators.GeoJoin
+          def pts(n: Long, nullIsland: Boolean): DataFrame =
+            spark.range(n).select(col("id"),
+              when(lit(nullIsland) && pmod(col("id"), lit(4)) === 0,
+                  lit(0.0))
+                .otherwise(pmod(xxhash64(col("id"), lit(1)),
+                  lit(360000000L)) / 1e6 - 180).as("lon"),
+              when(lit(nullIsland) && pmod(col("id"), lit(4)) === 0,
+                  lit(0.0))
+                .otherwise(pmod(xxhash64(col("id"), lit(2)),
+                  lit(120000000L)) / 1e6 - 60).as("lat"))
+          locally {
+            val f = pts(1000000L, nullIsland = false).persist(); f.count()
+            val ((nR, hR), tR) = time(sig(
+              GeoJoin.withinDistance(f, f, "id", "lon", "lat",
+                "id", "lon", "lat", 5000.0, selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("uniform1m", rep, tR, nR, hR)
+            f.unpersist()
+          }
+          locally {
+            val f = pts(20000L, nullIsland = true).persist(); f.count()
+            val ((nU, hU), tU) = time(sig(
+              GeoJoin.withinDistance(f, f, "id", "lon", "lat",
+                "id", "lon", "lat", 5000.0, selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("nullisland_raw", rep, tU, nU, hU)
+            // collapse-identical-first: the clique never materializes
+            val uniq = f.groupBy(col("lon"), col("lat"))
+              .agg(min(col("id")).as("id"), count(lit(1)).as("mult"))
+            val ((nC, hC), tC) = time(sig(
+              GeoJoin.withinDistance(uniq, uniq, "id", "lon", "lat",
+                "id", "lon", "lat", 5000.0, selfPairs = true),
+              Seq("id_a", "id_b")))
+            val cliqueRows = uniq.filter(col("mult") > 1).count()
+            report("nullisland_collapsed", rep, tC, nC, hC,
+              s" cliques=$cliqueRows")
+            f.unpersist()
+          }
         case other =>
           sys.error(s"unknown family: $other")
       }
