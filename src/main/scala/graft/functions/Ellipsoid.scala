@@ -108,6 +108,14 @@ object Ellipsoid {
     * recursion depth bound (40) caps pathological inputs; the area
     * integrand's worst feature (the λ′ pole-pass spike of width
     * ~sin α₀) resolves in ~log₂(1/sin α₀) levels.
+    *
+    * Acceptance is absTol OR 1e-13 RELATIVE — a purely absolute
+    * tolerance below the double-rounding noise of an O(1)-magnitude
+    * panel (|l+r−whole| floors at ~1e-16·|whole| and shrinks only in
+    * lockstep with the tolerance as panels halve) sends the recursion
+    * toward the depth cap on every evaluation: measured as
+    * way_area_ellipsoid_exact at 361 s for 20k ways before the
+    * relative term, 4 s after, same results to 1e-13.
     */
   private def integrate(g: Double => Double, x1: Double, x2: Double,
       absTol: Double): Double = {
@@ -115,7 +123,9 @@ object Ellipsoid {
         depth: Int): Double = {
       val m = (a + b) / 2
       val l = gl8(g, a, m); val r = gl8(g, m, b)
-      if (depth >= 40 || math.abs(l + r - whole) <= tol) l + r
+      val err = math.abs(l + r - whole)
+      if (depth >= 40 || err <= tol || err <= 1e-13 * math.abs(l + r))
+        l + r
       else go(a, m, l, tol / 2, depth + 1) + go(m, b, r, tol / 2, depth + 1)
     }
     if (x1 == x2) 0.0

@@ -125,6 +125,37 @@ object StreamProbe {
         .outputMode("append").start())
     }
 
+    // ---- sessionize: native session_window vs flatMapGroupsWithState
+    // (the ROADMAP item-7 comparison: same gap semantics, measure the
+    // state-store footprints) ----------------------------------------
+    locally {
+      val dir = s"$root/events"
+      val nEv = n * 4
+      val users = 5000L
+      // event k of a user: 5-min cadence, a 2-hour hole every 8 events
+      // closes a session; one far-future sentinel advances the
+      // watermark so every session closes inside the probe
+      spark.range(nEv).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          timestamp_seconds(lit(base) +
+            expr(s"id div $users") * 300 +
+            expr(s"(id div $users) div 8") * 7200).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      spark.range(1).select(lit(-1L).as("user_id"),
+          timestamp_seconds(lit(base) + 100000000L).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      def in = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val nat = in.withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      run("sess_native", nat.writeStream.format("noop")
+        .outputMode("append").start())
+      run("sess_fmgws", graft.streaming.EventStream
+        .sessionize(in, gapMinutes = 30)
+        .writeStream.format("noop").outputMode("append").start())
+    }
+
     // ---- heavy hitters (bounded Misra-Gries shard state) -----------
     locally {
       val in = spark.readStream
