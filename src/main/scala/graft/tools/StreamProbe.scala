@@ -55,12 +55,17 @@ object StreamProbe {
         if (prog.isEmpty) 0L
         else prog.map(p => Option(p.durationMs.get("triggerExecution"))
           .map(_.toLong).getOrElse(0L)).max
-      val state = prog.reverse.find(_.stateOperators.nonEmpty)
+      // PEAK state is the sizing number (the final batch often holds
+      // only unclosed tails after the watermark flushed everything)
+      val state = prog.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val endState = prog.reverse.find(_.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       q.stop()
       println(f"[streamprobe] $name%-12s inputRows=$rows%-9d wall=$wall%7.2f s " +
         f"rate=${rows / math.max(wall, 1e-9)}%9.0f ev/s batches=${prog.length}%-3d " +
-        f"maxBatch=${maxBatch}%6d ms stateRows=$state%d")
+        f"maxBatch=${maxBatch}%6d ms stateRowsPeak=$state%d end=$endState%d")
     }
 
     // ---- near-dup pairs (LSH bucket state) -------------------------
