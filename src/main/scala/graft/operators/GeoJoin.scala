@@ -119,7 +119,7 @@ object GeoJoin {
           pmod(col("__xc") + d, n)
         }))))
       .drop("__b0", "__xc")
-    val pairs = build.join(probe, Seq("__band", "__x"))
+    val pairsJoined = build.join(probe, Seq("__band", "__x"))
       .withColumn("dist_m", haversineM(col("__loa"), col("__laa"),
         col("__lob"), col("__lab")))
       .filter(col("dist_m") <= radiusM)
@@ -127,6 +127,37 @@ object GeoJoin {
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
         col("dist_m"))
       .distinct() // a pair can match through several neighbor cells
-    pairs
+    pairsJoined
+  }
+
+  /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest
+    * `b` points within `radiusM` (ties on distance break on id_b —
+    * exact-duplicate coordinates produce bit-identical distances, so
+    * the tie rule is deterministic and engine-portable). Output:
+    * (id_a, rank 1..k, id_b, dist_m). The radius bound is what keeps
+    * this a join, not a scan: unbounded kNN must probe ever-wider
+    * rings (an ANN problem — [[Similarity]] covers the embedding
+    * flavor); a crawler/POI pipeline always has a "don't care beyond
+    * X km" radius. `rank <= k` over the per-id_a window rewrites to
+    * WindowGroupLimit, so a dense neighborhood's candidate list
+    * prunes map-side before the sort ships (the doc_domain_cap
+    * shape). `excludeSelf` drops id_a == id_b rows for self-kNN
+    * (pass the same relation twice).
+    */
+  def nearestNeighbors(a: DataFrame, b: DataFrame,
+      aId: String, aLon: String, aLat: String,
+      bId: String, bLon: String, bLat: String,
+      radiusM: Double, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = withinDistance(a, b, aId, aLon, aLat, bId, bLon, bLat,
+        radiusM, selfPairs = false)
+      .filter(if (excludeSelf) col("id_a") =!= col("id_b") else lit(true))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("dist_m"), col("id_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank"), col("id_b"), col("dist_m"))
   }
 }

