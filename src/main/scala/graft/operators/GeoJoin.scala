@@ -130,6 +130,77 @@ object GeoJoin {
     pairsJoined
   }
 
+  /** Point-in-ring test (even-odd rule / ray casting) for a closed
+    * lon/lat ring — the verify kernel of [[pointsInPolygons]]. On-edge
+    * points follow the half-open crossing convention; callers whose
+    * correctness depends on boundary points must nudge them off the
+    * boundary (the catalog query does) or pre-filter.
+    */
+  def pointInRing(lon: Double, lat: Double,
+      ring: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var i = 0
+    while (i < ring.size - 1) {
+      val (xi, yi) = ring(i); val (xj, yj) = ring(i + 1)
+      if ((yi > lat) != (yj > lat)) {
+        val xint = xi + (lat - yi) * (xj - xi) / (yj - yi)
+        if (lon < xint) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  /** Spatial CONTAINMENT join: (point, polygon) pairs where the point
+    * lies inside the polygon's exterior ring — "which POI nodes fall
+    * inside which way-areas", the reference-domain query the distance
+    * join doesn't answer. Candidates come from a fixed `cellDeg` grid:
+    * each polygon emits every cell its bbox covers, each point its own
+    * cell, and candidates verify with the exact ray cast — the grid is
+    * pure pruning, so `cellDeg` only trades candidate volume for key
+    * fan-out. Size it near the MEDIAN polygon diameter: a whale
+    * polygon (a country among buildings) emits bbox-area/cellDeg²
+    * keys — the classic grid-vs-R-tree tradeoff; at web scale split
+    * such outliers into their own coarser-grid pass (two calls,
+    * union) rather than letting one geometry own millions of keys.
+    * Polygons crossing the antimeridian must be split upstream (their
+    * lon bbox would cover the world). Holes are the caller's
+    * composition: inside(multipolygon) = inside(outer) ∧ ¬inside(any
+    * inner) — two calls and an anti-join. Output: (point_id, poly_id).
+    */
+  def pointsInPolygons(points: DataFrame, polys: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      gId: String, ringCol: String, cellDeg: Double = 0.5): DataFrame = {
+    require(cellDeg > 0, "cellDeg > 0")
+    import org.apache.spark.sql.Row
+    val cx = (lon: Column) => floor(lon / cellDeg).cast("long")
+    val cy = (lat: Column) => floor(lat / cellDeg).cast("long")
+    val pts = points.select(col(pId).as("__pid"), col(pLon).as("__plon"),
+        col(pLat).as("__plat"))
+      .withColumn("__cx", cx(col("__plon")))
+      .withColumn("__cy", cy(col("__plat")))
+    val lons = transform(col(ringCol), q => q.getField("lon"))
+    val lats = transform(col(ringCol), q => q.getField("lat"))
+    val pg = polys.select(col(gId).as("__gid"), col(ringCol).as("__ring"),
+        array_min(lons).as("__lo1"), array_max(lons).as("__lo2"),
+        array_min(lats).as("__la1"), array_max(lats).as("__la2"))
+      .withColumn("__cx", explode(sequence(cx(col("__lo1")),
+        cx(col("__lo2")))))
+      .withColumn("__cy", explode(sequence(cy(col("__la1")),
+        cy(col("__la2")))))
+    val inRing = udf((lon: Double, lat: Double, ring: Seq[Row]) =>
+      pointInRing(lon, lat,
+        ring.map(r => (r.getDouble(0), r.getDouble(1)))))
+    pts.join(pg, Seq("__cx", "__cy"))
+      // bbox pre-filter: cheap scalar compare kills most candidates
+      // before the per-vertex ray cast
+      .filter(col("__plon") >= col("__lo1") && col("__plon") <= col("__lo2") &&
+        col("__plat") >= col("__la1") && col("__plat") <= col("__la2"))
+      .filter(inRing(col("__plon"), col("__plat"), col("__ring")))
+      .select(col("__pid").as("point_id"), col("__gid").as("poly_id"))
+      .distinct() // a pair can meet in several cells of the bbox cover
+  }
+
   /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest
     * `b` points within `radiusM` (ties on distance break on id_b —
     * exact-duplicate coordinates produce bit-identical distances, so

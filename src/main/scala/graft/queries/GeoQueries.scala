@@ -198,6 +198,38 @@ object GeoQueries {
              |ORDER BY id_a, rank""".stripMargin),
       doc = "radius-bounded k-nearest-neighbor join: grid candidates + exact haversine + WindowGroupLimit top-k per point vs the naive cross-join-and-rank oracle"),
 
+    // Spatial CONTAINMENT join: which points fall inside which
+    // way-area rings — grid-cell candidates over polygon bboxes +
+    // exact ray-cast verify (GeoJoin.pointsInPolygons). Points derive
+    // from orders ONTO the ways' coordinate lattice with half-step
+    // offsets (+0.0005 on both axes): every way edge is a multiple of
+    // 0.001°, so no point can sit ON a boundary and the oracle's
+    // strict BETWEEN equals the engine's half-open ray cast — the
+    // on-edge convention never fires.
+    Q("poi_in_way_area",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 120) - 60 +
+            (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
+        GeoJoin.pointsInPolygons(pts, Tables.osmWays(s, dir),
+            "id", "lon", "lat", "id", "ring", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some(s"""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 300) - 150 + 0.0005 AS lon,
+             |               (o_orderkey % 120) - 60
+             |                 + (o_orderkey % 97) / 1000.0 + 0.0005 AS lat
+             |             FROM orders)
+             |SELECT p.id AS point_id, w.id AS poly_id
+             |FROM pts p JOIN $waySql ON
+             |  p.lon > w.lon0 AND p.lon < w.lon0 + w.d AND
+             |  p.lat > w.lat0 AND p.lat < w.lat0 + w.d
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "point-in-polygon containment join: bbox grid-cell candidates + exact ray cast vs the strict-between oracle (points half-step off the edge lattice, so boundary conventions never fire)"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

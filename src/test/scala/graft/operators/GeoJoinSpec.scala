@@ -110,6 +110,52 @@ class GeoJoinSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
 
+  test("pointsInPolygons == brute-force ray cast; concave ring; hole " +
+      "composition; cell-straddling polygons") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 4 - 2 + 10, rnd.nextDouble() * 4 - 2 + 45))
+    // a square, an L-shaped CONCAVE ring, and a wide cell-straddler
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val polys = Seq(
+      (101L, ring((9.0, 44.0), (10.5, 44.0), (10.5, 45.5), (9.0, 45.5))),
+      (102L, ring((10.0, 45.0), (12.0, 45.0), (12.0, 45.4), (10.4, 45.4),
+        (10.4, 46.5), (10.0, 46.5))), // L-shape: concave corner
+      (103L, ring((8.5, 43.5), (11.9, 43.6), (11.8, 46.9), (8.6, 46.8))))
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val polyDf = polys
+      .map { case (id, r) => (id, r.map { case (lo, la) => (lo, la) }) }
+      .toDF("gid", "rawring")
+      .select($"gid", expr(
+        "transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("ring"))
+    val got = GeoJoin.pointsInPolygons(ptsDf, polyDf,
+        "id", "lon", "lat", "gid", "ring", cellDeg = 0.7)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- pts; g <- polys
+      if GeoJoin.pointInRing(p._2, p._3, g._2)
+    } yield (p._1, g._1)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && want.exists(_._2 == 102L)) // concave hit
+    // hole composition: outer 103 minus inner 101
+    val outer = GeoJoin.pointsInPolygons(ptsDf,
+      polyDf.filter($"gid" === 103L), "id", "lon", "lat", "gid", "ring")
+    val inner = GeoJoin.pointsInPolygons(ptsDf,
+      polyDf.filter($"gid" === 101L), "id", "lon", "lat", "gid", "ring")
+    val holed = outer.join(inner.select($"point_id"), Seq("point_id"),
+      "left_anti").as[(Long, Long)].collect().toSet
+    val wantHoled = (for {
+      p <- pts
+      if GeoJoin.pointInRing(p._2, p._3, polys(2)._2)
+      if !GeoJoin.pointInRing(p._2, p._3, polys(0)._2)
+    } yield (p._1, 103L)).toSet
+    assert(holed == wantHoled)
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
