@@ -158,11 +158,17 @@ object GeoJoin {
     * each polygon emits every cell its bbox covers, each point its own
     * cell, and candidates verify with the exact ray cast — the grid is
     * pure pruning, so `cellDeg` only trades candidate volume for key
-    * fan-out. Size it near the MEDIAN polygon diameter: a whale
+    * fan-out. Size it near the MEDIAN polygon diameter. A whale
     * polygon (a country among buildings) emits bbox-area/cellDeg²
-    * keys — the classic grid-vs-R-tree tradeoff; at web scale split
-    * such outliers into their own coarser-grid pass (two calls,
-    * union) rather than letting one geometry own millions of keys.
+    * keys — but that fan-out is what SHARDS its verify work across
+    * the cluster, measured, not argued (SkewProbe `geojoin` pip1m:
+    * 1M points × 100k small polys + one continent-bbox whale at
+    * cellDeg 0.5 → 865k genuine containments in 1.6 s, maxtask
+    * 0.5 s — the whale distributes by construction). The real limit
+    * is cellDeg ≪ whale extent (millions of key rows per geometry,
+    * linear fan-out cost): split such outliers into their own
+    * coarser-grid pass (two calls, union) instead of shrinking the
+    * global cell.
     * Polygons crossing the antimeridian must be split upstream (their
     * lon bbox would cover the world). Holes are the caller's
     * composition: inside(multipolygon) = inside(outer) ∧ ¬inside(any

@@ -915,6 +915,53 @@ object SkewProbe {
             f.unpersist()
           }
           locally {
+            // kNN at 1M points: the WindowGroupLimit top-k rides the
+            // same grid join
+            val f = pts(1000000L, nullIsland = false).persist(); f.count()
+            val ((nK, hK), tK) = time(sig(
+              GeoJoin.nearestNeighbors(f, f, "id", "lon", "lat",
+                "id", "lon", "lat", 50000.0, k = 3),
+              Seq("id_a", "rank", "id_b")))
+            report("knn1m", rep, tK, nK, hK)
+            // point-in-polygon at 1M points × 100k small polys, then
+            // the WHALE polygon (a continent among buildings): its
+            // bbox covers EVERY cell, so it alone emits ~cells keys —
+            // the grid-vs-R-tree hazard the scaladoc's split rule is
+            // for; measured here, not argued
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            val polys = spark.range(100000L).select(col("id"),
+                (pmod(xxhash64(col("id"), lit(3)), lit(340000000L)) / 1e6
+                  - 170).as("lo"),
+                (pmod(xxhash64(col("id"), lit(4)), lit(110000000L)) / 1e6
+                  - 55).as("la"))
+              .select(col("id"), sexpr(
+                """array(struct(lo AS lon, la AS lat),
+                  |struct(lo + 0.01 AS lon, la AS lat),
+                  |struct(lo + 0.01 AS lon, la + 0.01 AS lat),
+                  |struct(lo AS lon, la + 0.01 AS lat),
+                  |struct(lo AS lon, la AS lat))""".stripMargin)
+                .as("ring")).persist()
+            polys.count()
+            val ((nP, hP), tP) = time(sig(
+              GeoJoin.pointsInPolygons(f, polys, "id", "lon", "lat",
+                "id", "ring", cellDeg = 0.5),
+              Seq("point_id", "poly_id")))
+            report("pip1m", rep, tP, nP, hP)
+            val whale = spark.range(1).select(lit(100001L).as("id"), sexpr(
+              """array(struct(-170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, -55.0 AS lat))""".stripMargin)
+              .as("ring"))
+            val ((nW, hW), tW) = time(sig(
+              GeoJoin.pointsInPolygons(f, polys.unionByName(whale),
+                "id", "lon", "lat", "id", "ring", cellDeg = 0.5),
+              Seq("point_id", "poly_id")))
+            report("pip1m_whale", rep, tW, nW, hW)
+            polys.unpersist(); f.unpersist()
+          }
+          locally {
             val f = pts(20000L, nullIsland = true).persist(); f.count()
             val ((nU, hU), tU) = time(sig(
               GeoJoin.withinDistance(f, f, "id", "lon", "lat",
