@@ -244,27 +244,30 @@ object Ellipsoid {
     if (r <= -math.Pi) r + 2 * math.Pi else r
   }
 
-  /** The per-edge term Δλ·(1 + s0) + ∫(sin ξ − s0) dλ, all angles in
-    * RADIANS, s0 = sin ξ of the ring's first vertex (the compensation
-    * constant — exact because Σ Δλ·s0 telescopes over the closed
-    * ring).
+  /** The per-edge COMPENSATED integral ∫(sin ξ − s0) dλ, all angles
+    * in RADIANS, s0 = sin ξ of the ring's first vertex. The
+    * uncompensated Δλ·(1 + s0) part is NOT accumulated here:
+    * [[polygonAreaM2]] sums the winding Σ Δλ separately and snaps it
+    * to its exact topological value (0 or ±2πk) — per-edge wrap
+    * rounding otherwise leaves Σ Δλ ≈ ±4e-16 of noise that the
+    * (1 + s0) factor injects as area (measured 3e-6 relative on an
+    * antimeridian-straddling 100 m triangle).
     */
   private def edgeTerm(spec: Spec, phi1: Double, lam1: Double,
       phi2: Double, lam2: Double, s0: Double): Double = {
     val dLam = wrapPi(lam2 - lam1)
-    val base = dLam * (1 + s0)
     if (dLam == 0.0 && phi1 == phi2) return 0.0
     val omf = 1 - spec.f
     // pole endpoints: the edge is a meridian pair through the pole;
     // all of Δλ happens where sin ξ = ±1
     val poleEps = 1e-12
     if (math.Pi / 2 - math.abs(phi1) < poleEps)
-      return base + dLam * ((if (phi1 > 0) 1.0 else -1.0) - s0)
+      return dLam * ((if (phi1 > 0) 1.0 else -1.0) - s0)
     if (math.Pi / 2 - math.abs(phi2) < poleEps)
-      return base + dLam * ((if (phi2 > 0) 1.0 else -1.0) - s0)
+      return dLam * ((if (phi2 > 0) 1.0 else -1.0) - s0)
     if (dLam == 0.0) return 0.0 // meridional edge, no pole between
     if (phi1 == 0.0 && phi2 == 0.0)
-      return base - s0 * dLam // equatorial edge: sin ξ = 0 on path
+      return -s0 * dLam // equatorial edge: sin ξ = 0 on path
     // reduced latitudes
     val b1 = math.atan(omf * math.tan(phi1))
     val b2 = math.atan(omf * math.tan(phi2))
@@ -287,7 +290,7 @@ object Ellipsoid {
       solveCanonical(spec, sb1, cb1, sb2, cb2, lam12)
     val fCanon =
       areaIntegral(spec, salp0, calp0, sig1, sig2, latsign * s0)
-    base + lonsign * swapsign * latsign * fCanon
+    lonsign * swapsign * latsign * fCanon
   }
 
   /** Exact ellipsoidal area in m² of a closed lon/lat ring (degrees,
@@ -304,13 +307,19 @@ object Ellipsoid {
       spec.sinXi(sphi)
     }
     var sum = 0.0
+    var winding = 0.0
     var i = 0
     while (i < rad.size - 1) {
       val (l1, p1) = rad(i); val (l2, p2) = rad(i + 1)
       sum += edgeTerm(spec, p1, l1, p2, l2, s0)
+      winding += wrapPi(rad(i + 1)._1 - rad(i)._1)
       i += 1
     }
-    Some(math.abs(sum) * spec.ra2)
+    // the winding is exactly 0 (ordinary ring) or ±2πk (pole-enclosing)
+    // by topology — snap away the per-edge wrap rounding before the
+    // (1 + s0) factor can turn it into area
+    val w = 2 * math.Pi * math.round(winding / (2 * math.Pi))
+    Some(math.abs(w * (1 + s0) + sum) * spec.ra2)
   }
 
   /** A point at parameter σ of the canonical-frame geodesic:

@@ -30,13 +30,15 @@ object WaysToCentroids {
     *
     * PostGIS-parity bound (round 15, pinned by EllipsoidSpec against
     * [[graft.functions.Ellipsoid.polygonAreaM2]], the exact
-    * GeographicLib-semantics area): the authalic area sits within 1e-5
-    * RELATIVE of the true ellipsoidal value on OSM-scale rings
-    * (measured ~2e-7 on axis-aligned ways, ~2e-6 on diagonal
-    * threshold-band quads), so `spheroid = true` can classify a
-    * polygon differently from PostGIS only when its true area lies
-    * within ±0.2 m² of the 20,000 m² threshold — a quantified flip
-    * band, not an open residual. For an audit of exactly those rows,
+    * GeographicLib-semantics area): the authalic area follows the
+    * measured SIZE LAW rel ≲ 1e-5 + tan(φ)·Δφ/4 against the true
+    * ellipsoidal value (EllipsoidProperties) — ~2e-7 on axis-aligned
+    * ways, ~2e-6 on diagonal THRESHOLD-BAND quads (the ≤ 20,000 m²
+    * polygons this operator classifies are ~140 m across, where the
+    * law is comfortably under 1e-5) — so `spheroid = true` can
+    * classify a polygon differently from PostGIS only when its true
+    * area lies within ±0.2 m² of the 20,000 m² threshold: a
+    * quantified flip band, not an open residual. For an audit of exactly those rows,
     * re-filter the boundary band with
     * [[graft.functions.GeoFunctions.geodesic_area_ellipsoid]] (the
     * `way_area_ellipsoid_exact` catalog query pins the law on data).
