@@ -117,6 +117,31 @@ object WarcRandomAccess {
   def readPersistedIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir.stripSuffix("/") + "/_cdxindex")
 
+  /** The LIVE form of [[persistIndex]]: CDX sidecars arriving with
+    * their segments stream through the parse and APPEND to the same
+    * parquet index table — the archive's index maintains itself as
+    * segments land, no rebuild, restart-exact via the checkpoint.
+    * [[indexFromFileLines]] resolves each sidecar's segment next to
+    * the sidecar itself, so multi-directory landing zones work
+    * unchanged. Appended batches are not range-partitioned (each
+    * micro-batch is its own file set); run [[persistIndex]] as the
+    * periodic compaction when file count or lookup latency says so —
+    * the write-once/compact-later lifecycle every LSM-ish index has.
+    */
+  def persistIndexStream(spark: SparkSession, dir: String,
+      checkpoint: String, landingGlob: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = dir.stripSuffix("/")
+    val glob = if (landingGlob.nonEmpty) landingGlob else base + "/*.cdx"
+    indexFromFileLines(spark.readStream.text(glob))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", base + "/_cdxindex")
+      .outputMode("append")
+      .start()
+  }
+
   /** Fetch exactly the records the (filtered) index rows point at.
     * `index` needs columns `segment`, `offset`, `length` (the
     * [[readIndex]] shape, after whatever URI/id filtering or joining

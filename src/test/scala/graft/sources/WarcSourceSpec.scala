@@ -211,6 +211,45 @@ class WarcSourceSpec extends SparkSpec {
     assert(spark.read.format("warc").load(dir).count() == 3)
   }
 
+  test("persistIndexStream: sidecars arriving across micro-batches " +
+      "append to the parquet index; fetch sees every landed segment") {
+    import graft.sources.warc.WarcRandomAccess
+    val landing = tmpDir()
+    val stage = tmpDir()
+    // two "crawl drops": segment+sidecar pairs staged then moved in
+    for ((drop, off) <- Seq("d1" -> 0, "d2" -> 100)) {
+      sampleDf.withColumn("record_id",
+          regexp_replace($"record_id", "x:", s"x$off:"))
+        .coalesce(1).write.format("warc").mode("append")
+        .option("index", "true").option("compression", "gzip")
+        .save(s"$stage/$drop")
+    }
+    // each drop lands as its own subdirectory — sidecar filenames
+    // stay intact so indexFromFileLines resolves segments correctly
+    def land(drop: String): Unit = {
+      val d = new java.io.File(s"$landing/$drop"); d.mkdirs()
+      new java.io.File(s"$stage/$drop").listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(d.getPath, f.getName))
+      }
+    }
+    val q = WarcRandomAccess.persistIndexStream(spark, landing,
+      tmpDir() + "/ckpt", landingGlob = s"$landing/*/*.cdx")
+    land("d1"); q.processAllAvailable()
+    val afterOne = WarcRandomAccess.readPersistedIndex(spark, landing).count()
+    assert(afterOne == 3, s"afterOne=$afterOne")
+    land("d2"); q.processAllAvailable()
+    q.stop()
+    val idx = WarcRandomAccess.readPersistedIndex(spark, landing)
+    assert(idx.count() == 6)
+    // the streamed index fetches every record the landed segments hold
+    val got = WarcRandomAccess.fetch(idx).collect()
+      .map(_.record_id).sorted.toSeq
+    val want = (for (off <- Seq(0, 100); i <- 1 to 3)
+      yield s"<urn:x$off:$i>").sorted
+    assert(got == want, s"got=$got")
+  }
+
   test("CDX index parse survives untrusted garbage: overflowing offsets " +
       "null out (no ANSI CAST_OVERFLOW) and fetch skips corrupt rows") {
     import graft.sources.warc.WarcRandomAccess
