@@ -81,9 +81,14 @@ object GeoJoin {
   }
 
   /** All (a, b) pairs with haversine(a, b) ≤ `radiusM`. Output:
-    * (id_a, id_b, dist_m). `selfPairs = true` treats a and b as the
-    * same relation and emits unordered pairs once (id_a < id_b,
-    * requires ids globally distinct); false keeps every cross match.
+    * (id_a, id_b, dist_m), one row per matching pair (ids must be
+    * unique per relation — a duplicated input id duplicates its
+    * pairs). `selfPairs = true` treats a and b as the same relation
+    * and emits unordered pairs once (id_a < id_b); false keeps every
+    * cross match. The `b` side may be a STREAM: its per-row cell key
+    * is stateless and the join is stream-static — the geofence shape
+    * (events arriving, static POI set), append mode, no watermark
+    * needed.
     */
   def withinDistance(a: DataFrame, b: DataFrame,
       aId: String, aLon: String, aLat: String,
@@ -119,15 +124,18 @@ object GeoJoin {
           pmod(col("__xc") + d, n)
         }))))
       .drop("__b0", "__xc")
-    val pairsJoined = build.join(probe, Seq("__band", "__x"))
+    // no trailing distinct: the probe row carries exactly ONE key and
+    // the build row's 9 neighbor keys are array_distinct'ed, so a pair
+    // joins at most once — which also keeps the plan stateless, so the
+    // PROBE side streams (stream-static equi-join, append mode,
+    // spec-pinned stream ≡ batch)
+    build.join(probe, Seq("__band", "__x"))
       .withColumn("dist_m", haversineM(col("__loa"), col("__laa"),
         col("__lob"), col("__lab")))
       .filter(col("dist_m") <= radiusM)
       .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
         col("dist_m"))
-      .distinct() // a pair can match through several neighbor cells
-    pairsJoined
   }
 
   /** Point-in-ring test (even-odd rule / ray casting) for a closed

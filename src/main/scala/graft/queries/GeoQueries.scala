@@ -198,6 +198,50 @@ object GeoQueries {
              |ORDER BY id_a, rank""".stripMargin),
       doc = "radius-bounded k-nearest-neighbor join: grid candidates + exact haversine + WindowGroupLimit top-k per point vs the naive cross-join-and-rank oracle"),
 
+    // The exact geodesic DISTANCE pinned on data (the
+    // way_area_ellipsoid_exact discipline): per consecutive node pair,
+    // the haversine distance (oracle-recomputable) plus the a-priori
+    // claim that the ellipsoidal distance sits within the flattening
+    // band (|d_ell - d_hav|/d_hav < 0.6%, the EllipsoidProperties
+    // law). If the inverse solver regresses, rows flip FALSE and the
+    // hash breaks.
+    Q("poi_geodesic_distance",
+      (s, dir) => {
+        import graft.functions.GeoFunctions
+        import graft.operators.GeoJoin
+        val n = Tables.osmNodes(s, dir)
+          .filter(pmod(col("id"), lit(20)) === 0)
+          .select(col("id"), col("lon"), col("lat"))
+        val nx = n.withColumn("id2", col("id") + 20)
+        val pairs = n.select(col("id").as("id2"), col("lon").as("lon2"),
+            col("lat").as("lat2"))
+          .join(nx, Seq("id2"))
+        pairs.select(col("id"), col("id2"),
+            round(GeoJoin.haversineM(col("lon"), col("lat"),
+              col("lon2"), col("lat2")), 0).as("hav_m"),
+            (abs(GeoFunctions.geodesic_distance_ellipsoid(col("lon"),
+                col("lat"), col("lon2"), col("lat2")) -
+              GeoJoin.haversineM(col("lon"), col("lat"),
+                col("lon2"), col("lat2"))) <=
+              GeoJoin.haversineM(col("lon"), col("lat"),
+                col("lon2"), col("lat2")) * 0.006)
+              .as("band_ok"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH n AS (SELECT o_orderkey AS id,
+             |             (o_totalprice % 360) - 180 AS lon,
+             |             (o_totalprice % 170) - 85 AS lat
+             |           FROM orders WHERE o_orderkey % 20 = 0)
+             |SELECT a.id, b.id AS id2,
+             |       round(2*6371000*asin(sqrt(
+             |         pow(sin(radians(b.lat-a.lat)/2),2)
+             |         + cos(radians(a.lat))*cos(radians(b.lat))
+             |           * pow(sin(radians(b.lon-a.lon)/2),2))), 0) AS hav_m,
+             |       TRUE AS band_ok
+             |FROM n a JOIN n b ON b.id = a.id + 20
+             |ORDER BY a.id""".stripMargin),
+      doc = "exact ellipsoidal distance pinned on data: per node pair the haversine (oracle-recomputed) plus the a-priori claim the inverse-solver distance sits inside the 0.6% flattening band"),
+
     // Spatial CONTAINMENT join: which points fall inside which
     // way-area rings — grid-cell candidates over polygon bboxes +
     // exact ray-cast verify (GeoJoin.pointsInPolygons). Points derive

@@ -156,6 +156,45 @@ class GeoJoinSpec extends SparkSpec {
     assert(holed == wantHoled)
   }
 
+  test("withinDistance streams on the probe side: geofence events " +
+      "across micro-batches == batch (stream-static, append, stateless)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-geofence-").toString
+    val fences = Seq((1L, 10.0, 45.0), (2L, -179.95, -20.0),
+      (3L, 30.0, 60.0)).toDF("id", "lon", "lat")
+    val f1 = Seq((100L, 10.02, 45.01), (101L, 120.0, 10.0))
+    val f2 = Seq((102L, 179.98, -20.02), (103L, 30.05, 60.01))
+    Seq(f1, f2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("id", "lon", "lat").coalesce(1)
+        .write.mode("overwrite").json(s"$dir/f$i")
+    }
+    val staged = s"$dir/in"; new java.io.File(staged).mkdirs()
+    def stage(i: Int): Unit =
+      new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(staged, s"f$i-${f.getName}"))
+        }
+    val stream = spark.readStream
+      .schema("id LONG, lon DOUBLE, lat DOUBLE").json(staged)
+    val q = GeoJoin.withinDistance(fences, stream, "id", "lon", "lat",
+        "id", "lon", "lat", 10000.0)
+      .writeStream.format("memory").queryName("geofence")
+      .outputMode("append").start()
+    stage(0); q.processAllAvailable()
+    stage(1); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("geofence").select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val batch = GeoJoin.withinDistance(fences,
+        (f1 ++ f2).toDF("id", "lon", "lat"), "id", "lon", "lat",
+        "id", "lon", "lat", 10000.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == batch && got == Set((1L, 100L), (2L, 102L), (3L, 103L)),
+      s"stream=$got batch=$batch")
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
