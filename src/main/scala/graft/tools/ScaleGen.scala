@@ -110,9 +110,47 @@ object ScaleGen {
       .repartition(col("event_id"))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // the TPC-H side isn't stress-targeted; symlink-free cheap copy so
+    // part + orders scale too (round 15): they derive the OSM-shaped
+    // geo tables (osmWays from part, osmNodes/points from orders), so
+    // the geo operators get TRUE decade rows instead of riding an
+    // unscaled table. Key offsets are multiples of every modulus the
+    // derivations take (% 20 filters, % 120 / % 97 coordinate laws),
+    // so per-copy structure is preserved while the price nudges
+    // displace copies off each other's coordinate lattice — the world
+    // gets DENSER, the realistic way a corpus grows. The other TPC-H
+    // tables stay single-copy (not stress-targeted).
+    locally {
+      val part = spark.read.parquet(s"$src/part.parquet")
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      require(part.agg(max(col("p_partkey"))).head.getLong(0) < 10000000L,
+        "part.p_partkey would alias across copies")
+      require(orders.agg(max(col("o_orderkey"))).head.getLong(0) < 100000000L,
+        "orders.o_orderkey would alias across copies")
+      part.crossJoin(c).select(
+          (col("p_partkey") + col("__copy").cast("long") * 10000000L)
+            .as("p_partkey") +:
+          part.columns.filter(_ != "p_partkey").map {
+            case "p_retailprice" =>
+              (col("p_retailprice") + col("__copy") * 0.37).as("p_retailprice")
+            case other => col(other)
+          }.toIndexedSeq: _*)
+        .repartition(col("p_partkey"))
+        .write.mode("overwrite").parquet(s"$dst/part.parquet")
+      orders.crossJoin(c).select(
+          (col("o_orderkey") + col("__copy").cast("long") * 100000000L)
+            .as("o_orderkey") +:
+          orders.columns.filter(_ != "o_orderkey").map {
+            case "o_totalprice" =>
+              (col("o_totalprice") + col("__copy") * 0.13).as("o_totalprice")
+            case other => col(other)
+          }.toIndexedSeq: _*)
+        .repartition(col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    }
+
+    // the rest of the TPC-H side isn't stress-targeted; cheap copy so
     // catalog queries that touch those tables still resolve against dst
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    Seq("region", "nation", "customer", "supplier", "lineitem")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
