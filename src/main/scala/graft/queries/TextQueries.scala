@@ -4918,6 +4918,68 @@ object TextQueries {
              |ORDER BY url, sitemap_url""".stripMargin),
       doc = "sitemap discovery end-to-end: global Sitemap: directives out of robots.txt -> only declared sitemaps fetch -> entries parse into the URL inventory; undeclared files never contribute"),
 
+    // The INDEX-file layer of the discovery loop (r15, rides the
+    // sitemapIndexEntries fix): robots declares ONE sitemap per host,
+    // but it is a <sitemapindex> naming two child sitemaps — the
+    // big-site shape (the 50k-URL cap forces indexes). Chain:
+    // parseSitemaps -> fetch index bodies -> sitemapIndexEntries
+    // (child URLs; the old parser would have leaked the first child
+    // as a bogus PAGE here) -> fetch children -> sitemapEntries ->
+    // the page inventory. The oracle replays the plant law: every
+    // page reachable through exactly its parity child.
+    Q("doc_sitemap_index_chain",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, Robots}
+        val docsH = Tables.documents(s, dir)
+          .withColumn("h", pmod(col("doc_id"), lit(5)))
+        val hosts = docsH.select(col("h")).distinct()
+        val robots = hosts.select(
+          concat(lit("h"), col("h"), lit(".si")).as("host"),
+          concat(lit("User-agent: *\nSitemap: http://h"), col("h"),
+            lit(".si/index.xml")).as("text"))
+        val declared = Robots.parseSitemaps(robots, "host", "text")
+        val indexBodies = hosts.select(
+          concat(lit("http://h"), col("h"), lit(".si/index.xml")).as("sm"),
+          concat(lit("<sitemapindex><sitemap><loc>http://h"), col("h"),
+            lit(".si/map-a.xml</loc></sitemap><sitemap><loc>http://h"),
+            col("h"),
+            lit(".si/map-b.xml</loc></sitemap></sitemapindex>"))
+            .as("xml"))
+        val fetchedIdx = declared
+          .join(indexBodies, declared("sitemap_url") === indexBodies("sm"))
+          .select(col("host"), col("xml"))
+        val children = CrawlPipeline.sitemapIndexEntries(fetchedIdx, "xml")
+          .select(col("host"), col("sitemap_url"))
+        val entry = concat(lit("<url><loc>http://h"), col("h"),
+          lit(".si/p/"), col("doc_id"), lit("</loc></url>"))
+        val childBodies = docsH
+          .withColumn("sm", concat(lit("http://h"), col("h"),
+            lit(".si/map-"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("b"))
+              .otherwise(lit("a")), lit(".xml")))
+          .groupBy(col("sm"))
+          .agg(concat(lit("<urlset>"), array_join(collect_list(entry), ""),
+            lit("</urlset>")).as("xml"))
+        val fetchedChildren = children
+          .join(childBodies, children("sitemap_url") === childBodies("sm"))
+          .select(col("host"), col("sitemap_url"), col("xml"))
+        CrawlPipeline.sitemapEntries(fetchedChildren, "xml")
+          .select(col("host"), col("sitemap_url"), col("url"))
+          .orderBy(col("url"), col("sitemap_url"))
+      },
+      Some("""WITH sel AS (
+             |  SELECT doc_id, doc_id % 5 AS h,
+             |         CASE WHEN doc_id % 2 = 0 THEN 'b' ELSE 'a' END AS m
+             |  FROM documents)
+             |SELECT 'h' || CAST(h AS VARCHAR) || '.si' AS host,
+             |       'http://h' || CAST(h AS VARCHAR) || '.si/map-' || m
+             |         || '.xml' AS sitemap_url,
+             |       'http://h' || CAST(h AS VARCHAR) || '.si/p/'
+             |         || CAST(doc_id AS VARCHAR) AS url
+             |FROM sel
+             |ORDER BY url, sitemap_url""".stripMargin),
+      doc = "sitemap INDEX chain: robots -> declared index file -> sitemapIndexEntries children -> sitemapEntries pages; every page reachable through exactly its parity child, index files contribute zero page rows"),
+
     // Per-registered-domain rollup — the unit RefinedWeb/FineWeb-style
     // pipelines cap and calibrate on (www.example.co.uk and
     // a.b.example.co.uk are ONE publisher). registeredDomain is a
