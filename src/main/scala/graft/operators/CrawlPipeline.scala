@@ -423,7 +423,11 @@ object CrawlPipeline {
     * The canonical copy per digest is the earliest (fetch time, id) —
     * one partial-aggregable min(struct) per digest, the
     * [[crawlHashes]] discipline: payload bytes never shuffle, a
-    * 20-byte digest + keys do. The digest is SHA-1, NOT xxhash64:
+    * 20-byte digest + keys do (`unhex(sha1(...))` — BINARY(20), not
+    * the 40-char hex string, which would double the shuffle width;
+    * since round 16 the `digest` column's type is BINARY — callers
+    * that rendered the old hex string should `hex(digest)`).
+    * The digest is SHA-1, NOT xxhash64:
     * this operator's verdict is "store headers only, the payload is
     * over there", so a digest collision between DISTINCT payloads
     * silently archives the wrong bytes — at multi-billion-record
@@ -442,7 +446,7 @@ object CrawlPipeline {
     val resp = records.filter(col("record_type") === "response")
       .select(col(idCol).as("id"), col(urlCol).as("url"),
         unix_timestamp(to_timestamp(col(dateCol))).as("t"),
-        sha1(col(payloadCol)).as("digest"))
+        unhex(sha1(col(payloadCol))).as("digest"))
     val canon = resp.groupBy(col("digest"))
       .agg(min(struct(col("t"), col("id"))).as("__c"))
       .select(col("digest"), col("__c.id").as("__cid"))

@@ -226,14 +226,18 @@ object GeoJoin {
     * X km" radius. `rank <= k` over the per-id_a window rewrites to
     * WindowGroupLimit, so a dense neighborhood's candidate list
     * prunes map-side before the sort ships (the doc_domain_cap
-    * shape). `excludeSelf` drops id_a == id_b rows for self-kNN
-    * (pass the same relation twice).
+    * shape). `excludeSelf = true` drops id_a == id_b rows — pass it
+    * for SELF-kNN (the same relation twice, where id_a == id_b is the
+    * point itself). The default is FALSE: for cross-relation kNN two
+    * DIFFERENT entities whose id spaces happen to coincide are a
+    * genuine neighbor pair, and a default that silently dropped them
+    * was a correctness trap (round-16 ADVICE; flipped from true).
     */
   def nearestNeighbors(a: DataFrame, b: DataFrame,
       aId: String, aLon: String, aLat: String,
       bId: String, bLon: String, bLat: String,
       radiusM: Double, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, "k >= 1")
     import org.apache.spark.sql.expressions.Window
     val pairs = withinDistance(a, b, aId, aLon, aLat, bId, bLon, bLat,

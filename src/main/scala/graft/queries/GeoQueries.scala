@@ -175,7 +175,7 @@ object GeoQueries {
           .filter(pmod(col("id"), lit(20)) === 0)
           .select(col("id"), col("lon"), col("lat"))
         GeoJoin.nearestNeighbors(n, n, "id", "lon", "lat",
-            "id", "lon", "lat", 100000.0, k = 3)
+            "id", "lon", "lat", 100000.0, k = 3, excludeSelf = true)
           .select(col("id_a"), col("rank"), col("id_b"),
             round(col("dist_m"), 0).as("dist_m"))
           .orderBy(col("id_a"), col("rank"))

@@ -1377,8 +1377,8 @@ object TextQueries {
              |           FROM (SELECT doc_id, text FROM documents
              |                 UNION ALL
              |                 SELECT * FROM (VALUES
-             |                   (900000000, 'zzcodecpick'),
-             |                   (282374976710656, 'zzcodecpick'))
+             |                   (CAST(900000000 AS BIGINT), 'zzcodecpick'),
+             |                   (CAST(281475876710656 AS BIGINT), 'zzcodecpick'))
              |                   v(doc_id, text))),
              |tf AS (SELECT term, doc_id, count(*) AS tf
              |       FROM t GROUP BY 1, 2),

@@ -101,6 +101,19 @@ object WarcRandomAccess {
       partitions: Int = 0): String = {
     val base = dir.stripSuffix("/")
     val out = base + "/_cdxindex"
+    val outMeta = new Path(out + "/_spark_metadata")
+    val fs = outMeta.getFileSystem(spark.sessionState.newHadoopConf())
+    // a streaming-sink transaction log under the BASE dir means a
+    // pre-r16 stream wrote here: a batch overwrite would delete files
+    // the log references, and a checkpoint-resumed stream would
+    // recreate the log listing only post-overwrite micro-batches —
+    // readers honoring _spark_metadata then silently miss every
+    // overwritten row. compactIndex migrates such dirs (it folds the
+    // committed rows and retires the log with the directory).
+    require(!fs.exists(outMeta),
+      s"$out carries a streaming sink log (_spark_metadata): " +
+        "persistIndex must not overwrite a streamed index in place — " +
+        "stop the stream and run compactIndex instead")
     val idx = readIndex(spark, base)
     val ranged =
       if (partitions > 0) idx.repartitionByRange(partitions, col("target_uri"))
@@ -110,36 +123,121 @@ object WarcRandomAccess {
     out
   }
 
-  /** The persisted index ([[persistIndex]]'s output) as a relation —
-    * drop-in for [[readIndex]] in front of [[fetch]], minus the
-    * per-query CDX parse.
+  private def liveQueryName(live: String): String = s"cdxindex-live:$live"
+
+  /** The committed live-tail micro-batch directories under
+    * `<dir>/_cdxindex-live` — `batch-<id>` dirs carrying the batch
+    * write's `_SUCCESS` marker (an in-flight or crashed batch dir has
+    * none and stays invisible until its idempotent replay commits).
     */
-  def readPersistedIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir.stripSuffix("/") + "/_cdxindex")
+  private def committedTailDirs(spark: SparkSession, live: Path)
+      : Seq[String] = {
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live)) Seq.empty
+    else fs.listStatus(live).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** The persisted index as a relation — drop-in for [[readIndex]] in
+    * front of [[fetch]], minus the per-query CDX parse. Reads the
+    * UNION of the compacted base (`_cdxindex`, from [[persistIndex]] /
+    * [[compactIndex]]) and the live streamed tail (`_cdxindex-live`,
+    * from [[persistIndexStream]] — only micro-batch dirs whose
+    * `_SUCCESS` marker committed surface, so a reader never sees a
+    * half-written batch); either side may be absent. Rows live in
+    * exactly one side by construction (compaction folds the tail into
+    * the base and retires it), so the union never duplicates.
+    */
+  def readPersistedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = dir.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val baseDir = Seq(base + "/_cdxindex").filter(p => fs.exists(new Path(p)))
+    val tail = committedTailDirs(spark, new Path(base + "/_cdxindex-live"))
+    val parts = baseDir ++ tail
+    require(parts.nonEmpty, s"no persisted CDX index under $base — run " +
+      "persistIndex or persistIndexStream first")
+    spark.read.parquet(parts: _*)
+  }
 
   /** The LIVE form of [[persistIndex]]: CDX sidecars arriving with
-    * their segments stream through the parse and APPEND to the same
-    * parquet index table — the archive's index maintains itself as
-    * segments land, no rebuild, restart-exact via the checkpoint.
+    * their segments stream through the parse and land in the live
+    * tail (`<dir>/_cdxindex-live/batch-<id>`, one directory per
+    * micro-batch) — the archive's index maintains itself as segments
+    * land, no rebuild. Exactly-once WITHOUT a sink transaction log:
+    * each batch id overwrites its own directory, so a replayed batch
+    * is idempotent, and readers take only `_SUCCESS`-committed dirs.
+    * (A `FileStreamSink` + `_spark_metadata` log would pin readers to
+    * the log — which a later batch compaction overwrite orphans, and
+    * whose batch-id continuity breaks the restart-after-compaction
+    * lifecycle; the per-batch-dir layout has neither failure mode.)
     * [[indexFromFileLines]] resolves each sidecar's segment next to
     * the sidecar itself, so multi-directory landing zones work
-    * unchanged. Appended batches are not range-partitioned (each
-    * micro-batch is its own file set); run [[persistIndex]] as the
-    * periodic compaction when file count or lookup latency says so —
-    * the write-once/compact-later lifecycle every LSM-ish index has.
+    * unchanged. Tail batches are not range-partitioned; when file
+    * count or lookup latency says so, STOP this query and run
+    * [[compactIndex]] — then restart with the SAME checkpoint: the
+    * source's seen-files log keeps old sidecars from re-ingesting,
+    * and new batches open a fresh tail the reader unions with the
+    * new base.
     */
   def persistIndexStream(spark: SparkSession, dir: String,
       checkpoint: String, landingGlob: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = dir.stripSuffix("/")
     val glob = if (landingGlob.nonEmpty) landingGlob else base + "/*.cdx"
+    val live = base + "/_cdxindex-live"
     indexFromFileLines(spark.readStream.text(glob))
       .writeStream
+      .queryName(liveQueryName(live))
       .option("checkpointLocation", checkpoint)
-      .format("parquet")
-      .option("path", base + "/_cdxindex")
-      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$live/batch-$id")
+      }
       .start()
+  }
+
+  /** Fold the streamed live tail into the compacted base — the
+    * periodic compaction [[persistIndexStream]]'s lifecycle needs:
+    * reads base ∪ committed tail, writes it range-partitioned +
+    * sorted into a FRESH directory, then swaps (delete base, rename)
+    * and retires the tail. Never writes over files any reader's
+    * metadata references, so the overwrite-vs-sink-log hazard the
+    * old in-place layout had cannot arise. The stream MUST be stopped
+    * first (enforced: an active query named for this tail is refused
+    * — [[persistIndexStream]] names its queries `cdxindex-live:<path>`;
+    * a hand-rolled writer under a different name is the caller's
+    * contract to stop). Restarting the stream afterwards with the
+    * SAME checkpoint is exact: seen-file tracking skips ingested
+    * sidecars, new batch dirs hold only new rows, and
+    * [[readPersistedIndex]] unions tail + base. Also migrates pre-r16
+    * in-place streamed dirs (a base carrying its own
+    * `_spark_metadata`): the committed rows fold in, the log retires
+    * with the swap. Concurrent READERS can race the swap window —
+    * run it in the same maintenance window as the stream stop.
+    * Returns the base path.
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      partitions: Int = 0): String = {
+    val base = dir.stripSuffix("/")
+    val live = base + "/_cdxindex-live"
+    val out = base + "/_cdxindex"
+    require(!spark.streams.active.exists(_.name == liveQueryName(live)),
+      s"a streaming query is still writing $live — stop it before " +
+        "compacting (compaction retires the tail)")
+    val idx = readPersistedIndex(spark, base)
+    val ranged =
+      if (partitions > 0) idx.repartitionByRange(partitions, col("target_uri"))
+      else idx.repartitionByRange(col("target_uri"))
+    val tmp = base + "/_cdxindex-compacting"
+    ranged.sortWithinPartitions(col("target_uri"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(out), true)
+    require(fs.rename(new Path(tmp), new Path(out)),
+      s"rename $tmp -> $out failed")
+    fs.delete(new Path(live), true)
+    out
   }
 
   /** Fetch exactly the records the (filtered) index rows point at.

@@ -113,12 +113,15 @@ object ScaleGen {
     // part + orders scale too (round 15): they derive the OSM-shaped
     // geo tables (osmWays from part, osmNodes/points from orders), so
     // the geo operators get TRUE decade rows instead of riding an
-    // unscaled table. Key offsets are multiples of every modulus the
-    // derivations take (% 20 filters, % 120 / % 97 coordinate laws),
-    // so per-copy structure is preserved while the price nudges
-    // displace copies off each other's coordinate lattice — the world
-    // gets DENSER, the realistic way a corpus grows. The other TPC-H
-    // tables stay single-copy (not stress-targeted).
+    // unscaled table. The key offsets are multiples of the % 20 / % 2
+    // / % 5 / % 10 filter moduli (so per-copy FILTER structure is
+    // preserved), but NOT of the % 120 / % 97 coordinate laws
+    // (10000000 % 120 = 40, 100000000 % 97 = 81) — copies SCATTER in
+    // latitude rather than stacking on one lattice, which combined
+    // with the price nudges makes the world denser the realistic way
+    // a corpus grows. Oracles recompute from the scaled parquet, so
+    // hash correctness never depended on lattice preservation. The
+    // other TPC-H tables stay single-copy (not stress-targeted).
     locally {
       val part = spark.read.parquet(s"$src/part.parquet")
       val orders = spark.read.parquet(s"$src/orders.parquet")

@@ -920,7 +920,7 @@ object SkewProbe {
             val f = pts(1000000L, nullIsland = false).persist(); f.count()
             val ((nK, hK), tK) = time(sig(
               GeoJoin.nearestNeighbors(f, f, "id", "lon", "lat",
-                "id", "lon", "lat", 50000.0, k = 3),
+                "id", "lon", "lat", 50000.0, k = 3, excludeSelf = true),
               Seq("id_a", "rank", "id_b")))
             report("knn1m", rep, tK, nK, hK)
             // point-in-polygon at 1M points × 100k small polys, then

@@ -91,7 +91,7 @@ class GeoJoinSpec extends SparkSpec {
     val df = pts.toDF("id", "lon", "lat")
     val k = 3; val radius = 200000.0
     val got = GeoJoin.nearestNeighbors(df, df, "id", "lon", "lat",
-        "id", "lon", "lat", radius, k)
+        "id", "lon", "lat", radius, k, excludeSelf = true)
       .select($"id_a", $"rank", $"id_b")
       .as[(Long, Int, Long)].collect().toSet
     val want = pts.flatMap { a =>
@@ -105,9 +105,25 @@ class GeoJoinSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty)
     val plan = GeoJoin.nearestNeighbors(df, df, "id", "lon", "lat",
-        "id", "lon", "lat", radius, k)
+        "id", "lon", "lat", radius, k, excludeSelf = true)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("nearestNeighbors default keeps id_a == id_b across DIFFERENT " +
+      "relations (coinciding id spaces are not self-matches)") {
+    import spark.implicits._
+    // b's point with id 1 is a DIFFERENT entity than a's id 1 — and
+    // it is the genuine nearest; the old excludeSelf=true default
+    // silently dropped it (round-16 ADVICE)
+    val a = Seq((1L, 10.0, 45.0)).toDF("id", "lon", "lat")
+    val b = Seq((1L, 10.001, 45.0), (2L, 10.1, 45.0))
+      .toDF("id", "lon", "lat")
+    val got = GeoJoin.nearestNeighbors(a, b, "id", "lon", "lat",
+        "id", "lon", "lat", 50000.0, k = 1)
+      .select($"id_a", $"rank", $"id_b").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 1, 1L)), s"got=$got")
   }
 
   test("pointsInPolygons == brute-force ray cast; concave ring; hole " +

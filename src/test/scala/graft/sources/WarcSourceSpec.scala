@@ -233,12 +233,18 @@ class WarcSourceSpec extends SparkSpec {
           java.nio.file.Paths.get(d.getPath, f.getName))
       }
     }
+    val ckpt = tmpDir() + "/ckpt"
     val q = WarcRandomAccess.persistIndexStream(spark, landing,
-      tmpDir() + "/ckpt", landingGlob = s"$landing/*/*.cdx")
+      ckpt, landingGlob = s"$landing/*/*.cdx")
     land("d1"); q.processAllAvailable()
     val afterOne = WarcRandomAccess.readPersistedIndex(spark, landing).count()
     assert(afterOne == 3, s"afterOne=$afterOne")
     land("d2"); q.processAllAvailable()
+    // compaction refuses while the stream still writes the tail
+    val guard = intercept[IllegalArgumentException] {
+      WarcRandomAccess.compactIndex(spark, landing)
+    }
+    assert(guard.getMessage.contains("stop it before"), guard.getMessage)
     q.stop()
     val idx = WarcRandomAccess.readPersistedIndex(spark, landing)
     assert(idx.count() == 6)
@@ -248,6 +254,32 @@ class WarcSourceSpec extends SparkSpec {
     val want = (for (off <- Seq(0, 100); i <- 1 to 3)
       yield s"<urn:x$off:$i>").sorted
     assert(got == want, s"got=$got")
+    // compact: tail folds into the range-partitioned base, tail (and
+    // its _spark_metadata sink log) retires — same six rows after
+    val basePath = WarcRandomAccess.compactIndex(spark, landing,
+      partitions = 2)
+    assert(!new java.io.File(s"$landing/_cdxindex-live").exists())
+    assert(!new java.io.File(s"$basePath/_spark_metadata").exists())
+    assert(WarcRandomAccess.readPersistedIndex(spark, landing)
+      .count() == 6)
+    // restart with the SAME checkpoint: seen-file tracking skips the
+    // ingested sidecars (no re-ingest = no duplicates), a fresh tail
+    // catches the new drop, and the reader unions base + tail
+    sampleDf.withColumn("record_id",
+        regexp_replace($"record_id", "x:", "x200:"))
+      .coalesce(1).write.format("warc").mode("append")
+      .option("index", "true").option("compression", "gzip")
+      .save(s"$stage/d3")
+    val q2 = WarcRandomAccess.persistIndexStream(spark, landing,
+      ckpt, landingGlob = s"$landing/*/*.cdx")
+    land("d3"); q2.processAllAvailable()
+    q2.stop()
+    val after = WarcRandomAccess.readPersistedIndex(spark, landing)
+    val got2 = WarcRandomAccess.fetch(after).collect()
+      .map(_.record_id).sorted.toSeq
+    val want2 = (for (off <- Seq(0, 100, 200); i <- 1 to 3)
+      yield s"<urn:x$off:$i>").sorted
+    assert(got2 == want2, s"got2=$got2")
   }
 
   test("CDX index parse survives untrusted garbage: overflowing offsets " +
