@@ -355,4 +355,16 @@ object GeoFunctions {
   def geodesic_distance_ellipsoid(lon1: Column, lat1: Column,
       lon2: Column, lat2: Column): Column =
     geodesicDistanceUdf(lon1, lat1, lon2, lat2)
+
+  /** Even-odd point-in-ring test as the [[PointInRing]] CODEGEN kernel
+    * — the verify stage of
+    * [[graft.operators.GeoJoin.pointsInPolygons]]. `ring` is
+    * ARRAY<STRUCT<lon DOUBLE, lat DOUBLE, ...>> and must be closed;
+    * boundary points follow the half-open crossing convention.
+    */
+  def point_in_ring(lon: Column, lat: Column, ring: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(PointInRing(
+      org.apache.spark.sql.graft.Bridge.expression(lon),
+      org.apache.spark.sql.graft.Bridge.expression(lat),
+      org.apache.spark.sql.graft.Bridge.expression(ring)))
 }

@@ -174,19 +174,18 @@ object GeoJoin {
     * cellDeg 0.5 → 865k genuine containments in 1.6 s, maxtask
     * 0.5 s — the whale distributes by construction). The real limit
     * is cellDeg ≪ whale extent (millions of key rows per geometry,
-    * linear fan-out cost): split such outliers into their own
-    * coarser-grid pass (two calls, union) instead of shrinking the
-    * global cell.
+    * linear fan-out cost): [[pointsInPolygonsAuto]] splits such
+    * outliers into their own coarser-grid pass automatically (since
+    * round 16 — it was this scaladoc's caller recipe before).
     * Polygons crossing the antimeridian must be split upstream (their
-    * lon bbox would cover the world). Holes are the caller's
-    * composition: inside(multipolygon) = inside(outer) ∧ ¬inside(any
-    * inner) — two calls and an anti-join. Output: (point_id, poly_id).
+    * lon bbox would cover the world). For holes use
+    * [[pointsInMultipolygons]] (first-class since round 16).
+    * Output: (point_id, poly_id).
     */
   def pointsInPolygons(points: DataFrame, polys: DataFrame,
       pId: String, pLon: String, pLat: String,
       gId: String, ringCol: String, cellDeg: Double = 0.5): DataFrame = {
     require(cellDeg > 0, "cellDeg > 0")
-    import org.apache.spark.sql.Row
     val cx = (lon: Column) => floor(lon / cellDeg).cast("long")
     val cy = (lat: Column) => floor(lat / cellDeg).cast("long")
     val pts = points.select(col(pId).as("__pid"), col(pLon).as("__plon"),
@@ -202,17 +201,105 @@ object GeoJoin {
         cx(col("__lo2")))))
       .withColumn("__cy", explode(sequence(cy(col("__la1")),
         cy(col("__la2")))))
-    val inRing = udf((lon: Double, lat: Double, ring: Seq[Row]) =>
-      pointInRing(lon, lat,
-        ring.map(r => (r.getDouble(0), r.getDouble(1)))))
     pts.join(pg, Seq("__cx", "__cy"))
       // bbox pre-filter: cheap scalar compare kills most candidates
       // before the per-vertex ray cast
       .filter(col("__plon") >= col("__lo1") && col("__plon") <= col("__lo2") &&
         col("__plat") >= col("__la1") && col("__plat") <= col("__la2"))
-      .filter(inRing(col("__plon"), col("__plat"), col("__ring")))
+      // exact verify: the graft_point_in_ring KERNEL (codegen'd ring
+      // loop, bit-identical to pointInRing) — was a Scala UDF through
+      // round 15, which evaluated interpreted per candidate and broke
+      // the codegen span at exactly the hot per-row chain
+      .filter(graft.functions.GeoFunctions.point_in_ring(
+        col("__plon"), col("__plat"), col("__ring")))
       .select(col("__pid").as("point_id"), col("__gid").as("poly_id"))
       .distinct() // a pair can meet in several cells of the bbox cover
+  }
+
+  /** Spatial containment with automatic WHALE-POLYGON handling — the
+    * two-pass form the [[pointsInPolygons]] scaladoc prescribed as a
+    * caller recipe through round 15 ("split such outliers into their
+    * own coarser-grid pass"), now an operator. The hazard: the fine
+    * grid that prunes well for building-sized polygons makes a
+    * continent-sized one emit bbox-area/cellDeg² key rows — at
+    * cellDeg 0.05 a 60°×60° polygon is 1.44M exploded rows PER
+    * GEOMETRY, linear fan-out cost that dwarfs its verify work.
+    * Split: polygons whose bbox covers more than `maxCellsPerPoly`
+    * fine cells run in their own pass on a COARSER grid sized from
+    * the largest whale (cell = maxSide / √maxCellsPerPoly, so every
+    * whale emits ≤ ~maxCellsPerPoly keys); everything else keeps the
+    * fine grid. The two passes partition the polygon set, so the
+    * union cannot duplicate a pair. Costs two tiny plan-time actions
+    * (a 1-row max aggregate over the polygon relation — bounded
+    * driver state); when no polygon exceeds the threshold the second
+    * pass never runs and the plan is exactly [[pointsInPolygons]].
+    * Same output contract: (point_id, poly_id).
+    */
+  def pointsInPolygonsAuto(points: DataFrame, polys: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      gId: String, ringCol: String, cellDeg: Double = 0.5,
+      maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(maxCellsPerPoly >= 4, "maxCellsPerPoly >= 4")
+    val lons = transform(col(ringCol), q => q.getField("lon"))
+    val lats = transform(col(ringCol), q => q.getField("lat"))
+    def cells(deg: Double): Column = {
+      val nx = floor(array_max(lons) / deg) - floor(array_min(lons) / deg) + 1
+      val ny = floor(array_max(lats) / deg) - floor(array_min(lats) / deg) + 1
+      (nx * ny).cast("long")
+    }
+    val sized = polys.withColumn("__ncells", cells(cellDeg))
+    val small = sized.filter(col("__ncells") <= maxCellsPerPoly)
+      .drop("__ncells")
+    val whales = sized.filter(col("__ncells") > maxCellsPerPoly)
+      .drop("__ncells")
+    val fine = pointsInPolygons(points, small, pId, pLon, pLat,
+      gId, ringCol, cellDeg)
+    // 1-row driver aggregate: the largest whale bbox side, degrees
+    val side = whales.agg(max(greatest(
+      array_max(lons) - array_min(lons),
+      array_max(lats) - array_min(lats))).as("s")).head()
+    if (side.isNullAt(0)) fine
+    else {
+      val coarseDeg = math.max(cellDeg,
+        side.getDouble(0) / math.sqrt(maxCellsPerPoly.toDouble))
+      fine.unionByName(pointsInPolygons(points, whales, pId, pLon, pLat,
+        gId, ringCol, coarseDeg))
+    }
+  }
+
+  /** MULTIPOLYGON containment join — [[pointsInPolygons]] with holes
+    * (and island-in-hole nesting) resolved INTERNALLY, the first-class
+    * form of what the round-15 scaladoc left as a caller composition
+    * ("inside(outer) ∧ ¬inside(any inner) — two calls and an
+    * anti-join"). Input geometry is
+    * [[RelationAssembly.assembleMultipolygons]]' exact output shape:
+    * (`gId`, `outersCol`, `innersCol`) with each ring a closed
+    * ARRAY<STRUCT<lon, lat>>. Semantics: EVEN-ODD over the whole ring
+    * set — a point is inside iff an odd number of rings (outer or
+    * inner) contain it, which on valid multipolygon nesting (rings
+    * don't cross; inners sit inside outers) equals inside-some-outer ∧
+    * not-inside-its-holes AND handles arbitrarily deep
+    * island-in-hole-in-island nesting for free. Plan shape: each RING
+    * keys the grid independently (a hole's small bbox prunes its own
+    * candidates — the hole never rides its outer's fan-out), one
+    * grouped count per candidate (point, relation), parity filter.
+    * Output: (point_id, poly_id).
+    */
+  def pointsInMultipolygons(points: DataFrame, mpolys: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      gId: String, outersCol: String, innersCol: String,
+      cellDeg: Double = 0.5): DataFrame = {
+    val rings = mpolys.select(col(gId).as("__mid"),
+        posexplode(concat(col(outersCol), col(innersCol)))
+          .as(Seq("__ridx", "__mring")))
+      .select(struct(col("__mid"), col("__ridx")).as("__rkey"),
+        col("__mring"))
+    pointsInPolygons(points, rings, pId, pLon, pLat,
+        "__rkey", "__mring", cellDeg)
+      .groupBy(col("point_id"), col("poly_id.__mid").as("poly_id"))
+      .agg(count(lit(1)).as("__nrings"))
+      .filter(pmod(col("__nrings"), lit(2L)) === 1)
+      .select(col("point_id"), col("poly_id"))
   }
 
   /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest

@@ -274,6 +274,40 @@ object GeoQueries {
              |ORDER BY point_id, poly_id""".stripMargin),
       doc = "point-in-polygon containment join: bbox grid-cell candidates + exact ray cast vs the strict-between oracle (points half-step off the edge lattice, so boundary conventions never fire)"),
 
+    // The WHALE-SPLIT anchor (round 16): pointsInPolygonsAuto against
+    // the SAME oracle as poi_in_way_area, at a deliberately fine
+    // cellDeg (0.02 deg) with a low split threshold so the d=0.1 ways
+    // (36 bbox cells each) take the coarse pass and the d=0.001 ways
+    // the fine pass — BOTH passes run on real data and the union must
+    // reproduce the naive strict-between oracle exactly. Single-pass
+    // at this cellDeg emits 36 key rows per big way (fan-out cost);
+    // auto bounds it at maxCellsPerPoly while keeping exactness —
+    // the measured degradation case lives in SkewProbe (pipwhale).
+    Q("poi_in_way_area_auto",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 120) - 60 +
+            (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
+        GeoJoin.pointsInPolygonsAuto(pts, Tables.osmWays(s, dir),
+            "id", "lon", "lat", "id", "ring", cellDeg = 0.02,
+            maxCellsPerPoly = 16L)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some(s"""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 300) - 150 + 0.0005 AS lon,
+             |               (o_orderkey % 120) - 60
+             |                 + (o_orderkey % 97) / 1000.0 + 0.0005 AS lat
+             |             FROM orders)
+             |SELECT p.id AS point_id, w.id AS poly_id
+             |FROM pts p JOIN $waySql ON
+             |  p.lon > w.lon0 AND p.lon < w.lon0 + w.d AND
+             |  p.lat > w.lat0 AND p.lat < w.lat0 + w.d
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "whale-split containment: two-pass grid (fine for small polygons, auto-coarsened for bbox whales) unions to the same naive oracle as the single-pass anchor"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

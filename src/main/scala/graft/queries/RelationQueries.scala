@@ -136,6 +136,77 @@ object RelationQueries {
              |ORDER BY id""".stripMargin),
       doc = "F7-real+J3+C4+C5: classify relation-derived areas (orig_id, holes in WKB)"),
 
+    // Multipolygon CONTAINMENT join (round-16: closes the loop between
+    // C4's hole support and the geo-join family): points vs the
+    // ASSEMBLED relations — outer rings stitched from split member
+    // ways, holes resolved INTERNALLY by GeoJoin.pointsInMultipolygons'
+    // even-odd parity (a point inside a hole does NOT match). Points
+    // ride the poi_in_way_area lattice (half-step off every outer AND
+    // hole edge — both live on the d/4 lattice, points on the
+    // 0.0005-offset one, so boundary conventions never fire). An
+    // sf-independent PLANT pins the hole semantics in the gate at
+    // every scale: a relation at lat 75-76 (empty of real data) with
+    // one point in its hole (must be ABSENT) and one in its ring
+    // (must be present); the oracle replays outer-minus-hole with
+    // strict BETWEEN from the same coordinate laws.
+    Q("poi_in_multipolygon",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        def cl(ps: Seq[(Double, Double)]) = ps :+ ps.head
+        val mp = RelationAssembly.assembleMultipolygons(
+            Tables.osmRelations(s, dir), Tables.osmRelationWays(s, dir))
+          .select(col("id"), col("outers"), col("inners"))
+        val plantMp = Seq((900000001L,
+            Seq(cl(Seq((0.0, 75.0), (1.0, 75.0), (1.0, 76.0), (0.0, 76.0)))),
+            Seq(cl(Seq((0.25, 75.25), (0.75, 75.25), (0.75, 75.75),
+              (0.25, 75.75))))))
+          .toDF("id", "rawouters", "rawinners")
+          .select($"id",
+            expr("transform(rawouters, r -> transform(r, " +
+              "p -> struct(p._1 AS lon, p._2 AS lat)))").as("outers"),
+            expr("transform(rawinners, r -> transform(r, " +
+              "p -> struct(p._1 AS lon, p._2 AS lat)))").as("inners"))
+        val pts = Tables.orders(s, dir).select(
+            col("o_orderkey").as("id"),
+            ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
+            ((col("o_orderkey") % 120) - 60 +
+              (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
+          .unionByName(Seq(
+            (900000001L, 0.5, 75.5), // inside the planted HOLE: excluded
+            (900000002L, 0.1, 75.1)) // inside the planted ring: included
+            .toDF("id", "lon", "lat"))
+        GeoJoin.pointsInMultipolygons(pts, mp.unionByName(plantMp),
+            "id", "lon", "lat", "id", "outers", "inners", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 300) - 150 + 0.0005 AS lon,
+             |               (o_orderkey % 120) - 60
+             |                 + (o_orderkey % 97) / 1000.0 + 0.0005 AS lat
+             |             FROM orders
+             |             UNION ALL SELECT * FROM (VALUES
+             |               (CAST(900000001 AS BIGINT), 0.5, 75.5),
+             |               (CAST(900000002 AS BIGINT), 0.1, 75.1))
+             |               v(id, lon, lat)),
+             |rel AS (SELECT p_partkey AS id,
+             |          CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+             |          (p_retailprice % 300) - 150 AS lon0,
+             |          (p_partkey % 120) - 60 AS lat0,
+             |          p_partkey % 10 = 0 AS has_inner
+             |        FROM part WHERE p_partkey % 5 = 0
+             |        UNION ALL
+             |        SELECT CAST(900000001 AS BIGINT), 1.0, 0.0, 75.0, TRUE)
+             |SELECT p.id AS point_id, r.id AS poly_id
+             |FROM pts p JOIN rel r ON
+             |  p.lon > r.lon0 AND p.lon < r.lon0 + r.d AND
+             |  p.lat > r.lat0 AND p.lat < r.lat0 + r.d AND
+             |  NOT (r.has_inner
+             |    AND p.lon > r.lon0 + r.d/4 AND p.lon < r.lon0 + 3*r.d/4
+             |    AND p.lat > r.lat0 + r.d/4 AND p.lat < r.lat0 + 3*r.d/4)
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "multipolygon containment join: assembled relations (stitched outers + holes) vs points, holes resolved internally by even-odd ring parity; planted hole/ring point pair pins the exclusion at every sf"),
+
     // X1-real: the reference ships an (empty) osmosisupdate() hook for
     // replication diffs; this is the actual operation — upsert by
     // (id, max version), visible=false rows delete

@@ -172,6 +172,91 @@ class GeoJoinSpec extends SparkSpec {
     assert(holed == wantHoled)
   }
 
+  test("pointsInMultipolygons: holes excluded, island-in-hole included " +
+      "(even-odd), two disjoint outers both match; == brute-force parity") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    // relation 1: outer 10x10 square with a 4x4 hole holding a 2x2
+    // island (depth-3 nesting); relation 2: TWO disjoint outers
+    val outer1 = ring((0.0, 40.0), (10.0, 40.0), (10.0, 50.0), (0.0, 50.0))
+    val hole1 = ring((3.0, 43.0), (7.0, 43.0), (7.0, 47.0), (3.0, 47.0))
+    val island1 = ring((4.0, 44.0), (6.0, 44.0), (6.0, 46.0), (4.0, 46.0))
+    val outer2a = ring((20.0, 40.0), (22.0, 40.0), (22.0, 42.0), (20.0, 42.0))
+    val outer2b = ring((25.0, 40.0), (27.0, 40.0), (27.0, 42.0), (25.0, 42.0))
+    val mp = Seq(
+      (1L, Seq(outer1, island1), Seq(hole1)),
+      (2L, Seq(outer2a, outer2b), Seq.empty[Seq[(Double, Double)]]))
+      .toDF("id", "rawouters", "rawinners")
+      .select($"id",
+        expr("transform(rawouters, r -> transform(r, " +
+          "p -> struct(p._1 AS lon, p._2 AS lat)))").as("outers"),
+        expr("transform(rawinners, r -> transform(r, " +
+          "p -> struct(p._1 AS lon, p._2 AS lat)))").as("inners"))
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map(i =>
+      (i.toLong, rnd.nextDouble() * 30, 39.0 + rnd.nextDouble() * 12)) ++
+      // planted: in-hole (must NOT match), on-island (must match),
+      // in each disjoint outer (both match)
+      Seq((901L, 3.5, 43.5), (902L, 5.0, 45.0), (903L, 21.0, 41.0),
+        (904L, 26.0, 41.0))
+    val got = GeoJoin.pointsInMultipolygons(pts.toDF("id", "lon", "lat"),
+        mp, "id", "lon", "lat", "id", "outers", "inners", cellDeg = 1.5)
+      .as[(Long, Long)].collect().toSet
+    val rels = Map(
+      1L -> (Seq(outer1, island1) ++ Seq(hole1)),
+      2L -> Seq(outer2a, outer2b))
+    val want = (for {
+      p <- pts; (gid, rings) <- rels
+      if rings.count(r => GeoJoin.pointInRing(p._2, p._3, r)) % 2 == 1
+    } yield (p._1, gid)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(!got.contains((901L, 1L))) // hole excluded
+    assert(got.contains((902L, 1L)))  // island-in-hole included
+    assert(got.contains((903L, 2L)) && got.contains((904L, 2L)))
+  }
+
+  test("pointsInPolygonsAuto == pointsInPolygons on a mixed corpus " +
+      "with a whale; no-whale corpus takes the single-pass plan") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val rnd = new scala.util.Random(31)
+    // 60 building-sized polygons + one CONTINENT (80 deg wide)
+    val polys = (1 to 60).map { i =>
+      val x = rnd.nextDouble() * 40 - 20; val y = rnd.nextDouble() * 30 + 30
+      (i.toLong, ring((x, y), (x + 0.02, y), (x + 0.02, y + 0.02),
+        (x, y + 0.02)))
+    } :+ (999L, ring((-40.0, 20.0), (40.0, 20.0), (40.0, 70.0), (-40.0, 70.0)))
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 60 + 15)) ++
+      // planted at the first ten small polygons' centers (a random
+      // point almost never lands in a 0.02-deg square)
+      polys.take(10).map { case (gid, r) =>
+        (900L + gid, r.head._1 + 0.01, r.head._2 + 0.01) }
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val polyDf = polys.toDF("gid", "rawring").select($"gid",
+      expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("ring"))
+    val auto = GeoJoin.pointsInPolygonsAuto(ptsDf, polyDf,
+        "id", "lon", "lat", "gid", "ring", cellDeg = 0.05,
+        maxCellsPerPoly = 64)
+      .as[(Long, Long)].collect().toSet
+    val single = GeoJoin.pointsInPolygons(ptsDf, polyDf,
+        "id", "lon", "lat", "gid", "ring", cellDeg = 0.05)
+      .as[(Long, Long)].collect().toSet
+    assert(auto == single,
+      s"missing=${(single -- auto).take(5)} extra=${(auto -- single).take(5)}")
+    assert(auto.exists(_._2 == 999L) && auto.exists(_._2 != 999L))
+    // without whales the second pass never runs (plan == single-pass:
+    // exactly one join, no union)
+    val noWhale = GeoJoin.pointsInPolygonsAuto(ptsDf,
+      polyDf.filter($"gid" =!= 999L), "id", "lon", "lat", "gid", "ring",
+      cellDeg = 0.05, maxCellsPerPoly = 64)
+    assert(!noWhale.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
   test("withinDistance streams on the probe side: geofence events " +
       "across micro-batches == batch (stream-static, append, stateless)") {
     import spark.implicits._
