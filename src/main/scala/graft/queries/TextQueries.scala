@@ -4980,6 +4980,140 @@ object TextQueries {
              |ORDER BY url, sitemap_url""".stripMargin),
       doc = "sitemap INDEX chain: robots -> declared index file -> sitemapIndexEntries children -> sitemapEntries pages; every page reachable through exactly its parity child, index files contribute zero page rows"),
 
+    // The COMPOSED re-crawl chain (round 16): every stage is
+    // individually oracled above, but composition keeps catching what
+    // isolation misses — so the full loop runs as ONE query whose
+    // oracle replays it end to end. Robots bodies declare BOTH the
+    // sitemap index and the Crawl-delay (one artifact feeds two
+    // consumers, as on a real host); discovery walks robots ->
+    // sitemapindex -> parity child sitemaps -> page entries with the
+    // doc_recrawl_schedule lastmod law; recrawlSchedule diffs against
+    // the %7 crawled set; the new ∪ stale fetch set joins
+    // frontierSlots' integer-exact priorities (pageRankInt over the
+    // %5 host graph, delays from the SAME robots bodies — h4's
+    // junk "Crawl-delay: 0" and h2's missing directive both fall to
+    // the default, spec'd RFC behavior). Output: the prioritized
+    // fetch list a scheduler would drain.
+    Q("doc_recrawl_chain",
+      (s, dir) => {
+        import graft.operators.{CrawlPipeline, LinkGraph, Robots}
+        val docs = Tables.documents(s, dir)
+          .withColumn("h", pmod(col("doc_id"), lit(5)))
+        val hosts = docs.select(col("h")).distinct()
+        val hostc = concat(lit("h"), col("h"), lit(".rc"))
+        val delayLine = element_at(map(
+          lit(0), lit("Crawl-delay: 10\n"), lit(1), lit("Crawl-delay: 2\n"),
+          lit(2), lit(""), lit(3), lit("Crawl-delay: 7\n"),
+          lit(4), lit("Crawl-delay: 0\n")), col("h").cast("int"))
+        val robots = hosts.select(hostc.as("host"), col("h"),
+          concat(lit("User-agent: *\n"), delayLine,
+            lit("Sitemap: http://h"), col("h"), lit(".rc/index.xml"))
+            .as("text"))
+        val declared = Robots.parseSitemaps(robots, "host", "text")
+        val indexBodies = hosts.select(
+          concat(lit("http://h"), col("h"), lit(".rc/index.xml")).as("sm"),
+          concat(lit("<sitemapindex><sitemap><loc>http://h"), col("h"),
+            lit(".rc/map-a.xml</loc></sitemap><sitemap><loc>http://h"),
+            col("h"),
+            lit(".rc/map-b.xml</loc></sitemap></sitemapindex>")).as("xml"))
+        val children = CrawlPipeline.sitemapIndexEntries(
+          declared.join(indexBodies,
+              declared("sitemap_url") === indexBodies("sm"))
+            .select(col("host"), col("xml")), "xml")
+          .select(col("host"), col("sitemap_url"))
+        val entry = concat(lit("<url><loc>http://h"), col("h"),
+          lit(".rc/p/"), col("doc_id"), lit("</loc>"),
+          when(pmod(col("doc_id"), lit(9)) === 0, lit(""))
+            .when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("<lastmod>2026-03-01 00:00:00</lastmod>"))
+            .otherwise(lit("<lastmod>2026-01-01 00:00:00</lastmod>")),
+          lit("</url>"))
+        val childBodies = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .withColumn("sm", concat(lit("http://h"), col("h"),
+            lit(".rc/map-"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("b"))
+              .otherwise(lit("a")), lit(".xml")))
+          .groupBy(col("sm"))
+          .agg(concat(lit("<urlset>"), array_join(collect_list(entry), ""),
+            lit("</urlset>")).as("xml"))
+        val pages = CrawlPipeline.sitemapEntries(
+          children.join(childBodies,
+              children("sitemap_url") === childBodies("sm"))
+            .select(col("host"), col("xml")), "xml")
+          .select(col("host"), col("url"), col("lastmod"))
+        val crawled = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(concat(lit("http://h"), col("h"), lit(".rc/p/"),
+              col("doc_id")).as("url"),
+            lit("2026-02-01 00:00:00").cast("timestamp").as("fetch_ts"))
+        val todo = CrawlPipeline.recrawlSchedule(
+            pages.select(col("url"), col("lastmod")), crawled)
+          .filter(col("verdict").isin("new", "stale"))
+          .join(pages.select(col("host"), col("url")), Seq("url"))
+        val edges = docs.select(hostc.as("src"),
+          concat(lit("h"), pmod(col("doc_id") * 3 + 1, lit(5)),
+            lit(".rc")).as("dst"))
+        val frontier = CrawlPipeline.frontierSlots(
+          LinkGraph.pageRankInt(edges, "src", "dst", iterations = 2),
+          Robots.parseCrawlDelay(robots, "host", "text", "*"))
+        todo.join(frontier, Seq("host"))
+          .select(col("url"), col("verdict"), col("host"), col("pr"),
+            col("slots_per_min"), col("priority"))
+          .orderBy(col("priority").desc, col("url"))
+      },
+      Some("""WITH sm AS (
+             |  SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+             |           || '.rc/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.rc' AS host,
+             |         doc_id
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |cr AS (
+             |  SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+             |           || '.rc/p/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |todo AS (
+             |  SELECT sm.url, sm.host,
+             |         CASE WHEN cr.url IS NULL THEN 'new'
+             |              WHEN sm.doc_id % 9 = 0 THEN 'fresh'
+             |              WHEN sm.doc_id % 3 = 0 THEN 'stale'
+             |              ELSE 'fresh' END AS verdict
+             |  FROM sm LEFT JOIN cr ON cr.url = sm.url),
+             |e AS (
+             |  SELECT DISTINCT
+             |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.rc' AS src,
+             |         'h' || CAST((3*doc_id+1) % 5 AS VARCHAR) || '.rc' AS dst
+             |  FROM documents),
+             |o AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+             |n AS (SELECT DISTINCT src AS node FROM e
+             |      UNION SELECT DISTINCT dst FROM e),
+             |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS pr FROM n),
+             |s1 AS (SELECT e.dst AS node, sum(r0.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+             |       GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s1.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.pr // o.outd) AS s
+             |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |              150000000000 + (85 * coalesce(s2.s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN s2 USING (node)),
+             |d AS (SELECT * FROM (VALUES
+             |        ('h0.rc', CAST(10 AS BIGINT)),
+             |        ('h1.rc', CAST(2 AS BIGINT)),
+             |        ('h3.rc', CAST(7 AS BIGINT))) AS t(host, delay_s)),
+             |f AS (SELECT r2.node AS host, CAST(r2.pr AS BIGINT) AS pr,
+             |             coalesce(d.delay_s, 1) AS delay_s
+             |      FROM r2 LEFT JOIN d ON d.host = r2.node)
+             |SELECT t.url, t.verdict, t.host, f.pr,
+             |       (60 + f.delay_s - 1) // f.delay_s AS slots_per_min,
+             |       CAST(f.pr // ((60 + f.delay_s - 1) // f.delay_s)
+             |            AS BIGINT) AS priority
+             |FROM todo t JOIN f USING (host)
+             |WHERE t.verdict IN ('new', 'stale')
+             |ORDER BY priority DESC, url""".stripMargin),
+      doc = "the composed re-crawl chain: robots (sitemap declaration + Crawl-delay from ONE body) -> sitemapindex -> child sitemaps -> page inventory with lastmod -> recrawlSchedule vs the crawled set -> new ∪ stale joined to frontierSlots' integer-exact slot priorities; oracle replays the whole loop"),
+
     // Per-registered-domain rollup — the unit RefinedWeb/FineWeb-style
     // pipelines cap and calibrate on (www.example.co.uk and
     // a.b.example.co.uk are ONE publisher). registeredDomain is a
