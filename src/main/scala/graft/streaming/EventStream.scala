@@ -170,6 +170,15 @@ object EventStream {
   case class BucketState(docs: List[(Long, Long, Seq[String])]) // (id, ts_us, shingles)
   case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
 
+  /** Internal emit row for [[nearDupStream]]: a pair OR a cap-drop
+    * marker (`dropped = 1`, pair fields sentinel) — the marker rides
+    * the output through `observe()` (the jaccard_skew_cap discipline:
+    * the loss is a metric on the normal pass, not a side channel) and
+    * is filtered before the public Dataset[NearDupPair].
+    */
+  case class NearDupEmit(id_a: Long, id_b: Long, jaccard: Double,
+      dropped: Long)
+
   /** Streaming MinHash-LSH near-dup pairs — the FUZZY twin of
     * [[dedupExactStream]] and the streaming form of
     * [[graft.operators.Dedup.minhashLshPairs]]: same sketch (shingle
@@ -189,13 +198,31 @@ object EventStream {
     * arrive within `stateTtl` of each other — the watermark-bounded
     * contract, same recall-vs-state trade every streaming dedup makes.
     *
+    * `maxBucketSize` bounds the per-bucket VERIFY (round 16 — the
+    * quadratic-within-bucket hazard the batch twin caps with
+    * `maxKeyDf`; the stream relied on stateTtl sizing alone, and the
+    * r15 throughput table's 16 s maxBatch at 250k docs was exactly a
+    * hot bucket's within-batch quadratic): once a bucket holds
+    * `maxBucketSize` docs, later arrivals still verify against the
+    * residents (each arrival costs ≤ cap comparisons) but are NOT
+    * retained — two post-cap docs can no longer pair through this
+    * bucket (they may still meet in another band). Every non-retained
+    * doc increments the `neardup_bucket_cap.dropped_docs` observed
+    * metric (read it off `StreamingQueryProgress.observedMetrics`),
+    * which is > 0 IFF output may be incomplete — the
+    * jaccard_skew_cap discipline. `maxBucketSize = 0` disables the
+    * cap (pre-r16 behavior). With the cap, per-bucket state is
+    * O(maxBucketSize) and a micro-batch's bucket cost is
+    * O(arrivals · cap) instead of O(arrivals²).
+    *
     * `docs` must already carry the watermarked event-time column
     * `tsCol` (same contract as [[dedupExactStream]]).
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, k: Int = 3, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 2,
-      stateTtlMinutes: Int = 60): Dataset[NearDupPair] = {
+      stateTtlMinutes: Int = 60,
+      maxBucketSize: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     import graft.functions.{Sketches, TextFunctions}
     val ttlMs = stateTtlMinutes.toLong * 60 * 1000
@@ -209,20 +236,24 @@ object EventStream {
     }
 
     def update(key: (Int, Long), rows: Iterator[BucketRow],
-        state: GroupState[BucketState]): Iterator[NearDupPair] = {
+        state: GroupState[BucketState]): Iterator[NearDupEmit] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
         val arrived = rows.toArray.sortBy(r => (r.ts_us, r.id))
         var known = state.getOption.map(_.docs).getOrElse(Nil)
-        val out = List.newBuilder[NearDupPair]
+        val out = List.newBuilder[NearDupEmit]
         arrived.foreach { r =>
           if (!known.exists(_._1 == r.id)) { // re-delivery is a no-op
             known.foreach { case (oid, _, osh) =>
               val j = jaccard(r.sh, osh)
               if (j >= threshold)
-                out += NearDupPair(math.min(r.id, oid), math.max(r.id, oid), j)
+                out += NearDupEmit(math.min(r.id, oid), math.max(r.id, oid),
+                  j, 0L)
             }
-            known = (r.id, r.ts_us, r.sh) :: known
+            if (maxBucketSize <= 0 || known.size < maxBucketSize)
+              known = (r.id, r.ts_us, r.sh) :: known
+            else // verified above but NOT retained: recall may be lost
+              out += NearDupEmit(-1L, -1L, -1.0, 1L)
           }
         }
         state.update(BucketState(known))
@@ -248,6 +279,16 @@ object EventStream {
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+      // the loss metric rides the output relation (CollectMetrics —
+      // visible per micro-batch in observedMetrics), then the markers
+      // filter out of the public pair stream
+      .toDF()
+      .observe("neardup_bucket_cap",
+        org.apache.spark.sql.functions.sum(col("dropped"))
+          .as("dropped_docs"))
+      .filter(col("dropped") === 0L)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[NearDupPair]
   }
 
   /** Streaming point-in-time enrichment — the stream-static twin of

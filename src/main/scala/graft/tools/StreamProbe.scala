@@ -62,10 +62,14 @@ object StreamProbe {
         .foldLeft(0L)(math.max)
       val endState = prog.reverse.find(_.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val dropped = prog.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("neardup_bucket_cap")))
+        .map(_.getAs[Long]("dropped_docs")).sum
       q.stop()
       println(f"[streamprobe] $name%-12s inputRows=$rows%-9d wall=$wall%7.2f s " +
         f"rate=${rows / math.max(wall, 1e-9)}%9.0f ev/s batches=${prog.length}%-3d " +
-        f"maxBatch=${maxBatch}%6d ms stateRowsPeak=$state%d end=$endState%d")
+        f"maxBatch=${maxBatch}%6d ms stateRowsPeak=$state%d end=$endState%d" +
+        (if (dropped > 0) f" capDropped=$dropped%d" else ""))
     }
 
     // ---- near-dup pairs (LSH bucket state) -------------------------
@@ -82,6 +86,33 @@ object StreamProbe {
         .withColumn("ts", timestamp_seconds(col("epoch")))
         .withWatermark("ts", "10 minutes")
       run("neardup", EventStream.nearDupStream(in, "doc_id", "text", "ts")
+        .writeStream.format("noop").outputMode("append").start())
+    }
+
+    // ---- near-dup HOT BUCKET: the maxBucketSize cap's reason to
+    // exist (r16 verdict task 6). A planted 1000-doc exact clique puts
+    // ~1000 docs in ONE bucket per band: uncapped, the within-bucket
+    // verify is quadratic (C(1000,2) x 16 bands of emitted pairs and
+    // comparisons); capped, each arrival does <= cap comparisons and
+    // the capDropped metric reports the recall loss. Compare maxBatch.
+    locally {
+      val dir = s"$root/neardup_hot"
+      corpus.unionByName(spark.range(1000).select(
+          (col("id") + 8000000000L).as("doc_id"),
+          lit("hot boilerplate page identical on every mirror of this " +
+            "template again and again").as("text"),
+          (lit(base) + pmod(col("id"), lit(3600L))).as("epoch")))
+        .repartition(8).write.mode("overwrite").json(dir)
+      def in = spark.readStream
+        .schema("doc_id LONG, text STRING, epoch LONG")
+        .option("maxFilesPerTrigger", 2).json(dir)
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+        .withWatermark("ts", "10 minutes")
+      run("ndhot_nocap", EventStream
+        .nearDupStream(in, "doc_id", "text", "ts", maxBucketSize = 0)
+        .writeStream.format("noop").outputMode("append").start())
+      run("ndhot_cap256", EventStream
+        .nearDupStream(in, "doc_id", "text", "ts", maxBucketSize = 256)
         .writeStream.format("noop").outputMode("append").start())
     }
 

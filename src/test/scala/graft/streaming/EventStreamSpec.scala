@@ -240,6 +240,51 @@ class EventStreamSpec extends SparkSpec {
       s"stream=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
   }
 
+  test("nearDupStream maxBucketSize: hot bucket bounds its state at the " +
+      "cap; neardup_bucket_cap metric fires IFF output may be incomplete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // ten exact duplicates: one hot bucket per band, C(10,2)=45 true pairs
+    val docs = (1 to 10).map(i => (i.toLong, t(i), base))
+    def run(cap: Int, name: String): (Set[(Long, Long)], Long) = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = EventStream.nearDupStream(
+          in.toDF().toDF("doc_id", "ts", "text")
+            .withWatermark("ts", "10 minutes"),
+          "doc_id", "text", "ts", k = 3, threshold = 0.8,
+          bands = 16, rowsPerBand = 2, maxBucketSize = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      in.addData(docs.take(5): _*); q.processAllAvailable()
+      in.addData(docs.drop(5): _*); q.processAllAvailable()
+      q.stop()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("neardup_bucket_cap")))
+        .map(_.getAs[Long]("dropped_docs")).sum
+      (spark.table(name).select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet, dropped)
+    }
+    val allPairs = (for (a <- 1 to 10; b <- a + 1 to 10)
+      yield (a.toLong, b.toLong)).toSet
+    // uncapped: every pair found, metric silent
+    val (fullPairs, fullDrops) = run(0, "ndcap_off")
+    assert(fullPairs == allPairs && fullDrops == 0L,
+      s"pairs=${fullPairs.size} drops=$fullDrops")
+    // cap 3: residents pair in full; post-cap docs pair only with the
+    // 3 residents (verify-not-retain) — pairs among docs 4..10 lost,
+    // metric counts every non-retained arrival (7 docs x 16 bands)
+    val (capPairs, capDrops) = run(3, "ndcap_on")
+    val wantCap = (for (a <- 1 to 3; b <- a + 1 to 10)
+      yield (a.toLong, b.toLong)).toSet
+    assert(capPairs == wantCap,
+      s"missing=${wantCap -- capPairs} extra=${capPairs -- wantCap}")
+    assert(capDrops == 7L * 16L, s"drops=$capDrops")
+    // the contract: metric fired exactly when recall was lost
+    assert((capPairs != allPairs) == (capDrops > 0))
+  }
+
   test("nearDupStream: event-time timeout evicts buckets (state bounded by watermark)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
