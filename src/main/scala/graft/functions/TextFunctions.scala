@@ -107,6 +107,19 @@ object TextFunctions {
     * the high-mass entries of the public suffix list's ICANN section
     * (the full PSL is a data file a deployment ships alongside;
     * callers with one pass it in).
+    *
+    * PROVENANCE + refresh discipline (round 16): distilled by hand
+    * from publicsuffix.org's ICANN section, snapshot pinned
+    * 2026-08-15. A stale list silently mis-rolls hosts under any
+    * suffix added to the PSL later (e.g. a new `com.xx` would
+    * collapse `a.com.xx` and `b.com.xx` into one publisher
+    * `com.xx`). The update path is deliberate, not silent:
+    * SuffixListSpec pins this list's exact contents (sorted
+    * fingerprint) AND an independently-written canary subset — any
+    * edit here fails the spec until the editor re-verifies the
+    * canaries against the live PSL and bumps the fingerprint + this
+    * date together. Deployments tracking the full PSL pass their
+    * file via the `suffixes` parameter and own their refresh cadence.
     */
   val DefaultMultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk", "ltd.uk",
