@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // probe hook: extra JVM flags for the forked run (e.g. GC logging —
+  // SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:file=/tmp/gc.log" — used by the
+  // r16 exact-substr allocation profile); space-separated, empty by
+  // default so normal runs are unaffected
+  sys.env.getOrElse("SPARK_GRAFT_JVM_EXTRA", "").split(" ")
+    .filter(_.nonEmpty).toSeq

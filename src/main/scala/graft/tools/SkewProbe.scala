@@ -959,6 +959,40 @@ object SkewProbe {
                 "id", "lon", "lat", "id", "ring", cellDeg = 0.5),
               Seq("point_id", "poly_id")))
             report("pip1m_whale", rep, tW, nW, hW)
+            // the DEGRADATION case the auto split exists for (r16
+            // verdict task 3): at FINE cellDeg the whale's bbox alone
+            // explodes into millions of key rows per geometry —
+            // single-pass key fan-out vs pointsInPolygonsAuto's
+            // bounded coarse pass, value-equality checked
+            def keyRows(p: DataFrame, deg: Double): Long = {
+              val lons = transform(col("ring"), q => q.getField("lon"))
+              val lats = transform(col("ring"), q => q.getField("lat"))
+              p.agg(sum(((floor(array_max(lons) / deg) -
+                floor(array_min(lons) / deg) + 1) *
+                (floor(array_max(lats) / deg) -
+                  floor(array_min(lats) / deg) + 1)).cast("long")))
+                .head.getLong(0)
+            }
+            val all = polys.unionByName(whale)
+            val kSingle = keyRows(all, 0.1)
+            val ((nF, hF), tF) = time(sig(
+              GeoJoin.pointsInPolygons(f, all,
+                "id", "lon", "lat", "id", "ring", cellDeg = 0.1),
+              Seq("point_id", "poly_id")))
+            report("pipwhale_fine", rep, tF, nF, hF, s" keyRows=$kSingle")
+            // auto: whale splits to its own coarse grid (cell =
+            // side/sqrt(cap)); fine pass covers only the small polys
+            val capCells = 4096L
+            val kAuto = keyRows(polys, 0.1) +
+              keyRows(whale, 340.0 / math.sqrt(capCells.toDouble))
+            val ((nA, hA), tA) = time(sig(
+              GeoJoin.pointsInPolygonsAuto(f, all,
+                "id", "lon", "lat", "id", "ring", cellDeg = 0.1,
+                maxCellsPerPoly = capCells),
+              Seq("point_id", "poly_id")))
+            report("pipwhale_auto", rep, tA, nA, hA,
+              s" keyRows=$kAuto" +
+                (if (nA == nF && hA == hF) " MATCH" else " **MISMATCH**"))
             polys.unpersist(); f.unpersist()
           }
           locally {
@@ -980,6 +1014,46 @@ object SkewProbe {
               s" cliques=$cliqueRows")
             f.unpersist()
           }
+        case "geoscale" =>
+          // r16 verdict task 7: the band-tiling constants one decade
+          // (and two) past the 1M probe, on PLANET-SHAPED density —
+          // uniform oceans vs 400 dense cities holding 80% of points
+          // (SkewGen-style head) — wall + maxtask at 10M and 100M.
+          // Radii shrink with N so expected output stays ~10-50M pairs
+          // (the probe prices CANDIDATE volume, not output volume).
+          import graft.operators.GeoJoin
+          def uni(n: Long): DataFrame = spark.range(n).select(col("id"),
+            (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) / 1e6
+              - 180).as("lon"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(120000000L)) / 1e6
+              - 60).as("lat"))
+          def city(n: Long): DataFrame = {
+            val cIdx = pmod(xxhash64(col("id"), lit(7)), lit(400L))
+            val cLon = pmod(xxhash64(cIdx, lit(8)), lit(340000000L)) / 1e6 - 170
+            val cLat = pmod(xxhash64(cIdx, lit(9)), lit(110000000L)) / 1e6 - 55
+            val jLon = pmod(xxhash64(col("id"), lit(10)), lit(500000L)) / 1e6 - 0.25
+            val jLat = pmod(xxhash64(col("id"), lit(11)), lit(500000L)) / 1e6 - 0.25
+            spark.range(n).select(col("id"),
+              when(pmod(col("id"), lit(5)) < 4, cLon + jLon)
+                .otherwise(pmod(xxhash64(col("id"), lit(1)),
+                  lit(360000000L)) / 1e6 - 180).as("lon"),
+              when(pmod(col("id"), lit(5)) < 4, cLat + jLat)
+                .otherwise(pmod(xxhash64(col("id"), lit(2)),
+                  lit(120000000L)) / 1e6 - 60).as("lat"))
+          }
+          for ((n, label) <- Seq(10000000L -> "10m", 100000000L -> "100m");
+               (mode, gen, radius) <- Seq(
+                 ("uniform", uni _, if (n == 10000000L) 2000.0 else 500.0),
+                 ("city", city _, if (n == 10000000L) 250.0 else 50.0))) {
+            val f = gen(n).persist(); f.count()
+            val ((nR, hR), tR) = time(sig(
+              GeoJoin.withinDistance(f, f, "id", "lon", "lat",
+                "id", "lon", "lat", radius, selfPairs = true),
+              Seq("id_a", "id_b")))
+            report(s"${mode}_$label", rep, tR, nR, hR, s" radius=$radius")
+            f.unpersist()
+          }
+
         case other =>
           sys.error(s"unknown family: $other")
       }
