@@ -1123,10 +1123,27 @@ object Dedup {
     * through byte-identical; a doc that is entirely duplicated spans
     * yields an empty string (kept, matching the paper's
     * cut-not-drop semantics).
+    *
+    * `materializeSpans` (default TRUE since round 16) localCheckpoints
+    * the span relation before the stitch join — the SubstrGcProbe
+    * finding behind the catalog's widest variance band: with the spans
+    * subtree live inside the stitch plan, the O(corpus-positions)
+    * explode/sort machinery runs concurrently with the docs-side scan
+    * and the whole query read 72–146 s at sf10 (same corpus, same
+    * hour); materialized first, the stitch joins a small settled
+    * relation and the same work reads 47–59 s — 2.4× faster mean AND
+    * a tight band. (GC itself was 1–3% of wall in both forms; the
+    * G1 humongous traffic — 26–35 GB of ≥16 MB sorter pages at 32 MB
+    * regions — is why the un-materialized form amplifies box load
+    * into that band.) The span relation is O(docs with a duplicated
+    * window) narrow rows — executor-local storage a 100 TB run
+    * carries easily; pass false to keep the single-plan form.
     */
   def exactSubstrClean(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minCount: Long = 2L, textOut: String = "text"): DataFrame = {
-    val spans = exactSubstrSpans(docs, idCol, textCol, k, minCount)
+      k: Int, minCount: Long = 2L, textOut: String = "text",
+      materializeSpans: Boolean = true): DataFrame = {
+    val sp0 = exactSubstrSpans(docs, idCol, textCol, k, minCount)
+    val spans = (if (materializeSpans) sp0.localCheckpoint() else sp0)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))

@@ -121,7 +121,13 @@ object SubstrGcProbe {
         spark.catalog.clearCache()
       }
 
-    run("asis", () =>
+    // nomat = the pre-r16 single-plan form (spans subtree live inside
+    // the stitch join) — the 72-146 s band; ckpt_default = the r16
+    // default (materializeSpans = true, localCheckpoint)
+    run("nomat", () =>
+      (Dedup.exactSubstrClean(docs, "doc_id", "text", k = 30,
+        textOut = "clean_text", materializeSpans = false), Nil))
+    run("ckpt_default", () =>
       (Dedup.exactSubstrClean(docs, "doc_id", "text", k = 30,
         textOut = "clean_text"), Nil))
     run("spanpersist", () => {
