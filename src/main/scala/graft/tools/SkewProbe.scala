@@ -104,9 +104,14 @@ object SkewProbe {
     val (dir, family) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle width is its own knob: the geoscale family shuffles
+    // ~1e9 exploded key rows, where partitions = cores means ~30M-row
+    // sort tasks (the maxtask IS partition volume) — a real cluster
+    // sizes partitions to ~128 MB, which this override simulates
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -1045,7 +1050,13 @@ object SkewProbe {
                (mode, gen, radius) <- Seq(
                  ("uniform", uni _, if (n == 10000000L) 2000.0 else 500.0),
                  ("city", city _, if (n == 10000000L) 250.0 else 50.0))) {
-            val f = gen(n).persist(); f.count()
+            // input width gates the MAP side: spark.range defaults to
+            // `cores` partitions, so at 100M the explode/shuffle-write
+            // tasks would each carry ~30M exploded rows no matter how
+            // wide the reduce is — size input splits to ~1M points
+            // (what a real ingest's file splits would give)
+            val inParts = math.max(cpus.toInt, (n / 1000000L).toInt)
+            val f = gen(n).repartition(inParts).persist(); f.count()
             val ((nR, hR), tR) = time(sig(
               GeoJoin.withinDistance(f, f, "id", "lon", "lat",
                 "id", "lon", "lat", radius, selfPairs = true),
