@@ -302,6 +302,105 @@ object GeoJoin {
       .select(col("point_id"), col("poly_id"))
   }
 
+  /** Point-to-POLYLINE distance join — "which points lie within R
+    * meters of which ways/roads", the primitive the family lacked
+    * between [[withinDistance]] (point-point) and [[pointsInPolygons]]
+    * (point-in-area). Input lines carry a path ARRAY<STRUCT<lon, lat>>
+    * (open or closed — [[WayAssembly.assembleRings]]' output shape);
+    * output is (point_id, line_id, dist_m) with dist_m the MINIMUM
+    * over the line's segments, one row per line within radius.
+    *
+    * Candidates: each SEGMENT emits every `cellDeg` grid cell its bbox
+    * expanded by the radius margin covers (lat margin R/110574°; lon
+    * margin R/(111320·cos φ_far) sized at the segment's far-from-
+    * equator latitude, so it dominates the verify's per-segment
+    * latitude reference); each point emits its own cell. A point
+    * within R of a segment therefore lands in a covered cell — the
+    * grid is pure pruning. The min-aggregate over candidate segments
+    * is EXACT for every surviving row: any segment within R is a
+    * candidate by construction, so the candidate min equals the
+    * global min whenever that min clears the radius filter.
+    *
+    * Verify metric: planar clamp-projection distance on the local
+    * equirectangular plane at the segment's mean latitude —
+    * `t = clamp(p·v / v·v, 0, 1); dist = |p − t·v|` with per-degree
+    * meters (111320·cos φ̄, 110574). Built-ins only, operation-for-
+    * operation reproducible in a SQL oracle; relative error vs the
+    * geodesic is O((R/R_earth)²) + O(Δφ·tanφ̄) — the road-radius
+    * regime this join exists for. Same caveats as the polygon join:
+    * lines crossing the antimeridian must be split upstream, and the
+    * lon margin clamps its cosine at 86° (|φ| ≤ 85° data — the OSM
+    * Mercator envelope — stays exact). A degenerate zero-length
+    * segment verifies as point-to-point (t = 0).
+    *
+    * Scale shape: one explode per segment (linear in total vertices),
+    * bbox-cover explode bounded by segment length / cellDeg, one
+    * shuffle on the cell key, partial-aggregable min per (point,
+    * line). A whale line (a 5000 km highway among city streets)
+    * sharding across its cells is the fan-out that DISTRIBUTES its
+    * verify work — the pip1m lesson; size `cellDeg` near the median
+    * segment extent plus margin.
+    */
+  def pointsNearLines(points: DataFrame, lines: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      lId: String, pathCol: String,
+      radiusM: Double, cellDeg: Double = 0.5): DataFrame = {
+    require(radiusM > 0 && radiusM <= 1000000.0,
+      "radiusM in (0, 1000 km]")
+    require(cellDeg > 0, "cellDeg > 0")
+    val cx = (lon: Column) => floor(lon / cellDeg).cast("long")
+    val cy = (lat: Column) => floor(lat / cellDeg).cast("long")
+    val pts = points.select(col(pId).as("__pid"), col(pLon).as("__plon"),
+        col(pLat).as("__plat"))
+      .withColumn("__cx", cx(col("__plon")))
+      .withColumn("__cy", cy(col("__plat")))
+    // segments: consecutive vertex pairs of the path
+    val p = col(pathCol)
+    val segs = lines.select(col(lId).as("__lid"),
+        posexplode(arrays_zip(
+          slice(p, lit(1), greatest(size(p) - 1, lit(0))),
+          slice(p, lit(2), greatest(size(p) - 1, lit(0)))))
+          .as(Seq("__sidx", "__seg")))
+      .select(col("__lid"),
+        col("__seg").getField("0").getField("lon").as("__alon"),
+        col("__seg").getField("0").getField("lat").as("__alat"),
+        col("__seg").getField("1").getField("lon").as("__blon"),
+        col("__seg").getField("1").getField("lat").as("__blat"))
+    val latMargin = radiusM / MPerLatDeg
+    val farAbs = least(lit(86.0),
+      greatest(abs(col("__alat")), abs(col("__blat"))) + latMargin)
+    val lonMargin = lit(radiusM) / (lit(MPerLonDegEq) * cos(radians(farAbs)))
+    val cand = segs
+      .withColumn("__cx", explode(sequence(
+        cx(least(col("__alon"), col("__blon")) - lonMargin),
+        cx(greatest(col("__alon"), col("__blon")) + lonMargin))))
+      .withColumn("__cy", explode(sequence(
+        cy(least(col("__alat"), col("__blat")) - latMargin),
+        cy(greatest(col("__alat"), col("__blat")) + latMargin))))
+      .join(pts, Seq("__cx", "__cy"))
+    // planar clamp-projection verify — every operation mirrors the
+    // SQL oracle exactly (multiplication, not pow; same association)
+    val kx = lit(MPerLonDegEq) *
+      cos(radians((col("__alat") + col("__blat")) / 2))
+    val ky = lit(MPerLatDeg)
+    val bx = (col("__blon") - col("__alon")) * kx
+    val by = (col("__blat") - col("__alat")) * ky
+    val px = (col("__plon") - col("__alon")) * kx
+    val py = (col("__plat") - col("__alat")) * ky
+    val den = bx * bx + by * by
+    val t = when(den === 0, lit(0.0))
+      .otherwise(greatest(lit(0.0), least(lit(1.0),
+        (px * bx + py * by) / den)))
+    val dist = sqrt((px - t * bx) * (px - t * bx) +
+      (py - t * by) * (py - t * by))
+    cand.withColumn("__d", dist)
+      .groupBy(col("__pid"), col("__lid"))
+      .agg(min(col("__d")).as("dist_m"))
+      .filter(col("dist_m") <= radiusM)
+      .select(col("__pid").as("point_id"), col("__lid").as("line_id"),
+        col("dist_m"))
+  }
+
   /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest
     * `b` points within `radiusM` (ties on distance break on id_b —
     * exact-duplicate coordinates produce bit-identical distances, so

@@ -590,4 +590,57 @@ object Sampling {
     docs.withColumn("fim_applied", sel)
       .withColumn(textCol, when(sel, fim).otherwise(col(textCol)))
   }
+
+  /** DOMAIN-MIXTURE REWEIGHTING — the DoReMi/Group-DRO shape (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining") as an integer-exact relational replay: each
+    * round, domains whose mean loss EXCEEDS a reference gain mixture
+    * weight multiplicatively, then weights renormalize — the
+    * multiplicative-weights/Hedge update with `exp(η·excess)`
+    * linearized to `1 + η·excess` (the Freund–Schapire (1+η)^loss
+    * approximation), which keeps every step a Long expression both
+    * engines floor identically (the pageRankInt discipline: scaled
+    * longs, `div` everywhere, no float in the state).
+    *
+    * Fixed-point layout: `excess_q = (max(0, Σloss − n·ref) · scale)
+    * div (n · ref)` — the domain's RELATIVE mean excess loss in
+    * `scale` units (clamped at 0: only worse-than-reference domains
+    * gain, the DRO max). Per round:
+    * `u = w + ((w · excess_q) div scale · etaNum) div scale`, then
+    * `w' = (u · 10^9) div Σu` — weights always renormalize to ~1e9
+    * total, so `rounds` iterations never grow magnitudes (overflow
+    * headroom: u ≤ ~2e9, u·10^9 ≤ 2e18 < Long.Max; requires
+    * excess_q · etaNum ≤ ~1e12·scale, i.e. mean loss within ~10^6× of
+    * the reference at the defaults). The domain relation is tiny
+    * (thousands at web scale), so the unrolled `rounds`-deep lineage
+    * is the cheap part; the corpus is touched ONCE by the initial
+    * aggregate. Feed the output weights to [[weightedByHash]] /
+    * [[mixtureByHash]] to materialize the tuned mixture. Output:
+    * (domain, n_docs, excess_q, weight), Σweight ≤ 10^9 with < 1 unit
+    * floor loss per domain per round.
+    */
+  def domainReweightInt(docs: DataFrame, domainCol: String,
+      lossCol: String, refLoss: Long, rounds: Int = 3,
+      etaNum: Long = 200000L, scale: Long = 1000000L): DataFrame = {
+    require(refLoss > 0, "refLoss > 0")
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    val T = 1000000000L
+    val e = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(lossCol).cast("long")).as("__sl"))
+      .withColumn("excess_q", expr(
+        s"(greatest(CAST(0 AS BIGINT), __sl - n_docs * $refLoss)" +
+          s" * $scale) div (n_docs * $refLoss)"))
+      .select(col("domain"), col("n_docs"), col("excess_q"))
+    var rel = e.withColumn("w", lit(scale))
+    for (_ <- 1 to rounds) {
+      val u = rel.withColumn("u", col("w") + expr(
+        s"((w * excess_q) div $scale * $etaNum) div $scale"))
+      val tot = u.agg(sum(col("u")).as("__tot"))
+      rel = u.crossJoin(broadcast(tot))
+        .withColumn("w", expr(s"(u * $T) div __tot"))
+        .select(col("domain"), col("n_docs"), col("excess_q"), col("w"))
+    }
+    rel.withColumnRenamed("w", "weight")
+  }
 }

@@ -689,6 +689,69 @@ object TextAnalysis {
         least(col("for_bytes"), col("varint_bytes")))
   }
 
+  /** PATCHED frame-of-reference — the codec the round-15 record named
+    * as the open candidate ("true PFoR/Simple-8b stay candidates"):
+    * per 128-gap block, instead of widening every slot to the max bit
+    * width (the [[postingsCodecPick]] FoR baseline), choose the width
+    * `b` that MINIMIZES total cost when out-of-range gaps become
+    * exceptions — the NewPFD decision (Yan, Ding & Suel 2009,
+    * "Inverted index compression and query processing with optimized
+    * document ordering"). Cost model, exactly accounted per block:
+    * `1 (width byte) + ⌈n·b/8⌉ (packed slots) + Σ_exceptions
+    * (varint(gap) + 1 position byte)`. The width search is
+    * RELATIONAL, not sequential: a per-(block, bitlen) histogram
+    * (≤ 64 rows per block) joins the 32 candidate widths on
+    * `bits > b`, and the block's cost is a one-row min — no
+    * mapPartitions, no per-list state, so the vocabulary distributes
+    * exactly like [[postingsLayout]]. pfor ≤ for by construction
+    * (b = max-bits has zero exceptions and matches FoR's cost), so
+    * the three-way pick keeps the prior tie rules: pfor only when
+    * STRICTLY smaller than both (a patched decode costs more CPU than
+    * plain FoR at equal bytes), else the [[postingsCodecPick]] rule.
+    * Output: (term, df, varint_bytes, for_bytes, pfor_bytes, codec,
+    * stored_bytes).
+    */
+  def postingsCodecPfor(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 128, maxWidth: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val blocks = postingsLayout(docs, idCol, textCol)
+      .withColumn("blk",
+        ((row_number().over(w) - 1) / blockSize).cast("long"))
+      .withColumn("bits", length(bin(col("gap"))))
+    val bn = blocks.groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).as("n"))
+    // per-(block, bitlen) exception cost bucket: a gap of `bits` > b
+    // patches out at varint bytes + one position byte
+    val hist = blocks.groupBy(col("term"), col("blk"), col("bits"))
+      .agg((count(lit(1)) + sum(col("vbytes"))).as("exb"))
+    val widths = bn.withColumn("b",
+      explode(sequence(lit(1), lit(maxWidth))))
+    val exc = widths.select(col("term"), col("blk"), col("b"))
+      .join(hist, Seq("term", "blk"))
+      .filter(col("bits") > col("b"))
+      .groupBy(col("term"), col("blk"), col("b"))
+      .agg(sum(col("exb")).as("excb"))
+    val pfor = widths.join(exc, Seq("term", "blk", "b"), "left")
+      .withColumn("cost", lit(1L) +
+        floor((col("n") * col("b") + lit(7)) / lit(8)).cast("long") +
+        coalesce(col("excb"), lit(0L)))
+      .groupBy(col("term"), col("blk"))
+      .agg(min(col("cost")).as("pblk"))
+      .groupBy(col("term"))
+      .agg(sum(col("pblk")).as("pfor_bytes"))
+    postingsCodecPick(docs, idCol, textCol, blockSize)
+      .drop("codec", "stored_bytes")
+      .join(pfor, Seq("term"))
+      .withColumn("codec",
+        when(col("pfor_bytes") <
+            least(col("for_bytes"), col("varint_bytes")), lit("pfor"))
+          .when(col("for_bytes") < col("varint_bytes"), lit("for"))
+          .otherwise(lit("varint")))
+      .withColumn("stored_bytes", least(col("varint_bytes"),
+        col("for_bytes"), col("pfor_bytes")))
+  }
+
   /** Positional postings — the phrase-query side of [[postingsLayout]]
     * (the Lucene `.prx` analogue): per (term, doc) the term's token
     * positions as their OWN delta chain with varint accounting.

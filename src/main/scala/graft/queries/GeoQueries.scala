@@ -308,6 +308,84 @@ object GeoQueries {
              |ORDER BY point_id, poly_id""".stripMargin),
       doc = "whale-split containment: two-pass grid (fine for small polygons, auto-coarsened for bbox whales) unions to the same naive oracle as the single-pass anchor"),
 
+    // Point-to-POLYLINE distance join (the "nearest road" primitive):
+    // segments key an expanded-bbox cell cover, points their own cell,
+    // planar clamp-projection verify, min per (point, line) — exact
+    // for every surviving row because any segment within R is a
+    // candidate by construction. The oracle is the NAIVE form: every
+    // (point, segment) pair (bbox-prefiltered at 0.6 deg ≥ the 20 km
+    // radius in degrees, which drops only pairs that cannot pass the
+    // radius filter), the same distance expression operation-for-
+    // operation, min per pair. Boundary margins MEASURED on this data
+    // at the 20 km radius: nearest min-distance to the radius cut
+    // 93.3 m (sf0.01) / 5.44 m (sf0.1); nearest to a 1 m rounding
+    // boundary 9.3e-3 / 3.2e-4 m — cross-engine libm ulps (~1e-6 m
+    // here) cannot flip a row.
+    Q("poi_near_way_line",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val pts = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(col("o_orderkey").as("id"),
+            ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
+            ((col("o_orderkey") % 120) - 60 +
+              (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
+        val lines = Tables.osmWays(s, dir)
+          .filter(pmod(col("id"), lit(5)) === 0)
+        GeoJoin.pointsNearLines(pts, lines, "id", "lon", "lat",
+            "id", "ring", 20000.0, cellDeg = 0.5)
+          .select(col("point_id"), col("line_id"),
+            round(col("dist_m"), 0).as("dist_m"))
+          .orderBy(col("point_id"), col("line_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 300) - 150 + 0.0005 AS lon,
+             |               (o_orderkey % 120) - 60
+             |                 + (o_orderkey % 97) / 1000.0 + 0.0005 AS lat
+             |             FROM orders WHERE o_orderkey % 20 = 0),
+             |w AS (SELECT p_partkey AS id,
+             |        CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+             |        (p_retailprice % 300) - 150 AS lon0,
+             |        (p_partkey % 120) - 60 AS lat0
+             |      FROM part WHERE p_partkey % 5 = 0),
+             |segs AS (SELECT id,
+             |    CASE WHEN i = 0 THEN lon0 WHEN i = 1 THEN lon0 + d
+             |         WHEN i = 2 THEN lon0 + d ELSE lon0 END AS alon,
+             |    CASE WHEN i = 0 THEN lat0 WHEN i = 1 THEN lat0
+             |         WHEN i = 2 THEN lat0 + d ELSE lat0 + d END AS alat,
+             |    CASE WHEN i = 0 THEN lon0 + d WHEN i = 1 THEN lon0 + d
+             |         WHEN i = 2 THEN lon0 ELSE lon0 END AS blon,
+             |    CASE WHEN i = 0 THEN lat0 WHEN i = 1 THEN lat0 + d
+             |         WHEN i = 2 THEN lat0 + d ELSE lat0 END AS blat
+             |  FROM (SELECT id, d, lon0, lat0,
+             |          unnest(generate_series(0, 3)) AS i FROM w)),
+             |d1 AS (SELECT p.id AS pid, s.id AS lid,
+             |         (s.blon - s.alon)
+             |           * (111320.0 * cos(radians((s.alat + s.blat) / 2))) AS bx,
+             |         (s.blat - s.alat) * 110574.0 AS by,
+             |         (p.lon - s.alon)
+             |           * (111320.0 * cos(radians((s.alat + s.blat) / 2))) AS px,
+             |         (p.lat - s.alat) * 110574.0 AS py
+             |       FROM pts p JOIN segs s
+             |         ON p.lon >= least(s.alon, s.blon) - 0.6
+             |        AND p.lon <= greatest(s.alon, s.blon) + 0.6
+             |        AND p.lat >= least(s.alat, s.blat) - 0.6
+             |        AND p.lat <= greatest(s.alat, s.blat) + 0.6),
+             |d2 AS (SELECT pid, lid, px, py, bx, by,
+             |         CASE WHEN bx * bx + by * by = 0 THEN 0.0
+             |              ELSE greatest(0.0, least(1.0,
+             |                (px * bx + py * by) / (bx * bx + by * by))) END AS t
+             |       FROM d1),
+             |d3 AS (SELECT pid, lid,
+             |         sqrt((px - t * bx) * (px - t * bx)
+             |            + (py - t * by) * (py - t * by)) AS dist
+             |       FROM d2)
+             |SELECT pid AS point_id, lid AS line_id,
+             |       round(min(dist), 0) AS dist_m
+             |FROM d3 GROUP BY pid, lid HAVING min(dist) <= 20000.0
+             |ORDER BY point_id, line_id""".stripMargin),
+      doc = "point-to-polyline distance join: segment bbox-cover grid candidates + planar clamp-projection verify + exact min-per-line vs the naive point-x-segment oracle"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

@@ -1090,6 +1090,50 @@ object SamplingQueries {
              |            '[ \t\n\x0B\x0C\r]+', ' ', 'g')) AS text
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
-      doc = "WARC->WET conversion job end-to-end: pages -> conversion records -> WET segment read-back, extraction + back-link oracled")
+      doc = "WARC->WET conversion job end-to-end: pages -> conversion records -> WET segment read-back, extraction + back-link oracled"),
+
+    // DoReMi-shaped domain-mixture reweighting (round 16): three
+    // integer-exact multiplicative-weights rounds over the per-source
+    // excess-loss relation, replayed layer-by-layer in the oracle
+    // (the pageRankInt discipline — scaled longs, floor div, no float
+    // in the state). n_chars stands in for the per-doc loss; ref 290
+    // sits mid-corpus so roughly half the sources clamp at zero
+    // excess (the DRO max) and half gain weight through all three
+    // renormalized rounds.
+    Q("doc_domain_reweight",
+      (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.domainReweightInt(Tables.documents(s, dir),
+            "source", "n_chars", refLoss = 290L, rounds = 3,
+            etaNum = 200000L, scale = 1000000L)
+          .orderBy(col("domain"))
+      },
+      Some("""WITH e AS (SELECT source AS domain, count(*) AS n_docs,
+             |    CAST((greatest(0, sum(n_chars) - count(*) * 290)
+             |          * 1000000) // (count(*) * 290) AS BIGINT) AS excess_q
+             |  FROM documents GROUP BY source),
+             |r0 AS (SELECT domain, n_docs, excess_q,
+             |         CAST(1000000 AS BIGINT) AS w FROM e),
+             |u1 AS (SELECT domain, n_docs, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r0),
+             |r1 AS (SELECT domain, n_docs, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u1)
+             |           AS BIGINT) AS w FROM u1),
+             |u2 AS (SELECT domain, n_docs, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r1),
+             |r2 AS (SELECT domain, n_docs, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u2)
+             |           AS BIGINT) AS w FROM u2),
+             |u3 AS (SELECT domain, n_docs, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r2),
+             |r3 AS (SELECT domain, n_docs, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u3)
+             |           AS BIGINT) AS w FROM u3)
+             |SELECT domain, n_docs, excess_q, w AS weight
+             |FROM r3 ORDER BY domain""".stripMargin),
+      doc = "DoReMi/Group-DRO domain reweighting: per-source relative excess loss (clamped at 0), three linearized-Hedge multiplicative rounds with integer renormalization, replayed as oracle CTE layers")
   )
 }

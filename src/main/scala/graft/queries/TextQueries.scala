@@ -1418,6 +1418,127 @@ object TextQueries {
              |FROM pk GROUP BY codec ORDER BY codec""".stripMargin),
       doc = "per-term codec pick consumed: the smaller of varint vs FoR per term (the Lucene decision), rolled up per codec with the byte savings vs all-varint — the index build's capacity summary"),
 
+    // TRUE patched FoR joins the pick (round 16 — the codec the r15
+    // record left as "PFoR/Simple-8b stay candidates: their
+    // greedy/patch decisions are sequential within a block"). The
+    // width search turned out NOT to need a sequential form: a
+    // per-(block, bitlen) histogram joined to the 32 candidate widths
+    // prices every (b, exceptions) split relationally and the block
+    // takes the min — see TextAnalysis.postingsCodecPfor. Plants pin
+    // all the interesting branches sf-independently: the codec_pick
+    // wide-gap pair keeps varint winning somewhere (12 B vs FoR 14 vs
+    // best-patched 16), and a 121-doc run-of-gap-1 with one 2^45
+    // outlier IN THE SAME BLOCK is the canonical PFoR case (patch 2
+    // exceptions at width 1: 31 B vs varint 131 vs FoR 697). The
+    // 'for' branch is planted too — a 128-posting run with every gap
+    // exactly 64 (7 bits, first gap included) has NO patch that pays:
+    // pfor ties FoR at 113 B < varint 128 B and the tie rule prefers
+    // the cheaper decode (this corpus' dense terms all patch
+    // profitably somewhere, measured, so the tie needs the plant).
+    Q("text_postings_codec_pfor",
+      (s, dir) => {
+        import s.implicits._
+        val plant = (Seq(
+          (900000000L, "zzcodecpick"),
+          (900000000L + (1L << 48), "zzcodecpick"),
+          (900000000L + (1L << 45), "zzpforwin")) ++
+          (0 to 120).map(i => (900001000L + i, "zzpforwin")) ++
+          (1 to 128).map(i => (64L * i, "zzforwin")))
+          .toDF("doc_id", "text")
+        TextAnalysis.postingsCodecPfor(
+            Tables.documents(s, dir).select($"doc_id", $"text")
+              .unionByName(plant), "doc_id", "text")
+          .filter(col("df") >= 2)
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("df")).as("n_postings"),
+            sum(col("stored_bytes")).as("stored_bytes"),
+            sum(col("varint_bytes") - col("stored_bytes"))
+              .as("saved_vs_varint"),
+            sum(col("for_bytes") - col("stored_bytes"))
+              .as("saved_vs_for"))
+          .orderBy(col("codec"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS term
+             |           FROM (SELECT doc_id, text FROM documents
+             |                 UNION ALL
+             |                 SELECT * FROM (VALUES
+             |                   (CAST(900000000 AS BIGINT), 'zzcodecpick'),
+             |                   (CAST(281475876710656 AS BIGINT), 'zzcodecpick'),
+             |                   (CAST(35185272088832 AS BIGINT), 'zzpforwin'))
+             |                   v(doc_id, text)
+             |                 UNION ALL
+             |                 SELECT CAST(900001000 + i AS BIGINT),
+             |                        'zzpforwin'
+             |                 FROM generate_series(0, 120) s(i)
+             |                 UNION ALL
+             |                 SELECT CAST(64 * i AS BIGINT), 'zzforwin'
+             |                 FROM generate_series(1, 128) s2(i))),
+             |tf AS (SELECT term, doc_id, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id,
+             |        doc_id - coalesce(lag(doc_id) OVER (
+             |          PARTITION BY term ORDER BY doc_id), 0) AS gap,
+             |        row_number() OVER (
+             |          PARTITION BY term ORDER BY doc_id) AS rn
+             |      FROM tf),
+             |b AS (SELECT term, gap, (rn - 1) // 128 AS blk,
+             |        length(bin(gap)) AS bits,
+             |        (length(bin(gap)) + 6) // 7 AS vb
+             |      FROM g),
+             |fb AS (SELECT term,
+             |         CAST(sum(1 + (n * mb + 7) // 8) AS BIGINT)
+             |           AS for_bytes
+             |       FROM (SELECT term, blk, count(*) AS n,
+             |               max(bits) AS mb
+             |             FROM b GROUP BY 1, 2)
+             |       GROUP BY term),
+             |bn AS (SELECT term, blk, count(*) AS n FROM b GROUP BY 1, 2),
+             |hist AS (SELECT term, blk, bits,
+             |           count(*) + sum(vb) AS exb
+             |         FROM b GROUP BY 1, 2, 3),
+             |wd AS (SELECT bn.term, bn.blk, bn.n, w.b
+             |       FROM bn CROSS JOIN
+             |         (SELECT unnest(generate_series(1, 32)) AS b) w),
+             |exc AS (SELECT wd.term, wd.blk, wd.b, sum(h.exb) AS excb
+             |        FROM wd JOIN hist h
+             |          ON h.term = wd.term AND h.blk = wd.blk
+             |         AND h.bits > wd.b
+             |        GROUP BY 1, 2, 3),
+             |pf AS (SELECT term, CAST(sum(mc) AS BIGINT) AS pfor_bytes
+             |       FROM (SELECT wd.term, wd.blk,
+             |               min(1 + (wd.n * wd.b + 7) // 8
+             |                   + coalesce(e.excb, 0)) AS mc
+             |             FROM wd LEFT JOIN exc e
+             |               ON e.term = wd.term AND e.blk = wd.blk
+             |              AND e.b = wd.b
+             |             GROUP BY 1, 2)
+             |       GROUP BY term),
+             |pt AS (SELECT b.term, count(*) AS df,
+             |         CAST(sum(vb) AS BIGINT) AS varint_bytes,
+             |         fb.for_bytes, pf.pfor_bytes
+             |       FROM b JOIN fb ON b.term = fb.term
+             |            JOIN pf ON b.term = pf.term
+             |       GROUP BY b.term, fb.for_bytes, pf.pfor_bytes
+             |       HAVING count(*) >= 2),
+             |pk AS (SELECT CASE WHEN pfor_bytes < least(for_bytes, varint_bytes)
+             |                   THEN 'pfor'
+             |                   WHEN for_bytes < varint_bytes
+             |                   THEN 'for' ELSE 'varint' END AS codec,
+             |              df, varint_bytes, for_bytes,
+             |              least(varint_bytes, for_bytes, pfor_bytes) AS stored
+             |       FROM pt)
+             |SELECT codec, count(*) AS n_terms,
+             |       CAST(sum(df) AS BIGINT) AS n_postings,
+             |       CAST(sum(stored) AS BIGINT) AS stored_bytes,
+             |       CAST(sum(varint_bytes - stored) AS BIGINT)
+             |         AS saved_vs_varint,
+             |       CAST(sum(for_bytes - stored) AS BIGINT)
+             |         AS saved_vs_for
+             |FROM pk GROUP BY codec ORDER BY codec""".stripMargin),
+      doc = "patched frame-of-reference joins the codec pick: per 128-gap block the NewPFD width-vs-exceptions min priced relationally (bitlen histogram x candidate widths), three-way pick per term, per-codec capacity rollup"),
+
     // Index SHARD placement + the skew monitor over it: terms are
     // hash-partitioned into 16 shards (the production layout — no
     // global byte-balancing sort; the hash is the portable t61→IdHash

@@ -164,20 +164,27 @@ object EventStream {
 
   /** One LSH bucket row: a doc's (band, band-hash) key plus what the
     * verify step needs (shingle set + event time for state eviction).
+    * `host` rides along for [[nearMirrorPairsStream]]'s cross-host
+    * attribution ([[nearDupStream]] passes an empty literal — the
+    * column is constant-folded and costs nothing there).
     */
-  case class BucketRow(band: Int, bh: Long, id: Long, ts_us: Long,
-      sh: Seq[String], ts: java.sql.Timestamp)
-  case class BucketState(docs: List[(Long, Long, Seq[String])]) // (id, ts_us, shingles)
+  case class BucketRow(band: Int, bh: Long, id: Long, host: String,
+      ts_us: Long, sh: Seq[String], ts: java.sql.Timestamp)
+  // state entries: (id, ts_us, host, shingles)
+  case class BucketState(docs: List[(Long, Long, String, Seq[String])])
   case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
 
-  /** Internal emit row for [[nearDupStream]]: a pair OR a cap-drop
+  /** Internal emit row for the LSH bucket feed: a pair OR a cap-drop
     * marker (`dropped = 1`, pair fields sentinel) — the marker rides
     * the output through `observe()` (the jaccard_skew_cap discipline:
     * the loss is a metric on the normal pass, not a side channel) and
-    * is filtered before the public Dataset[NearDupPair].
+    * is filtered before the public output. (id_a, host_a) is the
+    * smaller-id doc's side; ts_us is the LATER doc's event time (the
+    * arrival that completed the pair — the pair's own event time for
+    * downstream windowing).
     */
-  case class NearDupEmit(id_a: Long, id_b: Long, jaccard: Double,
-      dropped: Long)
+  case class NearDupEmit(ts_us: Long, id_a: Long, host_a: String,
+      id_b: Long, host_b: String, jaccard: Double, dropped: Long)
 
   /** Streaming MinHash-LSH near-dup pairs — the FUZZY twin of
     * [[dedupExactStream]] and the streaming form of
@@ -224,6 +231,30 @@ object EventStream {
       stateTtlMinutes: Int = 60,
       maxBucketSize: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    lshBucketFeed(docs, idCol, lit(""), textCol, tsCol, k, threshold,
+        bands, rowsPerBand, stateTtlMinutes, maxBucketSize)
+      .toDF()
+      // the loss metric rides the output relation (CollectMetrics —
+      // visible per micro-batch in observedMetrics), then the markers
+      // filter out of the public pair stream
+      .observe("neardup_bucket_cap", sum(col("dropped")).as("dropped_docs"))
+      .filter(col("dropped") === 0L)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[NearDupPair]
+  }
+
+  /** The shared LSH bucket machinery of [[nearDupStream]] and
+    * [[nearMirrorPairsStream]]: shingle → MinHash → banded keys
+    * stateless per row, keyed state per (band, band-hash) bucket,
+    * exact Jaccard verify against residents, `maxBucketSize` cap with
+    * drop markers. See [[nearDupStream]] for the full contract.
+    */
+  private def lshBucketFeed(docs: DataFrame, idCol: String,
+      hostExpr: org.apache.spark.sql.Column, textCol: String,
+      tsCol: String, k: Int, threshold: Double,
+      bands: Int, rowsPerBand: Int, stateTtlMinutes: Int,
+      maxBucketSize: Int): Dataset[NearDupEmit] = {
+    import docs.sparkSession.implicits._
     import graft.functions.{Sketches, TextFunctions}
     val ttlMs = stateTtlMinutes.toLong * 60 * 1000
 
@@ -244,16 +275,20 @@ object EventStream {
         val out = List.newBuilder[NearDupEmit]
         arrived.foreach { r =>
           if (!known.exists(_._1 == r.id)) { // re-delivery is a no-op
-            known.foreach { case (oid, _, osh) =>
+            known.foreach { case (oid, ots, ohost, osh) =>
               val j = jaccard(r.sh, osh)
-              if (j >= threshold)
-                out += NearDupEmit(math.min(r.id, oid), math.max(r.id, oid),
+              if (j >= threshold) {
+                val (ia, ha, ib, hb) =
+                  if (r.id < oid) (r.id, r.host, oid, ohost)
+                  else (oid, ohost, r.id, r.host)
+                out += NearDupEmit(math.max(r.ts_us, ots), ia, ha, ib, hb,
                   j, 0L)
+              }
             }
             if (maxBucketSize <= 0 || known.size < maxBucketSize)
-              known = (r.id, r.ts_us, r.sh) :: known
+              known = (r.id, r.ts_us, r.host, r.sh) :: known
             else // verified above but NOT retained: recall may be lost
-              out += NearDupEmit(-1L, -1L, -1.0, 1L)
+              out += NearDupEmit(-1L, -1L, "", -1L, "", -1.0, 1L)
           }
         }
         state.update(BucketState(known))
@@ -268,28 +303,89 @@ object EventStream {
     }
 
     docs
-      .select(col(idCol).as("id"), unix_micros(col(tsCol)).as("ts_us"),
+      .select(col(idCol).as("id"), hostExpr.cast("string").as("host"),
+        unix_micros(col(tsCol)).as("ts_us"),
         TextFunctions.shingleSet(col(textCol), k).as("sh"), col(tsCol).as("ts"))
       .withColumn("sig", Sketches.minhash(col("sh"), bands * rowsPerBand))
       .select(posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bi => hash(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "bh")),
-        col("id"), col("ts_us"), col("sh"), col("ts"))
+        col("id"), col("host"), col("ts_us"), col("sh"), col("ts"))
       .as[BucketRow]
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
-      // the loss metric rides the output relation (CollectMetrics —
-      // visible per micro-batch in observedMetrics), then the markers
-      // filter out of the public pair stream
-      .toDF()
-      .observe("neardup_bucket_cap",
-        org.apache.spark.sql.functions.sum(col("dropped"))
-          .as("dropped_docs"))
-      .filter(col("dropped") === 0L)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .as[NearDupPair]
   }
+
+  /** Streaming NEAR-MIRROR pair feed — the live twin of
+    * [[graft.operators.CrawlPipeline.nearMirrorHosts]]' pair stage
+    * (the round-15 record's last open streaming candidate): the
+    * [[nearDupStream]] machinery with each page's HOST riding the
+    * bucket state, emitting only CROSS-host near-dup pairs — the raw
+    * "two hosts are serving the same content" signal, per fetch, as
+    * it happens. Output columns: (ts, host_a, host_b, id_a, id_b,
+    * jaccard) with host_a < host_b lexically and id_a the page ON
+    * host_a; ts is the completing arrival's event time (the pair's
+    * event time for downstream windowing). Same contracts as
+    * [[nearDupStream]]: caller watermarks `tsCol`; pairs may repeat
+    * across bands (dedup downstream — [[nearMirrorRollupStream]]
+    * does); `maxBucketSize` bounds the per-bucket verify with the
+    * `nearmirror_bucket_cap.dropped_docs` loss metric, > 0 iff
+    * output may be incomplete. Same-host near-dups (ordinary
+    * within-site boilerplate) drop AFTER the cap accounting — a
+    * boilerplate clique still costs its verifies, which is what the
+    * cap is for.
+    */
+  def nearMirrorPairsStream(docs: DataFrame, hostCol: String,
+      idCol: String, textCol: String, tsCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      stateTtlMinutes: Int = 60, maxBucketSize: Int = 1024): DataFrame =
+    lshBucketFeed(docs, idCol, col(hostCol), textCol, tsCol, k, threshold,
+        bands, rowsPerBand, stateTtlMinutes, maxBucketSize)
+      .toDF()
+      .observe("nearmirror_bucket_cap",
+        sum(col("dropped")).as("dropped_docs"))
+      .filter(col("dropped") === 0L && col("host_a") =!= col("host_b"))
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        least(col("host_a"), col("host_b")).as("h1"),
+        greatest(col("host_a"), col("host_b")).as("h2"),
+        when(col("host_a") <= col("host_b"), col("id_a"))
+          .otherwise(col("id_b")).as("p1"),
+        when(col("host_a") <= col("host_b"), col("id_b"))
+          .otherwise(col("id_a")).as("p2"),
+        col("jaccard"))
+      .withColumnsRenamed(Map("h1" -> "host_a", "h2" -> "host_b",
+        "p1" -> "id_a", "p2" -> "id_b"))
+
+  /** The WINDOWED rollup over [[nearMirrorPairsStream]]'s feed: per
+    * event-time window and host pair, the distinct near-dup pair
+    * count and max similarity — the live mirror ALARM. Runs as the
+    * SECOND hop of the repo's two-hop pattern (pair feed → file sink
+    * → this query): `pairs` is a fresh stream over the pair files, so
+    * this query owns its watermark and its two stateful operators
+    * (band-collision dedup, then the windowed aggregate) chain in
+    * append mode without touching the fmgws query. The batch scorer
+    * ([[graft.operators.CrawlPipeline.nearMirrorHosts]]) remains the
+    * ranked-score authority — its matched_a/matched_b are DISTINCT
+    * PAGE counts per side, which a streaming aggregate cannot hold
+    * exactly; the rollup's pair count is the alarm that triggers it.
+    * Output: (window_start, window_end, host_a, host_b,
+    * matched_pairs, max_jaccard).
+    */
+  def nearMirrorRollupStream(pairs: DataFrame, windowSize: String,
+      watermarkDelay: String): DataFrame =
+    pairs
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("host_a", "host_b", "id_a", "id_b")
+      .groupBy(window(col("ts"), windowSize).as("w"),
+        col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("matched_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("host_a"), col("host_b"),
+        col("matched_pairs"), col("max_jaccard"))
 
   /** Streaming point-in-time enrichment — the stream-static twin of
     * [[graft.operators.AsofJoin]]: attach to each event the latest

@@ -1019,6 +1019,45 @@ object SkewProbe {
               s" cliques=$cliqueRows")
             f.unpersist()
           }
+          locally {
+            // point-to-polyline (r16): 1M points vs 100k 5-vertex
+            // roads (random ~0.02° segment steps), then + one
+            // TRANSCONTINENTAL whale road (50 segments spanning 300°).
+            // The line operator has no polygon-style whale hazard BY
+            // CONSTRUCTION — a long line keys the grid per SEGMENT,
+            // so its fan-out is (segments × small bbox covers), the
+            // sharding we WANT; measured here, not argued.
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            val f = pts(1000000L, nullIsland = false).persist(); f.count()
+            val roads = spark.range(100000L).select(col("id"),
+                (pmod(xxhash64(col("id"), lit(5)), lit(340000000L)) / 1e6
+                  - 170).as("lo"),
+                (pmod(xxhash64(col("id"), lit(6)), lit(110000000L)) / 1e6
+                  - 55).as("la"))
+              .select(col("id"), sexpr(
+                """transform(sequence(0, 4), i ->
+                  |struct(lo + i * 0.02 AS lon,
+                  |       la + (i % 2) * 0.02 AS lat))""".stripMargin)
+                .as("path")).persist()
+            roads.count()
+            val ((nL, hL), tL) = time(sig(
+              GeoJoin.pointsNearLines(f, roads, "id", "lon", "lat",
+                "id", "path", radiusM = 1000.0, cellDeg = 0.5),
+              Seq("point_id", "line_id")))
+            report("pnl1m", rep, tL, nL, hL)
+            val whaleRoad = spark.range(1).select(lit(100001L).as("id"),
+              sexpr("""transform(sequence(0, 50), i ->
+                |struct(-150.0 + i * 6.0 AS lon,
+                |       -40.0 + (i % 2) * 2.0 AS lat))""".stripMargin)
+                .as("path"))
+            val ((nLW, hLW), tLW) = time(sig(
+              GeoJoin.pointsNearLines(f, roads.unionByName(whaleRoad),
+                "id", "lon", "lat", "id", "path",
+                radiusM = 1000.0, cellDeg = 0.5),
+              Seq("point_id", "line_id")))
+            report("pnl1m_whale", rep, tLW, nLW, hLW)
+            roads.unpersist(); f.unpersist()
+          }
         case "geoscale" =>
           // r16 verdict task 7: the band-tiling constants one decade
           // (and two) past the 1M probe, on PLANET-SHAPED density —

@@ -296,6 +296,82 @@ class GeoJoinSpec extends SparkSpec {
       s"stream=$got batch=$batch")
   }
 
+  // exact mirror of pointsNearLines' planar clamp-projection verify
+  private def segDist(plon: Double, plat: Double,
+      alon: Double, alat: Double, blon: Double, blat: Double): Double = {
+    val kx = 111320.0 * math.cos(math.toRadians((alat + blat) / 2))
+    val ky = 110574.0
+    val bx = (blon - alon) * kx; val by = (blat - alat) * ky
+    val px = (plon - alon) * kx; val py = (plat - alat) * ky
+    val den = bx * bx + by * by
+    val t = if (den == 0) 0.0
+      else math.max(0.0, math.min(1.0, (px * bx + py * by) / den))
+    math.sqrt((px - t * bx) * (px - t * bx) + (py - t * by) * (py - t * by))
+  }
+
+  test("pointsNearLines == brute-force min-over-segments at two radii; " +
+      "degenerate segment verifies point-to-point; long segments " +
+      "straddle cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(58)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, 9.0 + rnd.nextDouble() * 4, 44.0 + rnd.nextDouble() * 4))
+    // crooked multi-vertex roads, one 3-degree cell-straddling highway,
+    // one DEGENERATE line (two identical vertices)
+    val lines: Seq[(Long, Seq[(Double, Double)])] = (1 to 20).map { i =>
+      val x0 = 9.0 + rnd.nextDouble() * 4; val y0 = 44.0 + rnd.nextDouble() * 4
+      (100L + i, (0 to 4).scanLeft((x0, y0)) { case ((x, y), _) =>
+        (x + (rnd.nextDouble() - 0.5) * 0.2, y + (rnd.nextDouble() - 0.5) * 0.2)
+      }.map(identity))
+    } ++ Seq(
+      (201L, Seq((9.2, 44.5), (12.4, 46.8))), // straddles many 0.4-deg cells
+      (202L, Seq((10.5, 45.5), (10.5, 45.5)))) // degenerate: a point
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val lineDf = lines.toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    for (radius <- Seq(3000.0, 25000.0)) {
+      val got = GeoJoin.pointsNearLines(ptsDf, lineDf,
+          "id", "lon", "lat", "lid", "path", radius, cellDeg = 0.4)
+        .as[(Long, Long, Double)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      val want = (for {
+        p <- pts; (lid, path) <- lines
+        d = path.sliding(2).map { s =>
+          segDist(p._2, p._3, s.head._1, s.head._2, s.last._1, s.last._2)
+        }.min
+        if d <= radius
+      } yield ((p._1, lid), d)).toMap
+      assert(got.keySet == want.keySet,
+        s"radius=$radius missing=${(want.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- want.keySet).take(5)}")
+      got.foreach { case (k, d) => assert(math.abs(d - want(k)) < 1e-9, k) }
+      assert(want.nonEmpty)
+      // the degenerate line matches iff some point is within radius of
+      // its single coordinate — and the min-agg reports THAT distance
+      want.keys.find(_._2 == 202L).foreach { k =>
+        assert(math.abs(got(k) -
+          segDist(pts.find(_._1 == k._1).get._2,
+            pts.find(_._1 == k._1).get._3,
+            10.5, 45.5, 10.5, 45.5)) < 1e-9)
+      }
+    }
+    // the straddler must have matches from points far apart in lon
+    val gotWide = GeoJoin.pointsNearLines(ptsDf, lineDf,
+        "id", "lon", "lat", "lid", "path", 25000.0, cellDeg = 0.4)
+      .filter($"line_id" === 201L)
+      .as[(Long, Long, Double)].collect()
+    val lonSpread = gotWide.map(r => pts.find(_._1 == r._1).get._2)
+    assert(lonSpread.nonEmpty && lonSpread.max - lonSpread.min > 1.5,
+      s"straddler matched only a narrow lon range: $lonSpread")
+    // plan: equi-join on the cell key, never a nested loop
+    val plan = GeoJoin.pointsNearLines(ptsDf, lineDf,
+        "id", "lon", "lat", "lid", "path", 3000.0, cellDeg = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")

@@ -426,4 +426,54 @@ class SamplingSpec extends SparkSpec {
         rate = 0.5).as[(Long, String, Boolean)].collect().sortBy(_._1)
     assert(again.toSeq == fim.sortBy(_._1).toSeq)
   }
+
+  test("domainReweightInt: exact integer Hedge replay — DRO clamp at " +
+      "zero excess, hot domain gains through renormalized rounds, " +
+      "partitioning-invariant") {
+    // hot: mean loss 600 vs ref 300 -> excess_q = 1_000_000;
+    // warm: mean exactly 300 -> clamps to 0; cold: below -> 0
+    val docs = Seq(
+      (1L, "hot", 600L), (2L, "hot", 600L),
+      (3L, "warm", 450L), (4L, "warm", 150L),
+      (5L, "cold", 100L)).toDF("doc_id", "source", "loss")
+    val scale = 1000000L; val eta = 200000L; val T = 1000000000L
+    // scalar mirror of the operator's integer chain
+    def replay(excess: Map[String, Long], rounds: Int): Map[String, Long] = {
+      var w = excess.map { case (d, _) => d -> scale }
+      for (_ <- 1 to rounds) {
+        val u = w.map { case (d, x) =>
+          d -> (x + x * excess(d) / scale * eta / scale) }
+        val tot = u.values.sum
+        w = u.map { case (d, x) => d -> x * T / tot }
+      }
+      w
+    }
+    val excess = Map("hot" -> 1000000L, "warm" -> 0L, "cold" -> 0L)
+    for (rounds <- Seq(1, 3)) {
+      val got = Sampling.domainReweightInt(docs, "source", "loss",
+          refLoss = 300L, rounds = rounds, etaNum = eta, scale = scale)
+        .select($"domain", $"n_docs", $"excess_q", $"weight")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val want = replay(excess, rounds)
+      assert(got.keySet == excess.keySet)
+      excess.foreach { case (d, x) =>
+        assert(got(d)._2 == x, s"$d excess: got=${got(d)._2} want=$x")
+        assert(got(d)._3 == want(d), s"$d weight r$rounds: " +
+          s"got=${got(d)._3} want=${want(d)}")
+      }
+      // renormalization: total <= T with < 1 unit floor loss per domain
+      val tot = got.values.map(_._3).sum
+      assert(tot <= T && tot > T - excess.size, tot)
+      // the DRO direction: only the hot domain gains
+      assert(got("hot")._3 > got("warm")._3 &&
+        got("warm")._3 == got("cold")._3)
+    }
+    // partitioning invariance (integer exactness — no float in the state)
+    val a = Sampling.domainReweightInt(docs.repartition(7), "source",
+        "loss", 300L).orderBy($"domain").collect().toSeq
+    val b = Sampling.domainReweightInt(docs.coalesce(1), "source",
+        "loss", 300L).orderBy($"domain").collect().toSeq
+    assert(a == b)
+  }
 }

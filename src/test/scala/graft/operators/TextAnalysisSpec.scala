@@ -634,6 +634,42 @@ class TextAnalysisSpec extends SparkSpec {
       ("c", 5L, 1L, 5L, 1L, 1L)))
   }
 
+  test("postingsCodecPfor: hand-computed NewPFD costs — patched-win, " +
+      "for-tie, varint-win branches; pfor <= for invariant") {
+    // x: gaps 4,1,1,1        -> varint 4; FoR 1+ceil(4*3/8)=3;
+    //    pfor min at b=3 ties FoR (patching never pays) -> 'for'
+    // y: gaps 1, 2^20        -> varint 4; FoR 7; best patch (b=1,
+    //    one 21-bit exception: 1+1+(1+3))=6 -> varint still wins
+    // z: gaps 8, 1 x 20, 30-bit outlier in ONE block -> varint 26;
+    //    FoR 1+ceil(22*30/8)=84; pfor b=1: 1+ceil(22/8)+((1+1)+(1+5))
+    //    = 12 -> the canonical patched win
+    val docs = (Seq((1L, "y"), (1048577L, "y"), (1073741832L, "z")) ++
+      (4L to 7L).map(i => (i, "x")) ++
+      (8L to 28L).map(i => (i, "z"))).toDF("doc_id", "text")
+    val got = TextAnalysis.postingsCodecPfor(docs, "doc_id", "text")
+      .select($"term", $"df", $"varint_bytes", $"for_bytes",
+        $"pfor_bytes", $"codec", $"stored_bytes")
+      .as[(String, Long, Long, Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      ("x", 4L, 4L, 3L, 3L, "for", 3L),
+      ("y", 2L, 4L, 7L, 6L, "varint", 4L),
+      ("z", 22L, 26L, 84L, 12L, "pfor", 12L)), got)
+    // invariant on a mixed corpus: pfor <= for on every term (b =
+    // max-bits reproduces FoR's cost), and stored = 3-way least
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 400).map(i =>
+      (i.toLong * (1 + rnd.nextInt(9)),
+        (0 until 8).map(_ => s"t${rnd.nextInt(30)}").mkString(" ")))
+      .distinct.toDF("doc_id", "text")
+    val inv = TextAnalysis.postingsCodecPfor(corpus, "doc_id", "text")
+      .select($"varint_bytes", $"for_bytes", $"pfor_bytes", $"stored_bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    inv.foreach { case (v, f, p, s) =>
+      assert(p <= f && s == math.min(v, math.min(f, p)), (v, f, p, s))
+    }
+    assert(inv.nonEmpty)
+  }
+
   test("positionalPostings: within-doc position delta chain — repeated " +
       "term gaps, 0-based first position, cross-doc independence") {
     val docs = Seq((1L, "x y x x"), (2L, "y")).toDF("doc_id", "text")

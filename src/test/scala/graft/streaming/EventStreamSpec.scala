@@ -285,6 +285,74 @@ class EventStreamSpec extends SparkSpec {
     assert((capPairs != allPairs) == (capDrops > 0))
   }
 
+  test("nearMirrorPairsStream + nearMirrorRollupStream: two-hop live " +
+      "mirror alarm == batch pair rollup; same-host pairs filtered; " +
+      "band collisions dedup in the rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nearmirror-").toString
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // a.com pages 1-5 and b.com pages 11-15 are near-dups of each
+    // other (and of their same-host siblings — those must NOT appear
+    // cross-host); c.com is unique; zz1/zz2 are the far-future
+    // watermark sentinel that closes the base window in hop 2
+    val pages = (1 to 5).map(i => (i.toLong, "a.com", t(i - 1), s"$base p$i")) ++
+      (11 to 15).map(i => (i.toLong, "b.com", t(i - 11), s"$base p${i - 10} x")) ++
+      Seq((21L, "c.com", t(2), "totally unrelated content nothing shared here at all folks")) ++
+      Seq((31L, "zz1", t(180), "sentinel mirror text closing the watermark window now"),
+        (32L, "zz2", t(181), "sentinel mirror text closing the watermark window now"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, String)]
+    val hop1 = EventStream.nearMirrorPairsStream(
+        in.toDF().toDF("doc_id", "host", "ts", "text")
+          .withWatermark("ts", "10 minutes"),
+        "host", "doc_id", "text", "ts", k = 3, threshold = 0.8,
+        bands = 16, rowsPerBand = 2)
+      .writeStream.format("parquet").option("path", s"$dir/pairs")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .outputMode("append").start()
+    in.addData(pages.take(7): _*); hop1.processAllAvailable()
+    in.addData(pages.drop(7): _*); hop1.processAllAvailable()
+    hop1.stop()
+    val pairSchema = spark.read.parquet(s"$dir/pairs").schema
+    val hop2 = EventStream.nearMirrorRollupStream(
+        spark.readStream.schema(pairSchema).parquet(s"$dir/pairs"),
+        windowSize = "10 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("mirror_rollup")
+      .outputMode("append").start()
+    hop2.processAllAvailable(); hop2.stop()
+    val got = spark.table("mirror_rollup")
+      .select($"host_a", $"host_b", $"matched_pairs",
+        round($"max_jaccard", 6).as("mj"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // batch twin: the SAME pair stage (minhashLshPairs) + host
+    // attribution + distinct cross-host rollup — the closed base
+    // window must hold exactly this
+    val pgDf = pages.toDF("doc_id", "host", "ts", "text")
+    val hosts = pgDf.select($"doc_id", $"host")
+    val batch = graft.operators.Dedup.minhashLshPairs(
+        pgDf.filter($"host".isin("a.com", "b.com", "c.com")),
+        "doc_id", "text", k = 3, threshold = 0.8,
+        bands = 16, rowsPerBand = 2)
+      .join(hosts.toDF("id_a", "ha"), Seq("id_a"))
+      .join(hosts.toDF("id_b", "hb"), Seq("id_b"))
+      .filter($"ha" =!= $"hb")
+      .select(least($"ha", $"hb").as("host_a"),
+        greatest($"ha", $"hb").as("host_b"), $"jaccard")
+      .groupBy($"host_a", $"host_b")
+      .agg(count(lit(1)).as("matched_pairs"),
+        round(max($"jaccard"), 6).as("mj"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && batch.forall(r =>
+      Set(r._1, r._2) == Set("a.com", "b.com")), batch)
+    assert(got == batch,
+      s"stream=${got.toSeq.sorted} batch=${batch.toSeq.sorted}")
+    // the sentinel window stays open (nothing after it advances the
+    // watermark past it) — its absence above is the append contract
+    assert(!got.exists(r => r._1 == "zz1"))
+  }
+
   test("nearDupStream: event-time timeout evicts buckets (state bounded by watermark)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
