@@ -367,4 +367,14 @@ object GeoFunctions {
       org.apache.spark.sql.graft.Bridge.expression(lon),
       org.apache.spark.sql.graft.Bridge.expression(lat),
       org.apache.spark.sql.graft.Bridge.expression(ring)))
+
+  /** Region-intersection test for two closed rings ([[RingsIntersect]]
+    * — strict edge crossings + containment fallback; boundary contact
+    * out of contract). The verify kernel of
+    * [[graft.operators.GeoJoin.polygonsIntersect]].
+    */
+  def rings_intersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(RingsIntersect(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
 }

@@ -401,6 +401,144 @@ object GeoJoin {
         col("dist_m"))
   }
 
+  /** Polyline-polyline CROSSING join — where do roads cross roads
+    * (bridge/junction detection), the line-line cell of the pairing
+    * matrix. Emits one row per STRICTLY crossing segment pair with
+    * the crossing point: (id_a, seg_a, id_b, seg_b, x, y). Strict
+    * crossing = the classic four-orientation test (both sign products
+    * negative); touching endpoints and collinear overlap are out of
+    * contract, same convention as [[polygonsIntersect]]'s kernel.
+    * Everything here is built-in Column arithmetic — the orientation
+    * products and the parametric crossing point
+    * (`t = cross(a1→b1, b1→b2) / cross(a1→a2, b1→b2)`,
+    * `p = a1 + t·(a2−a1)`) fuse into the enclosing whole-stage span;
+    * no kernel is needed because the verify is O(1) per candidate
+    * pair, not a loop. Candidates: each segment keys its bbox's
+    * `cellDeg` cell cover (no margin — crossing segments' bboxes
+    * overlap, and overlapping bboxes share a cell), non-strict bbox
+    * overlap pre-filter, distinct on the segment-pair key (a pair can
+    * meet in several cells). `selfPairs = true` treats both relations
+    * as one road set and keeps each unordered LINE pair once
+    * (id_a < id_b — a line's self-crossings are not emitted).
+    */
+  def polylineCrossings(a: DataFrame, b: DataFrame,
+      aId: String, aPath: String, bId: String, bPath: String,
+      cellDeg: Double = 0.5, selfPairs: Boolean = false): DataFrame = {
+    require(cellDeg > 0, "cellDeg > 0")
+    def segs(df: DataFrame, id: String, path: String, tag: String)
+        : DataFrame = {
+      val p = col(path)
+      df.select(col(id).as(s"__i$tag"),
+          posexplode(arrays_zip(
+            slice(p, lit(1), greatest(size(p) - 1, lit(0))),
+            slice(p, lit(2), greatest(size(p) - 1, lit(0)))))
+            .as(Seq(s"__s$tag", "__seg")))
+        .select(col(s"__i$tag"), col(s"__s$tag"),
+          col("__seg").getField("0").getField("lon").as(s"__x1$tag"),
+          col("__seg").getField("0").getField("lat").as(s"__y1$tag"),
+          col("__seg").getField("1").getField("lon").as(s"__x2$tag"),
+          col("__seg").getField("1").getField("lat").as(s"__y2$tag"))
+        .withColumn("__cx", explode(sequence(
+          floor(least(col(s"__x1$tag"), col(s"__x2$tag")) / cellDeg)
+            .cast("long"),
+          floor(greatest(col(s"__x1$tag"), col(s"__x2$tag")) / cellDeg)
+            .cast("long"))))
+        .withColumn("__cy", explode(sequence(
+          floor(least(col(s"__y1$tag"), col(s"__y2$tag")) / cellDeg)
+            .cast("long"),
+          floor(greatest(col(s"__y1$tag"), col(s"__y2$tag")) / cellDeg)
+            .cast("long"))))
+    }
+    def cr(ax: Column, ay: Column, bx: Column, by: Column,
+        cx: Column, cy: Column): Column =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val ca = segs(a, aId, aPath, "a")
+    val cb = segs(b, bId, bPath, "b")
+    val o1 = cr(col("__x1a"), col("__y1a"), col("__x2a"), col("__y2a"),
+      col("__x1b"), col("__y1b"))
+    val o2 = cr(col("__x1a"), col("__y1a"), col("__x2a"), col("__y2a"),
+      col("__x2b"), col("__y2b"))
+    val o3 = cr(col("__x1b"), col("__y1b"), col("__x2b"), col("__y2b"),
+      col("__x1a"), col("__y1a"))
+    val o4 = cr(col("__x1b"), col("__y1b"), col("__x2b"), col("__y2b"),
+      col("__x2a"), col("__y2a"))
+    val den = (col("__x2a") - col("__x1a")) * (col("__y2b") - col("__y1b")) -
+      (col("__y2a") - col("__y1a")) * (col("__x2b") - col("__x1b"))
+    // t = cross(b1 − a1, dB) / cross(dA, dB), written term-for-term the
+    // way the SQL oracle mirrors it
+    val t = ((col("__x1b") - col("__x1a")) * (col("__y2b") - col("__y1b")) -
+      (col("__y1b") - col("__y1a")) * (col("__x2b") - col("__x1b"))) / den
+    ca.join(cb, Seq("__cx", "__cy"))
+      .filter(least(col("__x1a"), col("__x2a")) <=
+          greatest(col("__x1b"), col("__x2b")) &&
+        least(col("__x1b"), col("__x2b")) <=
+          greatest(col("__x1a"), col("__x2a")) &&
+        least(col("__y1a"), col("__y2a")) <=
+          greatest(col("__y1b"), col("__y2b")) &&
+        least(col("__y1b"), col("__y2b")) <=
+          greatest(col("__y1a"), col("__y2a")))
+      .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
+      .filter(o1 * o2 < 0 && o3 * o4 < 0)
+      .withColumn("x", col("__x1a") + t * (col("__x2a") - col("__x1a")))
+      .withColumn("y", col("__y1a") + t * (col("__y2a") - col("__y1a")))
+      .select(col("__ia").as("id_a"), col("__sa").as("seg_a"),
+        col("__ib").as("id_b"), col("__sb").as("seg_b"),
+        col("x"), col("y"))
+      .distinct()
+  }
+
+  /** Polygon-polygon INTERSECTION join — the last cell of the
+    * family's pairing matrix (point-point [[withinDistance]],
+    * point-line [[pointsNearLines]], point-polygon
+    * [[pointsInPolygons]], now polygon-polygon): (a, b) pairs whose
+    * enclosed regions overlap. Candidates: BOTH sides explode their
+    * bbox's `cellDeg` cell cover and equi-join on the cell — two
+    * overlapping regions have overlapping bboxes, and overlapping
+    * bboxes always share a grid cell, so the cover is complete.
+    * A strict bbox-overlap pre-filter kills most candidates before
+    * the O(edges·edges) verify; the verify is the
+    * `graft_rings_intersect` kernel ([[graft.functions.RingsIntersect]]
+    * — strict edge crossings, containment fallback via the half-open
+    * ray cast; boundary CONTACT is out of contract, same discipline
+    * as [[pointsInPolygons]]: nudge tangent lattices upstream, as the
+    * catalog query's half-step offset does). Whale polygons shard
+    * across their cells exactly like the containment join's
+    * (measured there); compose with the [[pointsInPolygonsAuto]]
+    * split upstream if a continent meets a building-sized `cellDeg`.
+    * `selfPairs = true` treats both relations as one and emits each
+    * unordered pair once (id_a < id_b, the [[withinDistance]] rule).
+    * Output: (id_a, id_b).
+    */
+  def polygonsIntersect(a: DataFrame, b: DataFrame,
+      aId: String, aRing: String, bId: String, bRing: String,
+      cellDeg: Double = 0.5, selfPairs: Boolean = false): DataFrame = {
+    require(cellDeg > 0, "cellDeg > 0")
+    def cover(df: DataFrame, id: String, ring: String, tag: String)
+        : DataFrame = {
+      val lons = transform(col(ring), q => q.getField("lon"))
+      val lats = transform(col(ring), q => q.getField("lat"))
+      df.select(col(id).as(s"__i$tag"), col(ring).as(s"__r$tag"),
+          array_min(lons).as(s"__lo1$tag"), array_max(lons).as(s"__lo2$tag"),
+          array_min(lats).as(s"__la1$tag"), array_max(lats).as(s"__la2$tag"))
+        .withColumn("__cx", explode(sequence(
+          floor(col(s"__lo1$tag") / cellDeg).cast("long"),
+          floor(col(s"__lo2$tag") / cellDeg).cast("long"))))
+        .withColumn("__cy", explode(sequence(
+          floor(col(s"__la1$tag") / cellDeg).cast("long"),
+          floor(col(s"__la2$tag") / cellDeg).cast("long"))))
+    }
+    cover(a, aId, aRing, "a").join(cover(b, bId, bRing, "b"),
+        Seq("__cx", "__cy"))
+      // strict bbox overlap: cheap scalar kill before the edge loops
+      .filter(col("__lo1a") < col("__lo2b") && col("__lo1b") < col("__lo2a") &&
+        col("__la1a") < col("__la2b") && col("__la1b") < col("__la2a"))
+      .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
+      .filter(graft.functions.GeoFunctions.rings_intersect(
+        col("__ra"), col("__rb")))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+      .distinct() // a pair can meet in several shared cells
+  }
+
   /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest
     * `b` points within `radiusM` (ties on distance break on id_b —
     * exact-duplicate coordinates produce bit-identical distances, so

@@ -386,6 +386,111 @@ object GeoQueries {
              |ORDER BY point_id, line_id""".stripMargin),
       doc = "point-to-polyline distance join: segment bbox-cover grid candidates + planar clamp-projection verify + exact min-per-line vs the naive point-x-segment oracle"),
 
+    // Polygon-polygon INTERSECTION join — ways vs the same ways
+    // shifted a half lattice step (+0.0005°, both axes): the shift
+    // guarantees no two rectangles ever share a boundary (edges live
+    // on the 0.01°/1° lattice; every strict comparison clears by
+    // ≥ 0.0005° ≈ 55 m), so the kernel's open-region convention and
+    // the oracle's strict interval-overlap test are provably the same
+    // predicate on axis-aligned rectangles (regions overlap iff both
+    // axis intervals strictly overlap; crossings and containments
+    // both reduce to it). Ordered cross pairs, including each way
+    // against its own shifted copy (always overlapping — the mass
+    // containment/crossing path).
+    Q("way_area_intersect_join",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val ways = Tables.osmWays(s, dir).select(col("id"), col("ring"))
+        val shifted = ways.select(col("id"),
+          transform(col("ring"), p => struct(
+            (p.getField("lon") + 0.0005).as("lon"),
+            (p.getField("lat") + 0.0005).as("lat"))).as("ring"))
+        GeoJoin.polygonsIntersect(ways, shifted, "id", "ring",
+            "id", "ring", cellDeg = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""SELECT w.id AS id_a, b.id AS id_b
+             |FROM $waySql
+             |JOIN (SELECT p_partkey AS id,
+             |        CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+             |        (p_retailprice % 300) - 150 + 0.0005 AS lon0,
+             |        (p_partkey % 120) - 60 + 0.0005 AS lat0
+             |      FROM part) b
+             |  ON w.lon0 < b.lon0 + b.d AND b.lon0 < w.lon0 + w.d
+             | AND w.lat0 < b.lat0 + b.d AND b.lat0 < w.lat0 + w.d
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "polygon-polygon intersection join: shared-cell candidates from both bbox covers + strict-crossing/containment kernel verify vs the strict interval-overlap oracle (equivalent on the half-step-offset rectangle lattice)"),
+
+    // Polyline-polyline CROSSING join — where way perimeters cross
+    // the half-step-shifted perimeters. Same lattice-offset trick as
+    // way_area_intersect_join: no segment pair can touch or overlap
+    // collinearly, so the strict four-orientation test is unambiguous.
+    // The crossing point is pure +/-/* /÷ IEEE arithmetic (no libm),
+    // mirrored term-for-term in the oracle — both engines produce the
+    // same doubles bit-for-bit; round(6) is display only. Every
+    // self-shift pair crosses exactly twice (right edge × bottom
+    // edge, top edge × left edge), so the pin exercises thousands of
+    // crossings at every sf.
+    Q("way_line_crossings",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val ways = Tables.osmWays(s, dir).select(col("id"), col("ring"))
+        val shifted = ways.select(col("id"),
+          transform(col("ring"), p => struct(
+            (p.getField("lon") + 0.0005).as("lon"),
+            (p.getField("lat") + 0.0005).as("lat"))).as("ring"))
+        GeoJoin.polylineCrossings(ways, shifted, "id", "ring",
+            "id", "ring", cellDeg = 0.5)
+          .select(col("id_a"), col("seg_a"), col("id_b"), col("seg_b"),
+            round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+          .orderBy(col("id_a"), col("id_b"), col("seg_a"), col("seg_b"))
+      },
+      // sa/sb are MATERIALIZED: DuckDB 1.0.0's IEJoin path over the
+      // dictionary vectors that unnest+CASE produce hits an internal
+      // "requires a flat vector" assertion; materializing the segment
+      // relations flattens them (values identical either way).
+      Some(s"""WITH sa AS MATERIALIZED (SELECT id,
+             |    CAST(i AS INTEGER) AS seg,
+             |    CASE WHEN i = 0 THEN lon0 WHEN i = 1 THEN lon0 + d
+             |         WHEN i = 2 THEN lon0 + d ELSE lon0 END AS x1,
+             |    CASE WHEN i = 0 THEN lat0 WHEN i = 1 THEN lat0
+             |         WHEN i = 2 THEN lat0 + d ELSE lat0 + d END AS y1,
+             |    CASE WHEN i = 0 THEN lon0 + d WHEN i = 1 THEN lon0 + d
+             |         WHEN i = 2 THEN lon0 ELSE lon0 END AS x2,
+             |    CASE WHEN i = 0 THEN lat0 WHEN i = 1 THEN lat0 + d
+             |         WHEN i = 2 THEN lat0 + d ELSE lat0 END AS y2
+             |  FROM (SELECT id, d, lon0, lat0,
+             |          unnest(generate_series(0, 3)) AS i FROM $waySql)),
+             |sb AS MATERIALIZED (SELECT id, seg,
+             |         x1 + 0.0005 AS x1, y1 + 0.0005 AS y1,
+             |         x2 + 0.0005 AS x2, y2 + 0.0005 AS y2 FROM sa),
+             |cand AS (SELECT a.id AS id_a, a.seg AS seg_a,
+             |           b.id AS id_b, b.seg AS seg_b,
+             |           a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             |           b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+             |         FROM sa a JOIN sb b
+             |           ON least(a.x1, a.x2) <= greatest(b.x1, b.x2)
+             |          AND least(b.x1, b.x2) <= greatest(a.x1, a.x2)
+             |          AND least(a.y1, a.y2) <= greatest(b.y1, b.y2)
+             |          AND least(b.y1, b.y2) <= greatest(a.y1, a.y2)),
+             |o AS (SELECT *,
+             |        (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS o1,
+             |        (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS o2,
+             |        (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS o3,
+             |        (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS o4,
+             |        (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1) AS den
+             |      FROM cand)
+             |SELECT id_a, seg_a, id_b, seg_b,
+             |       round(ax1 + ((bx1 - ax1) * (by2 - by1)
+             |             - (by1 - ay1) * (bx2 - bx1)) / den
+             |             * (ax2 - ax1), 6) AS x,
+             |       round(ay1 + ((bx1 - ax1) * (by2 - by1)
+             |             - (by1 - ay1) * (bx2 - bx1)) / den
+             |             * (ay2 - ay1), 6) AS y
+             |FROM o WHERE o1 * o2 < 0 AND o3 * o4 < 0
+             |ORDER BY id_a, id_b, seg_a, seg_b""".stripMargin),
+      doc = "polyline crossing join: per-segment cell-cover candidates + strict four-orientation verify + parametric crossing point (pure IEEE arithmetic, bit-identical cross-engine) vs the naive segment-pair oracle on the offset lattice"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

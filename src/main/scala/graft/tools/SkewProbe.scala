@@ -1058,6 +1058,48 @@ object SkewProbe {
             report("pnl1m_whale", rep, tLW, nLW, hLW)
             roads.unpersist(); f.unpersist()
           }
+          locally {
+            // polygon-polygon intersect (r16): 200k small rects
+            // self-joined (dense enough that ~tens of thousands of
+            // pairs overlap), then + the continent whale — its cover
+            // fan-out shards the verify exactly like pip1m_whale's
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            def rects(n: Long, side: Double): DataFrame =
+              spark.range(n).select(col("id"),
+                  (pmod(xxhash64(col("id"), lit(12)), lit(340000000L)) / 1e6
+                    - 170).as("lo"),
+                  (pmod(xxhash64(col("id"), lit(13)), lit(110000000L)) / 1e6
+                    - 55).as("la"))
+                .select(col("id"), sexpr(
+                  s"""array(struct(lo AS lon, la AS lat),
+                     |struct(lo + $side AS lon, la AS lat),
+                     |struct(lo + $side AS lon, la + $side AS lat),
+                     |struct(lo AS lon, la + $side AS lat),
+                     |struct(lo AS lon, la AS lat))""".stripMargin)
+                  .as("ring"))
+            val r = rects(200000L, 0.3).persist(); r.count()
+            val ((nI, hI), tI) = time(sig(
+              GeoJoin.polygonsIntersect(r, r, "id", "ring", "id", "ring",
+                cellDeg = 0.5, selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("ppi200k", rep, tI, nI, hI)
+            val whale = spark.range(1).select(lit(200001L).as("id"), sexpr(
+              """array(struct(-170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, -55.0 AS lat))""".stripMargin)
+              .as("ring"))
+            // whale rides the b side: selfPairs keeps id_a < id_b, and
+            // every small id pairs BELOW the whale's
+            val ((nIW, hIW), tIW) = time(sig(
+              GeoJoin.polygonsIntersect(r, r.unionByName(whale),
+                "id", "ring", "id", "ring", cellDeg = 0.5,
+                selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("ppi200k_whale", rep, tIW, nIW, hIW)
+            r.unpersist()
+          }
         case "geoscale" =>
           // r16 verdict task 7: the band-tiling constants one decade
           // (and two) past the 1M probe, on PLANET-SHAPED density —

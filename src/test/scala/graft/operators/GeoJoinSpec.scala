@@ -372,6 +372,124 @@ class GeoJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  // reference mirror of the RingsIntersect kernel over Scala seqs
+  private def refIntersects(a: Seq[(Double, Double)],
+      b: Seq[(Double, Double)]): Boolean = {
+    def cr(ax: Double, ay: Double, bx: Double, by: Double,
+        cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val cross = a.sliding(2).exists(ea => b.sliding(2).exists { eb =>
+      val o1 = cr(ea(0)._1, ea(0)._2, ea(1)._1, ea(1)._2, eb(0)._1, eb(0)._2)
+      val o2 = cr(ea(0)._1, ea(0)._2, ea(1)._1, ea(1)._2, eb(1)._1, eb(1)._2)
+      val o3 = cr(eb(0)._1, eb(0)._2, eb(1)._1, eb(1)._2, ea(0)._1, ea(0)._2)
+      val o4 = cr(eb(0)._1, eb(0)._2, eb(1)._1, eb(1)._2, ea(1)._1, ea(1)._2)
+      o1 * o2 < 0 && o3 * o4 < 0
+    })
+    cross || GeoJoin.pointInRing(a.head._1, a.head._2, b) ||
+      GeoJoin.pointInRing(b.head._1, b.head._2, a)
+  }
+
+  test("polygonsIntersect == brute-force kernel reference on random " +
+      "rects + concave C-shape; selfPairs emits each pair once; " +
+      "bbox-trap notch excluded; no nested-loop join") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val rnd = new scala.util.Random(77)
+    val polys: Seq[(Long, Seq[(Double, Double)])] = (1 to 120).map { i =>
+      val x = rnd.nextDouble() * 8 - 4; val y = 42 + rnd.nextDouble() * 8
+      val w = 0.2 + rnd.nextDouble() * 1.5; val h = 0.2 + rnd.nextDouble() * 1.5
+      (i.toLong, ring((x, y), (x + w, y), (x + w, y + h), (x, y + h)))
+    } ++ Seq(
+      // C-shape + a square parked in its notch: bboxes overlap,
+      // regions don't — the candidate stage must not leak it through
+      (201L, ring((20.0, 40.0), (30.0, 40.0), (30.0, 42.0), (22.0, 42.0),
+        (22.0, 48.0), (30.0, 48.0), (30.0, 50.0), (20.0, 50.0))),
+      (202L, ring((25.0, 44.0), (27.0, 44.0), (27.0, 46.0), (25.0, 46.0))))
+    val df = polys.toDF("gid", "rawring").select($"gid",
+      expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("ring"))
+    val got = GeoJoin.polygonsIntersect(df, df, "gid", "ring",
+        "gid", "ring", cellDeg = 0.7, selfPairs = true)
+      .as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val want = (for {
+      a <- polys; b <- polys if a._1 < b._1
+      if refIntersects(a._2, b._2)
+    } yield (a._1, b._1)).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(5)} " +
+        s"extra=${(got.toSet -- want).take(5)} n=${want.size}")
+    assert(want.nonEmpty && !want.contains((201L, 202L)))
+    val plan = GeoJoin.polygonsIntersect(df, df, "gid", "ring",
+        "gid", "ring", cellDeg = 0.7, selfPairs = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("polylineCrossings == brute-force strict segment crossings with " +
+      "exact crossing points; selfPairs keeps unordered line pairs once; " +
+      "touching endpoints excluded; no nested-loop join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(910)
+    val lines: Seq[(Long, Seq[(Double, Double)])] = (1 to 30).map { i =>
+      val x0 = rnd.nextDouble() * 3; val y0 = 44 + rnd.nextDouble() * 3
+      (i.toLong, (0 to 3).scanLeft((x0, y0)) { case ((x, y), _) =>
+        (x + (rnd.nextDouble() - 0.5) * 1.2, y + (rnd.nextDouble() - 0.5) * 1.2)
+      })
+    } ++ Seq(
+      // planted T-junction: touching endpoint, NOT a strict crossing
+      (101L, Seq((10.0, 44.0), (12.0, 44.0))),
+      (102L, Seq((11.0, 44.0), (11.0, 45.0))),
+      // planted X: one clean crossing at (21.0, 44.5)
+      (103L, Seq((20.0, 44.5), (22.0, 44.5))),
+      (104L, Seq((21.0, 44.0), (21.0, 45.0))))
+    val df = lines.toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    val got = GeoJoin.polylineCrossings(df, df, "lid", "path",
+        "lid", "path", cellDeg = 0.8, selfPairs = true)
+      .select($"id_a", $"seg_a", $"id_b", $"seg_b",
+        round($"x", 9).as("x"), round($"y", 9).as("y"))
+      .as[(Long, Int, Long, Int, Double, Double)].collect()
+    assert(got.length == got.toSet.size, "duplicate crossings emitted")
+    def cr(ax: Double, ay: Double, bx: Double, by: Double,
+        cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val want = (for {
+      a <- lines; b <- lines if a._1 < b._1
+      (sa, ia) <- a._2.sliding(2).toSeq.zipWithIndex
+      (sb, ib) <- b._2.sliding(2).toSeq.zipWithIndex
+      o1 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2, sb(0)._1, sb(0)._2)
+      o2 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2, sb(1)._1, sb(1)._2)
+      o3 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2, sa(0)._1, sa(0)._2)
+      o4 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2, sa(1)._1, sa(1)._2)
+      if o1 * o2 < 0 && o3 * o4 < 0
+      den = (sa(1)._1 - sa(0)._1) * (sb(1)._2 - sb(0)._2) -
+        (sa(1)._2 - sa(0)._2) * (sb(1)._1 - sb(0)._1)
+      t = ((sb(0)._1 - sa(0)._1) * (sb(1)._2 - sb(0)._2) -
+        (sb(0)._2 - sa(0)._2) * (sb(1)._1 - sb(0)._1)) / den
+    } yield (a._1, ia, b._1, ib,
+      BigDecimal(sa(0)._1 + t * (sa(1)._1 - sa(0)._1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(sa(0)._2 + t * (sa(1)._2 - sa(0)._2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- want).take(3)} n=${want.size}")
+    assert(want.nonEmpty)
+    // T-junction excluded, X crossing present at the exact point
+    assert(!got.exists(r => r._1 == 101L && r._3 == 102L))
+    assert(got.exists(r => r._1 == 103L && r._3 == 104L &&
+      r._5 == 21.0 && r._6 == 44.5))
+    val plan = GeoJoin.polylineCrossings(df, df, "lid", "path",
+        "lid", "path", cellDeg = 0.8, selfPairs = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
