@@ -138,6 +138,66 @@ object GeoJoin {
         col("dist_m"))
   }
 
+  /** Time-bounded proximity join — [[withinDistance]] with an
+    * event-time bound: (a, b) pairs within `radiusM` meters whose
+    * events are at most `maxGapSeconds` apart. The time bound rides
+    * IN the join condition, which makes the same plan work THREE
+    * ways: batch, stream-static, and STREAM-STREAM — the
+    * moving-object shape ("which two vehicles came within 50 m of
+    * each other within 5 minutes"), where Spark uses the join-range
+    * condition to bound both sides' state and evict by watermark
+    * (callers watermark BOTH inputs; append mode). The pair-joins-
+    * at-most-once property of the grid (one probe key, array_distinct
+    * build keys) is what keeps the stream-stream form workable — no
+    * trailing distinct, which a streaming inner join could not
+    * express. Output: (id_a, id_b, ts_a, ts_b, dist_m).
+    */
+  def withinDistanceEvents(a: DataFrame, b: DataFrame,
+      aId: String, aLon: String, aLat: String, aTs: String,
+      bId: String, bLon: String, bLat: String, bTs: String,
+      radiusM: Double, maxGapSeconds: Long,
+      selfPairs: Boolean = false): DataFrame = {
+    require(radiusM > 0 && radiusM <= 1000000.0,
+      "radiusM in (0, 1000 km]")
+    require(maxGapSeconds >= 0, "maxGapSeconds >= 0")
+    val cellLat = 1.2 * radiusM / MPerLatDeg
+    val nBands = math.max(1, math.floor(180.0 / cellLat).toLong)
+    val latBand = (lat: Column) => least(lit(nBands - 1),
+      greatest(lit(0L), floor((lat + 90.0) / cellLat).cast("long")))
+    def xcell(band: Column, lon: Column): Column = {
+      val (nCells, w) = bandCols(cellLat, radiusM, band)
+      pmod(floor((lon + 180.0) / w).cast("long"), nCells)
+    }
+    val probe = b.select(col(bId).as("__ib"), col(bLon).as("__lob"),
+        col(bLat).as("__lab"), col(bTs).as("__tsb"))
+      .withColumn("__bandb", latBand(col("__lab")))
+      .withColumn("__xb", xcell(col("__bandb"), col("__lob")))
+    val build = a.select(col(aId).as("__ia"), col(aLon).as("__loa"),
+        col(aLat).as("__laa"), col(aTs).as("__tsa"))
+      .withColumn("__b0", latBand(col("__laa")))
+      .withColumn("__band", explode(array_distinct(array(
+        greatest(lit(0L), col("__b0") - 1), col("__b0"),
+        least(lit(nBands - 1), col("__b0") + 1)))))
+      .withColumn("__xc", xcell(col("__band"), col("__loa")))
+      .withColumn("__x", explode(array_distinct(transform(
+        sequence(lit(-1), lit(1)), d => {
+          val n = bandCols(cellLat, radiusM, col("__band"))._1
+          pmod(col("__xc") + d, n)
+        }))))
+      .drop("__b0", "__xc")
+    val gap = s"INTERVAL $maxGapSeconds SECONDS"
+    build.join(probe,
+        col("__band") === col("__bandb") && col("__x") === col("__xb") &&
+          col("__tsb") >= col("__tsa") - expr(gap) &&
+          col("__tsb") <= col("__tsa") + expr(gap))
+      .withColumn("dist_m", haversineM(col("__loa"), col("__laa"),
+        col("__lob"), col("__lab")))
+      .filter(col("dist_m") <= radiusM)
+      .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("__tsa").as("ts_a"), col("__tsb").as("ts_b"), col("dist_m"))
+  }
+
   /** Point-in-ring test (even-odd rule / ray casting) for a closed
     * lon/lat ring — the verify kernel of [[pointsInPolygons]]. On-edge
     * points follow the half-open crossing convention; callers whose

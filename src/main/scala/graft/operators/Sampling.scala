@@ -643,4 +643,30 @@ object Sampling {
     }
     rel.withColumnRenamed("w", "weight")
   }
+
+  /** The [[domainReweightInt]] weights APPLIED — the tuned mixture
+    * materialized end-to-end: per-domain keep thresholds
+    * `⌊(w_d / w_max) · 2³²⌋` (the highest-weight domain keeps
+    * everything; others downsample proportionally — the
+    * [[temperatureMixture]] float idiom: one correctly-rounded
+    * division of exact integers times an exact power of two, so both
+    * engines land the same threshold), then the [[mixtureByHash]]
+    * deterministic hash filter. The weight relation is domain-sized
+    * and BROADCASTS — the corpus never shuffles, each row is touched
+    * once by a codegen'd filter.
+    */
+  def domainReweightMixture(docs: DataFrame, domainCol: String,
+      idCol: String, lossCol: String, refLoss: Long, rounds: Int = 3,
+      etaNum: Long = 200000L, scale: Long = 1000000L): DataFrame = {
+    val w = domainReweightInt(docs, domainCol, lossCol, refLoss,
+      rounds, etaNum, scale)
+    val wmax = w.agg(max(col("weight")).as("__wmax"))
+    val thr = w.crossJoin(broadcast(wmax))
+      .withColumn("__thr", floor(col("weight").cast("double") /
+        col("__wmax").cast("double") * lit(4294967296.0)).cast("long"))
+      .select(col("domain").as(domainCol), col("__thr"))
+    docs.join(broadcast(thr), Seq(domainCol))
+      .filter(idHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -491,6 +491,49 @@ object GeoQueries {
              |ORDER BY id_a, id_b, seg_a, seg_b""".stripMargin),
       doc = "polyline crossing join: per-segment cell-cover candidates + strict four-orientation verify + parametric crossing point (pure IEEE arithmetic, bit-identical cross-engine) vs the naive segment-pair oracle on the offset lattice"),
 
+    // Time-bounded proximity join (the moving-object shape): event
+    // pairs within 200 km AND one hour of each other. The batch pin
+    // of GeoJoin.withinDistanceEvents — the SAME plan runs
+    // stream-stream with watermarks (GeoJoinSpec pins stream ≡ batch
+    // across micro-batches incl. a dateline pair). Time comparisons
+    // are exact integer microseconds (no boundary risk); distance
+    // margins measured on this data: 468.8 m (sf0.01) / 3.60 m
+    // (sf0.1) to the radius cut, 1.4e-4 / 6.3e-6 m to a rounding
+    // boundary — 1000x above cross-engine libm ulp scale (~1e-9 m).
+    Q("events_proximity_join",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val n = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(3)) === 0)
+          .select(col("event_id").as("id"), col("ts"),
+            ((col("value") % 360) - 180).as("lon"),
+            ((col("value") % 170) - 85).as("lat"))
+        GeoJoin.withinDistanceEvents(n, n, "id", "lon", "lat", "ts",
+            "id", "lon", "lat", "ts", radiusM = 200000.0,
+            maxGapSeconds = 3600, selfPairs = true)
+          .select(col("id_a"), col("id_b"),
+            unix_micros(col("ts_a")).as("ts_a_us"),
+            unix_micros(col("ts_b")).as("ts_b_us"),
+            round(col("dist_m"), 0).as("dist_m"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH n AS (SELECT event_id AS id, ts,
+             |             (value % 360) - 180 AS lon,
+             |             (value % 170) - 85 AS lat
+             |           FROM events WHERE event_id % 3 = 0),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b,
+             |        epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us,
+             |        2*6371000*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)
+             |          + cos(radians(a.lat))*cos(radians(b.lat))
+             |            * pow(sin(radians(b.lon-a.lon)/2),2))) AS d
+             |      FROM n a JOIN n b ON a.id < b.id
+             |        AND b.ts >= a.ts - INTERVAL 3600 SECOND
+             |        AND b.ts <= a.ts + INTERVAL 3600 SECOND)
+             |SELECT id_a, id_b, ts_a_us, ts_b_us, round(d, 0) AS dist_m
+             |FROM p WHERE d <= 200000
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "time-bounded proximity join: grid candidates + haversine verify + event-time bound IN the join condition (the stream-stream moving-object plan, batch-pinned) vs the naive time-range cross-join oracle"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

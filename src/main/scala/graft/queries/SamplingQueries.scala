@@ -1134,6 +1134,60 @@ object SamplingQueries {
              |           AS BIGINT) AS w FROM u3)
              |SELECT domain, n_docs, excess_q, w AS weight
              |FROM r3 ORDER BY domain""".stripMargin),
-      doc = "DoReMi/Group-DRO domain reweighting: per-source relative excess loss (clamped at 0), three linearized-Hedge multiplicative rounds with integer renormalization, replayed as oracle CTE layers")
+      doc = "DoReMi/Group-DRO domain reweighting: per-source relative excess loss (clamped at 0), three linearized-Hedge multiplicative rounds with integer renormalization, replayed as oracle CTE layers"),
+
+    // The weights APPLIED — the tuned-mixture composition
+    // (domainReweightInt → per-domain ⌊w/wmax·2³²⌋ thresholds →
+    // mixtureByHash hash filter), summarized per domain so the pin
+    // covers the whole chain: weight computation, threshold float
+    // idiom (one correctly-rounded division × an exact 2³²), and the
+    // portable-hash keep decision. The max-weight domain keeps ALL
+    // its docs (threshold = 2³²); zero-excess domains share one lower
+    // rate.
+    Q("doc_domain_reweight_mixture",
+      (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.domainReweightMixture(Tables.documents(s, dir),
+            "source", "doc_id", "n_chars", refLoss = 290L, rounds = 3,
+            etaNum = 200000L, scale = 1000000L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH e AS (SELECT source AS domain, count(*) AS n_docs,
+             |    CAST((greatest(0, sum(n_chars) - count(*) * 290)
+             |          * 1000000) // (count(*) * 290) AS BIGINT) AS excess_q
+             |  FROM documents GROUP BY source),
+             |r0 AS (SELECT domain, excess_q,
+             |         CAST(1000000 AS BIGINT) AS w FROM e),
+             |u1 AS (SELECT domain, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r0),
+             |r1 AS (SELECT domain, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u1)
+             |           AS BIGINT) AS w FROM u1),
+             |u2 AS (SELECT domain, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r1),
+             |r2 AS (SELECT domain, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u2)
+             |           AS BIGINT) AS w FROM u2),
+             |u3 AS (SELECT domain, excess_q,
+             |         w + ((w * excess_q) // 1000000 * 200000) // 1000000 AS u
+             |       FROM r2),
+             |r3 AS (SELECT domain, excess_q,
+             |         CAST((u * 1000000000) // (SELECT sum(u) FROM u3)
+             |           AS BIGINT) AS w FROM u3),
+             |thr AS (SELECT domain AS source,
+             |          CAST(floor(CAST(w AS DOUBLE)
+             |               / CAST((SELECT max(w) FROM r3) AS DOUBLE)
+             |               * 4294967296.0) AS BIGINT) AS t
+             |        FROM r3)
+             |SELECT d.source, count(*) AS n_kept
+             |FROM documents d JOIN thr USING (source)
+             |WHERE $h < t
+             |GROUP BY d.source
+             |ORDER BY d.source""".stripMargin),
+      doc = "the DoReMi weights applied: Hedge weights -> w/wmax*2^32 thresholds -> portable-hash mixture filter, per-domain kept counts pin the whole composed chain")
   )
 }

@@ -1146,6 +1146,58 @@ object SkewProbe {
             f.unpersist()
           }
 
+        case "pnlscale" =>
+          // point-to-polyline one decade past its 1M probe (r16):
+          // 10M points (both point laws) vs 1M 5-vertex roads = 4M
+          // segments, R = 500 m — same input-split sizing lesson as
+          // the geoscale distance decade
+          import graft.operators.GeoJoin
+          def uni(n: Long): DataFrame = spark.range(n).select(col("id"),
+            (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) / 1e6
+              - 180).as("lon"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(120000000L)) / 1e6
+              - 60).as("lat"))
+          def city(n: Long): DataFrame = {
+            val cIdx = pmod(xxhash64(col("id"), lit(7)), lit(400L))
+            val cLon = pmod(xxhash64(cIdx, lit(8)), lit(340000000L)) / 1e6 - 170
+            val cLat = pmod(xxhash64(cIdx, lit(9)), lit(110000000L)) / 1e6 - 55
+            val jLon = pmod(xxhash64(col("id"), lit(10)), lit(500000L)) / 1e6 - 0.25
+            val jLat = pmod(xxhash64(col("id"), lit(11)), lit(500000L)) / 1e6 - 0.25
+            spark.range(n).select(col("id"),
+              when(pmod(col("id"), lit(5)) < 4, cLon + jLon)
+                .otherwise(pmod(xxhash64(col("id"), lit(1)),
+                  lit(360000000L)) / 1e6 - 180).as("lon"),
+              when(pmod(col("id"), lit(5)) < 4, cLat + jLat)
+                .otherwise(pmod(xxhash64(col("id"), lit(2)),
+                  lit(120000000L)) / 1e6 - 60).as("lat"))
+          }
+          locally {
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            val roads = spark.range(1000000L).select(col("id"),
+                (pmod(xxhash64(col("id"), lit(5)), lit(340000000L)) / 1e6
+                  - 170).as("lo"),
+                (pmod(xxhash64(col("id"), lit(6)), lit(110000000L)) / 1e6
+                  - 55).as("la"))
+              .select(col("id"), sexpr(
+                """transform(sequence(0, 4), i ->
+                  |struct(lo + i * 0.02 AS lon,
+                  |       la + (i % 2) * 0.02 AS lat))""".stripMargin)
+                .as("path"))
+              .repartition(cpus.toInt).persist()
+            roads.count()
+            for ((mode, gen) <- Seq(("uniform", uni _), ("city", city _))) {
+              val f = gen(10000000L).repartition(
+                math.max(cpus.toInt, 10)).persist(); f.count()
+              val ((nL, hL), tL) = time(sig(
+                GeoJoin.pointsNearLines(f, roads, "id", "lon", "lat",
+                  "id", "path", radiusM = 500.0, cellDeg = 0.25),
+                Seq("point_id", "line_id")))
+              report(s"pnl_${mode}_10m", rep, tL, nL, hL)
+              f.unpersist()
+            }
+            roads.unpersist()
+          }
+
         case other =>
           sys.error(s"unknown family: $other")
       }

@@ -89,6 +89,40 @@ object StreamProbe {
         .writeStream.format("noop").outputMode("append").start())
     }
 
+    // ---- stream-stream proximity join (r16) ------------------------
+    // withinDistanceEvents with BOTH sides streaming: the join-range
+    // time condition is what lets Spark bound each side's buffered
+    // state by the watermark. Two watermarks on the SAME corpus (1 h
+    // event-time span, arriving unordered): 70 min buffers everything
+    // (worst-case state = both inputs), 10 min evicts as the
+    // watermark advances — the peak-state DELTA is the eviction
+    // claim, measured.
+    locally {
+      import graft.operators.GeoJoin
+      val dirA = s"$root/proxa"; val dirB = s"$root/proxb"
+      def evs(seed: Int): DataFrame = spark.range(n).select(
+        col("id"),
+        (pmod(xxhash64(col("id"), lit(seed)), lit(360000000L)) / 1e6
+          - 180).as("lon"),
+        (pmod(xxhash64(col("id"), lit(seed + 1)), lit(120000000L)) / 1e6
+          - 60).as("lat"),
+        (lit(base) + pmod(col("id") * 7 + seed, lit(3600L))).as("epoch"))
+      evs(21).repartition(8).write.mode("overwrite").json(dirA)
+      evs(23).repartition(8).write.mode("overwrite").json(dirB)
+      def rd(dir: String, wm: String): DataFrame = spark.readStream
+        .schema("id LONG, lon DOUBLE, lat DOUBLE, epoch LONG")
+        .option("maxFilesPerTrigger", 2).json(dir)
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+        .withWatermark("ts", wm)
+      Seq("70 minutes" -> "prox_wmwide", "10 minutes" -> "prox_wm10")
+        .foreach { case (wm, name) =>
+          run(name, GeoJoin.withinDistanceEvents(rd(dirA, wm), rd(dirB, wm),
+              "id", "lon", "lat", "ts", "id", "lon", "lat", "ts",
+              radiusM = 5000.0, maxGapSeconds = 300)
+            .writeStream.format("noop").outputMode("append").start())
+        }
+    }
+
     // ---- near-dup HOT BUCKET: the maxBucketSize cap's reason to
     // exist (r16 verdict task 6). A planted 1000-doc exact clique puts
     // ~1000 docs in ONE bucket per band: uncapped, the within-bucket

@@ -490,6 +490,66 @@ class GeoJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("withinDistanceEvents: STREAM-STREAM proximity join across " +
+      "micro-batches == batch; time bound enforced both directions; " +
+      "watermark state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
+    // two vehicle feeds; pairs require <= 5 min gap AND <= 10 km
+    val feedA = Seq(
+      (1L, 10.00, 45.00, t(0)),   // near b=11 at t0 (pair)
+      (2L, 10.00, 45.00, t(0)),   // near b=12 spatially, 30 min apart (no)
+      (3L, 50.00, 10.00, t(10)),  // far from everything
+      (4L, -179.99, -20.0, t(20))) // dateline pair with b=14
+    val feedB = Seq(
+      (11L, 10.02, 45.01, t(2)),
+      (12L, 10.01, 45.00, t(30)),
+      (13L, 60.00, 20.00, t(11)),
+      (14L, 179.97, -20.01, t(18)))
+    val inA = MemoryStream[(Long, Double, Double, java.sql.Timestamp)]
+    val inB = MemoryStream[(Long, Double, Double, java.sql.Timestamp)]
+    val q = GeoJoin.withinDistanceEvents(
+        inA.toDF().toDF("id", "lon", "lat", "ts")
+          .withWatermark("ts", "60 minutes"),
+        inB.toDF().toDF("id", "lon", "lat", "ts")
+          .withWatermark("ts", "60 minutes"),
+        "id", "lon", "lat", "ts", "id", "lon", "lat", "ts",
+        radiusM = 10000.0, maxGapSeconds = 300)
+      .writeStream.format("memory").queryName("proximity")
+      .outputMode("append").start()
+    // split arrivals so a pair must match ACROSS batches (a=1 arrives
+    // before b=11; b=14 before a=4)
+    inA.addData(feedA.take(2): _*); inB.addData(feedB.drop(3): _*)
+    q.processAllAvailable()
+    inA.addData(feedA.drop(2): _*); inB.addData(feedB.take(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val got = spark.table("proximity").select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val batch = GeoJoin.withinDistanceEvents(
+        feedA.toDF("id", "lon", "lat", "ts"),
+        feedB.toDF("id", "lon", "lat", "ts"),
+        "id", "lon", "lat", "ts", "id", "lon", "lat", "ts",
+        radiusM = 10000.0, maxGapSeconds = 300)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // a=1 and a=2 both sit within radius of b=11 inside the gap;
+    // a=2 vs b=12 is spatially close but 30 min apart (cut by time);
+    // a=4 vs b=14 pairs ACROSS the dateline
+    assert(batch == Set((1L, 11L), (2L, 11L), (4L, 14L)), batch)
+    assert(got == batch, s"stream=$got batch=$batch")
+    // batch form == withinDistance + gap filter (composition identity)
+    val viaFilter = GeoJoin.withinDistance(
+        feedA.toDF("id", "lon", "lat", "ts"),
+        feedB.toDF("id", "lon", "lat", "ts").withColumnsRenamed(
+          Map("id" -> "id2", "ts" -> "ts2")),
+        "id", "lon", "lat", "id2", "lon", "lat", 10000.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(viaFilter)) // proximity pairs minus the time cut
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")

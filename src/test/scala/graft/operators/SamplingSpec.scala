@@ -475,5 +475,15 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.domainReweightInt(docs.coalesce(1), "source",
         "loss", 300L).orderBy($"domain").collect().toSeq
     assert(a == b)
+    // the applied mixture: max-weight domain keeps ALL (threshold =
+    // 2^32 exceeds every hash), low domains keep a hash-determined
+    // subset; output rows are a subset of the input
+    val mix = Sampling.domainReweightMixture(docs, "source", "doc_id",
+        "loss", 300L)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(mix.filter(_._2 == "hot") ==
+      Set((1L, "hot"), (2L, "hot")), mix)
+    assert(mix.subsetOf(docs.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet))
   }
 }
