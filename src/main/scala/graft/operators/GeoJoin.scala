@@ -599,6 +599,36 @@ object GeoJoin {
       .distinct() // a pair can meet in several shared cells
   }
 
+  /** Line-polygon INTERSECTION join — which polylines touch which
+    * polygon REGIONS (routes crossing a zone, roads entering an
+    * area): the remaining nuance of the pairing matrix, built by
+    * COMPOSITION from two members that already carry their own
+    * oracles. A path intersects a simple ring's region iff (i) some
+    * path segment strictly crosses some ring edge
+    * ([[polylineCrossings]] against the ring read as a closed path),
+    * or (ii) no edges cross and the path lies entirely inside —
+    * decided by its FIRST vertex ([[pointsInPolygons]]). A path whose
+    * region-of-travel fully CONTAINS the polygon without touching it
+    * (e.g. a loop drawn around the zone) correctly does NOT match:
+    * the path itself never enters the region. Same boundary-contact
+    * convention as the components. Output: (line_id, poly_id).
+    */
+  def linesIntersectPolygons(lines: DataFrame, polys: DataFrame,
+      lId: String, pathCol: String, gId: String, ringCol: String,
+      cellDeg: Double = 0.5): DataFrame = {
+    val crossed = polylineCrossings(lines,
+        polys.select(col(gId).as("__pg"), col(ringCol).as("__pr")),
+        lId, pathCol, "__pg", "__pr", cellDeg)
+      .select(col("id_a").as("line_id"), col("id_b").as("poly_id"))
+    val firstPts = lines.select(col(lId).as("__fl"),
+      element_at(col(pathCol), 1).getField("lon").as("__flon"),
+      element_at(col(pathCol), 1).getField("lat").as("__flat"))
+    val inside = pointsInPolygons(firstPts, polys,
+        "__fl", "__flon", "__flat", gId, ringCol, cellDeg)
+      .select(col("point_id").as("line_id"), col("poly_id"))
+    crossed.unionByName(inside).distinct()
+  }
+
   /** Radius-bounded k-NEAREST neighbors: per `a` point the k closest
     * `b` points within `radiusM` (ties on distance break on id_b —
     * exact-duplicate coordinates produce bit-identical distances, so

@@ -534,6 +534,55 @@ object GeoQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       doc = "time-bounded proximity join: grid candidates + haversine verify + event-time bound IN the join condition (the stream-stream moving-object plan, batch-pinned) vs the naive time-range cross-join oracle"),
 
+    // Line-polygon intersection join (the matrix's remaining nuance,
+    // composed from two already-oracled members): 3x-INFLATED way
+    // perimeters (read as polylines), shifted ±0.0005 on both axes by
+    // id parity, vs way REGIONS. Closed-form oracle on the offset
+    // lattice: a perimeter touches a region iff their bboxes strictly
+    // overlap AND the perimeter's square does not strictly CONTAIN
+    // the region — a loop drawn AROUND a zone never enters it, the
+    // case interval overlap alone gets wrong. The parity shift makes
+    // BOTH semantic branches live in data: every even way's inflated
+    // perimeter strictly contains its own square (1,000 excluded
+    // loop-arounds at sf0.01; 52,888 at sf0.1), and at sf0.1 the odd
+    // small perimeters sitting inside big ways exercise the
+    // first-vertex fully-inside branch 14,301 times. Decision margins
+    // are >= 0.0005 deg on every comparison, so the engine/oracle
+    // float-association difference (~1e-13) cannot flip a pair.
+    Q("way_line_in_area",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val ways = Tables.osmWays(s, dir).select(col("id"), col("ring"))
+        val sh = when(pmod(col("id"), lit(2)) === 0, lit(-0.0005))
+          .otherwise(lit(0.0005))
+        val lo = array_min(transform(col("ring"), p => p.getField("lon")))
+        val la = array_min(transform(col("ring"), p => p.getField("lat")))
+        val lines = ways.select(col("id"),
+          transform(col("ring"), p => struct(
+            (lo + (p.getField("lon") - lo) * 3 + sh).as("lon"),
+            (la + (p.getField("lat") - la) * 3 + sh).as("lat"))).as("path"))
+        GeoJoin.linesIntersectPolygons(lines, ways, "id", "path",
+            "id", "ring", cellDeg = 0.5)
+          .orderBy(col("line_id"), col("poly_id"))
+      },
+      Some(s"""SELECT b.id AS line_id, w.id AS poly_id
+             |FROM $waySql
+             |JOIN (SELECT p_partkey AS id,
+             |        3 * CASE WHEN p_size <= 25 THEN 0.001 ELSE 0.1 END AS d,
+             |        (p_retailprice % 300) - 150
+             |          + CASE WHEN p_partkey % 2 = 0
+             |                 THEN -0.0005 ELSE 0.0005 END AS lon0,
+             |        (p_partkey % 120) - 60
+             |          + CASE WHEN p_partkey % 2 = 0
+             |                 THEN -0.0005 ELSE 0.0005 END AS lat0
+             |      FROM part) b
+             |  ON w.lon0 < b.lon0 + b.d AND b.lon0 < w.lon0 + w.d
+             | AND w.lat0 < b.lat0 + b.d AND b.lat0 < w.lat0 + w.d
+             |WHERE NOT (b.lon0 < w.lon0 AND w.lon0 + w.d < b.lon0 + b.d
+             |       AND b.lat0 < w.lat0 AND w.lat0 + w.d < b.lat0 + b.d)
+             |ORDER BY line_id, poly_id""".stripMargin),
+      doc = "line-polygon intersection join (crossings OR first-vertex containment, composed from oracled members) vs the closed-form overlap-and-not-contains oracle; parity-signed shifts keep both the loop-around-excluded and fully-inside branches live on data"),
+
     Q("way_centroids",
       (s, dir) => Tables.osmWays(s, dir)
         .filter(GeoFunctions.geodesic_area(col("ring")) <= OsmModel.CentroidAreaThreshold)

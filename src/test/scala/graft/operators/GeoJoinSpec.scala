@@ -550,6 +550,58 @@ class GeoJoinSpec extends SparkSpec {
     assert(got.subsetOf(viaFilter)) // proximity pairs minus the time cut
   }
 
+  test("linesIntersectPolygons == brute reference (crossings OR " +
+      "first-vertex inside); loop-around path excluded; fully-inside " +
+      "path included") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val rnd = new scala.util.Random(202)
+    val polys = (1 to 25).map { i =>
+      val x = rnd.nextDouble() * 6; val y = 42 + rnd.nextDouble() * 6
+      val w = 0.4 + rnd.nextDouble() * 1.6; val h = 0.4 + rnd.nextDouble() * 1.6
+      (i.toLong, ring((x, y), (x + w, y), (x + w, y + h), (x, y + h)))
+    } ++ Seq((201L, ring((20.2, 44.2), (20.8, 44.2), (20.8, 44.8), (20.2, 44.8))))
+    val lines: Seq[(Long, Seq[(Double, Double)])] = (1 to 40).map { i =>
+      val x0 = rnd.nextDouble() * 6; val y0 = 42 + rnd.nextDouble() * 6
+      (i.toLong, (0 to 3).scanLeft((x0, y0)) { case ((x, y), _) =>
+        (x + (rnd.nextDouble() - 0.5) * 2, y + (rnd.nextDouble() - 0.5) * 2)
+      })
+    } ++ Seq(
+      // loop AROUND poly 201 without touching it: must NOT match
+      (301L, ring((20.0, 44.0), (21.0, 44.0), (21.0, 45.0), (20.0, 45.0))),
+      // short path fully INSIDE poly 201: must match via containment
+      (302L, Seq((20.4, 44.4), (20.6, 44.5))))
+    val lineDf = lines.toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    val polyDf = polys.toDF("gid", "rawring").select($"gid",
+      expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("ring"))
+    val got = GeoJoin.linesIntersectPolygons(lineDf, polyDf,
+        "lid", "path", "gid", "ring", cellDeg = 0.9)
+      .as[(Long, Long)].collect().toSet
+    def cr(ax: Double, ay: Double, bx: Double, by: Double,
+        cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val want = (for {
+      l <- lines; g <- polys
+      crossed = l._2.sliding(2).exists(sa => g._2.sliding(2).exists { sb =>
+        val o1 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2, sb(0)._1, sb(0)._2)
+        val o2 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2, sb(1)._1, sb(1)._2)
+        val o3 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2, sa(0)._1, sa(0)._2)
+        val o4 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2, sa(1)._1, sa(1)._2)
+        o1 * o2 < 0 && o3 * o4 < 0
+      })
+      if crossed || GeoJoin.pointInRing(l._2.head._1, l._2.head._2, g._2)
+    } yield (l._1, g._1)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+    assert(!got.contains((301L, 201L))) // the surrounding loop
+    assert(got.contains((302L, 201L)))  // the fully-inside path
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
