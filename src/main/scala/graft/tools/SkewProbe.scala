@@ -1098,6 +1098,23 @@ object SkewProbe {
                 selfPairs = true),
               Seq("id_a", "id_b")))
             report("ppi200k_whale", rep, tIW, nIW, hIW)
+            // the DEGRADATION shape at fine cellDeg (the pipwhale_fine
+            // twin): single-pass makes the continent emit
+            // bbox/cellDeg² key rows; the auto split bounds it
+            val fineDeg = 0.1
+            val ((nIF, hIF), tIF) = time(sig(
+              GeoJoin.polygonsIntersect(r, r.unionByName(whale),
+                "id", "ring", "id", "ring", cellDeg = fineDeg,
+                selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("ppiwhale_fine", rep, tIF, nIF, hIF)
+            val ((nIA, hIA), tIA) = time(sig(
+              GeoJoin.polygonsIntersectAuto(r, r.unionByName(whale),
+                "id", "ring", "id", "ring", cellDeg = fineDeg,
+                selfPairs = true, maxCellsPerPoly = 4096L),
+              Seq("id_a", "id_b")))
+            report("ppiwhale_auto", rep, tIA, nIA, hIA,
+              if (nIA == nIF && hIA == hIF) " MATCH" else " **MISMATCH**")
             r.unpersist()
           }
         case "geoscale" =>

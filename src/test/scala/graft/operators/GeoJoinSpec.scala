@@ -428,6 +428,57 @@ class GeoJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("polygonsIntersectAuto == polygonsIntersect on corpora with " +
+      "whales on either side; selfPairs never duplicates the " +
+      "whale-small pairs split across passes; no-whale plan is " +
+      "single-pass") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val rnd = new scala.util.Random(404)
+    val small = (1 to 80).map { i =>
+      val x = rnd.nextDouble() * 30 - 15; val y = 35 + rnd.nextDouble() * 20
+      (i.toLong, ring((x, y), (x + 0.4, y), (x + 0.4, y + 0.4), (x, y + 0.4)))
+    }
+    val whales = Seq(
+      (901L, ring((-20.0, 30.0), (20.0, 30.0), (20.0, 60.0), (-20.0, 60.0))),
+      (902L, ring((-5.0, 33.0), (25.0, 33.0), (25.0, 58.0), (-5.0, 58.0))))
+    def df(ps: Seq[(Long, Seq[(Double, Double)])]) =
+      ps.toDF("gid", "rawring").select($"gid",
+        expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("ring"))
+    // SELF-join with whales in the one relation
+    val all = df(small ++ whales)
+    val auto = GeoJoin.polygonsIntersectAuto(all, all, "gid", "ring",
+        "gid", "ring", cellDeg = 0.1, selfPairs = true,
+        maxCellsPerPoly = 64)
+      .as[(Long, Long)].collect()
+    val single = GeoJoin.polygonsIntersect(all, all, "gid", "ring",
+        "gid", "ring", cellDeg = 0.1, selfPairs = true)
+      .as[(Long, Long)].collect().toSet
+    assert(auto.length == auto.toSet.size,
+      s"duplicates across passes: ${auto.groupBy(identity)
+        .filter(_._2.length > 1).keys.take(3)}")
+    assert(auto.toSet == single,
+      s"missing=${(single -- auto.toSet).take(5)} " +
+        s"extra=${(auto.toSet -- single).take(5)}")
+    assert(single.contains((901L, 902L)) && single.exists(_._2 == 901L))
+    // CROSS join with a whale only on the b side
+    val autoX = GeoJoin.polygonsIntersectAuto(df(small), df(whales),
+        "gid", "ring", "gid", "ring", cellDeg = 0.1,
+        maxCellsPerPoly = 64)
+      .as[(Long, Long)].collect().toSet
+    val singleX = GeoJoin.polygonsIntersect(df(small), df(whales),
+        "gid", "ring", "gid", "ring", cellDeg = 0.1)
+      .as[(Long, Long)].collect().toSet
+    assert(autoX == singleX && autoX.nonEmpty)
+    // no whales -> exactly the single-pass plan (no Union)
+    val noWhale = GeoJoin.polygonsIntersectAuto(df(small), df(small),
+      "gid", "ring", "gid", "ring", cellDeg = 0.1, selfPairs = true,
+      maxCellsPerPoly = 64)
+    assert(!noWhale.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
   test("polylineCrossings == brute-force strict segment crossings with " +
       "exact crossing points; selfPairs keeps unordered line pairs once; " +
       "touching endpoints excluded; no nested-loop join") {
