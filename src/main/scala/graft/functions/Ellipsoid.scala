@@ -45,10 +45,15 @@ package graft.functions
   * refinement automatically resolves the λ′ spike a near-meridional
   * geodesic has at its pole pass.
   *
-  * Limits of scope (documented, not silent): an edge whose endpoints
-  * are antipodal (or equatorial with |Δλ| > (1−f)π) has an ambiguous
-  * shortest geodesic — such an edge takes the equator/meridian
-  * reading. No real polygon ring carries half-world edges.
+  * Limits of scope (documented, not silent): an AREA edge whose
+  * endpoints are antipodal (or equatorial with |Δλ| > (1−f)π) has an
+  * ambiguous shortest geodesic (two congruent hemispheric arcs) —
+  * such an edge takes the equator/meridian reading in the area path.
+  * No real polygon ring carries half-world edges. The DISTANCE and
+  * WAYPOINT scalars do NOT share this scope cut: their length is the
+  * same for either arc, so [[geodesicDistanceM]] solves the
+  * out-of-regime equatorial case exactly (and [[geodesicWaypoints]]
+  * picks the northern arc by convention).
   */
 object Ellipsoid {
 
@@ -336,12 +341,54 @@ object Ellipsoid {
     (phi, lam)
   }
 
+  /** For two EQUATORIAL points with |Δλ| ∈ ((1−f)π, π], the equator is
+    * NOT the shortest path on an oblate ellipsoid (Karney 2013 §5): the
+    * geodesic leaves the equator, crossing it at an oblique azimuth α₀
+    * and re-meeting it half an auxiliary-sphere revolution later
+    * (σ: 0 → π, so ω₂ − ω₁ = π exactly). Its longitude equation,
+    *
+    *   λ₁₂(α₀) = π − f·sin α₀·I₃(0, π; k² = e′²cos²α₀),
+    *
+    * is strictly decreasing in sin α₀ from λ₁₂(0) = π (the meridian
+    * over the pole — the Δλ = π antipodal case) down to
+    * λ₁₂(1) = (1−f)π (the equator itself — the regime boundary, where
+    * the arc length b·π equals the equatorial reading a(1−f)π EXACTLY,
+    * so the two branches are continuous by construction). 60
+    * bisections on sin α₀ pin the root; returns (sin α₀, cos α₀).
+    */
+  private def solveEquatorialOblique(spec: Spec, absDLam: Double)
+      : (Double, Double) = {
+    var lo = 0.0 // λ₁₂ = π end
+    var hi = 1.0 // λ₁₂ = (1−f)π end
+    var i = 0
+    while (i < 60) {
+      val mid = (lo + hi) / 2
+      val c2 = (1 - mid) * (1 + mid)
+      val lam = math.Pi - spec.f * mid * i3(spec, spec.ep2 * c2, 0, math.Pi)
+      if (lam > absDLam) lo = mid else hi = mid
+      i += 1
+    }
+    val salp0 = (lo + hi) / 2
+    (salp0, math.sqrt(math.max(0, (1 - salp0) * (1 + salp0))))
+  }
+
+  /** The regime boundary for the equatorial fast path: the equator is
+    * the shortest geodesic between two equatorial points iff
+    * |Δλ| ≤ (1−f)π (Karney 2013 §5).
+    */
+  private def equatorialRegime(spec: Spec): Double = (1 - spec.f) * math.Pi
+
   /** Exact geodesic DISTANCE in meters between two lon/lat-degree
     * points — the same inverse solve as the area path, then
     * s = b·∫√(1 + k² sin²σ) dσ (Karney eq. 7's I₁, evaluated by the
     * same adaptive quadrature instead of the C₁ series). Meridional
-    * and equatorial edges take their closed integrals; antipodal-ish
-    * inputs carry the same documented ambiguity as the area path.
+    * edges take their closed integrals; equatorial pairs take a·|Δλ|
+    * only inside the |Δλ| ≤ (1−f)π regime where the equator IS the
+    * geodesic — beyond it [[solveEquatorialOblique]] finds the
+    * off-equator path (at Δλ = π exactly: the half-meridian over the
+    * pole, ≈ 20,003,931.46 m on WGS84, NOT a·π ≈ 20,037,508 m — the
+    * 33.6 km overstatement the unguarded fast path used to make, which
+    * deterministically violated the triangle inequality).
     */
   def geodesicDistanceM(lon1: Double, lat1: Double, lon2: Double,
       lat2: Double, spec: Spec = WGS84): Double = {
@@ -361,8 +408,14 @@ object Ellipsoid {
       // β(±90°) = ±π/2 exactly)
       return arc(spec.ep2, math.min(b1, b2), math.max(b1, b2))
     }
-    if (lat1 == 0.0 && lat2 == 0.0)
-      return spec.a * math.abs(dLam) // equator (|Δλ| ≤ (1−f)π regime)
+    if (lat1 == 0.0 && lat2 == 0.0) {
+      val adl = math.abs(dLam)
+      if (adl <= equatorialRegime(spec)) return spec.a * adl // equator
+      // beyond the regime the geodesic leaves the equator: solve α₀,
+      // then the length is the half-revolution arc σ ∈ [0, π]
+      val (_, calp0) = solveEquatorialOblique(spec, adl)
+      return arc(spec.ep2 * calp0 * calp0, 0, math.Pi)
+    }
     var (bb1, bb2) = (b1, b2); var lam12 = dLam
     if (math.abs(bb1) < math.abs(bb2)) {
       val t = bb1; bb1 = bb2; bb2 = t; lam12 = -lam12
@@ -392,9 +445,24 @@ object Ellipsoid {
       val t = i.toDouble / n
       (lon1 + t * math.toDegrees(dLam), lat1 + t * (lat2 - lat1))
     }
-    if (dLam == 0.0 || (lat1 == 0.0 && lat2 == 0.0) ||
+    if (dLam == 0.0 ||
+        (lat1 == 0.0 && lat2 == 0.0 &&
+          math.abs(dLam) <= equatorialRegime(spec)) ||
         90 - math.abs(lat1) < 1e-9 || 90 - math.abs(lat2) < 1e-9)
       return lerp
+    if (lat1 == 0.0 && lat2 == 0.0) {
+      // equatorial beyond the (1−f)π regime: the geodesic arcs off the
+      // equator (σ: 0 → π). The two hemispheric arcs are congruent
+      // shortest paths — take the northern one, heading sign(Δλ).
+      val (salp0, calp0) = solveEquatorialOblique(spec, math.abs(dLam))
+      val sgn = if (dLam >= 0) 1.0 else -1.0
+      val pts = (0 to n).map { i =>
+        val sig = math.Pi * i / n
+        val (phiC, dlamC) = waypoint(spec, salp0, calp0, 0.0, sig)
+        (math.toDegrees(p1._1 + sgn * dlamC), math.toDegrees(phiC))
+      }
+      return (lon1, lat1) +: pts.slice(1, n) :+ ((lon2, lat2))
+    }
     val omf = 1 - spec.f
     val b1 = math.atan(omf * math.tan(p1._2))
     val b2 = math.atan(omf * math.tan(p2._2))

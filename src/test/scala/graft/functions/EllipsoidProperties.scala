@@ -90,6 +90,45 @@ object EllipsoidProperties extends Properties("graft.ellipsoid") {
           dab <= dac + dcb + 1e-6
     }
 
+  property("equatorial distance: a*|dLam| inside the (1-f)pi regime, " +
+      "off-equator solve beyond it — bounded by the half-meridian, " +
+      "never above the equator reading, and triangle-safe through a " +
+      "near-equator detour point (the r16 falsified band, now drawn " +
+      "EVERY run instead of by seed luck)") =
+    forAll(lonGen, Gen.chooseNum(0.1, 180.0), Gen.chooseNum(1e-6, 1e-4)) {
+      (lon1, dLamDeg0, eps0) =>
+        // clamp INSIDE the property: shrinking ignores generator bounds
+        val dLamDeg = math.max(0.1, math.min(180.0, dLamDeg0))
+        val eps = math.max(1e-6, math.min(1e-4, eps0))
+        val lon2raw = lon1 + dLamDeg
+        val lon2 = if (lon2raw > 180) lon2raw - 360 else lon2raw
+        val d = Ellipsoid.geodesicDistanceM(lon1, 0.0, lon2, 0.0)
+        val spec = Ellipsoid.WGS84
+        val regime = (1 - spec.f) * 180.0
+        val halfMeridian = 2 * 10001965.7293
+        val inRegime = dLamDeg <= regime
+        val regimeOk =
+          if (inRegime)
+            rel(d, spec.a * math.toRadians(dLamDeg)) < 1e-12
+          else
+            d <= spec.a * math.toRadians(dLamDeg) + 1e-6 &&
+              d <= halfMeridian + 0.01 &&
+              d >= spec.a * math.toRadians(regime) - 1e-6
+        // triangle inequality through a just-off-equator point between
+        // them (the exact shape of the r16 counterexample)
+        val midLon = {
+          val m = lon1 + dLamDeg / 2
+          if (m > 180) m - 360 else m
+        }
+        val dac = Ellipsoid.geodesicDistanceM(lon1, 0.0, midLon, eps)
+        val dcb = Ellipsoid.geodesicDistanceM(midLon, eps, lon2, 0.0)
+        // 1 mm slack, not 1 µm: C sits ~2 m off the geodesic, so
+        // dac+dcb ≈ d to solver precision (~1e-5 m at 15,000 km —
+        // measured deficit 1.06e-5 m on the first falsified draw, a
+        // tolerance artifact, not a solver defect)
+        regimeOk && d <= dac + dcb + 1e-3
+    }
+
   property("distance within 0.6% of haversine (the flattening band)") =
     forAll(lonGen, latGen, Gen.chooseNum(-178.0, 178.0), latGen) {
       (lo1, la1, lo2, la2) =>
