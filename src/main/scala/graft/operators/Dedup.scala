@@ -1124,9 +1124,9 @@ object Dedup {
     * yields an empty string (kept, matching the paper's
     * cut-not-drop semantics).
     *
-    * `materializeSpans` (default TRUE since round 16) localCheckpoints
-    * the span relation before the stitch join — the SubstrGcProbe
-    * finding behind the catalog's widest variance band: with the spans
+    * `materializeSpans = Some(true)` localCheckpoints the span
+    * relation before the stitch join — the SubstrGcProbe finding
+    * behind the catalog's widest variance band: with the spans
     * subtree live inside the stitch plan, the O(corpus-positions)
     * explode/sort machinery runs concurrently with the docs-side scan
     * and the whole query read 72–146 s at sf10 (same corpus, same
@@ -1137,13 +1137,33 @@ object Dedup {
     * regions — is why the un-materialized form amplifies box load
     * into that band.) The span relation is O(docs with a duplicated
     * window) narrow rows — executor-local storage a 100 TB run
-    * carries easily; pass false to keep the single-plan form.
+    * carries easily; pass `Some(false)` to keep the single-plan form.
+    *
+    * The default (`None`) SIZE-GATES the choice — the r16 unconditional
+    * checkpoint traded +1.46 s at sf0.1 (where the whole query is
+    * ~2.5 s and the checkpoint is pure overhead) for the −38 s sf10
+    * win. Same discipline as the `postingsDiffStream` broadcast
+    * switch: one narrow `sum(length(text))` scan of the input picks
+    * materialization iff the corpus holds ≥ `materializeMinChars`
+    * (default 32M — two orders above the 1.5M-char sf0.1 corpus, five
+    * below the ~150M-char sf10 one, so both measured regimes sit far
+    * from the cut; the probe scan itself is milliseconds at sf0.1 and
+    * ~seconds at sf10, amortized against the 38 s it buys there).
     */
   def exactSubstrClean(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minCount: Long = 2L, textOut: String = "text",
-      materializeSpans: Boolean = true): DataFrame = {
+      materializeSpans: Option[Boolean] = None,
+      materializeMinChars: Long = 32L * 1024 * 1024): DataFrame = {
+    val doMaterialize = materializeSpans.getOrElse {
+      val chars = docs.agg(sum(length(col(textCol))).as("__c"))
+        .head.getAs[Any]("__c") match {
+          case null => 0L
+          case v: java.lang.Number => v.longValue()
+        }
+      chars >= materializeMinChars
+    }
     val sp0 = exactSubstrSpans(docs, idCol, textCol, k, minCount)
-    val spans = (if (materializeSpans) sp0.localCheckpoint() else sp0)
+    val spans = (if (doMaterialize) sp0.localCheckpoint() else sp0)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))

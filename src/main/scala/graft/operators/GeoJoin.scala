@@ -419,10 +419,15 @@ object GeoJoin {
     * operation reproducible in a SQL oracle; relative error vs the
     * geodesic is O((R/R_earth)²) + O(Δφ·tanφ̄) — the road-radius
     * regime this join exists for. Same caveats as the polygon join:
-    * lines crossing the antimeridian must be split upstream, and the
-    * lon margin clamps its cosine at 86° (|φ| ≤ 85° data — the OSM
-    * Mercator envelope — stays exact). A degenerate zero-length
-    * segment verifies as point-to-point (t = 0).
+    * lines crossing the antimeridian must be split upstream (or run
+    * through [[splitAntimeridianPath]] first), and the lon margin
+    * clamps its cosine at 86° (|φ| ≤ 85° data — the OSM Mercator
+    * envelope — stays exact). Poleward of the clamp, candidate cells
+    * can under-cover and pairs may be MISSED — surfaced at runtime by
+    * the `pnl_polar_clamp.clamped_segments` observe() metric, which
+    * fires > 0 iff any segment's margin was clamped (the
+    * neardup_bucket_cap loss-accounting discipline). A degenerate
+    * zero-length segment verifies as point-to-point (t = 0).
     *
     * Scale shape: one explode per segment (linear in total vertices),
     * bbox-cover explode bounded by segment length / cellDeg, one
@@ -461,7 +466,19 @@ object GeoJoin {
     val farAbs = least(lit(86.0),
       greatest(abs(col("__alat")), abs(col("__blat"))) + latMargin)
     val lonMargin = lit(radiusM) / (lit(MPerLonDegEq) * cos(radians(farAbs)))
-    val cand = segs
+    // the clamp above caps the lon margin's cosine at 86°, so a
+    // segment poleward of ~(86° − latMargin) gets an UNDER-COVERED
+    // candidate cell range and can silently miss matches. Surface
+    // that at runtime instead of scaladoc-only (r17 ADVICE — the
+    // neardup_bucket_cap discipline): `pnl_polar_clamp.clamped_segments`
+    // fires > 0 iff any segment's margin was clamped, i.e. iff the
+    // output may be recall-incomplete. Rides the existing segs
+    // relation — no extra scan, and pairs equatorward of the clamp
+    // are exact as before.
+    val segsGuarded = segs.observe("pnl_polar_clamp",
+      sum(when(greatest(abs(col("__alat")), abs(col("__blat"))) +
+        latMargin > 86.0, 1L).otherwise(0L)).as("clamped_segments"))
+    val cand = segsGuarded
       .withColumn("__cx", explode(sequence(
         cx(least(col("__alon"), col("__blon")) - lonMargin),
         cx(greatest(col("__alon"), col("__blon")) + lonMargin))))

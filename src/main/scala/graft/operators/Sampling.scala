@@ -607,11 +607,27 @@ object Sampling {
     * `scale` units (clamped at 0: only worse-than-reference domains
     * gain, the DRO max). Per round:
     * `u = w + ((w · excess_q) div scale · etaNum) div scale`, then
-    * `w' = (u · 10^9) div Σu` — weights always renormalize to ~1e9
-    * total, so `rounds` iterations never grow magnitudes (overflow
-    * headroom: u ≤ ~2e9, u·10^9 ≤ 2e18 < Long.Max; requires
-    * excess_q · etaNum ≤ ~1e12·scale, i.e. mean loss within ~10^6× of
-    * the reference at the defaults). The domain relation is tiny
+    * `w' = (u · 10^9) div Σu` — weights always renormalize to ≤ 1e9
+    * total, so `rounds` iterations never grow magnitudes. Overflow
+    * headroom (corrected r17 — the original claim was 4 orders
+    * optimistic): after renormalization a DOMINANT domain holds
+    * w ≈ 1e9, so u ≈ w·(1 + excess_q·etaNum/scale²) and the
+    * renormalization's `u·10^9` crosses Long.Max once
+    * excess_q·etaNum/scale² exceeds ~8 — mean loss only ~40–50×
+    * refLoss at the defaults, realistic with n_chars losses and few
+    * domains, and the wrap surfaced as a SILENT negative weight that
+    * [[domainReweightMixture]] floored into dropping the domain's
+    * docs. The operator therefore CLAMPS
+    * `excess_q ≤ min(8·scale²/etaNum, 9e9)`, the largest value for
+    * which every intermediate provably fits for w ≤ 1e9 — the Hedge
+    * update saturates (a ≥40×-reference domain already takes the max
+    * multiplicative bump each round; DRO ordering among saturated
+    * domains is preserved by n_docs/renormalization, not lost) instead
+    * of corrupting the state. Remaining input-side contract: the
+    * pre-clamp `(Σloss − n·ref)·scale` must itself fit in a Long —
+    * Σexcess ≤ ~9.2e18/scale per domain (9.2e12 loss units at the
+    * default scale); beyond that, pre-aggregate losses in coarser
+    * units. The domain relation is tiny
     * (thousands at web scale), so the unrolled `rounds`-deep lineage
     * is the cheap part; the corpus is touched ONCE by the initial
     * aggregate. Feed the output weights to [[weightedByHash]] /
@@ -624,13 +640,21 @@ object Sampling {
       etaNum: Long = 200000L, scale: Long = 1000000L): DataFrame = {
     require(refLoss > 0, "refLoss > 0")
     require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    require(scale >= 1000 && scale <= 1000000000L,
+      s"scale in [1e3, 1e9]: $scale")
+    require(etaNum >= 1 && etaNum <= scale,
+      s"etaNum in [1, scale]: $etaNum")
+    // largest excess_q for which u·1e9 provably fits in a Long at
+    // w ≤ 1e9 (see scaladoc headroom math); 8·scale² ≤ 8e18 < Long.Max
+    // under the scale require, and the 9e9 arm bounds w·excess_q
+    val capQ = math.min(8L * scale * scale / etaNum, 9000000000L)
     val T = 1000000000L
     val e = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(lossCol).cast("long")).as("__sl"))
       .withColumn("excess_q", expr(
-        s"(greatest(CAST(0 AS BIGINT), __sl - n_docs * $refLoss)" +
-          s" * $scale) div (n_docs * $refLoss)"))
+        s"least((greatest(CAST(0 AS BIGINT), __sl - n_docs * $refLoss)" +
+          s" * $scale) div (n_docs * $refLoss), CAST($capQ AS BIGINT))"))
       .select(col("domain"), col("n_docs"), col("excess_q"))
     var rel = e.withColumn("w", lit(scale))
     for (_ <- 1 to rounds) {

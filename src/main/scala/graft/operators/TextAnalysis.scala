@@ -700,10 +700,16 @@ object TextAnalysis {
     * `1 (width byte) + ⌈n·b/8⌉ (packed slots) + Σ_exceptions
     * (varint(gap) + 1 position byte)`. The width search is
     * RELATIONAL, not sequential: a per-(block, bitlen) histogram
-    * (≤ 64 rows per block) joins the 32 candidate widths on
+    * (≤ 64 rows per block) joins the candidate widths on
     * `bits > b`, and the block's cost is a one-row min — no
     * mapPartitions, no per-list state, so the vocabulary distributes
-    * exactly like [[postingsLayout]]. pfor ≤ for by construction
+    * exactly like [[postingsLayout]]. The candidate set is
+    * 1..`maxWidth` PLUS the block's own max bit-length whenever that
+    * exceeds `maxWidth` (r17 ADVICE fix: gaps from 64-bit doc ids can
+    * need up to 63 bits, and without the block's max-bits candidate
+    * the zero-exception fallback was missing from the search, letting
+    * pfor_bytes exceed for_bytes on such blocks). With it,
+    * pfor ≤ for holds by construction for EVERY gap distribution
     * (b = max-bits has zero exceptions and matches FoR's cost), so
     * the three-way pick keeps the prior tie rules: pfor only when
     * STRICTLY smaller than both (a patched decode costs more CPU than
@@ -720,13 +726,19 @@ object TextAnalysis {
         ((row_number().over(w) - 1) / blockSize).cast("long"))
       .withColumn("bits", length(bin(col("gap"))))
     val bn = blocks.groupBy(col("term"), col("blk"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), max(col("bits")).as("mb"))
     // per-(block, bitlen) exception cost bucket: a gap of `bits` > b
     // patches out at varint bytes + one position byte
     val hist = blocks.groupBy(col("term"), col("blk"), col("bits"))
       .agg((count(lit(1)) + sum(col("vbytes"))).as("exb"))
+    // candidate widths 1..maxWidth, plus the block's own max
+    // bit-length when it exceeds maxWidth — the zero-exception width
+    // that guarantees pfor <= for on >maxWidth-bit gaps (see scaladoc)
     val widths = bn.withColumn("b",
-      explode(sequence(lit(1), lit(maxWidth))))
+      explode(when(col("mb") > maxWidth,
+          concat(sequence(lit(1), lit(maxWidth)), array(col("mb"))))
+        .otherwise(sequence(lit(1), lit(maxWidth)))))
+      .drop("mb")
     val exc = widths.select(col("term"), col("blk"), col("b"))
       .join(hist, Seq("term", "blk"))
       .filter(col("bits") > col("b"))

@@ -1099,7 +1099,11 @@ object SamplingQueries {
     // in the state). n_chars stands in for the per-doc loss; ref 290
     // sits mid-corpus so roughly half the sources clamp at zero
     // excess (the DRO max) and half gain weight through all three
-    // renormalized rounds.
+    // renormalized rounds. The 40000000 literal in both oracles is the
+    // operator's overflow clamp capQ = min(8*scale^2/etaNum, 9e9) at
+    // these parameters (r17 ADVICE fix) — far above this corpus's
+    // ~1e4-scale excess values, so it never binds here; it exists so
+    // the SQL mirrors the operator's saturating Hedge update exactly.
     Q("doc_domain_reweight",
       (s, dir) => {
         import graft.operators.Sampling
@@ -1109,8 +1113,9 @@ object SamplingQueries {
           .orderBy(col("domain"))
       },
       Some("""WITH e AS (SELECT source AS domain, count(*) AS n_docs,
-             |    CAST((greatest(0, sum(n_chars) - count(*) * 290)
-             |          * 1000000) // (count(*) * 290) AS BIGINT) AS excess_q
+             |    least(CAST((greatest(0, sum(n_chars) - count(*) * 290)
+             |          * 1000000) // (count(*) * 290) AS BIGINT),
+             |          40000000) AS excess_q
              |  FROM documents GROUP BY source),
              |r0 AS (SELECT domain, n_docs, excess_q,
              |         CAST(1000000 AS BIGINT) AS w FROM e),
@@ -1155,8 +1160,9 @@ object SamplingQueries {
           .orderBy(col("source"))
       },
       Some(s"""WITH e AS (SELECT source AS domain, count(*) AS n_docs,
-             |    CAST((greatest(0, sum(n_chars) - count(*) * 290)
-             |          * 1000000) // (count(*) * 290) AS BIGINT) AS excess_q
+             |    least(CAST((greatest(0, sum(n_chars) - count(*) * 290)
+             |          * 1000000) // (count(*) * 290) AS BIGINT),
+             |          40000000) AS excess_q
              |  FROM documents GROUP BY source),
              |r0 AS (SELECT domain, excess_q,
              |         CAST(1000000 AS BIGINT) AS w FROM e),

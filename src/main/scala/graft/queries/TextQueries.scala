@@ -1494,13 +1494,17 @@ object TextQueries {
              |               max(bits) AS mb
              |             FROM b GROUP BY 1, 2)
              |       GROUP BY term),
-             |bn AS (SELECT term, blk, count(*) AS n FROM b GROUP BY 1, 2),
+             |bn AS (SELECT term, blk, count(*) AS n,
+             |         max(bits) AS mb FROM b GROUP BY 1, 2),
              |hist AS (SELECT term, blk, bits,
              |           count(*) + sum(vb) AS exb
              |         FROM b GROUP BY 1, 2, 3),
              |wd AS (SELECT bn.term, bn.blk, bn.n, w.b
              |       FROM bn CROSS JOIN
-             |         (SELECT unnest(generate_series(1, 32)) AS b) w),
+             |         (SELECT unnest(generate_series(1, 32)) AS b) w
+             |       UNION ALL
+             |       SELECT term, blk, n, mb AS b FROM bn
+             |       WHERE mb > 32),
              |exc AS (SELECT wd.term, wd.blk, wd.b, sum(h.exb) AS excb
              |        FROM wd JOIN hist h
              |          ON h.term = wd.term AND h.blk = wd.blk

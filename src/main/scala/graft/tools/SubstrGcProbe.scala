@@ -122,14 +122,15 @@ object SubstrGcProbe {
       }
 
     // nomat = the pre-r16 single-plan form (spans subtree live inside
-    // the stitch join) — the 72-146 s band; ckpt_default = the r16
-    // default (materializeSpans = true, localCheckpoint)
+    // the stitch join) — the 72-146 s band; ckpt_default = the forced
+    // localCheckpoint form (the r17 size gate picks it at this scale
+    // anyway; forcing keeps the probe deterministic about what it times)
     run("nomat", () =>
       (Dedup.exactSubstrClean(docs, "doc_id", "text", k = 30,
-        textOut = "clean_text", materializeSpans = false), Nil))
+        textOut = "clean_text", materializeSpans = Some(false)), Nil))
     run("ckpt_default", () =>
       (Dedup.exactSubstrClean(docs, "doc_id", "text", k = 30,
-        textOut = "clean_text"), Nil))
+        textOut = "clean_text", materializeSpans = Some(true)), Nil))
     run("spanpersist", () => {
       val sp = Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 30)
         .persist()

@@ -62,4 +62,31 @@ class ObserveMetricsSpec extends SparkSpec {
     val prunedTight = tight.get("jaccard_skew_cap").flatMap(_.get("pruned_postings"))
     assert(prunedTight.exists(_.asInstanceOf[Long] > 0), tight.toString)
   }
+
+  test("pointsNearLines polar clamp metric: 0 on OSM-envelope data, " +
+      "> 0 iff a segment's lon margin was cosine-clamped (r17 ADVICE " +
+      "— recall loss is surfaced at runtime, not scaladoc-only)") {
+    import spark.implicits._
+    def pt(lon: Double, lat: Double) =
+      Seq((1L, lon, lat)).toDF("id", "lon", "lat")
+    def ln(aLon: Double, aLat: Double, bLon: Double, bLat: Double) =
+      Seq((10L, Seq((aLon, aLat), (bLon, bLat)))).toDF("lid", "raw")
+        .select($"lid", org.apache.spark.sql.functions.expr(
+          "transform(raw, p -> named_struct('lon', p._1, 'lat', p._2))")
+          .as("path"))
+    // equatorward: clamp can't bind (|lat| + margin << 86)
+    val calm = captureMetrics {
+      GeoJoin.pointsNearLines(pt(10.001, 45.0), ln(10.0, 44.9, 10.0, 45.1),
+        "id", "lon", "lat", "lid", "path", radiusM = 500.0).count()
+    }
+    assert(calm.get("pnl_polar_clamp").flatMap(_.get("clamped_segments"))
+      .contains(0L), calm.toString)
+    // polar: a segment at 87° N sits past the 86° cosine cap
+    val polar = captureMetrics {
+      GeoJoin.pointsNearLines(pt(10.001, 87.0), ln(10.0, 86.9, 10.0, 87.1),
+        "id", "lon", "lat", "lid", "path", radiusM = 500.0).count()
+    }
+    assert(polar.get("pnl_polar_clamp").flatMap(_.get("clamped_segments"))
+      .exists(_.asInstanceOf[Long] > 0), polar.toString)
+  }
 }

@@ -486,4 +486,43 @@ class SamplingSpec extends SparkSpec {
     assert(mix.subsetOf(docs.select($"doc_id", $"source")
       .as[(Long, String)].collect().toSet))
   }
+
+  test("domainReweightInt overflow clamp (r17 ADVICE): a ~100x-" +
+      "reference domain saturates at capQ instead of wrapping the " +
+      "renormalization negative and silently dropping the domain") {
+    // mega: mean loss 30000 vs ref 300 -> raw excess_q = 99e6, which
+    // before the clamp drove u*1e9 past Long.Max by round 2 (the
+    // dominant domain holds w ~ 1e9 after renormalization) and
+    // produced a NEGATIVE weight the mixture floored into a dropped
+    // domain. capQ = min(8*scale^2/etaNum, 9e9) = 4e7 at the defaults.
+    val docs = Seq(
+      (1L, "mega", 30000L), (2L, "mega", 30000L),
+      (3L, "tiny", 300L)).toDF("doc_id", "source", "loss")
+    val got = Sampling.domainReweightInt(docs, "source", "loss",
+        refLoss = 300L, rounds = 3)
+      .select($"domain", $"excess_q", $"weight")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val capQ = 8L * 1000000L * 1000000L / 200000L
+    assert(got("mega")._1 == capQ, got) // raw 99e6 saturates at 4e7
+    assert(got("tiny")._1 == 0L)
+    assert(got.values.forall(_._2 > 0L), got) // nothing wrapped
+    assert(got("mega")._2 > got("tiny")._2)
+    val tot = got.values.map(_._2).sum
+    assert(tot <= 1000000000L && tot > 1000000000L - 2, tot)
+    // the applied mixture keeps the saturated domain's docs (it is
+    // the max-weight domain: threshold = 2^32 keeps everything)
+    val mix = Sampling.domainReweightMixture(docs, "source", "doc_id",
+        "loss", 300L).select($"source").as[String].collect()
+    assert(mix.count(_ == "mega") == 2, mix.toSeq)
+    // parameter hygiene: the bounds behind capQ's own overflow safety
+    intercept[IllegalArgumentException] {
+      Sampling.domainReweightInt(docs, "source", "loss", 300L,
+        scale = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.domainReweightInt(docs, "source", "loss", 300L,
+        etaNum = 2000000L)
+    }
+  }
 }

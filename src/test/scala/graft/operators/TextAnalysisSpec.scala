@@ -668,6 +668,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(p <= f && s == math.min(v, math.min(f, p)), (v, f, p, s))
     }
     assert(inv.nonEmpty)
+    // r17 ADVICE regression: a block whose EVERY gap needs more than
+    // maxWidth(=32) bits — 64-bit doc-id territory. Before the
+    // block-max-bits candidate joined the width search, all widths
+    // 1..32 patched both 50-bit gaps out as exceptions (best:
+    // b=1 -> 1+1+2*(1+8) = 20) and pfor_bytes EXCEEDED for_bytes
+    // (14), falsifying the scaladoc invariant. With b=50 in the
+    // candidate set, pfor ties FoR at 14 and the tie rule keeps the
+    // cheaper decode.
+    // w: doc_ids 2^49, 2^50 -> gaps 2^49, 2^49 (50 bits each).
+    // varint 8+8=16; FoR 1+ceil(2*50/8)=14; pfor min = 14 (b=50).
+    val wide = Seq((1L << 49, "w"), (1L << 50, "w")).toDF("doc_id", "text")
+    val wgot = TextAnalysis.postingsCodecPfor(wide, "doc_id", "text")
+      .select($"term", $"varint_bytes", $"for_bytes", $"pfor_bytes",
+        $"codec", $"stored_bytes")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    assert(wgot == Set(("w", 16L, 14L, 14L, "for", 14L)), wgot)
+    // ...and the mixed-bits shape where patching still wins keeps its
+    // sub-FoR min: gaps 1, 2^49 -> b=1 patches the one 50-bit
+    // exception for 11 < FoR 14 (varint 9 still smallest overall)
+    val mixed = Seq((1L, "m"), (1L + (1L << 49), "m")).toDF("doc_id", "text")
+    val mgot = TextAnalysis.postingsCodecPfor(mixed, "doc_id", "text")
+      .select($"varint_bytes", $"for_bytes", $"pfor_bytes", $"codec")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(mgot == Set((9L, 14L, 11L, "varint")), mgot)
   }
 
   test("positionalPostings: within-doc position delta chain — repeated " +
