@@ -268,10 +268,11 @@ object GeoJoin {
     * linear fan-out cost): [[pointsInPolygonsAuto]] splits such
     * outliers into their own coarser-grid pass automatically (since
     * round 16 — it was this scaladoc's caller recipe before).
-    * Polygons crossing the antimeridian must be split upstream (their
-    * lon bbox would cover the world). For holes use
-    * [[pointsInMultipolygons]] (first-class since round 16).
-    * Output: (point_id, poly_id).
+    * Polygons crossing the antimeridian must be split first — their
+    * lon bbox would cover the world — which is first-class since
+    * round 17: run [[splitAntimeridianRings]] and key by (id, part).
+    * For holes use [[pointsInMultipolygons]] (first-class since
+    * round 16). Output: (point_id, poly_id).
     */
   def pointsInPolygons(points: DataFrame, polys: DataFrame,
       pId: String, pLon: String, pLat: String,
@@ -420,7 +421,7 @@ object GeoJoin {
     * geodesic is O((R/R_earth)²) + O(Δφ·tanφ̄) — the road-radius
     * regime this join exists for. Same caveats as the polygon join:
     * lines crossing the antimeridian must be split upstream (or run
-    * through [[splitAntimeridianPath]] first), and the lon margin
+    * through [[splitAntimeridianPaths]] first), and the lon margin
     * clamps its cosine at 86° (|φ| ≤ 85° data — the OSM Mercator
     * envelope — stays exact). Poleward of the clamp, candidate cells
     * can under-cover and pairs may be MISSED — surfaced at runtime by
@@ -615,6 +616,8 @@ object GeoJoin {
     * split upstream if a continent meets a building-sized `cellDeg`.
     * `selfPairs = true` treats both relations as one and emits each
     * unordered pair once (id_a < id_b, the [[withinDistance]] rule).
+    * Dateline-straddling rings: run [[splitAntimeridianRings]] first
+    * and key by (id, part), same as the containment joins.
     * Output: (id_a, id_b).
     */
   def polygonsIntersect(a: DataFrame, b: DataFrame,
@@ -724,6 +727,215 @@ object GeoJoin {
       element_at(col(pathCol), 1).getField("lat").as("__flat"))
     val inside = pointsInPolygons(firstPts, polys,
         "__fl", "__flon", "__flat", gId, ringCol, cellDeg)
+      .select(col("point_id").as("line_id"), col("poly_id"))
+    crossed.unionByName(inside).distinct()
+  }
+
+  /** Sutherland–Hodgman clip of an UNWRAPPED closed ring (lons in
+    * [0, 360), the antimeridian at lon = 180) against one half-plane:
+    * `west` keeps lon ≤ 180, else lon ≥ 180. Per directed edge the
+    * classic four-case emission (in→in: [e]; in→out: [X]; out→in:
+    * [X, e]; out→out: []) concatenates IN ORDER into the clipped
+    * boundary — per-edge independent, so the whole clip is one
+    * `transform` + `flatten`, no sequential fold. Against a convex
+    * half-plane the result of a simple subject ring is a valid
+    * boundary sequence (possibly with degenerate connector edges
+    * along lon = 180 for multi-lobed subjects — measure-zero for the
+    * ray-cast parity the containment joins use). Empty (< 3 vertices)
+    * when the ring misses the half-plane entirely.
+    */
+  private def clipRingAt180(u: Column, west: Boolean): Column = {
+    val n1 = greatest(size(u) - 1, lit(0))
+    val edges = zip_with(slice(u, lit(1), n1), slice(u, lit(2), n1),
+      (a, b) => struct(a.as("s"), b.as("e")))
+    def inside(p: Column): Column =
+      if (west) p.getField("lon") <= 180.0 else p.getField("lon") >= 180.0
+    def xpt(sp: Column, ep: Column): Column = struct(
+      lit(180.0).as("lon"),
+      (sp.getField("lat") + (lit(180.0) - sp.getField("lon")) /
+        (ep.getField("lon") - sp.getField("lon")) *
+        (ep.getField("lat") - sp.getField("lat"))).as("lat"))
+    val emitted = flatten(transform(edges, ed => {
+      val sp = ed.getField("s"); val ep = ed.getField("e")
+      val asPt = (p: Column) => struct(p.getField("lon").as("lon"),
+        p.getField("lat").as("lat"))
+      val none = slice(array(asPt(sp)), 1, 0)
+      when(inside(sp) && inside(ep), array(asPt(ep)))
+        .when(inside(sp) && !inside(ep), array(xpt(sp, ep)))
+        .when(!inside(sp) && inside(ep), array(xpt(sp, ep), asPt(ep)))
+        .otherwise(none)
+    }))
+    when(size(emitted) >= 3, concat(emitted, slice(emitted, 1, 1)))
+      .otherwise(slice(emitted, 1, 0))
+  }
+
+  /** First-class ANTIMERIDIAN SPLIT for polygon rings — the operator
+    * that retires the "geometries crossing the antimeridian must be
+    * split upstream" caveat the grid joins carried through round 16
+    * (a dateline-straddling country polygon is REAL data in the
+    * reference domain; `filter.py` handles whatever osmium feeds it).
+    * A ring STRADDLES iff some edge jumps |Δlon| > 180 (the wrapped
+    * representation of a short dateline-crossing edge). Straddling
+    * rings are unwrapped (lon < 0 → lon + 360, valid for rings
+    * spanning < 180° of longitude — any real administrative area;
+    * wider rings are out of contract, same as every grid join here),
+    * clipped at lon = 180 into a WEST piece (kept as-is, lons in
+    * (90, 180]) and an EAST piece (wrapped back by −360, lons in
+    * [−180, −90)), each a closed ring the cell grids accept.
+    * Non-straddling rings pass through UNCHANGED as their own single
+    * part. Output: every input column, plus `part` (0 = west /
+    * pass-through, 1 = east), with `ringCol` replaced by the piece —
+    * key downstream joins by (id, part) (e.g.
+    * `struct(col(id), col("part"))`) and aggregate matches back to
+    * `id`; the pieces are interior-disjoint, so a point matches at
+    * most one part and containment parity is preserved exactly.
+    *
+    * Scale shape: pure per-row Column arithmetic (transform/flatten
+    * over the ring's own vertices) — NO shuffle, no explode beyond
+    * the ≤ 2 output parts, fuses into the enclosing stage. The clip
+    * is planar in lon/lat, the same edge model as the ray-cast and
+    * crossing kernels it feeds.
+    */
+  def splitAntimeridianRings(polys: DataFrame, idCol: String,
+      ringCol: String): DataFrame = {
+    val r = col(ringCol)
+    val n1 = greatest(size(r) - 1, lit(0))
+    val edges = zip_with(slice(r, lit(1), n1), slice(r, lit(2), n1),
+      (a, b) => struct(a.as("s"), b.as("e")))
+    val straddles = exists(edges, ed =>
+      abs(ed.getField("e").getField("lon") -
+        ed.getField("s").getField("lon")) > 180.0)
+    val unwrapped = transform(r, p => struct(
+      when(p.getField("lon") < 0, p.getField("lon") + 360.0)
+        .otherwise(p.getField("lon")).as("lon"),
+      p.getField("lat").as("lat")))
+    val west = clipRingAt180(unwrapped, west = true)
+    val east = transform(clipRingAt180(unwrapped, west = false),
+      p => struct((p.getField("lon") - 360.0).as("lon"),
+        p.getField("lat").as("lat")))
+    val asPiece = (part: Int, piece: Column) =>
+      struct(lit(part).as("part"), piece.as("piece"))
+    val parts = when(straddles,
+        filter(array(asPiece(0, west), asPiece(1, east)),
+          x => size(x.getField("piece")) >= 4))
+      .otherwise(array(asPiece(0,
+        transform(r, p => struct(p.getField("lon").as("lon"),
+          p.getField("lat").as("lat"))))))
+    polys.withColumn("__amp", explode(parts))
+      .withColumn("part", col("__amp.part"))
+      .withColumn(ringCol, col("__amp.piece"))
+      .drop("__amp")
+  }
+
+  /** [[splitAntimeridianRings]] for open POLYLINES: a
+    * dateline-crossing path splits into parts at each lon = 180
+    * crossing, with the interpolated boundary vertex CLOSING one part
+    * (at lon 180) and OPENING the next (at lon −180), so every part
+    * is a connected sub-path on one side of the antimeridian and the
+    * union of parts traces the original path exactly. Handles any
+    * number of crossings (a zigzag ferry route) — the part index is
+    * the running crossing count, built by one `aggregate` fold over
+    * the path's own vertices (per-row, NO shuffle, same contract as
+    * the ring form: paths spanning < 180° of longitude). A vertex
+    * exactly AT lon ±180 belongs to the part it arrived with (side =
+    * lon > 180 after unwrap; no crossing fires until the path
+    * strictly passes the line). Non-straddling paths pass through
+    * unchanged as part 0. Output: every input column + `part`, with
+    * `pathCol` replaced by the piece. Feed the parts to
+    * [[pointsNearLines]] / [[polylineCrossings]] /
+    * [[linesIntersectPolygons]] keyed by (id, part).
+    */
+  def splitAntimeridianPaths(lines: DataFrame, idCol: String,
+      pathCol: String): DataFrame = {
+    val p = col(pathCol)
+    val n1 = greatest(size(p) - 1, lit(0))
+    val edges = zip_with(slice(p, lit(1), n1), slice(p, lit(2), n1),
+      (a, b) => struct(a.as("s"), b.as("e")))
+    val straddles = exists(edges, ed =>
+      abs(ed.getField("e").getField("lon") -
+        ed.getField("s").getField("lon")) > 180.0)
+    val u = transform(p, q => struct(
+      when(q.getField("lon") < 0, q.getField("lon") + 360.0)
+        .otherwise(q.getField("lon")).as("lon"),
+      q.getField("lat").as("lat")))
+    val folded = aggregate(slice(u, lit(2), n1),
+      array(array(element_at(u, 1))),
+      (acc, v) => {
+        val last = element_at(acc, -1)
+        val prev = element_at(last, -1)
+        val crossing =
+          (prev.getField("lon") > 180.0) =!= (v.getField("lon") > 180.0)
+        val x = struct(lit(180.0).as("lon"),
+          (prev.getField("lat") +
+            (lit(180.0) - prev.getField("lon")) /
+            (v.getField("lon") - prev.getField("lon")) *
+            (v.getField("lat") - prev.getField("lat"))).as("lat"))
+        val vPt = struct(v.getField("lon").as("lon"),
+          v.getField("lat").as("lat"))
+        val head = slice(acc, lit(1), size(acc) - 1)
+        when(crossing,
+            concat(head, array(concat(last, array(x))),
+              array(array(x, vPt))))
+          .otherwise(concat(head, array(concat(last, array(vPt)))))
+      })
+    // wrap east parts back: a part is east iff any interior vertex
+    // sits past 180 (boundary vertices are exactly 180 and wrap to
+    // −180 with the rest)
+    val wrapped = transform(folded, (part, i) => {
+      val isEast = exists(part, q => q.getField("lon") > 180.0)
+      val body = when(isEast, transform(part, q => struct(
+          (q.getField("lon") - 360.0).as("lon"),
+          q.getField("lat").as("lat"))))
+        .otherwise(part)
+      struct(i.as("part"), body.as("piece"))
+    })
+    val parts = when(straddles,
+        filter(wrapped, x => size(x.getField("piece")) >= 2))
+      .otherwise(array(struct(lit(0).as("part"),
+        transform(p, q => struct(q.getField("lon").as("lon"),
+          q.getField("lat").as("lat"))).as("piece"))))
+    lines.withColumn("__amp", explode(parts))
+      .withColumn("part", col("__amp.part"))
+      .withColumn(pathCol, col("__amp.piece"))
+      .drop("__amp")
+  }
+
+  /** Line-MULTIPOLYGON intersection join — [[linesIntersectPolygons]]
+    * with holes resolved internally, closing the gap the round-16
+    * pairing matrix left: the simple-ring form takes outers alone, so
+    * a route inside a courtyard (a hole) would WRONGLY match its
+    * containing polygon. Same even-odd discipline as
+    * [[pointsInMultipolygons]] and the same composition as the
+    * simple-ring form: a path intersects the multipolygon REGION iff
+    * (i) some path segment strictly crosses ANY ring edge — outer or
+    * inner, since with even-odd parity every strict boundary crossing
+    * has region on exactly one side, so the path touches region — or
+    * (ii) nothing crosses and the path lies entirely inside one
+    * region component, decided by its first vertex's ring-count
+    * parity. Input geometry is
+    * [[RelationAssembly.assembleMultipolygons]]' output shape
+    * (`gId`, outers, inners — each ring closed). Output:
+    * (line_id, poly_id).
+    */
+  def linesIntersectMultipolygons(lines: DataFrame, mpolys: DataFrame,
+      lId: String, pathCol: String, gId: String,
+      outersCol: String, innersCol: String,
+      cellDeg: Double = 0.5): DataFrame = {
+    val rings = mpolys.select(col(gId).as("__mg"),
+        posexplode(concat(col(outersCol), col(innersCol)))
+          .as(Seq("__mridx", "__mr")))
+      .select(struct(col("__mg"), col("__mridx")).as("__rk"),
+        col("__mr"))
+    val crossed = polylineCrossings(lines, rings, lId, pathCol,
+        "__rk", "__mr", cellDeg)
+      .select(col("id_a").as("line_id"),
+        col("id_b").getField("__mg").as("poly_id"))
+      .distinct()
+    val firstPts = lines.select(col(lId).as("__fl"),
+      element_at(col(pathCol), 1).getField("lon").as("__flon"),
+      element_at(col(pathCol), 1).getField("lat").as("__flat"))
+    val inside = pointsInMultipolygons(firstPts, mpolys,
+        "__fl", "__flon", "__flat", gId, outersCol, innersCol, cellDeg)
       .select(col("point_id").as("line_id"), col("poly_id"))
     crossed.unionByName(inside).distinct()
   }

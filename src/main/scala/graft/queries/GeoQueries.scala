@@ -5,6 +5,7 @@ import graft.model.OsmModel
 import graft.operators.{PoiClassifier, TagDimension, WayAssembly}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Oracle-checked queries for the geometry / projection / post-process
   * surface (SURVEY.md §2.2 K5, §2.6 T1, §2.7 C1-C10, §2.8 U1, §2.10 X2,
@@ -735,6 +736,252 @@ object GeoQueries {
              |      FROM orders
              |      WHERE o_orderstatus IN ('F', 'P') OR o_orderpriority = '1-URGENT')
              |GROUP BY cell ORDER BY cell""".stripMargin),
-      doc = "spatial grid-cell aggregation (z-order-lite layout key)")
+      doc = "spatial grid-cell aggregation (z-order-lite layout key)"),
+
+    // Antimeridian split + containment (round 17): planted dateline-
+    // straddling rectangles (the r16 VERDICT's missing operator —
+    // "a dateline-straddling country polygon is REAL data") split by
+    // splitAntimeridianRings, then the ordinary grid containment join
+    // over the pieces keyed (wid, part). The ORACLE operates on the
+    // pre-split halves (hand-derived west/east rectangles), so a
+    // split that mangled either piece breaks the hash. Points reach
+    // both sides of the dateline (lon spans the full [-180, 180));
+    // bounds end in .xx3/.xx7 against point coords ending in .0005,
+    // so boundary conventions never fire. Rect 3 does not straddle —
+    // the pass-through branch rides the same query.
+    Q("way_dateline_containment",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
+        val rects = Seq(
+          (1L, 177.303, -176.297, -20.103, -4.897),
+          (2L, 179.203, -178.597, 30.053, 44.353),
+          (3L, 10.153, 20.853, -5.453, 8.253))
+          .toDF("wid", "wlo", "elo", "sla", "nla")
+        val polys = rects.select(col("wid"), expr(
+          "array(named_struct('lon', wlo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', sla))").as("ring"))
+        val split = GeoJoin.splitAntimeridianRings(polys, "wid", "ring")
+          .withColumn("pk", struct(col("wid"), col("part")))
+        GeoJoin.pointsInPolygons(pts, split, "id", "lon", "lat",
+            "pk", "ring", cellDeg = 0.5)
+          .select(col("point_id"), col("poly_id.wid").as("poly_id"))
+          .distinct()
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 360) - 180 + 0.0005 AS lon,
+             |               (o_orderkey % 170) - 85 + 0.0005 AS lat
+             |             FROM orders),
+             |halves(wid, lo1, lo2, la1, la2) AS (VALUES
+             |  (1, 177.303, 180.0, -20.103, -4.897),
+             |  (1, -180.0, -176.297, -20.103, -4.897),
+             |  (2, 179.203, 180.0, 30.053, 44.353),
+             |  (2, -180.0, -178.597, 30.053, 44.353),
+             |  (3, 10.153, 20.853, -5.453, 8.253))
+             |SELECT p.id AS point_id, CAST(h.wid AS BIGINT) AS poly_id
+             |FROM pts p JOIN halves h
+             |  ON p.lon > h.lo1 AND p.lon < h.lo2
+             | AND p.lat > h.la1 AND p.lat < h.la2
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "antimeridian-split containment: dateline-straddling rings split into west/east pieces (splitAntimeridianRings), grid containment over the pieces vs the pre-split-halves oracle; points on BOTH sides of the dateline match"),
+
+    // The PATH form of the split, replayed vertex-by-vertex in the
+    // oracle: zigzag routes near the dateline (some straddling, some
+    // not) split at each lon=180 crossing; per (line, part) the
+    // vertex count and coordinate sums pin the whole decomposition —
+    // part indexing, boundary-vertex interpolation (the lat of the
+    // 180-crossing), east-side wrap-back to -180, and pass-through.
+    // The oracle rebuilds the parts relationally: crossing flags via
+    // lag(), part = prefix sum, boundary vertices joined in from the
+    // crossing table on both adjacent parts.
+    Q("way_dateline_route_parts",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val routes = Tables.events(s, dir)
+          .filter(pmod(col("event_id"), lit(50)) === 0)
+          .select(col("event_id").as("lid"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .select(col("lid"), col("k"),
+            (lit(178.0005) +
+              pmod(col("lid") * 3 + col("k") * 7, lit(47)) / 10.0)
+              .as("lonu"),
+            (pmod(col("lid"), lit(80)) - 40 + col("k") * 0.1).as("lat"))
+          .withColumn("lon",
+            when(col("lonu") > 180, col("lonu") - 360)
+              .otherwise(col("lonu")))
+          .groupBy(col("lid"))
+          .agg(transform(sort_array(collect_list(struct(
+              col("k").as("k"), col("lon").as("lon"),
+              col("lat").as("lat")))),
+            x => struct(x.getField("lon").as("lon"),
+              x.getField("lat").as("lat"))).as("path"))
+        // per-vertex micro-degree quantization BEFORE summing: both
+        // engines compute identical vertex doubles (same formula, same
+        // op order), so the per-vertex round is engine-identical, and
+        // the integer sum is association-free — a double sum rounded
+        // after folding straddled a 1e-6 boundary on first verify
+        // (spark 30.652512 vs duckdb 30.652513)
+        GeoJoin.splitAntimeridianPaths(routes, "lid", "path")
+          .select(col("lid").as("line_id"), col("part"),
+            size(col("path")).as("n_vertices"),
+            aggregate(col("path"), lit(0L), (a, p) =>
+              a + round(p.getField("lon") * 1e6, 0).cast("long"))
+              .as("lon_usum"),
+            aggregate(col("path"), lit(0L), (a, p) =>
+              a + round(p.getField("lat") * 1e6, 0).cast("long"))
+              .as("lat_usum"))
+          .orderBy(col("line_id"), col("part"))
+      },
+      Some("""WITH v AS (SELECT event_id AS lid, k,
+             |    CAST(178.0005 AS DOUBLE)
+             |      + ((event_id*3 + k*7) % 47)
+             |        / CAST(10.0 AS DOUBLE) AS lonu,
+             |    (event_id % 80) - 40
+             |      + k * CAST(0.1 AS DOUBLE) AS lat
+             |  FROM events, generate_series(0, 3) s(k)
+             |  WHERE event_id % 50 = 0),
+             |e AS (SELECT lid, k, lonu, lat,
+             |        lag(lonu) OVER (PARTITION BY lid ORDER BY k) AS plon,
+             |        lag(lat) OVER (PARTITION BY lid ORDER BY k) AS plat
+             |      FROM v),
+             |c AS (SELECT lid, k, lonu, lat, plon, plat,
+             |        CASE WHEN plon IS NOT NULL
+             |              AND (plon > 180) <> (lonu > 180)
+             |             THEN 1 ELSE 0 END AS crossing
+             |      FROM e),
+             |pv AS (SELECT lid, k, lonu, lat, crossing,
+             |         sum(crossing) OVER (PARTITION BY lid
+             |                             ORDER BY k) AS part
+             |       FROM c),
+             |x AS (SELECT lid,
+             |        sum(crossing) OVER (PARTITION BY lid
+             |                            ORDER BY k) AS xi,
+             |        plat + (180 - plon)/(lonu - plon)*(lat - plat)
+             |          AS ylat
+             |      FROM c WHERE crossing = 1),
+             |sd AS (SELECT lid, part,
+             |         max(CASE WHEN lonu > 180 THEN 1 ELSE 0 END)
+             |           AS east
+             |       FROM pv GROUP BY lid, part),
+             |allv AS (
+             |  SELECT lid, part,
+             |         CASE WHEN lonu > 180 THEN lonu - 360
+             |              ELSE lonu END AS lon,
+             |         lat FROM pv
+             |  UNION ALL
+             |  SELECT x.lid, x.xi AS part,
+             |         CASE WHEN s2.east = 1 THEN -180.0
+             |              ELSE 180.0 END, x.ylat
+             |  FROM x JOIN sd s2 ON s2.lid = x.lid AND s2.part = x.xi
+             |  UNION ALL
+             |  SELECT x.lid, x.xi - 1 AS part,
+             |         CASE WHEN s2.east = 1 THEN -180.0
+             |              ELSE 180.0 END, x.ylat
+             |  FROM x JOIN sd s2 ON s2.lid = x.lid
+             |                   AND s2.part = x.xi - 1)
+             |SELECT lid AS line_id, CAST(part AS INT) AS part,
+             |       count(*) AS n_vertices,
+             |       CAST(sum(CAST(round(lon * 1000000) AS BIGINT))
+             |         AS BIGINT) AS lon_usum,
+             |       CAST(sum(CAST(round(lat * 1000000) AS BIGINT))
+             |         AS BIGINT) AS lat_usum
+             |FROM allv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "antimeridian path split replayed relationally: crossing flags via lag, part = prefix sum, boundary-vertex lat interpolation joined into both adjacent parts, east wrap-back to -180 — per-part vertex counts and coordinate sums pin the whole decomposition"),
+
+    // Line-in-MULTIPOLYGON (round 17): the courtyard-road case the
+    // r16 matrix left open — a route inside a HOLE must NOT match.
+    // Multipolygons derive from the big (d=0.1) ways: outer = the
+    // square, hole = the middle third, island = the middle ninth
+    // (island-in-hole nesting rides the same rows); a planted mp +
+    // four planted segments pin each branch deterministically
+    // (courtyard NO, annulus YES, island-interior YES, hole-boundary
+    // crosser YES). Lines are horizontal segments on the .0005-offset
+    // lattice, so the closed-form oracle (overlap outer AND NOT
+    // (inside hole AND missing island)) is exact — bounds land on
+    // thirds/ninths of 0.1, never on a .0005 coordinate.
+    Q("way_line_in_multipolygon",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        def pt(a: Column, b: Column) =
+          struct(a.as("lon"), b.as("lat"))
+        def sq(x: Column, y: Column, w: Column) = array(
+          pt(x, y), pt(x + w, y), pt(x + w, y + w), pt(x, y + w),
+          pt(x, y))
+        val big = Tables.part(s, dir).filter(col("p_size") > 25)
+          .select(col("p_partkey").as("id"),
+            ((col("p_retailprice") % 300) - 150).cast("double").as("x0"),
+            ((col("p_partkey") % 120) - 60).cast("double").as("y0"),
+            lit(0.1).as("d"))
+          .unionByName(Seq((9000000L, 160.0, 70.0, 0.09))
+            .toDF("id", "x0", "y0", "d"))
+        val mp = big.select(col("id"),
+          array(sq(col("x0"), col("y0"), col("d")),
+            sq(col("x0") + col("d") * 4 / 9, col("y0") + col("d") * 4 / 9,
+              col("d") / 9)).as("outers"),
+          array(sq(col("x0") + col("d") / 3, col("y0") + col("d") / 3,
+            col("d") / 3)).as("inners"))
+        val segs = Tables.orders(s, dir).select(
+            col("o_orderkey").as("lid"),
+            ((col("o_totalprice") % 300) - 150 + 0.0005).as("x1"),
+            ((col("o_orderkey") % 120) - 60 +
+              (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("y"),
+            (lit(0.004) + (col("o_orderkey") % 4) * 0.01).as("len"))
+          .unionByName(Seq(
+            (9000001L, 160.0315, 70.0355, 0.004),
+            (9000002L, 160.0055, 70.0155, 0.004),
+            (9000003L, 160.0425, 70.0455, 0.004),
+            (9000004L, 160.0455, 70.0355, 0.024))
+            .toDF("lid", "x1", "y", "len"))
+        val lines = segs.select(col("lid"),
+          array(pt(col("x1"), col("y")),
+            pt(col("x1") + col("len"), col("y"))).as("path"))
+        GeoJoin.linesIntersectMultipolygons(lines, mp, "lid", "path",
+            "id", "outers", "inners", cellDeg = 0.5)
+          .orderBy(col("line_id"), col("poly_id"))
+      },
+      Some("""WITH w AS (SELECT p_partkey AS id,
+             |             CAST(0.1 AS DOUBLE) AS d,
+             |             (p_retailprice % 300) - 150 AS x0,
+             |             (p_partkey % 120) - 60 AS y0
+             |           FROM part WHERE p_size > 25
+             |           UNION ALL
+             |           SELECT 9000000, CAST(0.09 AS DOUBLE),
+             |                  160.0, 70.0),
+             |l AS (SELECT o_orderkey AS lid,
+             |        (o_totalprice % 300) - 150 + 0.0005 AS x1,
+             |        (o_orderkey % 120) - 60
+             |          + (o_orderkey % 97)/1000.0 + 0.0005 AS y,
+             |        0.004 + (o_orderkey % 4) * 0.01 AS len
+             |      FROM orders
+             |      UNION ALL
+             |      SELECT * FROM (VALUES
+             |        (9000001, 160.0315, 70.0355, 0.004),
+             |        (9000002, 160.0055, 70.0155, 0.004),
+             |        (9000003, 160.0425, 70.0455, 0.004),
+             |        (9000004, 160.0455, 70.0355, 0.024))
+             |        v(lid, x1, y, len))
+             |SELECT CAST(l.lid AS BIGINT) AS line_id,
+             |       CAST(w.id AS BIGINT) AS poly_id
+             |FROM l JOIN w
+             |  ON l.y > w.y0 AND l.y < w.y0 + w.d
+             | AND l.x1 < w.x0 + w.d AND w.x0 < l.x1 + l.len
+             |WHERE NOT (
+             |  l.y > w.y0 + w.d/3 AND l.y < w.y0 + 2*w.d/3
+             |  AND l.x1 > w.x0 + w.d/3
+             |  AND l.x1 + l.len < w.x0 + 2*w.d/3
+             |  AND NOT (l.y > w.y0 + 4*w.d/9 AND l.y < w.y0 + 5*w.d/9
+             |           AND l.x1 < w.x0 + 5*w.d/9
+             |           AND w.x0 + 4*w.d/9 < l.x1 + l.len))
+             |ORDER BY line_id, poly_id""".stripMargin),
+      doc = "line-in-multipolygon join (crossings against ALL rings OR even-odd parity of the first vertex): courtyard segments inside holes excluded, island-in-hole segments included, vs the closed-form nested-squares oracle with planted branch pins")
   )
 }

@@ -1116,6 +1116,31 @@ object SkewProbe {
             report("ppiwhale_auto", rep, tIA, nIA, hIA,
               if (nIA == nIF && hIA == hIF) " MATCH" else " **MISMATCH**")
             r.unpersist()
+            // r17 (VERDICT task 6): the shape where auto actually WINS
+            // — the r16 rows honestly recorded auto as NOT a local win
+            // at cellDeg 0.1 (3.74M whale key rows are survivable).
+            // Here the cell is sized for the SMALL geometries' own
+            // extent (0.02°, the realistic sizing rule), so the
+            // continent whale fans out 17,000 × 5,500 ≈ 93.5M key rows
+            // single-pass — the 10⁸ regime the r16 row named as the
+            // planet hazard — while the smalls emit ≤ 4 cells each.
+            // Auto bounds the whale at ≤ maxCellsPerPoly coarse keys.
+            val r2 = rects(200000L, 0.02).persist(); r2.count()
+            val planetDeg = 0.02
+            val ((nPF, hPF), tPF) = time(sig(
+              GeoJoin.polygonsIntersect(r2, r2.unionByName(whale),
+                "id", "ring", "id", "ring", cellDeg = planetDeg,
+                selfPairs = true),
+              Seq("id_a", "id_b")))
+            report("ppiplanet_fine", rep, tPF, nPF, hPF)
+            val ((nPA, hPA), tPA) = time(sig(
+              GeoJoin.polygonsIntersectAuto(r2, r2.unionByName(whale),
+                "id", "ring", "id", "ring", cellDeg = planetDeg,
+                selfPairs = true, maxCellsPerPoly = 4096L),
+              Seq("id_a", "id_b")))
+            report("ppiplanet_auto", rep, tPA, nPA, hPA,
+              if (nPA == nPF && hPA == hPF) " MATCH" else " **MISMATCH**")
+            r2.unpersist()
           }
         case "geoscale" =>
           // r16 verdict task 7: the band-tiling constants one decade

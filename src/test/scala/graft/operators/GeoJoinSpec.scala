@@ -653,6 +653,179 @@ class GeoJoinSpec extends SparkSpec {
     assert(got.contains((302L, 201L)))  // the fully-inside path
   }
 
+  test("splitAntimeridianRings: straddling rect splits into west/east " +
+      "closed rings, pass-through untouched, containment over the " +
+      "split == brute ray cast in unwrapped space (concave straddler " +
+      "included)") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    def wrapLon(l: Double): Double =
+      if (l > 180) l - 360 else if (l < -180) l + 360 else l
+    // rings authored in UNWRAPPED lon (170..190) then wrapped — the
+    // form real dateline data arrives in
+    val unwrapped = Seq(
+      (1L, ring((177.3, -20.0), (183.7, -20.0), (183.7, -5.0),
+        (177.3, -5.0))), // straddling rect
+      (2L, ring((178.0, 10.0), (186.0, 10.0), (186.0, 16.0),
+        (182.0, 16.0), (182.0, 13.0), (178.0, 13.0))), // concave L
+      (3L, ring((10.0, 40.0), (20.0, 40.0), (20.0, 50.0),
+        (10.0, 50.0)))) // no straddle: pass-through
+    val polys = unwrapped.map { case (id, r) =>
+      (id, r.map { case (lo, la) => (wrapLon(lo), la) }) }
+    val polyDf = polys.toDF("gid", "rawring").select($"gid",
+      expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("ring"))
+    val split = GeoJoin.splitAntimeridianRings(polyDf, "gid", "ring")
+    val pieces = split.select($"gid", $"part",
+        expr("transform(ring, p -> struct(p.lon, p.lat))"))
+      .as[(Long, Int, Seq[(Double, Double)])].collect()
+    // shape: 1 and 2 straddle -> two parts each; 3 passes through
+    assert(pieces.count(_._1 == 1L) == 2)
+    assert(pieces.count(_._1 == 2L) == 2)
+    val p3 = pieces.filter(_._1 == 3L)
+    assert(p3.length == 1 && p3.head._2 == 0 &&
+      p3.head._3 == polys(2)._2) // byte-identical pass-through
+    pieces.filter(_._1 != 3L).foreach { case (id, part, r) =>
+      assert(r.head == r.last, s"$id/$part not closed")
+      if (part == 0) assert(r.forall(p => p._1 >= 170 && p._1 <= 180), r)
+      else assert(r.forall(p => p._1 >= -180 && p._1 <= -170), r)
+    }
+    // containment: points sprinkled on BOTH sides of the dateline
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map { i =>
+      val lonU = 175.0 + rnd.nextDouble() * 13 // unwrapped 175..188
+      val lat = -25.0 + rnd.nextDouble() * 45
+      (i.toLong, wrapLon(lonU), lat, lonU)
+    }
+    val ptsDf = pts.map(p => (p._1, p._2, p._3)).toDF("id", "lon", "lat")
+    val got = GeoJoin.pointsInPolygons(ptsDf,
+        split.withColumn("pk", struct($"gid", $"part")),
+        "id", "lon", "lat", "pk", "ring", cellDeg = 0.7)
+      .select($"point_id", $"poly_id.gid")
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- pts; g <- unwrapped
+      if GeoJoin.pointInRing(p._4, p._3, g._2) // unwrapped-space truth
+    } yield (p._1, g._1)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // both sides of the dateline actually matched
+    assert(want.exists(w => pts(w._1.toInt - 1)._2 > 0) &&
+      want.exists(w => pts(w._1.toInt - 1)._2 < 0), want.take(10))
+  }
+
+  test("splitAntimeridianPaths: double-crossing path yields 3 parts " +
+      "with ±180 boundary vertices; pointsNearLines finds cross-" +
+      "dateline pairs over the split that the wrapped path misses") {
+    import spark.implicits._
+    val path = Seq((178.0, 0.0), (-178.5, 1.0), (179.0, 2.0),
+      (179.5, 2.5)) // crosses at edges 1 and 2
+    val lineDf = Seq((1L, path)).toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    val parts = GeoJoin.splitAntimeridianPaths(lineDf, "lid", "path")
+      .select($"part", expr("transform(path, p -> struct(p.lon, p.lat))"))
+      .as[(Int, Seq[(Double, Double)])].collect().sortBy(_._1)
+    assert(parts.map(_._1).toSeq == Seq(0, 1, 2), parts.toSeq)
+    // crossing 1: between (178,0) and (181.5,1) unwrapped at t=2/3.5
+    val y1 = 0.0 + (180.0 - 178.0) / 3.5 * 1.0
+    // crossing 2: between (181.5,1) and (179,2) at t=1.5/2.5
+    val y2 = 1.0 + (181.5 - 180.0) / 2.5 * 1.0
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val Seq(p0, p1, p2) = parts.map(_._2).toSeq
+    assert(p0.head == ((178.0, 0.0)) && p0.last._1 == 180.0 &&
+      close(p0.last._2, y1), p0)
+    assert(p1.head._1 == -180.0 && close(p1.head._2, y1) &&
+      p1(1) == ((-178.5, 1.0)) && p1.last._1 == -180.0 &&
+      close(p1.last._2, y2), p1)
+    assert(p2.head._1 == 180.0 && close(p2.head._2, y2) &&
+      p2.last == ((179.5, 2.5)), p2)
+    // non-straddling pass-through
+    val calm = Seq((2L, Seq((10.0, 1.0), (11.0, 2.0))))
+      .toDF("lid", "rawpath").select($"lid",
+        expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("path"))
+    val calmOut = GeoJoin.splitAntimeridianPaths(calm, "lid", "path")
+      .select($"part", expr("transform(path, p -> struct(p.lon, p.lat))"))
+      .as[(Int, Seq[(Double, Double)])].collect()
+    assert(calmOut.toSeq == Seq((0, Seq((10.0, 1.0), (11.0, 2.0)))))
+    // a point just west of the dateline near the path's east-side leg:
+    // the WRAPPED path's planar verify puts it ~360 degrees away (no
+    // match at any city radius); the split parts find it
+    val pt = Seq((100L, -179.9, 0.65)).toDF("id", "lon", "lat")
+    val splitParts = GeoJoin.splitAntimeridianPaths(lineDf, "lid", "path")
+      .withColumn("lk", struct($"lid", $"part"))
+    val found = GeoJoin.pointsNearLines(pt, splitParts,
+        "id", "lon", "lat", "lk", "path", radiusM = 20000.0,
+        cellDeg = 0.5)
+      .select($"point_id", $"line_id.lid", $"dist_m")
+      .as[(Long, Long, Double)].collect()
+    assert(found.length == 1 && found.head._1 == 100L &&
+      found.head._2 == 1L, found.toSeq)
+    val unsplit = GeoJoin.pointsNearLines(pt, lineDf,
+      "id", "lon", "lat", "lid", "path", radiusM = 20000.0, cellDeg = 0.5)
+    assert(unsplit.count() == 0) // the caveat the operator retires
+  }
+
+  test("linesIntersectMultipolygons: courtyard path excluded, annulus " +
+      "path included, hole-boundary crosser included, island-in-hole " +
+      "path included == brute even-odd reference") {
+    import spark.implicits._
+    def ring(ps: (Double, Double)*): Seq[(Double, Double)] =
+      ps.toSeq :+ ps.head
+    val outer = ring((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val hole = ring((3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0))
+    val island = ring((4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5))
+    // mp 1: outer with a hole and an island inside the hole
+    val mp = Seq((1L, Seq(outer, island), Seq(hole)))
+      .toDF("gid", "rawouters", "rawinners")
+      .select($"gid",
+        expr("transform(rawouters, r -> transform(r, " +
+          "p -> struct(p._1 AS lon, p._2 AS lat)))").as("outers"),
+        expr("transform(rawinners, r -> transform(r, " +
+          "p -> struct(p._1 AS lon, p._2 AS lat)))").as("inners"))
+    val lines: Seq[(Long, Seq[(Double, Double)])] = Seq(
+      (10L, Seq((3.6, 3.6), (4.2, 4.2))),      // courtyard: inside hole, NO
+      (11L, Seq((1.0, 1.0), (2.0, 2.2))),      // annulus interior, YES
+      (12L, Seq((3.5, 3.5), (2.0, 3.5))),      // hole -> annulus crosser, YES
+      (13L, Seq((4.7, 4.7), (5.2, 5.1))),      // island-in-hole interior, YES
+      (14L, Seq((-2.0, 5.0), (1.5, 5.0))),     // crosses outer, YES
+      (15L, Seq((12.0, 12.0), (14.0, 13.0))))  // far outside, NO
+    val lineDf = lines.toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    val got = GeoJoin.linesIntersectMultipolygons(lineDf, mp,
+        "lid", "path", "gid", "outers", "inners", cellDeg = 2.0)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 1L), (12L, 1L), (13L, 1L), (14L, 1L)), got)
+    // brute even-odd reference agrees: crossings against ANY ring OR
+    // odd ring-containment parity of the first vertex
+    def cr(ax: Double, ay: Double, bx: Double, by: Double,
+        cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val rings = Seq(outer, island, hole)
+    val want = (for {
+      l <- lines
+      crossed = rings.exists(r => l._2.sliding(2).exists(sa =>
+        r.sliding(2).exists { sb =>
+          val o1 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2,
+            sb(0)._1, sb(0)._2)
+          val o2 = cr(sa(0)._1, sa(0)._2, sa(1)._1, sa(1)._2,
+            sb(1)._1, sb(1)._2)
+          val o3 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2,
+            sa(0)._1, sa(0)._2)
+          val o4 = cr(sb(0)._1, sb(0)._2, sb(1)._1, sb(1)._2,
+            sa(1)._1, sa(1)._2)
+          o1 * o2 < 0 && o3 * o4 < 0
+        }))
+      parity = rings.count(r =>
+        GeoJoin.pointInRing(l._2.head._1, l._2.head._2, r))
+      if crossed || parity % 2 == 1
+    } yield (l._1, 1L)).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
