@@ -1116,15 +1116,41 @@ object SkewProbe {
             report("ppiwhale_auto", rep, tIA, nIA, hIA,
               if (nIA == nIF && hIA == hIF) " MATCH" else " **MISMATCH**")
             r.unpersist()
-            // r17 (VERDICT task 6): the shape where auto actually WINS
-            // — the r16 rows honestly recorded auto as NOT a local win
-            // at cellDeg 0.1 (3.74M whale key rows are survivable).
-            // Here the cell is sized for the SMALL geometries' own
-            // extent (0.02°, the realistic sizing rule), so the
-            // continent whale fans out 17,000 × 5,500 ≈ 93.5M key rows
-            // single-pass — the 10⁸ regime the r16 row named as the
-            // planet hazard — while the smalls emit ≤ 4 cells each.
-            // Auto bounds the whale at ≤ maxCellsPerPoly coarse keys.
+          }
+        case "ppiplanet" =>
+          // r17 (VERDICT task 6): the shape where polygonsIntersectAuto
+          // actually WINS — the r16 ppiwhale rows honestly recorded
+          // auto as NOT a local win at cellDeg 0.1 (3.74M whale key
+          // rows are survivable on local[32]). Here the cell is sized
+          // for the SMALL geometries' own extent (0.02°, the realistic
+          // sizing rule), so the continent whale fans out
+          // 17,000 × 5,500 ≈ 93.5M key rows single-pass — the 10⁸
+          // regime the r16 row named as the planet hazard — while the
+          // smalls emit ≤ 4 cells each. Auto bounds the whale at
+          // ≤ maxCellsPerPoly coarse keys.
+          locally {
+            import graft.operators.GeoJoin
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            def rects(n: Long, side: Double): DataFrame =
+              spark.range(n).select(col("id"),
+                  (pmod(xxhash64(col("id"), lit(12)), lit(340000000L)) / 1e6
+                    - 170).as("lo"),
+                  (pmod(xxhash64(col("id"), lit(13)), lit(110000000L)) / 1e6
+                    - 55).as("la"))
+                .select(col("id"), sexpr(
+                  s"""array(struct(lo AS lon, la AS lat),
+                     |struct(lo + $side AS lon, la AS lat),
+                     |struct(lo + $side AS lon, la + $side AS lat),
+                     |struct(lo AS lon, la + $side AS lat),
+                     |struct(lo AS lon, la AS lat))""".stripMargin)
+                  .as("ring"))
+            val whale = spark.range(1).select(lit(200001L).as("id"), sexpr(
+              """array(struct(-170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, -55.0 AS lat),
+                |struct(170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, 55.0 AS lat),
+                |struct(-170.0 AS lon, -55.0 AS lat))""".stripMargin)
+              .as("ring"))
             val r2 = rects(200000L, 0.02).persist(); r2.count()
             val planetDeg = 0.02
             val ((nPF, hPF), tPF) = time(sig(

@@ -129,6 +129,37 @@ object EllipsoidProperties extends Properties("graft.ellipsoid") {
         regimeOk && d <= dac + dcb + 1e-3
     }
 
+  property("general near-antipodal pairs (lat != 0, dLam -> 180): " +
+      "symmetric, bounded by the polar route, within the haversine " +
+      "flattening band — the regime the r16 audit flagged for " +
+      "endpoint-pinned bisection, drawn explicitly every run") =
+    forAll(lonGen, Gen.chooseNum(0.5, 60.0), Gen.chooseNum(179.3, 180.0),
+        Gen.chooseNum(-1e-3, 1e-3)) {
+      (lon1, lat0, dLamDeg0, eps) =>
+        val dLamDeg = math.max(179.3, math.min(180.0, dLamDeg0))
+        val lat = math.max(0.5, math.min(60.0, lat0))
+        val lon2raw = lon1 + dLamDeg
+        val lon2 = if (lon2raw > 180) lon2raw - 360 else lon2raw
+        // B near A's antipode: lat2 = -lat1 + eps
+        val d = Ellipsoid.geodesicDistanceM(lon1, lat, lon2, -lat + eps)
+        val dRev = Ellipsoid.geodesicDistanceM(lon2, -lat + eps, lon1, lat)
+        // the polar detour (meridian up over the pole and down) is an
+        // upper bound on the geodesic; half of it is a lower bound
+        // scaled by how far the points sit from the poles
+        val viaPole = Ellipsoid.geodesicDistanceM(lon1, lat, lon1, 90.0) +
+          Ellipsoid.geodesicDistanceM(lon1, 90.0, lon2, -lat + eps)
+        val h = {
+          val dLat = math.toRadians((-lat + eps) - lat) / 2
+          val dLon = math.toRadians(lon2 - lon1) / 2
+          val s = math.pow(math.sin(dLat), 2) +
+            math.cos(math.toRadians(lat)) *
+              math.cos(math.toRadians(-lat + eps)) *
+              math.pow(math.sin(dLon), 2)
+          2 * 6371000.0 * math.asin(math.sqrt(s))
+        }
+        rel(d, dRev) < 1e-9 && d <= viaPole + 1e-3 && rel(d, h) < 0.006
+    }
+
   property("distance within 0.6% of haversine (the flattening band)") =
     forAll(lonGen, latGen, Gen.chooseNum(-178.0, 178.0), latGen) {
       (lo1, la1, lo2, la2) =>
