@@ -826,6 +826,23 @@ class GeoJoinSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("plan: splitAntimeridian(Rings|Paths) is shuffle-free — pure " +
+      "per-row Column work, no Exchange in the executed plan") {
+    import spark.implicits._
+    val polyDf = Seq((1L, Seq((179.0, 0.0), (-179.0, 0.0), (-179.0, 1.0),
+        (179.0, 1.0), (179.0, 0.0))))
+      .toDF("gid", "rawring").select($"gid",
+        expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("ring"))
+    val ringPlan = GeoJoin.splitAntimeridianRings(polyDf, "gid", "ring")
+      .queryExecution.executedPlan.toString
+    assert(!ringPlan.contains("Exchange"), ringPlan.take(600))
+    val lineDf = polyDf.withColumnRenamed("ring", "path")
+    val pathPlan = GeoJoin.splitAntimeridianPaths(lineDf, "gid", "path")
+      .queryExecution.executedPlan.toString
+    assert(!pathPlan.contains("Exchange"), pathPlan.take(600))
+  }
+
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
     import spark.implicits._
     val df = cloud(7, 50).toDF("id", "lon", "lat")
