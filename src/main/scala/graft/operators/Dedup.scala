@@ -621,6 +621,43 @@ object Dedup {
       scala.util.Try(partsBefore.trim.toLong).toOption.filter(_ > 0).getOrElse(200L),
       edgeCount / 500000L + 1L)
 
+  /** Re-root a loop's persisted state relation in the loop session
+    * and, when the measured loop width is NARROWER than the relation's
+    * cached partitioning, materialize a coalesced loop-width copy.
+    *
+    * Why: [[loopShufflePartitions]] sizes the per-round SHUFFLES from
+    * the measured edge count, but the edge relation itself was
+    * persisted under the caller's session width — so every round's
+    * MAP stage still scheduled session-width tasks over it. At
+    * local[32] that inverted the core-scaling of the iterative
+    * small-state loops (doc_host_scores 8.2 s at 4 cores → 16.7 s at
+    * 32: each tiny integer-exact round paid 32 tasks of scheduling
+    * for 4 cores' worth of work). Coalescing ONCE before iterating
+    * makes every subsequent round's task count follow the state
+    * relation's size, not the session default — on a 1000-executor
+    * cluster the same discipline keeps a 10³-host PageRank from
+    * scheduling cluster-width no-op tasks per round, while a
+    * 10⁹-edge graph (loopParts = session width) is returned
+    * untouched, zero extra passes.
+    *
+    * The coalesced copy is persisted and counted here (one narrow
+    * pass over already-cached partitions); callers unpersist BOTH the
+    * returned frame and the parent relation when the loop ends —
+    * `unpersist()` on the un-coalesced passthrough is a no-op-safe
+    * duplicate of the parent's.
+    */
+  private[operators] def loopStateRelation(
+      loopSession: org.apache.spark.sql.SparkSession,
+      persisted: DataFrame, loopParts: Long): DataFrame = {
+    val re = org.apache.spark.sql.graft.Bridge.inSession(loopSession, persisted)
+    val cachedWidth = re.rdd.getNumPartitions
+    if (loopParts < cachedWidth) {
+      val narrow = re.coalesce(math.max(1L, loopParts).toInt).persist()
+      narrow.count()
+      narrow
+    } else re
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String = "id", compOut: String = "component",
       maxIter: Int = 25): DataFrame = {
@@ -653,8 +690,9 @@ object Dedup {
     loopSession.conf.set(aqeKey, "false")
     loopSession.conf.set(partsKey, loopParts.toString)
     // re-root the cached edges in the loop session (cache hit via the
-    // shared CacheManager — data is not recomputed)
-    val edges = org.apache.spark.sql.graft.Bridge.inSession(loopSession, edgesParent)
+    // shared CacheManager — data is not recomputed), coalesced to loop
+    // width so each round's map stage schedules loopParts tasks
+    val edges = loopStateRelation(loopSession, edgesParent, loopParts)
     try {
     // convergence witness: sum(label) strictly decreases while any label
     // changes (labels only move down), so sum-equality <=> fixpoint. The
@@ -714,6 +752,7 @@ object Dedup {
     labels.unpersist()
     out
     } finally {
+      edges.unpersist()
       edgesParent.unpersist()
     }
   }
@@ -837,11 +876,17 @@ object Dedup {
     val partsKey = "spark.sql.shuffle.partitions"
     val partsBefore = parent.conf.get(partsKey, "200")
     val edgeCount = e.count()
+    val loopParts = loopShufflePartitions(partsBefore, edgeCount)
     val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(parent)
     loopSession.conf.set(aqeKey, "false")
-    loopSession.conf.set(partsKey,
-      loopShufflePartitions(partsBefore, edgeCount).toString)
+    loopSession.conf.set(partsKey, loopParts.toString)
     e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, e)
+    // round 1's dozen references to `e` scan the parent-width
+    // checkpoint; a narrow coalesce (no re-checkpoint — one round of
+    // lineage) drops its map stages to loop width. Rounds 2+ already
+    // inherit loopParts from the round shuffles.
+    if (loopParts < e.rdd.getNumPartitions)
+      e = e.coalesce(math.max(1L, loopParts).toInt)
     var w = witness(e)
     var converged = false
     var it = 0

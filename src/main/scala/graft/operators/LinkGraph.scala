@@ -111,7 +111,9 @@ object LinkGraph {
     // (the ranks side is one row per node, the splittable shape).
     if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val eo = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
+    // coalesce the loop state ONCE so per-round MAP stages schedule
+    // loopParts tasks, not session width (the r17 core-inversion fix)
+    val eo = Dedup.loopStateRelation(loopSession, eoParent, loopParts)
     val base = (scale * (dampDen - dampNum)) / dampDen
     // per-node teleport base: the constant everywhere, or (seeded)
     // the constant on the seed set and 0 elsewhere — carried as a
@@ -177,6 +179,7 @@ object LinkGraph {
       it += 1
     }
     dangling.foreach(_.unpersist())
+    eo.unpersist()
     eoParent.unpersist()
     nodes.unpersist()
     // re-root the result in the caller's session (cache hit via the
@@ -221,7 +224,8 @@ object LinkGraph {
       parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
     if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eoParent)
+    // loop-width map stages — see pageRankInt's coalesce note
+    val e = Dedup.loopStateRelation(loopSession, eoParent, loopParts)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // warm start: the loop's only carried state is hub (auth derives
@@ -264,6 +268,7 @@ object LinkGraph {
     }
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
+    e.unpersist()
     eoParent.unpersist()
     nodes.unpersist()
     org.apache.spark.sql.graft.Bridge.inSession(parent, out)
@@ -308,7 +313,8 @@ object LinkGraph {
       parent.conf.get("spark.sql.shuffle.partitions", "200"), edgeCount)
     if (loopParts <= 1) loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eParent)
+    // loop-width map stages — see pageRankInt's coalesce note
+    val e = Dedup.loopStateRelation(loopSession, eParent, loopParts)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // one rescaled side: nodes ⟕ raw sums, g from the 1-row max
@@ -355,6 +361,7 @@ object LinkGraph {
     }
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
+    e.unpersist()
     eParent.unpersist()
     nodes.unpersist()
     org.apache.spark.sql.graft.Bridge.inSession(parent, out)
@@ -521,7 +528,8 @@ object LinkGraph {
     if (loopParts <= 1)
       loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val e = org.apache.spark.sql.graft.Bridge.inSession(loopSession, eParent)
+    // loop-width map stages — see pageRankInt's coalesce note
+    val e = Dedup.loopStateRelation(loopSession, eParent, loopParts)
     var visited = org.apache.spark.sql.graft.Bridge.inSession(loopSession,
         seeds.select(col("node")).distinct())
       .withColumn("depth", lit(0L)).persist()
@@ -535,11 +543,17 @@ object LinkGraph {
         .withColumn("depth", lit(d)).persist()
       drained = next.count() == 0L
       if (!drained) {
-        val grown = visited.unionByName(next).localCheckpoint()
+        // union concatenates partition lists (|visited| + |next| per
+        // round — linear growth in task count over rounds); coalesce
+        // back to loop width before the checkpoint so every later
+        // round's anti-join map side stays loopParts tasks
+        val grown = visited.unionByName(next)
+          .coalesce(math.max(1L, loopParts).toInt).localCheckpoint()
         visited.unpersist(); visited = grown; frontier = next
       } else next.unpersist()
       d += 1
     }
+    e.unpersist()
     eParent.unpersist()
     visited
   }

@@ -348,4 +348,25 @@ class LinkGraphSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq
     assert(exactN == exact && bloomN == exact)
   }
+
+  test("loopStateRelation coalesces the loop state below session width " +
+      "(the r17 per-round scheduling fix)") {
+    import spark.implicits._
+    // a tiny persisted relation deliberately spread over many partitions
+    val wide = (1 to 100).toDF("x").repartition(16).persist()
+    wide.count()
+    try {
+      val loopSession = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+      // narrow loop → the state relation follows the loop width, so
+      // every per-round map stage schedules loopParts tasks
+      val narrow = Dedup.loopStateRelation(loopSession, wide, 2L)
+      assert(narrow.rdd.getNumPartitions == 2)
+      assert(narrow.as[Int].collect().sorted.toSeq == (1 to 100))
+      narrow.unpersist()
+      // loop width >= cached width → passthrough, zero extra passes
+      val same = Dedup.loopStateRelation(loopSession, wide, 64L)
+      assert(same.rdd.getNumPartitions == 16)
+      same.unpersist()
+    } finally wide.unpersist()
+  }
 }
