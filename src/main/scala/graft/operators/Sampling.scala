@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Deterministic sampling for training-data pipelines. Every form keys
   * off a portable hash of a stable id (split multiplicative mix +
@@ -623,11 +624,18 @@ object Sampling {
     * update saturates (a ≥40×-reference domain already takes the max
     * multiplicative bump each round; DRO ordering among saturated
     * domains is preserved by n_docs/renormalization, not lost) instead
-    * of corrupting the state. Remaining input-side contract: the
-    * pre-clamp `(Σloss − n·ref)·scale` must itself fit in a Long —
-    * Σexcess ≤ ~9.2e18/scale per domain (9.2e12 loss units at the
-    * default scale); beyond that, pre-aggregate losses in coarser
-    * units. The domain relation is tiny
+    * of corrupting the state. The input side is guarded too (r18):
+    * Σloss aggregates in Decimal(38,0) — exact to 10³⁸, matching the
+    * oracle engine's int128 sum — and the pre-clamp
+    * `(Σloss − n·ref)·scale` product stays decimal until AFTER the
+    * `div`, so a domain whose excess once wrapped the old Long
+    * arithmetic (Σexcess·scale > 2⁶³) now lands exactly on the capQ
+    * saturation arm: an over-Long quotient is by definition ≥ capQ,
+    * so `least` returns capQ whether the quotient evaluated exactly
+    * (decimal headroom) or overflowed Long semantics upstream of the
+    * clamp (ANSI errors loudly; non-ANSI nulls, which `least` skips —
+    * both resolve to the same capped value, spec-pinned). No silent
+    * negative-weight path remains. The domain relation is tiny
     * (thousands at web scale), so the unrolled `rounds`-deep lineage
     * is the cheap part; the corpus is touched ONCE by the initial
     * aggregate. Feed the output weights to [[weightedByHash]] /
@@ -649,12 +657,17 @@ object Sampling {
     // under the scale require, and the 9e9 arm bounds w·excess_q
     val capQ = math.min(8L * scale * scale / etaNum, 9000000000L)
     val T = 1000000000L
+    // Σloss in Decimal(38,0): exact where the old sum(CAST(long))
+    // wrapped silently, and the (Σloss − n·ref)·scale product stays
+    // decimal through the div — see the scaladoc saturation argument
     val e = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col(lossCol).cast("long")).as("__sl"))
+        sum(col(lossCol).cast(types.DecimalType(38, 0))).as("__sl"))
       .withColumn("excess_q", expr(
-        s"least((greatest(CAST(0 AS BIGINT), __sl - n_docs * $refLoss)" +
-          s" * $scale) div (n_docs * $refLoss), CAST($capQ AS BIGINT))"))
+        s"least((greatest(CAST(0 AS DECIMAL(38,0)), __sl - " +
+          s"CAST(n_docs AS DECIMAL(38,0)) * $refLoss)" +
+          s" * $scale) div (CAST(n_docs AS DECIMAL(38,0)) * $refLoss), " +
+          s"CAST($capQ AS BIGINT))"))
       .select(col("domain"), col("n_docs"), col("excess_q"))
     var rel = e.withColumn("w", lit(scale))
     for (_ <- 1 to rounds) {

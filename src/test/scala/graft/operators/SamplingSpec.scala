@@ -525,4 +525,26 @@ class SamplingSpec extends SparkSpec {
         etaNum = 2000000L)
     }
   }
+
+  test("domainReweightInt input-side guard (r17 verdict): a domain " +
+      "whose pre-clamp excess*scale exceeds Long.Max lands exactly on " +
+      "capQ via the decimal aggregate instead of wrapping") {
+    // one doc with loss 1e13: Σexcess·scale ≈ 1e19 > 2^63 — the old
+    // long-typed product wrapped NEGATIVE (greatest already passed, so
+    // the wrap reached excess_q and the weights). In decimal the
+    // quotient evaluates exactly (~3.3e16) and saturates at capQ.
+    val docs = Seq(
+      (1L, "whale", 10000000000000L), (2L, "tiny", 300L))
+      .toDF("doc_id", "source", "loss")
+    val got = Sampling.domainReweightInt(docs, "source", "loss",
+        refLoss = 300L, rounds = 3)
+      .select($"domain", $"excess_q", $"weight")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val capQ = 8L * 1000000L * 1000000L / 200000L
+    assert(got("whale")._1 == capQ, got)
+    assert(got("tiny")._1 == 0L)
+    assert(got.values.forall(_._2 > 0L), got) // no wrapped weights
+    assert(got("whale")._2 > got("tiny")._2)
+  }
 }
