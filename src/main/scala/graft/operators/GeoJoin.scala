@@ -419,16 +419,17 @@ object GeoJoin {
     * meters (111320·cos φ̄, 110574). Built-ins only, operation-for-
     * operation reproducible in a SQL oracle; relative error vs the
     * geodesic is O((R/R_earth)²) + O(Δφ·tanφ̄) — the road-radius
-    * regime this join exists for. Same caveats as the polygon join:
-    * lines crossing the antimeridian must be split upstream (or run
-    * through [[splitAntimeridianPaths]] first), and the lon margin
-    * clamps its cosine at 86° (|φ| ≤ 85° data — the OSM Mercator
-    * envelope — stays exact). Poleward of the clamp, candidate cells
-    * can under-cover and pairs may be MISSED — surfaced at runtime by
-    * the `pnl_polar_clamp.clamped_segments` observe() metric, which
-    * fires > 0 iff any segment's margin was clamped (the
-    * neardup_bucket_cap loss-accounting discipline). A degenerate
-    * zero-length segment verifies as point-to-point (t = 0).
+    * regime this join exists for. Lines crossing the antimeridian
+    * must be split upstream (or use [[pointsNearLinesSafe]], which
+    * splits internally). POLAR-COMPLETE since r18: the lon margin
+    * still clamps its cosine at 86°, but segments the clamp could
+    * under-cover (mean |lat| > 86° is the only missable regime — see
+    * the in-body proof sketch) additionally route through an exact
+    * lat-band pass, so no pair is missed at ANY latitude; the
+    * `pnl_polar_exact_<n>.polar_segments` observe() metric (name
+    * unique per call) counts the segments that took the polar pass.
+    * A degenerate zero-length segment verifies as point-to-point
+    * (t = 0).
     *
     * Scale shape: one explode per segment (linear in total vertices),
     * bbox-cover explode bounded by segment length / cellDeg, one
@@ -464,21 +465,20 @@ object GeoJoin {
         col("__seg").getField("1").getField("lon").as("__blon"),
         col("__seg").getField("1").getField("lat").as("__blat"))
     val latMargin = radiusM / MPerLatDeg
-    val farAbs = least(lit(86.0),
-      greatest(abs(col("__alat")), abs(col("__blat"))) + latMargin)
+    val farLat = greatest(abs(col("__alat")), abs(col("__blat")))
+    val farAbs = least(lit(86.0), farLat + latMargin)
     val lonMargin = lit(radiusM) / (lit(MPerLonDegEq) * cos(radians(farAbs)))
-    // the clamp above caps the lon margin's cosine at 86°, so a
-    // segment poleward of ~(86° − latMargin) gets an UNDER-COVERED
-    // candidate cell range and can silently miss matches. Surface
-    // that at runtime instead of scaladoc-only (r17 ADVICE — the
-    // neardup_bucket_cap discipline): `pnl_polar_clamp.clamped_segments`
-    // fires > 0 iff any segment's margin was clamped, i.e. iff the
-    // output may be recall-incomplete. Rides the existing segs
-    // relation — no extra scan, and pairs equatorward of the clamp
-    // are exact as before.
-    val segsGuarded = segs.observe("pnl_polar_clamp",
+    // the clamp above caps the lon margin's cosine at 86° — poleward
+    // of that the fine grid's candidate range under-covers, and the
+    // POLAR EXACT PASS below picks those segments up instead (r18 —
+    // the former "pairs may be MISSED" contract is retired). The
+    // observe now counts segments ROUTED to the polar pass; its name
+    // is unique per call (r17 ADVICE: two pointsNearLines composed
+    // into one executed plan collided on the fixed observation name).
+    val obsName = s"pnl_polar_exact_${pnlObsId.getAndIncrement()}"
+    val segsGuarded = segs.observe(obsName,
       sum(when(greatest(abs(col("__alat")), abs(col("__blat"))) +
-        latMargin > 86.0, 1L).otherwise(0L)).as("clamped_segments"))
+        latMargin > 86.0, 1L).otherwise(0L)).as("polar_segments"))
     val cand = segsGuarded
       .withColumn("__cx", explode(sequence(
         cx(least(col("__alon"), col("__blon")) - lonMargin),
@@ -502,13 +502,39 @@ object GeoJoin {
         (px * bx + py * by) / den)))
     val dist = sqrt((px - t * bx) * (px - t * bx) +
       (py - t * by) * (py - t * by))
-    cand.withColumn("__d", dist)
+    // POLAR EXACT PASS (r18): the fine grid is exact only while the
+    // clamp doesn't bind — a missed pair needs the segment's MEAN
+    // |lat| > 86° (else cos(φ̄) ≥ cos 86° and the clamped margin still
+    // covers), which forces the segment's min |lat| > 82° and the
+    // matching point's |lat| > 82° − latMargin. Both populations are
+    // tiny by construction (poleward of the OSM Mercator envelope),
+    // so they join on a 1-D LAT-BAND key alone — lon-free, immune to
+    // the cosine blow-up — and verify with the SAME distance
+    // expression. The union can duplicate a (point, line) candidate
+    // the fine pass also saw; the min-aggregate absorbs it exactly.
+    val polarSegs = segs.filter(farLat + latMargin > 86.0)
+    val polarPts = pts.drop("__cx")
+      .filter(abs(col("__plat")) > 82.0 - latMargin - cellDeg)
+    val polarCand = polarSegs
+      .withColumn("__cy", explode(sequence(
+        cy(least(col("__alat"), col("__blat")) - latMargin),
+        cy(greatest(col("__alat"), col("__blat")) + latMargin))))
+      .join(polarPts, Seq("__cy"))
+    val fineD = cand.withColumn("__d", dist)
+      .select(col("__pid"), col("__lid"), col("__d"))
+    val polarD = polarCand.withColumn("__d", dist)
+      .select(col("__pid"), col("__lid"), col("__d"))
+    fineD.unionByName(polarD)
       .groupBy(col("__pid"), col("__lid"))
       .agg(min(col("__d")).as("dist_m"))
       .filter(col("dist_m") <= radiusM)
       .select(col("__pid").as("point_id"), col("__lid").as("line_id"),
         col("dist_m"))
   }
+
+  // per-call suffix for pointsNearLines' observation name — two calls
+  // composed into one executed plan must not collide (r17 ADVICE)
+  private val pnlObsId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Polyline-polyline CROSSING join — where do roads cross roads
     * (bridge/junction detection), the line-line cell of the pairing
@@ -815,12 +841,20 @@ object GeoJoin {
         p.getField("lat").as("lat")))
     val asPiece = (part: Int, piece: Column) =>
       struct(lit(part).as("part"), piece.as("piece"))
+    val passThrough = array(asPiece(0,
+      transform(r, p => struct(p.getField("lon").as("lon"),
+        p.getField("lat").as("lat")))))
+    val clipped = filter(array(asPiece(0, west), asPiece(1, east)),
+      x => size(x.getField("piece")) >= 4)
+    // degenerate-sliver guard (r17 ADVICE): a straddling ring whose
+    // BOTH clipped pieces fall under 4 vertices (a sliver touching
+    // lon 180) must not vanish from the relation — fall back to
+    // pass-through as part 0 so downstream joins still see the row
+    // (its wrapped bbox over-covers, costing candidates, never
+    // correctness; the loss-accounting discipline: no silent drops)
     val parts = when(straddles,
-        filter(array(asPiece(0, west), asPiece(1, east)),
-          x => size(x.getField("piece")) >= 4))
-      .otherwise(array(asPiece(0,
-        transform(r, p => struct(p.getField("lon").as("lon"),
-          p.getField("lat").as("lat"))))))
+        when(size(clipped) > 0, clipped).otherwise(passThrough))
+      .otherwise(passThrough)
     polys.withColumn("__amp", explode(parts))
       .withColumn("part", col("__amp.part"))
       .withColumn(ringCol, col("__amp.piece"))
@@ -898,6 +932,55 @@ object GeoJoin {
       .withColumn("part", col("__amp.part"))
       .withColumn(pathCol, col("__amp.piece"))
       .drop("__amp")
+  }
+
+  /** GEOMETRY-NORMALIZING containment join — the one-call DEFAULT
+    * path that retires the caller recipe the grid joins documented
+    * through r17 ("run [[splitAntimeridianRings]] first and key by
+    * (id, part)"): RAW rings, dateline-straddling or not, whale or
+    * not, go straight in. Internally: antimeridian split → rekey by
+    * (id, part) → [[pointsInPolygonsAuto]] (so continent-bbox whales
+    * take their coarse pass too) → matches aggregated back to the
+    * ORIGINAL id. The split pieces are interior-disjoint, so the
+    * final distinct only dedupes the measure-zero seam (a point at
+    * exactly lon ±180). Same output contract: (point_id, poly_id).
+    *
+    * Scale shape: the split is per-row Column work (no shuffle), the
+    * join is the probed auto-split grid join, and the de-dup rides
+    * the join's existing distinct — normalization adds ZERO extra
+    * shuffles over the manual recipe.
+    */
+  def pointsInPolygonsSafe(points: DataFrame, polys: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      gId: String, ringCol: String, cellDeg: Double = 0.5,
+      maxCellsPerPoly: Long = 4096L): DataFrame = {
+    val split = splitAntimeridianRings(polys, gId, ringCol)
+      .withColumn("__nk", struct(col(gId).as("id"), col("part")))
+    pointsInPolygonsAuto(points, split, pId, pLon, pLat,
+        "__nk", ringCol, cellDeg, maxCellsPerPoly)
+      .select(col("point_id"), col("poly_id").getField("id").as("poly_id"))
+      .distinct()
+  }
+
+  /** [[pointsInPolygonsSafe]] for the point-to-polyline distance
+    * join: RAW paths (any number of dateline crossings) through
+    * [[splitAntimeridianPaths]], the (id, part) rekey, and
+    * [[pointsNearLines]] — with the per-(point, line) MINIMUM taken
+    * across parts, so the output contract matches the unsplit
+    * operator exactly (the crossing vertex is shared by both
+    * adjacent parts at lon ±180, and the min absorbs the duplicate
+    * distance). Output: (point_id, line_id, dist_m).
+    */
+  def pointsNearLinesSafe(points: DataFrame, lines: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      lId: String, pathCol: String,
+      radiusM: Double, cellDeg: Double = 0.5): DataFrame = {
+    val split = splitAntimeridianPaths(lines, lId, pathCol)
+      .withColumn("__nk", struct(col(lId).as("id"), col("part")))
+    pointsNearLines(points, split, pId, pLon, pLat,
+        "__nk", pathCol, radiusM, cellDeg)
+      .groupBy(col("point_id"), col("line_id").getField("id").as("line_id"))
+      .agg(min(col("dist_m")).as("dist_m"))
   }
 
   /** Line-MULTIPOLYGON intersection join — [[linesIntersectPolygons]]

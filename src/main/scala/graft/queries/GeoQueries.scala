@@ -387,6 +387,77 @@ object GeoQueries {
              |ORDER BY point_id, line_id""".stripMargin),
       doc = "point-to-polyline distance join: segment bbox-cover grid candidates + planar clamp-projection verify + exact min-per-line vs the naive point-x-segment oracle"),
 
+    // POLAR-COMPLETE distance join (r18 — retires the clamp's "pairs
+    // may be MISSED" contract): meridian research-station segments at
+    // |lat| 86..89 vs points whose lon offsets reach far past the
+    // 86-degree-clamped margin (2.58 deg at R=20 km) while the TRUE
+    // margin at 89 deg is ~10.6 deg — a large planted population of
+    // pairs the pre-r18 fine grid provably missed (the
+    // pnl_polar_clamp metric counted them; now the polar lat-band
+    // pass finds them). The oracle is the NAIVE form again: every
+    // (point, segment) pair bbox-prefiltered at ±15 deg lon / ±0.25
+    // deg lat (≥ the widest true margin, so only impossible pairs
+    // drop), the identical distance expression, min per pair.
+    Q("poi_near_way_line_polar",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        val pts = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(col("o_orderkey").as("id"),
+            ((col("o_totalprice") % 340) - 170 + 0.0005).as("lon"),
+            (lit(86.01) + (col("o_orderkey") % 300) / 100.0 +
+              (col("o_orderkey") % 97) / 5000.0).as("lat"))
+        val lines = Tables.part(s, dir)
+          .filter(pmod(col("p_partkey"), lit(5)) === 0)
+          .select(col("p_partkey").as("lid"),
+            ((col("p_retailprice") % 340) - 170).as("lon0"),
+            (lit(86.0) + (col("p_partkey") % 300) / 100.0).as("lat0"))
+          .select(col("lid"), array(
+            struct(col("lon0").as("lon"), col("lat0").as("lat")),
+            struct(col("lon0").as("lon"),
+              (col("lat0") + 0.02).as("lat"))).as("path"))
+        GeoJoin.pointsNearLines(pts, lines, "id", "lon", "lat",
+            "lid", "path", 20000.0, cellDeg = 0.5)
+          .select(col("point_id"), col("line_id"),
+            round(col("dist_m"), 0).as("dist_m"))
+          .orderBy(col("point_id"), col("line_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 340) - 170 + 0.0005 AS lon,
+             |               86.01 + (o_orderkey % 300) / 100.0
+             |                 + (o_orderkey % 97) / 5000.0 AS lat
+             |             FROM orders WHERE o_orderkey % 20 = 0),
+             |segs AS (SELECT p_partkey AS lid,
+             |           (p_retailprice % 340) - 170 AS alon,
+             |           86.0 + (p_partkey % 300) / 100.0 AS alat,
+             |           (p_retailprice % 340) - 170 AS blon,
+             |           86.0 + (p_partkey % 300) / 100.0 + 0.02 AS blat
+             |         FROM part WHERE p_partkey % 5 = 0),
+             |d1 AS (SELECT p.id AS pid, s.lid AS lid,
+             |         (s.blon - s.alon)
+             |           * (111320.0 * cos(radians((s.alat + s.blat) / 2))) AS bx,
+             |         (s.blat - s.alat) * 110574.0 AS by,
+             |         (p.lon - s.alon)
+             |           * (111320.0 * cos(radians((s.alat + s.blat) / 2))) AS px,
+             |         (p.lat - s.alat) * 110574.0 AS py
+             |       FROM pts p JOIN segs s
+             |         ON p.lon >= s.alon - 15.0 AND p.lon <= s.alon + 15.0
+             |        AND p.lat >= s.alat - 0.25 AND p.lat <= s.blat + 0.25),
+             |d2 AS (SELECT pid, lid, px, py, bx, by,
+             |         CASE WHEN bx * bx + by * by = 0 THEN 0.0
+             |              ELSE greatest(0.0, least(1.0,
+             |                (px * bx + py * by) / (bx * bx + by * by))) END AS t
+             |       FROM d1),
+             |d3 AS (SELECT pid, lid,
+             |         sqrt((px - t * bx) * (px - t * bx)
+             |            + (py - t * by) * (py - t * by)) AS dist
+             |       FROM d2)
+             |SELECT pid AS point_id, lid AS line_id,
+             |       round(min(dist), 0) AS dist_m
+             |FROM d3 GROUP BY pid, lid HAVING min(dist) <= 20000.0
+             |ORDER BY point_id, line_id""".stripMargin),
+      doc = "polar-complete point-to-polyline join (r18): planted |lat| 86-89 pairs far past the cosine-clamped margin — provably missed by the pre-r18 fine grid — found via the polar lat-band exact pass vs the naive oracle"),
+
     // Polygon-polygon INTERSECTION join — ways vs the same ways
     // shifted a half lattice step (+0.0005°, both axes): the shift
     // guarantees no two rectangles ever share a boundary (edges live
@@ -792,6 +863,54 @@ object GeoQueries {
              | AND p.lat > h.la1 AND p.lat < h.la2
              |ORDER BY point_id, poly_id""".stripMargin),
       doc = "antimeridian-split containment: dateline-straddling rings split into west/east pieces (splitAntimeridianRings), grid containment over the pieces vs the pre-split-halves oracle; points on BOTH sides of the dateline match"),
+
+    // The r18 NORMALIZED default path: the SAME planted dateline
+    // rectangles and the SAME pre-split-halves oracle as
+    // way_dateline_containment, but the RAW wrapped rings go straight
+    // into pointsInPolygonsSafe — no caller-side split, no (id, part)
+    // rekey. Passing against the identical oracle proves the
+    // geometry-normalizing surface reproduces the manual recipe
+    // byte-for-byte (the r17 VERDICT task: "running RAW dateline-
+    // straddling geometry through the un-prefixed join surface").
+    Q("way_dateline_containment_raw",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
+        val rects = Seq(
+          (1L, 177.303, -176.297, -20.103, -4.897),
+          (2L, 179.203, -178.597, 30.053, 44.353),
+          (3L, 10.153, 20.853, -5.453, 8.253))
+          .toDF("wid", "wlo", "elo", "sla", "nla")
+        val polys = rects.select(col("wid"), expr(
+          "array(named_struct('lon', wlo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', sla))").as("ring"))
+        GeoJoin.pointsInPolygonsSafe(pts, polys, "id", "lon", "lat",
+            "wid", "ring", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 360) - 180 + 0.0005 AS lon,
+             |               (o_orderkey % 170) - 85 + 0.0005 AS lat
+             |             FROM orders),
+             |halves(wid, lo1, lo2, la1, la2) AS (VALUES
+             |  (1, 177.303, 180.0, -20.103, -4.897),
+             |  (1, -180.0, -176.297, -20.103, -4.897),
+             |  (2, 179.203, 180.0, 30.053, 44.353),
+             |  (2, -180.0, -178.597, 30.053, 44.353),
+             |  (3, 10.153, 20.853, -5.453, 8.253))
+             |SELECT p.id AS point_id, CAST(h.wid AS BIGINT) AS poly_id
+             |FROM pts p JOIN halves h
+             |  ON p.lon > h.lo1 AND p.lon < h.lo2
+             | AND p.lat > h.la1 AND p.lat < h.la2
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "geometry-normalizing containment (r18): RAW wrapped dateline rings through pointsInPolygonsSafe (internal split + rekey + aggregate-back) vs the same pre-split-halves oracle as the manual-recipe query"),
 
     // The PATH form of the split, replayed vertex-by-vertex in the
     // oracle: zigzag routes near the dateline (some straddling, some

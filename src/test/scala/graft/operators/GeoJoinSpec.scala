@@ -372,6 +372,141 @@ class GeoJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("pointsNearLines is POLAR-COMPLETE (r18): pairs the 86-degree " +
+      "cosine clamp under-covered are found by the polar exact pass; " +
+      "brute-force parity at 89.9 degrees both hemispheres") {
+    import spark.implicits._
+    // point 0.9 deg of lon from a meridian segment at |lat| 89.9:
+    // true east-west separation ~175 m << R=1000 m, but the clamped
+    // lon margin (cos 86 -> 0.129 deg) left the point's 0.5-deg cell
+    // uncovered — this exact pair was MISSED before r18 (the
+    // pnl_polar_clamp loss contract)
+    val pts = Seq(
+      (1L, 0.9, 89.9), (2L, 0.9, -89.9), // the formerly-missed pairs
+      (3L, 0.04, 89.9),                  // same-cell pair (always found)
+      (4L, 10.0, 45.0))                  // equatorward control, no match
+    val lines: Seq[(Long, Seq[(Double, Double)])] = Seq(
+      (101L, Seq((0.0, 89.89), (0.0, 89.91))),
+      (102L, Seq((0.0, -89.91), (0.0, -89.89))),
+      (103L, Seq((10.0, 44.99), (10.0, 45.01))))
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val lineDf = lines.toDF("lid", "rawpath").select($"lid",
+      expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+        .as("path"))
+    val radius = 1000.0
+    val got = GeoJoin.pointsNearLines(ptsDf, lineDf,
+        "id", "lon", "lat", "lid", "path", radius, cellDeg = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val want = (for {
+      p <- pts; (lid, path) <- lines
+      d = path.sliding(2).map { s =>
+        segDist(p._2, p._3, s.head._1, s.head._2, s.last._1, s.last._2)
+      }.min
+      if d <= radius
+    } yield ((p._1, lid), d)).toMap
+    assert(want.contains((1L, 101L)) && want.contains((2L, 102L)),
+      "test geometry no longer plants the clamp-missable pairs")
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    got.foreach { case (k, d) => assert(math.abs(d - want(k)) < 1e-9, k) }
+    // the polar pass stays an equi-join (lat-band key), no nested loop
+    val plan = GeoJoin.pointsNearLines(ptsDf, lineDf,
+        "id", "lon", "lat", "lid", "path", radius, cellDeg = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("pointsInPolygonsSafe / pointsNearLinesSafe: RAW dateline-" +
+      "straddling geometry through the default surface == the manual " +
+      "split-first recipe; ids aggregate back to the original key") {
+    import spark.implicits._
+    def wrapLon(l: Double): Double =
+      if (l > 180) l - 360 else if (l < -180) l + 360 else l
+    // straddling rect (unwrapped 177.3..183.7) + a non-straddler
+    val rects = Seq(
+      (1L, Seq((177.3, -20.0), (183.7, -20.0), (183.7, -5.0),
+        (177.3, -5.0), (177.3, -20.0))),
+      (2L, Seq((10.0, 40.0), (20.0, 40.0), (20.0, 50.0),
+        (10.0, 50.0), (10.0, 40.0))))
+    val polyDf = rects.map { case (id, r) =>
+      (id, r.map { case (lo, la) => (wrapLon(lo), la) }) }
+      .toDF("gid", "rawring").select($"gid",
+        expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("ring"))
+    val rnd = new scala.util.Random(31)
+    val pts = (1 to 300).map { i =>
+      val lonU = 175.0 + rnd.nextDouble() * 13
+      (i.toLong, wrapLon(lonU), -25.0 + rnd.nextDouble() * 25, lonU)
+    }
+    val ptsDf = pts.map(p => (p._1, p._2, p._3)).toDF("id", "lon", "lat")
+    val gotSafe = GeoJoin.pointsInPolygonsSafe(ptsDf, polyDf,
+        "id", "lon", "lat", "gid", "ring", cellDeg = 0.5)
+      .as[(Long, Long)].collect().toSet
+    // manual recipe (the r17 caller contract) must agree exactly
+    val manual = {
+      val split = GeoJoin.splitAntimeridianRings(polyDf, "gid", "ring")
+        .withColumn("pk", struct($"gid", $"part"))
+      GeoJoin.pointsInPolygons(ptsDf, split, "id", "lon", "lat",
+          "pk", "ring", cellDeg = 0.5)
+        .select($"point_id", $"poly_id.gid".as("poly_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+    }
+    assert(gotSafe == manual)
+    // brute reference in unwrapped space: inside the rect bounds
+    val wantIn = (for {
+      p <- pts
+      if p._4 > 177.3 && p._4 < 183.7 && p._3 > -20.0 && p._3 < -5.0
+    } yield (p._1, 1L)).toSet
+    assert(gotSafe.filter(_._2 == 1L) == wantIn)
+    assert(gotSafe.exists { case (pid, g) => g == 1L &&
+      pts.find(_._1 == pid).exists(_._2 < 0) }) // east-side match
+    // paths: a straddling route near the rect's latitudes
+    val lineDf = Seq(
+      (201L, Seq((179.2, -10.0), (-179.2, -10.0)).map(p =>
+        (wrapLon(p._1), p._2))),
+      (202L, Seq((10.5, 45.0), (10.7, 45.0))))
+      .toDF("lid", "rawpath").select($"lid",
+        expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("path"))
+    val nearPts = Seq(
+      (11L, 179.9, -10.001), (12L, -179.9, -10.001), // both sides
+      (13L, 10.6, 45.001)).toDF("id", "lon", "lat")
+    val safe = GeoJoin.pointsNearLinesSafe(nearPts, lineDf,
+        "id", "lon", "lat", "lid", "path", radiusM = 500.0,
+        cellDeg = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    // each planted point sits ~111 m off its line: all three match,
+    // the dateline pair via the two split parts aggregated back
+    assert(safe.keySet == Set((11L, 201L), (12L, 201L), (13L, 202L)),
+      safe.toString)
+    safe.foreach { case (_, d) => assert(d > 50 && d < 500, d) }
+  }
+
+  test("splitAntimeridianRings: a degenerate straddling sliver falls " +
+      "back to pass-through instead of vanishing (r17 ADVICE)") {
+    import spark.implicits._
+    // malformed 2-vertex 'ring' hugging lon 180: both clipped pieces
+    // come out under 4 vertices, so the parts array used to empty and
+    // explode() dropped the row silently
+    val polyDf = Seq(
+      (1L, Seq((179.9999, 0.0), (-179.9999, 0.0))),
+      (2L, Seq((10.0, 0.0), (11.0, 0.0), (11.0, 1.0), (10.0, 0.0))))
+      .toDF("gid", "rawring").select($"gid",
+        expr("transform(rawring, p -> struct(p._1 AS lon, p._2 AS lat))")
+          .as("ring"))
+    val split = GeoJoin.splitAntimeridianRings(polyDf, "gid", "ring")
+      .select($"gid", $"part",
+        expr("transform(ring, p -> struct(p.lon, p.lat))"))
+      .as[(Long, Int, Seq[(Double, Double)])].collect()
+    val sliver = split.filter(_._1 == 1L)
+    assert(sliver.length == 1 && sliver.head._2 == 0, split.toSeq)
+    assert(sliver.head._3 == Seq((179.9999, 0.0), (-179.9999, 0.0)))
+    assert(split.count(_._1 == 2L) == 1) // non-straddler untouched
+  }
+
   // reference mirror of the RingsIntersect kernel over Scala seqs
   private def refIntersects(a: Seq[(Double, Double)],
       b: Seq[(Double, Double)]): Boolean = {

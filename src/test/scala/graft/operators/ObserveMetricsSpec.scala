@@ -63,9 +63,9 @@ class ObserveMetricsSpec extends SparkSpec {
     assert(prunedTight.exists(_.asInstanceOf[Long] > 0), tight.toString)
   }
 
-  test("pointsNearLines polar clamp metric: 0 on OSM-envelope data, " +
-      "> 0 iff a segment's lon margin was cosine-clamped (r17 ADVICE " +
-      "— recall loss is surfaced at runtime, not scaladoc-only)") {
+  test("pointsNearLines polar routing metric: 0 on OSM-envelope data, " +
+      "> 0 iff a segment routed through the polar exact pass; unique " +
+      "per-call names compose (r17 ADVICE)") {
     import spark.implicits._
     def pt(lon: Double, lat: Double) =
       Seq((1L, lon, lat)).toDF("id", "lon", "lat")
@@ -74,19 +74,35 @@ class ObserveMetricsSpec extends SparkSpec {
         .select($"lid", org.apache.spark.sql.functions.expr(
           "transform(raw, p -> named_struct('lon', p._1, 'lat', p._2))")
           .as("path"))
-    // equatorward: clamp can't bind (|lat| + margin << 86)
+    def polarMetric(m: Map[String, Map[String, Any]]): Option[Any] =
+      m.collectFirst { case (k, v) if k.startsWith("pnl_polar_exact_") =>
+        v("polar_segments") }
+    // equatorward: nothing routes polar (|lat| + margin << 86)
     val calm = captureMetrics {
       GeoJoin.pointsNearLines(pt(10.001, 45.0), ln(10.0, 44.9, 10.0, 45.1),
         "id", "lon", "lat", "lid", "path", radiusM = 500.0).count()
     }
-    assert(calm.get("pnl_polar_clamp").flatMap(_.get("clamped_segments"))
-      .contains(0L), calm.toString)
+    assert(polarMetric(calm).contains(0L), calm.toString)
     // polar: a segment at 87° N sits past the 86° cosine cap
     val polar = captureMetrics {
       GeoJoin.pointsNearLines(pt(10.001, 87.0), ln(10.0, 86.9, 10.0, 87.1),
         "id", "lon", "lat", "lid", "path", radiusM = 500.0).count()
     }
-    assert(polar.get("pnl_polar_clamp").flatMap(_.get("clamped_segments"))
-      .exists(_.asInstanceOf[Long] > 0), polar.toString)
+    assert(polarMetric(polar).exists(_.asInstanceOf[Long] > 0),
+      polar.toString)
+    // composition: two calls in ONE executed plan — the fixed
+    // observation name used to fail analysis with a duplicate
+    // CollectMetrics name (r17 ADVICE); unique suffixes make the
+    // union analyzable and both metrics observable
+    val both = captureMetrics {
+      GeoJoin.pointsNearLines(pt(10.001, 45.0), ln(10.0, 44.9, 10.0, 45.1),
+          "id", "lon", "lat", "lid", "path", radiusM = 500.0)
+        .unionByName(GeoJoin.pointsNearLines(pt(10.001, 87.0),
+          ln(10.0, 86.9, 10.0, 87.1),
+          "id", "lon", "lat", "lid", "path", radiusM = 500.0))
+        .count()
+    }
+    assert(both.keys.count(_.startsWith("pnl_polar_exact_")) == 2,
+      both.toString)
   }
 }
