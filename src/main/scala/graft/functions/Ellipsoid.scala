@@ -433,7 +433,11 @@ object Ellipsoid {
     * on: a polygon and its geodesic-densified form must have the SAME
     * area, since the inserted vertices lie ON the original edges).
     * Meridional and equatorial edges interpolate linearly in the
-    * obvious coordinate.
+    * obvious coordinate. INTERIOR waypoint longitudes are wrapped
+    * into [−180, 180) (r17 ADVICE: the out-of-regime equatorial arcs
+    * always span ~180° and emitted lons up to ~280 unwrapped, which
+    * grid joins and GeoJSON consumers would misplace); endpoints are
+    * returned exactly as the caller passed them.
     */
   def geodesicWaypoints(lon1: Double, lat1: Double, lon2: Double,
       lat2: Double, n: Int, spec: Spec = WGS84): Seq[(Double, Double)] = {
@@ -459,7 +463,8 @@ object Ellipsoid {
       val pts = (0 to n).map { i =>
         val sig = math.Pi * i / n
         val (phiC, dlamC) = waypoint(spec, salp0, calp0, 0.0, sig)
-        (math.toDegrees(p1._1 + sgn * dlamC), math.toDegrees(phiC))
+        (wrapLonDeg(math.toDegrees(p1._1 + sgn * dlamC)),
+          math.toDegrees(phiC))
       }
       return (lon1, lat1) +: pts.slice(1, n) :+ ((lon2, lat2))
     }
@@ -482,11 +487,17 @@ object Ellipsoid {
     val pts = (0 to n).map { i =>
       val sig = sig1 + (sig2 - sig1) * i / n
       val (phiC, dlamC) = waypoint(spec, salp0, calp0, sig1, sig)
-      (math.toDegrees(lamStart + lonsign * dlamC),
+      (wrapLonDeg(math.toDegrees(lamStart + lonsign * dlamC)),
         math.toDegrees(latsign * phiC))
     }
     val out = if (swapped) pts.reverse else pts
     // pin the endpoints exactly (solver residual ~1e-15 rad otherwise)
     (lon1, lat1) +: out.slice(1, n) :+ ((lon2, lat2))
+  }
+
+  /** Wrap a longitude in degrees into [−180, 180). */
+  private def wrapLonDeg(l: Double): Double = {
+    val w = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    w
   }
 }

@@ -1187,25 +1187,39 @@ object Dedup {
     * The default (`None`) SIZE-GATES the choice — the r16 unconditional
     * checkpoint traded +1.46 s at sf0.1 (where the whole query is
     * ~2.5 s and the checkpoint is pure overhead) for the −38 s sf10
-    * win. Same discipline as the `postingsDiffStream` broadcast
-    * switch: one narrow `sum(length(text))` scan of the input picks
-    * materialization iff the corpus holds ≥ `materializeMinChars`
-    * (default 32M — two orders above the 1.5M-char sf0.1 corpus, five
-    * below the ~150M-char sf10 one, so both measured regimes sit far
-    * from the cut; the probe scan itself is milliseconds at sf0.1 and
-    * ~seconds at sf10, amortized against the 38 s it buys there).
+    * win. The gate reads the optimizer's PLAN-TIME size statistic
+    * first (file-source bytes, a compressed overestimate of chars —
+    * errs toward materializing, the cheap direction) and only when
+    * stats are unavailable (the Long.MaxValue default sentinel) falls
+    * back to one narrow eager `sum(length(text))` scan (r17 ADVICE:
+    * the unconditional eager probe made operator construction
+    * side-effecting, and on an expensive UNCACHED derived plan the
+    * probe recomputed the whole upstream lineage — with stats-first
+    * gating that cost only arises in the no-stats case; callers with
+    * expensive stat-less upstream plans should persist `docs` or pass
+    * `Some(_)` explicitly). Default cut 32M chars — two orders above
+    * the 1.5M-char sf0.1 corpus, five below the ~150M-char sf10 one,
+    * so both measured regimes sit far from the cut under either
+    * estimator.
     */
   def exactSubstrClean(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minCount: Long = 2L, textOut: String = "text",
       materializeSpans: Option[Boolean] = None,
       materializeMinChars: Long = 32L * 1024 * 1024): DataFrame = {
     val doMaterialize = materializeSpans.getOrElse {
-      val chars = docs.agg(sum(length(col(textCol))).as("__c"))
-        .head.getAs[Any]("__c") match {
-          case null => 0L
-          case v: java.lang.Number => v.longValue()
-        }
-      chars >= materializeMinChars
+      // plan-time stats first (no job); the eager scan only when the
+      // optimizer reports the unknown-size sentinel (see scaladoc)
+      val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (statBytes >= 0 && statBytes < BigInt(Long.MaxValue) / 4)
+        statBytes >= materializeMinChars
+      else {
+        val chars = docs.agg(sum(length(col(textCol))).as("__c"))
+          .head.getAs[Any]("__c") match {
+            case null => 0L
+            case v: java.lang.Number => v.longValue()
+          }
+        chars >= materializeMinChars
+      }
     }
     val sp0 = exactSubstrSpans(docs, idCol, textCol, k, minCount)
     val spans = (if (doMaterialize) sp0.localCheckpoint() else sp0)

@@ -238,6 +238,18 @@ class EllipsoidSpec extends AnyFunSuite {
     val parts2 = wp2.sliding(2).map { case Seq(a, b) =>
       Ellipsoid.geodesicDistanceM(a._1, a._2, b._1, b._2) }.sum
     assert(rel(parts2, whole2) < 1e-6, s"parts2=$parts2 whole2=$whole2")
+    // emitted lons stay wrapped in [-180, 180) even when the
+    // hemispheric arc crosses the antimeridian (r17 ADVICE: lon1=100
+    // -> lon2=-80 used to emit lons up to ~280); telescoping still
+    // holds across the wrapped representation
+    val wp3 = Ellipsoid.geodesicWaypoints(100.0, 0.0, -80.0, 0.0, 8)
+    assert(wp3.forall(p => p._1 >= -180.0 && p._1 < 180.0 ||
+      p._1 == -80.0), wp3.toString)
+    assert(wp3.head == ((100.0, 0.0)) && wp3.last == ((-80.0, 0.0)))
+    val dab3 = Ellipsoid.geodesicDistanceM(100.0, 0.0, -80.0, 0.0)
+    val parts3 = wp3.sliding(2).map { case Seq(a, b) =>
+      Ellipsoid.geodesicDistanceM(a._1, a._2, b._1, b._2) }.sum
+    assert(rel(parts3, dab3) < 1e-6, s"parts3=$parts3 dab3=$dab3")
   }
 
   test("invalid rings are None; degenerate zero-area ring is ~0") {
