@@ -983,6 +983,120 @@ object GeoJoin {
       .agg(min(col("dist_m")).as("dist_m"))
   }
 
+  /** [[splitAntimeridianRings]] for MULTIPOLYGONS — every ring (outer
+    * AND inner) of a straddling relation clips at lon 180 as one
+    * unit, so hole parity survives the seam: a hole straddling the
+    * dateline inside a straddling outer contributes its west piece to
+    * the west part and its east piece to the east part, and even-odd
+    * containment over each part equals containment in the original
+    * region (clipping a region clips every ring of its boundary). A
+    * relation STRADDLES iff ANY of its rings has an edge jumping
+    * |Δlon| > 180 — two separate components on opposite sides of the
+    * dateline (no straddling ring) correctly pass through unchanged,
+    * since per-ring bboxes already key the grid tightly. Rings whose
+    * clipped piece degenerates (< 4 vertices) drop from that side; a
+    * straddling relation whose BOTH sides lose every OUTER falls back
+    * to pass-through (the sliver discipline — no silent row drops).
+    * Output: input columns + `part` (0 west / pass-through, 1 east)
+    * with `outersCol`/`innersCol` replaced by the pieces; key
+    * downstream by (id, part) or use [[pointsInMultipolygonsSafe]].
+    * Same contract as the ring form: geometries spanning < 180° of
+    * longitude; pure per-row Column work, NO shuffle.
+    */
+  def splitAntimeridianMultipolygons(mpolys: DataFrame, idCol: String,
+      outersCol: String, innersCol: String): DataFrame = {
+    def ringStraddles(r: Column): Column = {
+      val n1 = greatest(size(r) - 1, lit(0))
+      val edges = zip_with(slice(r, lit(1), n1), slice(r, lit(2), n1),
+        (a, b) => struct(a.as("s"), b.as("e")))
+      exists(edges, ed =>
+        abs(ed.getField("e").getField("lon") -
+          ed.getField("s").getField("lon")) > 180.0)
+    }
+    def unwrap(r: Column): Column = transform(r, p => struct(
+      when(p.getField("lon") < 0, p.getField("lon") + 360.0)
+        .otherwise(p.getField("lon")).as("lon"),
+      p.getField("lat").as("lat")))
+    def norm(r: Column): Column = transform(r, p => struct(
+      p.getField("lon").as("lon"), p.getField("lat").as("lat")))
+    def westOf(rs: Column): Column =
+      filter(transform(rs, r => clipRingAt180(unwrap(r), west = true)),
+        piece => size(piece) >= 4)
+    def eastOf(rs: Column): Column =
+      filter(transform(rs, r =>
+          transform(clipRingAt180(unwrap(r), west = false),
+            p => struct((p.getField("lon") - 360.0).as("lon"),
+              p.getField("lat").as("lat")))),
+        piece => size(piece) >= 4)
+    val outers = col(outersCol)
+    val inners = col(innersCol)
+    val straddles = exists(concat(outers, inners), ringStraddles)
+    val passThrough = array(struct(lit(0).as("part"),
+      transform(outers, r => norm(r)).as("outers"),
+      transform(inners, r => norm(r)).as("inners")))
+    val clipped = filter(array(
+        struct(lit(0).as("part"),
+          westOf(outers).as("outers"), westOf(inners).as("inners")),
+        struct(lit(1).as("part"),
+          eastOf(outers).as("outers"), eastOf(inners).as("inners"))),
+      side => size(side.getField("outers")) > 0)
+    val parts = when(straddles,
+        when(size(clipped) > 0, clipped).otherwise(passThrough))
+      .otherwise(passThrough)
+    mpolys.withColumn("__amp", explode(parts))
+      .withColumn("part", col("__amp.part"))
+      .withColumn(outersCol, col("__amp.outers"))
+      .withColumn(innersCol, col("__amp.inners"))
+      .drop("__amp")
+  }
+
+  /** [[pointsInPolygonsSafe]] for MULTIPOLYGONS: raw dateline-
+    * straddling (outers, inners) geometry through
+    * [[splitAntimeridianMultipolygons]], the (id, part) rekey, the
+    * even-odd containment join, and matches aggregated back to the
+    * original id. Parts are interior-disjoint so the distinct only
+    * dedupes the measure-zero seam. Output: (point_id, poly_id).
+    */
+  def pointsInMultipolygonsSafe(points: DataFrame, mpolys: DataFrame,
+      pId: String, pLon: String, pLat: String,
+      gId: String, outersCol: String, innersCol: String,
+      cellDeg: Double = 0.5): DataFrame = {
+    val split = splitAntimeridianMultipolygons(mpolys, gId,
+        outersCol, innersCol)
+      .withColumn("__nk", struct(col(gId).as("id"), col("part")))
+    pointsInMultipolygons(points, split, pId, pLon, pLat,
+        "__nk", outersCol, innersCol, cellDeg)
+      .select(col("point_id"), col("poly_id").getField("id").as("poly_id"))
+      .distinct()
+  }
+
+  /** [[pointsInPolygonsSafe]] for the polygon-polygon join: BOTH
+    * relations' raw rings split at the antimeridian, (id, part)
+    * keys, [[polygonsIntersectAuto]] (whale-safe too), pairs mapped
+    * back to original ids. Two regions intersect iff SOME part pair
+    * intersects (clipping partitions each region), so the distinct
+    * union over part pairs is exact; pairs of the SAME original id
+    * (a straddler's own west×east — possible only via seam contact,
+    * which the kernel keeps out of contract anyway) are dropped for
+    * the self-join case, matching `selfPairs`' a ≠ b convention.
+    * Output: (id_a, id_b).
+    */
+  def polygonsIntersectSafe(a: DataFrame, b: DataFrame,
+      aId: String, aRing: String, bId: String, bRing: String,
+      cellDeg: Double = 0.5, selfPairs: Boolean = false,
+      maxCellsPerPoly: Long = 4096L): DataFrame = {
+    val sa = splitAntimeridianRings(a, aId, aRing)
+      .withColumn("__nka", struct(col(aId).as("id"), col("part")))
+    val sb = splitAntimeridianRings(b, bId, bRing)
+      .withColumn("__nkb", struct(col(bId).as("id"), col("part")))
+    polygonsIntersectAuto(sa, sb, "__nka", aRing, "__nkb", bRing,
+        cellDeg, selfPairs, maxCellsPerPoly)
+      .select(col("id_a").getField("id").as("id_a"),
+        col("id_b").getField("id").as("id_b"))
+      .filter(if (selfPairs) col("id_a") =!= col("id_b") else lit(true))
+      .distinct()
+  }
+
   /** Line-MULTIPOLYGON intersection join — [[linesIntersectPolygons]]
     * with holes resolved internally, closing the gap the round-16
     * pairing matrix left: the simple-ring form takes outers alone, so

@@ -912,6 +912,121 @@ object GeoQueries {
              |ORDER BY point_id, poly_id""".stripMargin),
       doc = "geometry-normalizing containment (r18): RAW wrapped dateline rings through pointsInPolygonsSafe (internal split + rekey + aggregate-back) vs the same pre-split-halves oracle as the manual-recipe query"),
 
+    // Polygon-polygon intersection across the dateline (r18): RAW
+    // straddling rects on BOTH sides through polygonsIntersectSafe.
+    // B rects come scaled from `part` in two bands (near-dateline,
+    // where ~4% straddle, and a lon-10..19 control band that only the
+    // non-straddling A rect can match); bounds end .x7/.x03/.021 vs
+    // .x1/.x41 so no strict comparison ever sits on an equality, and
+    // axis-aligned rects make kernel-intersect ≡ strict interval
+    // overlap in UNWRAPPED space (the way_area_intersect_join
+    // argument), which is exactly what the oracle computes.
+    Q("way_dateline_poly_intersect",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        def wl(x: Column): Column =
+          when(x > 180.0, x - 360.0).otherwise(x)
+        val aRects = Seq(
+          (1L, 177.303, 183.703, -20.103, -4.897),
+          (2L, 179.203, 181.403, 30.053, 44.353),
+          (3L, 10.153, 20.853, -5.453, 8.253))
+          .toDF("aid", "lo1", "lo2", "la1", "la2")
+        def rectRing(lo1: Column, lo2: Column, la1: Column,
+            la2: Column): Column = array(
+          struct(wl(lo1).as("lon"), la1.as("lat")),
+          struct(wl(lo2).as("lon"), la1.as("lat")),
+          struct(wl(lo2).as("lon"), la2.as("lat")),
+          struct(wl(lo1).as("lon"), la2.as("lat")),
+          struct(wl(lo1).as("lon"), la1.as("lat")))
+        val a = aRects.select(col("aid"), rectRing(col("lo1"),
+          col("lo2"), col("la1"), col("la2")).as("ring"))
+        val b = Tables.part(s, dir).select(col("p_partkey").as("bid"),
+            (when(pmod(col("p_partkey"), lit(2)) === 0, 176.17)
+              .otherwise(10.17) +
+              pmod(col("p_partkey"), lit(80)) / 10.0).as("lo1"),
+            (pmod(col("p_partkey"), lit(90)) - 45 + 0.021).as("la1"))
+          .select(col("bid"), rectRing(col("lo1"),
+            col("lo1") + 0.41, col("la1"), col("la1") + 6.4).as("ring"))
+        GeoJoin.polygonsIntersectSafe(a, b, "aid", "ring",
+            "bid", "ring", cellDeg = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH a(aid, lo1, lo2, la1, la2) AS (VALUES
+             |  (1, 177.303, 183.703, -20.103, -4.897),
+             |  (2, 179.203, 181.403, 30.053, 44.353),
+             |  (3, 10.153, 20.853, -5.453, 8.253)),
+             |b AS (SELECT p_partkey AS bid,
+             |        CASE WHEN p_partkey % 2 = 0 THEN 176.17
+             |             ELSE 10.17 END
+             |          + (p_partkey % 80) / 10.0 AS lo1,
+             |        (p_partkey % 90) - 45 + 0.021 AS la1
+             |      FROM part)
+             |SELECT CAST(a.aid AS BIGINT) AS id_a, b.bid AS id_b
+             |FROM a JOIN b
+             |  ON a.lo1 < b.lo1 + 0.41 AND b.lo1 < a.lo2
+             | AND a.la1 < b.la1 + 6.4 AND b.la1 < a.la2
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "dateline polygon-polygon intersection (r18): RAW straddling rects on both sides through polygonsIntersectSafe (split + rekey + map-back) vs strict unwrapped interval overlap — the axis-aligned equivalence proof carried from way_area_intersect_join"),
+
+    // Multipolygon containment across the dateline (r18): an outer
+    // AND its hole both straddle — the seam-parity case (the hole's
+    // west piece rides the west part, its east piece the east part,
+    // even-odd per part ≡ region containment) — plus a non-straddling
+    // holed control. RAW geometry through pointsInMultipolygonsSafe;
+    // the oracle works in unwrapped space (strictly-in-outer AND NOT
+    // strictly-in-hole).
+    Q("way_dateline_mp_containment",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
+        def wl(x: Double): Double = if (x > 180) x - 360 else x
+        def ring(lo1: Double, lo2: Double, la1: Double,
+            la2: Double): Seq[(Double, Double)] = Seq(
+          (wl(lo1), la1), (wl(lo2), la1), (wl(lo2), la2),
+          (wl(lo1), la2), (wl(lo1), la1))
+        val mps = Seq(
+          (1L, Seq(ring(177.303, 183.703, -20.103, -4.897)),
+            Seq(ring(179.103, 181.503, -15.303, -10.097))),
+          (2L, Seq(ring(10.153, 20.853, -5.453, 8.253)),
+            Seq(ring(13.103, 17.603, -2.303, 4.207))))
+          .toDF("wid", "rawout", "rawin")
+          .select(col("wid"),
+            expr("transform(rawout, r -> transform(r, " +
+              "p -> named_struct('lon', p._1, 'lat', p._2)))")
+              .as("outers"),
+            expr("transform(rawin, r -> transform(r, " +
+              "p -> named_struct('lon', p._1, 'lat', p._2)))")
+              .as("inners"))
+        GeoJoin.pointsInMultipolygonsSafe(pts, mps, "id", "lon", "lat",
+            "wid", "outers", "inners", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |        (o_totalprice % 360) - 180 + 0.0005 AS lon,
+             |        (o_orderkey % 170) - 85 + 0.0005 AS lat
+             |      FROM orders),
+             |u AS (SELECT id, lat,
+             |        lon + CASE WHEN lon < 0 THEN 360 ELSE 0 END AS lonu,
+             |        lon FROM pts)
+             |SELECT id AS point_id, CAST(1 AS BIGINT) AS poly_id FROM u
+             |WHERE lonu > 177.303 AND lonu < 183.703
+             |  AND lat > -20.103 AND lat < -4.897
+             |  AND NOT (lonu > 179.103 AND lonu < 181.503
+             |           AND lat > -15.303 AND lat < -10.097)
+             |UNION ALL
+             |SELECT id, CAST(2 AS BIGINT) FROM u
+             |WHERE lon > 10.153 AND lon < 20.853
+             |  AND lat > -5.453 AND lat < 8.253
+             |  AND NOT (lon > 13.103 AND lon < 17.603
+             |           AND lat > -2.303 AND lat < 4.207)
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "dateline multipolygon containment (r18): outer AND hole both straddle — seam parity preserved by the multipolygon split (hole pieces ride their side's part) — RAW geometry through pointsInMultipolygonsSafe vs the unwrapped outer-minus-hole oracle"),
+
     // The PATH form of the split, replayed vertex-by-vertex in the
     // oracle: zigzag routes near the dateline (some straddling, some
     // not) split at each lon=180 crossing; per (line, part) the

@@ -485,6 +485,114 @@ class GeoJoinSpec extends SparkSpec {
     safe.foreach { case (_, d) => assert(d > 50 && d < 500, d) }
   }
 
+  test("splitAntimeridianMultipolygons + pointsInMultipolygonsSafe: " +
+      "straddling outer AND straddling hole keep even-odd parity " +
+      "across the seam == brute unwrapped outer-minus-hole; " +
+      "two-component no-straddle relation passes through") {
+    import spark.implicits._
+    def wl(x: Double): Double = if (x > 180) x - 360 else x
+    def ring(lo1: Double, lo2: Double, la1: Double,
+        la2: Double): Seq[(Double, Double)] = Seq(
+      (wl(lo1), la1), (wl(lo2), la1), (wl(lo2), la2),
+      (wl(lo1), la2), (wl(lo1), la1))
+    val mps = Seq(
+      // outer and hole BOTH straddle (the seam-parity case)
+      (1L, Seq(ring(177.0, 186.0, -20.0, -5.0)),
+        Seq(ring(179.0, 182.0, -15.0, -10.0))),
+      // two components on opposite dateline sides, NO straddling
+      // ring: must pass through part 0 untouched
+      (2L, Seq(ring(178.0, 179.5, 10.0, 20.0),
+        ring(180.5, 182.0, 10.0, 20.0)), Seq.empty[Seq[(Double, Double)]]))
+      .toDF("wid", "rawout", "rawin")
+      .select($"wid",
+        expr("transform(rawout, r -> transform(r, " +
+          "p -> named_struct('lon', p._1, 'lat', p._2)))").as("outers"),
+        expr("transform(rawin, r -> transform(r, " +
+          "p -> named_struct('lon', p._1, 'lat', p._2)))").as("inners"))
+    val split = GeoJoin.splitAntimeridianMultipolygons(
+      mps, "wid", "outers", "inners")
+    val shape = split.select($"wid", $"part", size($"outers"),
+        size($"inners")).as[(Long, Int, Int, Int)].collect().sorted
+    // mp1: west part (outer piece + hole piece) and east part (same);
+    // mp2: untouched single part with both outers
+    assert(shape.toSeq == Seq((1L, 0, 1, 1), (1L, 1, 1, 1),
+      (2L, 0, 2, 0)), shape.toSeq)
+    val rnd = new scala.util.Random(83)
+    val pts = (1 to 500).map { i =>
+      val lonU = 175.0 + rnd.nextDouble() * 13
+      (i.toLong, wl(lonU), -25.0 + rnd.nextDouble() * 50, lonU)
+    }
+    val got = GeoJoin.pointsInMultipolygonsSafe(
+        pts.map(p => (p._1, p._2, p._3)).toDF("id", "lon", "lat"),
+        mps, "id", "lon", "lat", "wid", "outers", "inners",
+        cellDeg = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- pts
+      inOuter1 = p._4 > 177.0 && p._4 < 186.0 && p._3 > -20.0 && p._3 < -5.0
+      inHole1 = p._4 > 179.0 && p._4 < 182.0 && p._3 > -15.0 && p._3 < -10.0
+      inMp2 = (p._4 > 178.0 && p._4 < 179.5 ||
+        p._4 > 180.5 && p._4 < 182.0) && p._3 > 10.0 && p._3 < 20.0
+      m <- Seq(
+        if (inOuter1 && !inHole1) Some((p._1, 1L)) else None,
+        if (inMp2) Some((p._1, 2L)) else None).flatten
+    } yield m).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    // the hole-interior exclusion actually fired on data
+    assert(pts.exists(p => p._4 > 179.0 && p._4 < 182.0 &&
+      p._3 > -15.0 && p._3 < -10.0))
+  }
+
+  test("polygonsIntersectSafe: RAW straddling rects on both sides == " +
+      "strict unwrapped interval overlap; self-part pairs excluded " +
+      "under selfPairs") {
+    import spark.implicits._
+    def wl(x: Double): Double = if (x > 180) x - 360 else x
+    def rectDf(rs: Seq[(Long, Double, Double, Double, Double)]) =
+      rs.map { case (id, lo1, lo2, la1, la2) =>
+        (id, Seq((wl(lo1), la1), (wl(lo2), la1), (wl(lo2), la2),
+          (wl(lo1), la2), (wl(lo1), la1)))
+      }.toDF("gid", "rawring").select($"gid",
+        expr("transform(rawring, p -> named_struct('lon', p._1, " +
+          "'lat', p._2))").as("ring"))
+    val rnd = new scala.util.Random(97)
+    val aRaw = (1 to 40).map { i =>
+      val lo = 174.0 + rnd.nextDouble() * 10 // some straddle
+      val la = -20.0 + rnd.nextDouble() * 40
+      (i.toLong, lo, lo + 0.9 + rnd.nextDouble(), la,
+        la + 3.0 + rnd.nextDouble())
+    }
+    val bRaw = (101 to 140).map { i =>
+      val lo = 174.5 + rnd.nextDouble() * 10
+      val la = -18.0 + rnd.nextDouble() * 40
+      (i.toLong, lo, lo + 0.9 + rnd.nextDouble(), la,
+        la + 3.0 + rnd.nextDouble())
+    }
+    val got = GeoJoin.polygonsIntersectSafe(rectDf(aRaw), rectDf(bRaw),
+        "gid", "ring", "gid", "ring", cellDeg = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- aRaw; b <- bRaw
+      if a._2 < b._3 && b._2 < a._3 && a._4 < b._5 && b._4 < a._5
+    } yield (a._1, b._1)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+    // selfPairs on one relation with straddlers: each unordered pair
+    // once, never a polygon against its own other part
+    val self = GeoJoin.polygonsIntersectSafe(rectDf(aRaw), rectDf(aRaw),
+        "gid", "ring", "gid", "ring", cellDeg = 0.5, selfPairs = true)
+      .as[(Long, Long)].collect()
+    assert(self.forall(p => p._1 < p._2), self.toSeq.take(5))
+    val wantSelf = (for {
+      a <- aRaw; b <- aRaw
+      if a._1 < b._1
+      if a._2 < b._3 && b._2 < a._3 && a._4 < b._5 && b._4 < a._5
+    } yield (a._1, b._1)).toSet
+    assert(self.toSet == wantSelf)
+  }
+
   test("splitAntimeridianRings: a degenerate straddling sliver falls " +
       "back to pass-through instead of vanishing (r17 ADVICE)") {
     import spark.implicits._
