@@ -506,20 +506,58 @@ object GeoJoin {
     // clamp doesn't bind — a missed pair needs the segment's MEAN
     // |lat| > 86° (else cos(φ̄) ≥ cos 86° and the clamped margin still
     // covers), which forces the segment's min |lat| > 82° and the
-    // matching point's |lat| > 82° − latMargin. Both populations are
-    // tiny by construction (poleward of the OSM Mercator envelope),
-    // so they join on a 1-D LAT-BAND key alone — lon-free, immune to
-    // the cosine blow-up — and verify with the SAME distance
-    // expression. The union can duplicate a (point, line) candidate
-    // the fine pass also saw; the min-aggregate absorbs it exactly.
+    // matching point's |lat| > 82° − latMargin. The pass keys
+    // (lat band, lon cell) with the [[withinDistance]] per-band
+    // tiling discipline: each band's lon cell width is the FULL true
+    // margin at the band's far latitude (≥ any pair's needed Δlon
+    // there, so ±0 neighbor cells — segments expand their own range
+    // by a per-segment margin instead), n = ⌊360/w⌋ cells tile the
+    // circle exactly and pmod wraps indices, and within ~0.05° of the
+    // pole the band collapses toward one cell (everything there IS
+    // within any radius in lon terms). A lat-band-only key would be
+    // QUADRATIC in the polar population — fine for real corpora
+    // (sparse poleward of 82°) but a measured scale killer on a
+    // dense-polar corpus (the planted catalog query at 100× ground
+    // for >15 min band-only; celled, it runs with the catalog).
+    // Verify is the SAME distance expression; the union can
+    // duplicate a (point, line) candidate the fine pass also saw;
+    // the min-aggregate absorbs it exactly.
+    def polarN(band: Column): Column = {
+      val far = least(lit(89.95),
+        greatest(abs(band * cellDeg), abs((band + 1) * cellDeg)) +
+          latMargin)
+      greatest(lit(1L), floor(lit(360.0) /
+        greatest(lit(cellDeg),
+          lit(radiusM / MPerLonDegEq) / cos(radians(far))))
+        .cast("long"))
+    }
+    def polarCellW(band: Column): Column = lit(360.0) / polarN(band)
     val polarSegs = segs.filter(farLat + latMargin > 86.0)
     val polarPts = pts.drop("__cx")
       .filter(abs(col("__plat")) > 82.0 - latMargin - cellDeg)
+      .withColumn("__px", pmod(
+        floor((col("__plon") + 180.0) / polarCellW(col("__cy")))
+          .cast("long"), polarN(col("__cy"))))
     val polarCand = polarSegs
       .withColumn("__cy", explode(sequence(
         cy(least(col("__alat"), col("__blat")) - latMargin),
         cy(greatest(col("__alat"), col("__blat")) + latMargin))))
-      .join(polarPts, Seq("__cy"))
+      .withColumn("__px", explode {
+        val n = polarN(col("__cy"))
+        val w = polarCellW(col("__cy"))
+        // per-SEGMENT margin at ITS far latitude (≥ the verify's
+        // cos(φ̄seg) requirement since φ̄seg ≤ farLat)
+        val mSeg = lit(radiusM / MPerLonDegEq) /
+          cos(radians(least(lit(89.95), farLat + latMargin)))
+        val lo = floor((least(col("__alon"), col("__blon")) - mSeg +
+          180.0) / w).cast("long")
+        val hi = floor((greatest(col("__alon"), col("__blon")) + mSeg +
+          180.0) / w).cast("long")
+        when(hi - lo + 1 >= n, sequence(lit(0L), n - 1))
+          .otherwise(array_distinct(transform(sequence(lo, hi),
+            c => pmod(c, n))))
+      })
+      .join(polarPts, Seq("__cy", "__px"))
     val fineD = cand.withColumn("__d", dist)
       .select(col("__pid"), col("__lid"), col("__d"))
     val polarD = polarCand.withColumn("__d", dist)

@@ -390,11 +390,18 @@ object GeoQueries {
     // POLAR-COMPLETE distance join (r18 — retires the clamp's "pairs
     // may be MISSED" contract): meridian research-station segments at
     // |lat| 86..89 vs points whose lon offsets reach far past the
-    // 86-degree-clamped margin (2.58 deg at R=20 km) while the TRUE
-    // margin at 89 deg is ~10.6 deg — a large planted population of
-    // pairs the pre-r18 fine grid provably missed (the
-    // pnl_polar_clamp metric counted them; now the polar lat-band
-    // pass finds them). The oracle is the NAIVE form again: every
+    // 86-degree-clamped margin (1.55 deg at R=12 km) while the TRUE
+    // margin at 89 deg is ~6.4 deg — a planted population of pairs
+    // the pre-r18 fine grid provably missed (6 of 23 at sf0.01, 346
+    // of 2,046 at sf0.1; the pnl_polar_clamp metric counted them;
+    // now the polar (band, lon-cell) pass finds them). This corpus
+    // is DENSE-polar by construction — every row sits poleward of
+    // 86°, so pair count is output-quadratic in sf (the
+    // way_line_in_area law) and the true margins are degrees wide;
+    // sampling (%80 points, %20 segments) is sized so the 100×
+    // composition stays in way_line_in_area's cost class rather
+    // than dominating the catalog. The oracle is the NAIVE form
+    // again: every
     // (point, segment) pair bbox-prefiltered at ±15 deg lon / ±0.25
     // deg lat (≥ the widest true margin, so only impossible pairs
     // drop), the identical distance expression, min per pair.
@@ -402,13 +409,13 @@ object GeoQueries {
       (s, dir) => {
         import graft.operators.GeoJoin
         val pts = Tables.orders(s, dir)
-          .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .filter(pmod(col("o_orderkey"), lit(80)) === 0)
           .select(col("o_orderkey").as("id"),
             ((col("o_totalprice") % 340) - 170 + 0.0005).as("lon"),
             (lit(86.01) + (col("o_orderkey") % 300) / 100.0 +
               (col("o_orderkey") % 97) / 5000.0).as("lat"))
         val lines = Tables.part(s, dir)
-          .filter(pmod(col("p_partkey"), lit(5)) === 0)
+          .filter(pmod(col("p_partkey"), lit(20)) === 0)
           .select(col("p_partkey").as("lid"),
             ((col("p_retailprice") % 340) - 170).as("lon0"),
             (lit(86.0) + (col("p_partkey") % 300) / 100.0).as("lat0"))
@@ -417,7 +424,7 @@ object GeoQueries {
             struct(col("lon0").as("lon"),
               (col("lat0") + 0.02).as("lat"))).as("path"))
         GeoJoin.pointsNearLines(pts, lines, "id", "lon", "lat",
-            "lid", "path", 20000.0, cellDeg = 0.5)
+            "lid", "path", 12000.0, cellDeg = 0.5)
           .select(col("point_id"), col("line_id"),
             round(col("dist_m"), 0).as("dist_m"))
           .orderBy(col("point_id"), col("line_id"))
@@ -426,13 +433,13 @@ object GeoQueries {
              |               (o_totalprice % 340) - 170 + 0.0005 AS lon,
              |               86.01 + (o_orderkey % 300) / 100.0
              |                 + (o_orderkey % 97) / 5000.0 AS lat
-             |             FROM orders WHERE o_orderkey % 20 = 0),
+             |             FROM orders WHERE o_orderkey % 80 = 0),
              |segs AS (SELECT p_partkey AS lid,
              |           (p_retailprice % 340) - 170 AS alon,
              |           86.0 + (p_partkey % 300) / 100.0 AS alat,
              |           (p_retailprice % 340) - 170 AS blon,
              |           86.0 + (p_partkey % 300) / 100.0 + 0.02 AS blat
-             |         FROM part WHERE p_partkey % 5 = 0),
+             |         FROM part WHERE p_partkey % 20 = 0),
              |d1 AS (SELECT p.id AS pid, s.lid AS lid,
              |         (s.blon - s.alon)
              |           * (111320.0 * cos(radians((s.alat + s.blat) / 2))) AS bx,
@@ -454,7 +461,7 @@ object GeoQueries {
              |       FROM d2)
              |SELECT pid AS point_id, lid AS line_id,
              |       round(min(dist), 0) AS dist_m
-             |FROM d3 GROUP BY pid, lid HAVING min(dist) <= 20000.0
+             |FROM d3 GROUP BY pid, lid HAVING min(dist) <= 12000.0
              |ORDER BY point_id, line_id""".stripMargin),
       doc = "polar-complete point-to-polyline join (r18): planted |lat| 86-89 pairs far past the cosine-clamped margin — provably missed by the pre-r18 fine grid — found via the polar lat-band exact pass vs the naive oracle"),
 

@@ -1084,6 +1084,13 @@ class GeoJoinSpec extends SparkSpec {
     val pathPlan = GeoJoin.splitAntimeridianPaths(lineDf, "gid", "path")
       .queryExecution.executedPlan.toString
     assert(!pathPlan.contains("Exchange"), pathPlan.take(600))
+    val mpDf = polyDf.select($"gid", array($"ring").as("outers"),
+      expr("array()").cast("array<array<struct<lon:double,lat:double>>>")
+        .as("inners"))
+    val mpPlan = GeoJoin.splitAntimeridianMultipolygons(
+        mpDf, "gid", "outers", "inners")
+      .queryExecution.executedPlan.toString
+    assert(!mpPlan.contains("Exchange"), mpPlan.take(600))
   }
 
   test("plan: no cartesian/nested-loop join; one equi-join on the grid key") {
