@@ -555,7 +555,17 @@ object LinkGraph {
     }
     e.unpersist()
     eParent.unpersist()
-    visited
+    // re-root in the CALLER's session (r18): bfsDepth was the one loop
+    // returning a loop-session-rooted frame — every downstream
+    // transform inherited the loop's narrow shuffle width (a caller
+    // joining depths onto a corpus-sized relation would shuffle it at
+    // loopParts tasks). localCheckpoint also truncates the unrolled
+    // round lineage and lets the loop's cache drop (the CC hygiene:
+    // returning the persisted frame itself leaks executor cache).
+    val out = org.apache.spark.sql.graft.Bridge.inSession(parent,
+      visited.localCheckpoint(true))
+    visited.unpersist()
+    out
   }
 
   /** Frontier DISCOVERY — which discovered URLs have never been

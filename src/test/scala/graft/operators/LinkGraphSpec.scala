@@ -321,6 +321,12 @@ class LinkGraphSpec extends SparkSpec {
         Seq("a", "z").toDF("node"), maxDepth = 1)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     assert(capped == Seq(("a", 0L), ("b", 1L), ("c", 1L), ("z", 0L)))
+    // r18: the result is re-rooted in the CALLER's session — a
+    // downstream transform must plan under the caller's conf, not the
+    // loop clone's narrow shuffle width
+    val out = LinkGraph.bfsDepth(edges, "src", "dst",
+      Seq("a").toDF("node"), maxDepth = 5)
+    assert(out.sparkSession eq spark, "bfsDepth leaked its loop session")
   }
 
   test("frontierNewUrls: bloom-prefiltered form == exact anti-join") {
