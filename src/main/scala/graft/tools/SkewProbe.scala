@@ -403,6 +403,53 @@ object SkewProbe {
               threshold = 0.9, method = "lsh"),
             Seq("vec_id")))
           report("ident25", rep, t1, n1, h1)
+        case "ivfsweep" =>
+          // the IVF recall/latency trade curve (ROADMAP r18 candidate
+          // (d)): nprobe sweep against brute-force cosine truth over
+          // the same ~100 queries. recall@10 = |ivf ∩ truth| / |truth|
+          // on (query, neighbor) id pairs; nprobe = |centroids|
+          // degenerates to exact (the spec invariant) so the curve's
+          // right edge doubles as a correctness check in the probe.
+          val emb = graft.sources.Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = emb.count()
+          val qmod = math.max(1L, n / 100L)
+          val kC = 64
+          val (cents, tFit) = time {
+            val c = graft.operators.Similarity.fitCentroidsKMeans(
+                emb, "vec_id", "embedding", k = kC, iterations = 3)
+              // ivfTopKProbed reads centroids under the corpus column
+              // names (the spec convention)
+              .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+            c.count(); c
+          }
+          val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+          val (truth, tBrute) = time {
+            val t = graft.operators.Similarity.bruteForceTopK(
+                emb, queries, "vec_id", "embedding", k = 10)
+              .select(col("query_id"), col("neighbor_id"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t.count(); t
+          }
+          val nTruth = truth.count()
+          println(f"[skew] ivfsweep n=$n queries=${n / qmod} " +
+            f"fit=$tFit%.1f s brute=$tBrute%.1f s truth_pairs=$nTruth")
+          Seq(1, 2, 4, 8, 16, kC).foreach { np =>
+            val (got, t) = time {
+              val g = graft.operators.Similarity.ivfTopKProbed(
+                  emb, cents, pmod(col("__id"), lit(qmod)) === 0,
+                  "vec_id", "embedding", k = 10, nprobe = np)
+                .select(col("query_id"), col("neighbor_id"))
+              (g.count(), g)
+            }
+            val hit = got._2.join(truth,
+              Seq("query_id", "neighbor_id")).count()
+            println(f"[skew] ivfsweep nprobe=$np%-3d rep$rep " +
+              f"wall=$t%.2f s recall@10=${hit.toDouble / nTruth}%.4f " +
+              f"rows=${got._1}")
+          }
+          truth.unpersist(); emb.unpersist()
         case "split" =>
           val chainDocs = docs.filter(col("source") === "src_chain")
           val pairs = graft.operators.Dedup.minhashLshPairs(
