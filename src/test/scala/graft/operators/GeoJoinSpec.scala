@@ -296,6 +296,71 @@ class GeoJoinSpec extends SparkSpec {
       s"stream=$got batch=$batch")
   }
 
+  test("pointsNearLines streams on the points side: update-mode min " +
+      "across micro-batches == batch, including a polar-pass pair " +
+      "(two stream-static joins + one update-mode aggregate)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pnlstream-").toString
+    val lines = Seq(
+      (201L, Seq((10.0, 44.99), (10.0, 45.01))),   // equatorward road
+      (202L, Seq((0.0, 89.89), (0.0, 89.91))))     // polar station line
+      .toDF("lid", "rawpath").select($"lid",
+        expr("transform(rawpath, p -> named_struct('lon', p._1, " +
+          "'lat', p._2))").as("path"))
+    // batch 1: near the road + a polar point the 86-degree clamp
+    // would have missed (0.9 deg of lon at 89.9 ~ 175 m); batch 2:
+    // a CLOSER point for the same (pid, lid) pair — the update-mode
+    // min must shrink, and the memory-sink min-over-updates equals
+    // the final value because min only decreases
+    val f1 = Seq((100L, 10.001, 45.0), (101L, 0.9, 89.9))
+    val f2 = Seq((102L, 10.0005, 45.0), (100L, 10.0002, 45.0))
+    Seq(f1, f2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("id", "lon", "lat").coalesce(1)
+        .write.mode("overwrite").json(s"$dir/f$i")
+    }
+    val staged = s"$dir/in"; new java.io.File(staged).mkdirs()
+    def stage(i: Int): Unit =
+      new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(staged, s"f$i-${f.getName}"))
+        }
+    val stream = spark.readStream
+      .schema("id LONG, lon DOUBLE, lat DOUBLE").json(staged)
+    val q = GeoJoin.pointsNearLines(stream, lines, "id", "lon", "lat",
+        "lid", "path", radiusM = 1000.0, cellDeg = 0.5)
+      .writeStream.format("memory").queryName("pnlstream")
+      .outputMode("update").start()
+    stage(0); q.processAllAvailable()
+    stage(1); q.processAllAvailable()
+    q.stop()
+    // min over all emitted updates == the final per-pair value (the
+    // aggregate is monotone decreasing), and the pair SET matches
+    val got = spark.table("pnlstream")
+      .groupBy($"point_id", $"line_id").agg(min($"dist_m").as("d"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val batch = GeoJoin.pointsNearLines(
+        (f1 ++ f2).toDF("id", "lon", "lat"), lines,
+        "id", "lon", "lat", "lid", "path",
+        radiusM = 1000.0, cellDeg = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got.keySet == batch.keySet,
+      s"stream=${got.keySet} batch=${batch.keySet}")
+    got.foreach { case (k, d) => assert(math.abs(d - batch(k)) < 1e-9, k) }
+    // the polar-pass pair (formerly clamp-missed) arrived via stream
+    assert(got.contains((101L, 202L)), got.toString)
+    // batch 2's closer point actually shrank the (100, 201) distance
+    val firstOnly = GeoJoin.pointsNearLines(
+        f1.toDF("id", "lon", "lat"), lines, "id", "lon", "lat",
+        "lid", "path", radiusM = 1000.0, cellDeg = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got((100L, 201L)) < firstOnly((100L, 201L)))
+  }
+
   // exact mirror of pointsNearLines' planar clamp-projection verify
   private def segDist(plon: Double, plat: Double,
       alon: Double, alat: Double, blon: Double, blat: Double): Double = {
