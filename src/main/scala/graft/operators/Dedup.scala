@@ -1188,16 +1188,21 @@ object Dedup {
     * checkpoint traded +1.46 s at sf0.1 (where the whole query is
     * ~2.5 s and the checkpoint is pure overhead) for the −38 s sf10
     * win. The gate reads the optimizer's PLAN-TIME size statistic
-    * first (file-source bytes, a compressed overestimate of chars —
-    * errs toward materializing, the cheap direction) and only when
-    * stats are unavailable (the Long.MaxValue default sentinel) falls
-    * back to one narrow eager `sum(length(text))` scan (r17 ADVICE:
-    * the unconditional eager probe made operator construction
-    * side-effecting, and on an expensive UNCACHED derived plan the
-    * probe recomputed the whole upstream lineage — with stats-first
-    * gating that cost only arises in the no-stats case; callers with
-    * expensive stat-less upstream plans should persist `docs` or pass
-    * `Some(_)` explicitly). Default cut 32M chars — two orders above
+    * first, but trusts it only in the ONE direction it can prove:
+    * columnar file-source bytes UNDERestimate raw text chars 2-5x
+    * (snappy/zstd), so `statBytes >= cut` implies `chars >= cut` and
+    * materializes without firing a job; a stat BELOW the cut (or the
+    * Long.MaxValue unknown-size sentinel) proves nothing — the r18
+    * two-sided form could skip the sf10 win on a corpus whose
+    * compressed bytes sat just under the cut — and falls back to one
+    * narrow eager `sum(length(text))` scan, cheap exactly when the
+    * corpus is genuinely small (r17/r18 ADVICE lineage: construction
+    * stays side-effect-free for large stat-visible corpora; callers
+    * with expensive stat-less upstream plans should persist `docs` or
+    * pass `Some(_)` explicitly). A wide non-text table can
+    * over-trigger the stat arm (sizeInBytes counts all columns) —
+    * that errs toward materializing, the cheap direction at scale.
+    * Default cut 32M chars — two orders above
     * the 1.5M-char sf0.1 corpus, five below the ~150M-char sf10 one,
     * so both measured regimes sit far from the cut under either
     * estimator.
@@ -1207,11 +1212,19 @@ object Dedup {
       materializeSpans: Option[Boolean] = None,
       materializeMinChars: Long = 32L * 1024 * 1024): DataFrame = {
     val doMaterialize = materializeSpans.getOrElse {
-      // plan-time stats first (no job); the eager scan only when the
-      // optimizer reports the unknown-size sentinel (see scaladoc)
+      // plan-time stats decide only the ONE-SIDED cheap direction
+      // (no job): columnar on-disk bytes typically UNDERestimate raw
+      // text chars 2-5x (snappy/zstd), so statBytes >= cut proves
+      // chars >= cut -> materialize. Below the cut (or at the
+      // unknown-size sentinel) the stat CANNOT prove smallness —
+      // compression could hide a large corpus — so fall back to the
+      // narrow eager sum(length) probe, which is cheap exactly when
+      // the corpus is genuinely small (r18 ADVICE: the two-sided form
+      // could silently skip the measured -38 s sf10 checkpoint win on
+      // a corpus whose compressed bytes sat just under the cut).
       val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (statBytes >= 0 && statBytes < BigInt(Long.MaxValue) / 4)
-        statBytes >= materializeMinChars
+      if (statBytes >= 0 && statBytes < BigInt(Long.MaxValue) / 4 &&
+          statBytes >= materializeMinChars) true
       else {
         val chars = docs.agg(sum(length(col(textCol))).as("__c"))
           .head.getAs[Any]("__c") match {

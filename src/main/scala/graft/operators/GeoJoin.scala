@@ -425,7 +425,9 @@ object GeoJoin {
     * still clamps its cosine at 86°, but segments the clamp could
     * under-cover (mean |lat| > 86° is the only missable regime — see
     * the in-body proof sketch) additionally route through an exact
-    * lat-band pass, so no pair is missed at ANY latitude; the
+    * lat-band pass, and segments within 0.05° of a pole (where the
+    * pass's own cosine cap would bind) emit the band's full cell
+    * circle (r19), so no pair is missed at ANY latitude; the
     * `pnl_polar_exact_<n>.polar_segments` observe() metric (name
     * unique per call) counts the segments that took the polar pass.
     * A degenerate zero-length segment verifies as point-to-point
@@ -513,8 +515,10 @@ object GeoJoin {
     // there, so ±0 neighbor cells — segments expand their own range
     // by a per-segment margin instead), n = ⌊360/w⌋ cells tile the
     // circle exactly and pmod wraps indices, and within ~0.05° of the
-    // pole the band collapses toward one cell (everything there IS
-    // within any radius in lon terms). A lat-band-only key would be
+    // pole (where the 89.95° cosine cap would bind and the capped
+    // per-segment margin could under-cover — r18 ADVICE) segments
+    // emit the FULL cell circle, so the cap can never cost a pair.
+    // A lat-band-only key would be
     // QUADRATIC in the polar population — fine for real corpora
     // (sparse poleward of 82°) but a measured scale killer on a
     // dense-polar corpus (the planted catalog query at 100× ground
@@ -546,14 +550,24 @@ object GeoJoin {
         val n = polarN(col("__cy"))
         val w = polarCellW(col("__cy"))
         // per-SEGMENT margin at ITS far latitude (≥ the verify's
-        // cos(φ̄seg) requirement since φ̄seg ≤ farLat)
+        // cos(φ̄seg) requirement since φ̄seg ≤ farLat). The 89.95°
+        // cosine cap can make mSeg UNDER-cover a segment whose mean
+        // |lat| exceeds 89.95° (needed Δlon = R/(111320·cos φ̄seg)
+        // blows past the capped value) — those segments emit the FULL
+        // cell circle instead (r18 ADVICE: segment (0, 89.985)–
+        // (0, 89.995) vs point (30, 89.99) at R=1000 m was missed by
+        // both passes). Cap-binding segments are within 0.05° of the
+        // pole, so the full circle there is O(n) rows per segment on
+        // a tiny band — negligible, and it makes the "no pair missed
+        // at ANY latitude" contract unconditional.
         val mSeg = lit(radiusM / MPerLonDegEq) /
           cos(radians(least(lit(89.95), farLat + latMargin)))
         val lo = floor((least(col("__alon"), col("__blon")) - mSeg +
           180.0) / w).cast("long")
         val hi = floor((greatest(col("__alon"), col("__blon")) + mSeg +
           180.0) / w).cast("long")
-        when(hi - lo + 1 >= n, sequence(lit(0L), n - 1))
+        when(hi - lo + 1 >= n || farLat + latMargin > 89.95,
+            sequence(lit(0L), n - 1))
           .otherwise(array_distinct(transform(sequence(lo, hi),
             c => pmod(c, n))))
       })

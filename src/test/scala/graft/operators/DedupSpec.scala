@@ -338,4 +338,41 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == essCorpus(2)._2) // byte-identical passthrough
     assert(got(4L) == "")              // fully-duplicated doc -> empty, kept
   }
+
+  test("exactSubstrClean size gate is ONE-SIDED (r18 ADVICE): compressed " +
+      "parquet bytes under the cut cannot skip the checkpoint when true " +
+      "chars exceed it; a genuinely small corpus still skips it") {
+    // highly compressible text: on-disk snappy bytes << raw chars, the
+    // exact regime where the old two-sided stat gate silently skipped
+    // the measured -38 s sf10 materialization win
+    val docs = (1L to 60L).map(i => (i, ("ab " * 300) + i.toString))
+    val dir = java.nio.file.Files.createTempDirectory("essgate").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val chars = docs.map(_._2.length.toLong).sum
+    assert(statBytes < BigInt(chars),
+      s"corpus no longer compresses below raw chars ($statBytes vs $chars)")
+    val cut = (statBytes.toLong + chars) / 2 // stat under, chars over
+    val gated = Dedup.exactSubstrClean(df, "doc_id", "text", k = 12,
+      materializeMinChars = cut)
+    // the probe must have fired and chosen to materialize: the span
+    // relation shows up as a checkpointed ExistingRDD scan
+    assert(gated.queryExecution.executedPlan.toString
+        .contains("ExistingRDD"),
+      "gate skipped materialization on a chars-over-cut corpus")
+    // and the gated result is still the reference answer
+    val want = Dedup.exactSubstrClean(df, "doc_id", "text", k = 12,
+        materializeSpans = Some(false))
+      .as[(Long, String)].collect().toMap
+    val got = gated.as[(Long, String)].collect().toMap
+    assert(got == want)
+    // a corpus genuinely below the cut (both estimators) stays
+    // single-plan: no checkpoint scan in the executed plan
+    val small = Dedup.exactSubstrClean(df, "doc_id", "text", k = 12,
+      materializeMinChars = chars * 10)
+    assert(!small.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"))
+  }
 }

@@ -449,11 +449,18 @@ class GeoJoinSpec extends SparkSpec {
     val pts = Seq(
       (1L, 0.9, 89.9), (2L, 0.9, -89.9), // the formerly-missed pairs
       (3L, 0.04, 89.9),                  // same-cell pair (always found)
-      (4L, 10.0, 45.0))                  // equatorward control, no match
+      (4L, 10.0, 45.0),                  // equatorward control, no match
+      // past the polar pass's own 89.95-degree cosine cap: needed
+      // dlon blows past the capped per-segment margin, so without the
+      // full-cell-circle arm this pair was missed by BOTH passes
+      // (r18 ADVICE counterexample: true dist ~583 m at R=1000 m)
+      (5L, 30.0, 89.99), (6L, 30.0, -89.99))
     val lines: Seq[(Long, Seq[(Double, Double)])] = Seq(
       (101L, Seq((0.0, 89.89), (0.0, 89.91))),
       (102L, Seq((0.0, -89.91), (0.0, -89.89))),
-      (103L, Seq((10.0, 44.99), (10.0, 45.01))))
+      (103L, Seq((10.0, 44.99), (10.0, 45.01))),
+      (104L, Seq((0.0, 89.985), (0.0, 89.995))),
+      (105L, Seq((0.0, -89.995), (0.0, -89.985))))
     val ptsDf = pts.toDF("id", "lon", "lat")
     val lineDf = lines.toDF("lid", "rawpath").select($"lid",
       expr("transform(rawpath, p -> struct(p._1 AS lon, p._2 AS lat))")
@@ -472,6 +479,8 @@ class GeoJoinSpec extends SparkSpec {
     } yield ((p._1, lid), d)).toMap
     assert(want.contains((1L, 101L)) && want.contains((2L, 102L)),
       "test geometry no longer plants the clamp-missable pairs")
+    assert(want.contains((5L, 104L)) && want.contains((6L, 105L)),
+      "test geometry no longer plants the cap-missable ultra-polar pairs")
     assert(got.keySet == want.keySet,
       s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
     got.foreach { case (k, d) => assert(math.abs(d - want(k)) < 1e-9, k) }
