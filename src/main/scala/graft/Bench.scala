@@ -71,6 +71,73 @@ object Bench {
     t.start()
   }
 
+  /** Per-query executor-memory evidence (r18 verdict task 1: the
+    * sf10g composition-vs-isolated drift on `text_exact_substr_clean`
+    * was blamed on "concurrent cache pressure" without data). Sums
+    * task metrics between query boundaries — the query loop is
+    * sequential and the bus is drained (`Bridge.waitListenerBus`)
+    * before each read, so the deltas are exact per query:
+    * spill (in-memory + disk bytes), JVM GC time, per-task peak
+    * execution memory (MAX, the number a real cluster's executor
+    * sizing cares about), shuffle write and input read volume, max
+    * task wall (the serialized-tail signal), plus RDD-block eviction
+    * counts from the block-update stream (`drop` = block gone,
+    * `to_disk` = memory-pressure demotion of a MEMORY_AND_DISK block;
+    * a direct DISK_ONLY persist would miscount as a demotion — the
+    * catalog has none) and BlockManager storage-memory occupancy
+    * sampled before/after each query (localCheckpoint blocks are NOT
+    * SQL cache, so `clearCache()` does not free them — occupancy is
+    * how leftover loop state shows up).
+    */
+  private final class MemListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val memSpill, diskSpill, gcMs, shufWrite, input = new AtomicLong(0L)
+    val peakExec, maxTaskMs = new AtomicLong(0L)
+    val evictDrop, evictDisk = new AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        maxTaskMs.getAndUpdate(p => math.max(p, te.taskInfo.duration))
+      }
+    }
+    override def onBlockUpdated(
+        bu: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+      val info = bu.blockUpdatedInfo
+      if (info.blockId.isRDD) {
+        if (!info.storageLevel.isValid) evictDrop.incrementAndGet()
+        else if (info.storageLevel.useDisk && !info.storageLevel.useMemory)
+          evictDisk.incrementAndGet()
+      }
+    }
+    def reset(): Unit = Seq(memSpill, diskSpill, gcMs, shufWrite, input,
+      peakExec, maxTaskMs, evictDrop, evictDisk).foreach(_.set(0L))
+    /** One compact JSON object; bytes reported as integer MB. */
+    def json(storePreMb: Long, storePostMb: Long): String = {
+      def mb(v: Long): Long = v >> 20
+      s"""{"spill_mb":${mb(memSpill.get)},"dspill_mb":${mb(diskSpill.get)},""" +
+        s""""gc_s":${gcMs.get / 1e3},"peak_exec_mb":${mb(peakExec.get)},""" +
+        s""""shuf_w_mb":${mb(shufWrite.get)},"input_mb":${mb(input.get)},""" +
+        s""""maxtask_s":${maxTaskMs.get / 1e3},""" +
+        s""""evict_drop":${evictDrop.get},"evict_disk":${evictDisk.get},""" +
+        s""""store_pre_mb":$storePreMb,"store_post_mb":$storePostMb}"""
+    }
+  }
+
+  /** BlockManager storage-memory occupancy (MB used) — local mode has
+    * exactly one block manager entry.
+    */
+  private def storageUsedMb(spark: SparkSession): Long =
+    spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, rem) => max - rem }.sum >> 20
+
   @volatile private var calibSink = 0L
 
   /** Fixed deterministic CPU work (64-bit mix loop), immune to data and
@@ -147,8 +214,12 @@ object Bench {
           k = 3, threshold = 0.8, bands = 16, rowsPerBand = 2)
         .write.format("noop").mode("overwrite").save()
     }
+    val mem = new MemListener
+    spark.sparkContext.addSparkListener(mem)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startOff = math.round((System.nanoTime() - benchT0) / 1e9)
+      val storePre = storageUsedMb(spark)
+      mem.reset()
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -159,6 +230,11 @@ object Bench {
             String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(160)).trim)
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus so the metric deltas read below
+      // belong to THIS query, then snapshot memory evidence
+      try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+      catch { case _: Exception => () }
+      val memJson = mem.json(storePre, storageUsedMb(spark))
       // cleanup OUTSIDE the timed window: drop caches a query persisted
       // (LSH sketches etc.) so later queries aren't timed under another
       // query's storage footprint, and collect now so the freed blocks'
@@ -167,15 +243,19 @@ object Bench {
       // block)
       spark.catalog.clearCache()
       System.gc()
-      (name, elapsed, err, startOff)
+      (name, elapsed, err, startOff, memJson)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _) => "\"" + k + "\":\"" + m + "\"" }
+    val errs = results.collect { case (k, _, Some(m), _, _) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     // wall-clock start offset (s) per query — lets the load trace be
     // aligned to exactly which query was running when a sample fired
-    val starts = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
+    val starts = results.map { case (k, _, _, s, _) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    // per-query memory evidence (spill / GC / eviction / occupancy) —
+    // the artifact-level answer to "was it cache pressure?"
+    val memMap = results.map { case (k, _, _, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val trace = {
@@ -197,7 +277,7 @@ object Bench {
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // catalog entries that are views of one shared materialization: the
     // alphabetically-first entry of each family pays the full chain and
@@ -214,7 +294,7 @@ object Bench {
       """"doc_link_{hits,salsa,tkc,tkc_topk,hits_delta}: one HITS + one SALSA run over the shared 23-host graph",""" +
       """"doc_mirror_clusters + doc_link_pagerank_mirrored: one mirror pair + star-CC alias table"]"""
     val summary = s""""summary":{"total_s":${f2(total)},"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,$load,"sf":"$sfDir",$memoNote,$summary}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"starts":$starts,"errors":$errs,"mem":$memMap,$load,"sf":"$sfDir",$memoNote,$summary}"""
     println(line)
     // ALSO write the full line to a file: the driver's log capture keeps
     // only the tail of long lines, which left round 12's 206-vs-125 s
