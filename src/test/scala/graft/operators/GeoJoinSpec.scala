@@ -361,6 +361,95 @@ class GeoJoinSpec extends SparkSpec {
     assert(got((100L, 201L)) < firstOnly((100L, 201L)))
   }
 
+  test("pointsNearLinesStream (r19): watermark-bounded event-time twin — " +
+      "per-window stream == batch, a late point is DROPPED and counted " +
+      "by numRowsDroppedByWatermark while the candidate observe saw it " +
+      "arrive, and the window state is EVICTED once the watermark passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pnlwm-").toString
+    val lines = Seq(
+      (201L, Seq((10.0, 44.99), (10.0, 45.01))),   // equatorward road
+      (202L, Seq((0.0, 89.89), (0.0, 89.91))))     // polar station line
+      .toDF("lid", "rawpath").select($"lid",
+        expr("transform(rawpath, p -> named_struct('lon', p._1, " +
+          "'lat', p._2))").as("path"))
+    // stage 0: window 10:00 pairs (road + a polar-pass pair)
+    // stage 1: ts 12:10 -> watermark 11:10 finalizes+evicts window 10
+    // stage 2: a LATE 10:07 point (must be dropped AND counted) plus a
+    //          fresh 12:15 point joining window 12
+    // stage 3: ts 16:00 far point -> watermark 15:00 flushes window 12
+    val stages = Seq(
+      Seq((100L, 10.001, 45.0, "2026-01-01 10:05:00"),
+        (101L, 0.9, 89.9, "2026-01-01 10:10:00")),
+      Seq((102L, 10.0005, 45.0, "2026-01-01 12:10:00")),
+      Seq((103L, 10.0002, 45.0, "2026-01-01 10:07:00"),
+        (104L, 10.0008, 45.0, "2026-01-01 12:15:00")),
+      Seq((105L, 50.0, 0.0, "2026-01-01 16:00:00")))
+    stages.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("id", "lon", "lat", "ts").coalesce(1)
+        .write.mode("overwrite").json(s"$dir/f$i")
+    }
+    val staged = s"$dir/in"; new java.io.File(staged).mkdirs()
+    def stage(i: Int): Unit =
+      new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(staged, s"f$i-${f.getName}"))
+        }
+    val stream = spark.readStream
+      .schema("id LONG, lon DOUBLE, lat DOUBLE, ts TIMESTAMP")
+      .json(staged)
+    val q = GeoJoin.pointsNearLinesStream(stream, lines,
+        "id", "lon", "lat", "ts", "lid", "path",
+        radiusM = 1000.0, cellDeg = 0.5,
+        windowSize = "1 hour", watermarkDelay = "1 hour")
+      .select($"window.start".cast("string").as("w"),
+        $"point_id", $"line_id", $"dist_m")
+      .writeStream.format("memory").queryName("pnlwm")
+      .outputMode("append").start()
+    val maxState = new scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until stages.size).foreach { i =>
+      stage(i); q.processAllAvailable()
+      maxState ++= q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+    }
+    val drops = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    val arrivals = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("pnl_stream_candidates"))
+        .map(_.getLong(0))).sum
+    val lastState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val got = spark.table("pnlwm")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    // batch equivalent over the NON-late points, grouped by hour
+    val want = stages.flatten.filter(_._1 != 103L)
+      .groupBy(_._4.take(13) + ":00:00")
+      .flatMap { case (w, pts) =>
+        GeoJoin.pointsNearLines(
+            pts.map(p => (p._1, p._2, p._3)).toDF("id", "lon", "lat"),
+            lines, "id", "lon", "lat", "lid", "path",
+            radiusM = 1000.0, cellDeg = 0.5)
+          .as[(Long, Long, Double)].collect()
+          .map(r => ((w, r._1, r._2), r._3)).toSeq
+      }.toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    got.foreach { case (k, d) => assert(math.abs(d - want(k)) < 1e-9, k) }
+    assert(got.contains(("2026-01-01 10:00:00", 101L, 202L)),
+      "the polar-pass pair did not stream through the windowed twin")
+    // loss accounting: the late point's single candidate row arrived at
+    // the observe but was refused by the watermark filter
+    assert(drops == 1L, s"numRowsDroppedByWatermark=$drops")
+    assert(arrivals == 5L, s"candidate arrivals=$arrivals")
+    // bounded state: rows existed mid-run, and the final no-data batch
+    // evicted everything once the watermark passed the last window
+    assert(maxState.nonEmpty && maxState.max >= 2L, maxState.toString)
+    assert(lastState == 0L, s"state not evicted: $lastState rows")
+  }
+
   // exact mirror of pointsNearLines' planar clamp-projection verify
   private def segDist(plon: Double, plat: Double,
       alon: Double, alat: Double, blon: Double, blat: Double): Double = {
