@@ -245,12 +245,18 @@ object GeoQueries {
 
     // Spatial CONTAINMENT join: which points fall inside which
     // way-area rings — grid-cell candidates over polygon bboxes +
-    // exact ray-cast verify (GeoJoin.pointsInPolygons). Points derive
+    // exact ray-cast verify. Points derive
     // from orders ONTO the ways' coordinate lattice with half-step
     // offsets (+0.0005 on both axes): every way edge is a multiple of
     // 0.001°, so no point can sit ON a boundary and the oracle's
     // strict BETWEEN equals the engine's half-open ray cast — the
-    // on-edge convention never fires.
+    // on-edge convention never fires. r19: the catalog default is the
+    // GEOMETRY-NORMALIZING surface (pointsInPolygonsSafe) — identical
+    // rows on this non-straddling lattice (the oracle is unchanged),
+    // dateline-correct if a straddler ever enters; vs the plain join
+    // it costs ONE extra OUTPUT-sized exchange (the seam de-dup
+    // distinct), zero extra over the manual split-first recipe —
+    // plan-pinned in PlanAuditSpec.
     Q("poi_in_way_area",
       (s, dir) => {
         import graft.operators.GeoJoin
@@ -259,7 +265,7 @@ object GeoQueries {
           ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
           ((col("o_orderkey") % 120) - 60 +
             (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
-        GeoJoin.pointsInPolygons(pts, Tables.osmWays(s, dir),
+        GeoJoin.pointsInPolygonsSafe(pts, Tables.osmWays(s, dir),
             "id", "lon", "lat", "id", "ring", cellDeg = 0.5)
           .orderBy(col("point_id"), col("poly_id"))
       },
@@ -273,7 +279,7 @@ object GeoQueries {
              |  p.lon > w.lon0 AND p.lon < w.lon0 + w.d AND
              |  p.lat > w.lat0 AND p.lat < w.lat0 + w.d
              |ORDER BY point_id, poly_id""".stripMargin),
-      doc = "point-in-polygon containment join: bbox grid-cell candidates + exact ray cast vs the strict-between oracle (points half-step off the edge lattice, so boundary conventions never fire)"),
+      doc = "point-in-polygon containment join through the geometry-normalizing DEFAULT surface (pointsInPolygonsSafe, r19): bbox grid-cell candidates + exact ray cast vs the strict-between oracle (points half-step off the edge lattice, so boundary conventions never fire)"),
 
     // The WHALE-SPLIT anchor (round 16): pointsInPolygonsAuto against
     // the SAME oracle as poi_in_way_area, at a deliberately fine
@@ -333,7 +339,10 @@ object GeoQueries {
               (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
         val lines = Tables.osmWays(s, dir)
           .filter(pmod(col("id"), lit(5)) === 0)
-        GeoJoin.pointsNearLines(pts, lines, "id", "lon", "lat",
+        // r19: catalog default = the normalizing surface; identical
+        // rows here (no path straddles, min over ONE part), one extra
+        // OUTPUT-sized exchange for the across-parts min (PlanAuditSpec)
+        GeoJoin.pointsNearLinesSafe(pts, lines, "id", "lon", "lat",
             "id", "ring", 20000.0, cellDeg = 0.5)
           .select(col("point_id"), col("line_id"),
             round(col("dist_m"), 0).as("dist_m"))
@@ -385,7 +394,7 @@ object GeoQueries {
              |       round(min(dist), 0) AS dist_m
              |FROM d3 GROUP BY pid, lid HAVING min(dist) <= 20000.0
              |ORDER BY point_id, line_id""".stripMargin),
-      doc = "point-to-polyline distance join: segment bbox-cover grid candidates + planar clamp-projection verify + exact min-per-line vs the naive point-x-segment oracle"),
+      doc = "point-to-polyline distance join through the geometry-normalizing DEFAULT surface (pointsNearLinesSafe, r19): segment bbox-cover grid candidates + planar clamp-projection verify + exact min-per-line vs the naive point-x-segment oracle"),
 
     // POLAR-COMPLETE distance join (r18 — retires the clamp's "pairs
     // may be MISSED" contract): meridian research-station segments at
@@ -816,18 +825,70 @@ object GeoQueries {
              |GROUP BY cell ORDER BY cell""".stripMargin),
       doc = "spatial grid-cell aggregation (z-order-lite layout key)"),
 
-    // Antimeridian split + containment (round 17): planted dateline-
-    // straddling rectangles (the r16 VERDICT's missing operator —
-    // "a dateline-straddling country polygon is REAL data") split by
-    // splitAntimeridianRings, then the ordinary grid containment join
-    // over the pieces keyed (wid, part). The ORACLE operates on the
-    // pre-split halves (hand-derived west/east rectangles), so a
-    // split that mangled either piece breaks the hash. Points reach
-    // both sides of the dateline (lon spans the full [-180, 180));
-    // bounds end in .xx3/.xx7 against point coords ending in .0005,
-    // so boundary conventions never fire. Rect 3 does not straddle —
-    // the pass-through branch rides the same query.
+    // Antimeridian containment, the catalog DEFAULT (r19 migration):
+    // planted dateline-straddling rectangles (the r16 VERDICT's
+    // missing operator — "a dateline-straddling country polygon is
+    // REAL data") go RAW into the geometry-normalizing surface
+    // (pointsInPolygonsSafe: internal split + (id, part) rekey +
+    // aggregate-back). The ORACLE operates on the pre-split halves
+    // (hand-derived west/east rectangles), so a split that mangled
+    // either piece breaks the hash. Points reach both sides of the
+    // dateline (lon spans the full [-180, 180)); bounds end in
+    // .xx3/.xx7 against point coords ending in .0005, so boundary
+    // conventions never fire. Rect 3 does not straddle — the
+    // pass-through branch rides the same query. The manual
+    // split-first caller recipe keeps its own oracle as
+    // way_dateline_containment_manual.
     Q("way_dateline_containment",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
+        val rects = Seq(
+          (1L, 177.303, -176.297, -20.103, -4.897),
+          (2L, 179.203, -178.597, 30.053, 44.353),
+          (3L, 10.153, 20.853, -5.453, 8.253))
+          .toDF("wid", "wlo", "elo", "sla", "nla")
+        val polys = rects.select(col("wid"), expr(
+          "array(named_struct('lon', wlo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', sla))").as("ring"))
+        GeoJoin.pointsInPolygonsSafe(pts, polys, "id", "lon", "lat",
+            "wid", "ring", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 360) - 180 + 0.0005 AS lon,
+             |               (o_orderkey % 170) - 85 + 0.0005 AS lat
+             |             FROM orders),
+             |halves(wid, lo1, lo2, la1, la2) AS (VALUES
+             |  (1, 177.303, 180.0, -20.103, -4.897),
+             |  (1, -180.0, -176.297, -20.103, -4.897),
+             |  (2, 179.203, 180.0, 30.053, 44.353),
+             |  (2, -180.0, -178.597, 30.053, 44.353),
+             |  (3, 10.153, 20.853, -5.453, 8.253))
+             |SELECT p.id AS point_id, CAST(h.wid AS BIGINT) AS poly_id
+             |FROM pts p JOIN halves h
+             |  ON p.lon > h.lo1 AND p.lon < h.lo2
+             | AND p.lat > h.la1 AND p.lat < h.la2
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "antimeridian containment through the geometry-normalizing DEFAULT surface (pointsInPolygonsSafe, r19 migration): RAW wrapped dateline rings in, vs the pre-split-halves oracle; points on BOTH sides of the dateline match"),
+
+    // The MANUAL split-first caller recipe (the pre-r18 contract),
+    // kept oracled as a regression: the SAME planted dateline
+    // rectangles and the SAME pre-split-halves oracle as
+    // way_dateline_containment, but the caller runs
+    // splitAntimeridianRings itself and keys the plain grid join by
+    // (wid, part). Passing against the identical oracle proves the
+    // manual recipe and the normalizing surface stay interchangeable
+    // (was way_dateline_containment_raw before the r19 default swap —
+    // the raw-input form is now the default-named query above).
+    Q("way_dateline_containment_manual",
       (s, dir) => {
         import graft.operators.GeoJoin
         import s.implicits._
@@ -869,55 +930,7 @@ object GeoQueries {
              |  ON p.lon > h.lo1 AND p.lon < h.lo2
              | AND p.lat > h.la1 AND p.lat < h.la2
              |ORDER BY point_id, poly_id""".stripMargin),
-      doc = "antimeridian-split containment: dateline-straddling rings split into west/east pieces (splitAntimeridianRings), grid containment over the pieces vs the pre-split-halves oracle; points on BOTH sides of the dateline match"),
-
-    // The r18 NORMALIZED default path: the SAME planted dateline
-    // rectangles and the SAME pre-split-halves oracle as
-    // way_dateline_containment, but the RAW wrapped rings go straight
-    // into pointsInPolygonsSafe — no caller-side split, no (id, part)
-    // rekey. Passing against the identical oracle proves the
-    // geometry-normalizing surface reproduces the manual recipe
-    // byte-for-byte (the r17 VERDICT task: "running RAW dateline-
-    // straddling geometry through the un-prefixed join surface").
-    Q("way_dateline_containment_raw",
-      (s, dir) => {
-        import graft.operators.GeoJoin
-        import s.implicits._
-        val pts = Tables.orders(s, dir).select(
-          col("o_orderkey").as("id"),
-          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
-          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
-        val rects = Seq(
-          (1L, 177.303, -176.297, -20.103, -4.897),
-          (2L, 179.203, -178.597, 30.053, 44.353),
-          (3L, 10.153, 20.853, -5.453, 8.253))
-          .toDF("wid", "wlo", "elo", "sla", "nla")
-        val polys = rects.select(col("wid"), expr(
-          "array(named_struct('lon', wlo, 'lat', sla)," +
-            " named_struct('lon', elo, 'lat', sla)," +
-            " named_struct('lon', elo, 'lat', nla)," +
-            " named_struct('lon', wlo, 'lat', nla)," +
-            " named_struct('lon', wlo, 'lat', sla))").as("ring"))
-        GeoJoin.pointsInPolygonsSafe(pts, polys, "id", "lon", "lat",
-            "wid", "ring", cellDeg = 0.5)
-          .orderBy(col("point_id"), col("poly_id"))
-      },
-      Some("""WITH pts AS (SELECT o_orderkey AS id,
-             |               (o_totalprice % 360) - 180 + 0.0005 AS lon,
-             |               (o_orderkey % 170) - 85 + 0.0005 AS lat
-             |             FROM orders),
-             |halves(wid, lo1, lo2, la1, la2) AS (VALUES
-             |  (1, 177.303, 180.0, -20.103, -4.897),
-             |  (1, -180.0, -176.297, -20.103, -4.897),
-             |  (2, 179.203, 180.0, 30.053, 44.353),
-             |  (2, -180.0, -178.597, 30.053, 44.353),
-             |  (3, 10.153, 20.853, -5.453, 8.253))
-             |SELECT p.id AS point_id, CAST(h.wid AS BIGINT) AS poly_id
-             |FROM pts p JOIN halves h
-             |  ON p.lon > h.lo1 AND p.lon < h.lo2
-             | AND p.lat > h.la1 AND p.lat < h.la2
-             |ORDER BY point_id, poly_id""".stripMargin),
-      doc = "geometry-normalizing containment (r18): RAW wrapped dateline rings through pointsInPolygonsSafe (internal split + rekey + aggregate-back) vs the same pre-split-halves oracle as the manual-recipe query"),
+      doc = "manual split-first containment recipe (regression twin of the r19 Safe default): caller-side splitAntimeridianRings + (wid, part)-keyed plain grid join vs the same pre-split-halves oracle"),
 
     // Polygon-polygon intersection across the dateline (r18): RAW
     // straddling rects on BOTH sides through polygonsIntersectSafe.

@@ -198,4 +198,53 @@ class PlanAuditSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning\\(term".r.findAllMatchIn(p).size
     assert(hashEx <= 2, s"term exchanges should be reused, got $hashEx:\n$p")
   }
+
+  test("r19 Safe-surface migration: the geometry-normalizing defaults " +
+      "add ZERO exchanges over the manual split-first recipe and at " +
+      "most ONE output-sized exchange over the plain join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GeoJoin
+    import graft.sources.Tables
+    def hashEx(p: String): Int =
+      "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    val s = spark
+    val pts = Tables.orders(s, sf()).select(
+      col("o_orderkey").as("id"),
+      ((col("o_totalprice") % 300) - 150 + 0.0005).as("lon"),
+      ((col("o_orderkey") % 120) - 60 +
+        (col("o_orderkey") % 97) / 1000.0 + 0.0005).as("lat"))
+    val ways = Tables.osmWays(s, sf())
+    // containment: Safe vs manual recipe vs plain
+    val safe = GeoJoin.pointsInPolygonsSafe(pts, ways,
+      "id", "lon", "lat", "id", "ring", cellDeg = 0.5)
+    val manual = {
+      val split = GeoJoin.splitAntimeridianRings(ways, "id", "ring")
+        .withColumn("pk", struct(col("id"), col("part")))
+      GeoJoin.pointsInPolygons(pts, split, "id", "lon", "lat",
+          "pk", "ring", cellDeg = 0.5)
+        .select(col("point_id"), col("poly_id.id").as("poly_id"))
+        .distinct()
+    }
+    val plain = GeoJoin.pointsInPolygons(pts, ways,
+      "id", "lon", "lat", "id", "ring", cellDeg = 0.5)
+    val (eSafe, eManual, ePlain) = (
+      hashEx(safe.queryExecution.executedPlan.toString),
+      hashEx(manual.queryExecution.executedPlan.toString),
+      hashEx(plain.queryExecution.executedPlan.toString))
+    assert(eSafe <= eManual,
+      s"Safe containment added exchanges over the manual recipe: $eSafe vs $eManual")
+    assert(eSafe <= ePlain + 1,
+      s"Safe containment costs more than the one seam-dedup exchange: $eSafe vs plain $ePlain")
+    // near-lines: Safe's across-parts min is its only extra exchange
+    val linesRel = ways.filter(pmod(col("id"), lit(5)) === 0)
+    val safeNl = GeoJoin.pointsNearLinesSafe(pts, linesRel,
+      "id", "lon", "lat", "id", "ring", 20000.0, cellDeg = 0.5)
+    val plainNl = GeoJoin.pointsNearLines(pts, linesRel,
+      "id", "lon", "lat", "id", "ring", 20000.0, cellDeg = 0.5)
+    val (eSafeNl, ePlainNl) = (
+      hashEx(safeNl.queryExecution.executedPlan.toString),
+      hashEx(plainNl.queryExecution.executedPlan.toString))
+    assert(eSafeNl <= ePlainNl + 1,
+      s"Safe near-lines costs more than the one across-parts min exchange: $eSafeNl vs plain $ePlainNl")
+  }
 }
