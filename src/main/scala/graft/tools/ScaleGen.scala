@@ -29,16 +29,62 @@ import org.apache.spark.sql.functions._
   *     per-user timelines), so sessionization/asof/funnel output
   *     scales exactly linearly.
   *
-  * `usage: ScaleGen <srcSfDir> <dstDir> <copies>`; dst is laid out like
+  * `usage: ScaleGen <srcSfDir> <dstDir> <copies> [mog:<clusters>:<noise>]`;
+  * dst is laid out like
   * a driver sf dir, so Bench/QueryTime run against it unchanged. The
   * tool is ONLY for stress timing — the DuckDB oracle gate stays on the
   * driver's own sf0.01.
+  *
+  * The optional `mog:<clusters>:<noise>` mode (r19 — the verdict's
+  * clustered-embedding gap: the replicated corpus keeps cross-copy
+  * cosine at the random baseline, so the ivfsweep recall curve could
+  * only measure the scan-fraction floor) writes ONLY
+  * `embeddings.parquet`: srcRows × copies vectors drawn from a
+  * deterministic mixture of Gaussians ([[mogEmbedding]] — hash-seeded
+  * centers uniform in [-1,1]^dim, Irwin–Hall(4) pseudo-normal noise
+  * scaled by `noise`, ground-truth cluster in `label`). Pair it with
+  * an existing replicated dir (symlink the other tables) for probe
+  * runs that need documents/events too.
   */
 object ScaleGen {
+  /** Deterministic clustered embedding for `vecId`: cluster
+    * `pmod(xxhash64('mog-cl', id), clusters)`, value per dimension
+    * `center(cl, d) + noise · irwinHall4(id, d)`. Everything derives
+    * from xxhash64 of literal-tagged keys — no RNG state, so the same
+    * (id, dim, clusters, noise) always yields the same vector on any
+    * cluster layout, and the corpus regenerates bit-identically.
+    * Centers are uniform per dimension in [-1, 1] (expected pairwise
+    * center distance ~ sqrt(2·dim/3), ≈ 6.5 at dim 64); the
+    * Irwin–Hall(4) sum of four uniforms halved is a pseudo-normal
+    * with σ ≈ 0.577, so `noise` = 0.3 gives per-vector displacement
+    * ≈ 0.3·0.577·sqrt(dim) ≈ 1.4 — tight, well-separated clusters a
+    * real embedding model produces and the replicated corpus cannot.
+    */
+  def mogEmbedding(vecId: org.apache.spark.sql.Column, dim: Int,
+      clusters: Int, noise: Double): org.apache.spark.sql.Column = {
+    require(dim > 0 && clusters > 0 && noise >= 0)
+    val cl = pmod(xxhash64(lit("mog-cl"), vecId), lit(clusters.toLong))
+    def u(tag: String, a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      pmod(xxhash64(lit(tag), a, b), lit(1000003L)) / 500001.5 - 1.0
+    transform(sequence(lit(0), lit(dim - 1)), d => {
+      val g = (u("mog-n1", vecId, d) + u("mog-n2", vecId, d) +
+        u("mog-n3", vecId, d) + u("mog-n4", vecId, d)) / 2.0
+      (u("mog-center", cl, d) + lit(noise) * g).cast("float")
+    })
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <copies>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <dstDir> <copies> [mog:<clusters>:<noise>]")
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
     require(copies >= 1, s"copies must be >= 1: $copies")
+    val mog = args.lift(3).map { m =>
+      val p = m.split(":")
+      require(p.length == 3 && p(0) == "mog",
+        s"4th arg must be mog:<clusters>:<noise>, got $m")
+      (p(1).toInt, p(2).toDouble)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,6 +94,27 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val c = spark.range(copies).select(col("id").cast("int").as("__copy"))
+
+    if (mog.isDefined) {
+      val (kCl, noise) = mog.get
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      require(emb.agg(max(col("vec_id"))).head.getLong(0) < 1000000L,
+        "embeddings.vec_id would alias across copies")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      emb.crossJoin(c).select(
+          (col("vec_id") + col("__copy").cast("long") * 1000000L)
+            .as("vec_id"))
+        .withColumn("embedding",
+          mogEmbedding(col("vec_id"), dim, kCl, noise))
+        .withColumn("label", concat(lit("c"),
+          pmod(xxhash64(lit("mog-cl"), col("vec_id")), lit(kCl.toLong))))
+        .repartition(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(s"[scalegen] mog embeddings: ${copies} copies x src rows, " +
+        s"dim=$dim clusters=$kCl noise=$noise -> $dst/embeddings.parquet")
+      spark.stop()
+      return
+    }
 
     // Per-copy id offsets are fixed constants; a source whose ids reach
     // the offset would alias across copies (duplicate doc_id/user_id),
