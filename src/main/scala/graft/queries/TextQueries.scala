@@ -5570,7 +5570,12 @@ object TextQueries {
     // corpus, identical oracle, `lshPairs = false` — the prefix-
     // filtered exact Jaccard pair stage. Both paths hash-green against
     // ONE oracle is the banding-equality claim made observable in the
-    // correctness gate, not just in a spec.
+    // correctness gate, not just in a spec. EXPECTED-SLOW BY DESIGN:
+    // this is the exact ANCHOR of the near-mirror family (97.8 s at
+    // sf10g/100× in r18) — its scale-path twin is doc_mirror_hosts_lsh
+    // above (in-class at the same scale); read the bench tail as the
+    // documented anchor convention (like dedup_embedding vs _lsh:
+    // 610.8 s vs 6.9 s = 88×), not a defect.
     Q("doc_mirror_hosts_near_exact",
       (s, dir) => {
         import graft.operators.CrawlPipeline

@@ -1313,6 +1313,62 @@ object SkewProbe {
             roads.unpersist()
           }
 
+        case "polarscale" =>
+          // dense-polar candidate-volume law for the CELLED polar pass
+          // (r18 verdict task 3): density decade × radius sweep × the
+          // near-pole cell-collapse regime, wall + maxtask per rep —
+          // the same discipline pnlscale used to pin the uniform
+          // pass's law. Every point and segment sits poleward of
+          // 86.2°, so every segment routes through the exact
+          // (band, lon-cell) polar pass: the pass IS the measured
+          // object (the fine grid contributes only its always-on
+          // cells). The cap rows also exercise the r19 full-circle
+          // arm (segments within 0.05° of the pole emit the whole
+          // band ring).
+          import graft.operators.GeoJoin
+          import org.apache.spark.sql.functions.{expr => sexpr}
+          def capPts(n: Long, latLo: Double, latSpanMicro: Long,
+              seed: Int): DataFrame =
+            spark.range(n).select(col("id"),
+              (pmod(xxhash64(col("id"), lit(seed)), lit(360000000L))
+                / 1e6 - 180).as("lon"),
+              (lit(latLo) + pmod(xxhash64(col("id"), lit(seed + 1)),
+                lit(latSpanMicro)) / 1e6).as("lat"))
+          def capRoads(n: Long, latLo: Double, latSpanMicro: Long,
+              seed: Int): DataFrame =
+            capPts(n, latLo, latSpanMicro, seed).select(col("id"), sexpr(
+              """transform(sequence(0, 1), i ->
+                |struct(lon + i * 0.01 AS lon,
+                |       lat + i * 0.005 AS lat))""".stripMargin).as("path"))
+          def runPolar(name: String, pts: DataFrame, roads: DataFrame,
+              r: Double): Unit = {
+            val p = pts.repartition(cpus.toInt).persist(); p.count()
+            val rd = roads.repartition(cpus.toInt).persist(); rd.count()
+            val ((nr, h), t) = time(sig(
+              GeoJoin.pointsNearLines(p, rd, "id", "lon", "lat",
+                "id", "path", radiusM = r, cellDeg = 0.25),
+              Seq("point_id", "line_id")))
+            report(name, rep, t, nr, h)
+            p.unpersist(); rd.unpersist()
+          }
+          // density decade at road radius (R = 1 km), lat 86.2–89.0
+          for (n <- Seq(100000L, 400000L, 1600000L))
+            runPolar(s"pol_d${n / 1000}k_r1k",
+              capPts(n, 86.2, 2800000L, 31),
+              capRoads(n / 10, 86.2, 2800000L, 37), 1000.0)
+          // radius sweep at fixed density (the margin widens, the
+          // band's cells coarsen, candidates per cell grow)
+          for (r <- Seq(500.0, 2000.0, 8000.0))
+            runPolar(s"pol_d400k_r${r.toInt}",
+              capPts(400000L, 86.2, 2800000L, 31),
+              capRoads(40000L, 86.2, 2800000L, 37), r)
+          // near-pole collapse: lat 89.4–89.955, bands trend toward
+          // ONE lon cell and the 89.95° cap's full-circle arm fires
+          for (r <- Seq(1000.0, 4000.0))
+            runPolar(s"pol_cap_r${r.toInt}",
+              capPts(100000L, 89.4, 550000L, 41),
+              capRoads(5000L, 89.4, 550000L, 43), r)
+
         case other =>
           sys.error(s"unknown family: $other")
       }
