@@ -89,7 +89,7 @@ object Bench {
     * SQL cache, so `clearCache()` does not free them — occupancy is
     * how leftover loop state shows up).
     */
-  private final class MemListener
+  private[graft] final class MemListener
       extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
     val memSpill, diskSpill, gcMs, shufWrite, input = new AtomicLong(0L)
@@ -134,7 +134,7 @@ object Bench {
   /** BlockManager storage-memory occupancy (MB used) — local mode has
     * exactly one block manager entry.
     */
-  private def storageUsedMb(spark: SparkSession): Long =
+  private[graft] def storageUsedMb(spark: SparkSession): Long =
     spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, rem) => max - rem }.sum >> 20
 

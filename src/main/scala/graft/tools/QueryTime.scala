@@ -22,16 +22,31 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
+    // same per-query memory evidence as Bench (spill / GC / eviction /
+    // occupancy) so isolated-vs-composition drift compares like for
+    // like — set SPARK_GRAFT_MEM=off to silence the extra line
+    val memOn = sys.env.getOrElse("SPARK_GRAFT_MEM", "on") != "off"
+    val mem = new graft.Bench.MemListener
+    if (memOn) spark.sparkContext.addSparkListener(mem)
     args.drop(1).foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // Fault-isolated per query: a probe run deliberately walks operators
       // up to (and past) their breaking scale, so one query's stage death
       // must not cost the measurements queued behind it.
       try {
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).map { i =>
+          val storePre = graft.Bench.storageUsedMb(spark)
+          mem.reset()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          if (memOn) {
+            try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+            catch { case _: Exception => () }
+            println(s"[qtime-mem] $name rep$i " +
+              mem.json(storePre, graft.Bench.storageUsedMb(spark)))
+          }
+          t
         }
         println(f"[qtime] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
       } catch {
