@@ -438,15 +438,27 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (brute force, id_a < id_b).
     * Output: (id_a, id_b, cos). The all-pairs comparison is the exact
     * baseline; see [[Similarity]] for the sub-quadratic paths.
+    *
+    * The conjunct ORDER in the join condition is load-bearing (r19):
+    * `id_a < id_b` must come FIRST so the nested-loop predicate
+    * short-circuits past the ordered-pair half that can never emit —
+    * the pre-r19 form joined on `id <` alone and let the optimizer AND
+    * the pushed cosine filter in FRONT of it, paying the full fused
+    * cosine loop (and its per-eval array accessors) on ALL n² ordered
+    * pairs instead of n²/2: measured 1.43× end-to-end at 20k vectors
+    * (17.7 → 12.4 s median, BASELINE r19 — the residual is the
+    * join's own per-pair iteration cost). The projection recomputes
+    * the cosine only for SURVIVING pairs, which the radius filter
+    * makes rare.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = emb.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    e.as("a").join(e.as("b"), col("a.__id") < col("b.__id"))
+    e.as("a").join(e.as("b"), col("a.__id") < col("b.__id") &&
+        Sketches.cosineSim(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
   }
 
   /** IVF-bucketed embedding near-dup: vectors are multi-probe assigned

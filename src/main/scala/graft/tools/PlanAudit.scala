@@ -15,13 +15,26 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
+    // --final: execute the query first so the AQE final plan (with
+    // codegen ids) prints instead of the isFinalPlan=false skeleton —
+    // WholeStageCodegen presence is only decidable post-execution
+    val (flags, qnames) = args.toSeq.partition(_.startsWith("--"))
+    val runFirst = flags.contains("--final")
+    val names = if (qnames.nonEmpty) qnames
       else Seq("poi_classify_basic", "q5_local_supplier", "dedup_jaccard_pairs")
-    val sfDir = "/root/testdata/sf0.001"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (runFirst) {
+        df.write.format("noop").mode("overwrite").save()
+        // executedPlan.toString shows the final adaptive plan with
+        // `*(n)` WholeStageCodegen markers; formatted explain of an
+        // AQE plan re-prints the isFinalPlan=false skeleton
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
