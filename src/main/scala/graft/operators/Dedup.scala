@@ -439,26 +439,77 @@ object Dedup {
     * Output: (id_a, id_b, cos). The all-pairs comparison is the exact
     * baseline; see [[Similarity]] for the sub-quadratic paths.
     *
-    * The conjunct ORDER in the join condition is load-bearing (r19):
-    * `id_a < id_b` must come FIRST so the nested-loop predicate
-    * short-circuits past the ordered-pair half that can never emit —
-    * the pre-r19 form joined on `id <` alone and let the optimizer AND
-    * the pushed cosine filter in FRONT of it, paying the full fused
-    * cosine loop (and its per-eval array accessors) on ALL n² ordered
-    * pairs instead of n²/2: measured 1.43× end-to-end at 20k vectors
-    * (17.7 → 12.4 s median, BASELINE r19 — the residual is the
-    * join's own per-pair iteration cost). The projection recomputes
-    * the cosine only for SURVIVING pairs, which the radius filter
-    * makes rare.
+    * Plan shape (r19, TILE-EVALUATED): both sides pack into rows of
+    * `struct(ids: array<long>, flat: array<double>)` — vectors of one
+    * uniform dimension laid END-TO-END (grouping key includes
+    * `size(v)`, so mixed-dimension corpora split into uniform tiles
+    * and cross-dimension pairs drop exactly as the join form dropped
+    * them): the corpus into `rowBatches` batch rows (streamed,
+    * repartitioned to cluster width) and `numBlocks` block rows
+    * (broadcast — the SAME O(corpus) executor footprint the old
+    * BuildRight nested-loop join shipped, just packed). Each
+    * batch × block joined row evaluates a whole TILE in
+    * [[graft.functions.CosineTileMatches]] over raw primitive reads —
+    * zero per-pair allocation, and the batch side stays L2-resident
+    * while the block streams through, so the naive plan's per-pair
+    * memory traffic (512 B/pair from a broadcast two orders larger
+    * than cache) collapses by the batch width. Same fused loop, same
+    * accumulation order, so `cos` is bit-identical to the
+    * join-condition form. Still exactly O(n²/2) fused-loop work —
+    * brute force, not a candidate scheme; each unordered pair is
+    * evaluated once. Measured at 20k vectors ×reps: naive join 17.7 s
+    * → conjunct-ordered join 12.4 → tile kernel 0.6–0.9 s warm; at
+    * sf10g/200k: 549.7 → 28–38 s (~17×), GC 263.5 → 1–5 s
+    * (BASELINE r19).
+    *
+    * The trailing `repartition` of the SURVIVORS is recompute
+    * insurance, not a partitioning choice: the compute-to-output ratio
+    * here is extreme (O(n²) fused loops, a near-empty pair set), and a
+    * downstream global sort — the catalog's orderBy, anyone's top-k —
+    * would otherwise put a RangePartitioning directly above an
+    * exchange-free subtree, whose boundary-sampling pass RE-EXECUTES
+    * the whole join (measured: 109 s sorted vs 64 s unsorted at sf10g
+    * before this line, vs 54 s sorted with it — AQE materializes the
+    * tiny shuffle once and the sampler reads the shuffle files). The
+    * hash key makes the shuffle reusable for the id_a-keyed groupBys
+    * the CC/semantic-dedup consumers run next.
+    *
+    * The explicit `repartition(defaultParallelism)` is load-bearing:
+    * a packed corpus is tiny on disk (200k × 64f ≈ 50 MB → 1–2 input
+    * splits) and the cross join inherits the scan's width — the r19
+    * one-file-corpus trap (66–85 s vs 17 s for the SAME data at
+    * different file counts). One narrow shuffle of the (by definition
+    * small) brute corpus buys full-width compute.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, numBlocks: Int = 64,
+      rowBatches: Int = 1024): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks >= 1: $numBlocks")
+    require(rowBatches >= 1, s"rowBatches >= 1: $rowBatches")
     val e = emb.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    e.as("a").join(e.as("b"), col("a.__id") < col("b.__id") &&
-        Sketches.cosineSim(col("a.v"), col("b.v")) >= threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
+    // null-id / null-vector rows can never emit a pair (the join form
+    // dropped them via null conditions) — exclude so packing stays dense
+    def packed(groups: Int): DataFrame =
+      e.filter(col("__id").isNotNull && col("v").isNotNull)
+        .groupBy(pmod(xxhash64(col("__id")), lit(groups.toLong)).as("__g"),
+          size(col("v")).as("__d"))
+        .agg(collect_list(struct(col("__id").as("id"), col("v").as("v")))
+          .as("__c"))
+        .select(struct(
+          transform(col("__c"), x => x.getField("id")).as("ids"),
+          flatten(transform(col("__c"), x => x.getField("v"))).as("flat"))
+          .as("__t"))
+    val width = emb.sparkSession.sparkContext.defaultParallelism
+    packed(rowBatches).withColumnRenamed("__t", "__batch")
+      .repartition(width)
+      .crossJoin(broadcast(packed(numBlocks).withColumnRenamed("__t", "__block")))
+      .select(explode(graft.functions.CosineBlock.tileMatches(
+        col("__batch"), col("__block"), threshold)).as("__m"))
+      .select(col("__m").getField("id_a").as("id_a"),
+        col("__m").getField("id_b").as("id_b"),
+        col("__m").getField("cos").as("cos"))
+      .repartition(col("id_a"))
   }
 
   /** IVF-bucketed embedding near-dup: vectors are multi-probe assigned

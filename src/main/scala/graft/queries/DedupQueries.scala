@@ -348,12 +348,13 @@ object DedupQueries {
       },
       doc = "SimHash64 (portable hash family) + 16-bit chunk banding + hamming verify, DuckDB hash-verified"),
 
-    // EXPECTED-SLOW BY DESIGN: the brute-force O(n²) exact anchor the
-    // scale paths are measured against — 610.8 s at sf10g/100× in r18
-    // vs its LSH twin dedup_embedding_lsh's 6.9 s (88×); it exists to
-    // be beaten, and the bench tail should read it as the documented
-    // anchor convention (same as doc_mirror_hosts_near_exact), not a
-    // defect.
+    // The brute-force O(n²) exact anchor the scale paths are measured
+    // against — still quadratic WORK by definition, but since r19 it
+    // runs the tile-evaluated kernel (CosineTileMatches): 610.8 s at
+    // sf10g/100× in r18 → 28–38 s r19 (GC 263 → 1–5 s). Its LSH twin
+    // dedup_embedding_lsh (6.9 s at sf10g) remains the scale path —
+    // the anchor's n² fused loops lose at any corpus the sketches can
+    // bucket, it exists to verify them.
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.45)

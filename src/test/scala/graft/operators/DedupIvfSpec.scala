@@ -7,6 +7,53 @@ import org.apache.spark.sql.functions._
 class DedupIvfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("block-evaluated embeddingNearDupPairs == the naive join form " +
+      "(pairs AND bit-identical cos), across block counts; null / " +
+      "mismatched-dim / zero-vector edge contract preserved") {
+    val emb = Tables.embeddings(spark, sf())
+    // the pre-r19 naive reference, inline: self-join + cosine filter
+    def naive(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val e = df.select(col("vec_id").as("__id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.as("a").join(e.as("b"), col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          graft.functions.Sketches.cosineSim(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= t)
+        .as[(Long, Long, Double)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+    }
+    val want = naive(emb, 0.45)
+    for (blocks <- Seq(1, 7, 64)) {
+      val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          0.45, numBlocks = blocks)
+        .as[(Long, Long, Double)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      assert(got.keySet == want.keySet, s"blocks=$blocks: " +
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+      got.foreach { case (k, c) =>
+        assert(c == want(k), s"blocks=$blocks cos not bit-identical at $k") }
+    }
+    // edge contract: null vector and mismatched dims drop their pairs,
+    // zero vectors score cos = 0 (kept iff threshold <= 0)
+    val weird = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f)),                     // zero vector
+      (5L, Seq(1.0f, 0.0f, 0.0f)))               // mismatched dim
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))             // null vector
+    val gotW = Dedup.embeddingNearDupPairs(weird, "vec_id", "embedding",
+        -1.0, numBlocks = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val wantW = naive(weird, -1.0)
+    assert(gotW.keySet == wantW.keySet,
+      s"missing=${wantW.keySet -- gotW.keySet} extra=${gotW.keySet -- wantW.keySet}")
+    assert(gotW((1L, 3L)) == 0.0 && gotW((1L, 2L)) == 1.0)
+    assert(!gotW.keySet.exists(p => p._1 == 4L || p._2 == 4L ||
+      p._1 == 5L || p._2 == 5L))
+  }
+
   test("IVF-bucketed embedding near-dup matches brute force on testdata") {
     val emb = Tables.embeddings(spark, sf())
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
