@@ -120,14 +120,34 @@ object Bench {
     def reset(): Unit = Seq(memSpill, diskSpill, gcMs, shufWrite, input,
       peakExec, maxTaskMs, evictDrop, evictDisk).foreach(_.set(0L))
     /** One compact JSON object; bytes reported as integer MB. */
-    def json(storePreMb: Long, storePostMb: Long): String = {
+    def json(storePreMb: Long, storePostMb: Long, allocGb: Double = -1): String = {
       def mb(v: Long): Long = v >> 20
+      val alloc = if (allocGb < 0) "" else f""""alloc_gb":$allocGb%.1f,"""
       s"""{"spill_mb":${mb(memSpill.get)},"dspill_mb":${mb(diskSpill.get)},""" +
         s""""gc_s":${gcMs.get / 1e3},"peak_exec_mb":${mb(peakExec.get)},""" +
         s""""shuf_w_mb":${mb(shufWrite.get)},"input_mb":${mb(input.get)},""" +
-        s""""maxtask_s":${maxTaskMs.get / 1e3},""" +
+        s""""maxtask_s":${maxTaskMs.get / 1e3},""" + alloc +
         s""""evict_drop":${evictDrop.get},"evict_disk":${evictDisk.get},""" +
         s""""store_pre_mb":$storePreMb,"store_post_mb":$storePostMb}"""
+    }
+  }
+
+  /** Total bytes allocated by ALL live JVM threads so far — the
+    * pre/post delta per query is the number that turns "GC debt" from
+    * an inference into an attribution (r19, ROADMAP candidate b): a
+    * query whose in-window gc_s is high but whose OWN alloc_gb is low
+    * is paying for a neighbor's debris; high alloc_gb names the
+    * allocator directly. Local-mode caveat, documented not hidden:
+    * task threads are pooled and long-lived so deltas are exact; a
+    * thread that DIES mid-window takes its counter with it
+    * (undercount), and threads born mid-window start at 0 (exact).
+    */
+  private[graft] def allocatedBytes(): Long = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    mx match {
+      case sun: com.sun.management.ThreadMXBean if sun.isThreadAllocatedMemorySupported =>
+        sun.getThreadAllocatedBytes(mx.getAllThreadIds).filter(_ > 0L).sum
+      case _ => -1L
     }
   }
 
@@ -219,6 +239,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startOff = math.round((System.nanoTime() - benchT0) / 1e9)
       val storePre = storageUsedMb(spark)
+      val allocPre = allocatedBytes()
       mem.reset()
       val t0 = System.nanoTime()
       val err = try {
@@ -234,7 +255,10 @@ object Bench {
       // belong to THIS query, then snapshot memory evidence
       try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
       catch { case _: Exception => () }
-      val memJson = mem.json(storePre, storageUsedMb(spark))
+      val allocGb =
+        if (allocPre < 0) -1.0
+        else (allocatedBytes() - allocPre) / (1024.0 * 1024 * 1024)
+      val memJson = mem.json(storePre, storageUsedMb(spark), allocGb)
       // cleanup OUTSIDE the timed window: drop caches a query persisted
       // (LSH sketches etc.) so later queries aren't timed under another
       // query's storage footprint, and collect now so the freed blocks'

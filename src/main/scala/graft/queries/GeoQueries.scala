@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.{GeoFunctions, HstoreCompat}
 import graft.model.OsmModel
 import graft.operators.{PoiClassifier, TagDimension, WayAssembly}
+import graft.queries.Catalog.OrderByOnce
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
@@ -29,7 +30,7 @@ object GeoQueries {
       (s, dir) => Tables.osmWays(s, dir)
         .select(col("id"),
           round(GeoFunctions.geodesic_area(col("ring")), 1).as("area_m2"))
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some(s"""SELECT id,
               |       round(abs(radians(d) * (2 + 2 * sin(radians(lat0)))
               |               - radians(d) * (2 + 2 * sin(radians(lat0 + d))))
@@ -47,7 +48,7 @@ object GeoQueries {
       (s, dir) => Tables.osmWays(s, dir)
         .select(col("id"),
           round(GeoFunctions.geodesic_area_spheroid(col("ring")), 1).as("area_m2"))
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some(s"""SELECT id,
               |       round(abs(radians(d) * (2 + r0 + r0)
               |               - radians(d) * (2 + r1 + r1))
@@ -94,7 +95,7 @@ object GeoQueries {
               GeoFunctions.geodesic_area_spheroid(col("ring"))) /
             GeoFunctions.geodesic_area_spheroid(col("ring")) < 1e-5)
             .as("residual_ok"))
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some(s"""SELECT id,
               |       round(abs(radians(d) * (2 + r0 + r0)
               |               - radians(d) * (2 + r1 + r1))
@@ -143,7 +144,7 @@ object GeoQueries {
             "id", "lon", "lat", 30000.0, selfPairs = true)
           .select(col("id_a"), col("id_b"),
             round(col("dist_m"), 0).as("dist_m"))
-          .orderBy(col("id_a"), col("id_b"))
+          .orderByOnce(col("id_a"), col("id_b"))
       },
       Some("""WITH n AS (SELECT o_orderkey AS id,
              |             (o_totalprice % 360) - 180 AS lon,
@@ -227,7 +228,7 @@ object GeoQueries {
               GeoJoin.haversineM(col("lon"), col("lat"),
                 col("lon2"), col("lat2")) * 0.006)
               .as("band_ok"))
-          .orderBy(col("id"))
+          .orderByOnce(col("id"))
       },
       Some("""WITH n AS (SELECT o_orderkey AS id,
              |             (o_totalprice % 360) - 180 AS lon,
@@ -747,7 +748,7 @@ object GeoQueries {
             HstoreCompat.tstampFormatted(col("tstamp")).as("tstamp"),
             col("changeset_id"),
             HstoreCompat.tagsAsHstore(col("tags")).as("tags_hstore"))
-          .orderBy(col("id"))
+          .orderByOnce(col("id"))
       },
       Some("""SELECT o_orderkey AS id,
              |       1 AS version,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{Dedup, Multimodal}
+import graft.queries.Catalog.OrderByOnce
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -51,7 +52,7 @@ object MultimodalQueries {
       (s, dir) => Multimodal.imageMeta(
         Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""SELECT doc_id AS id,
              |       CAST(1 + doc_id % 64 AS INTEGER) AS width,
              |       CAST(1 + doc_id % 48 AS INTEGER) AS height,
@@ -68,7 +69,7 @@ object MultimodalQueries {
       (s, dir) => Multimodal.pixelStats(
         Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
              |                  CAST(1 + doc_id % 48 AS BIGINT) AS h
              |           FROM documents),
@@ -97,7 +98,7 @@ object MultimodalQueries {
       (s, dir) => Multimodal.audioMeta(
         Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""SELECT doc_id AS id,
              |       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
              |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
@@ -123,7 +124,7 @@ object MultimodalQueries {
             .as("rms"),
           round(col("n_silent") / col("n_samples").cast("double"), 6)
             .as("silence_ratio"))
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""WITH p AS (SELECT doc_id,
              |             CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT) AS ns
              |           FROM documents),
@@ -146,7 +147,7 @@ object MultimodalQueries {
         Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)),
         maxW = 32, maxH = 32)
         .toDF()
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""WITH d AS (SELECT doc_id,
              |                  CAST(1 + doc_id % 64 AS DOUBLE) AS w,
              |                  CAST(1 + doc_id % 48 AS DOUBLE) AS h
@@ -169,7 +170,7 @@ object MultimodalQueries {
         Multimodal.imageMeta(
           Multimodal.mediaFromDocuments(Tables.documents(s, dir), "image")),
         maxW = 256, maxH = 256)
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""SELECT doc_id AS id,
              |       CAST(least(1 + length(text) % 640, 256) AS INTEGER) AS width,
              |       CAST(least(1 + length(text) % 480, 256) AS INTEGER) AS height,
@@ -190,7 +191,7 @@ object MultimodalQueries {
           .select(col("id"), posexplode(col("features")).as(Seq("j", "share")))
           .select(col("id"), col("j").cast("int").as("j"),
             col("share").cast("double").as("share"))
-          .orderBy(col("id"), col("j"))
+          .orderByOnce(col("id"), col("j"))
       },
       Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
              |                  CAST(1 + doc_id % 48 AS BIGINT) AS h
@@ -273,7 +274,7 @@ object MultimodalQueries {
         .toDF()
         .select(col("id"), col("frame_idx"), col("src_frame"),
           col("width"), col("height"), col("mean_gray"))
-        .orderBy(col("id"), col("frame_idx")),
+        .orderByOnce(col("id"), col("frame_idx")),
       Some("""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 17 AS BIGINT) AS w,
              |                  CAST(1 + doc_id % 13 AS BIGINT) AS h,
              |                  CAST(2 + doc_id % 5 AS BIGINT) AS fc
@@ -531,7 +532,7 @@ object MultimodalQueries {
       (s, dir) => Multimodal.audioFingerprint64(
           Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
-        .orderBy(col("id")),
+        .orderByOnce(col("id")),
       Some("""WITH p AS (SELECT doc_id,
              |             CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT)
              |               AS ns

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.queries.Catalog.OrderByOnce
 import graft.model.PoiSettings
 import graft.operators.{PoiClassifier, TagDimension}
 import graft.sources.Tables
@@ -32,12 +33,15 @@ object PoiQueries {
     PoiClassifier.classify(Tables.osmNodes(spark, sfDir), pairs, settings)
   }
 
+  // orderByOnce: the classify tail (tag-match kernel over the scan) sat
+  // in the sort sampler's re-executed segment — 6.95 -> 3.87 s at sf10g
+  // for the exclude form; the relational form is flat-within-noise
   private def projectIds(df: DataFrame): DataFrame =
     df.select(
       col("id"),
       element_at(col("tags"), "orderstatus").as("orderstatus"),
       element_at(col("tags"), "priority").as("priority"))
-      .orderBy(col("id"))
+      .orderByOnce(col("id"))
 
   private def oracle(extraWhere: String): String =
     s"""SELECT o_orderkey AS id,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.GeoFunctions
 import graft.operators.RelationAssembly
+import graft.queries.Catalog.OrderByOnce
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -60,7 +61,7 @@ object RelationQueries {
                 aggregate(col("inners"), lit(0.0),
                   (acc, ring) => acc + GeoFunctions.geodesic_area(ring)),
               1).as("area_m2"))
-          .orderBy(col("id"))
+          .orderByOnce(col("id"))
       },
       Some(s"""SELECT id, 1 AS n_outer,
               |       CASE WHEN has_inner THEN 1 ELSE 0 END AS n_inner,
@@ -95,7 +96,7 @@ object RelationQueries {
               .cast("int").as("closed"),
             length(GeoFunctions.wkb_linestring(col("path"))).as("wkb_bytes"),
             round(aggregate(segs, lit(0.0), (acc, x) => acc + x), 6).as("len_deg"))
-          .orderBy(col("way_id"))
+          .orderByOnce(col("way_id"))
       },
       Some(s"""SELECT CASE seq WHEN 0 THEN id + 5000000
               |                WHEN 1 THEN id + 7000000

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.queries.Catalog.OrderByOnce
 import graft.operators.{CorpusPipeline, CorpusSettings, Sampling, Upsert}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -1006,7 +1007,7 @@ object SamplingQueries {
               .cast("long").as("doc_id"),
             col("content_length"),
             decode(col("payload"), "UTF-8").as("text"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,

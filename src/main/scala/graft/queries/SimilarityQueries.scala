@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.queries.Catalog.OrderByOnce
 import graft.operators.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -294,7 +295,7 @@ object SimilarityQueries {
               lit(0.0), (acc, e) => acc + e) / size(col("v")), 6).as("mae"))
           .select(col("vec_id"), round(col("maxabs"), 6).as("maxabs"),
             col("q_l1"), col("mae"))
-          .orderBy(col("vec_id"))
+          .orderByOnce(col("vec_id"))
       },
       Some("""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
@@ -329,7 +330,7 @@ object SimilarityQueries {
         val emb = Tables.embeddings(s, dir)
         Similarity.pqEncode(emb, emb.filter(col("vec_id") < 16),
             "vec_id", "embedding", m = 4)
-          .orderBy(col("vec_id"))
+          .orderByOnce(col("vec_id"))
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v

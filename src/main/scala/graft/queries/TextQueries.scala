@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.queries.Catalog.OrderByOnce
 import graft.functions.TextFunctions
 import graft.operators.TextAnalysis
 import graft.sources.Tables
@@ -256,7 +257,7 @@ object TextQueries {
 
     Q("text_token_stats",
       (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id")),
+        .orderByOnce(col("doc_id")),
       Some("""SELECT doc_id,
              |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
              |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_tokens,
@@ -296,7 +297,7 @@ object TextQueries {
         TextAnalysis.gopherRules(
             Tables.documents(s, dir).withColumn("text", injected),
             "doc_id", "text")
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id,
               |    text || chr(10)
@@ -353,7 +354,7 @@ object TextQueries {
         Tables.documents(s, dir)
           .select(col("doc_id"),
             graft.functions.TextFunctions.scrubPii(injected).as("scrubbed"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |       regexp_replace(regexp_replace(regexp_replace(
@@ -416,7 +417,7 @@ object TextQueries {
             sc("\\p{IsArabic}").as("n_arab"),
             round(sc("\\p{IsLatin}") / total.cast("double"), 6)
               .as("latin_ratio"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,
              |    text || ' ' || repeat(chr(1072), CAST(doc_id % 4 AS INT))
@@ -789,7 +790,7 @@ object TextQueries {
     Q("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("fp_md5"))
-        .orderBy(col("doc_id")),
+        .orderByOnce(col("doc_id")),
       Some("""SELECT doc_id,
              |       substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16)
              |         AS fp_md5
@@ -805,7 +806,7 @@ object TextQueries {
     Q("text_fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("fp_rolling"))
-        .orderBy(col("doc_id")),
+        .orderByOnce(col("doc_id")),
       Some("""SELECT doc_id,
              |  CAST(list_reduce(
              |    list_prepend([CAST(0 AS HUGEINT), CAST(1 AS HUGEINT)],
@@ -2060,7 +2061,7 @@ object TextQueries {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_tokens"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some(bpeEncodeOracle(numMerges = 8)),
       doc = "BPE tokenizer applied: train 8 merges on the corpus, encode every doc, per-doc token count — the exact budget number; oracle replays training + greedy application per word"),
@@ -2150,7 +2151,7 @@ object TextQueries {
         docs.select(col("doc_id"),
             TextFunctions.htmlTitle(html).as("title"),
             TextFunctions.htmlText(html).as("body"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""WITH c AS (SELECT doc_id,
              |             trim(regexp_replace(text,
@@ -2192,7 +2193,7 @@ object TextQueries {
             "</div></body></html>"))
         TextAnalysis.htmlMainContent(
             docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""WITH c AS (
              |  SELECT doc_id,
@@ -3709,7 +3710,7 @@ object TextQueries {
             col("doc_id")).as("url"))
         Robots.verdicts(urls, "url", rules)
           .select(col("doc_id"), col("url"), col("allowed"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""WITH u AS (
              |  SELECT doc_id,
@@ -3769,7 +3770,7 @@ object TextQueries {
               (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("url"))
         Robots.verdictsWildcard(urls, "url", rules)
           .select(col("doc_id"), col("url"), col("allowed"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""WITH u AS (
              |  SELECT doc_id,
@@ -4602,7 +4603,7 @@ object TextQueries {
           .select(col("doc_id"), col("url"), col("status"),
             col("media_type"), col("charset"), col("location"),
             length(decode(col("body"), "UTF-8")).as("body_chars"))
-          .orderBy(col("doc_id"))
+          .orderByOnce(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |       'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.hx/p/'

@@ -39,6 +39,7 @@ object QueryTime {
       try {
         val times = (1 to reps).map { i =>
           val storePre = graft.Bench.storageUsedMb(spark)
+          val allocPre = graft.Bench.allocatedBytes()
           mem.reset()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -46,8 +47,11 @@ object QueryTime {
           if (memOn) {
             try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
             catch { case _: Exception => () }
+            val allocGb =
+              if (allocPre < 0) -1.0
+              else (graft.Bench.allocatedBytes() - allocPre) / (1024.0 * 1024 * 1024)
             println(s"[qtime-mem] $name rep$i " +
-              mem.json(storePre, graft.Bench.storageUsedMb(spark)))
+              mem.json(storePre, graft.Bench.storageUsedMb(spark), allocGb))
           }
           t
         }

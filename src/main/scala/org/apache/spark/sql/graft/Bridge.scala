@@ -46,6 +46,16 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
 
+  /** Build a DataFrame from a raw logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — for probes that perform plan surgery, e.g. the
+    * r19 sort-resampling A/B (inject a repartition under a global Sort).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Deterministically drain the async SparkListener bus
     * (`listenerBus.waitUntilEmpty` is `private[spark]`). Specs that
     * assert on listener-observed counters need this instead of a sleep:
