@@ -21,9 +21,15 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("poi_classify_basic: one narrow stage, only the ORDER BY exchanges") {
-    val p = finalPlan("poi_classify_basic")
-    assert(!p.contains("Exchange hashpartitioning"), p)
+  test("poi_classify_basic: one narrow kernel stage + the orderByOnce pair") {
+    // r19: the classify kernel runs ONCE — orderByOnce materializes it
+    // behind a REPARTITION_BY_COL hash exchange so the range sampler
+    // reads shuffle files instead of re-executing the tag-match segment
+    val p = finalPlan("poi_classify_basic").split("== Initial Plan ==")(0)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    assert(p.contains("rangepartitioning"), p)
+    // still exactly those two exchanges: kernel -> hash -> range -> sort
+    assert("Exchange ".r.findAllIn(p).size == 2, p)
     assert(!p.contains("BroadcastExchange"), p) // dim rides in-plan, not as a join
   }
 
@@ -60,11 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("text/token queries: single stage, no exchange before the sort") {
-    for (name <- Seq("text_token_stats", "text_fingerprint", "text_langid")) {
+  test("text/token queries: one kernel pass — orderByOnce'd or single-stage") {
+    // text_token_stats and text_fingerprint run their per-doc kernels
+    // once behind the orderByOnce hash exchange (r19); text_langid's
+    // tail ends in an aggregation so it keeps the bare sort
+    for (name <- Seq("text_token_stats", "text_fingerprint")) {
       val p = plan(name)
-      assert(!p.contains("Exchange hashpartitioning"), s"$name:\n$p")
+      assert(p.contains("REPARTITION_BY_COL"), s"$name:\n$p")
+      assert("Exchange ".r.findAllIn(p).size == 2, s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
     }
+    val p = plan("text_langid")
+    assert(!p.contains("Exchange hashpartitioning"), s"text_langid:\n$p")
   }
 
   test("text_quality/text_langid: the fused marker kernel replaced the HOF lambdas") {
