@@ -120,9 +120,14 @@ object Bench {
     def reset(): Unit = Seq(memSpill, diskSpill, gcMs, shufWrite, input,
       peakExec, maxTaskMs, evictDrop, evictDisk).foreach(_.set(0L))
     /** One compact JSON object; bytes reported as integer MB. */
-    def json(storePreMb: Long, storePostMb: Long, allocGb: Double = -1): String = {
+    def json(storePreMb: Long, storePostMb: Long,
+        allocGb: Double = Double.NaN): String = {
       def mb(v: Long): Long = v >> 20
-      val alloc = if (allocGb < 0) "" else f""""alloc_gb":$allocGb%.1f,"""
+      // NEGATIVE alloc_gb is emitted as-is: it means threads died
+      // mid-window and took their counters with them (the documented
+      // undercount marker, seen on the substr family's loop sessions) —
+      // suppressing it would leave the gap unexplained in the artifact
+      val alloc = if (allocGb.isNaN) "" else f""""alloc_gb":$allocGb%.1f,"""
       s"""{"spill_mb":${mb(memSpill.get)},"dspill_mb":${mb(diskSpill.get)},""" +
         s""""gc_s":${gcMs.get / 1e3},"peak_exec_mb":${mb(peakExec.get)},""" +
         s""""shuf_w_mb":${mb(shufWrite.get)},"input_mb":${mb(input.get)},""" +
@@ -256,7 +261,7 @@ object Bench {
       try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
       catch { case _: Exception => () }
       val allocGb =
-        if (allocPre < 0) -1.0
+        if (allocPre < 0) Double.NaN
         else (allocatedBytes() - allocPre) / (1024.0 * 1024 * 1024)
       val memJson = mem.json(storePre, storageUsedMb(spark), allocGb)
       // cleanup OUTSIDE the timed window: drop caches a query persisted

@@ -48,7 +48,7 @@ object QueryTime {
             try org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
             catch { case _: Exception => () }
             val allocGb =
-              if (allocPre < 0) -1.0
+              if (allocPre < 0) Double.NaN
               else (graft.Bench.allocatedBytes() - allocPre) / (1024.0 * 1024 * 1024)
             println(s"[qtime-mem] $name rep$i " +
               mem.json(storePre, graft.Bench.storageUsedMb(spark), allocGb))
