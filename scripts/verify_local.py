@@ -21,6 +21,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # let heavy oracle CTEs (doc_pipeline_e2e) spill instead of dying
+    # with an intermittent "Out of Memory Error: Failed to allocate" —
+    # observed ~1-in-6 runs on a loaded box, a harness flake that reads
+    # exactly like a correctness failure in the summary line
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -176,7 +176,8 @@ object GeoJoin {
       bId: String, bLon: String, bLat: String, bTs: String,
       radiusM: Double, maxGapSeconds: Long,
       selfPairs: Boolean = false,
-      timeBucketKeys: Boolean = true): DataFrame = {
+      timeBucketKeys: Boolean = true,
+      probeHint: Option[String] = None): DataFrame = {
     require(radiusM > 0 && radiusM <= 1000000.0,
       "radiusM in (0, 1000 km]")
     require(maxGapSeconds >= 0, "maxGapSeconds >= 0")
@@ -216,7 +217,10 @@ object GeoJoin {
       else lit(0L))
       .drop("__b0", "__xc", "__bkt0")
     val gap = s"INTERVAL $maxGapSeconds SECONDS"
-    build.join(probe,
+    // probeHint ("shuffle_hash" / "merge") steers the join strategy on
+    // the UNEXPLODED side — the strategy A/B knob (ProxProbe, r19)
+    val probeH = probeHint.map(probe.hint(_)).getOrElse(probe)
+    build.join(probeH,
         col("__band") === col("__bandb") && col("__x") === col("__xb") &&
           col("__bkt") === col("__bktb") &&
           col("__tsb") >= col("__tsa") - expr(gap) &&
