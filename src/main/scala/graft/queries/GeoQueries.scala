@@ -939,6 +939,53 @@ object GeoQueries {
              |ORDER BY point_id, poly_id""".stripMargin),
       doc = "manual split-first containment recipe (regression twin of the r19 Safe default): caller-side splitAntimeridianRings + (wid, part)-keyed plain grid join vs the same pre-split-halves oracle"),
 
+    // The r18 declared query, kept under its original name (the
+    // driver contract never removes or renames a declared query):
+    // RAW wrapped rings straight into pointsInPolygonsSafe — exactly
+    // the body the r19 default (way_dateline_containment) absorbed,
+    // against the identical pre-split-halves oracle. Redundant with
+    // the default by construction since the r19 migration, retained
+    // as the named r18 anchor of the raw-input contract.
+    Q("way_dateline_containment_raw",
+      (s, dir) => {
+        import graft.operators.GeoJoin
+        import s.implicits._
+        val pts = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          ((col("o_totalprice") % 360) - 180 + 0.0005).as("lon"),
+          ((col("o_orderkey") % 170) - 85 + 0.0005).as("lat"))
+        val rects = Seq(
+          (1L, 177.303, -176.297, -20.103, -4.897),
+          (2L, 179.203, -178.597, 30.053, 44.353),
+          (3L, 10.153, 20.853, -5.453, 8.253))
+          .toDF("wid", "wlo", "elo", "sla", "nla")
+        val polys = rects.select(col("wid"), expr(
+          "array(named_struct('lon', wlo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', sla)," +
+            " named_struct('lon', elo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', nla)," +
+            " named_struct('lon', wlo, 'lat', sla))").as("ring"))
+        GeoJoin.pointsInPolygonsSafe(pts, polys, "id", "lon", "lat",
+            "wid", "ring", cellDeg = 0.5)
+          .orderBy(col("point_id"), col("poly_id"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS id,
+             |               (o_totalprice % 360) - 180 + 0.0005 AS lon,
+             |               (o_orderkey % 170) - 85 + 0.0005 AS lat
+             |             FROM orders),
+             |halves(wid, lo1, lo2, la1, la2) AS (VALUES
+             |  (1, 177.303, 180.0, -20.103, -4.897),
+             |  (1, -180.0, -176.297, -20.103, -4.897),
+             |  (2, 179.203, 180.0, 30.053, 44.353),
+             |  (2, -180.0, -178.597, 30.053, 44.353),
+             |  (3, 10.153, 20.853, -5.453, 8.253))
+             |SELECT p.id AS point_id, CAST(h.wid AS BIGINT) AS poly_id
+             |FROM pts p JOIN halves h
+             |  ON p.lon > h.lo1 AND p.lon < h.lo2
+             | AND p.lat > h.la1 AND p.lat < h.la2
+             |ORDER BY point_id, poly_id""".stripMargin),
+      doc = "geometry-normalizing containment (r18, original name retained): RAW wrapped dateline rings through pointsInPolygonsSafe (internal split + rekey + aggregate-back) vs the same pre-split-halves oracle as the manual-recipe query"),
+
     // Polygon-polygon intersection across the dateline (r18): RAW
     // straddling rects on BOTH sides through polygonsIntersectSafe.
     // B rects come scaled from `part` in two bands (near-dateline,
