@@ -152,21 +152,28 @@ object GeoJoin {
     * trailing distinct, which a streaming inner join could not
     * express. Output: (id_a, id_b, ts_a, ts_b, dist_m).
     *
-    * The TIME BUCKET rides the join KEY, not just the condition:
-    * probe rows key (band, x, ⌊ts/gap⌋), build rows explode the ±1
-    * neighbor buckets (≤ 27 keys total). Without it, candidate volume
-    * is Σ_cell k² over the WHOLE history — a month of events in one
-    * busy cell pays the full quadratic even though only same-hour
-    * pairs can match (measured on the catalog data: 145M candidate
-    * evals, 14 s; bucketed, ~1 s). With it, candidates scale with
-    * per-(cell, bucket) density — the same law the streaming state
-    * already obeys. A pair within `maxGapSeconds` differs by at most
-    * one bucket, so the key is pure pruning; the exact time range
-    * still verifies in the condition. The trade is stream STATE: the
-    * ±1 bucket explode triples the build side's buffered rows (27
-    * keys/event vs 9 — measured 700k vs 250k peak state rows at the
-    * StreamProbe shape). `timeBucketKeys = false` restores the
-    * 9-key form for state-constrained streams whose per-cell history
+    * The TIME BUCKET rides the join KEY, not just the condition.
+    * Without it, candidate volume is Σ_cell k² over the WHOLE
+    * history — a month of events in one busy cell pays the full
+    * quadratic even though only same-hour pairs can match (measured
+    * on the catalog data: 145M candidate evals, 14 s; bucketed,
+    * ~1 s). With it, candidates scale with per-(cell, bucket)
+    * density — the same law the streaming state already obeys. A
+    * pair within `maxGapSeconds` differs by at most one bucket, so
+    * the key is pure pruning; the exact time range still verifies in
+    * the condition.
+    *
+    * The ±1 NEIGHBORHOOD explosion is split across the sides (r19):
+    * the a-side explodes band and lon-cell (9 keys/row), the b-side
+    * explodes the time bucket (3 keys/row) — 9N + 3N shuffled/sorted
+    * rows instead of the previous all-on-one-side 27N + N (2.3×
+    * fewer; ProxProbe at sf10g: shuffle write 1532 → 760 MB, sort
+    * spill 3.5 GB → 0). Coverage is unchanged — each ±1 factor may
+    * be enumerated on either side, and exactly one exploded
+    * combination matches per true pair, preserving the
+    * pair-joins-at-most-once property the stream-stream form needs.
+    * `timeBucketKeys = false` drops the bucket key (and the b-side
+    * explosion) for state-constrained streams whose per-cell history
     * is short anyway; batch and dense-history callers keep the
     * default (candidate volume Σ k² per cell-bucket vs per cell —
     * 40× fewer candidate evals on the catalog data).
@@ -190,12 +197,24 @@ object GeoJoin {
       pmod(floor((lon + 180.0) / w).cast("long"), nCells)
     }
     val bktUs = math.max(maxGapSeconds, 1L) * 1000000L
+    // Explosion REBALANCE (r19): the ±1 neighborhood factors split
+    // across the two sides — band and lon-cell (9×) on the build side,
+    // time bucket (3×) on the probe side — instead of all 27× on the
+    // build. Each factor may be enumerated on either side (banda ∈
+    // bandb±1 ⟺ bandb ∈ banda±1), each side's exploded key sets are
+    // distinct, and exactly one combination matches per true pair, so
+    // coverage and the pair-joins-at-most-once property are unchanged.
+    // Shuffled/sorted row volume drops from 27·N + N to 9·N + 3·N
+    // (2.3×); ProxProbe at sf10g: alloc 319 → 166 GB, and the
+    // stream-stream form's buffered state drops the same way.
     val probe = b.select(col(bId).as("__ib"), col(bLon).as("__lob"),
         col(bLat).as("__lab"), col(bTs).as("__tsb"))
       .withColumn("__bandb", latBand(col("__lab")))
       .withColumn("__xb", xcell(col("__bandb"), col("__lob")))
       .withColumn("__bktb", if (timeBucketKeys)
-        floor(unix_micros(col("__tsb")) / bktUs).cast("long")
+        explode(sequence(
+          floor(unix_micros(col("__tsb")) / bktUs).cast("long") - 1,
+          floor(unix_micros(col("__tsb")) / bktUs).cast("long") + 1))
       else lit(0L))
     val build = a.select(col(aId).as("__ia"), col(aLon).as("__loa"),
         col(aLat).as("__laa"), col(aTs).as("__tsa"))
@@ -209,26 +228,39 @@ object GeoJoin {
           val n = bandCols(cellLat, radiusM, col("__band"))._1
           pmod(col("__xc") + d, n)
         }))))
-      .withColumn("__bkt0", if (timeBucketKeys)
+      .withColumn("__bkt", if (timeBucketKeys)
         floor(unix_micros(col("__tsa")) / bktUs).cast("long")
       else lit(0L))
-      .withColumn("__bkt", if (timeBucketKeys)
-        explode(sequence(col("__bkt0") - 1, col("__bkt0") + 1))
-      else lit(0L))
-      .drop("__b0", "__xc", "__bkt0")
+      .drop("__b0", "__xc")
     val gap = s"INTERVAL $maxGapSeconds SECONDS"
     // probeHint ("shuffle_hash" / "merge") steers the join strategy on
     // the UNEXPLODED side — the strategy A/B knob (ProxProbe, r19)
     val probeH = probeHint.map(probe.hint(_)).getOrElse(probe)
+    // The ordered-pair cut (`__ia < __ib`, selfPairs) lives IN the
+    // join condition, before the time-range tests, so id-rejected
+    // candidate pairs never reach the haversine projection at all
+    // (r19 — the dedup_embedding conjunct lesson, applied in the form
+    // the A/B favored). The haversine itself deliberately STAYS a
+    // post-join computed-once column + Filter rather than a join-
+    // condition conjunct: ProxProbe at sf10g measured the full move
+    // (trig in the condition, recomputed in the projection for
+    // survivors) at 618 GB allocated vs 352 GB for this shape, with
+    // no wall win — the condition-plus-projection double evaluation
+    // costs more than the short-circuit saves.
+    val idCut = if (selfPairs) col("__ia") < col("__ib") else lit(true)
+    // A Δlat lower-bound precheck in the condition (meridional
+    // distance ≤ haversine, rejects ~44% of grid candidates with two
+    // float ops) was A/B-measured at sf10g and moved NEITHER wall nor
+    // alloc_gb — the join's allocation floor is pair-iteration
+    // machinery, not the trig verify — so it is deliberately absent.
     build.join(probeH,
         col("__band") === col("__bandb") && col("__x") === col("__xb") &&
-          col("__bkt") === col("__bktb") &&
+          col("__bkt") === col("__bktb") && idCut &&
           col("__tsb") >= col("__tsa") - expr(gap) &&
           col("__tsb") <= col("__tsa") + expr(gap))
       .withColumn("dist_m", haversineM(col("__loa"), col("__laa"),
         col("__lob"), col("__lab")))
       .filter(col("dist_m") <= radiusM)
-      .filter(if (selfPairs) col("__ia") < col("__ib") else lit(true))
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
         col("__tsa").as("ts_a"), col("__tsb").as("ts_b"), col("dist_m"))
   }
