@@ -227,7 +227,11 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.__id"))
       .join(sets.as("sb"), col("id_b") === col("sb.__id"))
-      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      // zero-allocation sorted-merge intersect (r19): the sets are
+      // array_sort(array_distinct(...))-built, so the merge count is
+      // bit-identical to size(array_intersect(...)) without the
+      // per-pair hash-set allocation of the builtin
+      .withColumn("__i", Sketches.sortedIntersectSize(col("sa.sh"), col("sb.sh")))
       .select(col("id_a"), col("id_b"),
         (col("__i") / (size(col("sa.sh")) + size(col("sb.sh")) - col("__i")))
           .as("jaccard"))
@@ -276,7 +280,8 @@ object Dedup {
         col("id_new") === col("sa.__id"))
       .join(skRef.select(col("__id").as("__idr"), col("sh").as("shr")).as("sb"),
         col("id_ref") === col("sb.__idr"))
-      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.shr"))))
+      // zero-allocation sorted-merge intersect — see minhashLshPairs
+      .withColumn("__i", Sketches.sortedIntersectSize(col("sa.sh"), col("sb.shr")))
       .select(col("id_new"), col("id_ref"),
         (col("__i") / (size(col("sa.sh")) + size(col("sb.shr")) - col("__i")))
           .as("jaccard"))
@@ -371,7 +376,8 @@ object Dedup {
       .filter(least(size(col("sa.sh")), size(col("sb.sh"))) >=
         floor(lit(threshold) *
           greatest(size(col("sa.sh")), size(col("sb.sh")))))
-      .withColumn("__i", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      // zero-allocation sorted-merge intersect — see minhashLshPairs
+      .withColumn("__i", Sketches.sortedIntersectSize(col("sa.sh"), col("sb.sh")))
       .select(col("id_a"), col("id_b"),
         (col("__i") / (size(col("sa.sh")) + size(col("sb.sh")) - col("__i")))
           .as("jaccard"))
