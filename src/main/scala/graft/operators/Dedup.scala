@@ -69,6 +69,28 @@ object Dedup {
       explode(transform(TextFunctions.shingleSet(col(textCol), k),
         s => xxhash64(s))).as("sh"))
 
+  /** Posting list → ordered candidate pair rows (id_a, id_b):
+    * posexplode the SORTED `ids` array and explode each element's
+    * tail slice, instead of `explode(orderedPairs(ids))`. The pair
+    * set is identical (element i pairs with every j > i of a
+    * sorted-distinct array). Why this shape (r19): the struct-array
+    * form materializes all n(n−1)/2 boxed two-field rows of a posting
+    * in ONE allocation — O(df²) bytes in a single object, a
+    * G1-humongous allocation that turns one adversarially hot posting
+    * into a guaranteed heap failure — where the largest single
+    * allocation here is one primitive-backed tail slice, O(df) bytes.
+    * A/B-measured at sf10g (QueryTime ×3, 25g heap): wall and
+    * alloc_gb NEUTRAL on the catalog corpus (112–116 vs 119–140 GB;
+    * overlapping wall bands) — kept for the allocation BOUND, not for
+    * a local-mode win (the old form also drew one non-reproducing 8g
+    * OOM during the A/B; the new form completed every rep there).
+    */
+  private def postingPairs(postings: DataFrame): DataFrame =
+    postings
+      .select(col("ids"), posexplode(col("ids")).as(Seq("__pi", "id_a")))
+      .select(col("id_a"), explode(slice(col("ids"), col("__pi") + lit(2),
+        size(col("ids")) - col("__pi") - lit(1))).as("id_b"))
+
   /** Exact shingle-set Jaccard pairs ≥ threshold via inverted-index
     * self-join (id_a < id_b). `maxShingleDf` > 0 drops shingles that
     * occur in more documents than the cap (skew guard; 0 = exact).
@@ -158,9 +180,8 @@ object Dedup {
         sum(when(size(col("ids")) > maxShingleDf, 1L).otherwise(0L))
           .as("pruned_postings"))
       .filter(size(col("ids")) <= maxShingleDf)
-    val inter = postings
-      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val inter = postingPairs(postings)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(cnt.as("ca"), col("id_a") === col("ca.__id"))
@@ -358,11 +379,9 @@ object Dedup {
       .select(col("__id"), explode(slice(col("ordered"), lit(1),
         (floor(lit(1.0 - threshold) * size(col("ordered"))) + 2).cast("int")))
         .as("sh"))
-    val cand = prefix.groupBy(col("sh"))
-      .agg(array_sort(collect_list(col("__id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val cand = postingPairs(prefix.groupBy(col("sh"))
+        .agg(array_sort(collect_list(col("__id"))).as("ids"))
+        .filter(size(col("ids")) >= 2))
       .distinct()
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.__id"))
@@ -849,9 +868,8 @@ object Dedup {
       .agg(array_sort(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
     if (maxFpDf > 0) postings = postings.filter(size(col("ids")) <= maxFpDf)
-    postings
-      .select(explode(TextFunctions.orderedPairs(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    postingPairs(postings)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= minShared)
   }
