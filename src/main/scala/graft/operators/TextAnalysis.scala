@@ -483,7 +483,13 @@ object TextAnalysis {
   def knPerplexityScore(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
-    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    // words hash to longs at tokenization (r19): every downstream
+    // shuffle/join keys on 8-byte longs instead of word strings — the
+    // output depends only on n-gram COUNTS, never on the words, so
+    // this is the jaccardPairsPrefix trade (two distinct words
+    // colliding merges their n-gram types; ≈2⁻⁶⁴ per pair)
+    val toks = docs.select(col(idCol),
+      transform(TextFunctions.words(col(textCol)), w => xxhash64(w)).as("__w"))
     val bi = toks.select(col(idCol),
         explode(arrays_zip(
           slice(col("__w"), lit(1), size(col("__w")) - 1).as("w1"),
@@ -545,7 +551,11 @@ object TextAnalysis {
   def knTrigramPerplexityScore(docs: DataFrame, idCol: String,
       textCol: String, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
-    val toks = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    // hashed-word keys — see [[knPerplexityScore]] (r19): counts-only
+    // output, long keys through both full-width shuffles and all six
+    // scoring joins
+    val toks = docs.select(col(idCol),
+      transform(TextFunctions.words(col(textCol)), w => xxhash64(w)).as("__w"))
     // greatest(.., 0): a 1-2 word doc must yield an empty slice, not a
     // negative-length slice error
     val triLen = greatest(size(col("__w")) - 2, lit(0))
