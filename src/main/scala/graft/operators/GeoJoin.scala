@@ -178,16 +178,14 @@ object GeoJoin {
     * default (candidate volume Σ k² per cell-bucket vs per cell —
     * 40× fewer candidate evals on the catalog data).
     */
-  def withinDistanceEvents(a: DataFrame, b: DataFrame,
-      aId: String, aLon: String, aLat: String, aTs: String,
+  /** Exploded probe-side (band, xcell, ±1 time bucket) keys of
+    * [[withinDistanceEvents]] — factored out so ProxProbe can measure
+    * per-key pair mass on exactly the join's key distribution.
+    */
+  private[graft] def proximityProbeKeys(b: DataFrame,
       bId: String, bLon: String, bLat: String, bTs: String,
       radiusM: Double, maxGapSeconds: Long,
-      selfPairs: Boolean = false,
-      timeBucketKeys: Boolean = true,
-      probeHint: Option[String] = None): DataFrame = {
-    require(radiusM > 0 && radiusM <= 1000000.0,
-      "radiusM in (0, 1000 km]")
-    require(maxGapSeconds >= 0, "maxGapSeconds >= 0")
+      timeBucketKeys: Boolean = true): DataFrame = {
     val cellLat = 1.2 * radiusM / MPerLatDeg
     val nBands = math.max(1, math.floor(180.0 / cellLat).toLong)
     val latBand = (lat: Column) => least(lit(nBands - 1),
@@ -197,17 +195,7 @@ object GeoJoin {
       pmod(floor((lon + 180.0) / w).cast("long"), nCells)
     }
     val bktUs = math.max(maxGapSeconds, 1L) * 1000000L
-    // Explosion REBALANCE (r19): the ±1 neighborhood factors split
-    // across the two sides — band and lon-cell (9×) on the build side,
-    // time bucket (3×) on the probe side — instead of all 27× on the
-    // build. Each factor may be enumerated on either side (banda ∈
-    // bandb±1 ⟺ bandb ∈ banda±1), each side's exploded key sets are
-    // distinct, and exactly one combination matches per true pair, so
-    // coverage and the pair-joins-at-most-once property are unchanged.
-    // Shuffled/sorted row volume drops from 27·N + N to 9·N + 3·N
-    // (2.3×); ProxProbe at sf10g: alloc 319 → 166 GB, and the
-    // stream-stream form's buffered state drops the same way.
-    val probe = b.select(col(bId).as("__ib"), col(bLon).as("__lob"),
+    b.select(col(bId).as("__ib"), col(bLon).as("__lob"),
         col(bLat).as("__lab"), col(bTs).as("__tsb"))
       .withColumn("__bandb", latBand(col("__lab")))
       .withColumn("__xb", xcell(col("__bandb"), col("__lob")))
@@ -216,7 +204,25 @@ object GeoJoin {
           floor(unix_micros(col("__tsb")) / bktUs).cast("long") - 1,
           floor(unix_micros(col("__tsb")) / bktUs).cast("long") + 1))
       else lit(0L))
-    val build = a.select(col(aId).as("__ia"), col(aLon).as("__loa"),
+  }
+
+  /** Exploded build-side (±1 band, ±1 xcell, time bucket) keys of
+    * [[withinDistanceEvents]] — see [[proximityProbeKeys]].
+    */
+  private[graft] def proximityBuildKeys(a: DataFrame,
+      aId: String, aLon: String, aLat: String, aTs: String,
+      radiusM: Double, maxGapSeconds: Long,
+      timeBucketKeys: Boolean = true): DataFrame = {
+    val cellLat = 1.2 * radiusM / MPerLatDeg
+    val nBands = math.max(1, math.floor(180.0 / cellLat).toLong)
+    val latBand = (lat: Column) => least(lit(nBands - 1),
+      greatest(lit(0L), floor((lat + 90.0) / cellLat).cast("long")))
+    def xcell(band: Column, lon: Column): Column = {
+      val (nCells, w) = bandCols(cellLat, radiusM, band)
+      pmod(floor((lon + 180.0) / w).cast("long"), nCells)
+    }
+    val bktUs = math.max(maxGapSeconds, 1L) * 1000000L
+    a.select(col(aId).as("__ia"), col(aLon).as("__loa"),
         col(aLat).as("__laa"), col(aTs).as("__tsa"))
       .withColumn("__b0", latBand(col("__laa")))
       .withColumn("__band", explode(array_distinct(array(
@@ -232,6 +238,32 @@ object GeoJoin {
         floor(unix_micros(col("__tsa")) / bktUs).cast("long")
       else lit(0L))
       .drop("__b0", "__xc")
+  }
+
+  def withinDistanceEvents(a: DataFrame, b: DataFrame,
+      aId: String, aLon: String, aLat: String, aTs: String,
+      bId: String, bLon: String, bLat: String, bTs: String,
+      radiusM: Double, maxGapSeconds: Long,
+      selfPairs: Boolean = false,
+      timeBucketKeys: Boolean = true,
+      probeHint: Option[String] = None): DataFrame = {
+    require(radiusM > 0 && radiusM <= 1000000.0,
+      "radiusM in (0, 1000 km]")
+    require(maxGapSeconds >= 0, "maxGapSeconds >= 0")
+    // Explosion REBALANCE (r19): the ±1 neighborhood factors split
+    // across the two sides — band and lon-cell (9×) on the build side,
+    // time bucket (3×) on the probe side — instead of all 27× on the
+    // build. Each factor may be enumerated on either side (banda ∈
+    // bandb±1 ⟺ bandb ∈ banda±1), each side's exploded key sets are
+    // distinct, and exactly one combination matches per true pair, so
+    // coverage and the pair-joins-at-most-once property are unchanged.
+    // Shuffled/sorted row volume drops from 27·N + N to 9·N + 3·N
+    // (2.3×); ProxProbe at sf10g: alloc 319 → 166 GB, and the
+    // stream-stream form's buffered state drops the same way.
+    val probe = proximityProbeKeys(b, bId, bLon, bLat, bTs, radiusM,
+      maxGapSeconds, timeBucketKeys)
+    val build = proximityBuildKeys(a, aId, aLon, aLat, aTs, radiusM,
+      maxGapSeconds, timeBucketKeys)
     val gap = s"INTERVAL $maxGapSeconds SECONDS"
     // probeHint ("shuffle_hash" / "merge") steers the join strategy on
     // the UNEXPLODED side — the strategy A/B knob (ProxProbe, r19)
